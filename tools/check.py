@@ -1,0 +1,127 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's t2 correctness gate.
+
+Usage: python3 tools/check.py [sfdir] [outdir] [--skip-verify] [names...]
+
+1. Runs graft.Verify (unless --skip-verify) to dump each SparkEntry query
+   to parquet + oracle_sql.json.
+2. Registers the sf tables in DuckDB, runs each oracle SQL.
+3. Compares: schema (column names), row count, and value hash with columns
+   sorted by name and rows sorted — mirroring the described driver compare.
+
+Dev tool only — not part of the shipped library.
+"""
+import json, math, subprocess, sys, os
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # kill -0.0 and represent with repr (full precision)
+        if v == 0:
+            v = 0.0
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    try:
+        import datetime
+        if isinstance(v, datetime.datetime):
+            return v.isoformat()
+        if isinstance(v, datetime.date):
+            return v.isoformat()
+    except Exception:
+        pass
+    if isinstance(v, (int,)):
+        return str(v)
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    try:
+        import decimal
+        if isinstance(v, decimal.Decimal):
+            return repr(float(v))
+    except Exception:
+        pass
+    return str(v)
+
+
+def canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(norm_cell(r[i]) for i in order))
+    out.sort()
+    return [cols[i] for i in order], out
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    skip_verify = "--skip-verify" in sys.argv
+    sfdir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    outdir = args[1] if len(args) > 1 else "/tmp/verify_out"
+    only = set(args[2:])
+
+    if not skip_verify:
+        r = subprocess.run(
+            ["sbt", "-batch", f'runMain graft.Verify {sfdir} {outdir}'],
+            cwd="/root/repo", capture_output=True, text=True)
+        sys.stdout.write("\n".join(r.stdout.splitlines()[-5:]) + "\n")
+        if "[error]" in r.stdout or r.returncode != 0:
+            print("VERIFY FAILED");
+            print(r.stdout[-4000:]); print(r.stderr[-2000:]); sys.exit(1)
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    ok = fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        pdir = f"{outdir}/{name}"
+        if not os.path.isdir(pdir):
+            print(f"MISSING  {name} (no parquet output)"); fail += 1; continue
+        try:
+            tb = pq.read_table(pdir)
+            scols = tb.column_names
+            srows = list(zip(*[tb.column(c).to_pylist() for c in scols])) \
+                if scols else []
+            cur = con.sql(sql)
+            dcols = [d[0] for d in cur.description]
+            drows = cur.fetchall()
+        except Exception as e:
+            print(f"ERROR    {name}: {e}"); fail += 1; continue
+        sc, sr = canon(scols, srows)
+        dc, dr = canon(dcols, drows)
+        if sc != dc:
+            print(f"SCHEMA   {name}: spark={sc} duck={dc}"); fail += 1
+        elif len(sr) != len(dr):
+            print(f"ROWCOUNT {name}: spark={len(sr)} duck={len(dr)}"); fail += 1
+        elif sr != dr:
+            bad = next(i for i, (a, b) in enumerate(zip(sr, dr)) if a != b) \
+                if sr and dr else 0
+            print(f"VALUES   {name}: first diff row {bad}:")
+            print(f"  cols : {sc}")
+            print(f"  spark: {sr[bad] if bad < len(sr) else '<none>'}")
+            print(f"  duck : {dr[bad] if bad < len(dr) else '<none>'}")
+            fail += 1
+        else:
+            print(f"OK       {name} ({len(sr)} rows)"); ok += 1
+    print(f"\n{ok} ok, {fail} failed")
+    sys.exit(1 if fail else 0)
+
+
+if __name__ == "__main__":
+    main()
