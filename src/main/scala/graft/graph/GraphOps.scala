@@ -1,0 +1,124 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph traversal operators over plain `edges` DataFrames
+  * (`from_id`, `to_id`, `relation_type`, `confidence`).
+  *
+  * The reference implements these as queue-based BFS in Python
+  * (memory_core/db/graph_storage_adapter.py:319-455,
+  * mcp_integration/enhanced_mcp_endpoint.py:76-270). Here each hop is a
+  * distributed hash join on the node id; depth is small (≤5 per the
+  * reference defaults) so the loop is driver-side orchestration of
+  * Catalyst plans, with `localCheckpoint` truncating lineage per hop so
+  * plans don't grow exponentially at scale.
+  *
+  * Scale notes (100 TB): every hop shuffles on the join key only; the
+  * frontier is deduplicated before each expansion; visited-set
+  * subtraction is a left-anti join (no driver-side state). For a
+  * 1000-executor cluster, pre-bucketing `edges` by `from_id` makes each
+  * hop a co-partitioned join with no edge-side shuffle.
+  */
+object GraphOps {
+
+  sealed trait Direction
+  case object Outgoing extends Direction
+  case object Incoming extends Direction
+  case object Both extends Direction
+
+  /** Orient edges for a traversal direction: (node_id -> next_id). */
+  def oriented(edges: DataFrame, dir: Direction): DataFrame = dir match {
+    case Outgoing => edges.select(col("from_id").as("node_id"),
+      col("to_id").as("next_id"), col("relation_type"), col("confidence"))
+    case Incoming => edges.select(col("to_id").as("node_id"),
+      col("from_id").as("next_id"), col("relation_type"), col("confidence"))
+    case Both => oriented(edges, Outgoing).unionByName(oriented(edges, Incoming))
+  }
+
+  /** 1-hop neighbor expansion with optional relation-type filter
+    * (graph_storage_adapter.py:418-455 — both_e() semantics). */
+  def neighbors(edges: DataFrame, seeds: DataFrame, dir: Direction,
+      relTypes: Seq[String] = Nil): DataFrame = {
+    val e0 = oriented(edges, dir)
+    val e = if (relTypes.isEmpty) e0 else e0.filter(col("relation_type").isin(relTypes: _*))
+    seeds.join(e, "node_id")
+      .select(col("node_id"), col("next_id").as("neighbor_id"),
+        col("relation_type"), col("confidence"))
+  }
+
+  /** Level-synchronous BFS annotating each reached node with its minimum
+    * hop distance (graph_storage_adapter.py:424-455 semantics: dedup
+    * visited, hop_distance = first level reached).
+    *
+    * Optional per-edge predicate (relation filter / min confidence) as in
+    * enhanced_mcp_endpoint.py:76-171.
+    */
+  def multiHop(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      dir: Direction = Outgoing, edgeFilter: Option[Column] = None): DataFrame = {
+    val e0 = oriented(edges, dir)
+    val e = edgeFilter.map(e0.filter).getOrElse(e0)
+      .select(col("node_id"), col("next_id"))
+    var reached = seeds.select(col("node_id")).distinct()
+      .withColumn("hop", lit(0)).localCheckpoint()
+    var frontier = reached
+    var h = 1
+    while (h <= maxHops && !frontier.isEmpty) {
+      val next = frontier.join(e, "node_id")
+        .select(col("next_id").as("node_id")).distinct()
+        .join(reached, Seq("node_id"), "left_anti")
+        .withColumn("hop", lit(h))
+        .localCheckpoint() // truncate lineage; BFS plans must not nest
+      reached = reached.unionByName(next).localCheckpoint()
+      frontier = next
+      h += 1
+    }
+    reached
+  }
+
+  /** Unweighted shortest-path distances from a source (both directions,
+    * as in graph_storage_adapter.py:319-359 / sqlite_storage.py:571-617):
+    * BFS with min-hop is exactly shortest path for unit weights. */
+  def shortestPathLengths(edges: DataFrame, source: DataFrame,
+      maxHops: Int): DataFrame =
+    multiHop(edges, source, maxHops, Both)
+
+  /** Induced subgraph: edges whose BOTH endpoints are in `keep`
+    * (enhanced_mcp_endpoint.py:233-252) — two semi-joins. */
+  def inducedSubgraph(edges: DataFrame, keep: DataFrame): DataFrame =
+    edges
+      .join(keep.select(col("node_id").as("from_id")), Seq("from_id"), "left_semi")
+      .join(keep.select(col("node_id").as("to_id")), Seq("to_id"), "left_semi")
+
+  /** Subgraph density |E| / |V| (enhanced_mcp_endpoint.py:268). */
+  def density(edges: DataFrame, nodes: DataFrame): Double = {
+    val v = nodes.count().toDouble
+    if (v == 0) 0.0 else edges.count().toDouble / v
+  }
+
+  /** Connected components by iterative min-label propagation — each
+    * iteration is one join + aggregate; converges in O(diameter) rounds.
+    * (GraphX offers this too; the DataFrame form keeps everything in
+    * Catalyst/AQE and works with bucketed edges at scale.) */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val und = oriented(edges, Both).select(col("node_id"), col("next_id"))
+      .localCheckpoint()
+    var labels = und.select(col("node_id")).distinct()
+      .withColumn("component", col("node_id")).localCheckpoint()
+    var changed = true
+    var i = 0
+    while (changed && i < maxIter) {
+      val prop = und.join(labels, "node_id")
+        .select(col("next_id").as("node_id"), col("component"))
+      val next = labels.unionByName(prop)
+        .groupBy("node_id").agg(min(col("component")).as("component"))
+        .localCheckpoint()
+      changed = !next.join(labels,
+        next("node_id") === labels("node_id") &&
+          next("component") === labels("component"), "left_anti").isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+}

@@ -1,0 +1,68 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deterministic knowledge-graph view over the driver's synthetic star
+  * schema: entities become typed nodes ("c:<id>", "o:<id>", ...) and the
+  * foreign keys become typed, confidence-scored directed edges — the same
+  * shape as the reference's property graph (nodes + typed edges,
+  * memory_core/model/relationship.py:19-47).
+  *
+  * The identical edge list is expressible as a DuckDB WITH-clause
+  * (see GraphQueries.edgesSql) so every traversal result can be
+  * oracle-checked.
+  */
+object KGraph {
+
+  private def n(prefix: String, c: String) =
+    concat(lit(prefix + ":"), col(c).cast("string"))
+
+  /** Typed edges: from_id, to_id, relation_type, confidence. */
+  def edges(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val customer = Tables.load(spark, dir, "customer")
+    val supplier = Tables.load(spark, dir, "supplier")
+    val nation = Tables.load(spark, dir, "nation")
+    val lineitem = Tables.load(spark, dir, "lineitem")
+
+    orders.select(n("o", "o_orderkey").as("from_id"),
+        n("c", "o_custkey").as("to_id"),
+        lit("placed_by").as("relation_type"), lit(1.0).as("confidence"))
+      .unionByName(customer.select(n("c", "c_custkey").as("from_id"),
+        n("n", "c_nationkey").as("to_id"),
+        lit("located_in").as("relation_type"), lit(0.9).as("confidence")))
+      .unionByName(supplier.select(n("s", "s_suppkey").as("from_id"),
+        n("n", "s_nationkey").as("to_id"),
+        lit("located_in").as("relation_type"), lit(0.9).as("confidence")))
+      .unionByName(nation.select(n("n", "n_nationkey").as("from_id"),
+        n("r", "n_regionkey").as("to_id"),
+        lit("part_of").as("relation_type"), lit(0.95).as("confidence")))
+      .unionByName(lineitem.select(n("o", "l_orderkey").as("from_id"),
+        n("p", "l_partkey").as("to_id")).distinct()
+        .select(col("from_id"), col("to_id"),
+          lit("contains").as("relation_type"), lit(0.8).as("confidence")))
+      .unionByName(lineitem.select(n("p", "l_partkey").as("from_id"),
+        n("s", "l_suppkey").as("to_id")).distinct()
+        .select(col("from_id"), col("to_id"),
+          lit("supplied_by").as("relation_type"), lit(0.7).as("confidence")))
+  }
+
+  /** The same edge list as a DuckDB CTE body (oracle side). */
+  val edgesSql: String =
+    """edges AS (
+      |  SELECT 'o:'||o_orderkey AS from_id, 'c:'||o_custkey AS to_id,
+      |         'placed_by' AS relation_type, 1.0 AS confidence FROM orders
+      |  UNION ALL
+      |  SELECT 'c:'||c_custkey, 'n:'||c_nationkey, 'located_in', 0.9 FROM customer
+      |  UNION ALL
+      |  SELECT 's:'||s_suppkey, 'n:'||s_nationkey, 'located_in', 0.9 FROM supplier
+      |  UNION ALL
+      |  SELECT 'n:'||n_nationkey, 'r:'||n_regionkey, 'part_of', 0.95 FROM nation
+      |  UNION ALL
+      |  SELECT DISTINCT 'o:'||l_orderkey, 'p:'||l_partkey, 'contains', 0.8 FROM lineitem
+      |  UNION ALL
+      |  SELECT DISTINCT 'p:'||l_partkey, 's:'||l_suppkey, 'supplied_by', 0.7 FROM lineitem
+      |)""".stripMargin
+}
