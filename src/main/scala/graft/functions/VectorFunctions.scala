@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector similarity primitives as Catalyst higher-order functions —
+  * no UDFs, so everything stays inside whole-stage codegen.
+  *
+  * Mirrors the reference's metrics (COSINE with ε-guarded norms, L2 →
+  * similarity 1/(1+d), inner product — embeddings/vector_stores/numpy/
+  * numpy_store.py:590-627; cosine also at ingestion/relationship_extractor
+  * .py:692-697). All arithmetic is double-precision left-to-right folds,
+  * which keeps results bit-stable across partitions and matches the
+  * DuckDB oracle formulas exactly.
+  */
+object VectorFunctions {
+
+  /** Element-wise double cast — embeddings are Array[Float] on disk. */
+  private def d(x: Column): Column = x.cast("double")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, v) => acc + d(v) * d(v))
+
+  /** Cosine similarity, ε-guard against zero vectors (numpy_store.py:606-621
+    * clips to [-1,1] and guards norms; the clip is a no-op for finite
+    * doubles except rounding spill, kept for parity). */
+  def cosine(a: Column, b: Column): Column = {
+    val den = sqrt(norm2(a)) * sqrt(norm2(b))
+    when(den <= lit(1e-12), lit(0.0))
+      .otherwise(least(greatest(dot(a, b) / den, lit(-1.0)), lit(1.0)))
+  }
+
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => (d(x) - d(y)) * (d(x) - d(y))),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** L2 distance mapped to a similarity in (0,1]: 1/(1+d). */
+  def l2Similarity(a: Column, b: Column): Column =
+    lit(1.0) / (lit(1.0) + l2Distance(a, b))
+
+  /** The same formulas as DuckDB SQL snippets (oracle side), over
+    * DOUBLE[] casts so both engines accumulate in double. */
+  object sql {
+    def dot(a: String, b: String): String =
+      s"list_dot_product(($a)::DOUBLE[], ($b)::DOUBLE[])"
+    def cosine(a: String, b: String): String = {
+      val den = s"(sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+      s"(CASE WHEN $den <= 1e-12 THEN 0.0 " +
+        s"ELSE least(greatest(${dot(a, b)} / $den, -1.0), 1.0) END)"
+    }
+    def l2Distance(a: String, b: String): String =
+      s"sqrt(list_sum(list_transform(list_zip(($a)::DOUBLE[], ($b)::DOUBLE[]), " +
+        s"z -> (z[1] - z[2]) * (z[1] - z[2]))))"
+    def l2Similarity(a: String, b: String): String =
+      s"(1.0 / (1.0 + ${l2Distance(a, b)}))"
+  }
+}

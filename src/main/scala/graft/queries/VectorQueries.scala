@@ -1,5 +1,150 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{VectorFunctions => VF}
+import graft.semantic.VectorSearch
+
+/** Semantic / vector operators (SURVEY.md §2.6) + the ANN scale path:
+  * exact top-k, thresholded+filtered search, k-NN join, exact similarity
+  * self-join, similarity metrics, and IVF approximate search made
+  * deterministic (mean centroids) so even the ANN path is oracle-checked.
+  */
 object VectorQueries {
-  val qs: Seq[Q] = Seq()
+
+  private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  private def qvec(s: SparkSession, dir: String) =
+    emb(s, dir).filter(col("vec_id") === 0).select(col("embedding"))
+
+  // -- q17: exact top-k cosine against a broadcast query vector
+  private def q17(s: SparkSession, dir: String): DataFrame =
+    VectorSearch.topK(emb(s, dir).filter(col("vec_id") =!= 0), qvec(s, dir), 20)
+      .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+
+  private val q17Sql =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+       |SELECT vec_id, round(${VF.sql.cosine("embedding", "qe")}, 6) AS sim
+       |FROM embeddings, q WHERE vec_id <> 0
+       |ORDER BY ${VF.sql.cosine("embedding", "qe")} DESC, vec_id LIMIT 20""".stripMargin
+
+  // -- q18: thresholded + metadata-filtered top-k (pre-filter prunes scan)
+  private def q18(s: SparkSession, dir: String): DataFrame =
+    VectorSearch.topKFiltered(emb(s, dir), qvec(s, dir), 50,
+        threshold = 0.2, preFilter = col("label") >= 5)
+      .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+
+  private val q18Sql =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+       |SELECT vec_id, round(${VF.sql.cosine("embedding", "qe")}, 6) AS sim
+       |FROM embeddings, q
+       |WHERE label >= 5 AND ${VF.sql.cosine("embedding", "qe")} >= 0.2
+       |ORDER BY ${VF.sql.cosine("embedding", "qe")} DESC, vec_id LIMIT 50""".stripMargin
+
+  // -- q19: exact similarity self-join blocked by label (equi-join blocks
+  //         replace the reference's O(n²) loops)
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    VectorSearch.similaritySelfJoin(emb(s, dir), "label", 0.35)
+      .select(col("blk"), col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("blk"), col("a_id"), col("b_id"))
+
+  private val q19Sql =
+    s"""SELECT a.label AS blk, a.vec_id AS a_id, b.vec_id AS b_id,
+       |  round(${VF.sql.cosine("a.embedding", "b.embedding")}, 6) AS sim
+       |FROM embeddings a JOIN embeddings b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ${VF.sql.cosine("a.embedding", "b.embedding")} >= 0.35
+       |ORDER BY blk, a_id, b_id""".stripMargin
+
+  // -- q20: batch k-NN join (top-5 neighbors per query, window-ranked)
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    VectorSearch.knnJoin(emb(s, dir), emb(s, dir).filter(col("vec_id") < 5), 5)
+      .select(col("q_id"), col("vec_id"), col("rnk"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("q_id"), col("rnk"))
+
+  private val q20Sql =
+    s"""SELECT q_id, vec_id, rnk, round(sim, 6) AS sim FROM (
+       |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+       |    ${VF.sql.cosine("e.embedding", "q.embedding")} AS sim,
+       |    CAST(row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${VF.sql.cosine("e.embedding", "q.embedding")} DESC, e.vec_id)
+       |      AS INT) AS rnk
+       |  FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+       |  WHERE e.vec_id <> q.vec_id) x
+       |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
+  // -- q21: similarity metrics (cosine / L2 distance / L2-sim / dot)
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    val a = emb(s, dir).filter(col("vec_id") < 100)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+    val b = emb(s, dir)
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+    a.join(b, col("b_id") === col("a_id") + 1)
+      .select(col("a_id"),
+        round(VF.cosine(col("a_vec"), col("b_vec")), 6).as("sim_cos"),
+        round(VF.l2Distance(col("a_vec"), col("b_vec")), 6).as("dist_l2"),
+        round(VF.l2Similarity(col("a_vec"), col("b_vec")), 6).as("sim_l2"),
+        round(VF.dot(col("a_vec"), col("b_vec")), 6).as("ip"))
+      .orderBy(col("a_id"))
+  }
+
+  private val q21Sql =
+    s"""SELECT a.vec_id AS a_id,
+       |  round(${VF.sql.cosine("a.embedding", "b.embedding")}, 6) AS sim_cos,
+       |  round(${VF.sql.l2Distance("a.embedding", "b.embedding")}, 6) AS dist_l2,
+       |  round(${VF.sql.l2Similarity("a.embedding", "b.embedding")}, 6) AS sim_l2,
+       |  round(${VF.sql.dot("a.embedding", "b.embedding")}, 6) AS ip
+       |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+       |WHERE a.vec_id < 100
+       |ORDER BY a_id""".stripMargin
+
+  // -- q22: IVF ANN — deterministic mean centroids per label cell, assign
+  //         to nearest cell, probe 2 nearest cells, exact top-10 inside
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = VectorSearch.centroids(e, "label")
+    val assigned = VectorSearch.ivfAssign(e, "label")
+    VectorSearch.ivfSearch(assigned, cents, qvec(s, dir), k = 10, nprobe = 2)
+      .select(col("vec_id"), col("cell"), round(col("sim"), 6).as("sim"))
+  }
+
+  private val q22Sql = {
+    val l2 = "sqrt(list_sum(list_transform(list_zip(%s, %s), z -> (z[1]-z[2])*(z[1]-z[2]))))"
+    s"""WITH el AS (
+       |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+       |         unnest(embedding::DOUBLE[]) AS x
+       |  FROM embeddings),
+       |centl AS (
+       |  SELECT label AS cell, list(cx ORDER BY pos) AS centroid FROM (
+       |    SELECT label, pos, avg(x) AS cx FROM el GROUP BY label, pos) c
+       |  GROUP BY label),
+       |dists AS (
+       |  SELECT e.vec_id, c.cell,
+       |    ${l2.format("e.embedding::DOUBLE[]", "c.centroid")} AS dist
+       |  FROM embeddings e CROSS JOIN centl c),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+       |    FROM dists) x WHERE rn = 1),
+       |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       |probe AS (
+       |  SELECT cell FROM centl, q
+       |  ORDER BY ${l2.format("centroid", "qv")}, cell LIMIT 2)
+       |SELECT e.vec_id, a.cell, round(${VF.sql.cosine("e.embedding", "qv")}, 6) AS sim
+       |FROM embeddings e
+       |JOIN assign a ON e.vec_id = a.vec_id
+       |JOIN probe p ON a.cell = p.cell
+       |CROSS JOIN q
+       |ORDER BY ${VF.sql.cosine("e.embedding", "qv")} DESC, e.vec_id LIMIT 10""".stripMargin
+  }
+
+  val qs: Seq[Q] = Seq(
+    Q("q17_topk_cosine", q17, Some(q17Sql), headline = true),
+    Q("q18_topk_filtered", q18, Some(q18Sql)),
+    Q("q19_sim_selfjoin_exact", q19, Some(q19Sql), headline = true),
+    Q("q20_knn_join", q20, Some(q20Sql)),
+    Q("q21_sim_metrics", q21, Some(q21Sql)),
+    Q("q22_ann_ivf", q22, Some(q22Sql)))
 }

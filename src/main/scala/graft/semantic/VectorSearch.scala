@@ -1,0 +1,114 @@
+package graft.semantic
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions._
+
+/** Vector search operators (SURVEY.md §2.6): exact top-k, thresholded /
+  * metadata-filtered search, batch k-NN join, exact similarity self-join,
+  * and an IVF (inverted-file) ANN index for the 100 TB scale path.
+  *
+  * Scale design: the query vector(s) are broadcast (tiny side); exact
+  * top-k compiles to TakeOrderedAndProject (no full sort, no shuffle of
+  * the data side); the k-NN join partitions by query id; IVF turns a
+  * full scan into `nprobe/nlist` of the data — the standard recall/cost
+  * dial — and the centroid assignment is a broadcast join.
+  */
+object VectorSearch {
+
+  /** Exact top-k by cosine against one query vector: orderBy+limit →
+    * Spark plans TakeOrderedAndProject, a per-partition heap + driver
+    * merge — the distributed argpartition the reference does in NumPy
+    * (numpy_store.py:358-364). */
+  def topK(data: DataFrame, queryVec: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    data.crossJoin(broadcast(queryVec.select(col(vecCol).as("qvec"))))
+      .withColumn("sim", cosine(col(vecCol), col("qvec")))
+      .select(col(idCol), col("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+
+  /** Thresholded + metadata-filtered variant (vector_store_interface
+    * .py:181-201: filter_expr pre-filters BEFORE similarity ranking —
+    * the filter prunes the scan, it is not post-filtering). */
+  def topKFiltered(data: DataFrame, queryVec: DataFrame, k: Int,
+      threshold: Double, preFilter: org.apache.spark.sql.Column): DataFrame =
+    topK(data.filter(preFilter), queryVec, Int.MaxValue)
+      .filter(col("sim") >= threshold)
+      .limit(k)
+
+  /** Batch k-NN join: top-k neighbors for EACH query row — window
+    * row_number partitioned by query id, so ranking is distributed per
+    * query (no global sort). */
+  def knnJoin(data: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_vec")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    data.crossJoin(q)
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", cosine(col("embedding"), col("q_vec")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"), col("rnk"), col("sim"))
+  }
+
+  /** Exact similarity self-join within blocks: equi-join on the blocking
+    * key turns O(n²) into Σ|block|² — the correctness-preserving
+    * replacement for the reference's all-pairs loops
+    * (relationship_extractor.py:617-713). At scale, skewed blocks get
+    * AQE skew-split; LSH (Dedup.scala) is the sub-quadratic path. */
+  def similaritySelfJoin(data: DataFrame, blockCol: String,
+      threshold: Double): DataFrame = {
+    val a = data.select(col(blockCol).as("blk"), col("vec_id").as("a_id"),
+      col("embedding").as("a_vec"))
+    val b = data.select(col(blockCol).as("blk"), col("vec_id").as("b_id"),
+      col("embedding").as("b_vec"))
+    a.join(b, "blk")
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim", cosine(col("a_vec"), col("b_vec")))
+      .filter(col("sim") >= threshold)
+      .select(col("blk"), col("a_id"), col("b_id"), col("sim"))
+  }
+
+  /** IVF index build: centroid per partition-label (deterministic mean
+    * — no sampled k-means, so results are reproducible and
+    * oracle-checkable), then assign every vector to its nearest
+    * centroid. Returns (vec_id, embedding, cell). */
+  def ivfAssign(data: DataFrame, labelCol: String = "label"): DataFrame = {
+    val cents = centroids(data, labelCol) // (cell, centroid)
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
+    data.crossJoin(broadcast(cents))
+      .withColumn("dist", l2Distance(col("embedding"), col("centroid")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+  }
+
+  /** Per-label mean vectors via posexplode + per-dimension avg —
+    * distributed, no vector collects on the driver. */
+  def centroids(data: DataFrame, labelCol: String): DataFrame =
+    data.select(col(labelCol).as("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("x").cast("double")).as("cx"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
+      .select(col("cell"), expr("transform(pairs, p -> p.cx)").as("centroid"))
+
+  /** IVF search: probe the `nprobe` nearest cells for the query, exact
+    * cosine top-k inside those cells only. */
+  def ivfSearch(assigned: DataFrame, cents: DataFrame, queryVec: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val probed = cents.crossJoin(broadcast(queryVec.select(col("embedding").as("q_vec"))))
+      .withColumn("dist", l2Distance(col("centroid"), col("q_vec")))
+      .orderBy(col("dist"), col("cell")).limit(nprobe)
+      .select(col("cell"))
+    assigned.join(broadcast(probed), "cell")
+      .crossJoin(broadcast(queryVec.select(col("embedding").as("q_vec"))))
+      .withColumn("sim", cosine(col("embedding"), col("q_vec")))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("cell"), col("sim"))
+  }
+}
