@@ -1,0 +1,119 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions
+import graft.functions.VectorFunctions
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact (hash group-by), MinHash+LSH (shingle → signature → band →
+  * bucket-join), SimHash (hamming-ball), n-gram Jaccard, and
+  * embedding-cosine near-dup. The reference's ingest-time merge dedup is
+  * a top-1 vector match (ingestion/merging.py:17-111); these generalize
+  * it to corpus-scale sweeps.
+  *
+  * Scale notes: exact dedup is one hash aggregate on the content key.
+  * MinHash-LSH is the sub-quadratic path — candidates come from equality
+  * joins on band buckets (shuffle on bucket key), never from a cross
+  * join; bucket-size skew (a band shared by k docs → C(k,2) candidates)
+  * is the thing to watch, handled by salting/AQE at cluster scale.
+  */
+object Dedup {
+
+  /** Exact dedup on a normalized content key: md5 of the sorted distinct
+    * token set. Returns one row per duplicate group (size > 1) with the
+    * kept representative (min id) — the map-side-combinable form of
+    * "keep first, drop rest". */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("key",
+        md5(array_join(array_sort(TextFunctions.distinctTokens(col(textCol))), " ")))
+      .groupBy(col("key"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
+      .filter(col("group_size") > 1)
+
+  /** MinHash-LSH near-dup pairs: k-slot signatures, banded into
+    * `bands` buckets of r = k/bands rows; docs sharing any band bucket
+    * become candidates (equality join); candidates are then scored by the
+    * full-signature Jaccard estimate and thresholded. */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int, threshold: Double): DataFrame = {
+    val r = k / bands
+    val sig = docs.select(col(idCol).as("id"),
+      TextFunctions.minhashSignature(col(textCol), k).as("sig"))
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> " +
+          s"concat_ws('#', b, slice(sig, b * $r + 1, $r)))")).as(Seq("band", "bucket")))
+    val a = banded.select(col("bucket"), col("id").as("a_id"), col("sig").as("a_sig"))
+    val b = banded.select(col("bucket"), col("id").as("b_id"), col("sig").as("b_sig"))
+    a.join(b, "bucket")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        TextFunctions.minhashEstimate(col("a_sig"), col("b_sig"), k).as("est_jaccard"))
+      .distinct() // same pair can collide in several bands
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** 16-bit SimHash per document: bit j is the sign of Σ_tokens
+    * (±1 by token-hash bit j), weighted by token frequency (tokens kept
+    * with duplicates). */
+  def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = docs.select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .withColumn("h", TextFunctions.md5Long(col("tok")))
+    val sums = (0 until 16).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"s$j"))
+    val bits = (0 until 16).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+    exploded.groupBy(col("id"))
+      .agg(sums.head, sums.tail: _*)
+      .withColumn("simhash", bits.reduce(_ + _))
+      .select(col("id"), col("simhash"))
+  }
+
+  /** SimHash near-dup pairs within blocks: hamming distance ≤ maxDist. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, maxDist: Int): DataFrame = {
+    val withBlk = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      col(textCol).as("text"))
+    val sh = simhash16(withBlk, "id", "text")
+      .join(withBlk.select(col("id"), col("blk")), "id")
+    val a = sh.select(col("blk"), col("id").as("a_id"), col("simhash").as("a_sh"))
+    val b = sh.select(col("blk"), col("id").as("b_id"), col("simhash").as("b_sh"))
+    a.join(b, "blk")
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("hamming", bit_count(col("a_sh").bitwiseXOR(col("b_sh"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("blk"), col("a_id"), col("b_id"), col("hamming"))
+  }
+
+  /** Character n-gram Jaccard near-dup within blocks. */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, n: Int, threshold: Double): DataFrame = {
+    val g = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      array_distinct(TextFunctions.charShingles(col(textCol), n)).as("grams"))
+    val a = g.select(col("blk"), col("id").as("a_id"), col("grams").as("a_g"))
+    val b = g.select(col("blk"), col("id").as("b_id"), col("grams").as("b_g"))
+    val inter = size(array_intersect(col("a_g"), col("b_g"))).cast("double")
+    val uni = (size(col("a_g")) + size(col("b_g"))).cast("double") - inter
+    a.join(b, "blk")
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim", when(uni > 0, inter / uni).otherwise(0.0))
+      .filter(col("sim") >= threshold)
+      .select(col("blk"), col("a_id"), col("b_id"), col("sim"))
+  }
+
+  /** Embedding-cosine near-dup: exact all-pairs (no blocking) — the
+    * baseline sweep; use VectorSearch.similaritySelfJoin / LSH for the
+    * blocked and approximate paths. */
+  def embeddingNearDup(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("sim", VectorFunctions.cosine(col("a_vec"), col("b_vec")))
+      .filter(col("sim") >= threshold)
+      .select(col("a_id"), col("b_id"), col("sim"))
+  }
+}

@@ -1,5 +1,121 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.dedup.Dedup
+import graft.functions.{VectorFunctions => VF}
+import graft.text.{TextFunctions => TF}
+
+/** Deduplication family (training-pipeline first-class operators):
+  * exact hash dedup, MinHash+LSH banding, SimHash hamming, n-gram
+  * Jaccard, embedding-cosine near-dup — each with an exact DuckDB oracle
+  * (the LSH path is deterministic because the "permutations" are seeded
+  * md5 hashes, so even banding is reproduced by the oracle).
+  */
 object DedupQueries {
-  val qs: Seq[Q] = Seq()
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  // -- q27: exact dedup on normalized content key (sorted distinct tokens)
+  private def q27(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(docs(s, dir), "doc_id", "text")
+      .select(col("key"), col("keep_id"), col("group_size"))
+      .orderBy(col("key"))
+
+  private val q27Sql =
+    """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS key,
+      |  min(doc_id) AS keep_id, count(*) AS group_size
+      |FROM documents
+      |GROUP BY 1 HAVING count(*) > 1
+      |ORDER BY key""".stripMargin
+
+  // -- q28: MinHash + LSH banding (k=12, 6 bands × r=2, est ≥ 0.6)
+  private def q28(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(docs(s, dir), "doc_id", "text", k = 12, bands = 6,
+        threshold = 0.6)
+      .select(col("a_id"), col("b_id"), round(col("est_jaccard"), 6).as("est_jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+
+  private val q28Sql =
+    s"""WITH sig AS (
+       |  SELECT doc_id AS id, ${TF.sql.minhashSignature("text", 12)} AS sig
+       |  FROM documents),
+       |banded AS (
+       |  SELECT id, sig,
+       |    b::VARCHAR || '#' || array_to_string(sig[b*2+1:b*2+2], '#') AS bucket
+       |  FROM sig, range(0, 6) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+       |  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.id < b.id)
+       |SELECT a_id, b_id, round(est, 6) AS est_jaccard FROM (
+       |  SELECT c.a_id, c.b_id,
+       |    len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2])) * 1.0 / 12 AS est
+       |  FROM cand c JOIN sig sa ON sa.id = c.a_id JOIN sig sb ON sb.id = c.b_id) x
+       |WHERE est >= 0.6
+       |ORDER BY a_id, b_id""".stripMargin
+
+  // -- q29: SimHash (16-bit, frequency-weighted) hamming ≤ 3 within source
+  private def q29(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docs(s, dir), "doc_id", "text", "source", maxDist = 3)
+      .orderBy(col("blk"), col("a_id"), col("b_id"))
+
+  private val q29Sql = {
+    val sums = (0 until 16).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(", ")
+    val bits = (0 until 16).map(j =>
+      s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id AS id, source AS blk, ${TF.sql.md5Long("t.tok")} AS h
+       |  FROM documents, unnest(string_split(text, ' ')) AS t(tok)),
+       |sums AS (SELECT id, blk, $sums FROM toks GROUP BY id, blk),
+       |sh AS (SELECT id, blk, CAST($bits AS BIGINT) AS simhash FROM sums)
+       |SELECT a.blk, a.id AS a_id, b.id AS b_id,
+       |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |FROM sh a JOIN sh b ON a.blk = b.blk AND a.id < b.id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY a.blk, a_id, b_id""".stripMargin
+  }
+
+  // -- q30: character 3-gram Jaccard near-dup within source blocks
+  private def q30(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(docs(s, dir), "doc_id", "text", "source", n = 3,
+        threshold = 0.6)
+      .select(col("blk"), col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("blk"), col("a_id"), col("b_id"))
+
+  private val q30Sql =
+    s"""WITH g AS (
+       |  SELECT source AS blk, doc_id AS id,
+       |    list_distinct(${TF.sql.charShingles("text", 3)}) AS grams
+       |  FROM documents)
+       |SELECT blk, a_id, b_id, round(sim, 6) AS sim FROM (
+       |  SELECT a.blk, a.id AS a_id, b.id AS b_id,
+       |    CASE WHEN (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) > 0
+       |      THEN len(list_intersect(a.grams, b.grams)) * 1.0 /
+       |           (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+       |      ELSE 0.0 END AS sim
+       |  FROM g a JOIN g b ON a.blk = b.blk AND a.id < b.id) x
+       |WHERE sim >= 0.6
+       |ORDER BY blk, a_id, b_id""".stripMargin
+
+  // -- q31: embedding-cosine near-dup, exact all-pairs baseline
+  private def q31(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDup(Tables.load(s, dir, "embeddings"), 0.35)
+      .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("a_id"), col("b_id"))
+
+  private val q31Sql =
+    s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |  round(${VF.sql.cosine("a.embedding", "b.embedding")}, 6) AS sim
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE ${VF.sql.cosine("a.embedding", "b.embedding")} >= 0.35
+       |ORDER BY a_id, b_id""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+    Q("q27_dedup_exact", q27, Some(q27Sql), headline = true),
+    Q("q28_dedup_minhash_lsh", q28, Some(q28Sql), headline = true),
+    Q("q29_dedup_simhash", q29, Some(q29Sql)),
+    Q("q30_dedup_ngram_jaccard", q30, Some(q30Sql)),
+    Q("q31_embedding_neardup", q31, Some(q31Sql)))
 }

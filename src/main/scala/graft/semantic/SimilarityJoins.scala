@@ -1,0 +1,79 @@
+package graft.semantic
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions
+
+/** Relationship-discovery joins (SURVEY.md §2.3): the reference's O(n²)
+  * pairwise loops (ingestion/relationship_extractor.py:215-369)
+  * re-expressed as blocked equi/range joins so cost is Σ|block|² instead
+  * of n² — the correctness-preserving distributed form.
+  */
+object SimilarityJoins {
+
+  /** SAME_SOURCE / SAME_DOMAIN: all unordered pairs inside an equality
+    * group (relationship_extractor.py:324,775). Returned aggregated per
+    * group (pair count = C(n,2)) — materializing the pairs themselves is
+    * the caller's choice via `pairsWithinGroups`. */
+  def groupPairCounts(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_pairs", (col("n") * (col("n") - 1) / 2).cast("long"))
+
+  /** Token-set Jaccard similarity join within blocks
+    * (SIMILAR_TAGS / SIMILAR_CONTENT, relationship_extractor.py:264-347).
+    * `confidence = min(0.95, 0.6 + (sim - threshold) * 0.4)` mirrors the
+    * tag auto-relationship formula (:484-616). */
+  def tokenJaccardJoin(docs: DataFrame, blockCol: String, textCol: String,
+      threshold: Double, stopworded: Boolean = false): DataFrame = {
+    def toks(c: Column) = {
+      val t = TextFunctions.distinctTokens(c)
+      if (stopworded)
+        array_except(t, lit(TextFunctions.stopwords("en").toArray))
+      else t
+    }
+    val a = docs.select(col(blockCol).as("blk"), col("doc_id").as("a_id"),
+      toks(col(textCol)).as("a_toks"))
+    val b = docs.select(col(blockCol).as("blk"), col("doc_id").as("b_id"),
+      toks(col(textCol)).as("b_toks"))
+    val inter = size(array_intersect(col("a_toks"), col("b_toks"))).cast("double")
+    val uni = (size(col("a_toks")) + size(col("b_toks"))).cast("double") - inter
+    a.join(b, "blk")
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim", when(uni > 0, inter / uni).otherwise(lit(0.0)))
+      .filter(col("sim") > threshold)
+      .withColumn("confidence",
+        least(lit(0.95), lit(0.6) + (col("sim") - threshold) * 0.4))
+      .select(col("blk"), col("a_id"), col("b_id"), col("sim"), col("confidence"))
+  }
+
+  /** TEMPORAL_PROXIMITY range join (relationship_extractor.py:353-367):
+    * |Δt| < window within a key. Implemented as a bucketed band join —
+    * bucket by `window` seconds, join each left bucket against the three
+    * neighboring right buckets, then apply the exact predicate. Each
+    * candidate pair is produced exactly once (the exploded right bucket
+    * ids are distinct), so no dedup shuffle is needed. At 100 TB this is
+    * the standard interval-join pattern: an equi-join on (key, bucket)
+    * that AQE can plan, instead of a cross join with a theta predicate.
+    * confidence = max(0.5, 1 - Δt/3600). */
+  def temporalProximity(events: DataFrame, keyCol: String, idCol: String,
+      tsCol: String, windowSec: Long): DataFrame = {
+    val base = events.select(col(keyCol).as("k"), col(idCol).as("id"),
+      unix_timestamp(col(tsCol)).as("sec"))
+    val a = base.withColumn("bkt", floor(col("sec") / windowSec))
+      .select(col("k"), col("id").as("a_id"), col("sec").as("a_sec"), col("bkt"))
+    val b = base
+      .withColumn("bkt", explode(array(
+        floor(col("sec") / windowSec) - 1,
+        floor(col("sec") / windowSec),
+        floor(col("sec") / windowSec) + 1)))
+      .select(col("k"), col("id").as("b_id"), col("sec").as("b_sec"), col("bkt"))
+    a.join(b, Seq("k", "bkt"))
+      .filter(col("a_id") < col("b_id") &&
+        abs(col("a_sec") - col("b_sec")) < windowSec)
+      .withColumn("delta_sec", abs(col("a_sec") - col("b_sec")))
+      .withColumn("confidence",
+        greatest(lit(0.5), lit(1.0) - col("delta_sec").cast("double") / 3600))
+      .select(col("k"), col("a_id"), col("b_id"), col("delta_sec"), col("confidence"))
+  }
+}
