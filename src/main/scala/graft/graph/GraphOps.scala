@@ -101,7 +101,9 @@ object GraphOps {
     * (GraphX offers this too; the DataFrame form keeps everything in
     * Catalyst/AQE and works with bucketed edges at scale.) */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val und = oriented(edges, Both).select(col("node_id"), col("next_id"))
+    // only endpoints are needed — works on bare (from_id, to_id) edge lists
+    val und = edges.select(col("from_id").as("node_id"), col("to_id").as("next_id"))
+      .unionByName(edges.select(col("to_id").as("node_id"), col("from_id").as("next_id")))
       .localCheckpoint()
     var labels = und.select(col("node_id")).distinct()
       .withColumn("component", col("node_id")).localCheckpoint()

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions
+
+/** Result-ranking feature scores (SURVEY.md §2.5, reference
+  * query/result_ranker.py): relevance / quality / length scores as pure
+  * column expressions, weighted combination, and the greedy diversity
+  * re-rank over the (small) top-k — the only sequential step, executed on
+  * the collected top-k exactly like the reference (k ≤ 50).
+  */
+object Ranking {
+
+  /** Relevance: word-overlap Jaccard of query vs content token sets,
+    * ×2 capped at 1 (result_ranker.py:202-264's overlap-ratio shape). */
+  def relevance(text: Column, queryTokens: Seq[String]): Column = {
+    val toks = TextFunctions.distinctTokens(text)
+    val q = lit(queryTokens.toArray)
+    val inter = size(array_intersect(toks, q)).cast("double")
+    val uni = (size(toks) + lit(queryTokens.size)).cast("double") - inter
+    least(when(uni > 0, inter / uni).otherwise(0.0) * 2, lit(1.0))
+  }
+
+  /** Weighted combination with normalized weights
+    * (result_ranker.py:542-568; semantic weights .6/.2/.2 :628-660). */
+  def combine(scores: Seq[(Column, Double)]): Column = {
+    val total = scores.map(_._2).sum
+    scores.map { case (c, w) => c * (w / total) }.reduce(_ + _)
+  }
+
+  /** Greedy diversity filter over an ORDERED, collected top-k
+    * (result_ranker.py:570-626): keep a result unless its token-set
+    * Jaccard vs an already-kept result exceeds `maxSim`. Returns kept
+    * ranks (1-based). Driver-side by design: k ≤ 50 and the pass is
+    * inherently sequential. */
+  def greedyDiversityKeep(tokenSets: Seq[Set[String]], maxSim: Double): Seq[Int] = {
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Int]
+    tokenSets.zipWithIndex.foreach { case (toks, i) =>
+      val clash = kept.exists { j =>
+        val other = tokenSets(j)
+        val inter = toks.intersect(other).size.toDouble
+        val uni = (toks.size + other.size) - inter
+        (if (uni > 0) inter / uni else 0.0) > maxSim
+      }
+      if (!clash) kept += i
+    }
+    kept.map(_ + 1).toSeq
+  }
+}

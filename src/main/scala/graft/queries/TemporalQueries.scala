@@ -1,5 +1,187 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.temporal.TemporalOps
+import graft.text.{TextFunctions => TF}
+
+/** Temporal / trend / statistics family (SURVEY.md §2.7). */
 object TemporalQueries {
-  val qs: Seq[Q] = Seq()
+
+  private def events(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
+
+  /** Daily (event_type, day) series reused by several queries. */
+  private def daily(s: SparkSession, dir: String): DataFrame =
+    TemporalOps.dailySeries(events(s, dir), "event_type", "ts")
+      .withColumn("idx", datediff(to_date(col("day")), lit("2024-01-01")))
+
+  private val dailySql =
+    """daily AS (
+      |  SELECT event_type AS k, strftime(ts, '%Y-%m-%d') AS day, count(*) AS cnt,
+      |    date_diff('day', DATE '2024-01-01', CAST(strftime(ts, '%Y-%m-%d') AS DATE)) AS idx
+      |  FROM events GROUP BY 1, 2)""".stripMargin
+
+  // -- q36: temporal range filter, sorted desc, capped (temporal_query,
+  //         enhanced_mcp_endpoint.py:347-460)
+  private def q36(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")) &&
+        col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-17 00:00:00")))
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        unix_timestamp(col("ts")).as("sec"))
+      .orderBy(col("sec").desc, col("event_id"))
+      .limit(100)
+
+  private val q36Sql =
+    """SELECT event_id, event_type, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-17 00:00:00'
+      |ORDER BY sec DESC, event_id LIMIT 100""".stripMargin
+
+  // -- q37: daily series + cumulative window
+  private def q37(s: SparkSession, dir: String): DataFrame =
+    daily(s, dir).select(col("k"), col("day"), col("cnt"), col("cum"))
+      .orderBy(col("k"), col("day"))
+
+  private val q37Sql =
+    s"""WITH $dailySql
+       |SELECT k, day, cnt,
+       |  sum(cnt) OVER (PARTITION BY k ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |FROM daily ORDER BY k, day""".stripMargin
+
+  // -- q38: OLS trend slope + direction + strength per event_type
+  private def q38(s: SparkSession, dir: String): DataFrame =
+    TemporalOps.trend(daily(s, dir), "k", "idx", "cnt")
+      .select(col("k"), round(col("slope"), 6).as("slope"), col("direction"),
+        round(col("strength"), 6).as("strength"))
+      .orderBy(col("k"))
+
+  private val q38Sql =
+    s"""WITH $dailySql
+       |SELECT k, round(slope, 6) AS slope,
+       |  CASE WHEN slope > 0.1 THEN 'increasing'
+       |       WHEN slope < -0.1 THEN 'decreasing' ELSE 'stable' END AS direction,
+       |  round(CASE WHEN rng > 0 THEN least(abs(slope) * n / rng, 1.0) ELSE 0.0 END, 6)
+       |    AS strength
+       |FROM (
+       |  SELECT k, regr_slope(cnt * 1.0, idx * 1.0) AS slope, count(*) AS n,
+       |    (max(cnt) - min(cnt)) * 1.0 AS rng
+       |  FROM daily GROUP BY k) x
+       |ORDER BY k""".stripMargin
+
+  // -- q39: sudden-change detection (before/after sliding windows)
+  private def q39(s: SparkSession, dir: String): DataFrame =
+    TemporalOps.suddenChanges(daily(s, dir), "k", "idx", "cnt", w = 3, ratio = 0.3)
+      .select(col("k"), col("day"),
+        round(col("avg_before"), 6).as("avg_before"),
+        round(col("avg_after"), 6).as("avg_after"),
+        round(col("change_ratio"), 6).as("change_ratio"))
+      .orderBy(col("k"), col("day"))
+
+  private val q39Sql =
+    s"""WITH $dailySql,
+       |win AS (
+       |  SELECT k, day,
+       |    avg(cnt) OVER (PARTITION BY k ORDER BY idx ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS avg_before,
+       |    avg(cnt) OVER (PARTITION BY k ORDER BY idx ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS avg_after
+       |  FROM daily)
+       |SELECT k, day, round(avg_before, 6) AS avg_before,
+       |  round(avg_after, 6) AS avg_after,
+       |  round(abs(avg_after - avg_before) / avg_before, 6) AS change_ratio
+       |FROM win
+       |WHERE avg_before IS NOT NULL AND avg_before > 0
+       |  AND abs(avg_after - avg_before) / avg_before > 0.3
+       |ORDER BY k, day""".stripMargin
+
+  // -- q40: autocorrelation at lags 1..3 per event_type
+  private def q40(s: SparkSession, dir: String): DataFrame =
+    TemporalOps.autocorrelation(daily(s, dir), "k", "idx", "cnt", Seq(1, 2, 3))
+      .select(col("k"), round(col("ac1"), 6).as("ac1"),
+        round(col("ac2"), 6).as("ac2"), round(col("ac3"), 6).as("ac3"))
+      .orderBy(col("k"))
+
+  private val q40Sql =
+    s"""WITH $dailySql,
+       |lagged AS (
+       |  SELECT k, cnt,
+       |    lag(cnt, 1) OVER (PARTITION BY k ORDER BY idx) AS lag1,
+       |    lag(cnt, 2) OVER (PARTITION BY k ORDER BY idx) AS lag2,
+       |    lag(cnt, 3) OVER (PARTITION BY k ORDER BY idx) AS lag3
+       |  FROM daily)
+       |SELECT k, round(corr(cnt, lag1), 6) AS ac1,
+       |  round(corr(cnt, lag2), 6) AS ac2, round(corr(cnt, lag3), 6) AS ac3
+       |FROM lagged GROUP BY k ORDER BY k""".stripMargin
+
+  // -- q41: IQR outliers with z-score severity, over per-user daily value sums
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    val series = events(s, dir)
+      .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(round(sum(col("value")), 6).as("v"))
+    TemporalOps.iqrOutliers(series, "user_id", "day", "v")
+      .select(col("user_id"), col("day"), col("v"),
+        round(col("q1"), 6).as("q1"), round(col("q3"), 6).as("q3"),
+        round(col("severity"), 6).as("severity"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  private val q41Sql =
+    """WITH series AS (
+      |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, round(sum(value), 6) AS v
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT user_id, quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3,
+      |    avg(v) AS mu, stddev(v) AS sigma
+      |  FROM series GROUP BY user_id)
+      |SELECT s.user_id, s.day, s.v, round(q1, 6) AS q1, round(q3, 6) AS q3,
+      |  round(CASE WHEN sigma > 0 THEN least(abs(v - mu) / sigma / 5, 1.0) ELSE 0.0 END, 6)
+      |    AS severity
+      |FROM series s JOIN stats t ON s.user_id = t.user_id
+      |WHERE s.v < q1 - 1.5 * (q3 - q1) OR s.v > q3 + 1.5 * (q3 - q1)
+      |ORDER BY s.user_id, s.day""".stripMargin
+
+  // -- q42: Apriori-lite frequent token pairs within documents
+  private def q42(s: SparkSession, dir: String): DataFrame = {
+    val docTokens = Tables.load(s, dir, "documents")
+      .select(col("doc_id").as("doc"),
+        explode(TF.distinctTokens(col("text"))).as("tok"))
+    TemporalOps.frequentPairs(docTokens, minSupport = 100L, minPairSupport = 150L)
+      .orderBy(col("a_tok"), col("b_tok"))
+  }
+
+  private val q42Sql =
+    """WITH dt AS (
+      |  SELECT doc_id AS doc, unnest(list_distinct(string_split(text, ' '))) AS tok
+      |  FROM documents),
+      |freq AS (SELECT tok FROM dt GROUP BY tok HAVING count(*) >= 100),
+      |ft AS (SELECT doc, dt.tok FROM dt JOIN freq USING (tok))
+      |SELECT a.tok AS a_tok, b.tok AS b_tok, count(*) AS support
+      |FROM ft a JOIN ft b ON a.doc = b.doc AND a.tok < b.tok
+      |GROUP BY 1, 2 HAVING count(*) >= 150
+      |ORDER BY a_tok, b_tok""".stripMargin
+
+  // -- q43: 30-day evolution periods (tumbling epoch-aligned buckets)
+  private def q43(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("period", floor(unix_timestamp(col("ts")) / 2592000L))
+      .groupBy(col("period"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("period"), col("event_type"))
+
+  private val q43Sql =
+    """SELECT CAST(floor(floor(epoch(ts)) / 2592000) AS BIGINT) AS period, event_type,
+      |  count(*) AS cnt, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1, 2
+      |ORDER BY period, event_type""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+    Q("q36_temporal_filter", q36, Some(q36Sql)),
+    Q("q37_daily_cumulative", q37, Some(q37Sql)),
+    Q("q38_trend_slope", q38, Some(q38Sql), headline = true),
+    Q("q39_sudden_change", q39, Some(q39Sql)),
+    Q("q40_autocorrelation", q40, Some(q40Sql)),
+    Q("q41_iqr_outliers", q41, Some(q41Sql)),
+    Q("q42_frequent_pairs", q42, Some(q42Sql), headline = true),
+    Q("q43_evolution_periods", q43, Some(q43Sql)))
 }
