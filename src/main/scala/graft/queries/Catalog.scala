@@ -28,7 +28,8 @@ object Catalog {
       DedupQueries.qs ++
       AnalyticsQueries.qs ++
       MutationQueries.qs ++
-      MultimodalQueries.qs
+      MultimodalQueries.qs ++
+      StreamingQueries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

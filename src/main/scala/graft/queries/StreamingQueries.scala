@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.streaming.EventStream
+
+/** Streaming-semantics family (SURVEY.md §2.8) in oracle-checkable batch
+  * form: tumbling windows, sliding windows, sessionization. The true
+  * readStream/watermark/flatMapGroupsWithState paths live in
+  * graft.streaming.EventStream and are exercised by the ScalaTest suite
+  * (memory sink) — these queries pin the window semantics themselves.
+  */
+object StreamingQueries {
+
+  private def events(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
+
+  // -- q57: tumbling 1 h windows (epoch-aligned, as Structured Streaming
+  //         window() produces)
+  private def q57(s: SparkSession, dir: String): DataFrame =
+    EventStream.tumblingBatch(events(s, dir), 3600L)
+      .orderBy(col("window_start"), col("event_type"))
+
+  private val q57Sql =
+    """SELECT CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS window_start,
+      |  event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
+
+  // -- q58: sliding windows (1 h window, 30 min slide — every event in 2)
+  private def q58(s: SparkSession, dir: String): DataFrame =
+    EventStream.slidingBatch(events(s, dir), 3600L, 1800L)
+      .orderBy(col("window_start"), col("event_type"))
+
+  private val q58Sql =
+    """WITH e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+      |w AS (
+      |  SELECT event_type, sec,
+      |    CAST(floor(sec / 1800) * 1800 - k * 1800 AS BIGINT) AS window_start
+      |  FROM e, range(0, 2) t(k))
+      |SELECT window_start, event_type, count(*) AS cnt
+      |FROM w WHERE window_start + 3600 > sec
+      |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  // -- q59: sessionization (30 min gap) — lag boundary + running count;
+  //         twin of the flatMapGroupsWithState streaming path
+  private def q59(s: SparkSession, dir: String): DataFrame =
+    EventStream.sessionizeBatch(events(s, dir), 1800L)
+      .orderBy(col("user_id"), col("session_id"))
+
+  private val q59Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+      |b AS (
+      |  SELECT user_id, event_id, sec,
+      |    CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+      |      THEN 1 ELSE 0 END AS boundary
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+      |sess AS (
+      |  SELECT user_id, sec,
+      |    sum(boundary) OVER (PARTITION BY user_id ORDER BY sec, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM b)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  max(sec) - min(sec) AS duration_sec
+      |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+    Q("q57_window_tumbling", q57, Some(q57Sql), headline = true),
+    Q("q58_window_sliding", q58, Some(q58Sql)),
+    Q("q59_sessionize", q59, Some(q59Sql)))
+}
