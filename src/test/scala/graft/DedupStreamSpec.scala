@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.streaming.EventStream
+import graft.multimodal.Multimodal
+
+class DedupStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "s1", "spark table join fast"),
+    (2L, "s1", "fast join table spark"),      // same token set as 1
+    (3L, "s1", "completely different words here"),
+    (4L, "s2", "spark table join fast extra"))
+    .toDF("doc_id", "source", "text")
+
+  test("exact dedup groups identical normalized token sets") {
+    val got = Dedup.exactGroups(docs, "doc_id", "text")
+      .select("keep_id", "group_size").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("minhash LSH finds the identical pair with estimate 1.0") {
+    val got = Dedup.minhashLsh(docs, "doc_id", "text", k = 12, bands = 6,
+      threshold = 0.9).as[(Long, Long, Double)].collect().toSet
+    assert(got.contains((1L, 2L, 1.0)))
+  }
+
+  test("simhash of identical token multisets collide (hamming 0)") {
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", "source", maxDist = 0)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("embedding near-dup finds only close pairs") {
+    val emb = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.99f, 0.01f)),
+      (3L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDup(emb, 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("streaming windowed aggregation matches the batch equivalent") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val batchDf = Tables.load(spark, sf, "events")
+      .select(col("ts"), col("event_type"), col("value"))
+    val dir = java.nio.file.Files.createTempDirectory("evstream").toString
+    batchDf.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val agg = EventStream.windowedCounts(stream, "1 hour", "1 hour", "10 minutes")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("winout").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.sql(
+      """SELECT CAST(unix_timestamp(window.start) AS LONG) ws, event_type, cnt
+        |FROM winout""".stripMargin)
+      .as[(Long, String, Long)].collect().toSet
+    val batch = EventStream.tumblingBatch(batchDf, 3600L)
+      .select(col("window_start"), col("event_type"), col("cnt"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming sessionization matches batch twin on a bounded feed") {
+    val evs = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("sec"))
+      .as[EventStream.Ev]
+    // batch twin
+    val batch = EventStream.sessionizeBatch(Tables.load(spark, sf, "events"), 1800L)
+      .select(col("user_id"), col("n_events"), col("duration_sec"))
+      .as[(Long, Long, Long)].collect().sorted
+    // stateful path (single micro-batch: all closed sessions must agree;
+    // the trailing open session per user is not emitted, so compare the
+    // closed prefix via multiset inclusion + count arithmetic)
+    val streamed = EventStream.sessionizeStream(evs, 1800L)
+      .select(col("user_id"), col("n_events"), col("duration_sec"))
+      .as[(Long, Long, Long)].collect().sorted
+    val batchSet = batch.groupBy(identity).map { case (k, v) => k -> v.size }
+    val streamSet = streamed.groupBy(identity).map { case (k, v) => k -> v.size }
+    // every emitted (closed) session appears in the batch result
+    streamSet.foreach { case (k, n) =>
+      assert(batchSet.getOrElse(k, 0) >= n, s"session $k missing from batch")
+    }
+    // exactly one trailing session per user remains unemitted
+    val users = batch.map(_._1).distinct.length
+    assert(batch.length - streamed.length == users)
+  }
+
+  test("multimodal stub pipeline computes byte statistics per item") {
+    val media = Multimodal.synthesize(
+      Seq((7L, "abc", 3L)).toDF("doc_id", "text", "n_chars"))
+      .select(col("doc_id").as("docId"), col("payload"), col("meta"))
+      .as[Multimodal.MediaRow]
+    val f = Multimodal.extractFeatures(media).collect()(0)
+    assert(f.docId == 7L && f.nBytes == 3)
+    assert(math.abs(f.brightness - (97 + 98 + 99) / 3.0 / 255.0) < 1e-12)
+  }
+}

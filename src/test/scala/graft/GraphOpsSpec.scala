@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.GraphOps
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a --> b --> c --> d,  b --> d,  e isolated-ish (e --> a)
+  private lazy val edges = Seq(
+    ("a", "b"), ("b", "c"), ("c", "d"), ("b", "d"), ("e", "a"))
+    .toDF("from_id", "to_id")
+    .withColumn("relation_type", lit("t"))
+    .withColumn("confidence", lit(0.9))
+
+  private def seed(id: String) = Seq(id).toDF("node_id")
+
+  test("multiHop annotates minimum hop distance") {
+    val got = GraphOps.multiHop(edges, seed("a"), 3, GraphOps.Outgoing)
+      .as[(String, Int)].collect().toMap
+    assert(got == Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 2))
+  }
+
+  test("multiHop respects maxHops") {
+    val got = GraphOps.multiHop(edges, seed("a"), 1, GraphOps.Outgoing)
+      .as[(String, Int)].collect().toMap
+    assert(got == Map("a" -> 0, "b" -> 1))
+  }
+
+  test("shortest path = BFS over both directions") {
+    val got = GraphOps.shortestPathLengths(edges, seed("d"), 4)
+      .as[(String, Int)].collect().toMap
+    assert(got == Map("d" -> 0, "b" -> 1, "c" -> 1, "a" -> 2, "e" -> 3))
+  }
+
+  test("neighbors with direction") {
+    val out = GraphOps.neighbors(edges, seed("b"), GraphOps.Outgoing)
+      .select("neighbor_id").as[String].collect().toSet
+    assert(out == Set("c", "d"))
+    val both = GraphOps.neighbors(edges, seed("b"), GraphOps.Both)
+      .select("neighbor_id").as[String].collect().toSet
+    assert(both == Set("a", "c", "d"))
+  }
+
+  test("induced subgraph keeps edges with both endpoints") {
+    val keep = Seq("a", "b", "c").toDF("node_id")
+    val got = GraphOps.inducedSubgraph(edges, keep)
+      .select("from_id", "to_id").as[(String, String)].collect().toSet
+    assert(got == Set(("a", "b"), ("b", "c")))
+  }
+
+  test("connected components labels by min node id") {
+    val e2 = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("from_id", "to_id")
+    val got = GraphOps.connectedComponents(e2)
+      .as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.text.TextFunctions
+import graft.semantic.VectorSearch
+import graft.operators.Ranking
+
+class VectorTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine / l2 / dot on known vectors") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f), Seq(3.0f, 4.0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      VectorFunctions.cosine(col("a"), col("a")).as("caa"),
+      VectorFunctions.cosine(col("a"), col("b")).as("cab"),
+      VectorFunctions.dot(col("a"), col("c")).as("dac"),
+      VectorFunctions.l2Distance(col("a"), col("b")).as("dab"),
+      VectorFunctions.l2Similarity(col("a"), col("a")).as("saa"))
+      .collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 3.0) < 1e-12)
+    assert(math.abs(r.getDouble(3) - math.sqrt(2)) < 1e-12)
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
+  }
+
+  test("cosine of zero vector is 0 (epsilon guard)") {
+    val df = Seq((Seq(0.0f, 0.0f), Seq(1.0f, 1.0f))).toDF("z", "v")
+    val r = df.select(VectorFunctions.cosine(col("z"), col("v"))).collect()(0)
+    assert(r.getDouble(0) == 0.0)
+  }
+
+  test("topK returns k best by cosine, self first") {
+    val data = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(1.0f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val q = data.filter(col("vec_id") === 0).select(col("embedding"))
+    val got = VectorSearch.topK(data, q, 3).select("vec_id")
+      .as[Long].collect().toSeq
+    assert(got == Seq(0L, 3L, 1L))
+  }
+
+  test("fingerprint is order-sensitive, tokens are not") {
+    val df = Seq(("a b c", "c b a")).toDF("x", "y")
+    val r = df.select(
+      TextFunctions.fingerprint(col("x")).as("fx"),
+      TextFunctions.fingerprint(col("y")).as("fy")).collect()(0)
+    assert(r.getLong(0) != r.getLong(1))
+  }
+
+  test("minhash estimate approximates jaccard, exact for identical sets") {
+    val df = Seq(("a b c d", "a b c d", "x y z w")).toDF("t1", "t2", "t3")
+    val k = 12
+    val r = df.select(
+      TextFunctions.minhashEstimate(
+        TextFunctions.minhashSignature(col("t1"), k),
+        TextFunctions.minhashSignature(col("t2"), k), k).as("same"),
+      TextFunctions.minhashEstimate(
+        TextFunctions.minhashSignature(col("t1"), k),
+        TextFunctions.minhashSignature(col("t3"), k), k).as("diff"))
+      .collect()(0)
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 0.0) // disjoint sets share no minima
+  }
+
+  test("langId picks the language whose stopwords dominate") {
+    val df = Seq(
+      ("the cat and the dog is in a house", "en"),
+      ("der hund und die katze ist da", "de"),
+      ("le chat et la maison est grande", "fr"),
+      ("xyzzy plugh foobar", "und"))
+      .toDF("text", "expected")
+    val got = df.select(TextFunctions.langId(col("text")), col("expected"))
+      .as[(String, String)].collect()
+    got.foreach { case (pred, exp) => assert(pred == exp, s"$pred != $exp") }
+  }
+
+  test("quality score bounded in [0,1] and rewards mid-length docs") {
+    val df = Seq(("word " * 40 + "end", 203L), ("hi", 2L)).toDF("text", "n_chars")
+    val r = df.select(TextFunctions.qualityScore(col("text"), col("n_chars")))
+      .as[Double].collect()
+    assert(r.forall(q => q >= 0 && q <= 1))
+    assert(r(0) > r(1))
+  }
+
+  test("greedy diversity keeps first of each near-duplicate cluster") {
+    val sets = Seq(Set("a", "b", "c"), Set("a", "b", "c", "d"), Set("x", "y"))
+    assert(Ranking.greedyDiversityKeep(sets, 0.7) == Seq(1, 3))
+  }
+}
