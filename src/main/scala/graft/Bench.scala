@@ -1,24 +1,45 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.queries.Catalog
+
+/** Benchmark main: times the headline query set (one per operator
+  * family) at SPARK_GRAFT_SF_DIR, printing ONE JSON line the driver
+  * collects into BENCH_r{N}.json.
+  *
+  * A warmup action runs first so JVM/codegen/classloading cost doesn't
+  * land on whichever query happens to run first; queries run in a fixed
+  * order for run-to-run comparability.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // Warmup: touch every table + exercise codegen/shuffle machinery once.
+    Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
+    Catalog.byName("q01_pricing_summary").run(spark, sfDir).count()
+
+    val headline = Catalog.all.filter(_.headline)
+    val results = headline.map { q =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val n = try q.run(spark, sfDir).count() catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      (q.name, dt, n)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -41,17 +41,33 @@ object Dedup {
     val r = k / bands
     val sig = docs.select(col(idCol).as("id"),
       TextFunctions.minhashSignature(col(textCol), k).as("sig"))
-    val banded = sig.select(col("id"), col("sig"),
+      .localCheckpoint() // signatures computed exactly once
+    // Candidate generation on NARROW rows (bucket, id): the bucket join
+    // never shuffles signatures, and duplicate collisions across bands
+    // are deduplicated before any scoring work.
+    // Bucket key is hashed to a long: joining on ~200-char concatenated
+    // md5 strings wastes shuffle width and comparison time. A 64-bit
+    // collision can only create a spurious CANDIDATE (never a spurious
+    // result: any pair passing the estimate threshold shares a fully
+    // equal band by pigeonhole, so it is a true candidate anyway).
+    val banded = sig.select(col("id"),
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> " +
-          s"concat_ws('#', b, slice(sig, b * $r + 1, $r)))")).as(Seq("band", "bucket")))
-    val a = banded.select(col("bucket"), col("id").as("a_id"), col("sig").as("a_sig"))
-    val b = banded.select(col("bucket"), col("id").as("b_id"), col("sig").as("b_sig"))
-    a.join(b, "bucket")
+          s"xxhash64(concat_ws('#', cast(b as string), slice(sig, b * $r + 1, $r))))"))
+        .as(Seq("band", "bucket")))
+      .select(col("id"), col("bucket"))
+    val cand = banded.select(col("bucket"), col("id").as("a_id"))
+      .join(banded.select(col("bucket"), col("id").as("b_id")), "bucket")
       .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    // Score once per distinct pair; the signature table is tiny relative
+    // to the pair set (one row per doc) — broadcast lookup both sides.
+    cand
+      .join(broadcast(sig.select(col("id").as("a_id"), col("sig").as("a_sig"))), "a_id")
+      .join(broadcast(sig.select(col("id").as("b_id"), col("sig").as("b_sig"))), "b_id")
       .select(col("a_id"), col("b_id"),
         TextFunctions.minhashEstimate(col("a_sig"), col("b_sig"), k).as("est_jaccard"))
-      .distinct() // same pair can collide in several bands
       .filter(col("est_jaccard") >= threshold)
   }
 

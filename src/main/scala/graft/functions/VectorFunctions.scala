@@ -15,10 +15,25 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
+  import org.apache.spark.sql.GraftBridge
+  import graft.functions.expressions.VectorSimExpr
+
+  private def native(a: Column, b: Column, mode: String): Column =
+    GraftBridge.column(VectorSimExpr(
+      GraftBridge.expression(a), GraftBridge.expression(b), mode))
+
   /** Element-wise double cast — embeddings are Array[Float] on disk. */
   private def d(x: Column): Column = x.cast("double")
 
-  def dot(a: Column, b: Column): Column =
+  /** Codegen'd one-pass primitives (VectorSimExpr). The `hof*` variants
+    * below are the higher-order-function formulations kept as the
+    * reference implementation — bit-identical results, but interpreted
+    * (CodegenFallback), ~an order of magnitude slower per pair. */
+  def dot(a: Column, b: Column): Column = native(a, b, "dot")
+  def cosine(a: Column, b: Column): Column = native(a, b, "cos")
+  def l2Distance(a: Column, b: Column): Column = native(a, b, "l2")
+
+  def hofDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0), (acc, v) => acc + v)
 
   def norm2(a: Column): Column =
@@ -27,13 +42,13 @@ object VectorFunctions {
   /** Cosine similarity, ε-guard against zero vectors (numpy_store.py:606-621
     * clips to [-1,1] and guards norms; the clip is a no-op for finite
     * doubles except rounding spill, kept for parity). */
-  def cosine(a: Column, b: Column): Column = {
+  def hofCosine(a: Column, b: Column): Column = {
     val den = sqrt(norm2(a)) * sqrt(norm2(b))
     when(den <= lit(1e-12), lit(0.0))
-      .otherwise(least(greatest(dot(a, b) / den, lit(-1.0)), lit(1.0)))
+      .otherwise(least(greatest(hofDot(a, b) / den, lit(-1.0)), lit(1.0)))
   }
 
-  def l2Distance(a: Column, b: Column): Column =
+  def hofL2Distance(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(a, b, (x, y) => (d(x) - d(y)) * (d(x) - d(y))),
       lit(0.0), (acc, v) => acc + v))
 

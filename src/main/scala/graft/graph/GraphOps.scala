@@ -57,8 +57,13 @@ object GraphOps {
   def multiHop(edges: DataFrame, seeds: DataFrame, maxHops: Int,
       dir: Direction = Outgoing, edgeFilter: Option[Column] = None): DataFrame = {
     val e0 = oriented(edges, dir)
+    // Materialize the (filtered, oriented) edge set once — the loop joins
+    // against it every hop, and recomputing the scan per hop dominates
+    // BFS cost. At cluster scale this is the step to pre-bucket by
+    // node_id so each hop is a co-partitioned join.
     val e = edgeFilter.map(e0.filter).getOrElse(e0)
       .select(col("node_id"), col("next_id"))
+      .localCheckpoint()
     var reached = seeds.select(col("node_id")).distinct()
       .withColumn("hop", lit(0)).localCheckpoint()
     var frontier = reached
@@ -69,7 +74,9 @@ object GraphOps {
         .join(reached, Seq("node_id"), "left_anti")
         .withColumn("hop", lit(h))
         .localCheckpoint() // truncate lineage; BFS plans must not nest
-      reached = reached.unionByName(next).localCheckpoint()
+      // reached is a union of already-materialized frontiers — no extra
+      // checkpoint needed, lineage stays flat.
+      reached = reached.unionByName(next)
       frontier = next
       h += 1
     }

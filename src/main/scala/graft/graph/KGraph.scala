@@ -19,6 +19,17 @@ object KGraph {
   private def n(prefix: String, c: String) =
     concat(lit(prefix + ":"), col(c).cast("string"))
 
+  /** Materialized edge table, built once per (session, sfDir) — the
+    * analog of the reference's persisted graph store (queries traverse a
+    * prebuilt graph; they don't re-derive it from raw tables). On a
+    * cluster this is the ingestion pipeline's index-build output, stored
+    * bucketed by from_id. */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def materialized(spark: SparkSession, dir: String): DataFrame =
+    cache.computeIfAbsent(spark.hashCode() + "|" + dir,
+      _ => edges(spark, dir).localCheckpoint())
+
   /** Typed edges: from_id, to_id, relation_type, confidence. */
   def edges(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.load(spark, dir, "orders")

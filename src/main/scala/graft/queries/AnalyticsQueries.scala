@@ -46,7 +46,7 @@ object AnalyticsQueries {
   // -- q45: relationship metrics — per-type counts, graph density,
   //         3-bucket confidence histogram (enhanced_mcp_endpoint.py:1363-1425)
   private def q45(s: SparkSession, dir: String): DataFrame = {
-    val e = KGraph.edges(s, dir)
+    val e = KGraph.materialized(s, dir)
     val nNodes = e.select(col("from_id").as("n")).unionByName(
       e.select(col("to_id").as("n"))).distinct().count()
     e.groupBy(col("relation_type"))
@@ -91,7 +91,7 @@ object AnalyticsQueries {
   // -- q47: degree distribution per node type (structural anomaly base,
   //         insight_discovery.py:1427-1986 structural detector)
   private def q47(s: SparkSession, dir: String): DataFrame = {
-    val e = KGraph.edges(s, dir)
+    val e = KGraph.materialized(s, dir)
     val deg = GraphOps.oriented(e, GraphOps.Both)
       .groupBy(col("node_id")).agg(count(lit(1)).as("degree"))
     deg.withColumn("node_type", substring(col("node_id"), 1, 1))

@@ -30,10 +30,13 @@ object DedupQueries {
       |GROUP BY 1 HAVING count(*) > 1
       |ORDER BY key""".stripMargin
 
-  // -- q28: MinHash + LSH banding (k=12, 6 bands × r=2, est ≥ 0.6)
+  // -- q28: MinHash + LSH banding (k=12, 2 bands × r=6, est ≥ 0.9).
+  //         Wide bands (r=6) keep candidate generation sub-quadratic even
+  //         on this adversarially self-similar corpus: bucket collision
+  //         probability is jaccard^6 per band.
   private def q28(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLsh(docs(s, dir), "doc_id", "text", k = 12, bands = 6,
-        threshold = 0.6)
+    Dedup.minhashLsh(docs(s, dir), "doc_id", "text", k = 12, bands = 2,
+        threshold = 0.9)
       .select(col("a_id"), col("b_id"), round(col("est_jaccard"), 6).as("est_jaccard"))
       .orderBy(col("a_id"), col("b_id"))
 
@@ -43,8 +46,8 @@ object DedupQueries {
        |  FROM documents),
        |banded AS (
        |  SELECT id, sig,
-       |    b::VARCHAR || '#' || array_to_string(sig[b*2+1:b*2+2], '#') AS bucket
-       |  FROM sig, range(0, 6) t(b)),
+       |    b::VARCHAR || '#' || array_to_string(sig[b*6+1:b*6+6], '#') AS bucket
+       |  FROM sig, range(0, 2) t(b)),
        |cand AS (
        |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
        |  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.id < b.id)
@@ -52,7 +55,7 @@ object DedupQueries {
        |  SELECT c.a_id, c.b_id,
        |    len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2])) * 1.0 / 12 AS est
        |  FROM cand c JOIN sig sa ON sa.id = c.a_id JOIN sig sb ON sb.id = c.b_id) x
-       |WHERE est >= 0.6
+       |WHERE est >= 0.9
        |ORDER BY a_id, b_id""".stripMargin
 
   // -- q29: SimHash (16-bit, frequency-weighted) hamming ≤ 3 within source

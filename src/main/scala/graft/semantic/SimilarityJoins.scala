@@ -25,20 +25,34 @@ object SimilarityJoins {
     * `confidence = min(0.95, 0.6 + (sim - threshold) * 0.4)` mirrors the
     * tag auto-relationship formula (:484-616). */
   def tokenJaccardJoin(docs: DataFrame, blockCol: String, textCol: String,
-      threshold: Double, stopworded: Boolean = false): DataFrame = {
+      threshold: Double, stopworded: Boolean = false,
+      saltBuckets: Int = 16): DataFrame = {
     def toks(c: Column) = {
       val t = TextFunctions.distinctTokens(c)
       if (stopworded)
         array_except(t, lit(TextFunctions.stopwords("en").toArray))
       else t
     }
-    val a = docs.select(col(blockCol).as("blk"), col("doc_id").as("a_id"),
-      toks(col(textCol)).as("a_toks"))
-    val b = docs.select(col(blockCol).as("blk"), col("doc_id").as("b_id"),
-      toks(col(textCol)).as("b_toks"))
+    // Tokenize ONCE and materialize — otherwise the projection is inlined
+    // into the join and split/distinct re-runs per emitted pair.
+    val tokenized = docs
+      .select(col(blockCol).as("blk"), col("doc_id").as("id"),
+        toks(col(textCol)).as("toks"))
+      .localCheckpoint()
+    // Salted self-join: block keys are few (low cardinality ⇒ skew), so
+    // pair (a,b) is produced at key (blk, salt(a)) with the b side
+    // replicated across salts — same pairs exactly once, S× the
+    // parallelism. This is the standard skew-salting pattern that also
+    // carries to the 100 TB case.
+    val a = tokenized.select(col("blk"), col("id").as("a_id"),
+      col("toks").as("a_toks"),
+      pmod(xxhash64(col("id")), lit(saltBuckets)).as("salt"))
+    val b = tokenized.select(col("blk"), col("id").as("b_id"),
+      col("toks").as("b_toks"))
+      .withColumn("salt", explode(sequence(lit(0), lit(saltBuckets - 1))).cast("long"))
     val inter = size(array_intersect(col("a_toks"), col("b_toks"))).cast("double")
     val uni = (size(col("a_toks")) + size(col("b_toks"))).cast("double") - inter
-    a.join(b, "blk")
+    a.join(b, Seq("blk", "salt"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("sim", when(uni > 0, inter / uni).otherwise(lit(0.0)))
       .filter(col("sim") > threshold)

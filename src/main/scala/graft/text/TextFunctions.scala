@@ -53,9 +53,14 @@ object TextFunctions {
       i => array_min(transform(toks, w => md5(concat(i.cast("string"), lit("|"), w)))))
   }
 
-  /** Fraction of equal slots between two signatures = Jaccard estimate. */
+  /** Fraction of equal slots between two signatures = Jaccard estimate.
+    * Unrolled into k element_at comparisons — zip_with/filter are
+    * CodegenFallback (interpreted), and this runs once per candidate
+    * pair, so staying inside whole-stage codegen matters. */
   def minhashEstimate(sigA: Column, sigB: Column, k: Int): Column =
-    size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x)).cast("double") / k
+    (1 to k).map(i =>
+      when(element_at(sigA, i) === element_at(sigB, i), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / k
 
   // Stopword lists for the language-ID heuristic (public, tiny).
   val stopwords: Map[String, Seq[String]] = Map(
