@@ -49,7 +49,7 @@ object SimilarityJoins {
       pmod(xxhash64(col("id")), lit(saltBuckets)).as("salt"))
     val b = tokenized.select(col("blk"), col("id").as("b_id"),
       col("toks").as("b_toks"))
-      .withColumn("salt", explode(sequence(lit(0), lit(saltBuckets - 1))).cast("long"))
+      .withColumn("salt", explode(sequence(lit(0L), lit((saltBuckets - 1).toLong))))
     val inter = size(array_intersect(col("a_toks"), col("b_toks"))).cast("double")
     val uni = (size(col("a_toks")) + size(col("b_toks"))).cast("double") - inter
     a.join(b, Seq("blk", "salt"))

@@ -1,0 +1,66 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Export sinks (reference migration/data_exporter.py:19-85 dispatch):
+  * tabular formats go through Spark's native writers (distributed,
+  * partitioned); graph interchange formats (GraphML, Cypher) are
+  * per-partition serializations — each partition renders its fragment,
+  * only the tiny header/footer is driver-side.
+  */
+object Exporters {
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  private def esc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+
+  /** GraphML export (data_exporter.py GraphML impl): nodes(node_id) +
+    * edges(from_id, to_id, relation_type). Returns the serialized lines
+    * as a Dataset so the write stays distributed (`.text(path)`); use
+    * `collectGraphML` for the complete single document. */
+  def graphMlFragments(nodes: DataFrame, edges: DataFrame): Dataset[String] = {
+    import nodes.sparkSession.implicits._
+    val nodeLines = nodes.select("node_id").as[String]
+      .map(id => s"""    <node id="${esc(id)}"/>""")
+    val edgeLines = edges.selectExpr("from_id", "to_id", "relation_type")
+      .as[(String, String, String)]
+      .map { case (f, t, r) =>
+        s"""    <edge source="${esc(f)}" target="${esc(t)}" label="${esc(r)}"/>"""
+      }
+    nodeLines.union(edgeLines)
+  }
+
+  def collectGraphML(nodes: DataFrame, edges: DataFrame): String = {
+    val body = graphMlFragments(nodes, edges).collect().mkString("\n")
+    s"""<?xml version="1.0" encoding="UTF-8"?>
+       |<graphml xmlns="http://graphml.graphdrawing.org/xmlns">
+       |  <graph id="G" edgedefault="directed">
+       |$body
+       |  </graph>
+       |</graphml>""".stripMargin
+  }
+
+  /** Cypher statement export (data_exporter.py Cypher impl). */
+  def cypherStatements(nodes: DataFrame, edges: DataFrame): Dataset[String] = {
+    import nodes.sparkSession.implicits._
+    def q(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    val n = nodes.select("node_id").as[String]
+      .map(id => s"CREATE (:Node {id: '${q(id)}'});")
+    val e = edges.selectExpr("from_id", "to_id", "relation_type")
+      .as[(String, String, String)]
+      .map { case (f, t, r) =>
+        s"MATCH (a:Node {id: '${q(f)}'}), (b:Node {id: '${q(t)}'}) " +
+          s"CREATE (a)-[:${r.toUpperCase.replaceAll("[^A-Z_]", "_")}]->(b);"
+      }
+    n.union(e)
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.query.{NaturalLanguage, QuerySpec, RequestNormalizer}
+import graft.pipeline.Ingestion
+import graft.sources.Exporters
+
+class QueryDslSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val nodes = Seq(
+    ("n1", "alpha beta", "s1", 0.9),
+    ("n2", "beta gamma", "s1", 0.4),
+    ("n3", "gamma delta", "s2", 0.7),
+    ("n4", "ALPHA loud", "s2", 0.5))
+    .toDF("node_id", "content", "source", "rating")
+
+  test("DSL: filter + sort + project") {
+    val spec = QuerySpec.builder()
+      .where("rating", "gte", 0.5)
+      .orderBy("rating", ascending = false)
+      .select("node_id", "rating")
+      .build()
+    val got = QuerySpec.run(nodes, spec).as[(String, Double)].collect().toSeq
+    assert(got == Seq(("n1", 0.9), ("n3", 0.7), ("n4", 0.5)))
+  }
+
+  test("DSL: contains is case-insensitive in the structured dialect") {
+    val spec = QuerySpec.builder().where("content", "contains", "alpha").build()
+    val got = QuerySpec.run(nodes, spec).select("node_id")
+      .as[String].collect().toSet
+    assert(got == Set("n1", "n4"))
+  }
+
+  test("DSL: aggregation with default alias and empty-avg=0") {
+    val spec = QuerySpec.builder()
+      .where("source", "eq", "s1")
+      .groupBy("source")
+      .aggregate("count", "*", "n")
+      .aggregate("avg", "rating")
+      .build()
+    val row = QuerySpec.run(nodes, spec).collect()(0)
+    assert(row.getAs[Long]("n") == 2L)
+    assert(math.abs(row.getAs[Double]("avg_rating") - 0.65) < 1e-9)
+    val empty = QuerySpec.builder().where("source", "eq", "nope")
+      .aggregate("avg", "rating").build()
+    assert(QuerySpec.run(nodes, empty).collect()(0).getAs[Double]("avg_rating") == 0.0)
+  }
+
+  test("DSL: offset pagination") {
+    val spec = QuerySpec.builder().orderBy("node_id").offset(1).limit(2)
+      .select("node_id").build()
+    assert(QuerySpec.run(nodes, spec).as[String].collect().toSeq == Seq("n2", "n3"))
+  }
+
+  test("NL classification rules") {
+    import NaturalLanguage._
+    assert(classify("how many nodes are about x") == CountAggregation)
+    assert(classify("what is related to y") == FindRelationships)
+    assert(classify("find documents similar to z") == SimilaritySearch)
+    assert(classify("show the path through a and b") == ComplexPattern)
+    assert(classify("tell me about spark") == FindNodes)
+    val p = parse("""find docs similar to "hash join" please""")
+    assert(p.intent == SimilaritySearch && p.entities == Seq("hash join"))
+    assert(p.semanticThreshold == 0.75)
+    assert(p.filters.head.value == "hash join")
+  }
+
+  test("request normalization clamps") {
+    assert(RequestNormalizer.clampThreshold(0.3) == 0.6)
+    assert(RequestNormalizer.clampThreshold(0.99) == 0.85)
+    assert(RequestNormalizer.clampThreshold(0.7) == 0.7)
+    assert(RequestNormalizer.clampDepth(5, None) == 3)
+    assert(RequestNormalizer.clampDepth(5, Some(10)) == 5)
+  }
+
+  test("ingestion pipeline: extract, merge, embed, discover") {
+    val docs = Seq(
+      (1L, "alpha beta gamma. delta epsilon", "s1"),
+      (2L, "gamma beta alpha. unrelated words here", "s1"),
+      (3L, "totally different content", "s2"))
+      .toDF("doc_id", "text", "source")
+    val r = Ingestion.ingest(spark, docs, jaccardThreshold = 0.5)
+    val n = r.nodes.collect()
+    // "alpha beta gamma" and "gamma beta alpha" merge (same token set)
+    assert(n.exists(_.getAs[Long]("merged_from") == 2L))
+    assert(r.embeddings.count() == r.nodes.count())
+    val dim = r.embeddings.select("embedding").as[Seq[Float]].collect()
+    assert(dim.forall(_.length == 64))
+    // SAME_SOURCE edges exist within s1
+    assert(r.edges.filter(col("relation_type") === "SAME_SOURCE").count() > 0)
+    assert(r.revisions.count() == r.nodes.count())
+  }
+
+  test("exporters: graphml + cypher serialize the graph") {
+    val ns = Seq("a", "b").toDF("node_id")
+    val es = Seq(("a", "b", "rel_type")).toDF("from_id", "to_id", "relation_type")
+    val xml = Exporters.collectGraphML(ns, es)
+    assert(xml.contains("""<node id="a"/>"""))
+    assert(xml.contains("""<edge source="a" target="b" label="rel_type"/>"""))
+    val cy = Exporters.cypherStatements(ns, es).collect().toSet
+    assert(cy.exists(_.startsWith("CREATE (:Node {id: 'a'})")))
+    assert(cy.exists(_.contains("[:REL_TYPE]")))
+  }
+
+  test("SQL function registration (cosine_sim via extensions)") {
+    GraftExtensions.register(spark)
+    Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f))).toDF("a", "b")
+      .createOrReplaceTempView("vv")
+    val got = spark.sql("SELECT cosine_sim(a, b) AS c, vec_dot(a, b) AS d FROM vv")
+      .collect()(0)
+    assert(got.getDouble(0) == 1.0 && got.getDouble(1) == 1.0)
+  }
+}
