@@ -103,6 +103,43 @@ object GraphOps {
     if (v == 0) 0.0 else edges.count().toDouble / v
   }
 
+  /** Sequence chains (insight_discovery.py:647-689): follow OUTGOING
+    * edges from root nodes (nodes with no predecessors) until a sink,
+    * length-capped (the reference caps at 20; cycles are excluded by the
+    * cap plus the DAG-ness of typed-FK graphs — the reference's visited
+    * set is per-chain, which the cap subsumes for small depths).
+    * Returns one row per complete root→sink chain: (start_id, end_id, len).
+    */
+  def chains(edges: DataFrame, maxLen: Int = 20,
+      seedFilter: Option[Column] = None): DataFrame = {
+    val out = edges.select(col("from_id").as("node_id"), col("to_id").as("next_id"))
+      .localCheckpoint()
+    val outKeys = out.select(col("node_id")).distinct()
+    val roots0 = outKeys
+      .join(out.select(col("next_id").as("node_id")).distinct(),
+        Seq("node_id"), "left_anti")
+    val roots = seedFilter.map(roots0.filter).getOrElse(roots0)
+    var frontier = roots
+      .select(col("node_id").as("start_id"), col("node_id").as("cur"), lit(0).as("len"))
+      .localCheckpoint()
+    var done: DataFrame = null
+    var h = 0
+    while (h < maxLen && !frontier.isEmpty) {
+      // sinks in the current frontier are complete chains
+      val finished = frontier
+        .join(outKeys.select(col("node_id").as("cur")), Seq("cur"), "left_anti")
+        .select(col("start_id"), col("cur").as("end_id"), col("len"))
+      done = if (done == null) finished.localCheckpoint()
+      else done.unionByName(finished.localCheckpoint())
+      frontier = frontier
+        .join(out.withColumnRenamed("node_id", "cur"), "cur")
+        .select(col("start_id"), col("next_id").as("cur"), (col("len") + 1).as("len"))
+        .localCheckpoint()
+      h += 1
+    }
+    done
+  }
+
   /** Connected components by iterative min-label propagation — each
     * iteration is one join + aggregate; converges in O(diameter) rounds.
     * (GraphX offers this too; the DataFrame form keeps everything in

@@ -27,6 +27,7 @@ object Catalog {
       TextQueries.qs ++
       DedupQueries.qs ++
       AnalyticsQueries.qs ++
+      StatsQueries.qs ++
       MutationQueries.qs ++
       MultimodalQueries.qs ++
       StreamingQueries.qs

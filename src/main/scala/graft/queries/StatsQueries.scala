@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.graph.{GraphOps, KGraph}
+import graft.temporal.TemporalOps
+import graft.text.{TextFunctions => TF}
+
+/** Second statistics/insight family (SURVEY.md §2.7 remainder +
+  * §2.1 content scan): growth rate, decline runs, group similarity,
+  * sequence chains, structural anomalies, consensus levels.
+  */
+object StatsQueries {
+
+  private def events(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  private def daily(s: SparkSession, dir: String): DataFrame =
+    TemporalOps.dailySeries(events(s, dir), "event_type", "ts")
+      .withColumn("idx", datediff(to_date(col("day")), lit("2024-01-01")))
+
+  private val dailySql =
+    """daily AS (
+      |  SELECT event_type AS k, strftime(ts, '%Y-%m-%d') AS day, count(*) AS cnt,
+      |    date_diff('day', DATE '2024-01-01', CAST(strftime(ts, '%Y-%m-%d') AS DATE)) AS idx
+      |  FROM events GROUP BY 1, 2)""".stripMargin
+
+  // -- q60: compound growth rate over cumulative series
+  //         (insight_discovery.py:1168-1184)
+  private def q60(s: SparkSession, dir: String): DataFrame =
+    TemporalOps.growthRate(daily(s, dir), "k", "day", "cum")
+      .select(col("k"), col("first_cum"), col("last_cum"), col("n_days"),
+        round(col("growth_rate"), 8).as("growth_rate"))
+      .orderBy(col("k"))
+
+  private val q60Sql =
+    s"""WITH $dailySql,
+       |cumd AS (
+       |  SELECT k, day, sum(cnt) OVER (PARTITION BY k ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM daily)
+       |SELECT k, arg_min(cum, day) * 1.0 AS first_cum,
+       |  arg_max(cum, day) * 1.0 AS last_cum, count(*) AS n_days,
+       |  round(CASE WHEN count(*) > 1 AND arg_min(cum, day) > 0
+       |    THEN pow(arg_max(cum, day) * 1.0 / arg_min(cum, day),
+       |             1.0 / (count(*) - 1)) - 1
+       |    ELSE 0.0 END, 8) AS growth_rate
+       |FROM cumd GROUP BY k ORDER BY k""".stripMargin
+
+  // -- q61: monotone-decline runs via lag + run-id grouping
+  //         (insight_discovery.py:1185-1242)
+  private def q61(s: SparkSession, dir: String): DataFrame =
+    TemporalOps.declinePeriods(daily(s, dir), "k", "idx", "cnt", minLen = 2)
+      .select(col("k"), col("start_idx"), col("end_idx"), col("len"), col("peak"))
+      .orderBy(col("k"), col("start_idx"))
+
+  private val q61Sql =
+    s"""WITH $dailySql,
+       |lagd AS (
+       |  SELECT k, idx, cnt, lag(cnt) OVER (PARTITION BY k ORDER BY idx) AS prev
+       |  FROM daily),
+       |flagged AS (
+       |  SELECT *, CASE WHEN prev IS NOT NULL AND cnt < prev THEN 1 ELSE 0 END AS declining,
+       |    sum(CASE WHEN prev IS NOT NULL AND cnt < prev THEN 0 ELSE 1 END)
+       |      OVER (PARTITION BY k ORDER BY idx
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+       |  FROM lagd)
+       |SELECT k, min(idx) AS start_idx, max(idx) AS end_idx, count(*) AS len,
+       |  max(prev) * 1.0 AS peak
+       |FROM flagged WHERE declining = 1
+       |GROUP BY k, run_id HAVING count(*) >= 2
+       |ORDER BY k, start_idx""".stripMargin
+
+  // -- q62: avg pairwise token-Jaccard within source groups
+  //         (insight_discovery.py:690-720)
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    val t = docs(s, dir)
+      .select(col("source"), col("doc_id"), TF.distinctTokens(col("text")).as("toks"))
+      .localCheckpoint() // tokenize once; the self-join reuses it
+    val a = t.select(col("source"), col("doc_id").as("a_id"), col("toks").as("a"))
+    val b = t.select(col("source"), col("doc_id").as("b_id"), col("toks").as("b"))
+    val inter = size(array_intersect(col("a"), col("b"))).cast("double")
+    val uni = (size(col("a")) + size(col("b"))).cast("double") - inter
+    a.join(b, "source").filter(col("a_id") < col("b_id"))
+      .withColumn("jac", when(uni > 0, inter / uni).otherwise(lit(0.0)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pairs"), round(avg(col("jac")), 6).as("avg_jaccard"))
+      .orderBy(col("source"))
+  }
+
+  private val q62Sql =
+    """WITH t AS (
+      |  SELECT source, doc_id, list_distinct(string_split(text, ' ')) AS toks
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.source,
+      |    len(list_intersect(a.toks, b.toks)) * 1.0 AS inter,
+      |    len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS uni
+      |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id)
+      |SELECT source, count(*) AS n_pairs,
+      |  round(avg(CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END), 6) AS avg_jaccard
+      |FROM pairs GROUP BY source ORDER BY source""".stripMargin
+
+  // -- q63: sequence chains from root nodes to sinks, grouped by
+  //         (len, end_id) (insight_discovery.py:647-689)
+  private def q63(s: SparkSession, dir: String): DataFrame =
+    GraphOps.chains(KGraph.materialized(s, dir), maxLen = 20,
+        seedFilter = Some(
+          substring_index(col("node_id"), ":", -1).cast("long") % 20 === 0))
+      .groupBy(col("len"), col("end_id"))
+      .agg(count(lit(1)).as("n_chains"))
+      .orderBy(col("len"), col("end_id"))
+
+  private val q63Sql =
+    s"""WITH RECURSIVE ${KGraph.edgesSql},
+       |o AS (SELECT from_id, to_id FROM edges),
+       |roots AS (
+       |  SELECT DISTINCT from_id AS node_id FROM o
+       |  WHERE from_id NOT IN (SELECT to_id FROM o)
+       |    AND CAST(string_split(from_id, ':')[2] AS BIGINT) % 20 = 0),
+       |walk(start_id, cur, len) AS (
+       |  SELECT node_id, node_id, 0 FROM roots
+       |  UNION ALL
+       |  SELECT w.start_id, o.to_id, w.len + 1 FROM walk w
+       |  JOIN o ON o.from_id = w.cur WHERE w.len < 20)
+       |SELECT CAST(len AS INT) AS len, cur AS end_id, count(*) AS n_chains
+       |FROM walk WHERE cur NOT IN (SELECT from_id FROM o)
+       |GROUP BY 1, 2 ORDER BY len, end_id""".stripMargin
+
+  // -- q64: content scan — LIKE filter + deterministic cap
+  //         (sqlite_storage.py:619-660)
+  private def q64(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).filter(col("text").contains("data"))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id")).limit(20)
+
+  private val q64Sql =
+    """SELECT doc_id, source, n_chars FROM documents
+      |WHERE contains(text, 'data') ORDER BY doc_id LIMIT 20""".stripMargin
+
+  // -- q65: structural anomaly — per-type degree z-score > 3
+  //         (insight_discovery.py:1427-1986 structural detector)
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    val e = KGraph.materialized(s, dir)
+    val deg = e.select(col("from_id").as("node_id"))
+      .unionByName(e.select(col("to_id").as("node_id")))
+      .groupBy(col("node_id")).agg(count(lit(1)).as("deg"))
+      .withColumn("typ", substring_index(col("node_id"), ":", 1))
+    val stats = deg.groupBy(col("typ"))
+      .agg(avg(col("deg")).as("mu"), stddev(col("deg")).as("sigma"))
+    deg.join(stats, "typ")
+      .filter(col("sigma") > 0 &&
+        col("deg") > col("mu") + lit(3) * col("sigma"))
+      .withColumn("z", (col("deg") - col("mu")) / col("sigma"))
+      .select(col("typ"), col("node_id"), col("deg"), round(col("z"), 6).as("z"),
+        round(least(col("z") / 5, lit(1.0)), 6).as("severity"))
+      .orderBy(col("typ"), col("node_id"))
+  }
+
+  private val q65Sql =
+    s"""WITH ${KGraph.edgesSql},
+       |deg AS (
+       |  SELECT node_id, count(*) AS deg, string_split(node_id, ':')[1] AS typ
+       |  FROM (SELECT from_id AS node_id FROM edges
+       |        UNION ALL SELECT to_id FROM edges)
+       |  GROUP BY node_id),
+       |stats AS (SELECT typ, avg(deg) AS mu, stddev(deg) AS sigma
+       |          FROM deg GROUP BY typ)
+       |SELECT d.typ, d.node_id, d.deg,
+       |  round((d.deg - mu) / sigma, 6) AS z,
+       |  round(least((d.deg - mu) / sigma / 5, 1.0), 6) AS severity
+       |FROM deg d JOIN stats s ON d.typ = s.typ
+       |WHERE sigma > 0 AND d.deg > mu + 3 * sigma
+       |ORDER BY d.typ, d.node_id""".stripMargin
+
+  // -- q66: consensus levels per source over the lang distribution
+  //         (synthesis/perspective_analysis.py consensus buckets:
+  //          >0.8 strong, >0.6 moderate, >0.4 weak, else none)
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    val counts = docs(s, dir).groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("cnt").desc, col("lang"))
+    counts
+      .withColumn("rn", row_number().over(w))
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy(col("source"))))
+      .filter(col("rn") === 1)
+      .withColumn("consensus", round(col("cnt") / col("total"), 6))
+      .select(col("source"), col("lang").as("dominant_lang"),
+        col("total").as("n_docs"), col("consensus"),
+        when(col("consensus") > 0.8, "strong")
+          .when(col("consensus") > 0.6, "moderate")
+          .when(col("consensus") > 0.4, "weak")
+          .otherwise("none").as("level"))
+      .orderBy(col("source"))
+  }
+
+  private val q66Sql =
+    """WITH c AS (
+      |  SELECT source, lang, count(*) AS cnt FROM documents GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY cnt DESC, lang) AS rn,
+      |    sum(cnt) OVER (PARTITION BY source) AS total
+      |  FROM c)
+      |SELECT source, lang AS dominant_lang, CAST(total AS BIGINT) AS n_docs,
+      |  round(cnt * 1.0 / total, 6) AS consensus,
+      |  CASE WHEN cnt * 1.0 / total > 0.8 THEN 'strong'
+      |       WHEN cnt * 1.0 / total > 0.6 THEN 'moderate'
+      |       WHEN cnt * 1.0 / total > 0.4 THEN 'weak'
+      |       ELSE 'none' END AS level
+      |FROM r WHERE rn = 1 ORDER BY source""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+    Q("q60_growth_rate", q60, Some(q60Sql)),
+    Q("q61_decline_periods", q61, Some(q61Sql)),
+    Q("q62_group_similarity", q62, Some(q62Sql)),
+    Q("q63_sequence_chains", q63, Some(q63Sql), headline = true),
+    Q("q64_content_scan", q64, Some(q64Sql)),
+    Q("q65_structural_anomaly", q65, Some(q65Sql)),
+    Q("q66_consensus_levels", q66, Some(q66Sql)))
+}

@@ -90,6 +90,43 @@ object TemporalOps {
           .otherwise(lit(0.0)))
   }
 
+  /** Compound growth rate over the cumulative series per key
+    * (insight_discovery.py:1168-1184): (last/first)^(1/(n−1)) − 1 over
+    * the per-day cumulative counts. One aggregate pass. */
+  def growthRate(daily: DataFrame, keyCol: String, dayCol: String,
+      cumCol: String): DataFrame =
+    daily.groupBy(col(keyCol)).agg(
+        min_by(col(cumCol), col(dayCol)).cast("double").as("first_cum"),
+        max_by(col(cumCol), col(dayCol)).cast("double").as("last_cum"),
+        count(lit(1)).as("n_days"))
+      .withColumn("growth_rate",
+        when(col("n_days") > 1 && col("first_cum") > 0,
+          pow(col("last_cum") / col("first_cum"),
+            lit(1.0) / (col("n_days") - 1)) - 1)
+          .otherwise(lit(0.0)))
+
+  /** Monotone-decreasing runs (insight_discovery.py:1185-1242): a lag
+    * window flags declining steps, a running sum of the non-decline flag
+    * assigns run ids, and runs of ≥ minLen declining steps survive. */
+  def declinePeriods(series: DataFrame, keyCol: String, idxCol: String,
+      valCol: String, minLen: Int): DataFrame = {
+    val part = Window.partitionBy(col(keyCol)).orderBy(col(idxCol))
+    series
+      .withColumn("prev", lag(col(valCol), 1).over(part))
+      .withColumn("declining",
+        when(col("prev").isNotNull && col(valCol) < col("prev"), 1).otherwise(0))
+      .withColumn("run_id",
+        sum(lit(1) - col("declining")).over(
+          part.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("declining") === 1)
+      .groupBy(col(keyCol), col("run_id"))
+      .agg(min(col(idxCol)).as("start_idx"), max(col(idxCol)).as("end_idx"),
+        count(lit(1)).as("len"),
+        max(col("prev")).cast("double").as("peak"))
+      .filter(col("len") >= minLen)
+      .drop("run_id")
+  }
+
   /** Apriori-lite frequent pairs (insight_discovery.py:563-589): tokens
     * with document-frequency ≥ minSupport, then co-occurring pairs within
     * documents counted and thresholded. Token filter first keeps the
