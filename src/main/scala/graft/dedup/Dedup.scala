@@ -112,11 +112,9 @@ object Dedup {
       array_distinct(TextFunctions.charShingles(col(textCol), n)).as("grams"))
     val a = g.select(col("blk"), col("id").as("a_id"), col("grams").as("a_g"))
     val b = g.select(col("blk"), col("id").as("b_id"), col("grams").as("b_g"))
-    val inter = size(array_intersect(col("a_g"), col("b_g"))).cast("double")
-    val uni = (size(col("a_g")) + size(col("b_g"))).cast("double") - inter
     a.join(b, "blk")
       .filter(col("a_id") < col("b_id"))
-      .withColumn("sim", when(uni > 0, inter / uni).otherwise(0.0))
+      .withColumn("sim", TextFunctions.jaccardSim(col("a_g"), col("b_g")))
       .filter(col("sim") >= threshold)
       .select(col("blk"), col("a_id"), col("b_id"), col("sim"))
   }

@@ -1,0 +1,88 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass token-set Jaccard similarity over two string arrays as a
+  * native codegen expression.
+  *
+  * Semantically identical to
+  * `size(array_intersect(a,b)) / (size(a)+size(b)-size(array_intersect(a,b)))`
+  * with the 0-denominator → 0.0 guard (the Jaccard form used across the
+  * reference's similarity joins, ingestion/relationship_extractor
+  * .py:264-347): intersection counts DISTINCT common elements, union is
+  * |a| + |b| − inter. Built-in `array_intersect` allocates an ArrayData
+  * result and gets re-evaluated for every reference to the derived
+  * column after projection collapse — this computes the scalar once per
+  * pair with two hash probes and no allocation beyond the sets.
+  */
+case class SetJaccardExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"set_jaccard expects (array<string>, array<string>), " +
+            s"got (${left.dataType}, ${right.dataType})")
+    }
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements(); val nb = b.numElements()
+    val setA = new java.util.HashSet[UTF8String](na * 2)
+    var i = 0
+    while (i < na) {
+      if (!a.isNullAt(i)) setA.add(a.getUTF8String(i)); i += 1
+    }
+    val seen = new java.util.HashSet[UTF8String](nb * 2)
+    var inter = 0L
+    i = 0
+    while (i < nb) {
+      if (!b.isNullAt(i)) {
+        val o = b.getUTF8String(i)
+        if (seen.add(o) && setA.contains(o)) inter += 1
+      }
+      i += 1
+    }
+    val uni = (na + nb).toDouble - inter
+    if (uni > 0) inter / uni else 0.0
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // Janino: raw types, no generics.
+      s"""int na = $a.numElements(); int nb = $b.numElements();
+         |java.util.HashSet setA = new java.util.HashSet(na * 2);
+         |for (int i = 0; i < na; i++) {
+         |  if (!$a.isNullAt(i)) setA.add($a.getUTF8String(i));
+         |}
+         |java.util.HashSet seen = new java.util.HashSet(nb * 2);
+         |long inter = 0L;
+         |for (int i = 0; i < nb; i++) {
+         |  if (!$b.isNullAt(i)) {
+         |    Object o = $b.getUTF8String(i);
+         |    if (seen.add(o) && setA.contains(o)) inter++;
+         |  }
+         |}
+         |double uni = (double) (na + nb) - (double) inter;
+         |${ev.value} = uni > 0 ? ((double) inter) / uni : 0.0d;""".stripMargin
+    })
+
+  override def prettyName: String = "set_jaccard"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -112,10 +112,10 @@ object GraphOps {
     */
   def chains(edges: DataFrame, maxLen: Int = 20,
       seedFilter: Option[Column] = None): DataFrame = {
-    val out = edges.select(col("from_id").as("node_id"), col("to_id").as("next_id"))
+    val out = edges
+      .select(col("from_id").as("cur"), col("to_id").as("next_id"))
       .localCheckpoint()
-    val outKeys = out.select(col("node_id")).distinct()
-    val roots0 = outKeys
+    val roots0 = out.select(col("cur").as("node_id")).distinct()
       .join(out.select(col("next_id").as("node_id")).distinct(),
         Seq("node_id"), "left_anti")
     val roots = seedFilter.map(roots0.filter).getOrElse(roots0)
@@ -125,16 +125,17 @@ object GraphOps {
     var done: DataFrame = null
     var h = 0
     while (h < maxLen && !frontier.isEmpty) {
-      // sinks in the current frontier are complete chains
-      val finished = frontier
-        .join(outKeys.select(col("node_id").as("cur")), Seq("cur"), "left_anti")
-        .select(col("start_id"), col("cur").as("end_id"), col("len"))
-      done = if (done == null) finished.localCheckpoint()
-      else done.unionByName(finished.localCheckpoint())
-      frontier = frontier
-        .join(out.withColumnRenamed("node_id", "cur"), "cur")
-        .select(col("start_id"), col("next_id").as("cur"), (col("len") + 1).as("len"))
+      // ONE left-outer join per level: unmatched rows are sinks (complete
+      // chains), matched rows extend the frontier. Checkpointing the join
+      // output materializes both halves in a single pass.
+      val step = frontier
+        .join(out, Seq("cur"), "left_outer")
         .localCheckpoint()
+      val finished = step.filter(col("next_id").isNull)
+        .select(col("start_id"), col("cur").as("end_id"), col("len"))
+      done = if (done == null) finished else done.unionByName(finished)
+      frontier = step.filter(col("next_id").isNotNull)
+        .select(col("start_id"), col("next_id").as("cur"), (col("len") + 1).as("len"))
       h += 1
     }
     done

@@ -81,10 +81,8 @@ object StatsQueries {
       .localCheckpoint() // tokenize once; the self-join reuses it
     val a = t.select(col("source"), col("doc_id").as("a_id"), col("toks").as("a"))
     val b = t.select(col("source"), col("doc_id").as("b_id"), col("toks").as("b"))
-    val inter = size(array_intersect(col("a"), col("b"))).cast("double")
-    val uni = (size(col("a")) + size(col("b"))).cast("double") - inter
     a.join(b, "source").filter(col("a_id") < col("b_id"))
-      .withColumn("jac", when(uni > 0, inter / uni).otherwise(lit(0.0)))
+      .withColumn("jac", TF.jaccardSim(col("a"), col("b")))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_pairs"), round(avg(col("jac")), 6).as("avg_jaccard"))
       .orderBy(col("source"))

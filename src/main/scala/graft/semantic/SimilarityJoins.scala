@@ -50,11 +50,9 @@ object SimilarityJoins {
     val b = tokenized.select(col("blk"), col("id").as("b_id"),
       col("toks").as("b_toks"))
       .withColumn("salt", explode(sequence(lit(0L), lit((saltBuckets - 1).toLong))))
-    val inter = size(array_intersect(col("a_toks"), col("b_toks"))).cast("double")
-    val uni = (size(col("a_toks")) + size(col("b_toks"))).cast("double") - inter
     a.join(b, Seq("blk", "salt"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("sim", when(uni > 0, inter / uni).otherwise(lit(0.0)))
+      .withColumn("sim", TextFunctions.jaccardSim(col("a_toks"), col("b_toks")))
       .filter(col("sim") > threshold)
       .withColumn("confidence",
         least(lit(0.95), lit(0.6) + (col("sim") - threshold) * 0.4))

@@ -38,6 +38,15 @@ object TextFunctions {
     aggregate(transform(tokens(text), w => md5Long(w)),
       lit(0L), (acc, h) => (acc * 31 + h) % 2147483647L)
 
+  /** One-pass codegen token-set Jaccard — semantically identical to
+    * size(array_intersect)/(|a|+|b|−inter) with the 0-union guard, but a
+    * single scalar evaluation per pair (see SetJaccardExpr). */
+  def jaccardSim(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.expressions.SetJaccardExpr(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
+
   /** Character n-gram shingles (for n-gram Jaccard near-dup). */
   def charShingles(text: Column, n: Int): Column =
     expr(s"transform(sequence(1, greatest(length(text) - ${n - 1}, 1)), " +
