@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.QueryEngine
+import graft.engine.QueryEngine._
+import graft.operators.Filters.Cond
+import graft.graph.GraphOps
+import graft.temporal.TemporalOps
+import graft.text.TextFunctions
+
+/** QueryEngine facade (§3.1 lifecycle) + the stats/chain operators added
+  * with StatsQueries, on tiny fixtures mirroring the reference's unit
+  * style (tests/test_advanced_query_engine.py:288-377 — small rows,
+  * exact assertions).
+  */
+class EngineStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val nodes = Seq(
+    ("n1", "the quick brown fox jumps over the lazy dog near the river bank today", "src_a"),
+    ("n2", "spark engines process big data with distributed joins and shuffles", "src_a"),
+    ("n3", "a tiny note", "src_b"),
+    ("n4", "spark streaming handles unbounded data with watermarks and windows", "src_b"))
+    .toDF("node_id", "content", "source")
+
+  private lazy val edges = Seq(
+    ("n1", "n2"), ("n2", "n4")).toDF("from_id", "to_id")
+
+  private lazy val embeddings = {
+    val e = graft.pipeline.Ingestion.HashEmbedding(16)
+    val rows = Seq("n1", "n2", "n3", "n4").zip(
+      e.embed(Seq(
+        "the quick brown fox jumps over the lazy dog near the river bank today",
+        "spark engines process big data with distributed joins and shuffles",
+        "a tiny note",
+        "spark streaming handles unbounded data with watermarks and windows")))
+    rows.toDF("node_id", "embedding")
+  }
+
+  private def tables = Tables(nodes, embeddings, edges)
+
+  test("engine: content search ranks, paginates, counts pre-slice") {
+    val r = QueryEngine.query(tables,
+      QueryRequest(query = "spark", limit = 1))
+    assert(r.totalCount === 2) // n2, n4 contain "spark"
+    val top = r.results.collect()
+    assert(top.length === 1)
+    assert(r.explanation.exists(_.startsWith("execute: content search")))
+  }
+
+  test("engine: semantic search finds the query's own text first") {
+    val r = QueryEngine.query(tables, QueryRequest(
+      query = "spark engines process big data with distributed joins and shuffles",
+      queryType = SemanticSearch, limit = 2, similarityThreshold = 0.6))
+    val ids = r.results.select("node_id").as[String].collect()
+    assert(ids.contains("n2")) // exact text ⇒ cosine 1.0 ⇒ must survive
+  }
+
+  test("engine: relationship search keeps only nodes with edges") {
+    val r = QueryEngine.query(tables,
+      QueryRequest(query = "", queryType = RelationshipSearch, limit = 10))
+    val ids = r.results.select("node_id").as[String].collect().toSet
+    assert(ids === Set("n1", "n2", "n4")) // n3 has no edges
+  }
+
+  test("engine: NL count query routes to aggregation with agg over ranked rows") {
+    val r = QueryEngine.query(tables, QueryRequest(
+      query = "how many notes are there", queryType = NaturalLanguageQ,
+      limit = 10, aggregations = Seq(AggSpec("count", "*", Some("n")))))
+    assert(r.explanation.exists(_.contains("intent=CountAggregation")))
+    assert(r.aggregations.get.select("n").as[Long].head() === 4)
+  }
+
+  test("engine: filters apply before ranking (filter dialect reuse)") {
+    val r = QueryEngine.query(tables, QueryRequest(query = "",
+      filters = Seq(Cond("source", "eq", "src_b")), limit = 10))
+    assert(r.totalCount === 2)
+  }
+
+  test("growthRate: doubling cumulative series") {
+    // cum 1,2,4 over 3 days: growth = (4/1)^(1/2) - 1 = 1.0
+    val daily = Seq(("a", "d1", 1L), ("a", "d2", 2L), ("a", "d3", 4L))
+      .toDF("k", "day", "cum")
+    val g = TemporalOps.growthRate(daily, "k", "day", "cum").collect().head
+    assert(math.abs(g.getAs[Double]("growth_rate") - 1.0) < 1e-12)
+  }
+
+  test("declinePeriods: finds the monotone run, honors minLen") {
+    // values 5,4,3,6,5: decline run idx 1-2 (len 2), then idx 4 (len 1)
+    val s = Seq(("a", 0, 5), ("a", 1, 4), ("a", 2, 3), ("a", 3, 6), ("a", 4, 5))
+      .toDF("k", "idx", "v")
+    val runs = TemporalOps.declinePeriods(s, "k", "idx", "v", minLen = 2).collect()
+    assert(runs.length === 1)
+    assert(runs.head.getAs[Int]("start_idx") === 1)
+    assert(runs.head.getAs[Int]("end_idx") === 2)
+    assert(runs.head.getAs[Long]("len") === 2)
+  }
+
+  test("chains: root-to-sink paths with fan-out") {
+    // a→b→c, a→b→d: root a, sinks c,d ⇒ two chains of len 2
+    val e = Seq(("a", "b"), ("b", "c"), ("b", "d"))
+      .toDF("from_id", "to_id")
+    val ch = GraphOps.chains(e).orderBy("end_id").collect()
+    assert(ch.map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq ===
+      Seq(("a", "c", 2), ("a", "d", 2)))
+  }
+
+  test("set_jaccard expression matches array_intersect formula incl. edge cases") {
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),        // 2/4
+      (Seq.empty[String], Seq.empty[String]),            // 0-union guard
+      (Seq("a", "a", "b"), Seq("a", "b", "b")),          // duplicates
+      (Seq("x"), Seq("y"))).toDF("a", "b")
+    val got = df.select(TextFunctions.jaccardSim(col("a"), col("b")).as("j"),
+      try_divide(size(array_intersect(col("a"), col("b"))).cast("double"),
+        (size(col("a")) + size(col("b")) -
+          size(array_intersect(col("a"), col("b")))).cast("double")).as("ref"))
+      .collect()
+    got.foreach { r =>
+      val ref = if (r.isNullAt(1) || r.getDouble(1).isNaN) 0.0 else r.getDouble(1)
+      assert(math.abs(r.getDouble(0) - ref) < 1e-12)
+    }
+  }
+}
