@@ -28,6 +28,7 @@ object Catalog {
       DedupQueries.qs ++
       AnalyticsQueries.qs ++
       StatsQueries.qs ++
+      SynthesisQueries.qs ++
       MutationQueries.qs ++
       MultimodalQueries.qs ++
       StreamingQueries.qs

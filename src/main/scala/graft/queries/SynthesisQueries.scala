@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.{VectorFunctions => VF}
+import graft.text.{TextFunctions => TF}
+
+/** Knowledge-synthesis pipelines (SURVEY.md §3.3): the answer_question
+  * evidence pipeline (enhanced_mcp_endpoint.py:505-587 — semantic top-k
+  * → related-evidence expansion → quality-sorted, capped) and timeline
+  * synthesis (:751-855), as single declarative plans.
+  */
+object SynthesisQueries {
+
+  // -- q67: QA evidence — semantic top-10 (query = vec 0) → expand to
+  //         same-source docs → quality-ranked top 20 with evidence type
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val docs = Tables.load(s, dir, "documents")
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val top = emb.crossJoin(broadcast(qv))
+      .withColumn("sim", VF.cosine(col("embedding"), col("qvec")))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id").as("doc_id"), col("sim"))
+    val srcs = docs.join(top, "doc_id").select(col("source")).distinct()
+    docs.join(srcs, "source") // expansion: same-source evidence candidates
+      .join(top, Seq("doc_id"), "left_outer")
+      .withColumn("evidence_type",
+        when(col("sim").isNotNull, "direct").otherwise("expanded"))
+      .withColumn("quality", TF.qualityScore(col("text"), col("n_chars")))
+      .select(col("doc_id"), col("source"), col("evidence_type"),
+        round(col("quality"), 6).as("quality"),
+        round(coalesce(col("sim"), lit(0.0)), 6).as("sim"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val q67Sql =
+    s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+       |top AS (
+       |  SELECT e.vec_id AS doc_id,
+       |    ${VF.sql.cosine("e.embedding", "q.embedding")} AS sim
+       |  FROM embeddings e, q
+       |  ORDER BY sim DESC, e.vec_id LIMIT 10),
+       |srcs AS (SELECT DISTINCT source FROM documents JOIN top USING (doc_id))
+       |SELECT d.doc_id, d.source,
+       |  CASE WHEN t.doc_id IS NOT NULL THEN 'direct' ELSE 'expanded' END AS evidence_type,
+       |  round(${TF.sql.qualityScore("d.text", "d.n_chars")}, 6) AS quality,
+       |  round(coalesce(t.sim, 0.0), 6) AS sim
+       |FROM documents d JOIN srcs USING (source)
+       |LEFT JOIN top t ON d.doc_id = t.doc_id
+       |ORDER BY quality DESC, d.doc_id LIMIT 20""".stripMargin
+
+  // -- q68: timeline synthesis per user — span, activity, dominant event
+  //         type, largest inactivity gap
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("sec"))
+    val wLag = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_type"))
+    val spans = ev
+      .withColumn("gap", col("sec") - lag(col("sec"), 1).over(wLag))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("sec")).as("first_sec"), max(col("sec")).as("last_sec"),
+        (max(col("sec")) - min(col("sec"))).as("span_sec"),
+        max(col("gap")).as("max_gap_sec"))
+    val wTop = Window.partitionBy(col("user_id"))
+      .orderBy(col("cnt").desc, col("event_type"))
+    val dominant = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("dominant_type"))
+    spans.join(dominant, "user_id")
+      .select(col("user_id"), col("n_events"), col("first_sec"), col("last_sec"),
+        col("span_sec"), col("max_gap_sec"), col("dominant_type"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q68Sql =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |  FROM events),
+      |gaps AS (
+      |  SELECT user_id, sec,
+      |    sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_type) AS gap
+      |  FROM ev),
+      |spans AS (
+      |  SELECT user_id, count(*) AS n_events, min(sec) AS first_sec,
+      |    max(sec) AS last_sec, max(sec) - min(sec) AS span_sec,
+      |    max(gap) AS max_gap_sec
+      |  FROM gaps GROUP BY user_id),
+      |dom AS (
+      |  SELECT user_id, event_type AS dominant_type FROM (
+      |    SELECT user_id, event_type, count(*) AS cnt,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, event_type) AS rn
+      |    FROM ev GROUP BY user_id, event_type) x
+      |  WHERE rn = 1)
+      |SELECT s.user_id, s.n_events, s.first_sec, s.last_sec, s.span_sec,
+      |  s.max_gap_sec, d.dominant_type
+      |FROM spans s JOIN dom d USING (user_id)
+      |ORDER BY s.user_id""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+    Q("q67_qa_evidence", q67, Some(q67Sql)),
+    Q("q68_timeline_synthesis", q68, Some(q68Sql)))
+}

@@ -49,6 +49,38 @@ object Exporters {
        |</graphml>""".stripMargin
   }
 
+  /** RDF N-Triples export (data_exporter.py RDF impl): each edge becomes
+    * a triple under a urn: namespace; node ids and relation types are
+    * percent-escaped into URI-safe form. */
+  def rdfTriples(edges: DataFrame): Dataset[String] = {
+    import edges.sparkSession.implicits._
+    def uri(s: String) = "urn:graft:" + s.flatMap {
+      case c if c.isLetterOrDigit || c == ':' || c == '_' || c == '-' => c.toString
+      case c => f"%%${c.toInt}%02X"
+    }
+    edges.selectExpr("from_id", "to_id", "relation_type")
+      .as[(String, String, String)]
+      .map { case (f, t, r) => s"<${uri(f)}> <${uri("rel:" + r)}> <${uri(t)}> ." }
+  }
+
+  /** Gremlin script export (data_exporter.py Gremlin impl): addV/addE
+    * statements; the edge statements look vertices up by the node_id
+    * property exactly as the reference's JanusGraph writer does
+    * (db/janusgraph_storage.py:116-178). */
+  def gremlinStatements(nodes: DataFrame, edges: DataFrame): Dataset[String] = {
+    import nodes.sparkSession.implicits._
+    def q(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    val n = nodes.select("node_id").as[String]
+      .map(id => s"g.addV('node').property('node_id', '${q(id)}')")
+    val e = edges.selectExpr("from_id", "to_id", "relation_type")
+      .as[(String, String, String)]
+      .map { case (f, t, r) =>
+        s"g.V().has('node_id', '${q(f)}').addE('${q(r)}')" +
+          s".to(__.V().has('node_id', '${q(t)}'))"
+      }
+    n.union(e)
+  }
+
   /** Cypher statement export (data_exporter.py Cypher impl). */
   def cypherStatements(nodes: DataFrame, edges: DataFrame): Dataset[String] = {
     import nodes.sparkSession.implicits._

@@ -101,6 +101,11 @@ class QueryDslSpec extends SparkSpec {
     val cy = Exporters.cypherStatements(ns, es).collect().toSet
     assert(cy.exists(_.startsWith("CREATE (:Node {id: 'a'})")))
     assert(cy.exists(_.contains("[:REL_TYPE]")))
+    val rdf = Exporters.rdfTriples(es).collect()
+    assert(rdf === Array("<urn:graft:a> <urn:graft:rel:rel_type> <urn:graft:b> ."))
+    val gr = Exporters.gremlinStatements(ns, es).collect().toSet
+    assert(gr.contains("g.addV('node').property('node_id', 'a')"))
+    assert(gr.exists(_.contains(".addE('rel_type')")))
   }
 
   test("SQL function registration (cosine_sim via extensions)") {
