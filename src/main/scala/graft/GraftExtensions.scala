@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import graft.functions.expressions.VectorSimExpr
+import graft.functions.expressions.{SetJaccardExpr, VectorSimExpr}
 
 /** Session extensions: registers graft's native Catalyst expressions as
   * SQL functions, so `spark.sql("SELECT cosine_sim(a, b) ...")` works in
@@ -25,5 +25,7 @@ object GraftExtensions {
       exprs => VectorSimExpr(exprs(0), exprs(1), "dot"), "scala_udf")
     reg.createOrReplaceTempFunction("vec_l2",
       exprs => VectorSimExpr(exprs(0), exprs(1), "l2"), "scala_udf")
+    reg.createOrReplaceTempFunction("set_jaccard",
+      exprs => SetJaccardExpr(exprs(0), exprs(1)), "scala_udf")
   }
 }
