@@ -131,9 +131,46 @@ object MutationQueries {
        |FROM incoming LEFT JOIN existing USING (key)
        |ORDER BY in_id""".stripMargin
 
+  // -- q69: merge-two-nodes graph contraction (sqlite_storage.py:798-840,
+  //         janusgraph_storage.py:454-514): odd customers merge into their
+  //         even predecessor; all edges are redirected through the mapping,
+  //         self-loops dropped, result summarized per relation type
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.graph.KGraph.materialized(s, dir)
+    def contract(c: org.apache.spark.sql.Column) = {
+      val key = substring_index(c, ":", -1).cast("long")
+      when(c.startsWith("c:") && key % 2 === 1,
+        concat(lit("c:"), (key - 1).cast("string"))).otherwise(c)
+    }
+    e.withColumn("f2", contract(col("from_id")))
+      .withColumn("t2", contract(col("to_id")))
+      .filter(col("f2") =!= col("t2")) // skip self-loops, as the reference does
+      .groupBy(col("relation_type"))
+      .agg(count(lit(1)).as("n_edges"),
+        countDistinct(col("f2")).as("n_from"),
+        countDistinct(col("t2")).as("n_to"))
+      .orderBy(col("relation_type"))
+  }
+
+  private val q69Sql = {
+    def contract(c: String) =
+      s"""CASE WHEN $c LIKE 'c:%' AND CAST(string_split($c, ':')[2] AS BIGINT) % 2 = 1
+         |  THEN 'c:' || (CAST(string_split($c, ':')[2] AS BIGINT) - 1)
+         |  ELSE $c END""".stripMargin
+    s"""WITH ${graft.graph.KGraph.edgesSql},
+       |m AS (SELECT ${contract("from_id")} AS f2, ${contract("to_id")} AS t2,
+       |             relation_type
+       |      FROM edges)
+       |SELECT relation_type, count(*) AS n_edges,
+       |  count(DISTINCT f2) AS n_from, count(DISTINCT t2) AS n_to
+       |FROM m WHERE f2 <> t2
+       |GROUP BY relation_type ORDER BY relation_type""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q52_merge_rules", q52, Some(q52Sql)),
     Q("q53_rating_update", q53, Some(q53Sql)),
     Q("q54_revision_lastprior", q54, Some(q54Sql)),
-    Q("q55_merge_or_create", q55, Some(q55Sql)))
+    Q("q55_merge_or_create", q55, Some(q55Sql)),
+    Q("q69_node_contraction", q69, Some(q69Sql)))
 }
