@@ -57,12 +57,13 @@ object GraphOps {
   def multiHop(edges: DataFrame, seeds: DataFrame, maxHops: Int,
       dir: Direction = Outgoing, edgeFilter: Option[Column] = None): DataFrame = {
     val e0 = oriented(edges, dir)
-    // Materialize the (filtered, oriented) edge set once — the loop joins
-    // against it every hop, and recomputing the scan per hop dominates
-    // BFS cost. At cluster scale this is the step to pre-bucket by
-    // node_id so each hop is a co-partitioned join.
+    // Materialize the (filtered, oriented) edge set once, HASH-PARTITIONED
+    // on the join key — checkpointing preserves the partitioning, so every
+    // hop's join reuses it and only the (small) frontier side shuffles.
+    // This is the local analog of bucketing edges by node_id on a cluster.
     val e = edgeFilter.map(e0.filter).getOrElse(e0)
       .select(col("node_id"), col("next_id"))
+      .repartition(col("node_id"))
       .localCheckpoint()
     var reached = seeds.select(col("node_id")).distinct()
       .withColumn("hop", lit(0)).localCheckpoint()
@@ -112,8 +113,11 @@ object GraphOps {
     */
   def chains(edges: DataFrame, maxLen: Int = 20,
       seedFilter: Option[Column] = None): DataFrame = {
+    // hash-partitioned on the join key; partitioning survives the
+    // checkpoint so each level's join only shuffles the frontier side
     val out = edges
       .select(col("from_id").as("cur"), col("to_id").as("next_id"))
+      .repartition(col("cur"))
       .localCheckpoint()
     val roots0 = out.select(col("cur").as("node_id")).distinct()
       .join(out.select(col("next_id").as("node_id")).distinct(),
@@ -149,6 +153,7 @@ object GraphOps {
     // only endpoints are needed — works on bare (from_id, to_id) edge lists
     val und = edges.select(col("from_id").as("node_id"), col("to_id").as("next_id"))
       .unionByName(edges.select(col("to_id").as("node_id"), col("from_id").as("next_id")))
+      .repartition(col("node_id"))
       .localCheckpoint()
     var labels = und.select(col("node_id")).distinct()
       .withColumn("component", col("node_id")).localCheckpoint()
