@@ -52,14 +52,20 @@ object TextFunctions {
     expr(s"transform(sequence(1, greatest(length(text) - ${n - 1}, 1)), " +
       s"i -> substring(text, i, $n))")
 
-  /** MinHash signature with k seeded hash slots: slot i is the
-    * lexicographic min of md5(i || '|' || token) over the distinct token
-    * set — a classic permutation-min approximation whose collision
-    * probability per slot equals the Jaccard similarity. */
+  /** MinHash signature with k permutation slots: each token hashes ONCE
+    * (md5Long), then slot i takes the min of an affine permutation
+    * h_i(x) = (x·a_i + i) mod M over the distinct token set — the classic
+    * permutation-min sketch (collision probability per slot = Jaccard),
+    * with 1 md5 per token instead of k and long arithmetic instead of
+    * 32-char string mins. a_i is an LCG-derived odd-ish multiplier both
+    * engines compute identically. */
+  val minhashMod = 2147483647L // 2^31 − 1 (prime)
+  def minhashA(i: Column): Column =
+    (lit(1103515245L) * (i + 1) + 12345L) % minhashMod
   def minhashSignature(text: Column, k: Int): Column = {
-    val toks = distinctTokens(text)
+    val hs = transform(distinctTokens(text), w => md5Long(w) % minhashMod)
     transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(toks, w => md5(concat(i.cast("string"), lit("|"), w)))))
+      i => array_min(transform(hs, h => (h * minhashA(i) + i) % minhashMod)))
   }
 
   /** Fraction of equal slots between two signatures = Jaccard estimate.
@@ -131,7 +137,8 @@ object TextFunctions {
         s"i -> ($t)[i:i+${n - 1}])"
     def minhashSignature(t: String, k: Int) =
       s"list_transform(range(0, $k), i -> list_min(list_transform(" +
-        s"${distinctTokens(t)}, w -> md5(i::VARCHAR||'|'||w))))"
+        s"${distinctTokens(t)}, w -> ((${md5Long("w")} % 2147483647) * " +
+        s"((1103515245 * (i + 1) + 12345) % 2147483647) + i) % 2147483647)))"
     def countIn(toksExpr: String, words: Seq[String]) =
       s"len(list_filter($toksExpr, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
     def langId(t: String): String = {
