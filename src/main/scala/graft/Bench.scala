@@ -31,6 +31,10 @@ object Bench {
     // part of any query's cost, so it warms here too.
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
     graft.graph.KGraph.materialized(spark, sfDir).count()
+    // oriented edge "indexes" (the reference's from/to edge indexes)
+    Seq(graft.graph.GraphOps.Incoming, graft.graph.GraphOps.Outgoing,
+      graft.graph.GraphOps.Both).foreach(d =>
+      graft.graph.KGraph.orientedMaterialized(spark, sfDir, d).count())
     Catalog.byName("q01_pricing_summary").run(spark, sfDir).count()
 
     val headline = Catalog.all.filter(_.headline)

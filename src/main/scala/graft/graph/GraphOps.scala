@@ -39,8 +39,8 @@ object GraphOps {
   /** 1-hop neighbor expansion with optional relation-type filter
     * (graph_storage_adapter.py:418-455 — both_e() semantics). */
   def neighbors(edges: DataFrame, seeds: DataFrame, dir: Direction,
-      relTypes: Seq[String] = Nil): DataFrame = {
-    val e0 = oriented(edges, dir)
+      relTypes: Seq[String] = Nil, preOriented: Boolean = false): DataFrame = {
+    val e0 = if (preOriented) edges else oriented(edges, dir)
     val e = if (relTypes.isEmpty) e0 else e0.filter(col("relation_type").isin(relTypes: _*))
     seeds.join(e, "node_id")
       .select(col("node_id"), col("next_id").as("neighbor_id"),
@@ -55,16 +55,23 @@ object GraphOps {
     * enhanced_mcp_endpoint.py:76-171.
     */
   def multiHop(edges: DataFrame, seeds: DataFrame, maxHops: Int,
-      dir: Direction = Outgoing, edgeFilter: Option[Column] = None): DataFrame = {
-    val e0 = oriented(edges, dir)
+      dir: Direction = Outgoing, edgeFilter: Option[Column] = None,
+      preOriented: Boolean = false): DataFrame = {
+    // `preOriented`: edges is already (node_id, next_id, …) materialized
+    // and hash-partitioned (KGraph.orientedMaterialized — the analog of
+    // the reference's from/to edge indexes); skip the rebuild entirely.
+    val e0 = if (preOriented) edges else oriented(edges, dir)
     // Materialize the (filtered, oriented) edge set once, HASH-PARTITIONED
     // on the join key — checkpointing preserves the partitioning, so every
     // hop's join reuses it and only the (small) frontier side shuffles.
     // This is the local analog of bucketing edges by node_id on a cluster.
-    val e = edgeFilter.map(e0.filter).getOrElse(e0)
-      .select(col("node_id"), col("next_id"))
-      .repartition(col("node_id"))
-      .localCheckpoint()
+    val e = edgeFilter match {
+      case None if preOriented => e0.select(col("node_id"), col("next_id"))
+      case _ => edgeFilter.map(e0.filter).getOrElse(e0)
+        .select(col("node_id"), col("next_id"))
+        .repartition(col("node_id"))
+        .localCheckpoint()
+    }
     var reached = seeds.select(col("node_id")).distinct()
       .withColumn("hop", lit(0)).localCheckpoint()
     var frontier = reached
@@ -88,8 +95,8 @@ object GraphOps {
     * as in graph_storage_adapter.py:319-359 / sqlite_storage.py:571-617):
     * BFS with min-hop is exactly shortest path for unit weights. */
   def shortestPathLengths(edges: DataFrame, source: DataFrame,
-      maxHops: Int): DataFrame =
-    multiHop(edges, source, maxHops, Both)
+      maxHops: Int, preOriented: Boolean = false): DataFrame =
+    multiHop(edges, source, maxHops, Both, preOriented = preOriented)
 
   /** Induced subgraph: edges whose BOTH endpoints are in `keep`
     * (enhanced_mcp_endpoint.py:233-252) — two semi-joins. */

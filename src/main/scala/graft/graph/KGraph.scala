@@ -30,6 +30,18 @@ object KGraph {
     cache.computeIfAbsent(spark.hashCode() + "|" + dir,
       _ => edges(spark, dir).localCheckpoint())
 
+  /** Direction-oriented edge tables, hash-partitioned on the traversal
+    * key and materialized once per (session, sfDir, direction) — the
+    * analog of the reference's from/to edge indexes
+    * (sqlite_storage.py:913-935: edges(from_node_id), edges(to_node_id)).
+    * BFS hops against these only shuffle the frontier side. */
+  def orientedMaterialized(spark: SparkSession, dir: String,
+      direction: GraphOps.Direction): DataFrame =
+    cache.computeIfAbsent(spark.hashCode() + "|" + dir + "|" + direction,
+      _ => GraphOps.oriented(materialized(spark, dir), direction)
+        .repartition(col("node_id"))
+        .localCheckpoint())
+
   /** Typed edges: from_id, to_id, relation_type, confidence. */
   def edges(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.load(spark, dir, "orders")

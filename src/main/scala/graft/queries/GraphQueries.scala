@@ -17,8 +17,8 @@ object GraphQueries {
   // -- q11: 1-hop neighbor expansion, both directions, relation filter
   private def q11(s: SparkSession, dir: String): DataFrame = {
     val seeds = s.range(1, 51).select(concat(lit("c:"), col("id")).as("node_id"))
-    GraphOps.neighbors(KGraph.materialized(s, dir), seeds, Both,
-        Seq("placed_by", "located_in"))
+    GraphOps.neighbors(KGraph.orientedMaterialized(s, dir, Both), seeds, Both,
+        Seq("placed_by", "located_in"), preOriented = true)
       .orderBy(col("node_id"), col("neighbor_id"), col("relation_type"))
   }
 
@@ -36,7 +36,8 @@ object GraphQueries {
   // -- q12: multi-hop BFS (incoming, 3 hops) with min-hop annotation
   private def q12(s: SparkSession, dir: String): DataFrame = {
     val seeds = s.sql("SELECT 'r:0' AS node_id")
-    GraphOps.multiHop(KGraph.materialized(s, dir), seeds, maxHops = 3, Incoming)
+    GraphOps.multiHop(KGraph.orientedMaterialized(s, dir, Incoming), seeds,
+        maxHops = 3, Incoming, preOriented = true)
       .orderBy(col("node_id"))
   }
 
@@ -56,7 +57,8 @@ object GraphQueries {
   private def q13(s: SparkSession, dir: String): DataFrame = {
     val seeds = s.range(1, 101)
       .select(concat(lit("o:"), col("id") * 15).as("node_id"))
-    GraphOps.multiHop(KGraph.materialized(s, dir), seeds, maxHops = 3, Outgoing,
+    GraphOps.multiHop(KGraph.orientedMaterialized(s, dir, Outgoing), seeds,
+        maxHops = 3, Outgoing, preOriented = true,
         edgeFilter = Some(col("confidence") >= 0.75 &&
           col("relation_type").isin("placed_by", "located_in", "contains", "part_of")))
       .orderBy(col("node_id"))
@@ -80,7 +82,8 @@ object GraphQueries {
   // -- q14: unweighted shortest-path lengths (BFS both directions, ≤3)
   private def q14(s: SparkSession, dir: String): DataFrame = {
     val src = s.sql("SELECT 'c:1' AS node_id")
-    GraphOps.shortestPathLengths(KGraph.materialized(s, dir), src, maxHops = 3)
+    GraphOps.shortestPathLengths(KGraph.orientedMaterialized(s, dir, Both), src,
+        maxHops = 3, preOriented = true)
       .orderBy(col("node_id"))
   }
 
