@@ -119,13 +119,16 @@ object GraphOps {
     * Returns one row per complete root→sink chain: (start_id, end_id, len).
     */
   def chains(edges: DataFrame, maxLen: Int = 20,
-      seedFilter: Option[Column] = None): DataFrame = {
+      seedFilter: Option[Column] = None, preOriented: Boolean = false): DataFrame = {
     // hash-partitioned on the join key; partitioning survives the
-    // checkpoint so each level's join only shuffles the frontier side
-    val out = edges
-      .select(col("from_id").as("cur"), col("to_id").as("next_id"))
-      .repartition(col("cur"))
-      .localCheckpoint()
+    // checkpoint (and the rename — ProjectExec propagates partitioning
+    // through aliases) so each level's join only shuffles the frontier
+    val out =
+      if (preOriented) edges.select(col("node_id").as("cur"), col("next_id"))
+      else edges
+        .select(col("from_id").as("cur"), col("to_id").as("next_id"))
+        .repartition(col("cur"))
+        .localCheckpoint()
     val roots0 = out.select(col("cur").as("node_id")).distinct()
       .join(out.select(col("next_id").as("node_id")).distinct(),
         Seq("node_id"), "left_anti")

@@ -104,7 +104,9 @@ object StatsQueries {
   // -- q63: sequence chains from root nodes to sinks, grouped by
   //         (len, end_id) (insight_discovery.py:647-689)
   private def q63(s: SparkSession, dir: String): DataFrame =
-    GraphOps.chains(KGraph.materialized(s, dir), maxLen = 20,
+    GraphOps.chains(
+        KGraph.orientedMaterialized(s, dir, GraphOps.Outgoing),
+        maxLen = 20, preOriented = true,
         seedFilter = Some(
           substring_index(col("node_id"), ":", -1).cast("long") % 20 === 0))
       .groupBy(col("len"), col("end_id"))
