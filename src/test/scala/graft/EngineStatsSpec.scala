@@ -77,6 +77,13 @@ class EngineStatsSpec extends SparkSpec {
     assert(r.totalCount === 2)
   }
 
+  test("driver contract: entry() returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    // every query has either an oracle or is intentionally rows-only
+    assert(SparkEntry.queries.nonEmpty)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
   test("growthRate: doubling cumulative series") {
     // cum 1,2,4 over 3 days: growth = (4/1)^(1/2) - 1 = 1.0
     val daily = Seq(("a", "d1", 1L), ("a", "d2", 2L), ("a", "d3", 4L))
