@@ -42,6 +42,36 @@ class GraphOpsSpec extends SparkSpec {
     assert(both == Set("a", "c", "d"))
   }
 
+  test("multiHop with edge filter prunes traversal") {
+    // drop b→c: from a, reachable = a, b, d (via b→d)
+    val got = GraphOps.multiHop(edges, seed("a"), 3, GraphOps.Outgoing,
+        edgeFilter = Some(!(col("node_id") === "b" && col("next_id") === "c")))
+      .as[(String, Int)].collect().toMap
+    assert(got == Map("a" -> 0, "b" -> 1, "d" -> 2))
+  }
+
+  test("preOriented path gives identical results") {
+    val pre = GraphOps.oriented(edges, GraphOps.Outgoing)
+      .repartition(col("node_id")).localCheckpoint()
+    val got = GraphOps.multiHop(pre, seed("a"), 3, GraphOps.Outgoing,
+        preOriented = true)
+      .as[(String, Int)].collect().toMap
+    assert(got == Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 2))
+    val n = GraphOps.neighbors(pre, seed("b"), GraphOps.Outgoing,
+        preOriented = true)
+      .select("neighbor_id").as[String].collect().toSet
+    assert(n == Set("c", "d"))
+  }
+
+  test("chains handles diamond fan-in and the length cap") {
+    // e→a→b→{c→d, d}: root e, sinks d via two paths
+    val got = GraphOps.chains(edges).as[(String, String, Int)].collect().toSet
+    assert(got == Set(("e", "d", 4), ("e", "d", 3)))
+    // cap cuts incomplete chains entirely
+    val capped = GraphOps.chains(edges, maxLen = 2).collect()
+    assert(capped.isEmpty)
+  }
+
   test("induced subgraph keeps edges with both endpoints") {
     val keep = Seq("a", "b", "c").toDF("node_id")
     val got = GraphOps.inducedSubgraph(edges, keep)
