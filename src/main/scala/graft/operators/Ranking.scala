@@ -22,6 +22,28 @@ object Ranking {
     least(when(uni > 0, inter / uni).otherwise(0.0) * 2, lit(1.0))
   }
 
+  /** Freshness step decay (result_ranker.py:336-377): 1.0 / 0.9 / 0.7 /
+    * 0.5 / 0.3 / 0.1 at age 0 / ≤7 / ≤30 / ≤90 / ≤365 / older days. */
+  def freshness(ageDays: Column): Column =
+    when(ageDays <= 0, 1.0).when(ageDays <= 7, 0.9).when(ageDays <= 30, 0.7)
+      .when(ageDays <= 90, 0.5).when(ageDays <= 365, 0.3).otherwise(0.1)
+
+  /** Popularity: log(accessCount+1)/log(100), capped at 1
+    * (result_ranker.py:379-411). */
+  def popularity(accessCount: Column): Column =
+    least(log(accessCount.cast("double") + 1) / math.log(100.0), lit(1.0))
+
+  /** Relationship-count score (result_ranker.py:438-457): 0.2 if none,
+    * 0.5 + 0.1·n up to 5, then 0.8 + 0.02·(n−5) capped at 1. */
+  def relCountScore(n: Column): Column =
+    when(n === 0, 0.2)
+      .when(n <= 5, lit(0.5) + lit(0.1) * n)
+      .otherwise(least(lit(0.8) + lit(0.02) * (n - 5), lit(1.0)))
+
+  /** Metadata richness: meaningful fields / 8 (result_ranker.py:459-493). */
+  def metadataRichness(nFields: Column): Column =
+    least(nFields.cast("double") / 8, lit(1.0))
+
   /** Weighted combination with normalized weights
     * (result_ranker.py:542-568; semantic weights .6/.2/.2 :628-660). */
   def combine(scores: Seq[(Column, Double)]): Column = {

@@ -292,7 +292,62 @@ object AnalyticsQueries {
        |      WHERE i = (SELECT max(rn) FROM cand)) k ON k.rn = c.rn
        |ORDER BY c.rn""".stripMargin
 
+  // -- q70: the remaining ranking feature scores (result_ranker.py:336-457)
+  //         — freshness step decay, log popularity, relationship-count —
+  //         over customers: degree from the graph, recency/activity from
+  //         orders; combined .4/.3/.3, top 100
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    val e = KGraph.materialized(s, dir)
+    val cid = concat(lit("c:"), col("o_custkey").cast("string"))
+    val activity = Tables.load(s, dir, "orders")
+      .groupBy(cid.as("node_id"))
+      .agg(count(lit(1)).as("n_orders"),
+        datediff(lit("1998-08-01"), max(col("o_orderdate"))).as("age_days"))
+    val deg = e.select(col("from_id").as("node_id"))
+      .unionByName(e.select(col("to_id").as("node_id")))
+      .filter(col("node_id").startsWith("c:"))
+      .groupBy(col("node_id")).agg(count(lit(1)).as("deg"))
+    activity.join(deg, "node_id")
+      .withColumn("fresh", Ranking.freshness(col("age_days")))
+      .withColumn("pop", Ranking.popularity(col("n_orders")))
+      .withColumn("relc", Ranking.relCountScore(col("deg")))
+      .withColumn("combined", Ranking.combine(Seq(
+        (col("fresh"), 0.4), (col("pop"), 0.3), (col("relc"), 0.3))))
+      .select(col("node_id"), col("n_orders"), col("age_days"), col("deg"),
+        round(col("fresh"), 6).as("fresh"), round(col("pop"), 6).as("pop"),
+        round(col("relc"), 6).as("relc"), round(col("combined"), 6).as("combined"))
+      .orderBy(col("combined").desc, col("node_id"))
+      .limit(100)
+  }
+
+  private val q70Sql =
+    s"""WITH ${KGraph.edgesSql},
+       |activity AS (
+       |  SELECT 'c:'||o_custkey AS node_id, count(*) AS n_orders,
+       |    date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '1998-08-01') AS age_days
+       |  FROM orders GROUP BY 1),
+       |deg AS (
+       |  SELECT node_id, count(*) AS deg FROM (
+       |    SELECT from_id AS node_id FROM edges
+       |    UNION ALL SELECT to_id FROM edges) x
+       |  WHERE node_id LIKE 'c:%' GROUP BY 1),
+       |scored AS (
+       |  SELECT a.node_id, n_orders, age_days, deg,
+       |    CASE WHEN age_days <= 0 THEN 1.0 WHEN age_days <= 7 THEN 0.9
+       |         WHEN age_days <= 30 THEN 0.7 WHEN age_days <= 90 THEN 0.5
+       |         WHEN age_days <= 365 THEN 0.3 ELSE 0.1 END AS fresh,
+       |    least(ln(n_orders + 1) / ln(100), 1.0) AS pop,
+       |    CASE WHEN deg = 0 THEN 0.2 WHEN deg <= 5 THEN 0.5 + 0.1 * deg
+       |         ELSE least(0.8 + 0.02 * (deg - 5), 1.0) END AS relc
+       |  FROM activity a JOIN deg d ON a.node_id = d.node_id)
+       |SELECT node_id, n_orders, age_days, deg, round(fresh, 6) AS fresh,
+       |  round(pop, 6) AS pop, round(relc, 6) AS relc,
+       |  round(fresh * 0.4 + pop * 0.3 + relc * 0.3, 6) AS combined
+       |FROM scored
+       |ORDER BY combined DESC, node_id LIMIT 100""".stripMargin
+
   val qs: Seq[Q] = Seq(
+    Q("q70_rank_features", q70, Some(q70Sql)),
     Q("q44_coverage_analytics", q44, Some(q44Sql), headline = true),
     Q("q45_relationship_metrics", q45, Some(q45Sql)),
     Q("q46_quality_histogram", q46, Some(q46Sql)),
