@@ -93,6 +93,31 @@ class DedupStreamSpec extends SparkSpec {
     assert(batch.length - streamed.length == users)
   }
 
+  test("foreachBatch streaming ingestion produces the batch pipeline's nodes") {
+    import org.apache.spark.sql.types._
+    val docsDf = Seq(
+      (1L, "spark is fast. tables join quickly", "s1"),
+      (2L, "fast is spark. quickly join tables", "s2"),
+      (3L, "another doc entirely. with more text", "s1"))
+      .toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("ingstream").toString
+    docsDf.write.mode("overwrite").parquet(dir)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("source", StringType)))
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = spark.readStream.schema(schema).parquet(dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val r = graft.pipeline.Ingestion.ingest(batch.sparkSession, batch)
+        seen.addAndGet(r.nodes.count()): Unit
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    val batchNodes = graft.pipeline.Ingestion.ingest(spark, docsDf).nodes.count()
+    assert(seen.get() === batchNodes)
+    assert(batchNodes > 0)
+  }
+
   test("multimodal stub pipeline computes byte statistics per item") {
     val media = Multimodal.synthesize(
       Seq((7L, "abc", 3L)).toDF("doc_id", "text", "n_chars"))
