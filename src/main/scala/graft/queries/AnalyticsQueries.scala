@@ -208,6 +208,8 @@ object AnalyticsQueries {
   private val queryTokens = Seq("spark", "table", "join")
 
   private def ranked(s: SparkSession, dir: String): DataFrame = {
+    // top-k via orderBy+limit (TakeOrderedAndProject — per-partition
+    // heaps, no global sort); row numbers assigned on the 50 survivors
     val w = Window.orderBy(col("combined").desc, col("doc_id"))
     docs(s, dir)
       .withColumn("rel", Ranking.relevance(col("text"), queryTokens))
@@ -215,8 +217,9 @@ object AnalyticsQueries {
       .withColumn("len_score", TF.lengthScore(col("n_chars")))
       .withColumn("combined", Ranking.combine(Seq(
         (col("rel"), 0.6), (col("qual"), 0.2), (col("len_score"), 0.2))))
+      .orderBy(col("combined").desc, col("doc_id"))
+      .limit(50)
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 50)
   }
 
   private def q50(s: SparkSession, dir: String): DataFrame =

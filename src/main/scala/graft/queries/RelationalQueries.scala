@@ -131,14 +131,21 @@ object RelationalQueries {
       |  AND len(string_split(text, ' ')) > 20
       |ORDER BY doc_id""".stripMargin
 
-  // -- q06: multi-criteria sort + offset/limit pagination (row_number window)
-  //         query_language.py:590-626; pagination query_engine.py:196-198
+  // -- q06: multi-criteria sort + offset/limit pagination
+  //         query_language.py:590-626; pagination query_engine.py:196-198.
+  //         Native offset+limit after orderBy compiles to
+  //         TakeOrderedAndProject (per-partition heaps, no global sort, no
+  //         single-partition window); row numbers are then assigned on the
+  //         50 surviving rows only.
   private def q06(s: SparkSession, dir: String): DataFrame = {
+    val page = t(s, dir, "orders")
+      .orderBy(col("o_orderpriority").asc_nulls_first,
+        col("o_totalprice").desc_nulls_last, col("o_orderkey").asc)
+      .offset(100).limit(50)
     val w = Window.orderBy(col("o_orderpriority").asc_nulls_first,
       col("o_totalprice").desc_nulls_last, col("o_orderkey").asc)
-    t(s, dir, "orders")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") > 100 && col("rn") <= 150) // offset 100, limit 50
+    page
+      .withColumn("rn", row_number().over(w) + 100) // window over 50 rows
       .select(col("rn"), col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
       .orderBy(col("rn"))
   }
