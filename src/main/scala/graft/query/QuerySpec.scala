@@ -92,19 +92,13 @@ object QuerySpec {
           // sort produces (query_language.py:590-618)
           if (s.ascending) col(s.field).asc_nulls_first
           else col(s.field).desc_nulls_last): _*)
-      val paged =
-        if (spec.offset > 0) {
-          val w = Window.orderBy(
-            (if (spec.sorts.isEmpty) Seq(monotonically_increasing_id())
-            else spec.sorts.map(s =>
-              if (s.ascending) col(s.field).asc_nulls_first
-              else col(s.field).desc_nulls_last)): _*)
-          val lim = spec.limit.map(l => col("__rn") <= spec.offset + l)
-            .getOrElse(lit(true))
-          sorted.withColumn("__rn", row_number().over(w))
-            .filter(col("__rn") > spec.offset && lim)
-            .drop("__rn")
-        } else spec.limit.map(sorted.limit).getOrElse(sorted)
+      // native offset/limit: with a preceding orderBy this compiles to
+      // TakeOrderedAndProject (per-partition heaps + driver merge), never
+      // a global single-partition window
+      val paged = {
+        val off = if (spec.offset > 0) sorted.offset(spec.offset) else sorted
+        spec.limit.map(off.limit).getOrElse(off)
+      }
       val projected =
         if (spec.projections.nonEmpty) paged.select(spec.projections.map(col): _*)
         else if (spec.excludes.nonEmpty) paged.drop(spec.excludes: _*)

@@ -33,9 +33,14 @@ object VectorSearch {
     * .py:181-201: filter_expr pre-filters BEFORE similarity ranking —
     * the filter prunes the scan, it is not post-filtering). */
   def topKFiltered(data: DataFrame, queryVec: DataFrame, k: Int,
-      threshold: Double, preFilter: org.apache.spark.sql.Column): DataFrame =
-    topK(data.filter(preFilter), queryVec, Int.MaxValue)
-      .filter(col("sim") >= threshold)
+      threshold: Double, preFilter: org.apache.spark.sql.Column,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    data.filter(preFilter)
+      .crossJoin(broadcast(queryVec.select(col(vecCol).as("qvec"))))
+      .withColumn("sim", cosine(col(vecCol), col("qvec")))
+      .filter(col("sim") >= threshold) // prune BEFORE the top-k heap
+      .select(col(idCol), col("sim"))
+      .orderBy(col("sim").desc, col(idCol))
       .limit(k)
 
   /** Batch k-NN join: top-k neighbors for EACH query row — window
