@@ -151,14 +151,10 @@ object QueryEngine {
 
     // 6. Paginate — total_count pre-slice (:196-198).
     val totalCount = ranked.count()
+    // native offset/limit over the already-sorted plan → TakeOrdered heaps
     val paged =
-      if (request.offset > 0) {
-        val w = Window.orderBy(col("combined_score").desc, col("node_id"))
-        ranked.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") > request.offset &&
-            col("__rn") <= request.offset + request.limit)
-          .drop("__rn")
-      } else ranked.limit(request.limit)
+      (if (request.offset > 0) ranked.offset(request.offset) else ranked)
+        .limit(request.limit)
 
     // 7. Aggregations over RANKED pre-pagination results (:200-215).
     val aggs = if (request.aggregations.isEmpty) None else Some {
