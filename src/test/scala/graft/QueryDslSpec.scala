@@ -108,6 +108,17 @@ class QueryDslSpec extends SparkSpec {
     assert(gr.exists(_.contains(".addE('rel_type')")))
   }
 
+  test("json export/import roundtrip preserves the graph tables") {
+    val es = Seq(("a", "b", "t", 0.9), ("b", "c", "u", 0.8))
+      .toDF("from_id", "to_id", "relation_type", "confidence")
+    val dir = java.nio.file.Files.createTempDirectory("jsonrt").toString
+    Exporters.writeJson(es, dir)
+    val back = spark.read.json(dir)
+      .select("from_id", "to_id", "relation_type", "confidence")
+      .as[(String, String, String, Double)].collect().toSet
+    assert(back === Set(("a", "b", "t", 0.9), ("b", "c", "u", 0.8)))
+  }
+
   test("SQL function registration (cosine_sim via extensions)") {
     GraftExtensions.register(spark)
     Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f))).toDF("a", "b")
