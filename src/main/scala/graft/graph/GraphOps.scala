@@ -155,6 +155,47 @@ object GraphOps {
     done
   }
 
+  /** Chain COUNTING without chain enumeration: dynamic programming on
+    * (node, length) counts. Each level joins the aggregated frontier
+    * (≤ |V| rows) against the edge table and re-aggregates, so per-level
+    * work is bounded by |E| — not by the number of root→sink paths, which
+    * grows multiplicatively through fan-out. Returns one row per
+    * (len, end_id) with the number of complete chains — identical to
+    * `chains(...).groupBy(len, end_id).count()`, at a fraction of the
+    * cost. This is the 100 TB form: enumeration materializes O(paths),
+    * counting materializes O(V) per level. */
+  def chainCounts(edges: DataFrame, maxLen: Int = 20,
+      seedFilter: Option[Column] = None, preOriented: Boolean = false): DataFrame = {
+    val out =
+      if (preOriented) edges.select(col("node_id").as("cur"), col("next_id"))
+      else edges
+        .select(col("from_id").as("cur"), col("to_id").as("next_id"))
+        .repartition(col("cur"))
+        .localCheckpoint()
+    val roots0 = out.select(col("cur").as("node_id")).distinct()
+      .join(out.select(col("next_id").as("node_id")).distinct(),
+        Seq("node_id"), "left_anti")
+    val roots = seedFilter.map(roots0.filter).getOrElse(roots0)
+    var frontier = roots
+      .select(col("node_id").as("cur"), lit(0).as("len"), lit(1L).as("cnt"))
+      .localCheckpoint()
+    var done: DataFrame = null
+    var h = 0
+    while (h < maxLen && !frontier.isEmpty) {
+      val step = frontier.join(out, Seq("cur"), "left_outer").localCheckpoint()
+      val finished = step.filter(col("next_id").isNull)
+        .select(col("len"), col("cur").as("end_id"), col("cnt").as("n_chains"))
+      done = if (done == null) finished else done.unionByName(finished)
+      frontier = step.filter(col("next_id").isNotNull)
+        .groupBy(col("next_id"), col("len"))
+        .agg(sum(col("cnt")).as("cnt"))
+        .select(col("next_id").as("cur"), (col("len") + 1).as("len"), col("cnt"))
+      h += 1
+    }
+    done.groupBy(col("len"), col("end_id"))
+      .agg(sum(col("n_chains")).as("n_chains"))
+  }
+
   /** Connected components by iterative min-label propagation — each
     * iteration is one join + aggregate; converges in O(diameter) rounds.
     * (GraphX offers this too; the DataFrame form keeps everything in

@@ -104,13 +104,11 @@ object StatsQueries {
   // -- q63: sequence chains from root nodes to sinks, grouped by
   //         (len, end_id) (insight_discovery.py:647-689)
   private def q63(s: SparkSession, dir: String): DataFrame =
-    GraphOps.chains(
+    GraphOps.chainCounts(
         KGraph.orientedMaterialized(s, dir, GraphOps.Outgoing),
         maxLen = 20, preOriented = true,
         seedFilter = Some(
           substring_index(col("node_id"), ":", -1).cast("long") % 20 === 0))
-      .groupBy(col("len"), col("end_id"))
-      .agg(count(lit(1)).as("n_chains"))
       .orderBy(col("len"), col("end_id"))
 
   private val q63Sql =

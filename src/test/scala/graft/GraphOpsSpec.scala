@@ -72,6 +72,16 @@ class GraphOpsSpec extends SparkSpec {
     assert(capped.isEmpty)
   }
 
+  test("chainCounts equals enumerated chains, aggregated") {
+    val counted = GraphOps.chainCounts(edges)
+      .as[(Int, String, Long)].collect().toSet
+    assert(counted == Set((3, "d", 1L), (4, "d", 1L)))
+    // multi-root fan-in sums counts per (len, end)
+    val e2 = Seq(("r1", "m"), ("r2", "m"), ("m", "z")).toDF("from_id", "to_id")
+    val c2 = GraphOps.chainCounts(e2).as[(Int, String, Long)].collect().toSet
+    assert(c2 == Set((2, "z", 2L)))
+  }
+
   test("induced subgraph keeps edges with both endpoints") {
     val keep = Seq("a", "b", "c").toDF("node_id")
     val got = GraphOps.inducedSubgraph(edges, keep)
