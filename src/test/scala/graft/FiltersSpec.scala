@@ -27,6 +27,9 @@ class FiltersSpec extends SparkSpec {
     assert(ids(Cond("cnt", "lt", 5)) == Set("node2"))
     assert(ids(Cond("cnt", "lte", 5)) == Set("node1", "node2"))
     assert(ids(Cond("rating", "between", 0.6, 0.85)) == Set("node1"))
+    // date_range: typed-domain between (the reference's 6-format datetime
+    // parse collapses onto the column's native ordering)
+    assert(ids(Cond("rating", "date_range", 0.6, 0.85)) == Set("node1"))
   }
 
   test("set membership") {
