@@ -49,6 +49,7 @@ object QueryEngine {
       similarityThreshold: Double = 0.7,
       maxDepth: Int = 3,
       queryVec: Option[Seq[Float]] = None,
+      includeRelationships: Boolean = false,
       aggregations: Seq[AggSpec] = Nil)
 
   /** The graph tables the engine queries: nodes must expose
@@ -171,7 +172,26 @@ object QueryEngine {
       ranked.agg(cols.head, cols.tail: _*)
     }
 
-    QueryResponse(paged, totalCount, aggs, steps.toSeq)
+    // 8. Optional relationship expansion (query_engine.py:334-373): each
+    //    result row carries its 1-hop edges as an array<struct> — the
+    //    QueryResult.relationships shape of §1.1. Joined AFTER pagination
+    //    so only the returned page pays the expansion.
+    val expanded =
+      if (!request.includeRelationships) paged
+      else {
+        val outE = tables.edges.select(col("from_id").as("node_id"),
+          struct(col("to_id").as("other_id"), lit("out").as("direction")).as("rel"))
+        val inE = tables.edges.select(col("to_id").as("node_id"),
+          struct(col("from_id").as("other_id"), lit("in").as("direction")).as("rel"))
+        val rels = outE.unionByName(inE)
+          .groupBy(col("node_id"))
+          .agg(collect_list(col("rel")).as("relationships"))
+        paged.join(rels, Seq("node_id"), "left_outer")
+          .withColumn("relationships",
+            coalesce(col("relationships"), array()))
+      }
+
+    QueryResponse(expanded, totalCount, aggs, steps.toSeq)
   }
 
   /** Content LIKE search (sqlite_storage.py:619-660 shape). */

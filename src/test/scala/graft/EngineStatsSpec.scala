@@ -71,6 +71,17 @@ class EngineStatsSpec extends SparkSpec {
     assert(r.aggregations.get.select("n").as[Long].head() === 4)
   }
 
+  test("engine: relationship expansion attaches 1-hop edges per result") {
+    val r = QueryEngine.query(tables, QueryRequest(query = "spark",
+      limit = 10, includeRelationships = true))
+    val rows = r.results.select("node_id", "relationships").collect()
+      .map(row => row.getString(0) ->
+        row.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0)).toSet)
+      .toMap
+    assert(rows("n2") === Set("n1", "n4")) // in from n1, out to n4
+    assert(rows("n4") === Set("n2"))
+  }
+
   test("engine: filters apply before ranking (filter dialect reuse)") {
     val r = QueryEngine.query(tables, QueryRequest(query = "",
       filters = Seq(Cond("source", "eq", "src_b")), limit = 10))
