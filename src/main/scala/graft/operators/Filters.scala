@@ -84,7 +84,12 @@ object Filters {
     c.nullMode match {
       case NullMode.Exclude => base           // 3VL: null fails naturally
       case NullMode.Include => f.isNull || base
-      case NullMode.AsValue => f.isNull && lit(c.value) == null || coalesce(base, lit(false))
+      // null == null holds in AsValue mode: a null field satisfies an
+      // eq-against-null condition (filter_processor.py as_value semantics)
+      case NullMode.AsValue =>
+        val nullMatches =
+          if (c.value == null && c.op == "eq") f.isNull else lit(false)
+        nullMatches || coalesce(base, lit(false))
     }
   }
 

@@ -66,6 +66,13 @@ class FiltersSpec extends SparkSpec {
       Set("node1", "node3"))
   }
 
+  test("null mode as_value: null == null matches, null != value fails") {
+    assert(ids(Cond("domain", "eq", null, nullMode = NullMode.AsValue)) ==
+      Set("node3"))
+    assert(ids(Cond("domain", "eq", "tech", nullMode = NullMode.AsValue)) ==
+      Set("node1"))
+  }
+
   test("unknown operator passes rows through (filter_processor.py:160-163)") {
     assert(ids(Cond("rating", "no_such_op", 1)) == Set("node1", "node2", "node3"))
   }
