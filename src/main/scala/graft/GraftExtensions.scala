@@ -9,23 +9,31 @@ import graft.functions.expressions.{SetJaccardExpr, VectorSimExpr}
   * `GraftExtensions.register(spark)` on an existing session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    // injectFunction takes (identifier, info, builder); the simple
-    // registry path below covers existing sessions too.
-    ()
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      e.injectFunction((
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[VectorSimExpr].getName, name),
+        builder))
+    }
 }
 
 object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  private[graft] val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> (exprs => VectorSimExpr(exprs(0), exprs(1), "cos")),
+    "vec_dot" -> (exprs => VectorSimExpr(exprs(0), exprs(1), "dot")),
+    "vec_l2" -> (exprs => VectorSimExpr(exprs(0), exprs(1), "l2")),
+    "set_jaccard" -> (exprs => SetJaccardExpr(exprs(0), exprs(1))))
+
+  /** Register on an already-built session (the `.withExtensions(new
+    * GraftExtensions)` builder path covers new sessions). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("cosine_sim",
-      exprs => VectorSimExpr(exprs(0), exprs(1), "cos"), "scala_udf")
-    reg.createOrReplaceTempFunction("vec_dot",
-      exprs => VectorSimExpr(exprs(0), exprs(1), "dot"), "scala_udf")
-    reg.createOrReplaceTempFunction("vec_l2",
-      exprs => VectorSimExpr(exprs(0), exprs(1), "l2"), "scala_udf")
-    reg.createOrReplaceTempFunction("set_jaccard",
-      exprs => SetJaccardExpr(exprs(0), exprs(1)), "scala_udf")
+    functions.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
   }
 }

@@ -68,25 +68,33 @@ object Ingestion {
     import spark.implicits._
 
     // 1. Extract knowledge units (flatMap — distributed UDTF shape).
+    //    Unit id = (doc_id << 20) | unit_index: collision-free for
+    //    doc_id < 2^43 and ≤ 2^20 units per document (both enforced).
     val units = docs.select(col("doc_id"), col("text"), col("source"))
+      .filter(col("text").isNotNull && col("doc_id").isNotNull)
       .as[(Long, String, String)]
       .flatMap { case (id, text, source) =>
-        extractor.extract(id, text).zipWithIndex.map { case ((content, tags), i) =>
-          (id * 1000 + i, content, tags, source)
-        }
+        require(id >= 0 && id < (1L << 43), s"doc_id $id out of id-packing range")
+        extractor.extract(id, text).take(1 << 20).zipWithIndex
+          .map { case ((content, tags), i) =>
+            ((id << 20) | i, content, tags, source)
+          }
       }
       .toDF("node_id", "content", "tags", "source")
 
     // 2. Dedup-merge on normalized content (merging.py:17-111): exact
-    //    groups collapse to the min-id representative.
+    //    groups collapse to the min-id representative (min_by keeps the
+    //    representative's content deterministic — first() is not).
     val keyed = units.withColumn("key",
       md5(array_join(array_sort(TextFunctions.distinctTokens(col("content"))), " ")))
     val reps = keyed.groupBy(col("key"))
       .agg(min(col("node_id")).as("node_id"),
-        first(col("content")).as("content"),
+        min_by(col("content"), col("node_id")).as("content"),
         array_distinct(flatten(collect_list(col("tags")))).as("tags"),
-        array_join(array_sort(collect_set(col("source"))), "; ").as("source"),
+        array_sort(collect_set(col("source"))).as("sources"),
         count(lit(1)).as("merged_from"))
+      .withColumn("source", array_join(col("sources"), "; "))
+      .localCheckpoint() // feeds nodes, embeddings, both edge joins, revisions
 
     // 3. Embed unique contents only (dedup-before-embed: identical texts
     //    embed once), batched per partition.
@@ -100,17 +108,25 @@ object Ingestion {
       .toDF("node_id", "embedding")
 
     // 4. Relationship discovery: SAME_SOURCE + token-Jaccard SIMILAR_TAGS
-    //    (LSH-gated at scale) — the ingest-time joins of §2.3.
-    val forJoin = reps.select(col("source").as("blk"),
+    //    (LSH-gated at scale) — the ingest-time joins of §2.3. Blocking
+    //    uses the EXPLODED per-origin sources (not the merged "; "-joined
+    //    string), so a node merged from s1+s2 still pairs with s1-only
+    //    nodes; multi-shared-source pairs are deduplicated.
+    val forJoin = reps.select(explode(col("sources")).as("blk"),
       col("node_id").as("doc_id"), col("content").as("text"))
     val similar = SimilarityJoins
       .tokenJaccardJoin(forJoin, "blk", "text", jaccardThreshold)
+      .groupBy(col("a_id"), col("b_id")) // a pair may share several sources
+      .agg(max(col("confidence")).as("confidence"))
       .select(col("a_id").as("from_id"), col("b_id").as("to_id"),
         lit("SIMILAR_TAGS").as("relation_type"),
         col("confidence"))
-    val sameSource = forJoin.alias("a").join(forJoin.alias("b"),
+    val bySrc = forJoin.select(col("blk"), col("doc_id"))
+    val sameSource = bySrc.alias("a").join(bySrc.alias("b"),
         col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("from_id"), col("b.doc_id").as("to_id"),
+      .select(col("a.doc_id").as("from_id"), col("b.doc_id").as("to_id"))
+      .distinct()
+      .select(col("from_id"), col("to_id"),
         lit("SAME_SOURCE").as("relation_type"), lit(0.7).as("confidence"))
     val edges = similar.unionByName(sameSource)
 
@@ -121,6 +137,6 @@ object Ingestion {
       col("node_id").cast("string").as("object_id"),
       lit("create").as("change_type"))
 
-    IngestResult(reps.drop("key"), edges, embedded, revisions)
+    IngestResult(reps.drop("key", "sources"), edges, embedded, revisions)
   }
 }

@@ -28,7 +28,9 @@ object NaturalLanguage {
   private val relRe = "(?i)\\b(related|relationship|connected|linked|between)\\b".r
   private val simRe = "(?i)\\b(similar|like|close to|nearest)\\b".r
   private val patternRe = "(?i)\\b(pattern|path|chain|through)\\b".r
-  private val quoted = "\"([^\"]+)\"|'([^']+)'".r
+  // single quotes must not start mid-word, or contractions ("what's")
+  // would open a bogus entity span
+  private val quoted = "\"([^\"]+)\"|(?<![\\p{L}\\p{N}])'([^']+)'".r
 
   /** Rule classification: first matching class wins, in the reference's
     * check order (natural_language_processor.py:118-162). */

@@ -37,10 +37,13 @@ object QuerySpec {
   final class Builder {
     private var spec = Spec()
     def where(field: String, op: String, value: Any = null): Builder = {
-      // the DSL dialect's string matchers are case-insensitive (:560-575)
+      // the DSL dialect spells operators uppercase (query_language.py:32-48)
+      // and its string matchers are case-insensitive (:560-575); normalize
+      // the op so "CONTAINS" doesn't fall into the unknown-op pass-through
+      val norm = op.toLowerCase
       val ci = Set("contains", "starts_with", "ends_with")
       spec = spec.copy(filters = spec.filters :+
-        Cond(field, op, value, caseSensitive = !ci(op.toLowerCase)))
+        Cond(field, norm, value, caseSensitive = !ci(norm)))
       this
     }
     def select(fields: String*): Builder = { spec = spec.copy(projections = fields); this }

@@ -27,12 +27,21 @@ object Exporters {
     * edges(from_id, to_id, relation_type). Returns the serialized lines
     * as a Dataset so the write stays distributed (`.text(path)`); use
     * `collectGraphML` for the complete single document. */
+  // graph exporters accept any id type — everything serializes as string
+  private def nodeIds(nodes: DataFrame): Dataset[String] = {
+    import nodes.sparkSession.implicits._
+    nodes.selectExpr("cast(node_id as string)").as[String]
+  }
+  private def edgeTriples(edges: DataFrame): Dataset[(String, String, String)] = {
+    import edges.sparkSession.implicits._
+    edges.selectExpr("cast(from_id as string)", "cast(to_id as string)",
+      "cast(relation_type as string)").as[(String, String, String)]
+  }
+
   def graphMlFragments(nodes: DataFrame, edges: DataFrame): Dataset[String] = {
     import nodes.sparkSession.implicits._
-    val nodeLines = nodes.select("node_id").as[String]
-      .map(id => s"""    <node id="${esc(id)}"/>""")
-    val edgeLines = edges.selectExpr("from_id", "to_id", "relation_type")
-      .as[(String, String, String)]
+    val nodeLines = nodeIds(nodes).map(id => s"""    <node id="${esc(id)}"/>""")
+    val edgeLines = edgeTriples(edges)
       .map { case (f, t, r) =>
         s"""    <edge source="${esc(f)}" target="${esc(t)}" label="${esc(r)}"/>"""
       }
@@ -50,17 +59,23 @@ object Exporters {
   }
 
   /** RDF N-Triples export (data_exporter.py RDF impl): each edge becomes
-    * a triple under a urn: namespace; node ids and relation types are
-    * percent-escaped into URI-safe form. */
+    * a triple under a urn: namespace. Escaping is per-UTF-8-byte percent
+    * encoding over a [A-Za-z0-9_.-] safe set — ':' inside ids is escaped
+    * too, so a node id can never collide with the rel: predicate space. */
   def rdfTriples(edges: DataFrame): Dataset[String] = {
     import edges.sparkSession.implicits._
-    def uri(s: String) = "urn:graft:" + s.flatMap {
-      case c if c.isLetterOrDigit || c == ':' || c == '_' || c == '-' => c.toString
-      case c => f"%%${c.toInt}%02X"
-    }
-    edges.selectExpr("from_id", "to_id", "relation_type")
-      .as[(String, String, String)]
-      .map { case (f, t, r) => s"<${uri(f)}> <${uri("rel:" + r)}> <${uri(t)}> ." }
+    def enc(s: String): String =
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8).flatMap { b =>
+        val c = b.toChar
+        if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9') || c == '_' || c == '.' || c == '-')
+          c.toString
+        else f"%%${b & 0xff}%02X"
+      }.mkString
+    edgeTriples(edges)
+      .map { case (f, t, r) =>
+        s"<urn:graft:${enc(f)}> <urn:graft:rel:${enc(r)}> <urn:graft:${enc(t)}> ."
+      }
   }
 
   /** Gremlin script export (data_exporter.py Gremlin impl): addV/addE
@@ -70,10 +85,9 @@ object Exporters {
   def gremlinStatements(nodes: DataFrame, edges: DataFrame): Dataset[String] = {
     import nodes.sparkSession.implicits._
     def q(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
-    val n = nodes.select("node_id").as[String]
+    val n = nodeIds(nodes)
       .map(id => s"g.addV('node').property('node_id', '${q(id)}')")
-    val e = edges.selectExpr("from_id", "to_id", "relation_type")
-      .as[(String, String, String)]
+    val e = edgeTriples(edges)
       .map { case (f, t, r) =>
         s"g.V().has('node_id', '${q(f)}').addE('${q(r)}')" +
           s".to(__.V().has('node_id', '${q(t)}'))"
@@ -85,10 +99,8 @@ object Exporters {
   def cypherStatements(nodes: DataFrame, edges: DataFrame): Dataset[String] = {
     import nodes.sparkSession.implicits._
     def q(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
-    val n = nodes.select("node_id").as[String]
-      .map(id => s"CREATE (:Node {id: '${q(id)}'});")
-    val e = edges.selectExpr("from_id", "to_id", "relation_type")
-      .as[(String, String, String)]
+    val n = nodeIds(nodes).map(id => s"CREATE (:Node {id: '${q(id)}'});")
+    val e = edgeTriples(edges)
       .map { case (f, t, r) =>
         s"MATCH (a:Node {id: '${q(f)}'}), (b:Node {id: '${q(t)}'}) " +
           s"CREATE (a)-[:${r.toUpperCase.replaceAll("[^A-Z_]", "_")}]->(b);"

@@ -32,6 +32,18 @@ class QueryDslSpec extends SparkSpec {
     assert(got == Set("n1", "n4"))
   }
 
+  test("DSL: uppercase dialect spelling resolves, not unknown-op pass-through") {
+    val spec = QuerySpec.builder().where("content", "CONTAINS", "alpha").build()
+    val got = QuerySpec.run(nodes, spec).select("node_id")
+      .as[String].collect().toSet
+    assert(got === Set("n1", "n4")) // would be all 4 if CONTAINS fell through
+  }
+
+  test("NL: contractions don't open quoted-entity spans") {
+    val p = NaturalLanguage.parse("what's similar to 'hash join'")
+    assert(p.entities === Seq("hash join"))
+  }
+
   test("DSL: aggregation with default alias and empty-avg=0") {
     val spec = QuerySpec.builder()
       .where("source", "eq", "s1")
@@ -90,6 +102,24 @@ class QueryDslSpec extends SparkSpec {
     // SAME_SOURCE edges exist within s1
     assert(r.edges.filter(col("relation_type") === "SAME_SOURCE").count() > 0)
     assert(r.revisions.count() == r.nodes.count())
+  }
+
+  test("ingestion: null text skipped; merged nodes still pair by origin source") {
+    val docs = Seq(
+      (1L, "alpha beta gamma", "s1"),
+      (2L, "gamma beta alpha", "s2"),        // merges with doc 1 → sources s1; s2
+      (3L, "separate content entirely", "s1"),
+      (4L, null.asInstanceOf[String], "s1")) // must not NPE the job
+      .toDF("doc_id", "text", "source")
+    val r = Ingestion.ingest(spark, docs)
+    assert(r.nodes.count() === 2) // merged pair + doc 3; null row dropped
+    val merged = r.nodes.filter(col("merged_from") === 2).collect()(0)
+    assert(merged.getAs[String]("source") === "s1; s2")
+    // the merged node came from s1 too → SAME_SOURCE with doc 3's node
+    val ss = r.edges.filter(col("relation_type") === "SAME_SOURCE").count()
+    assert(ss === 1)
+    // exporters compose directly with ingestion output (long ids cast)
+    assert(Exporters.rdfTriples(r.edges).count() === r.edges.count())
   }
 
   test("exporters: graphml + cypher serialize the graph") {
