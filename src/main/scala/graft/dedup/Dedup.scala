@@ -38,6 +38,9 @@ object Dedup {
     * full-signature Jaccard estimate and thresholded. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
       k: Int, bands: Int, threshold: Double): DataFrame = {
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"bands must divide k (got k=$k, bands=$bands): a remainder silently " +
+        "drops signature slots, and r=0 degenerates to an all-pairs join")
     val r = k / bands
     val sig = docs.select(col(idCol).as("id"),
       TextFunctions.minhashSignature(col(textCol), k).as("sig"))
@@ -61,11 +64,12 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
       .distinct()
-    // Score once per distinct pair; the signature table is tiny relative
-    // to the pair set (one row per doc) — broadcast lookup both sides.
+    // Score once per distinct pair. No broadcast hint: AQE broadcasts the
+    // signature table while it fits and falls back to a shuffled join at
+    // corpus scale (a forced broadcast would hit the 8 GB limit first).
     cand
-      .join(broadcast(sig.select(col("id").as("a_id"), col("sig").as("a_sig"))), "a_id")
-      .join(broadcast(sig.select(col("id").as("b_id"), col("sig").as("b_sig"))), "b_id")
+      .join(sig.select(col("id").as("a_id"), col("sig").as("a_sig")), "a_id")
+      .join(sig.select(col("id").as("b_id"), col("sig").as("b_sig")), "b_id")
       .select(col("a_id"), col("b_id"),
         TextFunctions.minhashEstimate(col("a_sig"), col("b_sig"), k).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)

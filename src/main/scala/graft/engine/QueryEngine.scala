@@ -97,19 +97,22 @@ object QueryEngine {
     // 3. Execute by type (query_engine.py:302-447).
     val candidates: DataFrame = request.queryType match {
       case SemanticSearch =>
-        steps += "execute: semantic top-k"
+        steps += "execute: semantic top-k (metadata pre-filtered)"
         val qv = request.queryVec.getOrElse(
           embedder.embed(Seq(request.query)).head.toSeq)
         val spark = tables.embeddings.sparkSession
         import spark.implicits._
         val qdf = Seq(Tuple1(qv.toArray)).toDF("embedding")
-        // top-k (limit or 50, :334-373) with threshold filter, then
-        // node-detail lookup
+        // Metadata filters prune BEFORE the top-k heap (vector_store_
+        // interface.py:181-201) — filtering after truncation would drop
+        // matches ranked below the cutoff.
+        val filteredNodes = tables.nodes.filter(Filters.all(request.filters))
+        val candidates = tables.embeddings
+          .join(filteredNodes.select(col("node_id")), Seq("node_id"), "left_semi")
         val k = math.max(request.limit + request.offset, 50)
-        val top = VectorSearch.topK(tables.embeddings, qdf, k,
-            idCol = "node_id")
+        val top = VectorSearch.topK(candidates, qdf, k, idCol = "node_id")
           .filter(col("sim") >= threshold)
-        tables.nodes.join(top, "node_id")
+        filteredNodes.join(top, "node_id")
       case GraphPattern =>
         // reference stub: falls back to content search (:375-379)
         steps += "execute: graph-pattern → content-search fallback"
@@ -135,8 +138,9 @@ object QueryEngine {
     // 5. Rank (result_ranker.py): relevance + quality + length, adaptive
     //    weights per type (:628-660).
     val qToks = request.query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    // lowercase both sides — cased content must still match query tokens
     val rel = greatest(col("sim"),
-      Ranking.relevance(col("content"), qToks))
+      Ranking.relevance(lower(col("content")), qToks))
     val quality = TextFunctions.qualityScore(col("content"), length(col("content")))
     val lengthScore = TextFunctions.lengthScore(length(col("content")))
     val weights = request.queryType match {
@@ -167,6 +171,8 @@ object QueryEngine {
           case "avg" => coalesce(avg(col(a.field)), lit(0.0))
           case "min" => min(col(a.field))
           case "max" => max(col(a.field))
+          case other => throw new IllegalArgumentException(
+            s"unknown aggregation '$other' (count/sum/avg/min/max)")
         }).as(alias)
       }
       ranked.agg(cols.head, cols.tail: _*)
@@ -189,6 +195,8 @@ object QueryEngine {
         paged.join(rels, Seq("node_id"), "left_outer")
           .withColumn("relationships",
             coalesce(col("relationships"), array()))
+          // the join reorders rows — restore the documented ranked order
+          .orderBy(col("combined_score").desc, col("node_id"))
       }
 
     QueryResponse(expanded, totalCount, aggs, steps.toSeq)

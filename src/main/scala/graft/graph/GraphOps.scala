@@ -152,7 +152,11 @@ object GraphOps {
         .select(col("start_id"), col("next_id").as("cur"), (col("len") + 1).as("len"))
       h += 1
     }
-    done
+    if (done == null) // no roots (fully cyclic or empty graph)
+      frontier.sparkSession.emptyDataFrame
+        .select(lit("").as("start_id"), lit("").as("end_id"), lit(0).as("len"))
+        .limit(0)
+    else done
   }
 
   /** Chain COUNTING without chain enumeration: dynamic programming on
@@ -192,7 +196,11 @@ object GraphOps {
         .select(col("next_id").as("cur"), (col("len") + 1).as("len"), col("cnt"))
       h += 1
     }
-    done.groupBy(col("len"), col("end_id"))
+    if (done == null) // no roots (fully cyclic or empty graph)
+      frontier.sparkSession.emptyDataFrame
+        .select(lit(0).as("len"), lit("").as("end_id"), lit(0L).as("n_chains"))
+        .limit(0)
+    else done.groupBy(col("len"), col("end_id"))
       .agg(sum(col("n_chains")).as("n_chains"))
   }
 

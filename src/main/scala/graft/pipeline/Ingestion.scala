@@ -113,18 +113,19 @@ object Ingestion {
     //    string), so a node merged from s1+s2 still pairs with s1-only
     //    nodes; multi-shared-source pairs are deduplicated.
     val forJoin = reps.select(explode(col("sources")).as("blk"),
-      col("node_id").as("doc_id"), col("content").as("text"))
+      col("node_id"), col("content").as("text"))
     val similar = SimilarityJoins
-      .tokenJaccardJoin(forJoin, "blk", "text", jaccardThreshold)
+      .tokenJaccardJoin(forJoin, "blk", "text", jaccardThreshold,
+        idCol = "node_id")
       .groupBy(col("a_id"), col("b_id")) // a pair may share several sources
       .agg(max(col("confidence")).as("confidence"))
       .select(col("a_id").as("from_id"), col("b_id").as("to_id"),
         lit("SIMILAR_TAGS").as("relation_type"),
         col("confidence"))
-    val bySrc = forJoin.select(col("blk"), col("doc_id"))
+    val bySrc = forJoin.select(col("blk"), col("node_id"))
     val sameSource = bySrc.alias("a").join(bySrc.alias("b"),
-        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("from_id"), col("b.doc_id").as("to_id"))
+        col("a.blk") === col("b.blk") && col("a.node_id") < col("b.node_id"))
+      .select(col("a.node_id").as("from_id"), col("b.node_id").as("to_id"))
       .distinct()
       .select(col("from_id"), col("to_id"),
         lit("SAME_SOURCE").as("relation_type"), lit(0.7).as("confidence"))

@@ -119,7 +119,7 @@ object TemporalQueries {
     val series = events(s, dir)
       .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .agg(round(sum(col("value")), 6).as("v"))
-    TemporalOps.iqrOutliers(series, "user_id", "day", "v")
+    TemporalOps.iqrOutliers(series, "user_id", "v")
       .select(col("user_id"), col("day"), col("v"),
         round(col("q1"), 6).as("q1"), round(col("q3"), 6).as("q3"),
         round(col("severity"), 6).as("severity"))

@@ -26,7 +26,7 @@ object SimilarityJoins {
     * tag auto-relationship formula (:484-616). */
   def tokenJaccardJoin(docs: DataFrame, blockCol: String, textCol: String,
       threshold: Double, stopworded: Boolean = false,
-      saltBuckets: Int = 16): DataFrame = {
+      saltBuckets: Int = 16, idCol: String = "doc_id"): DataFrame = {
     def toks(c: Column) = {
       val t = TextFunctions.distinctTokens(c)
       if (stopworded)
@@ -36,7 +36,7 @@ object SimilarityJoins {
     // Tokenize ONCE and materialize — otherwise the projection is inlined
     // into the join and split/distinct re-runs per emitted pair.
     val tokenized = docs
-      .select(col(blockCol).as("blk"), col("doc_id").as("id"),
+      .select(col(blockCol).as("blk"), col(idCol).as("id"),
         toks(col(textCol)).as("toks"))
       .localCheckpoint()
     // Salted self-join: block keys are few (low cardinality ⇒ skew), so

@@ -73,11 +73,11 @@ object TemporalOps {
     * (insight_discovery.py:1793-1823), with z-score/5 severity capped 1
     * (:1824-1842). Exact interpolated percentiles (not approx) so the
     * bounds are reproducible. */
-  def iqrOutliers(series: DataFrame, keyCol: String, idxCol: String,
+  def iqrOutliers(series: DataFrame, keyCol: String,
       valCol: String): DataFrame = {
     val stats = series.groupBy(col(keyCol)).agg(
-      expr(s"percentile($valCol, 0.25)").as("q1"),
-      expr(s"percentile($valCol, 0.75)").as("q3"),
+      percentile(col(valCol), lit(0.25)).as("q1"),
+      percentile(col(valCol), lit(0.75)).as("q3"),
       avg(col(valCol)).as("mu"),
       stddev(col(valCol)).as("sigma"))
     series.join(stats, keyCol)

@@ -49,8 +49,9 @@ object TextFunctions {
 
   /** Character n-gram shingles (for n-gram Jaccard near-dup). */
   def charShingles(text: Column, n: Int): Column =
-    expr(s"transform(sequence(1, greatest(length(text) - ${n - 1}, 1)), " +
-      s"i -> substring(text, i, $n))")
+    transform(
+      sequence(lit(1), greatest(length(text) - lit(n - 1), lit(1))),
+      i => text.substr(i, lit(n)))
 
   /** MinHash signature with k permutation slots: each token hashes ONCE
     * (md5Long), then slot i takes the min of an affine permutation
