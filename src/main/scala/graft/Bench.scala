@@ -40,14 +40,22 @@ object Bench {
     val headline = Catalog.all.filter(_.headline)
     val results = headline.map { q =>
       val t0 = System.nanoTime()
-      val n = try q.run(spark, sfDir).count() catch { case _: Throwable => -1L }
+      val ok = try { q.run(spark, sfDir).count(); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}"); false
+      }
       val dt = (System.nanoTime() - t0) / 1e9
-      (q.name, dt, n)
+      (q.name, dt, ok)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a failed query reports -1 (never a plausible duration) and is
+    // excluded from the total, so breakage can't read as a fast run
+    val qs = results.map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1")
+    }.mkString("{", ",", "}")
+    val total = results.filter(_._3).map(_._2).sum
+    val failed = results.filterNot(_._3).map(r => "\"" + r._1 + "\"")
+      .mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -41,19 +41,19 @@ case class SetJaccardExpr(left: Expression, right: Expression)
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val na = a.numElements(); val nb = b.numElements()
+    // null elements participate as a value (array_intersect does too:
+    // [null] ∩ [null] = [null]), keeping the builtin-formula equivalence
     val setA = new java.util.HashSet[UTF8String](na * 2)
     var i = 0
     while (i < na) {
-      if (!a.isNullAt(i)) setA.add(a.getUTF8String(i)); i += 1
+      setA.add(if (a.isNullAt(i)) null else a.getUTF8String(i)); i += 1
     }
     val seen = new java.util.HashSet[UTF8String](nb * 2)
     var inter = 0L
     i = 0
     while (i < nb) {
-      if (!b.isNullAt(i)) {
-        val o = b.getUTF8String(i)
-        if (seen.add(o) && setA.contains(o)) inter += 1
-      }
+      val o = if (b.isNullAt(i)) null else b.getUTF8String(i)
+      if (seen.add(o) && setA.contains(o)) inter += 1
       i += 1
     }
     val uni = (na + nb).toDouble - inter
@@ -66,15 +66,13 @@ case class SetJaccardExpr(left: Expression, right: Expression)
       s"""int na = $a.numElements(); int nb = $b.numElements();
          |java.util.HashSet setA = new java.util.HashSet(na * 2);
          |for (int i = 0; i < na; i++) {
-         |  if (!$a.isNullAt(i)) setA.add($a.getUTF8String(i));
+         |  setA.add($a.isNullAt(i) ? null : $a.getUTF8String(i));
          |}
          |java.util.HashSet seen = new java.util.HashSet(nb * 2);
          |long inter = 0L;
          |for (int i = 0; i < nb; i++) {
-         |  if (!$b.isNullAt(i)) {
-         |    Object o = $b.getUTF8String(i);
-         |    if (seen.add(o) && setA.contains(o)) inter++;
-         |  }
+         |  Object o = $b.isNullAt(i) ? null : $b.getUTF8String(i);
+         |  if (seen.add(o) && setA.contains(o)) inter++;
          |}
          |double uni = (double) (na + nb) - (double) inter;
          |${ev.value} = uni > 0 ? ((double) inter) / uni : 0.0d;""".stripMargin

@@ -17,26 +17,50 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * formulation in graft.functions.VectorFunctions (and to the DuckDB
   * oracle formulas), so swapping it in changes nothing but speed.
   */
+object VectorSimExpr {
+  val modes: Set[String] = Set("dot", "cos", "l2")
+}
+
 case class VectorSimExpr(left: Expression, right: Expression, mode: String)
     extends BinaryExpression {
 
+  require(VectorSimExpr.modes(mode),
+    s"unknown mode '$mode' (expected one of ${VectorSimExpr.modes.mkString("/")})")
+
   override def dataType: DataType = DoubleType
+  // result is null for null input, null elements, or length mismatch —
+  // exactly like the zip_with/aggregate formulation
+  override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _),
+            ArrayType(FloatType | DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects float/double arrays, got ($l, $r)")
+    }
 
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
-    case ArrayType(DoubleType, _) => false
-    case t => throw new IllegalArgumentException(s"expected float/double array, got $t")
+    case _ => false
   }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val la = elemIsFloat(left); val lb = elemIsFloat(right)
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    // HOF parity: zip_with pads a length mismatch with nulls and a null
+    // element nullifies the fold — both yield a NULL result
+    if (b.numElements() != n) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0; var l2 = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (la) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (lb) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
@@ -64,14 +88,18 @@ case class VectorSimExpr(left: Expression, right: Expression, mode: String)
              |${ev.value} = den <= 1e-12 ? 0.0d
              |  : Math.min(Math.max(dot / den, -1.0d), 1.0d);""".stripMargin
       }
-      s"""int n = java.lang.Math.min($a.numElements(), $b.numElements());
+      s"""int n = $a.numElements();
          |double dot = 0.0d, na = 0.0d, nb = 0.0d, l2 = 0.0d;
-         |for (int i = 0; i < n; i++) {
+         |if ($b.numElements() != n) { ${ev.isNull} = true; }
+         |for (int i = 0; !${ev.isNull} && i < n; i++) {
+         |  if ($a.isNullAt(i) || $b.isNullAt(i)) { ${ev.isNull} = true; break; }
          |  double x = $getA; double y = $getB;
          |  dot += x * y; na += x * x; nb += y * y;
          |  double d = x - y; l2 += d * d;
          |}
-         |$result""".stripMargin
+         |if (!${ev.isNull}) {
+         |  $result
+         |}""".stripMargin
     })
 
   override protected def withNewChildrenInternal(

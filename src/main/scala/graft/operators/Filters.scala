@@ -70,8 +70,12 @@ object Filters {
       case "regex"        => f.rlike(String.valueOf(c.value))
       case "exists"       => f.isNotNull
       case "not_exists"   => f.isNull
-      case "empty"        => f.isNull || length(f.cast("string")) === 0
-      case "not_empty"    => f.isNotNull && length(f.cast("string")) > 0
+      // empty/not_empty must treat [] / {} (empty array/map, rendered by
+      // the string cast) as empty, matching the reference's len(value)==0
+      case "empty"        => f.isNull || length(f.cast("string")) === 0 ||
+        f.cast("string").isin("[]", "{}")
+      case "not_empty"    => f.isNotNull && length(f.cast("string")) > 0 &&
+        !f.cast("string").isin("[]", "{}")
       case "between"      => f.between(lit(c.value), lit(c.value2))
       // date_range: reference parses 6 datetime formats then compares
       // (filter_processor.py:259-280); on typed columns this is a plain
@@ -84,12 +88,21 @@ object Filters {
     c.nullMode match {
       case NullMode.Exclude => base           // 3VL: null fails naturally
       case NullMode.Include => f.isNull || base
-      // null == null holds in AsValue mode: a null field satisfies an
-      // eq-against-null condition (filter_processor.py as_value semantics)
+      // AsValue: null participates as a comparable value (null == null
+      // holds, null != x holds) — null-safe equality for the equality
+      // family; other operators keep three-valued exclusion (a null can't
+      // be ordered/matched), per filter_processor.py as_value semantics.
       case NullMode.AsValue =>
-        val nullMatches =
-          if (c.value == null && c.op == "eq") f.isNull else lit(false)
-        nullMatches || coalesce(base, lit(false))
+        val fv = s(c, f)
+        c.op match {
+          case "eq"     => fv <=> sv(c, c.value)
+          case "ne"     => !(fv <=> sv(c, c.value))
+          case "in"     => seqOf(c).map(v => fv <=> lit(ciVal(c, v)))
+            .reduceOption(_ || _).getOrElse(lit(false))
+          case "not_in" => !seqOf(c).map(v => fv <=> lit(ciVal(c, v)))
+            .reduceOption(_ || _).getOrElse(lit(false))
+          case _        => coalesce(base, lit(false))
+        }
     }
   }
 

@@ -47,7 +47,9 @@ object Ranking {
   /** Weighted combination with normalized weights
     * (result_ranker.py:542-568; semantic weights .6/.2/.2 :628-660). */
   def combine(scores: Seq[(Column, Double)]): Column = {
+    require(scores.nonEmpty, "combine needs at least one score")
     val total = scores.map(_._2).sum
+    require(total > 0, s"weights must sum to a positive value (got $total)")
     scores.map { case (c, w) => c * (w / total) }.reduce(_ + _)
   }
 

@@ -32,11 +32,13 @@ object EventStream {
         .as("window_start"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
 
-  /** Batch-equivalent sliding window: each event belongs to
-    * window/slide overlapping windows — enumerate them (explode), then
-    * aggregate. This is exactly what Spark's `window(ts, w, s)` does. */
+  /** Batch-equivalent sliding window: each event belongs to up to
+    * ceil(window/slide) overlapping windows — enumerate them (explode),
+    * then aggregate. This is exactly what Spark's `window(ts, w, s)`
+    * does; the exact-membership filter prunes the enumeration's tail for
+    * non-divisible window/slide and for slide > window (sampling). */
   def slidingBatch(events: DataFrame, windowSec: Long, slideSec: Long): DataFrame = {
-    val k = (windowSec / slideSec).toInt
+    val k = ((windowSec + slideSec - 1) / slideSec).toInt.max(1)
     events
       .withColumn("sec", unix_timestamp(col("ts")))
       .withColumn("base", floor(col("sec") / slideSec) * slideSec)
@@ -72,28 +74,40 @@ object EventStream {
   private final case class SessState(start: Long, last: Long, n: Long, emitted: Long)
 
   /** Streaming sessionization via flatMapGroupsWithState — the stateful
-    * path a live feed would use (event-time timeout closes idle
-    * sessions). The batch form above is the oracle-checkable twin. */
+    * path a live feed would use. An idle-group processing-time timeout
+    * (2× the session gap) closes the trailing open session and REMOVES
+    * the group's state, so the state store does not grow with every
+    * user ever seen. The batch form above is the oracle-checkable twin. */
   def sessionizeStream(events: org.apache.spark.sql.Dataset[Ev], gapSec: Long)
       : org.apache.spark.sql.Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
         (user: Long, evs: Iterator[Ev], state: GroupState[SessState]) =>
-          val sorted = evs.toSeq.sortBy(e => (e.sec, e.event_id))
-          var st = state.getOption.getOrElse(SessState(-1, Long.MinValue / 4, 0, 0))
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          sorted.foreach { e =>
-            if (e.sec - st.last > gapSec) {
-              if (st.n > 0)
-                out += SessionOut(user, st.emitted + 1, st.n, st.last - st.start)
-              st = SessState(e.sec, e.sec, 1,
-                st.emitted + (if (st.n > 0) 1 else 0))
-            } else st = st.copy(last = e.sec, n = st.n + 1)
+          if (state.hasTimedOut) {
+            // idle group: flush the trailing open session, free the state
+            val st = state.get
+            state.remove()
+            if (st.n > 0)
+              Iterator(SessionOut(user, st.emitted + 1, st.n, st.last - st.start))
+            else Iterator.empty
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.sec, e.event_id))
+            var st = state.getOption.getOrElse(SessState(-1, Long.MinValue / 4, 0, 0))
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            sorted.foreach { e =>
+              if (e.sec - st.last > gapSec) {
+                if (st.n > 0)
+                  out += SessionOut(user, st.emitted + 1, st.n, st.last - st.start)
+                st = SessState(e.sec, e.sec, 1,
+                  st.emitted + (if (st.n > 0) 1 else 0))
+              } else st = st.copy(last = e.sec, n = st.n + 1)
+            }
+            state.update(st)
+            state.setTimeoutDuration(gapSec * 2 * 1000L)
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 }

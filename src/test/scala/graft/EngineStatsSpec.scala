@@ -51,7 +51,8 @@ class EngineStatsSpec extends SparkSpec {
   test("engine: semantic search finds the query's own text first") {
     val r = QueryEngine.query(tables, QueryRequest(
       query = "spark engines process big data with distributed joins and shuffles",
-      queryType = SemanticSearch, limit = 2, similarityThreshold = 0.6))
+      queryType = SemanticSearch, limit = 2, similarityThreshold = 0.6),
+      embedder = graft.pipeline.Ingestion.HashEmbedding(16)) // match fixture dim
     val ids = r.results.select("node_id").as[String].collect()
     assert(ids.contains("n2")) // exact text ⇒ cosine 1.0 ⇒ must survive
   }
