@@ -124,6 +124,31 @@ class EngineStatsSpec extends SparkSpec {
       Seq(("a", "c", 2), ("a", "d", 2)))
   }
 
+  test("vector expressions: length mismatch and null elements give NULL (HOF parity)") {
+    import graft.functions.VectorFunctions
+    val df = Seq(
+      (Seq[Option[Float]](Some(1f), Some(0f)), Seq[Option[Float]](Some(1f))),
+      (Seq[Option[Float]](Some(1f), None), Seq[Option[Float]](Some(1f), Some(0f))),
+      (Seq[Option[Float]](Some(1f), Some(0f)), Seq[Option[Float]](Some(1f), Some(0f))))
+      .toDF("a", "b")
+    val got = df.select(VectorFunctions.cosine(col("a"), col("b")).as("c")).collect()
+    assert(got(0).isNullAt(0)) // length mismatch
+    assert(got(1).isNullAt(0)) // null element
+    assert(got(2).getDouble(0) === 1.0)
+  }
+
+  test("sliding windows: non-divisible window/slide enumerates ceil(w/s) windows") {
+    import graft.streaming.EventStream
+    val ev = Seq(("2024-01-01 00:00:08", "t"))
+      .toDF("ts_s", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    // window 10s / slide 4s: sec 8 is in windows starting at 0, 4, 8
+    val got = EventStream.slidingBatch(ev, 10L, 4L)
+      .select("window_start").as[Long].collect().toSet
+    val base = ev.select(unix_timestamp(col("ts"))).as[Long].head() - 8
+    assert(got === Set(base, base + 4, base + 8))
+  }
+
   test("set_jaccard expression matches array_intersect formula incl. edge cases") {
     val df = Seq(
       (Seq("a", "b", "c"), Seq("b", "c", "d")),        // 2/4

@@ -71,6 +71,19 @@ class FiltersSpec extends SparkSpec {
       Set("node3"))
     assert(ids(Cond("domain", "eq", "tech", nullMode = NullMode.AsValue)) ==
       Set("node1"))
+    // ne treats null as a value: null != "tech" holds
+    assert(ids(Cond("domain", "ne", "tech", nullMode = NullMode.AsValue)) ==
+      Set("node2", "node3"))
+    // in/not_in with a null element
+    assert(ids(Cond("domain", "in", Seq("tech", null), nullMode = NullMode.AsValue)) ==
+      Set("node1", "node3"))
+    assert(ids(Cond("domain", "not_in", Seq("tech", null), nullMode = NullMode.AsValue)) ==
+      Set("node2"))
+  }
+
+  test("empty/not_empty recognize empty arrays") {
+    assert(ids(Cond("tags", "empty")) == Set("node3"))
+    assert(ids(Cond("tags", "not_empty")) == Set("node1", "node2"))
   }
 
   test("unknown operator passes rows through (filter_processor.py:160-163)") {
