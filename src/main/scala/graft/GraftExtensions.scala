@@ -10,11 +10,10 @@ import graft.functions.expressions.{SetJaccardExpr, VectorSimExpr}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
-    GraftExtensions.functions.foreach { case (name, builder) =>
+    GraftExtensions.functions.foreach { case (name, (clazz, builder)) =>
       e.injectFunction((
         new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[VectorSimExpr].getName, name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(clazz, name),
         builder))
     }
 }
@@ -22,17 +21,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   import org.apache.spark.sql.catalyst.expressions.Expression
 
-  private[graft] val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "cosine_sim" -> (exprs => VectorSimExpr(exprs(0), exprs(1), "cos")),
-    "vec_dot" -> (exprs => VectorSimExpr(exprs(0), exprs(1), "dot")),
-    "vec_l2" -> (exprs => VectorSimExpr(exprs(0), exprs(1), "l2")),
-    "set_jaccard" -> (exprs => SetJaccardExpr(exprs(0), exprs(1))))
+  private def binary(name: String, mk: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = { exprs =>
+    if (exprs.length != 2)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map("functionName" -> name, "expectedNum" -> "2",
+          "actualNum" -> exprs.length.toString, "docroot" -> ""))
+    mk(exprs(0), exprs(1))
+  }
+
+  private[graft] val functions
+      : Seq[(String, (String, Seq[Expression] => Expression))] = Seq(
+    "cosine_sim" -> (classOf[VectorSimExpr].getName,
+      binary("cosine_sim", VectorSimExpr(_, _, "cos"))),
+    "vec_dot" -> (classOf[VectorSimExpr].getName,
+      binary("vec_dot", VectorSimExpr(_, _, "dot"))),
+    "vec_l2" -> (classOf[VectorSimExpr].getName,
+      binary("vec_l2", VectorSimExpr(_, _, "l2"))),
+    "set_jaccard" -> (classOf[SetJaccardExpr].getName,
+      binary("set_jaccard", SetJaccardExpr(_, _))))
 
   /** Register on an already-built session (the `.withExtensions(new
     * GraftExtensions)` builder path covers new sessions). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    functions.foreach { case (name, builder) =>
+    functions.foreach { case (name, (_, builder)) =>
       reg.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
   }

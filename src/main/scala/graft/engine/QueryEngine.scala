@@ -106,7 +106,8 @@ object QueryEngine {
         // Metadata filters prune BEFORE the top-k heap (vector_store_
         // interface.py:181-201) — filtering after truncation would drop
         // matches ranked below the cutoff.
-        val filteredNodes = tables.nodes.filter(Filters.all(request.filters))
+        val filteredNodes = tables.nodes.filter(
+          Filters.allFor(tables.nodes, request.filters))
         val candidates = tables.embeddings
           .join(filteredNodes.select(col("node_id")), Seq("node_id"), "left_semi")
         val k = math.max(request.limit + request.offset, 50)
@@ -133,7 +134,7 @@ object QueryEngine {
     }
 
     // 4. Filter (FilterProcessor semantics; :158-175).
-    val filtered = candidates.filter(Filters.all(request.filters))
+    val filtered = candidates.filter(Filters.allFor(candidates, request.filters))
 
     // 5. Rank (result_ranker.py): relevance + quality + length, adaptive
     //    weights per type (:628-660).

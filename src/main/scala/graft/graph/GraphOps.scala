@@ -152,6 +152,14 @@ object GraphOps {
         .select(col("start_id"), col("next_id").as("cur"), (col("len") + 1).as("len"))
       h += 1
     }
+    // chains COMPLETE at exactly maxLen still count (only longer ones are
+    // capped away) — classify the final frontier's sinks
+    if (h == maxLen && !frontier.isEmpty) {
+      val boundary = frontier
+        .join(out.select(col("cur")).distinct(), Seq("cur"), "left_anti")
+        .select(col("start_id"), col("cur").as("end_id"), col("len"))
+      done = if (done == null) boundary else done.unionByName(boundary)
+    }
     if (done == null) // no roots (fully cyclic or empty graph)
       frontier.sparkSession.emptyDataFrame
         .select(lit("").as("start_id"), lit("").as("end_id"), lit(0).as("len"))
@@ -195,6 +203,14 @@ object GraphOps {
         .agg(sum(col("cnt")).as("cnt"))
         .select(col("next_id").as("cur"), (col("len") + 1).as("len"), col("cnt"))
       h += 1
+    }
+    // complete chains of exactly maxLen still count — classify the final
+    // frontier's sinks before aggregating
+    if (h == maxLen && !frontier.isEmpty) {
+      val boundary = frontier
+        .join(out.select(col("cur")).distinct(), Seq("cur"), "left_anti")
+        .select(col("len"), col("cur").as("end_id"), col("cnt").as("n_chains"))
+      done = if (done == null) boundary else done.unionByName(boundary)
     }
     if (done == null) // no roots (fully cyclic or empty graph)
       frontier.sparkSession.emptyDataFrame

@@ -70,12 +70,10 @@ object Filters {
       case "regex"        => f.rlike(String.valueOf(c.value))
       case "exists"       => f.isNotNull
       case "not_exists"   => f.isNull
-      // empty/not_empty must treat [] / {} (empty array/map, rendered by
-      // the string cast) as empty, matching the reference's len(value)==0
-      case "empty"        => f.isNull || length(f.cast("string")) === 0 ||
-        f.cast("string").isin("[]", "{}")
-      case "not_empty"    => f.isNotNull && length(f.cast("string")) > 0 &&
-        !f.cast("string").isin("[]", "{}")
+      // string semantics here; array/map columns resolve through the
+      // schema-aware overload (size-based), matching len(value)==0
+      case "empty"        => f.isNull || length(f.cast("string")) === 0
+      case "not_empty"    => f.isNotNull && length(f.cast("string")) > 0
       case "between"      => f.between(lit(c.value), lit(c.value2))
       // date_range: reference parses 6 datetime formats then compares
       // (filter_processor.py:259-280); on typed columns this is a plain
@@ -116,9 +114,29 @@ object Filters {
     case other                           => other
   }
 
+  /** Schema-aware condition: array/map columns get size-based
+    * empty/not_empty (the reference's len(value)==0 applies to lists and
+    * dicts too); everything else delegates to the schema-less builder. */
+  def toColumn(c: Cond, schema: org.apache.spark.sql.types.StructType): Column = {
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    val isComplex = schema.fields.find(_.name == c.field).map(_.dataType).exists {
+      case _: ArrayType | _: MapType => true
+      case _ => false
+    }
+    (c.op, isComplex) match {
+      case ("empty", true)     => col(c.field).isNull || size(col(c.field)) === 0
+      case ("not_empty", true) => col(c.field).isNotNull && size(col(c.field)) > 0
+      case _                   => toColumn(c)
+    }
+  }
+
   /** AND-fold across conditions (filter_processor.py:114-131). */
   def all(conds: Seq[Cond]): Column =
     conds.map(toColumn).reduceOption(_ && _).getOrElse(lit(true))
+
+  /** AND-fold resolved against a concrete DataFrame's schema. */
+  def allFor(df: org.apache.spark.sql.DataFrame, conds: Seq[Cond]): Column =
+    conds.map(toColumn(_, df.schema)).reduceOption(_ && _).getOrElse(lit(true))
 
   /** Type coercion helper: the reference coerces strings to booleans via
     * the word list true/1/yes/on (filter_processor.py:252-253). */

@@ -90,7 +90,7 @@ object Ingestion {
     val reps = keyed.groupBy(col("key"))
       .agg(min(col("node_id")).as("node_id"),
         min_by(col("content"), col("node_id")).as("content"),
-        array_distinct(flatten(collect_list(col("tags")))).as("tags"),
+        array_sort(array_distinct(flatten(collect_list(col("tags"))))).as("tags"),
         array_sort(collect_set(col("source"))).as("sources"),
         count(lit(1)).as("merged_from"))
       .withColumn("source", array_join(col("sources"), "; "))

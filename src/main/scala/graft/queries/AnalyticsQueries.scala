@@ -47,16 +47,22 @@ object AnalyticsQueries {
   //         3-bucket confidence histogram (enhanced_mcp_endpoint.py:1363-1425)
   private def q45(s: SparkSession, dir: String): DataFrame = {
     val e = KGraph.materialized(s, dir)
-    val nNodes = e.select(col("from_id").as("n")).unionByName(
-      e.select(col("to_id").as("n"))).distinct().count()
+    // node count joins in lazily (1-row cross join) — counting eagerly
+    // here would run a full distinct job at plan-CONSTRUCTION time
+    val nv = e.select(col("from_id").as("n"))
+      .unionByName(e.select(col("to_id").as("n")))
+      .agg(countDistinct(col("n")).as("n_nodes"))
     e.groupBy(col("relation_type"))
       .agg(count(lit(1)).as("n_edges"),
         round(avg(col("confidence")), 6).as("avg_conf"),
         sum(when(col("confidence") >= 0.8, 1).otherwise(0)).as("high_conf"),
         sum(when(col("confidence") >= 0.5 && col("confidence") < 0.8, 1).otherwise(0)).as("med_conf"),
         sum(when(col("confidence") < 0.5, 1).otherwise(0)).as("low_conf"))
+      .crossJoin(nv)
       .withColumn("density",
-        round(col("n_edges") / (lit(nNodes.toDouble) * (nNodes - 1)), 9))
+        round(col("n_edges") /
+          (col("n_nodes").cast("double") * (col("n_nodes") - 1)), 9))
+      .drop("n_nodes")
       .orderBy(col("relation_type"))
   }
 

@@ -52,6 +52,9 @@ object SynthesisQueries {
        |  round(coalesce(t.sim, 0.0), 6) AS sim
        |FROM documents d JOIN srcs USING (source)
        |LEFT JOIN top t ON d.doc_id = t.doc_id
+       |-- both sides order by the ROUNDED quality alias (Spark's orderBy
+       |-- follows the select, so it too resolves the rounded column) with
+       |-- doc_id tiebreak — deterministic and identical at the LIMIT edge
        |ORDER BY quality DESC, d.doc_id LIMIT 20""".stripMargin
 
   // -- q68: timeline synthesis per user — span, activity, dominant event

@@ -104,7 +104,7 @@ object VectorQueries {
   private def q22(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val cents = VectorSearch.centroids(e, "label")
-    val assigned = VectorSearch.ivfAssign(e, "label")
+    val assigned = VectorSearch.ivfAssign(e, "label", Some(cents))
     VectorSearch.ivfSearch(assigned, cents, qvec(s, dir), k = 10, nprobe = 2)
       .select(col("vec_id"), col("cell"), round(col("sim"), 6).as("sim"))
   }

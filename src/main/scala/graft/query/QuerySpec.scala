@@ -36,14 +36,20 @@ object QuerySpec {
   /** Fluent builder mirroring QueryBuilder (query_language.py:221-331). */
   final class Builder {
     private var spec = Spec()
-    def where(field: String, op: String, value: Any = null): Builder = {
+    def where(field: String, op: String, value: Any = null): Builder =
+      where(field, op, value, null)
+
+    /** Range form for between / date_range — both bounds required. */
+    def where(field: String, op: String, value: Any, value2: Any): Builder = {
       // the DSL dialect spells operators uppercase (query_language.py:32-48)
       // and its string matchers are case-insensitive (:560-575); normalize
       // the op so "CONTAINS" doesn't fall into the unknown-op pass-through
       val norm = op.toLowerCase
+      require(!Set("between", "date_range")(norm) || value2 != null,
+        s"'$norm' needs both bounds: where(field, op, lo, hi)")
       val ci = Set("contains", "starts_with", "ends_with")
       spec = spec.copy(filters = spec.filters :+
-        Cond(field, norm, value, caseSensitive = !ci(norm)))
+        Cond(field, norm, value, value2, caseSensitive = !ci(norm)))
       this
     }
     def select(fields: String*): Builder = { spec = spec.copy(projections = fields); this }
@@ -81,7 +87,7 @@ object QuerySpec {
     * → project). Matches the reference's execution order
     * (query_language.py:378-428, :468-486). */
   def run(table: DataFrame, spec: Spec): DataFrame = {
-    val filtered = table.filter(Filters.all(spec.filters))
+    val filtered = table.filter(Filters.allFor(table, spec.filters))
     if (spec.aggregations.nonEmpty) {
       val aggs = spec.aggregations.map(aggColumn)
       if (spec.groupBy.nonEmpty)

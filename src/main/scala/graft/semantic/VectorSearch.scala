@@ -81,8 +81,9 @@ object VectorSearch {
     * — no sampled k-means, so results are reproducible and
     * oracle-checkable), then assign every vector to its nearest
     * centroid. Returns (vec_id, embedding, cell). */
-  def ivfAssign(data: DataFrame, labelCol: String = "label"): DataFrame = {
-    val cents = centroids(data, labelCol) // (cell, centroid)
+  def ivfAssign(data: DataFrame, labelCol: String = "label",
+      precomputed: Option[DataFrame] = None): DataFrame = {
+    val cents = precomputed.getOrElse(centroids(data, labelCol)) // (cell, centroid)
     val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
     data.crossJoin(broadcast(cents))
       .withColumn("dist", l2Distance(col("embedding"), col("centroid")))

@@ -23,6 +23,12 @@ object Exporters {
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
 
+  /** Single-quote escaper shared by the statement formats (Cypher,
+    * Gremlin). Newlines become \n so one statement stays one line. */
+  private def q(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "\\'")
+      .replace("\n", "\\n").replace("\r", "\\r")
+
   /** GraphML export (data_exporter.py GraphML impl): nodes(node_id) +
     * edges(from_id, to_id, relation_type). Returns the serialized lines
     * as a Dataset so the write stays distributed (`.text(path)`); use
@@ -84,7 +90,6 @@ object Exporters {
     * (db/janusgraph_storage.py:116-178). */
   def gremlinStatements(nodes: DataFrame, edges: DataFrame): Dataset[String] = {
     import nodes.sparkSession.implicits._
-    def q(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
     val n = nodeIds(nodes)
       .map(id => s"g.addV('node').property('node_id', '${q(id)}')")
     val e = edgeTriples(edges)
@@ -98,7 +103,6 @@ object Exporters {
   /** Cypher statement export (data_exporter.py Cypher impl). */
   def cypherStatements(nodes: DataFrame, edges: DataFrame): Dataset[String] = {
     import nodes.sparkSession.implicits._
-    def q(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
     val n = nodeIds(nodes).map(id => s"CREATE (:Node {id: '${q(id)}'});")
     val e = edgeTriples(edges)
       .map { case (f, t, r) =>

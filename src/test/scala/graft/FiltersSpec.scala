@@ -81,9 +81,12 @@ class FiltersSpec extends SparkSpec {
       Set("node2"))
   }
 
-  test("empty/not_empty recognize empty arrays") {
-    assert(ids(Cond("tags", "empty")) == Set("node3"))
-    assert(ids(Cond("tags", "not_empty")) == Set("node1", "node2"))
+  test("empty/not_empty recognize empty arrays (schema-aware allFor)") {
+    def idsFor(conds: Cond*) =
+      df.filter(Filters.allFor(df, conds)).select("node_id")
+        .as[String].collect().toSet
+    assert(idsFor(Cond("tags", "empty")) == Set("node3"))
+    assert(idsFor(Cond("tags", "not_empty")) == Set("node1", "node2"))
   }
 
   test("unknown operator passes rows through (filter_processor.py:160-163)") {
