@@ -58,11 +58,11 @@ object StreamingQueries {
       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
       |sess AS (
       |  SELECT user_id, sec,
-      |    sum(boundary) OVER (PARTITION BY user_id ORDER BY sec, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY sec, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM b)
-      |SELECT user_id, session_id, count(*) AS n_events,
-      |  max(sec) - min(sec) AS duration_sec
+      |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(max(sec) - min(sec) AS BIGINT) AS duration_sec
       |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin
 
   val qs: Seq[Q] = Seq(

@@ -47,8 +47,8 @@ object TemporalQueries {
   private val q37Sql =
     s"""WITH $dailySql
        |SELECT k, day, cnt,
-       |  sum(cnt) OVER (PARTITION BY k ORDER BY day
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  CAST(sum(cnt) OVER (PARTITION BY k ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
        |FROM daily ORDER BY k, day""".stripMargin
 
   // -- q38: OLS trend slope + direction + strength per event_type

@@ -62,8 +62,8 @@ object TextQueries {
 
   private val q34Sql =
     s"""SELECT source,
-       |  sum(${TF.sql.tokenCount("text")}) AS tokens,
-       |  sum(${TF.sql.regexTokenCount("text")}) AS bpeish_tokens,
+       |  CAST(sum(${TF.sql.tokenCount("text")}) AS BIGINT) AS tokens,
+       |  CAST(sum(${TF.sql.regexTokenCount("text")}) AS BIGINT) AS bpeish_tokens,
        |  round(avg(len(${TF.sql.distinctTokens("text")})), 6) AS avg_distinct
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
 

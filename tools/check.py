@@ -13,6 +13,7 @@ Dev tool only — not part of the shipped library.
 """
 import json, math, subprocess, sys, os
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -52,6 +53,48 @@ def norm_cell(v):
     except Exception:
         pass
     return str(v)
+
+
+def type_family(t):
+    """Normalized arrow-type family. Widths within a family are equivalent
+    (int32 vs int64 hash identically under the driver's stringification),
+    but families are NOT (DuckDB HUGEINT arrives as decimal128 and
+    stringifies as a float — the q34/q37/q59 bug class)."""
+    if pa.types.is_dictionary(t):
+        return type_family(t.value_type)
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_decimal(t):
+        # Decimals stringify like floats under the driver's hash (1 → "1.0"),
+        # so decimal-vs-float matches and decimal-vs-int (the HUGEINT sum
+        # bug) fails — exactly the driver's observed behavior.
+        return "float"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t) \
+            or pa.types.is_fixed_size_list(t):
+        return f"list<{type_family(t.value_type)}>"
+    if pa.types.is_struct(t):
+        return "struct<" + ",".join(
+            f"{f.name}:{type_family(f.type)}" for f in t) + ">"
+    return str(t)
+
+
+def arrow_cols_rows(tb):
+    cols = tb.column_names
+    fams = [type_family(tb.schema.field(i).type) for i in range(len(cols))]
+    rows = list(zip(*[tb.column(c).to_pylist() for c in cols])) if cols else []
+    return cols, fams, rows
 
 
 def canon(cols, rows):
@@ -96,19 +139,24 @@ def main():
         if not os.path.isdir(pdir):
             print(f"MISSING  {name} (no parquet output)"); fail += 1; continue
         try:
-            tb = pq.read_table(pdir)
-            scols = tb.column_names
-            srows = list(zip(*[tb.column(c).to_pylist() for c in scols])) \
-                if scols else []
-            cur = con.sql(sql)
-            dcols = [d[0] for d in cur.description]
-            drows = cur.fetchall()
+            scols, sfams, srows = arrow_cols_rows(pq.read_table(pdir))
+            # fetch_arrow_table (NOT fetchall): keeps DuckDB's types visible —
+            # HUGEINT→decimal128, so an uncast integer sum fails here exactly
+            # as it does under the driver's arrow-level hash.
+            dcols, dfams, drows = arrow_cols_rows(
+                con.sql(sql).fetch_arrow_table())
         except Exception as e:
             print(f"ERROR    {name}: {e}"); fail += 1; continue
         sc, sr = canon(scols, srows)
         dc, dr = canon(dcols, drows)
+        sfam = [f for _, f in sorted(zip(scols, sfams))]
+        dfam = [f for _, f in sorted(zip(dcols, dfams))]
         if sc != dc:
             print(f"SCHEMA   {name}: spark={sc} duck={dc}"); fail += 1
+        elif sfam != dfam:
+            diffs = [f"{c}: spark={a} duck={b}"
+                     for c, a, b in zip(sc, sfam, dfam) if a != b]
+            print(f"TYPE     {name}: " + "; ".join(diffs)); fail += 1
         elif len(sr) != len(dr):
             print(f"ROWCOUNT {name}: spark={len(sr)} duck={len(dr)}"); fail += 1
         elif sr != dr:
