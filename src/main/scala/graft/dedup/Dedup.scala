@@ -124,12 +124,56 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup: exact all-pairs (no blocking) — the
-    * baseline sweep; use VectorSearch.similaritySelfJoin / LSH for the
-    * blocked and approximate paths. */
+    * small-corpus reference sweep. The theta join (a_id < b_id) is a
+    * nested loop, O(n²) with no shuffle key — correct, but NOT the form
+    * to run at corpus scale; `embeddingNearDupBlocked` is. */
   def embeddingNearDup(emb: DataFrame, threshold: Double): DataFrame = {
     val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
     val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
     a.join(b, col("a_id") < col("b_id"))
+      .withColumn("sim", VectorFunctions.cosine(col("a_vec"), col("b_vec")))
+      .filter(col("sim") >= threshold)
+      .select(col("a_id"), col("b_id"), col("sim"))
+  }
+
+  /** IVF-blocked embedding near-dup — the corpus-scale form. Dense
+    * vectors admit no exact sub-quadratic threshold join (every dimension
+    * is populated, so AllPairs-style prefix bounds never prune), so the
+    * standard design is candidate blocking + exact verification:
+    *
+    *   1. deterministic centroids per label cell (mean vectors — same
+    *      reproducible build as VectorSearch.ivfAssign, numpy_store.py's
+    *      index semantics);
+    *   2. each vector is assigned to its `probes` nearest cells
+    *      (multi-probe assignment recovers pairs straddling a cell
+    *      boundary — the recall dial);
+    *   3. candidates = pairs sharing any assigned cell (equi-join on
+    *      cell — shuffle-partitionable, no theta join anywhere);
+    *   4. exact cosine ≥ threshold on candidates only.
+    *
+    * Cost is Σ|cell|²·probes² / nlist-ish instead of n² and every join
+    * is an equi-join, so the plan holds at 1000 executors. Results are
+    * a defined subset of the exact sweep (candidates only), which is the
+    * operator's contract — same as any production ANN dedup pass. */
+  def embeddingNearDupBlocked(emb: DataFrame, threshold: Double,
+      probes: Int = 2, labelCol: String = "label"): DataFrame = {
+    val cents = graft.semantic.VectorSearch.centroids(emb, labelCol)
+    val byDist = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
+    val assigned = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents)) // nlist rows — always broadcastable
+      .withColumn("dist", VectorFunctions.l2Distance(col("embedding"), col("centroid")))
+      .withColumn("rnk", row_number().over(byDist))
+      .filter(col("rnk") <= probes)
+      .select(col("vec_id"), col("cell"))
+    val cand = assigned.select(col("cell"), col("vec_id").as("a_id"))
+      .join(assigned.select(col("cell"), col("vec_id").as("b_id")), "cell")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct() // shared in up to `probes` cells; verify once
+    cand
+      .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("a_vec")), "a_id")
+      .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("b_vec")), "b_id")
       .withColumn("sim", VectorFunctions.cosine(col("a_vec"), col("b_vec")))
       .filter(col("sim") >= threshold)
       .select(col("a_id"), col("b_id"), col("sim"))

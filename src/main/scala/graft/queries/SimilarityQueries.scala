@@ -27,9 +27,11 @@ object SimilarityQueries {
       |ORDER BY source, lang""".stripMargin
 
   // -- q24: SIMILAR_TAGS — token-set Jaccard join blocked by source, with
-  //         the reference's confidence formula
+  //         the reference's confidence formula. Prefix-filtered candidates
+  //         (exact — identical output to the block cross product, verified
+  //         by the unchanged exact oracle below).
   private def q24(s: SparkSession, dir: String): DataFrame =
-    SimilarityJoins.tokenJaccardJoin(docs(s, dir), "source", "text", 0.7)
+    SimilarityJoins.prefixJaccardJoin(docs(s, dir), "source", "text", 0.7)
       .select(col("blk"), col("a_id"), col("b_id"),
         round(col("sim"), 6).as("sim"), round(col("confidence"), 6).as("confidence"))
       .orderBy(col("blk"), col("a_id"), col("b_id"))
@@ -52,7 +54,7 @@ object SimilarityQueries {
 
   // -- q25: SIMILAR_CONTENT — stopworded token Jaccard, higher bar
   private def q25(s: SparkSession, dir: String): DataFrame =
-    SimilarityJoins.tokenJaccardJoin(docs(s, dir), "lang", "text", 0.8,
+    SimilarityJoins.prefixJaccardJoin(docs(s, dir), "lang", "text", 0.8,
         stopworded = true)
       .groupBy(col("blk"))
       .agg(count(lit(1)).as("n_pairs"), round(avg(col("sim")), 6).as("avg_sim"))

@@ -41,6 +41,40 @@ class DedupStreamSpec extends SparkSpec {
     assert(got == Set((1L, 2L)))
   }
 
+  test("prefix-filtered Jaccard join equals the exact block join") {
+    import graft.semantic.SimilarityJoins
+    val corpus = Tables.load(spark, sf, "documents")
+    for ((blk, t, sw) <- Seq(("source", 0.7, false), ("lang", 0.8, true))) {
+      val exact = SimilarityJoins.tokenJaccardJoin(corpus, blk, "text", t,
+        stopworded = sw)
+        .select("blk", "a_id", "b_id", "sim").as[(String, Long, Long, Double)]
+        .collect().toSet
+      val pref = SimilarityJoins.prefixJaccardJoin(corpus, blk, "text", t,
+        stopworded = sw)
+        .select("blk", "a_id", "b_id", "sim").as[(String, Long, Long, Double)]
+        .collect().toSet
+      assert(pref == exact, s"blk=$blk t=$t stopworded=$sw")
+      assert(pref.nonEmpty)
+    }
+  }
+
+  test("IVF-blocked near-dup is an exact-verified subset of the full sweep") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val full = Dedup.embeddingNearDup(emb, 0.35)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val blocked = Dedup.embeddingNearDupBlocked(emb, 0.35, probes = 2)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(blocked.nonEmpty)
+    assert(blocked.subsetOf(full)) // exact verify: no false positives
+    // identical vectors always share their nearest cell → always recalled
+    val withDup = emb.limit(1)
+      .select(lit(-1L).as("vec_id"), col("embedding"), col("label"))
+      .unionByName(emb)
+    val gotDup = Dedup.embeddingNearDupBlocked(withDup, 0.999, probes = 2)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(gotDup.exists(_._1 == -1L))
+  }
+
   test("streaming windowed aggregation matches the batch equivalent") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
