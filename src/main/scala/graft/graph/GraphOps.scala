@@ -91,6 +91,72 @@ object GraphOps {
     reached
   }
 
+  /** Multi-hop BFS that also reconstructs one rendered path per reached
+    * node — the distributed twin of the reference's path-recording
+    * traversal (enhanced_mcp_endpoint.py:76-171, paths rendered as
+    * [n1, "--type-->", n2] and capped by the caller; graph_storage_adapter
+    * .py:319-359 node-id paths via `nodesOnly`).
+    *
+    * The reference keeps the FIRST path found, which depends on queue
+    * insertion order; a distributed engine needs an order-free rule, so
+    * this keeps the lexicographically smallest rendered path among
+    * min-hop paths. That min is computable per level: all min-hop paths
+    * ending at the same node render with the same arrow count and tail
+    * id, so none is a string-prefix of another and appending one more
+    * edge preserves their ordering — min-of-extensions-of-mins is the
+    * global min (the per-level `min` aggregate is map-side combinable,
+    * so each hop stays one join + one partial aggregate at scale).
+    */
+  def multiHopPaths(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      dir: Direction = Outgoing, edgeFilter: Option[Column] = None,
+      preOriented: Boolean = false, nodesOnly: Boolean = false): DataFrame = {
+    val e0 = if (preOriented) edges else oriented(edges, dir)
+    val keep = if (nodesOnly) Seq(col("node_id"), col("next_id"))
+      else Seq(col("node_id"), col("next_id"), col("relation_type"))
+    // pre-oriented unfiltered edges are already hash-partitioned and
+    // materialized (KGraph.orientedMaterialized) — don't re-shuffle them
+    val e = edgeFilter match {
+      case None if preOriented => e0.select(keep: _*)
+      case _ => edgeFilter.map(e0.filter).getOrElse(e0)
+        .select(keep: _*)
+        .repartition(col("node_id"))
+        .localCheckpoint()
+    }
+    var reached = seeds.select(col("node_id")).distinct()
+      .withColumn("hop", lit(0))
+      .withColumn("path", col("node_id"))
+      .localCheckpoint()
+    var frontier = reached
+    var h = 1
+    while (h <= maxHops && !frontier.isEmpty) {
+      val ext =
+        if (nodesOnly) concat(col("path"), lit(" > "), col("next_id"))
+        else concat(col("path"), lit(" --"), col("relation_type"),
+          lit("--> "), col("next_id"))
+      val next = frontier.join(e, "node_id")
+        .select(col("next_id").as("node_id"), ext.as("cand"))
+        .groupBy(col("node_id")).agg(min(col("cand")).as("path"))
+        .join(reached.select(col("node_id")), Seq("node_id"), "left_anti")
+        .withColumn("hop", lit(h))
+        .select(col("node_id"), col("hop"), col("path"))
+        .localCheckpoint()
+      reached = reached.unionByName(next)
+      frontier = next
+      h += 1
+    }
+    reached
+  }
+
+  /** Shortest path WITH reconstruction: min-hop node-id path from the
+    * source to every reachable node (both directions), rendered
+    * "src > n1 > n2" — graph_storage_adapter.py:319-359 returns exactly
+    * this node-id list for the first path found; ties break
+    * lexicographically as in `multiHopPaths`. */
+  def shortestPaths(edges: DataFrame, source: DataFrame, maxHops: Int,
+      preOriented: Boolean = false): DataFrame =
+    multiHopPaths(edges, source, maxHops, Both, preOriented = preOriented,
+      nodesOnly = true)
+
   /** Unweighted shortest-path distances from a source (both directions,
     * as in graph_storage_adapter.py:319-359 / sqlite_storage.py:571-617):
     * BFS with min-hop is exactly shortest path for unit weights. */

@@ -165,11 +165,76 @@ object GraphQueries {
       |HAVING sum(CASE WHEN p_type = 'ECONOMY' THEN 1 ELSE 0 END) > 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Unrolled BFS-with-paths levels (oracle side): level h keeps, per
+    * newly reached node, the lexicographically smallest rendered path —
+    * the exact mirror of GraphOps.multiHopPaths' per-level min aggregate
+    * (no recursive path enumeration, so oracle cost stays polynomial). */
+  private def pathLevelsSql(edgesRel: String, render: String,
+      seed: String, maxHops: Int): String = {
+    val levels = (1 to maxHops).map { h =>
+      val prev = (0 until h).map(i => s"SELECT node_id FROM l$i").mkString(" UNION ALL ")
+      s"""l$h AS (
+         |  SELECT e.to_id AS node_id, $h AS hop, min($render) AS path
+         |  FROM l${h - 1} l JOIN $edgesRel e ON e.from_id = l.node_id
+         |  WHERE e.to_id NOT IN ($prev)
+         |  GROUP BY e.to_id)""".stripMargin
+    }
+    val union = (0 to maxHops).map(i => s"SELECT * FROM l$i").mkString(" UNION ALL ")
+    s"""l0 AS (SELECT $seed AS node_id, 0 AS hop, $seed AS path),
+       |${levels.mkString(",\n")},
+       |walkp AS ($union)""".stripMargin
+  }
+
+  // -- q71: multi-hop traversal WITH rendered paths
+  //         (enhanced_mcp_endpoint.py:76-171: outgoing edges, relation +
+  //         min-confidence filter, paths "[n1 --type--> n2]" capped at 50)
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    val seeds = s.sql("SELECT 'o:15' AS node_id")
+    GraphOps.multiHopPaths(KGraph.orientedMaterialized(s, dir, Outgoing), seeds,
+        maxHops = 3, Outgoing, preOriented = true,
+        edgeFilter = Some(col("confidence") >= 0.65 &&
+          col("relation_type").isin("placed_by", "located_in", "contains",
+            "part_of", "supplied_by")))
+      .orderBy(col("hop"), col("path"), col("node_id"))
+      .limit(50)
+  }
+
+  private val q71Sql =
+    s"""$W,
+       |fe AS (SELECT from_id, to_id, relation_type FROM edges
+       |       WHERE confidence >= 0.65
+       |         AND relation_type IN ('placed_by','located_in','contains',
+       |                               'part_of','supplied_by')),
+       |${pathLevelsSql("fe",
+          "l.path || ' --' || e.relation_type || '--> ' || e.to_id",
+          "'o:15'", 3)}
+       |SELECT node_id, hop, path FROM walkp
+       |ORDER BY hop, path, node_id LIMIT 50""".stripMargin
+
+  // -- q72: shortest path WITH node-id path reconstruction (both
+  //         directions, graph_storage_adapter.py:319-359 — the reference
+  //         returns the node-id list; ties break lexicographically)
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    val src = s.sql("SELECT 'c:1' AS node_id")
+    GraphOps.shortestPaths(KGraph.orientedMaterialized(s, dir, Both), src,
+        maxHops = 3, preOriented = true)
+      .orderBy(col("node_id"))
+  }
+
+  private val q72Sql =
+    s"""$W,
+       |und AS (SELECT from_id, to_id FROM edges
+       |        UNION ALL SELECT to_id, from_id FROM edges),
+       |${pathLevelsSql("und", "l.path || ' > ' || e.to_id", "'c:1'", 3)}
+       |SELECT node_id, hop, path FROM walkp ORDER BY node_id""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q11_neighbors_1hop", q11, Some(q11Sql)),
     Q("q12_multihop_bfs_in", q12, Some(q12Sql), headline = true),
     Q("q13_multihop_filtered", q13, Some(q13Sql)),
     Q("q14_shortest_path_len", q14, Some(q14Sql), headline = true),
     Q("q15_induced_subgraph", q15, Some(q15Sql)),
-    Q("q16_pattern_match", q16, Some(q16Sql)))
+    Q("q16_pattern_match", q16, Some(q16Sql)),
+    Q("q71_multihop_paths", q71, Some(q71Sql)),
+    Q("q72_shortest_path_recon", q72, Some(q72Sql)))
 }

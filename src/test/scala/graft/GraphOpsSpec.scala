@@ -33,6 +33,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == Map("d" -> 0, "b" -> 1, "c" -> 1, "a" -> 2, "e" -> 3))
   }
 
+  test("multiHopPaths reconstructs min-hop, lexicographically-min paths") {
+    val got = GraphOps.multiHopPaths(edges, seed("a"), 3, GraphOps.Outgoing)
+      .as[(String, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      "a" -> ((0, "a")),
+      "b" -> ((1, "a --t--> b")),
+      "c" -> ((2, "a --t--> b --t--> c")),
+      // d is reachable at hop 2 via b and hop 3 via c: min hop wins
+      "d" -> ((2, "a --t--> b --t--> d"))))
+  }
+
+  test("shortestPaths renders node-id paths both directions") {
+    val got = GraphOps.shortestPaths(edges, seed("d"), 3)
+      .as[(String, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("b") == ((1, "d > b")))
+    // two hop-2 paths to c exist (d > c is hop 1 upstream): c reached at 1
+    assert(got("c") == ((1, "d > c")))
+    assert(got("a") == ((2, "d > b > a")))
+  }
+
   test("neighbors with direction") {
     val out = GraphOps.neighbors(edges, seed("b"), GraphOps.Outgoing)
       .select("neighbor_id").as[String].collect().toSet
