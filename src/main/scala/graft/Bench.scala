@@ -38,21 +38,27 @@ object Bench {
     Catalog.byName("q01_pricing_summary").run(spark, sfDir).count()
 
     val headline = Catalog.all.filter(_.headline)
-    // Each query runs twice and reports the min: a single-shot timing on a
-    // shared box smears under CPU contention (an identical binary measured
-    // 34 s and 82 s on consecutive rounds), and min-of-2 is the standard
-    // way to recover the query's actual cost from a noisy host.
-    val results = headline.map { q =>
-      val runs = (1 to 2).map { _ =>
+    // Each query is timed twice and reports the min: a single-shot timing
+    // on a shared box smears under CPU contention (an identical binary
+    // measured 34 s and 82 s on consecutive rounds). The two samples are
+    // INTERLEAVED — the whole suite runs twice, per-query min across
+    // passes — so a sustained contention window (tens of seconds) can't
+    // land on both samples of the same query, which is exactly what
+    // happened to back-to-back min-of-2 in round 3 (q12 read 7.9 s while
+    // the same code benches at 1.9 s on a quiet host).
+    val passes = (1 to 2).map { _ =>
+      headline.map { q =>
         val t0 = System.nanoTime()
         val ok = try { q.run(spark, sfDir).count(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}"); false
         }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        (q.name, (System.nanoTime() - t0) / 1e9, ok)
       }
-      val good = runs.filter(_._2)
-      if (good.nonEmpty) (q.name, good.map(_._1).min, true)
+    }
+    val results = headline.map { q =>
+      val good = passes.flatMap(_.filter(r => r._1 == q.name && r._3))
+      if (good.nonEmpty) (q.name, good.map(_._2).min, true)
       else (q.name, -1.0, false)
     }
     // a failed query reports -1 (never a plausible duration) and is

@@ -93,32 +93,64 @@ object Dedup {
       .select(col("id"), col("simhash"))
   }
 
-  /** SimHash near-dup pairs within blocks: hamming distance ≤ maxDist. */
+  /** SimHash near-dup pairs within blocks: hamming distance ≤ maxDist.
+    *
+    * Candidates come from pigeonhole chunk bucketing, not an all-pairs
+    * self-join: the 16-bit simhash splits into `maxDist + 1` chunks, and
+    * any pair at hamming ≤ maxDist has all its differing bits confined to
+    * ≤ maxDist chunks, hence shares at least one chunk EXACTLY. So the
+    * candidate set is an equi-join on (blk, chunk_idx, chunk_value) —
+    * shuffle-partitionable, cost Σ per-bucket² instead of Σ|block|² —
+    * followed by the exact hamming verify. Output is identical to the
+    * all-pairs sweep (the pigeonhole superset is filtered exactly); this
+    * is the same candidates-then-verify shape as `minhashLsh`. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 16, s"maxDist must be in [0, 16): $maxDist")
     val withBlk = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
       col(textCol).as("text"))
     val sh = simhash16(withBlk, "id", "text")
       .join(withBlk.select(col("id"), col("blk")), "id")
-    val a = sh.select(col("blk"), col("id").as("a_id"), col("simhash").as("a_sh"))
-    val b = sh.select(col("blk"), col("id").as("b_id"), col("simhash").as("b_sh"))
-    a.join(b, "blk")
+      .localCheckpoint() // hashes computed once; reused by both join sides
+    val nChunks = maxDist + 1
+    // chunk i covers bits [bounds(i), bounds(i+1)) — widths differ by ≤1
+    // when nChunks doesn't divide 16, preserving the pigeonhole guarantee
+    val bounds = (0 to nChunks).map(i => i * 16 / nChunks)
+    val chunks = (0 until nChunks).map { i =>
+      val lo = bounds(i)
+      val w = bounds(i + 1) - lo
+      struct(lit(i).as("ci"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit((1L << w) - 1)).as("cv"))
+    }
+    val chunked = sh
+      .select(col("blk"), col("id"), col("simhash"),
+        explode(array(chunks: _*)).as("ch"))
+      .select(col("blk"), col("id"), col("simhash"),
+        col("ch.ci").as("ci"), col("ch.cv").as("cv"))
+    // the simhash (one long) rides through the join so the verify needs no
+    // third join back to `sh` — cheap here, unlike carrying array signatures
+    chunked.select(col("blk"), col("ci"), col("cv"),
+        col("id").as("a_id"), col("simhash").as("a_sh"))
+      .join(chunked.select(col("blk"), col("ci"), col("cv"),
+        col("id").as("b_id"), col("simhash").as("b_sh")), Seq("blk", "ci", "cv"))
       .filter(col("a_id") < col("b_id"))
+      .select(col("blk"), col("a_id"), col("b_id"), col("a_sh"), col("b_sh"))
+      .distinct() // a pair may agree on several chunks; verify once
       .withColumn("hamming", bit_count(col("a_sh").bitwiseXOR(col("b_sh"))))
       .filter(col("hamming") <= maxDist)
       .select(col("blk"), col("a_id"), col("b_id"), col("hamming"))
   }
 
-  /** Character n-gram Jaccard near-dup within blocks. */
+  /** Character n-gram Jaccard near-dup within blocks — exact output via
+    * AllPairs prefix filtering (SimilarityJoins.prefixPairs) over the
+    * shingle sets: candidates from an equi-join on rare prefix shingles
+    * instead of the within-block cross product. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int, threshold: Double): DataFrame = {
     val g = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      array_distinct(TextFunctions.charShingles(col(textCol), n)).as("grams"))
-    val a = g.select(col("blk"), col("id").as("a_id"), col("grams").as("a_g"))
-    val b = g.select(col("blk"), col("id").as("b_id"), col("grams").as("b_g"))
-    a.join(b, "blk")
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("sim", TextFunctions.jaccardSim(col("a_g"), col("b_g")))
+        array_distinct(TextFunctions.charShingles(col(textCol), n)).as("toks"))
+      .localCheckpoint() // shingle once; reused by prefix + verify stages
+    graft.semantic.SimilarityJoins.prefixPairs(g, threshold)
       .filter(col("sim") >= threshold)
       .select(col("blk"), col("a_id"), col("b_id"), col("sim"))
   }

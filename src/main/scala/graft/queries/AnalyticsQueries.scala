@@ -162,9 +162,19 @@ object AnalyticsQueries {
       d.withColumn(s"has_$x", array_contains(TF.distinctTokens(col("text")), x))
         .withColumn(s"has_$y", array_contains(TF.distinctTokens(col("text")), y))
     }
+    // A pair scoring ≥ 0.5 has at least one contributing axis, which needs
+    // an axis term on BOTH sides — so docs with no axis term at all can be
+    // dropped BEFORE the self-join without changing the output. This turns
+    // the Σ|block|² candidate space into Σ|axis-docs-in-block|² (the
+    // reference itself prunes candidates to ≤100 docs,
+    // enhanced_mcp_endpoint.py:612).
+    val anyAxis = axes
+      .flatMap { case (x, y) => Seq(col(s"has_$x"), col(s"has_$y")) }
+      .reduce(_ || _)
     val f = flags(docs(s, dir)).select(
       (Seq(col("doc_id"), col("source")) ++
         axes.flatMap { case (x, y) => Seq(col(s"has_$x"), col(s"has_$y")) }): _*)
+      .filter(anyAxis)
     val a = f.columns.foldLeft(f)((d, c) =>
       if (c.startsWith("has_")) d.withColumnRenamed(c, s"a_$c") else d)
       .withColumnRenamed("doc_id", "a_id")

@@ -93,6 +93,24 @@ object SimilarityJoins {
       .select(col(blockCol).as("blk"), col(idCol).as("id"),
         toks(col(textCol)).as("toks"))
       .localCheckpoint() // tokenize once; reused by prefix + verify stages
+    prefixPairs(tokenized, threshold)
+      .filter(col("sim") > threshold)
+      .withColumn("confidence",
+        least(lit(0.95), lit(0.6) + (col("sim") - threshold) * 0.4))
+      .select(col("blk"), col("a_id"), col("b_id"), col("sim"), col("confidence"))
+  }
+
+  /** Prefix-filtered candidate generation + exact Jaccard scoring over a
+    * pre-tokenized `(blk, id, toks)` frame (the set element type is
+    * opaque — word tokens, character shingles, tags all work). Returns
+    * every within-block pair that can reach `threshold` with its exact
+    * `sim`; the caller applies its own threshold inequality (`>` or `≥` —
+    * both are sound against the ≥-derived prefix bound, since a strict
+    * qualifier also satisfies ≥). `tokenized` should be materialized
+    * (localCheckpoint) by the caller: it feeds both the prefix and verify
+    * stages. */
+  private[graft] def prefixPairs(tokenized: DataFrame,
+      threshold: Double): DataFrame = {
     val ex = tokenized.select(col("blk"), col("id"),
       explode(col("toks")).as("tok"))
     // per-block document frequency orders tokens rarest-first, which
@@ -119,10 +137,7 @@ object SimilarityJoins {
       .join(tokenized.select(col("blk"), col("id").as("b_id"),
         col("toks").as("b_toks")), Seq("blk", "b_id"))
       .withColumn("sim", TextFunctions.jaccardSim(col("a_toks"), col("b_toks")))
-      .filter(col("sim") > threshold)
-      .withColumn("confidence",
-        least(lit(0.95), lit(0.6) + (col("sim") - threshold) * 0.4))
-      .select(col("blk"), col("a_id"), col("b_id"), col("sim"), col("confidence"))
+      .select(col("blk"), col("a_id"), col("b_id"), col("sim"))
   }
 
   /** TEMPORAL_PROXIMITY range join (relationship_extractor.py:353-367):
