@@ -62,20 +62,29 @@ case class SetJaccardExpr(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      // Janino: raw types, no generics.
-      s"""int na = $a.numElements(); int nb = $b.numElements();
-         |java.util.HashSet setA = new java.util.HashSet(na * 2);
-         |for (int i = 0; i < na; i++) {
-         |  setA.add($a.isNullAt(i) ? null : $a.getUTF8String(i));
+      // Janino: raw types, no generics. EVERY local (including loop
+      // variables — Janino scopes for-init declarations to the enclosing
+      // block) must be freshName'd: two instances of this expression in
+      // one projection otherwise generate colliding locals and the whole
+      // projection silently falls back to interpreted mode.
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val setA = ctx.freshName("setA"); val seen = ctx.freshName("seen")
+      val inter = ctx.freshName("inter"); val uni = ctx.freshName("uni")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val o = ctx.freshName("o")
+      s"""int $na = $a.numElements(); int $nb = $b.numElements();
+         |java.util.HashSet $setA = new java.util.HashSet($na * 2);
+         |for (int $i = 0; $i < $na; $i++) {
+         |  $setA.add($a.isNullAt($i) ? null : $a.getUTF8String($i));
          |}
-         |java.util.HashSet seen = new java.util.HashSet(nb * 2);
-         |long inter = 0L;
-         |for (int i = 0; i < nb; i++) {
-         |  Object o = $b.isNullAt(i) ? null : $b.getUTF8String(i);
-         |  if (seen.add(o) && setA.contains(o)) inter++;
+         |java.util.HashSet $seen = new java.util.HashSet($nb * 2);
+         |long $inter = 0L;
+         |for (int $j = 0; $j < $nb; $j++) {
+         |  Object $o = $b.isNullAt($j) ? null : $b.getUTF8String($j);
+         |  if ($seen.add($o) && $setA.contains($o)) $inter++;
          |}
-         |double uni = (double) (na + nb) - (double) inter;
-         |${ev.value} = uni > 0 ? ((double) inter) / uni : 0.0d;""".stripMargin
+         |double $uni = (double) ($na + $nb) - (double) $inter;
+         |${ev.value} = $uni > 0 ? ((double) $inter) / $uni : 0.0d;""".stripMargin
     })
 
   override def prettyName: String = "set_jaccard"

@@ -78,24 +78,34 @@ case class VectorSimExpr(left: Expression, right: Expression, mode: String)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val getA = if (elemIsFloat(left)) s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
-      val getB = if (elemIsFloat(right)) s"(double) $b.getFloat(i)" else s"$b.getDouble(i)"
+      // Every local must be freshName'd (Janino scopes for-init
+      // declarations to the enclosing block): several instances of this
+      // expression in one projection — q21 computes four — otherwise
+      // generate colliding locals and the projection silently falls back
+      // to interpreted mode.
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val l2 = ctx.freshName("l2")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val d = ctx.freshName("d"); val den = ctx.freshName("den")
+      val getA = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getB = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       val result = mode match {
-        case "dot" => s"${ev.value} = dot;"
-        case "l2"  => s"${ev.value} = Math.sqrt(l2);"
+        case "dot" => s"${ev.value} = $dot;"
+        case "l2"  => s"${ev.value} = Math.sqrt($l2);"
         case _ =>
-          s"""double den = Math.sqrt(na) * Math.sqrt(nb);
-             |${ev.value} = den <= 1e-12 ? 0.0d
-             |  : Math.min(Math.max(dot / den, -1.0d), 1.0d);""".stripMargin
+          s"""double $den = Math.sqrt($na) * Math.sqrt($nb);
+             |${ev.value} = $den <= 1e-12 ? 0.0d
+             |  : Math.min(Math.max($dot / $den, -1.0d), 1.0d);""".stripMargin
       }
-      s"""int n = $a.numElements();
-         |double dot = 0.0d, na = 0.0d, nb = 0.0d, l2 = 0.0d;
-         |if ($b.numElements() != n) { ${ev.isNull} = true; }
-         |for (int i = 0; !${ev.isNull} && i < n; i++) {
-         |  if ($a.isNullAt(i) || $b.isNullAt(i)) { ${ev.isNull} = true; break; }
-         |  double x = $getA; double y = $getB;
-         |  dot += x * y; na += x * x; nb += y * y;
-         |  double d = x - y; l2 += d * d;
+      s"""int $n = $a.numElements();
+         |double $dot = 0.0d, $na = 0.0d, $nb = 0.0d, $l2 = 0.0d;
+         |if ($b.numElements() != $n) { ${ev.isNull} = true; }
+         |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  double $x = $getA; double $y = $getB;
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  double $d = $x - $y; $l2 += $d * $d;
          |}
          |if (!${ev.isNull}) {
          |  $result

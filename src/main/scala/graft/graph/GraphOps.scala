@@ -177,6 +177,45 @@ object GraphOps {
     if (v == 0) 0.0 else edges.count().toDouble / v
   }
 
+  /** Topic subgraph extraction (enhanced_mcp_endpoint.py:174-268) — the
+    * composed pipeline: semantic top-k hits around the topic → keyword
+    * relevance filter (matched keywords / |keywords| ≥ minRelevance,
+    * :213-218) → top `maxNodes` by relevance → induced subgraph over the
+    * kept nodes → density annotation (|E| / max(1, |V|), :263).
+    *
+    * `topicHits` is the semantic-search stage's output (node_id rows, the
+    * analog of search_similar_nodes' top min(2·maxNodes, 100), :196-199);
+    * `nodeContent` maps node_id → content for the keyword check. Returns
+    * the subgraph's edges with (n_nodes, n_edges, density) annotated on
+    * every row — the flattened form of the reference's result envelope.
+    *
+    * Scale shape: the relevance stage is a semi-join + filter + top-k
+    * (TakeOrderedAndProject); the kept node set is ≤ maxNodes, so the
+    * induced-subgraph semi-joins broadcast it; the counts are two scalar
+    * aggregates over already-small frames. */
+  def topicSubgraph(edges: DataFrame, nodeContent: DataFrame,
+      topicHits: DataFrame, keywords: Seq[String], maxNodes: Int,
+      minRelevance: Double): DataFrame = {
+    require(keywords.nonEmpty, "topicSubgraph needs at least one keyword")
+    val matched = keywords
+      .map(k => when(col("content").contains(k), 1).otherwise(0))
+      .reduce(_ + _)
+    val kept = topicHits.select(col("node_id"))
+      .join(nodeContent.select(col("node_id"), col("content")), "node_id")
+      .withColumn("relevance", matched.cast("double") / keywords.size)
+      .filter(col("relevance") >= minRelevance)
+      .orderBy(col("relevance").desc, col("node_id"))
+      .limit(maxNodes)
+      .select(col("node_id"))
+      .localCheckpoint() // reused by both semi-joins and the node count
+    val sub = inducedSubgraph(edges, kept)
+    val nNodes = kept.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = sub.agg(count(lit(1)).as("n_edges"))
+    sub.crossJoin(broadcast(nNodes)).crossJoin(broadcast(nEdges))
+      .withColumn("density",
+        col("n_edges").cast("double") / greatest(col("n_nodes"), lit(1L)))
+  }
+
   /** Sequence chains (insight_discovery.py:647-689): follow OUTGOING
     * edges from root nodes (nodes with no predecessors) until a sink,
     * length-capped (the reference caps at 20; cycles are excluded by the

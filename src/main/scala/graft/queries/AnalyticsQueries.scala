@@ -223,7 +223,7 @@ object AnalyticsQueries {
   //         (result_ranker.py; semantic weights .6/.2/.2)
   private val queryTokens = Seq("spark", "table", "join")
 
-  private def ranked(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def ranked(s: SparkSession, dir: String): DataFrame = {
     // top-k via orderBy+limit (TakeOrderedAndProject — per-partition
     // heaps, no global sort); row numbers assigned on the 50 survivors
     val w = Window.orderBy(col("combined").desc, col("doc_id"))
@@ -244,7 +244,7 @@ object AnalyticsQueries {
         round(col("qual"), 6).as("qual"), round(col("combined"), 6).as("combined"))
       .orderBy(col("rn"))
 
-  private val rankedSql =
+  private[queries] val rankedSql =
     s"""ranked AS (
        |  SELECT doc_id, text, rel, qual, len_score,
        |    (rel * 0.6 + qual * 0.2 + len_score * 0.2) AS combined

@@ -31,7 +31,8 @@ object Catalog {
       SynthesisQueries.qs ++
       MutationQueries.qs ++
       MultimodalQueries.qs ++
-      StreamingQueries.qs
+      StreamingQueries.qs ++
+      InsightQueries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -95,11 +95,16 @@ object TemporalQueries {
        |  AND abs(avg_after - avg_before) / avg_before > 0.3
        |ORDER BY k, day""".stripMargin
 
-  // -- q40: autocorrelation at lags 1..3 per event_type
+  // -- q40: cycle detection — autocorrelation at lags 1..3 plus per-phase
+  //         cycle amplitude at candidate periods 2/3 (insight_discovery
+  //         .py:1243-1306: amplitude = max − min of phase means)
   private def q40(s: SparkSession, dir: String): DataFrame =
     TemporalOps.autocorrelation(daily(s, dir), "k", "idx", "cnt", Seq(1, 2, 3))
+      .join(TemporalOps.cycleAmplitude(daily(s, dir), "k", "idx", "cnt",
+        Seq(2, 3)), "k")
       .select(col("k"), round(col("ac1"), 6).as("ac1"),
-        round(col("ac2"), 6).as("ac2"), round(col("ac3"), 6).as("ac3"))
+        round(col("ac2"), 6).as("ac2"), round(col("ac3"), 6).as("ac3"),
+        round(col("amp2"), 6).as("amp2"), round(col("amp3"), 6).as("amp3"))
       .orderBy(col("k"))
 
   private val q40Sql =
@@ -109,10 +114,22 @@ object TemporalQueries {
        |    lag(cnt, 1) OVER (PARTITION BY k ORDER BY idx) AS lag1,
        |    lag(cnt, 2) OVER (PARTITION BY k ORDER BY idx) AS lag2,
        |    lag(cnt, 3) OVER (PARTITION BY k ORDER BY idx) AS lag3
-       |  FROM daily)
-       |SELECT k, round(corr(cnt, lag1), 6) AS ac1,
-       |  round(corr(cnt, lag2), 6) AS ac2, round(corr(cnt, lag3), 6) AS ac3
-       |FROM lagged GROUP BY k ORDER BY k""".stripMargin
+       |  FROM daily),
+       |ac AS (
+       |  SELECT k, round(corr(cnt, lag1), 6) AS ac1,
+       |    round(corr(cnt, lag2), 6) AS ac2, round(corr(cnt, lag3), 6) AS ac3
+       |  FROM lagged GROUP BY k),
+       |amp2 AS (
+       |  SELECT k, max(m) - min(m) AS amp2 FROM (
+       |    SELECT k, idx % 2 AS phase, avg(cnt) AS m FROM daily GROUP BY 1, 2) x
+       |  GROUP BY k),
+       |amp3 AS (
+       |  SELECT k, max(m) - min(m) AS amp3 FROM (
+       |    SELECT k, idx % 3 AS phase, avg(cnt) AS m FROM daily GROUP BY 1, 2) x
+       |  GROUP BY k)
+       |SELECT ac.k, ac1, ac2, ac3, round(amp2, 6) AS amp2, round(amp3, 6) AS amp3
+       |FROM ac JOIN amp2 ON ac.k = amp2.k JOIN amp3 ON ac.k = amp3.k
+       |ORDER BY ac.k""".stripMargin
 
   // -- q41: IQR outliers with z-score severity, over per-user daily value sums
   private def q41(s: SparkSession, dir: String): DataFrame = {

@@ -69,6 +69,23 @@ object TemporalOps {
     withLags.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-phase cycle amplitude at fixed candidate periods
+    * (insight_discovery.py:1289-1306): mean value per phase position
+    * (idx mod period), amplitude = max − min of the phase means — the
+    * reference's cycle-strength measure that accompanies the
+    * autocorrelation score (:1243-1267). One aggregate per period, each
+    * map-side combinable. */
+  def cycleAmplitude(series: DataFrame, keyCol: String, idxCol: String,
+      valCol: String, periods: Seq[Int]): DataFrame = {
+    require(periods.nonEmpty, "cycleAmplitude needs at least one period")
+    periods.map { p =>
+      series.groupBy(col(keyCol), (col(idxCol) % p).as("phase"))
+        .agg(avg(col(valCol)).as("m"))
+        .groupBy(col(keyCol))
+        .agg((max(col("m")) - min(col("m"))).as(s"amp$p"))
+    }.reduce((a, b) => a.join(b, keyCol))
+  }
+
   /** IQR outliers: outside [Q1 − 1.5·IQR, Q3 + 1.5·IQR]
     * (insight_discovery.py:1793-1823), with z-score/5 severity capped 1
     * (:1824-1842). Exact interpolated percentiles (not approx) so the

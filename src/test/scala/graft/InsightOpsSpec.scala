@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.{GraphOps, NodeConstraints, PatternMatch, PatternSpec, RelationshipConstraints}
+import graft.operators.{Anomalies, Perspectives}
+import graft.temporal.TemporalOps
+
+/** Tiny-fixture semantics tests for the round-4 operators: pattern
+  * matching, topic subgraph, anomaly detectors, perspective analysis,
+  * cycle amplitude. */
+class InsightOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val edges = Seq(
+    ("a", "b", "likes", 0.9), ("b", "c", "likes", 0.8),
+    ("c", "a", "cites", 0.7), ("a", "d", "cites", 0.6),
+    ("d", "e", "likes", 0.5))
+    .toDF("from_id", "to_id", "relation_type", "confidence")
+
+  test("PatternMatch compiles constraints and relationship semi-joins") {
+    val nodes = Seq(
+      ("a", "alpha join doc", "src1", 0.9, 0.5),
+      ("b", "beta join doc", "src1", 0.9, 0.5),  // no outgoing 'cites'
+      ("c", "gamma join doc", "src2", 0.9, 0.5), // source mismatch
+      ("d", "delta doc", "src1", 0.9, 0.5))      // content mismatch
+      .toDF("node_id", "content", "source", "truthfulness", "richness")
+    val spec = PatternSpec(
+      NodeConstraints(contentContains = Some("join"),
+        minTruthfulness = Some(0.5), sourceContains = Some("src1")),
+      RelationshipConstraints(outgoingRelationType = Some("cites")))
+    val out = PatternMatch.matches(nodes, edges, spec)
+      .select("node_id", "pattern_score").as[(String, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq("a"))
+    // 0.3·0.9 + 0.2·0.5 + 0.5 content bonus = 0.87
+    assert(math.abs(out.head._2 - 0.87) < 1e-9)
+  }
+
+  test("PatternMatch with no constraints keeps all nodes, capped") {
+    val nodes = Seq(("a", "x", "s", 0.5, 0.5), ("b", "y", "s", 0.9, 0.5))
+      .toDF("node_id", "content", "source", "truthfulness", "richness")
+    val out = PatternMatch.matches(nodes, edges, PatternSpec(maxResults = 1))
+      .select("node_id").as[String].collect()
+    assert(out.toSeq == Seq("b")) // higher truthfulness score wins
+  }
+
+  test("topicSubgraph composes relevance filter + induced subgraph + density") {
+    val content = Seq(
+      ("a", "data table doc"), ("b", "data table doc"),
+      ("c", "data only doc"), ("e", "data table doc"))
+      .toDF("node_id", "content")
+    val hits = Seq("a", "b", "c", "d").toDF("node_id") // d: no content row
+    val out = GraphOps.topicSubgraph(edges, content, hits,
+      keywords = Seq("data", "table"), maxNodes = 10, minRelevance = 0.7)
+    val rows = out.select("from_id", "to_id", "n_nodes", "n_edges", "density")
+      .as[(String, String, Long, Long, Double)].collect()
+    // kept = {a, b} (c fails relevance, d has no content, e not a hit);
+    // induced edge: a->b only
+    assert(rows.toSeq == Seq(("a", "b", 2L, 1L, 0.5)))
+  }
+
+  test("semanticOutliers flags low-similarity members of low-cohesion groups") {
+    val docsDf = Seq(
+      ("g1", 1L, "alpha beta gamma"), ("g1", 2L, "alpha beta delta"),
+      ("g1", 3L, "zz yy xx"), // the outlier
+      ("g2", 4L, "p q"), ("g2", 5L, "p q")) // n=2 < minGroup
+      .toDF("src", "id", "text")
+    val out = Anomalies.semanticOutliers(docsDf, "src", "id", "text",
+      minGroup = 3, groupAvgBelow = 0.9, nodeAvgBelow = 0.1)
+      .select("id").as[Long].collect()
+    assert(out.toSeq == Seq(3L))
+  }
+
+  test("temporalGapsBursts finds gap runs and burst days") {
+    val series = Seq(
+      ("u1", 0, 10L), ("u1", 1, 10L), ("u1", 4, 10L), // gap days 2-3
+      ("u2", 0, 1L), ("u2", 1, 1L), ("u2", 2, 1L), ("u2", 3, 1L),
+      ("u2", 4, 1L), ("u2", 5, 1L), ("u2", 6, 1L), ("u2", 7, 100L)) // burst
+      .toDF("k", "idx", "cnt")
+    val out = Anomalies.temporalGapsBursts(series, "k", "idx", "cnt",
+      sigmaK = 2.0, minGap = 2)
+      .select("k", "kind", "start_idx", "end_idx", "len")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(out.contains(("u1", "gap", 2L, 3L, 2L)))
+    assert(out.exists(r => r._1 == "u2" && r._2 == "burst" && r._3 == 7L))
+  }
+
+  test("behavioralOutliers applies the three reference rules") {
+    // hub node with far more incident edges than average
+    val hubEdges = (1 to 30).map(i => ("hub", s"n$i", "likes", 0.5)) ++
+      Seq(("n1", "n2", "likes", 0.5), ("n3", "n4", "likes", 0.5))
+    val out = Anomalies.behavioralOutliers(
+      hubEdges.toDF("from_id", "to_id", "relation_type", "confidence"))
+      .select("node_id", "reason").as[(String, String)].collect().toMap
+    assert(out.contains("hub"))
+    assert(out("hub").contains("excessive_relationships"))
+  }
+
+  test("comparisonMatrix and consensusLevels") {
+    val docsDf = Seq(
+      ("t1", "en", "alpha beta gamma"), ("t1", "fr", "alpha beta delta"),
+      ("t1", "de", "zz yy"))
+      .toDF("source", "lang", "text")
+    val m = Perspectives.comparisonMatrix(docsDf, "source", "lang", "text",
+      claimMin = 1)
+    val sims = m.select("a_persp", "b_persp", "sim")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // en vs fr share 2 of 4 tokens: J = 0.5 → sim = 0.5·0.5 + 0.3·0.5 = 0.4
+    assert(math.abs(sims(("en", "fr")) - 0.4) < 1e-9)
+    assert(sims(("de", "en")) == 0.0 && sims(("de", "fr")) == 0.0)
+    val lvl = Perspectives.consensusLevels(m)
+      .select("level").as[String].collect()
+    assert(lvl.toSeq == Seq("strong_disagreement")) // avg = 0.4/3 < 0.2
+  }
+
+  test("temporalEvolution classifies trends per the reference rules") {
+    // stable: identical sets every period (sim 1.0 > 0.7)
+    val stable = (0 to 3).map(p => ("s", p, Seq("a", "b")))
+    // diverging: strictly increasing consecutive sims
+    val diverging = Seq(
+      ("d", 0, Seq("a", "b", "c", "d")), ("d", 1, Seq("c", "d", "e", "f")),
+      ("d", 2, Seq("c", "d", "e", "x")), ("d", 3, Seq("c", "d", "e", "x")))
+    // insufficient: only 2 periods
+    val short = Seq(("i", 0, Seq("a")), ("i", 1, Seq("a")))
+    val ps = (stable ++ diverging ++ short).toDF("topic", "period", "toks")
+    val out = Perspectives.temporalEvolution(ps)
+      .select("topic", "trend").as[(String, String)].collect().toMap
+    assert(out("s") == "stable")
+    assert(out("d") == "diverging")
+    assert(out("i") == "insufficient_data")
+  }
+
+  test("cycleAmplitude computes phase-mean range per period") {
+    // period-2 alternation 10/20 → phase means 10 and 20 → amp2 = 10
+    val series = (0 until 8).map(i => ("k1", i, if (i % 2 == 0) 10L else 20L))
+      .toDF("k", "idx", "cnt")
+    val out = TemporalOps.cycleAmplitude(series, "k", "idx", "cnt", Seq(2, 4))
+      .select("amp2", "amp4").as[(Double, Double)].collect().head
+    assert(out._1 == 10.0)
+    assert(out._2 == 10.0) // phases 0,2 → 10; 1,3 → 20
+  }
+}
