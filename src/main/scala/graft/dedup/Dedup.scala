@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.text.TextFunctions
 import graft.functions.VectorFunctions
+import graft.engine.Lineage.LineageOps
 
 /** Deduplication operators for large-scale training-data pipelines:
   * exact (hash group-by), MinHash+LSH (shingle → signature → band →
@@ -44,7 +45,7 @@ object Dedup {
     val r = k / bands
     val sig = docs.select(col(idCol).as("id"),
       TextFunctions.minhashSignature(col(textCol), k).as("sig"))
-      .localCheckpoint() // signatures computed exactly once
+      .truncateLineage() // signatures computed exactly once
     // Candidate generation on NARROW rows (bucket, id): the bucket join
     // never shuffles signatures, and duplicate collisions across bands
     // are deduplicated before any scoring work.
@@ -111,7 +112,7 @@ object Dedup {
       col(textCol).as("text"))
     val sh = simhash16(withBlk, "id", "text")
       .join(withBlk.select(col("id"), col("blk")), "id")
-      .localCheckpoint() // hashes computed once; reused by both join sides
+      .truncateLineage() // hashes computed once; reused by both join sides
     val nChunks = maxDist + 1
     // chunk i covers bits [bounds(i), bounds(i+1)) — widths differ by ≤1
     // when nChunks doesn't divide 16, preserving the pigeonhole guarantee
@@ -149,7 +150,7 @@ object Dedup {
       blockCol: String, n: Int, threshold: Double): DataFrame = {
     val g = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
         array_distinct(TextFunctions.charShingles(col(textCol), n)).as("toks"))
-      .localCheckpoint() // shingle once; reused by prefix + verify stages
+      .truncateLineage() // shingle once; reused by prefix + verify stages
     graft.semantic.SimilarityJoins.prefixPairs(g, threshold)
       .filter(col("sim") >= threshold)
       .select(col("blk"), col("a_id"), col("b_id"), col("sim"))

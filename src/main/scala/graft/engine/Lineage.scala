@@ -1,0 +1,38 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage truncation for iterative / reused plans.
+  *
+  * Every iterative loop (BFS hops, label propagation, chain DP) and every
+  * materialize-once-reuse-twice frame needs its lineage cut so plans
+  * don't nest. `localCheckpoint` does that with executor-local blocks —
+  * right for single-JVM runs, but on a real cluster a lost executor makes
+  * those blocks unrecoverable (lineage is gone, so they can't be
+  * recomputed) and the job dies. The cluster-safe form is a RELIABLE
+  * checkpoint into a fault-tolerant filesystem.
+  *
+  * `truncateLineage()` picks per session: when
+  * `spark.graft.reliableCheckpoints=true` AND a checkpoint dir is
+  * configured (`spark.sparkContext.setCheckpointDir(...)`, pointing at
+  * HDFS/S3/DBFS on a cluster), it uses `checkpoint()`; otherwise it falls
+  * back to `localCheckpoint()`. Both variants materialize eagerly and
+  * preserve the frame's partitioning, so operator plans are identical
+  * either way — only the storage durability differs.
+  */
+object Lineage {
+
+  /** Session conf key opting iterative operators into reliable
+    * checkpoints (default false = localCheckpoint). */
+  val ReliableKey = "spark.graft.reliableCheckpoints"
+
+  implicit final class LineageOps(private val df: DataFrame) extends AnyVal {
+    def truncateLineage(): DataFrame = {
+      val spark = df.sparkSession
+      val reliable =
+        spark.conf.get(ReliableKey, "false").toBoolean &&
+          spark.sparkContext.getCheckpointDir.isDefined
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    }
+  }
+}

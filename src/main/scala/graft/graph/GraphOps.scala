@@ -2,6 +2,7 @@ package graft.graph
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.engine.Lineage.LineageOps
 
 /** Graph traversal operators over plain `edges` DataFrames
   * (`from_id`, `to_id`, `relation_type`, `confidence`).
@@ -11,8 +12,10 @@ import org.apache.spark.sql.functions._
   * mcp_integration/enhanced_mcp_endpoint.py:76-270). Here each hop is a
   * distributed hash join on the node id; depth is small (≤5 per the
   * reference defaults) so the loop is driver-side orchestration of
-  * Catalyst plans, with `localCheckpoint` truncating lineage per hop so
-  * plans don't grow exponentially at scale.
+  * Catalyst plans, with `Lineage.truncateLineage` cutting lineage per hop
+  * so plans don't grow exponentially (reliable checkpoints on a cluster
+  * when `spark.graft.reliableCheckpoints` + a checkpoint dir are set;
+  * localCheckpoint otherwise).
   *
   * Scale notes (100 TB): every hop shuffles on the join key only; the
   * frontier is deduplicated before each expansion; visited-set
@@ -70,10 +73,10 @@ object GraphOps {
       case _ => edgeFilter.map(e0.filter).getOrElse(e0)
         .select(col("node_id"), col("next_id"))
         .repartition(col("node_id"))
-        .localCheckpoint()
+        .truncateLineage()
     }
     var reached = seeds.select(col("node_id")).distinct()
-      .withColumn("hop", lit(0)).localCheckpoint()
+      .withColumn("hop", lit(0)).truncateLineage()
     var frontier = reached
     var h = 1
     while (h <= maxHops && !frontier.isEmpty) {
@@ -81,7 +84,7 @@ object GraphOps {
         .select(col("next_id").as("node_id")).distinct()
         .join(reached, Seq("node_id"), "left_anti")
         .withColumn("hop", lit(h))
-        .localCheckpoint() // truncate lineage; BFS plans must not nest
+        .truncateLineage() // truncate lineage; BFS plans must not nest
       // reached is a union of already-materialized frontiers — no extra
       // checkpoint needed, lineage stays flat.
       reached = reached.unionByName(next)
@@ -120,12 +123,12 @@ object GraphOps {
       case _ => edgeFilter.map(e0.filter).getOrElse(e0)
         .select(keep: _*)
         .repartition(col("node_id"))
-        .localCheckpoint()
+        .truncateLineage()
     }
     var reached = seeds.select(col("node_id")).distinct()
       .withColumn("hop", lit(0))
       .withColumn("path", col("node_id"))
-      .localCheckpoint()
+      .truncateLineage()
     var frontier = reached
     var h = 1
     while (h <= maxHops && !frontier.isEmpty) {
@@ -139,7 +142,7 @@ object GraphOps {
         .join(reached.select(col("node_id")), Seq("node_id"), "left_anti")
         .withColumn("hop", lit(h))
         .select(col("node_id"), col("hop"), col("path"))
-        .localCheckpoint()
+        .truncateLineage()
       reached = reached.unionByName(next)
       frontier = next
       h += 1
@@ -207,7 +210,7 @@ object GraphOps {
       .orderBy(col("relevance").desc, col("node_id"))
       .limit(maxNodes)
       .select(col("node_id"))
-      .localCheckpoint() // reused by both semi-joins and the node count
+      .truncateLineage() // reused by both semi-joins and the node count
     val sub = inducedSubgraph(edges, kept)
     val nNodes = kept.agg(count(lit(1)).as("n_nodes"))
     val nEdges = sub.agg(count(lit(1)).as("n_edges"))
@@ -233,14 +236,14 @@ object GraphOps {
       else edges
         .select(col("from_id").as("cur"), col("to_id").as("next_id"))
         .repartition(col("cur"))
-        .localCheckpoint()
+        .truncateLineage()
     val roots0 = out.select(col("cur").as("node_id")).distinct()
       .join(out.select(col("next_id").as("node_id")).distinct(),
         Seq("node_id"), "left_anti")
     val roots = seedFilter.map(roots0.filter).getOrElse(roots0)
     var frontier = roots
       .select(col("node_id").as("start_id"), col("node_id").as("cur"), lit(0).as("len"))
-      .localCheckpoint()
+      .truncateLineage()
     var done: DataFrame = null
     var h = 0
     while (h < maxLen && !frontier.isEmpty) {
@@ -249,7 +252,7 @@ object GraphOps {
       // output materializes both halves in a single pass.
       val step = frontier
         .join(out, Seq("cur"), "left_outer")
-        .localCheckpoint()
+        .truncateLineage()
       val finished = step.filter(col("next_id").isNull)
         .select(col("start_id"), col("cur").as("end_id"), col("len"))
       done = if (done == null) finished else done.unionByName(finished)
@@ -288,18 +291,18 @@ object GraphOps {
       else edges
         .select(col("from_id").as("cur"), col("to_id").as("next_id"))
         .repartition(col("cur"))
-        .localCheckpoint()
+        .truncateLineage()
     val roots0 = out.select(col("cur").as("node_id")).distinct()
       .join(out.select(col("next_id").as("node_id")).distinct(),
         Seq("node_id"), "left_anti")
     val roots = seedFilter.map(roots0.filter).getOrElse(roots0)
     var frontier = roots
       .select(col("node_id").as("cur"), lit(0).as("len"), lit(1L).as("cnt"))
-      .localCheckpoint()
+      .truncateLineage()
     var done: DataFrame = null
     var h = 0
     while (h < maxLen && !frontier.isEmpty) {
-      val step = frontier.join(out, Seq("cur"), "left_outer").localCheckpoint()
+      val step = frontier.join(out, Seq("cur"), "left_outer").truncateLineage()
       val finished = step.filter(col("next_id").isNull)
         .select(col("len"), col("cur").as("end_id"), col("cnt").as("n_chains"))
       done = if (done == null) finished else done.unionByName(finished)
@@ -334,9 +337,9 @@ object GraphOps {
     val und = edges.select(col("from_id").as("node_id"), col("to_id").as("next_id"))
       .unionByName(edges.select(col("to_id").as("node_id"), col("from_id").as("next_id")))
       .repartition(col("node_id"))
-      .localCheckpoint()
+      .truncateLineage()
     var labels = und.select(col("node_id")).distinct()
-      .withColumn("component", col("node_id")).localCheckpoint()
+      .withColumn("component", col("node_id")).truncateLineage()
     var changed = true
     var i = 0
     while (changed && i < maxIter) {
@@ -344,7 +347,7 @@ object GraphOps {
         .select(col("next_id").as("node_id"), col("component"))
       val next = labels.unionByName(prop)
         .groupBy("node_id").agg(min(col("component")).as("component"))
-        .localCheckpoint()
+        .truncateLineage()
       changed = !next.join(labels,
         next("node_id") === labels("node_id") &&
           next("component") === labels("component"), "left_anti").isEmpty

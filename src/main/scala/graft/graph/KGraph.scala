@@ -3,6 +3,7 @@ package graft.graph
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.engine.Lineage.LineageOps
 
 /** Deterministic knowledge-graph view over the driver's synthetic star
   * schema: entities become typed nodes ("c:<id>", "o:<id>", ...) and the
@@ -28,7 +29,7 @@ object KGraph {
 
   def materialized(spark: SparkSession, dir: String): DataFrame =
     cache.computeIfAbsent(spark.hashCode() + "|" + dir,
-      _ => edges(spark, dir).localCheckpoint())
+      _ => edges(spark, dir).truncateLineage())
 
   /** Direction-oriented edge tables, hash-partitioned on the traversal
     * key and materialized once per (session, sfDir, direction) — the
@@ -40,7 +41,7 @@ object KGraph {
     cache.computeIfAbsent(spark.hashCode() + "|" + dir + "|" + direction,
       _ => GraphOps.oriented(materialized(spark, dir), direction)
         .repartition(col("node_id"))
-        .localCheckpoint())
+        .truncateLineage())
 
   /** Typed edges: from_id, to_id, relation_type, confidence. */
   def edges(spark: SparkSession, dir: String): DataFrame = {

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.text.TextFunctions
+import graft.engine.Lineage.LineageOps
 
 /** Anomaly detectors beyond the structural (q65) and statistical
   * (q39/q41) families: semantic, temporal, and behavioral — the
@@ -29,7 +30,7 @@ object Anomalies {
       nodeAvgBelow: Double = 0.15): DataFrame = {
     val t = docs.select(col(groupCol).as("grp"), col(idCol).as("id"),
         TextFunctions.distinctTokens(col(textCol)).as("toks"))
-      .localCheckpoint() // tokenize once; both join sides reuse it
+      .truncateLineage() // tokenize once; both join sides reuse it
     val a = t.select(col("grp"), col("id").as("a_id"), col("toks").as("a"))
     val b = t.select(col("grp"), col("id").as("b_id"), col("toks").as("b"))
     // ordered pairs (each unordered pair twice) so one groupBy yields the

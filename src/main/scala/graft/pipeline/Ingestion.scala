@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.text.TextFunctions
 import graft.dedup.Dedup
 import graft.semantic.SimilarityJoins
+import graft.engine.Lineage.LineageOps
 
 /** End-to-end ingestion pipeline (reference lifecycle:
   * advanced_extractor.py:84-196 → merging.py → relationship_extractor
@@ -94,7 +95,7 @@ object Ingestion {
         array_sort(collect_set(col("source"))).as("sources"),
         count(lit(1)).as("merged_from"))
       .withColumn("source", array_join(col("sources"), "; "))
-      .localCheckpoint() // feeds nodes, embeddings, both edge joins, revisions
+      .truncateLineage() // feeds nodes, embeddings, both edge joins, revisions
 
     // 3. Embed unique contents only (dedup-before-embed: identical texts
     //    embed once), batched per partition.

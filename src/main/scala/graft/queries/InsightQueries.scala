@@ -8,6 +8,7 @@ import graft.operators.{Anomalies, Perspectives, Ranking}
 import graft.semantic.VectorSearch
 import graft.text.{TextFunctions => TF}
 import graft.functions.{VectorFunctions => VF}
+import graft.engine.Lineage.LineageOps
 
 /** Round-4 additions (SURVEY.md §2 gap closure): topic subgraph
   * extraction, generic pattern matching, the remaining anomaly detector
@@ -332,7 +333,7 @@ object InsightQueries {
   private def q80(s: SparkSession, dir: String): DataFrame = {
     val top = AnalyticsQueries.ranked(s, dir)
       .select(col("doc_id"), TF.distinctTokens(col("text")).as("toks"))
-      .localCheckpoint() // 50 rows; both self-join sides reuse it
+      .truncateLineage() // 50 rows; both self-join sides reuse it
     val a = top.select(col("doc_id").as("a_id"), col("toks").as("a"))
     val b = top.select(col("doc_id").as("b_id"), col("toks").as("b"))
     a.crossJoin(b).filter(col("a_id") =!= col("b_id"))

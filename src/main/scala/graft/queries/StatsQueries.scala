@@ -7,6 +7,7 @@ import graft.Tables
 import graft.graph.{GraphOps, KGraph}
 import graft.temporal.TemporalOps
 import graft.text.{TextFunctions => TF}
+import graft.engine.Lineage.LineageOps
 
 /** Second statistics/insight family (SURVEY.md §2.7 remainder +
   * §2.1 content scan): growth rate, decline runs, group similarity,
@@ -78,7 +79,7 @@ object StatsQueries {
   private def q62(s: SparkSession, dir: String): DataFrame = {
     val t = docs(s, dir)
       .select(col("source"), col("doc_id"), TF.distinctTokens(col("text")).as("toks"))
-      .localCheckpoint() // tokenize once; the self-join reuses it
+      .truncateLineage() // tokenize once; the self-join reuses it
     val a = t.select(col("source"), col("doc_id").as("a_id"), col("toks").as("a"))
     val b = t.select(col("source"), col("doc_id").as("b_id"), col("toks").as("b"))
     a.join(b, "source").filter(col("a_id") < col("b_id"))

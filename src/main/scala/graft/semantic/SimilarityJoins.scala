@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.text.TextFunctions
+import graft.engine.Lineage.LineageOps
 
 /** Relationship-discovery joins (SURVEY.md §2.3): the reference's O(n²)
   * pairwise loops (ingestion/relationship_extractor.py:215-369)
@@ -39,7 +40,7 @@ object SimilarityJoins {
     val tokenized = docs
       .select(col(blockCol).as("blk"), col(idCol).as("id"),
         toks(col(textCol)).as("toks"))
-      .localCheckpoint()
+      .truncateLineage()
     // Salted self-join: block keys are few (low cardinality ⇒ skew), so
     // pair (a,b) is produced at key (blk, salt(a)) with the b side
     // replicated across salts — same pairs exactly once, S× the
@@ -92,7 +93,7 @@ object SimilarityJoins {
     val tokenized = docs
       .select(col(blockCol).as("blk"), col(idCol).as("id"),
         toks(col(textCol)).as("toks"))
-      .localCheckpoint() // tokenize once; reused by prefix + verify stages
+      .truncateLineage() // tokenize once; reused by prefix + verify stages
     prefixPairs(tokenized, threshold)
       .filter(col("sim") > threshold)
       .withColumn("confidence",
