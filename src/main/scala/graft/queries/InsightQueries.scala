@@ -400,6 +400,32 @@ object InsightQueries {
       |    AS richness
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -- q82: batch revert-to-previous-state (revision_manager.py:322-362)
+  //         — per object (user), the reverted state is the second-most-
+  //         recent revision's value; <2 revisions keep current. One
+  //         window pass replaces the reference's per-object loop.
+  private def q82(s: SparkSession, dir: String): DataFrame =
+    graft.versioning.Snapshots.revertToPrevious(
+        events(s, dir).withColumn("sec", unix_timestamp(col("ts"))),
+        "user_id", "sec", "event_id", Seq("value"))
+      .select(col("user_id"), round(col("cur_value"), 6).as("cur_value"),
+        round(col("reverted_value"), 6).as("reverted_value"), col("reverted"))
+      .orderBy(col("user_id"))
+
+  private val q82Sql =
+    """WITH r AS (
+      |  SELECT user_id, value,
+      |    row_number() OVER w AS rn,
+      |    lead(sec) OVER w AS prev_sec,
+      |    lead(value) OVER w AS prev_value
+      |  FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events) e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY sec DESC, event_id DESC))
+      |SELECT user_id, round(value, 6) AS cur_value,
+      |  round(CASE WHEN prev_sec IS NOT NULL THEN prev_value ELSE value END, 6)
+      |    AS reverted_value,
+      |  prev_sec IS NOT NULL AS reverted
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q73_topic_subgraph", q73, Some(q73Sql), headline = true),
     Q("q74_pattern_spec", q74, Some(q74Sql)),
@@ -409,5 +435,6 @@ object InsightQueries {
     Q("q78_perspective_matrix", q78, Some(q78Sql), headline = true),
     Q("q79_perspective_evolution", q79, Some(q79Sql)),
     Q("q80_diversity_feature", q80, Some(q80Sql)),
-    Q("q81_metadata_richness", q81, Some(q81Sql)))
+    Q("q81_metadata_richness", q81, Some(q81Sql)),
+    Q("q82_snapshot_revert", q82, Some(q82Sql)))
 }

@@ -111,4 +111,75 @@ object Exporters {
       }
     n.union(e)
   }
+
+  /** Plain-XML export (data_exporter.py:311-356 `_export_xml`:
+    * `<knowledge_graph>` with a `<nodes>`/`<relationships>` section, one
+    * element per field). Fragments render per partition; only the
+    * document envelope (with the metadata counts, :315-319) is
+    * driver-side, via `collectXml`. */
+  def xmlFragments(nodes: DataFrame, edges: DataFrame): Dataset[String] = {
+    import nodes.sparkSession.implicits._
+    val n = nodeIds(nodes)
+      .map(id => s"    <node><node_id>${esc(id)}</node_id></node>")
+    val e = edgeTriples(edges).map { case (f, t, r) =>
+      s"    <relationship><from_id>${esc(f)}</from_id>" +
+        s"<to_id>${esc(t)}</to_id>" +
+        s"<relation_type>${esc(r)}</relation_type></relationship>"
+    }
+    n.union(e)
+  }
+
+  def collectXml(nodes: DataFrame, edges: DataFrame): String = {
+    val nLines = nodeIds(nodes).collect()
+      .map(id => s"    <node><node_id>${esc(id)}</node_id></node>")
+    val eLines = edgeTriples(edges).collect().map { case (f, t, r) =>
+      s"    <relationship><from_id>${esc(f)}</from_id>" +
+        s"<to_id>${esc(t)}</to_id>" +
+        s"<relation_type>${esc(r)}</relation_type></relationship>"
+    }
+    s"""<?xml version="1.0" encoding="utf-8"?>
+       |<knowledge_graph>
+       |  <metadata>
+       |    <node_count>${nLines.length}</node_count>
+       |    <relationship_count>${eLines.length}</relationship_count>
+       |  </metadata>
+       |  <nodes>
+       |${nLines.mkString("\n")}
+       |  </nodes>
+       |  <relationships>
+       |${eLines.mkString("\n")}
+       |  </relationships>
+       |</knowledge_graph>""".stripMargin
+  }
+
+  /** NetworkX export (data_exporter.py `_export_networkx`). The
+    * reference pickles an nx.DiGraph — a Python-only artifact; the
+    * portable NetworkX interchange is node-link JSON
+    * (`networkx.node_link_data` / loadable with `nx.node_link_graph`),
+    * which is what this emits. One JSON document; node and link entries
+    * are rendered distributed via Spark's JSON expression, the envelope
+    * is driver-side. */
+  def nodeLinkJson(nodes: DataFrame, edges: DataFrame): String = {
+    import nodes.sparkSession.implicits._
+    val n = nodeIds(nodes)
+      .map(id => s"""{"id": ${jsonStr(id)}}""").collect()
+    val l = edgeTriples(edges).map { case (f, t, r) =>
+      s"""{"source": ${jsonStr(f)}, "target": ${jsonStr(t)}, """ +
+        s""""relation_type": ${jsonStr(r)}}"""
+    }.collect()
+    s"""{"directed": true, "multigraph": false, "graph": {},
+       | "nodes": [${n.mkString(", ")}],
+       | "links": [${l.mkString(", ")}]}""".stripMargin
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 }

@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.{Exporters, Importers}
+import graft.versioning.Snapshots
+
+/** Snapshot lifecycle (create / list / restore / verify / revert) and
+  * export→import round-trips for the interchange formats. */
+class SnapshotImportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val nodes = Seq("a", "b", "c&d").toDF("node_id")
+  private lazy val edges = Seq(
+    ("a", "b", "likes", 0.9), ("b", "c&d", "cites", 0.7))
+    .toDF("from_id", "to_id", "relation_type", "confidence")
+
+  test("snapshot create / list / restore / verify") {
+    val dir = Files.createTempDirectory("graft-snap").toString
+    Snapshots.create(nodes, edges, dir, "s1", timestamp = 100L)
+    Snapshots.create(nodes.limit(2), edges.limit(1), dir, "s2", timestamp = 200L)
+
+    val listed = Snapshots.list(spark, dir)
+      .select("snapshot_id", "n_nodes", "n_edges")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(listed == Seq(("s2", 2L, 1L), ("s1", 3L, 2L))) // newest first
+
+    val (rn, re) = Snapshots.restore(spark, dir, "s1")
+    assert(rn.as[String].collect().toSet == Set("a", "b", "c&d"))
+    assert(re.count() == 2)
+    assert(Snapshots.verify(spark, dir, "s1"))
+    assert(Snapshots.verify(spark, dir, "s2"))
+  }
+
+  test("revertToPrevious takes the second-most-recent revision per object") {
+    val revs = Seq(
+      ("n1", 1L, 1L, 10.0), ("n1", 2L, 2L, 20.0), ("n1", 3L, 3L, 30.0),
+      ("n2", 1L, 4L, 5.0)) // single revision — cannot revert
+      .toDF("id", "ts", "seq", "value")
+    val out = Snapshots.revertToPrevious(revs, "id", "ts", "seq", Seq("value"))
+      .select("id", "cur_value", "reverted_value", "reverted")
+      .as[(String, Double, Double, Boolean)].collect().toSet
+    assert(out == Set(("n1", 30.0, 20.0, true), ("n2", 5.0, 5.0, false)))
+  }
+
+  test("GraphML export round-trips through the importer") {
+    val dir = Files.createTempDirectory("graft-gml").toString + "/g.graphml"
+    Exporters.graphMlFragments(nodes, edges).write.text(dir)
+    val back = Importers.graphMlEdges(spark, dir)
+      .as[(String, String, String)].collect().toSet
+    assert(back == Set(("a", "b", "likes"), ("b", "c&d", "cites")))
+    val backNodes = Importers.graphMlNodes(spark, dir).as[String].collect().toSet
+    assert(backNodes == Set("a", "b", "c&d"))
+  }
+
+  test("RDF N-Triples export round-trips through the importer") {
+    val dir = Files.createTempDirectory("graft-rdf").toString + "/g.nt"
+    Exporters.rdfTriples(edges).write.text(dir)
+    val back = Importers.rdfEdges(spark, dir)
+      .select("from_id", "to_id", "relation_type")
+      .as[(String, String, String)].collect().toSet
+    assert(back == Set(("a", "b", "likes"), ("b", "c&d", "cites")))
+  }
+
+  test("tabular edge import validates required columns") {
+    val dir = Files.createTempDirectory("graft-json").toString + "/edges.json"
+    Exporters.writeJson(edges, dir)
+    val back = Importers.readEdges(spark, dir, Some("json"))
+    assert(back.columns.toSeq == Seq("from_id", "to_id", "relation_type"))
+    assert(back.count() == 2)
+    val bad = Files.createTempDirectory("graft-bad").toString + "/bad.json"
+    Exporters.writeJson(edges.select(col("from_id")), bad)
+    val err = intercept[IllegalArgumentException] {
+      Importers.readEdges(spark, bad, Some("json"))
+    }
+    assert(err.getMessage.contains("to_id"))
+  }
+
+  test("XML and node-link JSON envelopes carry counts and entries") {
+    val xml = Exporters.collectXml(nodes, edges)
+    assert(xml.contains("<node_count>3</node_count>"))
+    assert(xml.contains("<relationship_count>2</relationship_count>"))
+    assert(xml.contains("<to_id>c&amp;d</to_id>")) // escaping
+    val json = Exporters.nodeLinkJson(nodes, edges)
+    assert(json.contains(""""directed": true"""))
+    assert(json.contains(""""source": "a", "target": "b""""))
+  }
+}
