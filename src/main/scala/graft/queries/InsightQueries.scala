@@ -426,6 +426,47 @@ object InsightQueries {
       |  prev_sec IS NOT NULL AS reverted
       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  // -- q83: include_relationships enrichment + nested projection
+  //         (query_engine.py:361, :435-440) — each result node carries a
+  //         sorted relationships array; the nested projection keeps
+  //         (direction, other_id, relation_type) and drops confidence.
+  //         Rendered to a string so the oracle hash sees the nested data.
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    val results = Tables.load(s, dir, "customer")
+      .filter(col("c_acctbal") > 9000)
+      .select(concat(lit("c:"), col("c_custkey").cast("string")).as("node_id"))
+    val enriched = graft.operators.Projections.includeRelationships(
+      results, KGraph.materialized(s, dir))
+    graft.operators.Projections.projectNested(enriched, "relationships",
+        Seq("direction", "other_id", "relation_type"))
+      .select(col("node_id"),
+        size(col("relationships")).as("n_rels"),
+        array_join(expr(
+          "transform(relationships, x -> concat_ws(':', x.direction, x.other_id, x.relation_type))"),
+          "|").as("rels_str"))
+      .orderBy(col("node_id"))
+  }
+
+  private val q83Sql =
+    s"""WITH ${KGraph.edgesSql},
+       |results AS (
+       |  SELECT 'c:'||c_custkey AS node_id FROM customer WHERE c_acctbal > 9000),
+       |bi AS (
+       |  SELECT from_id AS node_id, 'out' AS direction, to_id AS other_id,
+       |    relation_type, confidence FROM edges
+       |  UNION ALL
+       |  SELECT to_id, 'in', from_id, relation_type, confidence FROM edges),
+       |rels AS (
+       |  SELECT node_id,
+       |    list(direction || ':' || other_id || ':' || relation_type
+       |      ORDER BY direction, other_id, relation_type, confidence) AS rl
+       |  FROM bi GROUP BY node_id)
+       |SELECT r.node_id,
+       |  CAST(coalesce(len(rl), 0) AS INT) AS n_rels,
+       |  coalesce(array_to_string(rl, '|'), '') AS rels_str
+       |FROM results r LEFT JOIN rels USING (node_id)
+       |ORDER BY r.node_id""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q73_topic_subgraph", q73, Some(q73Sql), headline = true),
     Q("q74_pattern_spec", q74, Some(q74Sql)),
@@ -436,5 +477,6 @@ object InsightQueries {
     Q("q79_perspective_evolution", q79, Some(q79Sql)),
     Q("q80_diversity_feature", q80, Some(q80Sql)),
     Q("q81_metadata_richness", q81, Some(q81Sql)),
-    Q("q82_snapshot_revert", q82, Some(q82Sql)))
+    Q("q82_snapshot_revert", q82, Some(q82Sql)),
+    Q("q83_include_relationships", q83, Some(q83Sql)))
 }

@@ -75,7 +75,12 @@ object StatsQueries {
        |ORDER BY k, start_idx""".stripMargin
 
   // -- q62: avg pairwise token-Jaccard within source groups
-  //         (insight_discovery.py:690-720)
+  //         (insight_discovery.py:690-720). Scale contract: exact average
+  //         pairwise similarity is inherently Σ|group|² — the reference
+  //         itself only ever runs it over bounded groups. At corpus scale
+  //         callers must cap/sample each group first (e.g.
+  //         `.withColumn("r", rand(seed)).filter(...)` or a per-group
+  //         limit); the join below is a blocked equi-join either way.
   private def q62(s: SparkSession, dir: String): DataFrame = {
     val t = docs(s, dir)
       .select(col("source"), col("doc_id"), TF.distinctTokens(col("text")).as("toks"))

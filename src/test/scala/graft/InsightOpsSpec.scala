@@ -130,6 +130,29 @@ class InsightOpsSpec extends SparkSpec {
     assert(out("i") == "insufficient_data")
   }
 
+  test("includeRelationships attaches sorted arrays; projectNested drops fields") {
+    val results = Seq("a", "z").toDF("node_id") // z has no edges
+    val enriched = graft.operators.Projections.includeRelationships(results, edges)
+    val projected = graft.operators.Projections.projectNested(
+      enriched, "relationships", Seq("direction", "other_id"))
+    val byNode = projected
+      .select(col("node_id"), expr(
+        "transform(relationships, x -> concat_ws(':', x.direction, x.other_id))"))
+      .as[(String, Seq[String])].collect().toMap
+    // a: out->b (likes), out->d (cites), in<-c (cites) — sorted by struct order
+    assert(byNode("a") == Seq("in:c", "out:b", "out:d"))
+    assert(byNode("z") == Seq.empty) // empty array, not null
+    // confidence was dropped by the nested projection
+    val elem = projected.schema("relationships").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(elem.fieldNames.toSeq == Seq("direction", "other_id"))
+    // unknown nested field is rejected
+    intercept[IllegalArgumentException] {
+      graft.operators.Projections.projectNested(enriched, "relationships", Seq("nope"))
+    }
+  }
+
   test("cycleAmplitude computes phase-mean range per period") {
     // period-2 alternation 10/20 → phase means 10 and 20 → amp2 = 10
     val series = (0 until 8).map(i => ("k1", i, if (i % 2 == 0) 10L else 20L))
