@@ -5,7 +5,14 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional trailing names restrict the dump (dev loop); the driver
+    // always passes exactly (sfDir, outDir) → full dump
+    val Array(sfDir, outDir) = args.take(2)
+    val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")} — a typo here " +
+        "would silently dump nothing and let a stale compare pass")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -18,7 +25,10 @@ object Verify {
     // Queries are independent — run them on a small pool so Spark's
     // scheduler overlaps their jobs (I/O + planning gaps fill in).
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-    val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val selected =
+      if (only.isEmpty) SparkEntry.queries.toSeq
+      else SparkEntry.queries.toSeq.filter(kv => only(kv._1))
+    val tasks = selected.map { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit =
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

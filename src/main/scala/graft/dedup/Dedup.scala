@@ -148,6 +148,11 @@ object Dedup {
     * instead of the within-block cross product. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int, threshold: Double): DataFrame = {
+    // prefix filtering can only produce pairs sharing ≥1 shingle, so
+    // threshold 0 (which the all-pairs sweep would satisfy with
+    // disjoint-set pairs at sim 0.0) is outside this operator's contract
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1]: $threshold")
     val g = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
         array_distinct(TextFunctions.charShingles(col(textCol), n)).as("toks"))
       .truncateLineage() // shingle once; reused by prefix + verify stages

@@ -51,8 +51,10 @@ object Projections {
     }
     val missing = fields.filterNot(elem.fieldNames.contains)
     require(missing.isEmpty, s"unknown nested fields: ${missing.mkString(", ")}")
-    val rendered = fields.map(f => s"'$f', x.$f").mkString(", ")
+    // Column API, not an interpolated SQL string — field names with
+    // spaces/dots/quotes would break (or silently change) a parsed expr
     df.withColumn(arrayCol,
-      expr(s"transform($arrayCol, x -> named_struct($rendered))"))
+      transform(col(arrayCol),
+        x => struct(fields.map(f => x.getField(f).as(f)): _*)))
   }
 }

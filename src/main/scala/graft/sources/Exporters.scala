@@ -19,9 +19,12 @@ object Exporters {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  // Newlines/CR escape as numeric character references so every element
+  // stays on ONE text line — the line-oriented importers (Importers
+  // .graphMlEdges) would otherwise silently drop any id containing \n.
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-      .replace("\"", "&quot;")
+      .replace("\"", "&quot;").replace("\n", "&#10;").replace("\r", "&#13;")
 
   /** Single-quote escaper shared by the statement formats (Cypher,
     * Gremlin). Newlines become \n so one statement stays one line. */
@@ -117,26 +120,24 @@ object Exporters {
     * element per field). Fragments render per partition; only the
     * document envelope (with the metadata counts, :315-319) is
     * driver-side, via `collectXml`. */
+  private def xmlNodeLine(id: String): String =
+    s"    <node><node_id>${esc(id)}</node_id></node>"
+  private def xmlRelLine(f: String, t: String, r: String): String =
+    s"    <relationship><from_id>${esc(f)}</from_id>" +
+      s"<to_id>${esc(t)}</to_id>" +
+      s"<relation_type>${esc(r)}</relation_type></relationship>"
+
   def xmlFragments(nodes: DataFrame, edges: DataFrame): Dataset[String] = {
     import nodes.sparkSession.implicits._
-    val n = nodeIds(nodes)
-      .map(id => s"    <node><node_id>${esc(id)}</node_id></node>")
-    val e = edgeTriples(edges).map { case (f, t, r) =>
-      s"    <relationship><from_id>${esc(f)}</from_id>" +
-        s"<to_id>${esc(t)}</to_id>" +
-        s"<relation_type>${esc(r)}</relation_type></relationship>"
-    }
+    val n = nodeIds(nodes).map(xmlNodeLine _)
+    val e = edgeTriples(edges).map { case (f, t, r) => xmlRelLine(f, t, r) }
     n.union(e)
   }
 
   def collectXml(nodes: DataFrame, edges: DataFrame): String = {
-    val nLines = nodeIds(nodes).collect()
-      .map(id => s"    <node><node_id>${esc(id)}</node_id></node>")
-    val eLines = edgeTriples(edges).collect().map { case (f, t, r) =>
-      s"    <relationship><from_id>${esc(f)}</from_id>" +
-        s"<to_id>${esc(t)}</to_id>" +
-        s"<relation_type>${esc(r)}</relation_type></relationship>"
-    }
+    val nLines = nodeIds(nodes).collect().map(xmlNodeLine)
+    val eLines = edgeTriples(edges).collect()
+      .map { case (f, t, r) => xmlRelLine(f, t, r) }
     s"""<?xml version="1.0" encoding="utf-8"?>
        |<knowledge_graph>
        |  <metadata>

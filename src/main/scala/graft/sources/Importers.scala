@@ -19,16 +19,20 @@ import org.apache.spark.sql.functions._
   */
 object Importers {
 
-  /** data_importer.py:153-192 — extension-based detection. */
+  /** data_importer.py:153-192 — extension-based detection. `.nt` only
+    * for RDF: a `.rdf` file is conventionally RDF/XML, which the
+    * N-Triples line parser would silently read as zero rows; better to
+    * refuse loudly. `.xml` is the document-shaped export — not an
+    * importable edge list. */
   def detectFormat(path: String): String = {
     val lower = path.toLowerCase
     if (lower.endsWith(".json")) "json"
     else if (lower.endsWith(".csv")) "csv"
     else if (lower.endsWith(".parquet")) "parquet"
     else if (lower.endsWith(".graphml")) "graphml"
-    else if (lower.endsWith(".nt") || lower.endsWith(".rdf")) "rdf"
-    else if (lower.endsWith(".xml")) "xml"
-    else sys.error(s"Unsupported import format for: $path")
+    else if (lower.endsWith(".nt")) "rdf"
+    else sys.error(s"Unsupported import format for: $path " +
+      "(supported: .json .csv .parquet .graphml .nt)")
   }
 
   /** Edge-list import from a tabular file (json/csv/parquet), validating
@@ -51,7 +55,8 @@ object Importers {
   }
 
   private def unescXml(c: org.apache.spark.sql.Column) =
-    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&amp;" -> "&")
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#10;" -> "\n", "&#13;" -> "\r", "&amp;" -> "&")
       .foldLeft(c) { case (acc, (from, to)) => regexp_replace(acc, from, to) }
 
   /** GraphML import (data_importer.py graphml path): parses the

@@ -22,16 +22,18 @@ import org.apache.spark.sql.functions._
   */
 object Snapshots {
 
-  private def tableChecksum(df: DataFrame): Long = {
+  /** (rows, checksum) in ONE pass: decimal-sum of per-row xxhash64 (an
+    * ANSI long sum overflows) folded back to a long — order-independent
+    * and overflow-free. */
+  private def countAndChecksum(df: DataFrame): (Long, Long) = {
     val hashed = df.select(
       xxhash64(df.columns.map(c => col(c).cast("string")): _*).as("h"))
-    // decimal-sum the 64-bit hashes (an ANSI long sum overflows), then
-    // fold back to a long — order-independent and overflow-free
-    val s = hashed.agg(
+    val row = hashed.agg(
+      count(lit(1)).as("n"),
       (sum(col("h").cast("decimal(38,0)")) % lit(Long.MaxValue))
         .cast("long").as("c"))
       .head
-    if (s.isNullAt(0)) 0L else s.getLong(0) // empty table → 0
+    (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1)) // empty → 0
   }
 
   /** Create a tagged snapshot (revision_manager.py:197-236 /
@@ -41,12 +43,10 @@ object Snapshots {
     val spark = nodes.sparkSession
     nodes.write.mode("overwrite").parquet(s"$dir/$snapshotId/nodes")
     edges.write.mode("overwrite").parquet(s"$dir/$snapshotId/edges")
-    val written = (spark.read.parquet(s"$dir/$snapshotId/nodes"),
-      spark.read.parquet(s"$dir/$snapshotId/edges"))
+    val (nN, nC) = countAndChecksum(spark.read.parquet(s"$dir/$snapshotId/nodes"))
+    val (eN, eC) = countAndChecksum(spark.read.parquet(s"$dir/$snapshotId/edges"))
     import spark.implicits._
-    val manifest = Seq((snapshotId, timestamp,
-      written._1.count(), written._2.count(),
-      tableChecksum(written._1), tableChecksum(written._2)))
+    val manifest = Seq((snapshotId, timestamp, nN, eN, nC, eC))
       .toDF("snapshot_id", "timestamp", "n_nodes", "n_edges",
         "nodes_checksum", "edges_checksum")
     manifest.coalesce(1).write.mode("overwrite")
@@ -73,10 +73,11 @@ object Snapshots {
   def verify(spark: SparkSession, dir: String, snapshotId: String): Boolean = {
     val (n, e) = restore(spark, dir, snapshotId)
     val m = spark.read.parquet(s"$dir/$snapshotId/manifest").head
-    m.getAs[Long]("n_nodes") == n.count() &&
-      m.getAs[Long]("n_edges") == e.count() &&
-      m.getAs[Long]("nodes_checksum") == tableChecksum(n) &&
-      m.getAs[Long]("edges_checksum") == tableChecksum(e)
+    val (nN, nC) = countAndChecksum(n)
+    val (eN, eC) = countAndChecksum(e)
+    m.getAs[Long]("n_nodes") == nN && m.getAs[Long]("n_edges") == eN &&
+      m.getAs[Long]("nodes_checksum") == nC &&
+      m.getAs[Long]("edges_checksum") == eC
   }
 
   /** Batch revert-to-previous-state (revision_manager.py:322-362): given

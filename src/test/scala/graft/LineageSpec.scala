@@ -29,10 +29,15 @@ class LineageSpec extends SparkSpec {
         .as[(String, Int)].collect().toSet
       assert(reliable == local)
       assert(reliable == Set(("a", 0), ("b", 1), ("c", 2), ("d", 3)))
-      // the reliable path actually wrote checkpoint data
-      val written = dir.listFiles()
-      assert(written != null && written.nonEmpty,
-        s"expected reliable checkpoint files under $dir")
+      // the reliable path actually wrote checkpoint RDD data — look for
+      // rdd-* entries under the UUID subdir setCheckpointDir created
+      // (the subdir itself exists even when nothing checkpoints, so its
+      // mere presence would be a vacuous check)
+      val rddDirs = Option(dir.listFiles()).getOrElse(Array.empty)
+        .flatMap(u => Option(u.listFiles()).getOrElse(Array.empty))
+        .filter(_.getName.startsWith("rdd-"))
+      assert(rddDirs.nonEmpty,
+        s"expected rdd-* reliable checkpoint data under $dir")
     } finally {
       spark.conf.set(Lineage.ReliableKey, "false")
     }

@@ -45,12 +45,18 @@ class SnapshotImportSpec extends SparkSpec {
 
   test("GraphML export round-trips through the importer") {
     val dir = Files.createTempDirectory("graft-gml").toString + "/g.graphml"
-    Exporters.graphMlFragments(nodes, edges).write.text(dir)
+    // the newline id exercises the &#10; escaping: unescaped it would
+    // split the element across text lines and silently drop the edge
+    val n = nodes.union(Seq("e\nf").toDF("node_id"))
+    val e = edges.union(Seq(("a", "e\nf", "likes", 0.5))
+      .toDF("from_id", "to_id", "relation_type", "confidence"))
+    Exporters.graphMlFragments(n, e).write.text(dir)
     val back = Importers.graphMlEdges(spark, dir)
       .as[(String, String, String)].collect().toSet
-    assert(back == Set(("a", "b", "likes"), ("b", "c&d", "cites")))
+    assert(back == Set(("a", "b", "likes"), ("b", "c&d", "cites"),
+      ("a", "e\nf", "likes")))
     val backNodes = Importers.graphMlNodes(spark, dir).as[String].collect().toSet
-    assert(backNodes == Set("a", "b", "c&d"))
+    assert(backNodes == Set("a", "b", "c&d", "e\nf"))
   }
 
   test("RDF N-Triples export round-trips through the importer") {
