@@ -112,7 +112,11 @@ object SimilarityJoins {
     * stages. */
   private[graft] def prefixPairs(tokenized: DataFrame,
       threshold: Double): DataFrame = {
-    val ex = tokenized.select(col("blk"), col("id"),
+    // set size rides along from before the explode — computing it with a
+    // count-over-(blk,id) window after the explode would cost an extra
+    // shuffle+sort pass over the exploded rows for a value that is just
+    // size(toks)
+    val ex = tokenized.select(col("blk"), col("id"), size(col("toks")).as("n"),
       explode(col("toks")).as("tok"))
     // per-block document frequency orders tokens rarest-first, which
     // minimizes candidate generation (the classic AllPairs ordering)
@@ -120,10 +124,8 @@ object SimilarityJoins {
       .agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy(col("blk"), col("id"))
       .orderBy(col("df"), col("tok"))
-    val perDoc = Window.partitionBy(col("blk"), col("id"))
     val prefix = ex.join(dfreq, Seq("blk", "tok"))
       .withColumn("rn", row_number().over(byRarity))
-      .withColumn("n", count(lit(1)).over(perDoc))
       .filter(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
       .select(col("blk"), col("id"), col("tok"))
     val cand = prefix.select(col("blk"), col("tok"), col("id").as("a_id"))

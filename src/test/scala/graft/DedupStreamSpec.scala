@@ -33,6 +33,43 @@ class DedupStreamSpec extends SparkSpec {
     assert(got == Set((1L, 2L)))
   }
 
+  test("pigeonhole simhash pairs equal the all-pairs sweep on real data") {
+    // brute-force twin of Dedup.simhashPairs' candidate generation: the
+    // pigeonhole chunk bucketing must reproduce the full within-block
+    // hamming join exactly, at every maxDist (incl. 5, where 16 % 6 != 0
+    // exercises the uneven chunk widths)
+    val corpus = Tables.load(spark, sf, "documents")
+    val sh = Dedup.simhash16(
+      corpus.select(col("doc_id").as("id"), col("text")), "id", "text")
+      .join(corpus.select(col("doc_id").as("id"), col("source").as("blk")), "id")
+    for (maxDist <- Seq(0, 3, 5)) {
+      val brute = sh.select(col("blk"), col("id").as("a_id"), col("simhash").as("a_sh"))
+        .join(sh.select(col("blk"), col("id").as("b_id"), col("simhash").as("b_sh")), "blk")
+        .filter(col("a_id") < col("b_id") &&
+          bit_count(col("a_sh").bitwiseXOR(col("b_sh"))) <= maxDist)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      val got = Dedup.simhashPairs(corpus, "doc_id", "text", "source", maxDist)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      assert(got == brute, s"maxDist=$maxDist")
+    }
+  }
+
+  test("prefix-filtered ngram Jaccard equals the all-pairs sweep on real data") {
+    import graft.text.TextFunctions
+    val corpus = Tables.load(spark, sf, "documents")
+    val g = corpus.select(col("source").as("blk"), col("doc_id").as("id"),
+      array_distinct(TextFunctions.charShingles(col("text"), 3)).as("grams"))
+    val brute = g.select(col("blk"), col("id").as("a_id"), col("grams").as("a_g"))
+      .join(g.select(col("blk"), col("id").as("b_id"), col("grams").as("b_g")), "blk")
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim", TextFunctions.jaccardSim(col("a_g"), col("b_g")))
+      .filter(col("sim") >= 0.6)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val got = Dedup.ngramJaccard(corpus, "doc_id", "text", "source", 3, 0.6)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got == brute && got.nonEmpty)
+  }
+
   test("embedding near-dup finds only close pairs") {
     val emb = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.99f, 0.01f)),
       (3L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
