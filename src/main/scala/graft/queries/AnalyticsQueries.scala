@@ -155,45 +155,12 @@ object AnalyticsQueries {
 
   // -- q49: contradiction mining — antonym-axis lexical scoring between
   //         same-source docs, top 10 (enhanced_mcp_endpoint.py:587-686,
-  //         pattern scoring :889-952)
-  private def q49(s: SparkSession, dir: String): DataFrame = {
-    val axes = Seq(("slow", "fast"), ("big", "small"))
-    def flags(df: DataFrame) = axes.foldLeft(df) { case (d, (x, y)) =>
-      d.withColumn(s"has_$x", array_contains(TF.distinctTokens(col("text")), x))
-        .withColumn(s"has_$y", array_contains(TF.distinctTokens(col("text")), y))
-    }
-    // A pair scoring ≥ 0.5 has at least one contributing axis, which needs
-    // an axis term on BOTH sides — so docs with no axis term at all can be
-    // dropped BEFORE the self-join without changing the output. This turns
-    // the Σ|block|² candidate space into Σ|axis-docs-in-block|² (the
-    // reference itself prunes candidates to ≤100 docs,
-    // enhanced_mcp_endpoint.py:612).
-    val anyAxis = axes
-      .flatMap { case (x, y) => Seq(col(s"has_$x"), col(s"has_$y")) }
-      .reduce(_ || _)
-    val f = flags(docs(s, dir)).select(
-      (Seq(col("doc_id"), col("source")) ++
-        axes.flatMap { case (x, y) => Seq(col(s"has_$x"), col(s"has_$y")) }): _*)
-      .filter(anyAxis)
-    val a = f.columns.foldLeft(f)((d, c) =>
-      if (c.startsWith("has_")) d.withColumnRenamed(c, s"a_$c") else d)
-      .withColumnRenamed("doc_id", "a_id")
-    val b = f.columns.foldLeft(f)((d, c) =>
-      if (c.startsWith("has_")) d.withColumnRenamed(c, s"b_$c") else d)
-      .withColumnRenamed("doc_id", "b_id")
-    val axisScore = axes.map { case (x, y) =>
-      when((col(s"a_has_$x") && !col(s"a_has_$y") && col(s"b_has_$y") && !col(s"b_has_$x")) ||
-        (col(s"a_has_$y") && !col(s"a_has_$x") && col(s"b_has_$x") && !col(s"b_has_$y")), 1)
-        .otherwise(0)
-    }.reduce(_ + _)
-    a.join(b, "source")
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("score", axisScore.cast("double") / axes.size)
-      .filter(col("score") >= 0.5)
-      .select(col("source"), col("a_id"), col("b_id"), col("score"))
-      .orderBy(col("score").desc, col("a_id"), col("b_id"))
-      .limit(10)
-  }
+  //         pattern scoring :889-952); axis-prune + scoring live in
+  //         operators/Contradictions
+  private def q49(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Contradictions.mine(docs(s, dir), "source", "doc_id",
+      "text", axes = Seq(("slow", "fast"), ("big", "small")),
+      minScore = 0.5, limit = 10)
 
   private val q49Sql =
     """WITH f AS (

@@ -153,6 +153,29 @@ class InsightOpsSpec extends SparkSpec {
     }
   }
 
+  test("Endpoints facade delegates the MCP surface to the operators") {
+    import graft.engine.Endpoints
+    val seeds = Seq("a").toDF("node_id")
+    // relation filter drops the cites edges → only a->b reachable
+    val hop = Endpoints.multiHopTraversal(edges, seeds, maxHops = 2,
+      relTypes = Seq("likes"))
+      .as[(String, Int)].collect().toSet
+    assert(hop == Set(("a", 0), ("b", 1), ("c", 2)))
+    val paths = Endpoints.multiHopTraversal(edges, seeds, maxHops = 1,
+      relTypes = Seq("likes"), withPaths = true)
+      .filter(col("hop") === 1).select("path").as[String].collect().toSeq
+    assert(paths == Seq("a --likes--> b"))
+    val contra = Endpoints.findContradictions(
+      Seq((1L, "g", "very slow code"), (2L, "g", "fast code here"))
+        .toDF("id", "grp", "text"),
+      "grp", "id", "text", axes = Seq(("slow", "fast")), minScore = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    assert(contra == Seq((1L, 2L)))
+    val sub = Endpoints.exportSubgraph(edges, Seq("a", "b").toDF("node_id"))
+      .select("from_id", "to_id").as[(String, String)].collect().toSeq
+    assert(sub == Seq(("a", "b")))
+  }
+
   test("cycleAmplitude computes phase-mean range per period") {
     // period-2 alternation 10/20 → phase means 10 and 20 → amp2 = 10
     val series = (0 until 8).map(i => ("k1", i, if (i % 2 == 0) 10L else 20L))
