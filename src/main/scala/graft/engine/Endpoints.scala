@@ -3,7 +3,7 @@ package graft.engine
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.graph.{GraphOps, PatternMatch, PatternSpec}
-import graft.operators.Contradictions
+import graft.operators.{Contradictions, Synthesis}
 
 /** The reference's enhanced MCP endpoint surface
   * (mcp_integration/enhanced_mcp_endpoint.py) as one typed facade over
@@ -65,4 +65,18 @@ object Endpoints {
     * serialized by sources/Exporters in the caller's chosen format. q15. */
   def exportSubgraph(edges: DataFrame, keep: DataFrame): DataFrame =
     GraphOps.inducedSubgraph(edges, keep)
+
+  /** synthesize_knowledge (:463-503): dispatch on synthesis type over a
+    * bounded selected-node frame (node_id, content, source, confidence
+    * [+tsCol for timeline]). q84/q85; timeline = ordered selection, q68's
+    * per-key form for series. */
+  def synthesizeKnowledge(selected: DataFrame,
+      synthesisType: String = "summary",
+      tsCol: String = "ts"): DataFrame = synthesisType match {
+    case "summary" => Synthesis.summary(selected)
+    case "comparison" => Synthesis.comparison(selected)
+    case "timeline" => selected.orderBy(col(tsCol), col("node_id"))
+    case other => throw new IllegalArgumentException(
+      s"Unknown synthesis type: $other (summary/comparison/timeline)")
+  }
 }

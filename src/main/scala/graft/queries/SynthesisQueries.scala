@@ -107,7 +107,78 @@ object SynthesisQueries {
       |FROM spans s JOIN dom d USING (user_id)
       |ORDER BY s.user_id""".stripMargin
 
+  // Deterministic node selection shared by q84/q85 — the analog of the
+  // reference's caller-supplied node_ids list (synthesize_knowledge takes
+  // an explicit bounded set); confidence derives like q74's truthfulness.
+  private def selected(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .filter(col("doc_id") % 25 === 0)
+      .select(concat(lit("d:"), col("doc_id").cast("string")).as("node_id"),
+        col("text").as("content"), col("source"),
+        (((col("doc_id") * 37) % 100) / lit(100.0)).as("confidence"))
+
+  private val selectedSql =
+    """sel AS (
+      |  SELECT 'd:'||doc_id AS node_id, text AS content, source,
+      |    ((doc_id * 37) % 100) / 100.0 AS confidence
+      |  FROM documents WHERE doc_id % 25 = 0)""".stripMargin
+
+  // -- q84: summary synthesis — set stats + top-10 first-sentence points
+  //         (enhanced_mcp_endpoint.py:751-783)
+  private def q84(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Synthesis.summary(selected(s, dir))
+      .select(col("node_id"), col("point"), col("nodes_processed"),
+        col("n_sources"),
+        round(col("average_confidence"), 6).as("average_confidence"),
+        col("total_content_length"))
+      .orderBy(col("node_id"))
+
+  private val q84Sql =
+    s"""WITH $selectedSql,
+       |stats AS (
+       |  SELECT count(*) AS nodes_processed,
+       |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       |    round(avg(confidence), 6) AS average_confidence,
+       |    CAST(sum(len(content)) AS BIGINT) AS total_content_length
+       |  FROM sel),
+       |points AS (
+       |  SELECT node_id, split_part(content, '.', 1) || '.' AS point
+       |  FROM sel WHERE len(split_part(content, '.', 1) || '.') > 20
+       |  ORDER BY node_id LIMIT 10)
+       |SELECT node_id, point, nodes_processed, n_sources,
+       |  average_confidence, total_content_length
+       |FROM points, stats ORDER BY node_id""".stripMargin
+
+  // -- q85: comparison synthesis — pairwise confidence diff, source
+  //         match, word-overlap similarity (enhanced_mcp_endpoint
+  //         .py:785-817, :935-947) over the bounded selection
+  private def q85(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Synthesis.comparison(selected(s, dir))
+      .select(col("a_id"), col("b_id"),
+        round(col("confidence_diff"), 6).as("confidence_diff"),
+        col("source_match"),
+        round(col("content_similarity"), 6).as("content_similarity"))
+      .orderBy(col("a_id"), col("b_id"))
+
+  private val q85Sql =
+    s"""WITH $selectedSql,
+       |t AS (
+       |  SELECT node_id, source, confidence,
+       |    list_distinct(string_split(lower(content), ' ')) AS toks
+       |  FROM sel)
+       |SELECT a.node_id AS a_id, b.node_id AS b_id,
+       |  round(abs(a.confidence - b.confidence), 6) AS confidence_diff,
+       |  a.source = b.source AS source_match,
+       |  round(CASE WHEN (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) > 0
+       |    THEN len(list_intersect(a.toks, b.toks)) * 1.0 /
+       |         (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+       |    ELSE 0.0 END, 6) AS content_similarity
+       |FROM t a JOIN t b ON a.node_id < b.node_id
+       |ORDER BY a_id, b_id""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q67_qa_evidence", q67, Some(q67Sql)),
-    Q("q68_timeline_synthesis", q68, Some(q68Sql)))
+    Q("q68_timeline_synthesis", q68, Some(q68Sql)),
+    Q("q84_synthesis_summary", q84, Some(q84Sql)),
+    Q("q85_synthesis_comparison", q85, Some(q85Sql)))
 }
