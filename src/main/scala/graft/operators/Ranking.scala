@@ -29,9 +29,40 @@ object Ranking {
       .when(ageDays <= 90, 0.5).when(ageDays <= 365, 0.3).otherwise(0.1)
 
   /** Popularity: log(accessCount+1)/log(100), capped at 1
-    * (result_ranker.py:379-411). */
+    * (result_ranker.py:400-404 base term). */
   def popularity(accessCount: Column): Column =
     least(log(accessCount.cast("double") + 1) / math.log(100.0), lit(1.0))
+
+  /** Full popularity (result_ranker.py:379-411): 0.1 floor for
+    * never-accessed content, log base, plus a recent-access boost of
+    * min(recent/10, 0.2), capped at 1. */
+  def popularityFull(accessCount: Column, recentAccessCount: Column): Column =
+    when(accessCount === 0, 0.1)
+      .otherwise(least(
+        popularity(accessCount) +
+          when(recentAccessCount > 0,
+            least(recentAccessCount.cast("double") / 10, lit(0.2)))
+            .otherwise(lit(0.0)),
+        lit(1.0)))
+
+  /** Text-query relevance (result_ranker.py:247-264, the
+    * NATURAL_LANGUAGE branch): exact-phrase containment scores 1.0,
+    * otherwise matched query words / |query words| (duplicates in the
+    * query count separately, as the reference's list-sum does). */
+  def textRelevance(content: Column, query: String): Column = {
+    val q = query.toLowerCase
+    val words = q.split("\\s+").filter(_.nonEmpty)
+    if (words.isEmpty) lit(0.0)
+    else {
+      val contentWords = split(lower(content), " ")
+      val matches = words
+        .map(w => when(array_contains(contentWords, w), 1).otherwise(0))
+        .map(_.cast("double"))
+        .reduce(_ + _)
+      when(lower(content).contains(q), 1.0)
+        .otherwise(matches / words.length)
+    }
+  }
 
   /** Relationship-count score (result_ranker.py:438-457): 0.2 if none,
     * 0.5 + 0.1·n up to 5, then 0.8 + 0.02·(n−5) capped at 1. */

@@ -467,6 +467,51 @@ object InsightQueries {
        |FROM results r LEFT JOIN rels USING (node_id)
        |ORDER BY r.node_id""".stripMargin
 
+  // -- q86: full popularity score (result_ranker.py:379-411) — 0.1 floor,
+  //         log base, recent-access boost min(recent/10, 0.2) — over
+  //         per-user access stats derived from the event log
+  private def q86(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("access_count"),
+        sum(when(col("ts") >= "2024-01-24", 1).otherwise(0)).as("recent_count"))
+      .select(col("user_id"), col("access_count"), col("recent_count"),
+        round(Ranking.popularityFull(col("access_count"), col("recent_count")), 6)
+          .as("popularity"))
+      .orderBy(col("user_id"))
+
+  private val q86Sql =
+    """SELECT user_id, access_count, recent_count,
+      |  round(CASE WHEN access_count = 0 THEN 0.1
+      |    ELSE least(least(ln(access_count + 1) / ln(100), 1.0) +
+      |      (CASE WHEN recent_count > 0
+      |         THEN least(recent_count / 10.0, 0.2) ELSE 0.0 END), 1.0)
+      |    END, 6) AS popularity
+      |FROM (
+      |  SELECT user_id, count(*) AS access_count,
+      |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-24' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS recent_count
+      |  FROM events GROUP BY user_id) x
+      |ORDER BY user_id""".stripMargin
+
+  // -- q87: text-query relevance (result_ranker.py:247-264): exact-phrase
+  //         containment → 1.0, else matched query words / |query words|
+  private def q87(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        round(Ranking.textRelevance(col("text"), "fast data table"), 6)
+          .as("relevance"))
+      .orderBy(col("doc_id"))
+
+  private val q87Sql =
+    """SELECT doc_id,
+      |  round(CASE WHEN contains(lower(text), 'fast data table') THEN 1.0
+      |    ELSE ((CASE WHEN list_contains(string_split(lower(text), ' '), 'fast') THEN 1 ELSE 0 END) +
+      |          (CASE WHEN list_contains(string_split(lower(text), ' '), 'data') THEN 1 ELSE 0 END) +
+      |          (CASE WHEN list_contains(string_split(lower(text), ' '), 'table') THEN 1 ELSE 0 END)) / 3.0
+      |    END, 6) AS relevance
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q73_topic_subgraph", q73, Some(q73Sql), headline = true),
     Q("q74_pattern_spec", q74, Some(q74Sql)),
@@ -478,5 +523,7 @@ object InsightQueries {
     Q("q80_diversity_feature", q80, Some(q80Sql)),
     Q("q81_metadata_richness", q81, Some(q81Sql)),
     Q("q82_snapshot_revert", q82, Some(q82Sql)),
-    Q("q83_include_relationships", q83, Some(q83Sql)))
+    Q("q83_include_relationships", q83, Some(q83Sql)),
+    Q("q86_rank_popularity_full", q86, Some(q86Sql)),
+    Q("q87_rank_text_relevance", q87, Some(q87Sql)))
 }
