@@ -85,6 +85,24 @@ object Importers {
       .select(unescXml(col("node_id")).as("node_id"))
   }
 
+  /** Backend/format migration (migration/backend_migrator.py's
+    * copy-everything contract, minus the zero-downtime dance a live
+    * server needs): read the edge list from any supported format, write
+    * it in the target tabular format. One distributed read + one
+    * distributed write; formats with side-output shapes (graphml/rdf
+    * text fragments) are produced by `Exporters` directly. */
+  def migrateEdges(spark: SparkSession, srcPath: String, destPath: String,
+      destFormat: String, srcFormat: Option[String] = None): Unit = {
+    val edges = readEdges(spark, srcPath, srcFormat)
+    destFormat match {
+      case "json" => Exporters.writeJson(edges, destPath)
+      case "csv" => Exporters.writeCsv(edges, destPath)
+      case "parquet" => Exporters.writeParquet(edges, destPath)
+      case other => sys.error(s"Unsupported migration target: $other " +
+        "(json/csv/parquet; graph text formats via Exporters)")
+    }
+  }
+
   /** RDF N-Triples import: inverse of `Exporters.rdfTriples` (urn:graft
     * namespace, percent-encoded local names). Percent-decoding runs as a
     * per-row expression (url_decode handles %XX byte escapes). */

@@ -82,6 +82,16 @@ class SnapshotImportSpec extends SparkSpec {
     assert(err.getMessage.contains("to_id"))
   }
 
+  test("migrateEdges copies an edge list across formats") {
+    val base = Files.createTempDirectory("graft-mig").toString
+    Exporters.writeJson(edges, s"$base/src.json")
+    Importers.migrateEdges(spark, s"$base/src.json", s"$base/dest.parquet",
+      "parquet", Some("json"))
+    val back = spark.read.parquet(s"$base/dest.parquet")
+      .as[(String, String, String)].collect().toSet
+    assert(back == Set(("a", "b", "likes"), ("b", "c&d", "cites")))
+  }
+
   test("XML and node-link JSON envelopes carry counts and entries") {
     val xml = Exporters.collectXml(nodes, edges)
     assert(xml.contains("<node_count>3</node_count>"))
