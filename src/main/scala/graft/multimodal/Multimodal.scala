@@ -41,6 +41,44 @@ object Multimodal {
     }
   }
 
+  /** Aspect-preserving resize stage: target dims fit within maxW×maxH
+    * (scale = min(1, maxW/w, maxH/h), never upscaled, floor to ≥1 px).
+    * The dimension arithmetic is the real pipeline; the payload
+    * re-encode is the STUB part — a codec would resample pixels, the
+    * fake keeps a deterministic byte prefix proportional to the area
+    * ratio so downstream byte statistics stay hash-checkable. */
+  def resize(media: Dataset[MediaRow], maxW: Int, maxH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val scale = math.min(1.0, math.min(
+          maxW.toDouble / r.meta.width, maxH.toDouble / r.meta.height))
+        val w = math.max(1, math.floor(r.meta.width * scale).toInt)
+        val h = math.max(1, math.floor(r.meta.height * scale).toInt)
+        val n = math.max(1, math.min(r.payload.length,
+          (r.payload.length * scale * scale).toInt))
+        r.copy(payload = r.payload.take(n),
+          meta = r.meta.copy(width = w, height = h))
+      }
+    }
+  }
+
+  /** Frame-sampling stage: k evenly spaced frame indices per item
+    * (idx_i = i·nFrames/k, deduplicated — short clips yield fewer
+    * frames), one output row per sampled frame. Frame extraction is the
+    * STUB part (per-frame byte count = payload/nFrames); the fan-out
+    * shape, index math, and schema are the real video pipeline. */
+  def sampleFrames(media: Dataset[MediaRow], k: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    require(k >= 1, s"k must be >= 1: $k")
+    media.flatMap { r =>
+      val nf = math.max(1, r.meta.nFrames)
+      (0 until k).map(i => i * nf / k).distinct.map { fi =>
+        (r.docId, fi, math.max(1, r.payload.length / nf))
+      }
+    }.toDF("doc_id", "frame_idx", "n_frame_bytes")
+  }
+
   /** Attach a synthetic binary payload + metadata struct to the documents
     * table (the test corpus has no real media; payload = UTF-8 bytes). */
   def synthesize(docs: DataFrame): DataFrame =
