@@ -21,6 +21,10 @@ object Contradictions {
       axes: Seq[(String, String)], minScore: Double = 0.5,
       limit: Int = 10): DataFrame = {
     require(axes.nonEmpty, "contradiction mining needs at least one axis")
+    val words = axes.flatMap { case (x, y) => Seq(x, y) }
+    require(words.distinct.size == words.size,
+      s"axis words must be distinct (a shared word would project duplicate " +
+        s"has_<word> columns and make the scoring ambiguous): $axes")
     def flags(df: DataFrame) = axes.foldLeft(df) { case (d, (x, y)) =>
       d.withColumn(s"has_$x",
           array_contains(TextFunctions.distinctTokens(col(textCol)), x))

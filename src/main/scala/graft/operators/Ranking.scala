@@ -54,7 +54,7 @@ object Ranking {
     val words = q.split("\\s+").filter(_.nonEmpty)
     if (words.isEmpty) lit(0.0)
     else {
-      val contentWords = split(lower(content), " ")
+      val contentWords = TextFunctions.tokens(lower(content))
       val matches = words
         .map(w => when(array_contains(contentWords, w), 1).otherwise(0))
         .map(_.cast("double"))

@@ -15,17 +15,11 @@ object MultimodalQueries {
 
   // -- q56: binary payload pipeline — synthesize (bytes, meta) →
   //         mapPartitions batch "decode" → per-item features
-  private def q56(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val media = Multimodal.synthesize(Tables.load(s, dir, "documents"))
-      .select(col("doc_id").as("docId"), col("payload"),
-        col("meta").as("meta"))
-      .as[Multimodal.MediaRow]
-    Multimodal.extractFeatures(media).toDF()
+  private def q56(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(media(s, dir)).toDF()
       .select(col("docId").as("doc_id"), col("nBytes").as("n_bytes"),
         col("width"), col("height"), round(col("brightness"), 6).as("brightness"))
       .orderBy(col("doc_id"))
-  }
 
   // ASCII text ⇒ each byte = ascii code; brightness = avg(code)/255.
   private val q56Sql =

@@ -37,8 +37,17 @@ object Importers {
 
   /** Edge-list import from a tabular file (json/csv/parquet), validating
     * the required columns (from_id, to_id, relation_type) are present —
-    * data_importer.py's validate_data contract. */
+    * data_importer.py's validate_data contract. Projects to the required
+    * trio; use `readEdgesFull` to keep extra columns. */
   def readEdges(spark: SparkSession, path: String,
+      format: Option[String] = None): DataFrame =
+    readEdgesFull(spark, path, format)
+      .select(Seq("from_id", "to_id", "relation_type").map(col): _*)
+
+  /** Same validation, but ALL columns survive (confidence, timestamps,
+    * weights…) — the form migration must use. The graph text formats
+    * only carry the trio. */
+  def readEdgesFull(spark: SparkSession, path: String,
       format: Option[String] = None): DataFrame = {
     val df = format.getOrElse(detectFormat(path)) match {
       case "json" => spark.read.json(path)
@@ -51,7 +60,7 @@ object Importers {
     val required = Seq("from_id", "to_id", "relation_type")
     val missing = required.filterNot(df.columns.contains)
     require(missing.isEmpty, s"edge import missing columns: ${missing.mkString(", ")}")
-    df.select(required.map(col): _*)
+    df
   }
 
   private def unescXml(c: org.apache.spark.sql.Column) =
@@ -93,7 +102,9 @@ object Importers {
     * text fragments) are produced by `Exporters` directly. */
   def migrateEdges(spark: SparkSession, srcPath: String, destPath: String,
       destFormat: String, srcFormat: Option[String] = None): Unit = {
-    val edges = readEdges(spark, srcPath, srcFormat)
+    // full read: copy-everything means extra columns (confidence, ts…)
+    // survive the migration, not just the required trio
+    val edges = readEdgesFull(spark, srcPath, srcFormat)
     destFormat match {
       case "json" => Exporters.writeJson(edges, destPath)
       case "csv" => Exporters.writeCsv(edges, destPath)

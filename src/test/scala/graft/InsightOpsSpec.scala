@@ -176,6 +176,35 @@ class InsightOpsSpec extends SparkSpec {
     assert(sub == Seq(("a", "b")))
   }
 
+  test("popularityFull applies the floor, boost, and caps") {
+    import graft.operators.Ranking
+    val rows = Seq((0L, 0L), (1L, 0L), (99L, 0L), (99L, 5L), (10000L, 100L))
+      .toDF("access", "recent")
+      .select(col("access"), col("recent"),
+        Ranking.popularityFull(col("access"), col("recent")).as("pop"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(rows((0L, 0L)) == 0.1) // never-accessed floor
+    assert(math.abs(rows((1L, 0L)) - math.log(2) / math.log(100)) < 1e-9)
+    assert(math.abs(rows((99L, 0L)) - 1.0) < 1e-9) // log base caps at 1
+    assert(math.abs(rows((99L, 5L)) - 1.0) < 1e-9) // boost still capped at 1
+    assert(rows((10000L, 100L)) == 1.0)
+    // boost itself caps at 0.2
+    val boosted = Seq((2L, 100L)).toDF("access", "recent")
+      .select(Ranking.popularityFull(col("access"), col("recent")))
+      .as[Double].collect().head
+    assert(math.abs(boosted - (math.log(3) / math.log(100) + 0.2)) < 1e-9)
+  }
+
+  test("Contradictions.mine rejects overlapping axis words") {
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.Contradictions.mine(
+        Seq((1L, "g", "x")).toDF("id", "grp", "text"),
+        "grp", "id", "text", axes = Seq(("hot", "cold"), ("cold", "freezing")))
+    }
+    assert(err.getMessage.contains("distinct"))
+  }
+
   test("cycleAmplitude computes phase-mean range per period") {
     // period-2 alternation 10/20 → phase means 10 and 20 → amp2 = 10
     val series = (0 until 8).map(i => ("k1", i, if (i % 2 == 0) 10L else 20L))

@@ -82,14 +82,18 @@ class SnapshotImportSpec extends SparkSpec {
     assert(err.getMessage.contains("to_id"))
   }
 
-  test("migrateEdges copies an edge list across formats") {
+  test("migrateEdges copies an edge list across formats, keeping all columns") {
     val base = Files.createTempDirectory("graft-mig").toString
     Exporters.writeJson(edges, s"$base/src.json")
     Importers.migrateEdges(spark, s"$base/src.json", s"$base/dest.parquet",
       "parquet", Some("json"))
     val back = spark.read.parquet(s"$base/dest.parquet")
-      .as[(String, String, String)].collect().toSet
-    assert(back == Set(("a", "b", "likes"), ("b", "c&d", "cites")))
+    // copy-everything: the confidence column survives the migration
+    assert(back.columns.toSet ==
+      Set("from_id", "to_id", "relation_type", "confidence"))
+    assert(back.select("from_id", "to_id", "relation_type", "confidence")
+      .as[(String, String, String, Double)].collect().toSet ==
+      Set(("a", "b", "likes", 0.9), ("b", "c&d", "cites", 0.7)))
   }
 
   test("XML and node-link JSON envelopes carry counts and entries") {
