@@ -71,9 +71,13 @@ object TemporalQueries {
        |  FROM daily GROUP BY k) x
        |ORDER BY k""".stripMargin
 
-  // -- q39: sudden-change detection (before/after sliding windows)
+  // -- q39: sudden-change detection (before/after sliding windows).
+  //         Ratio 0.15, not the reference's 0.5 default: the synthetic
+  //         feed is near-uniform (max observed ratio ≈ 0.29 at sf0.01),
+  //         and a threshold above it would make this a vacuous 0-row
+  //         check — the operator takes the ratio as a parameter either way
   private def q39(s: SparkSession, dir: String): DataFrame =
-    TemporalOps.suddenChanges(daily(s, dir), "k", "idx", "cnt", w = 3, ratio = 0.3)
+    TemporalOps.suddenChanges(daily(s, dir), "k", "idx", "cnt", w = 3, ratio = 0.15)
       .select(col("k"), col("day"),
         round(col("avg_before"), 6).as("avg_before"),
         round(col("avg_after"), 6).as("avg_after"),
@@ -92,7 +96,7 @@ object TemporalQueries {
        |  round(abs(avg_after - avg_before) / avg_before, 6) AS change_ratio
        |FROM win
        |WHERE avg_before IS NOT NULL AND avg_before > 0
-       |  AND abs(avg_after - avg_before) / avg_before > 0.3
+       |  AND abs(avg_after - avg_before) / avg_before > 0.15
        |ORDER BY k, day""".stripMargin
 
   // -- q40: cycle detection — autocorrelation at lags 1..3 plus per-phase
