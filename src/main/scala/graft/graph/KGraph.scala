@@ -28,7 +28,7 @@ object KGraph {
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   def materialized(spark: SparkSession, dir: String): DataFrame =
-    cache.computeIfAbsent(spark.hashCode() + "|" + dir,
+    cache.computeIfAbsent(s"${spark.hashCode()}|$dir",
       _ => edges(spark, dir).truncateLineage())
 
   /** Direction-oriented edge tables, hash-partitioned on the traversal
@@ -38,7 +38,7 @@ object KGraph {
     * BFS hops against these only shuffle the frontier side. */
   def orientedMaterialized(spark: SparkSession, dir: String,
       direction: GraphOps.Direction): DataFrame =
-    cache.computeIfAbsent(spark.hashCode() + "|" + dir + "|" + direction,
+    cache.computeIfAbsent(s"${spark.hashCode()}|$dir|$direction",
       _ => GraphOps.oriented(materialized(spark, dir), direction)
         .repartition(col("node_id"))
         .truncateLineage())

@@ -27,12 +27,12 @@ object Snapshots {
     * and overflow-free. */
   private def countAndChecksum(df: DataFrame): (Long, Long) = {
     val hashed = df.select(
-      xxhash64(df.columns.map(c => col(c).cast("string")): _*).as("h"))
+      xxhash64(df.columns.toIndexedSeq.map(c => col(c).cast("string")): _*).as("h"))
     val row = hashed.agg(
       count(lit(1)).as("n"),
       (sum(col("h").cast("decimal(38,0)")) % lit(Long.MaxValue))
         .cast("long").as("c"))
-      .head
+      .head()
     (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1)) // empty → 0
   }
 
@@ -72,7 +72,7 @@ object Snapshots {
     * compare. Returns true when everything matches. */
   def verify(spark: SparkSession, dir: String, snapshotId: String): Boolean = {
     val (n, e) = restore(spark, dir, snapshotId)
-    val m = spark.read.parquet(s"$dir/$snapshotId/manifest").head
+    val m = spark.read.parquet(s"$dir/$snapshotId/manifest").head()
     val (nN, nC) = countAndChecksum(n)
     val (eN, eC) = countAndChecksum(e)
     m.getAs[Long]("n_nodes") == nN && m.getAs[Long]("n_edges") == eN &&
