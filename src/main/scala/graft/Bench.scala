@@ -66,10 +66,19 @@ object Bench {
     val qs = results.map { case (k, v, ok) =>
       "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1")
     }.mkString("{", ",", "}")
+    // both raw interleaved readings per query: `queries` carries the min
+    // (the comparable number), `samples` makes a contention-contaminated
+    // record self-diagnosing — two rounds in a row a single inflated
+    // sample read as a regression until a manual re-run cleared it
+    val samples = headline.map { q =>
+      val raw = passes.flatMap(_.filter(_._1 == q.name))
+        .map(r => if (r._3) f"${r._2}%.3f" else "-1")
+      "\"" + q.name + "\":" + raw.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.filter(_._3).map(_._2).sum
     val failed = results.filterNot(_._3).map(r => "\"" + r._1 + "\"")
       .mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$samples,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -19,6 +19,13 @@ import org.apache.spark.sql.DataFrame
   * back to `localCheckpoint()`. Both variants materialize eagerly and
   * preserve the frame's partitioning, so operator plans are identical
   * either way — only the storage durability differs.
+  *
+  * Reliable checkpoint files are NOT deleted by Spark unless
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (default
+  * false) — iterative operators write one checkpoint per hop, so a
+  * long-lived cluster session that opts into reliable checkpoints should
+  * also set that cleaner conf (or clean the checkpoint dir itself) to
+  * keep durable storage bounded. See docs/TUNING.md.
   */
 object Lineage {
 

@@ -92,7 +92,18 @@ object Anomalies {
     *   minimal_relationships:            0 < total < 0.1·avg (sev 0.6)
     *   excessive_relationship_diversity: types > 2·avg   (sev ratio/3)
     * reason strings joined in that order; severity = max of fired rules.
-    * Two aggregates + one broadcast of a 1-row global — scale-safe. */
+    * Two aggregates + one broadcast of a 1-row global — scale-safe.
+    *
+    * Documented divergences from the reference (like the q75 thresholds
+    * note): (1) no minimum-population guard — the reference returns no
+    * outliers when the graph has < 10 nodes (:1945), this operator
+    * scores any population (the caller can gate on node count); (2) the
+    * averages here are over nodes WITH ≥1 incident relationship (the
+    * edge-derived universe), while the reference averages over every
+    * node including isolated total=0 ones — on sparse graphs the
+    * reference's lower averages fire the excessive rules earlier. Both
+    * keep q77's oracle exact because the gated query supplies the same
+    * edge-derived universe to both sides. */
   def behavioralOutliers(edges: DataFrame): DataFrame = {
     val rels = edges.select(col("from_id").as("node_id"), col("relation_type"))
       .unionByName(edges.select(col("to_id").as("node_id"), col("relation_type")))

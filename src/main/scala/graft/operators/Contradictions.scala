@@ -21,6 +21,13 @@ object Contradictions {
       axes: Seq[(String, String)], minScore: Double = 0.5,
       limit: Int = 10): DataFrame = {
     require(axes.nonEmpty, "contradiction mining needs at least one axis")
+    // the any-axis prune below drops no-axis-term docs before the
+    // self-join; at minScore <= 0 that prune would change the output
+    // (score-0 pairs between pruned docs would qualify), so the prune's
+    // contract is enforced here rather than left implicit
+    require(minScore > 0,
+      s"minScore must be > 0 (the pre-join axis prune assumes score-0 " +
+        s"pairs never qualify): $minScore")
     val words = axes.flatMap { case (x, y) => Seq(x, y) }
     require(words.distinct.size == words.size,
       s"axis words must be distinct (a shared word would project duplicate " +

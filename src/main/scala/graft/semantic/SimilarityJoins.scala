@@ -106,12 +106,27 @@ object SimilarityJoins {
     * opaque — word tokens, character shingles, tags all work). Returns
     * every within-block pair that can reach `threshold` with its exact
     * `sim`; the caller applies its own threshold inequality (`>` or `≥` —
-    * both are sound against the ≥-derived prefix bound, since a strict
-    * qualifier also satisfies ≥). `tokenized` should be materialized
-    * (localCheckpoint) by the caller: it feeds both the prefix and verify
-    * stages. */
-  private[graft] def prefixPairs(tokenized: DataFrame,
-      threshold: Double): DataFrame = {
+    * both are sound against the ≥-derived prefix/positional/length bounds,
+    * since a strict qualifier also satisfies ≥). `tokenized` should be
+    * materialized (localCheckpoint) by the caller: it feeds both the
+    * prefix and verify stages.
+    *
+    * Beyond the basic prefix filter, applies the two PPJoin prunes —
+    * both exact, zero recall loss:
+    *  - length filter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so any
+    *    qualifying pair has min(|A|,|B|) ≥ t·max(|A|,|B|). Applied inside
+    *    the candidate join condition, before the dedup shuffle.
+    *  - positional filter: tokens are ordered by the same per-block
+    *    (df, tok) key in every doc, so for a shared prefix token at
+    *    position i in A and j in B, |A∩B| ≤ min(i,j) + min(|A|−i,|B|−j)
+    *    (≤ min(i−1,j−1) shared before it, the token itself, and
+    *    ≤ min(|A|−i,|B|−j) after it). J ≥ t requires
+    *    |A∩B| ≥ t·(|A|+|B|)/(1+t); the bound holds for EVERY shared
+    *    prefix token, so the tightest (min over shared tokens) is taken
+    *    in the same aggregate that dedups candidate pairs — no extra
+    *    shuffle vs the previous distinct(). */
+  private[graft] def prefixPairs(tokenized: DataFrame, threshold: Double,
+      ppjoinFilters: Boolean = true): DataFrame = {
     // set size rides along from before the explode — computing it with a
     // count-over-(blk,id) window after the explode would cost an extra
     // shuffle+sort pass over the exploded rows for a value that is just
@@ -127,13 +142,36 @@ object SimilarityJoins {
     val prefix = ex.join(dfreq, Seq("blk", "tok"))
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select(col("blk"), col("id"), col("tok"))
-    val cand = prefix.select(col("blk"), col("tok"), col("id").as("a_id"))
-      .join(prefix.select(col("blk"), col("tok"), col("id").as("b_id")),
-        Seq("blk", "tok"))
+      .select(col("blk"), col("id"), col("tok"), col("n"), col("rn"))
+    val lhs = prefix.select(col("blk"), col("tok"), col("id").as("a_id"),
+      col("n").as("a_n"), col("rn").as("a_rn"))
+    val rhs = prefix.select(col("blk"), col("tok"), col("id").as("b_id"),
+      col("n").as("b_n"), col("rn").as("b_rn"))
+    val joined = lhs.join(rhs, Seq("blk", "tok"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("blk"), col("a_id"), col("b_id"))
-      .distinct() // a pair may share several prefix tokens; score once
+    // ppjoinFilters=false keeps the plain AllPairs candidate set — used
+    // only by the CandidateStats diagnostic to quantify the pruning
+    val cand = (if (ppjoinFilters) {
+      joined
+        // length filter — prunes before the pair-dedup shuffle
+        .filter(least(col("a_n"), col("b_n")) >=
+          lit(threshold) * greatest(col("a_n"), col("b_n")))
+        // positional overlap upper bound for THIS shared token occurrence
+        .withColumn("ub", least(col("a_rn"), col("b_rn")) +
+          least(col("a_n") - col("a_rn"), col("b_n") - col("b_rn")))
+        // a pair may share several prefix tokens; dedup + take the
+        // tightest bound in one aggregate (same shuffle the old
+        // distinct() paid)
+        .groupBy(col("blk"), col("a_id"), col("b_id"))
+        .agg(min(col("ub")).as("ub"),
+          first(col("a_n")).as("a_n"), first(col("b_n")).as("b_n"))
+        // positional filter: required overlap α = t·(|A|+|B|)/(1+t)
+        .filter(col("ub") >=
+          lit(threshold) * (col("a_n") + col("b_n")) / (1 + threshold))
+    } else {
+      joined.groupBy(col("blk"), col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("ub"))
+    }).select(col("blk"), col("a_id"), col("b_id"))
     cand
       .join(tokenized.select(col("blk"), col("id").as("a_id"),
         col("toks").as("a_toks")), Seq("blk", "a_id"))

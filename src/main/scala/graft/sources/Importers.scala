@@ -10,20 +10,21 @@ import org.apache.spark.sql.functions._
   *
   * Tabular formats go through Spark's native readers (distributed,
   * schema-projected). The text interchange formats (GraphML, RDF
-  * N-Triples) parse per line with column expressions — `spark.read.text`
-  * partitions the file, so parsing scales with the input like any other
-  * scan; nothing is collected. Cypher/Gremlin/pickle imports are
-  * intentionally out of scope (executable-statement formats; README
-  * divergences) — the reference itself routes them through a live graph
-  * engine, not a parser.
+  * N-Triples, plain XML, Cypher, Gremlin) parse per line —
+  * `spark.read.text` partitions the file, so parsing scales with the
+  * input like any other scan; nothing is collected. Each parses exactly
+  * the shape its `Exporters` counterpart emits (statement-per-line);
+  * unmatched lines (headers, comments) are ignored. NetworkX interchange
+  * is node-link JSON (`nodeLinkGraph`), matching `Exporters.nodeLinkJson`
+  * — the reference's pickle form is Python-only (README divergences).
   */
 object Importers {
 
   /** data_importer.py:153-192 — extension-based detection. `.nt` only
     * for RDF: a `.rdf` file is conventionally RDF/XML, which the
     * N-Triples line parser would silently read as zero rows; better to
-    * refuse loudly. `.xml` is the document-shaped export — not an
-    * importable edge list. */
+    * refuse loudly. `.json` means a tabular edge list — the node-link
+    * graph document goes through `nodeLinkGraph` explicitly. */
   def detectFormat(path: String): String = {
     val lower = path.toLowerCase
     if (lower.endsWith(".json")) "json"
@@ -31,8 +32,12 @@ object Importers {
     else if (lower.endsWith(".parquet")) "parquet"
     else if (lower.endsWith(".graphml")) "graphml"
     else if (lower.endsWith(".nt")) "rdf"
+    else if (lower.endsWith(".xml")) "xml"
+    else if (lower.endsWith(".cypher") || lower.endsWith(".cql")) "cypher"
+    else if (lower.endsWith(".gremlin") || lower.endsWith(".groovy")) "gremlin"
     else sys.error(s"Unsupported import format for: $path " +
-      "(supported: .json .csv .parquet .graphml .nt)")
+      "(supported: .json .csv .parquet .graphml .nt .xml .cypher .cql " +
+      ".gremlin .groovy)")
   }
 
   /** Edge-list import from a tabular file (json/csv/parquet), validating
@@ -55,6 +60,9 @@ object Importers {
       case "parquet" => spark.read.parquet(path)
       case "graphml" => return graphMlEdges(spark, path)
       case "rdf" => return rdfEdges(spark, path)
+      case "xml" => return xmlEdges(spark, path)
+      case "cypher" => return cypherEdges(spark, path)
+      case "gremlin" => return gremlinEdges(spark, path)
       case other => sys.error(s"Unsupported edge format: $other")
     }
     val required = Seq("from_id", "to_id", "relation_type")
@@ -69,12 +77,32 @@ object Importers {
       .foldLeft(c) { case (acc, (from, to)) => regexp_replace(acc, from, to) }
 
   /** GraphML import (data_importer.py graphml path): parses the
-    * `<edge source=".." target=".." label=".."/>` elements (the shape
-    * `Exporters.graphMlFragments` emits and the reference writes,
-    * data_exporter.py:370-470). Line-oriented → fully distributed. */
+    * `<edge source=".." target=".." label=".."/>` elements — the
+    * one-edge-per-line attribute shape `Exporters.graphMlFragments`
+    * emits. NOT a general GraphML reader: exports that nest attributes
+    * in `<data>` children or pretty-print an element across lines (e.g.
+    * the reference's ElementTree writer, data_exporter.py:370-470) don't
+    * match the line pattern — rather than silently yielding zero edges on
+    * such a file, a non-empty input with `<edge` markers but no parsed
+    * rows fails loudly (one extra cold-path pass over the lines).
+    * Line-oriented → fully distributed. */
   def graphMlEdges(spark: SparkSession, path: String): DataFrame = {
     val lines = spark.read.text(path)
     val pat = """<edge source="([^"]*)" target="([^"]*)" label="([^"]*)"/>"""
+    // shape validation: <edge markers present but none parseable means a
+    // GraphML dialect this importer does not speak — refuse, don't drop
+    val shape = lines.agg(
+      sum(when(col("value").contains("<edge"), 1L).otherwise(0L)).as("markers"),
+      sum(when(regexp_extract(col("value"), pat, 1) =!= "", 1L).otherwise(0L))
+        .as("parsed")).head()
+    val (markers, parsed) =
+      (if (shape.isNullAt(0)) 0L else shape.getLong(0),
+        if (shape.isNullAt(1)) 0L else shape.getLong(1))
+    require(markers == 0L || parsed > 0L,
+      s"$path contains $markers <edge> elements but none match the " +
+        "single-line attribute shape this importer reads " +
+        "(Exporters.graphMlFragments); multi-line / <data>-child GraphML " +
+        "dialects are not supported")
     lines
       .select(regexp_extract(col("value"), pat, 1).as("from_id"),
         regexp_extract(col("value"), pat, 2).as("to_id"),
@@ -127,5 +155,125 @@ object Importers {
       .select(url_decode(col("from_id")).as("from_id"),
         url_decode(col("to_id")).as("to_id"),
         url_decode(col("relation_type")).as("relation_type"))
+  }
+
+  /** Plain-XML import: inverse of `Exporters.xmlFragments` — one
+    * `<relationship>` element per line, fields as nested elements. The
+    * exporter XML-escapes field values (incl. newlines as `&#10;`), so
+    * `[^<]*` captures each field exactly. */
+  def xmlEdges(spark: SparkSession, path: String): DataFrame = {
+    val pat = """<relationship><from_id>([^<]*)</from_id>""" +
+      """<to_id>([^<]*)</to_id>""" +
+      """<relation_type>([^<]*)</relation_type></relationship>"""
+    spark.read.text(path)
+      .select(regexp_extract(col("value"), pat, 1).as("from_id"),
+        regexp_extract(col("value"), pat, 2).as("to_id"),
+        regexp_extract(col("value"), pat, 3).as("relation_type"))
+      .filter(col("from_id") =!= "")
+      .select(unescXml(col("from_id")).as("from_id"),
+        unescXml(col("to_id")).as("to_id"),
+        unescXml(col("relation_type")).as("relation_type"))
+  }
+
+  /** Plain-XML node import (`<node><node_id>..</node_id></node>`). */
+  def xmlNodes(spark: SparkSession, path: String): DataFrame = {
+    val pat = """<node><node_id>([^<]*)</node_id></node>"""
+    spark.read.text(path)
+      .select(regexp_extract(col("value"), pat, 1).as("node_id"))
+      .filter(col("node_id") =!= "")
+      .select(unescXml(col("node_id")).as("node_id"))
+  }
+
+  // -- statement formats (Cypher / Gremlin) ---------------------------
+  // Inverse of Exporters.q: \n \r \' \\ escapes, processed left to right
+  // so an escaped backslash never re-triggers on its successor.
+  private def unq(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n')
+          case 'r' => sb.append('\r')
+          case other => sb.append(other) // \' and \\ (and pass-through)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  // a single-quoted Cypher/Gremlin string literal: escaped char or
+  // anything that isn't a quote/backslash
+  private val Lit = """((?:\\.|[^'\\])*)"""
+
+  private val CypherNode = s"""CREATE \\(:Node \\{id: '$Lit'\\}\\);""".r
+  private val CypherEdge =
+    (s"""MATCH \\(a:Node \\{id: '$Lit'\\}\\), \\(b:Node \\{id: '$Lit'\\}\\) """ +
+      """CREATE \(a\)-\[:([A-Za-z_]+)\]->\(b\);""").r
+  private val GremlinNode =
+    s"""g\\.addV\\('node'\\)\\.property\\('node_id', '$Lit'\\)""".r
+  private val GremlinEdge =
+    (s"""g\\.V\\(\\)\\.has\\('node_id', '$Lit'\\)\\.addE\\('$Lit'\\)""" +
+      s"""\\.to\\(__\\.V\\(\\)\\.has\\('node_id', '$Lit'\\)\\)""").r
+
+  /** Cypher script import: inverse of `Exporters.cypherStatements`
+    * (data_importer.py:54-71 routes Cypher through a live engine; a batch
+    * engine parses the statements instead — same information, no server).
+    * NOTE the export mangles relation types (uppercase, non-[A-Z_] → '_',
+    * data_exporter.py Cypher impl), so a Cypher round-trip returns the
+    * mangled type — ids round-trip exactly. Runs as a per-partition line
+    * parse (cold path; statements-per-line, fully distributed). */
+  def cypherEdges(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.textFile(path).flatMap {
+      case CypherEdge(f, t, r) => Some((unq(f), unq(t), r))
+      case _ => None
+    }.toDF("from_id", "to_id", "relation_type")
+  }
+
+  /** Cypher node-id import (`CREATE (:Node {id: '..'});` statements). */
+  def cypherNodes(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.textFile(path).flatMap {
+      case CypherNode(id) => Some(unq(id))
+      case _ => None
+    }.toDF("node_id")
+  }
+
+  /** Gremlin script import: inverse of `Exporters.gremlinStatements`
+    * (addV/addE with node_id property lookups, the JanusGraph writer
+    * shape db/janusgraph_storage.py:116-178). Lossless round-trip. */
+  def gremlinEdges(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.textFile(path).flatMap {
+      case GremlinEdge(f, r, t) => Some((unq(f), unq(t), unq(r)))
+      case _ => None
+    }.toDF("from_id", "to_id", "relation_type")
+  }
+
+  /** Gremlin node-id import (`g.addV('node').property(..)` statements). */
+  def gremlinNodes(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.textFile(path).flatMap {
+      case GremlinNode(id) => Some(unq(id))
+      case _ => None
+    }.toDF("node_id")
+  }
+
+  /** NetworkX node-link JSON import: inverse of `Exporters.nodeLinkJson`
+    * (the portable form of the reference's pickled DiGraph). The document
+    * is one JSON value, so Spark's multiLine JSON reader parses it;
+    * nodes/links explode into the standard frames. Returns
+    * (nodes(node_id), edges(from_id, to_id, relation_type)). */
+  def nodeLinkGraph(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val doc = spark.read.option("multiLine", "true").json(path)
+    val nodes = doc.select(explode(col("nodes")).as("n"))
+      .select(col("n.id").as("node_id"))
+    val edges = doc.select(explode(col("links")).as("l"))
+      .select(col("l.source").as("from_id"), col("l.target").as("to_id"),
+        col("l.relation_type").as("relation_type"))
+    (nodes, edges)
   }
 }

@@ -55,10 +55,22 @@ object Snapshots {
   }
 
   /** All snapshot manifests, newest first (revision_manager.py:237-258 /
-    * backup_manager.py:286-289). */
-  def list(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/*/manifest")
+    * backup_manager.py:286-289). An existing-but-empty snapshot dir
+    * returns an empty manifest frame (the reference's empty-list
+    * behavior) instead of a path-not-found AnalysisException. */
+  def list(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Long, Long, Long, Long, Long)]
+      .toDF("snapshot_id", "timestamp", "n_nodes", "n_edges",
+        "nodes_checksum", "edges_checksum")
+    try spark.read.parquet(s"$dir/*/manifest")
       .orderBy(col("timestamp").desc, col("snapshot_id"))
+    catch {
+      // glob matched nothing: no snapshots yet (or no dir at all)
+      case e: org.apache.spark.sql.AnalysisException
+        if e.getCondition == "PATH_NOT_FOUND" => empty
+    }
+  }
 
   /** Restore a snapshot's tables (revision_manager.py:260-288 /
     * backup_manager.py:226-284). */

@@ -96,6 +96,92 @@ class SnapshotImportSpec extends SparkSpec {
       Set(("a", "b", "likes", 0.9), ("b", "c&d", "cites", 0.7)))
   }
 
+  test("snapshot list on an empty snapshot dir returns an empty manifest frame") {
+    val dir = Files.createTempDirectory("graft-snap-empty").toString
+    val listed = Snapshots.list(spark, dir)
+    assert(listed.count() == 0)
+    assert(listed.columns.toSeq == Seq("snapshot_id", "timestamp", "n_nodes",
+      "n_edges", "nodes_checksum", "edges_checksum"))
+  }
+
+  test("GraphML import refuses a multi-line <edge> dialect instead of dropping it") {
+    val dir = Files.createTempDirectory("graft-gml-bad").toString + "/bad.graphml"
+    // the pretty-printed ElementTree shape the reference writes: the edge
+    // attributes are split across lines, so the line pattern can't match
+    Seq("<edge source=\"a\"", "      target=\"b\" label=\"likes\"/>")
+      .toDF("value").coalesce(1).write.text(dir)
+    val err = intercept[IllegalArgumentException] {
+      Importers.graphMlEdges(spark, dir)
+    }
+    assert(err.getMessage.contains("single-line attribute shape"))
+  }
+
+  test("Cypher export round-trips ids (relation types are export-mangled)") {
+    val dir = Files.createTempDirectory("graft-cy").toString + "/g.cypher"
+    val n = nodes.union(Seq("it's\nodd\\id").toDF("node_id"))
+    val e = edges.union(Seq(("a", "it's\nodd\\id", "re-lates", 0.5))
+      .toDF("from_id", "to_id", "relation_type", "confidence"))
+    Exporters.cypherStatements(n, e).write.text(dir)
+    assert(Importers.cypherNodes(spark, dir).as[String].collect().toSet ==
+      Set("a", "b", "c&d", "it's\nodd\\id"))
+    val back = Importers.cypherEdges(spark, dir)
+      .as[(String, String, String)].collect().toSet
+    // uppercase + non-[A-Z_] → '_' is the exporter's documented mangling
+    assert(back == Set(("a", "b", "LIKES"), ("b", "c&d", "CITES"),
+      ("a", "it's\nodd\\id", "RE_LATES")))
+  }
+
+  test("Gremlin export round-trips losslessly through the importer") {
+    val dir = Files.createTempDirectory("graft-gr").toString + "/g.gremlin"
+    val n = nodes.union(Seq("it's\nodd\\id").toDF("node_id"))
+    val e = edges.union(Seq(("a", "it's\nodd\\id", "re-lates", 0.5))
+      .toDF("from_id", "to_id", "relation_type", "confidence"))
+    Exporters.gremlinStatements(n, e).write.text(dir)
+    assert(Importers.gremlinNodes(spark, dir).as[String].collect().toSet ==
+      Set("a", "b", "c&d", "it's\nodd\\id"))
+    val back = Importers.gremlinEdges(spark, dir)
+      .as[(String, String, String)].collect().toSet
+    assert(back == Set(("a", "b", "likes"), ("b", "c&d", "cites"),
+      ("a", "it's\nodd\\id", "re-lates")))
+  }
+
+  test("plain-XML fragments round-trip through the importer") {
+    val dir = Files.createTempDirectory("graft-xml").toString + "/g.xml"
+    val n = nodes.union(Seq("e\nf").toDF("node_id"))
+    val e = edges.union(Seq(("a", "e\nf", "likes", 0.5))
+      .toDF("from_id", "to_id", "relation_type", "confidence"))
+    Exporters.xmlFragments(n, e).write.text(dir)
+    assert(Importers.xmlNodes(spark, dir).as[String].collect().toSet ==
+      Set("a", "b", "c&d", "e\nf"))
+    val back = Importers.xmlEdges(spark, dir)
+      .as[(String, String, String)].collect().toSet
+    assert(back == Set(("a", "b", "likes"), ("b", "c&d", "cites"),
+      ("a", "e\nf", "likes")))
+  }
+
+  test("node-link JSON round-trips through nodeLinkGraph") {
+    val base = Files.createTempDirectory("graft-nl").toString
+    val path = s"$base/g.json"
+    val n = nodes.union(Seq("e\"f").toDF("node_id"))
+    val e = edges.union(Seq(("a", "e\"f", "likes", 0.5))
+      .toDF("from_id", "to_id", "relation_type", "confidence"))
+    Files.writeString(java.nio.file.Path.of(path), Exporters.nodeLinkJson(n, e))
+    val (bn, be) = Importers.nodeLinkGraph(spark, path)
+    assert(bn.as[String].collect().toSet == Set("a", "b", "c&d", "e\"f"))
+    assert(be.as[(String, String, String)].collect().toSet ==
+      Set(("a", "b", "likes"), ("b", "c&d", "cites"), ("a", "e\"f", "likes")))
+  }
+
+  test("extension detection routes xml/cypher/gremlin through readEdges") {
+    val base = Files.createTempDirectory("graft-det").toString
+    Exporters.xmlFragments(nodes, edges).write.text(s"$base/g.xml")
+    Exporters.cypherStatements(nodes, edges).write.text(s"$base/g.cypher")
+    Exporters.gremlinStatements(nodes, edges).write.text(s"$base/g.gremlin")
+    assert(Importers.readEdges(spark, s"$base/g.xml").count() == 2)
+    assert(Importers.readEdges(spark, s"$base/g.cypher").count() == 2)
+    assert(Importers.readEdges(spark, s"$base/g.gremlin").count() == 2)
+  }
+
   test("XML and node-link JSON envelopes carry counts and entries") {
     val xml = Exporters.collectXml(nodes, edges)
     assert(xml.contains("<node_count>3</node_count>"))
