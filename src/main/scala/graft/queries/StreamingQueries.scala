@@ -65,8 +65,41 @@ object StreamingQueries {
       |  CAST(max(sec) - min(sec) AS BIGINT) AS duration_sec
       |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin
 
+  // -- q90: event-bus priority lanes + batching thresholds
+  //         (event_system.py EventPriority :79-85, EventBatchProcessor
+  //         :305-352): batches of ≤10 events per priority lane, no batch
+  //         spanning a 1 h flush-interval bucket, highest priority first
+  private def q90(s: SparkSession, dir: String): DataFrame =
+    EventStream.eventBatches(events(s, dir), batchSize = 10,
+        flushIntervalSec = 3600L)
+      .orderBy(col("priority").desc, col("interval_bucket"), col("batch_seq"))
+
+  private val q90Sql =
+    """WITH e AS (
+      |  SELECT event_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      |    CASE WHEN event_type = 'error' THEN 4
+      |         WHEN event_type IN ('purchase', 'signup') THEN 3
+      |         WHEN event_type IN ('click', 'view') THEN 2
+      |         ELSE 1 END AS priority
+      |  FROM events),
+      |b AS (
+      |  SELECT priority, sec, value,
+      |    CAST(floor(sec / 3600) AS BIGINT) AS interval_bucket,
+      |    row_number() OVER (
+      |      PARTITION BY priority, CAST(floor(sec / 3600) AS BIGINT)
+      |      ORDER BY sec, event_id) AS rn
+      |  FROM e)
+      |SELECT priority, interval_bucket,
+      |  CAST(floor((rn - 1) / 10) AS BIGINT) AS batch_seq,
+      |  count(*) AS n_events,
+      |  min(sec) AS batch_start_sec, max(sec) AS batch_end_sec,
+      |  round(sum(value), 4) AS sum_value
+      |FROM b GROUP BY 1, 2, 3
+      |ORDER BY priority DESC, interval_bucket, batch_seq""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q57_window_tumbling", q57, Some(q57Sql), headline = true),
     Q("q58_window_sliding", q58, Some(q58Sql)),
-    Q("q59_sessionize", q59, Some(q59Sql)))
+    Q("q59_sessionize", q59, Some(q59Sql)),
+    Q("q90_event_bus_batches", q90, Some(q90Sql)))
 }

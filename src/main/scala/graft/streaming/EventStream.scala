@@ -68,6 +68,115 @@ object EventStream {
         (max(col("sec")) - min(col("sec"))).as("duration_sec"))
   }
 
+  /** Priority lanes (event_system.py EventPriority LOW=1…CRITICAL=4 and
+    * Event.priority, :79-132): the synthetic feed has no explicit
+    * priority column, so the lane derives from event type the way the
+    * reference's publishers pick priorities for their event classes —
+    * errors are CRITICAL (SYSTEM_ERROR), state mutations HIGH,
+    * interaction events NORMAL, anything else LOW. */
+  def withPriority(events: DataFrame): DataFrame =
+    events.withColumn("priority",
+      when(col("event_type") === "error", 4)
+        .when(col("event_type").isin("purchase", "signup"), 3)
+        .when(col("event_type").isin("click", "view"), 2)
+        .otherwise(1))
+
+  /** Batch twin of the reference's EventBatchProcessor
+    * (event_system.py:305-352): a batch flushes when it reaches
+    * `batchSize` events OR `flushIntervalSec` elapses, and each priority
+    * lane batches separately (the dispatcher drains lanes
+    * highest-priority-first — sort the output by priority desc to see
+    * processing order). Declarative form of the two thresholds: no batch
+    * spans a flush-interval boundary (`floor(sec/interval)` — the flush
+    * timer anchored to the epoch rather than to the previous flush, the
+    * one documented divergence), and within an interval bucket events
+    * chunk into groups of `batchSize` in (ts, event_id) arrival order.
+    * One window pass + one aggregate — shuffle keys are (priority,
+    * bucket), so the plan scales with the feed like any windowed agg. */
+  def eventBatches(events: DataFrame, batchSize: Int,
+      flushIntervalSec: Long): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive: $batchSize")
+    require(flushIntervalSec > 0,
+      s"flushIntervalSec must be positive: $flushIntervalSec")
+    val lane = Window.partitionBy(col("priority"), col("interval_bucket"))
+      .orderBy(col("sec"), col("event_id"))
+    withPriority(events)
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .withColumn("interval_bucket", floor(col("sec") / flushIntervalSec))
+      .withColumn("rn", row_number().over(lane))
+      .withColumn("batch_seq", floor((col("rn") - 1) / batchSize))
+      .groupBy(col("priority"), col("interval_bucket"), col("batch_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("sec")).as("batch_start_sec"),
+        max(col("sec")).as("batch_end_sec"),
+        round(sum(col("value")), 4).as("sum_value"))
+  }
+
+  /** foreachBatch wrapper with the event bus's batching-threshold
+    * trigger (EventBatchProcessor.add_event, event_system.py:319-331):
+    * micro-batches accumulate in a pending frame; a flush fires when the
+    * pending count reaches `batchSize` (size threshold) or a newer
+    * flush-interval bucket arrives (interval elapsed — the feed is
+    * ts-ordered). A flush emits every CLOSED interval bucket whole, plus
+    * the FULL chunks of the open bucket's lanes; partial chunks stay
+    * pending until the bucket closes or `close()` is called. Chunk
+    * CONTENTS are stable under this incremental flushing (chunking is
+    * consecutive groups of `batchSize` in lane order, so flushing a
+    * whole-chunk prefix never moves a later chunk's boundary); only the
+    * `batch_seq` label restarts per flush — the parity spec compares
+    * batches by contents. Pending state is a DataFrame
+    * (lineage-truncated per micro-batch); nothing collects to the
+    * driver. */
+  final class PriorityBatcher(batchSize: Int, flushIntervalSec: Long,
+      handler: DataFrame => Unit) {
+    import graft.engine.Lineage.LineageOps
+    private var pending: Option[DataFrame] = None
+    private val carried = Seq("priority", "sec", "interval_bucket")
+
+    def processBatch(micro: DataFrame): Unit = {
+      val withBucket = EventStream.withPriority(micro)
+        .withColumn("sec", unix_timestamp(col("ts")))
+        .withColumn("interval_bucket", floor(col("sec") / flushIntervalSec))
+      val all = pending.map(_.unionByName(withBucket)).getOrElse(withBucket)
+        .truncateLineage()
+      pending = Some(all)
+      val stats = all.agg(count(lit(1)).as("n"),
+        max(col("interval_bucket")).as("max_ib")).head()
+      val n = stats.getLong(0)
+      if (n == 0 || stats.isNullAt(1)) return
+      val maxIb = stats.getLong(1)
+      val closed = col("interval_bucket") < maxIb
+      // size OR interval threshold — the add_event trigger pair
+      val hasClosed = all.filter(closed).limit(1).count() > 0
+      if (n < batchSize && !hasClosed) return
+      // open-bucket lanes contribute their full chunks only
+      val lane = Window.partitionBy(col("priority"), col("interval_bucket"))
+        .orderBy(col("sec"), col("event_id"))
+      val marked = all
+        .withColumn("rn", row_number().over(lane))
+        .withColumn("lane_n", count(lit(1)).over(
+          Window.partitionBy(col("priority"), col("interval_bucket"))))
+      val fullChunk = col("rn") <=
+        floor(col("lane_n") / batchSize) * batchSize
+      val ready = marked.filter(closed || fullChunk).drop("rn", "lane_n")
+      if (ready.limit(1).count() > 0) {
+        handler(EventStream.eventBatches(ready.drop(carried: _*),
+          batchSize, flushIntervalSec))
+        pending = Some(marked.filter(!closed && !fullChunk)
+          .drop("rn", "lane_n").truncateLineage())
+      }
+    }
+
+    /** Flush the pending tail (stop_processing's final
+      * batch_processor.flush(), event_system.py:796-798). */
+    def close(): Unit = pending.foreach { p =>
+      if (p.limit(1).count() > 0)
+        handler(EventStream.eventBatches(p.drop(carried: _*),
+          batchSize, flushIntervalSec))
+      pending = None
+    }
+  }
+
   final case class Ev(user_id: Long, event_id: Long, sec: Long)
   final case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
       duration_sec: Long)
