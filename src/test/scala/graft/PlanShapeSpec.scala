@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import graft.queries.Catalog
+
+/** Plan-shape regression guard: the scale story lives in the PHYSICAL
+  * plans, so this spec pins the plan properties that keep the engine
+  * 100 TB-safe — any operator edit that re-introduces a scale-killer
+  * fails here, at sf0.001, before it ever reaches a bench.
+  *
+  * Guarded properties:
+  *  1. No `CartesianProduct` in any catalog query (currently zero; a
+  *     cartesian over two distributed tables is the canonical
+  *     scale-killer).
+  *  2. `BroadcastNestedLoopJoin` only where a bounded build side is by
+  *     design (1-row globals, the query vector, the centroid table,
+  *     top-50 self-pairs) — a fixed allowlist, so a NEW nested-loop
+  *     join anywhere else fails.
+  *  3. Top-k queries physical-plan as `TakeOrderedAndProject` (never a
+  *     global sort followed by limit).
+  *  4. Codegen integrity: every catalog query RUNS with codegen
+  *     fallback disabled (`spark.sql.codegen.fallback=false`,
+  *     `spark.sql.codegen.factoryMode=CODEGEN_ONLY`), so a Janino
+  *     compile error in a custom Expression fails the build instead of
+  *     silently degrading to the interpreter — the bug class found in
+  *     round 4 (fixed-name locals colliding across Expression
+  *     instances).
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    Catalog.byName(name).run(spark, sf).queryExecution
+      .explainString(FormattedMode)
+
+  /** Queries whose plans contain a BroadcastNestedLoopJoin on purpose:
+    * every build side is bounded by construction (see the operator's
+    * scaladoc), so the nested loop is a broadcast of a tiny frame, not
+    * a distributed cross product. */
+  private val boundedNestedLoop = Set(
+    "q17_topk_cosine",        // 1-row query vector
+    "q18_topk_filtered",      // 1-row query vector
+    "q20_knn_join",           // bounded probe set (25 queries)
+    "q22_ann_ivf",            // broadcast centroid table (nlist rows)
+    "q31_embedding_neardup",  // broadcast centroid table
+    "q45_relationship_metrics", // 1-row global aggregate
+    "q67_qa_evidence",        // 1-row question frame
+    "q73_topic_subgraph",     // top-k topic seed broadcast
+    "q77_behavioral_anomaly", // 1-row global averages
+    "q80_diversity_feature",  // top-50 self-pairs
+    "q84_synthesis_summary",  // 1-row corpus stats
+    "q85_synthesis_comparison") // bounded group-pair matrix
+
+  test("no catalog query plans a CartesianProduct") {
+    val offenders = Catalog.all.map(_.name)
+      .filter(n => planOf(n).contains("CartesianProduct"))
+    assert(offenders.isEmpty,
+      s"cartesian product crept into: ${offenders.mkString(", ")}")
+  }
+
+  test("BroadcastNestedLoopJoin only where the build side is bounded by design") {
+    val offenders = Catalog.all.map(_.name)
+      .filterNot(boundedNestedLoop)
+      .filter(n => planOf(n).contains("BroadcastNestedLoopJoin"))
+    assert(offenders.isEmpty,
+      s"new nested-loop join (unbounded cross?) in: ${offenders.mkString(", ")}")
+  }
+
+  test("top-k queries plan as TakeOrderedAndProject, not sort+limit") {
+    val topK = Seq("q06_sort_pagination", "q17_topk_cosine",
+      "q18_topk_filtered", "q22_ann_ivf", "q50_ranking_scores",
+      "q70_rank_features")
+    val missing = topK.filterNot(n => planOf(n).contains("TakeOrderedAndProject"))
+    assert(missing.isEmpty,
+      s"top-k degraded to global sort in: ${missing.mkString(", ")}")
+  }
+
+  test("expected broadcasts are present (small sides stay broadcast)") {
+    // q73: top-k topic seeds broadcast into the edge semi-joins; q22:
+    // centroids broadcast into the assignment join. If these degrade to
+    // shuffle joins the small side suddenly pays a full shuffle at scale.
+    for (n <- Seq("q73_topic_subgraph", "q22_ann_ivf"))
+      assert(planOf(n).contains("Broadcast"), s"$n lost its broadcast")
+  }
+
+  test("every catalog query survives codegen with fallback disabled") {
+    val conf = spark.conf
+    val prevFallback = conf.get("spark.sql.codegen.fallback", "true")
+    val prevFactory = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    conf.set("spark.sql.codegen.fallback", "false")
+    conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val failures = Catalog.all.flatMap { q =>
+        try { q.run(spark, sf).count(); None }
+        catch { case e: Throwable =>
+          Some(s"${q.name}: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}")
+        }
+      }
+      assert(failures.isEmpty,
+        s"codegen fallback (or failure) in:\n${failures.mkString("\n")}")
+    } finally {
+      conf.set("spark.sql.codegen.fallback", prevFallback)
+      conf.set("spark.sql.codegen.factoryMode", prevFactory)
+    }
+  }
+}
