@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesizes a larger scale factor from an existing one for
+  * scale-proofing benches (the driver only ships sf ≤ 0.1). The corpus
+  * grows as `factor` independent "shards": every shard is a
+  * statistically-identical copy of the base with a DISJOINT key space —
+  * shifted entity ids, renamed block keys, injectively-renamed text
+  * tokens, orthogonally-transformed embeddings. Per-block/per-key
+  * densities therefore stay constant while block/key count grows —
+  * the growth model of a real corpus gaining new sources/users/
+  * communities, and the one under which "runtime scales ≤ ~N× for N×
+  * data" is the right pass/fail bar. (Growing the same blocks N× deeper
+  * instead would make every within-block pair workload grow N²× by
+  * construction, which measures the data model, not the engine.)
+  *
+  * Shared dimension tables (nation, region) keep their size, exactly as
+  * TPC-H does at higher SF: new customers/suppliers attach to the same
+  * nations, so graph traversals fan out through the same hubs into
+  * `factor`× the entities.
+  *
+  * Determinism: pure column expressions over the base tables — no RNG.
+  * Usage: runMain graft.ScaleGen <baseDir> <outDir> [factor]
+  */
+object ScaleGen {
+
+  private val Shift = 10000000L // key-space stride per shard (> any base id)
+
+  private def shifted(df: DataFrame, s: Int, keys: Seq[String]): DataFrame =
+    keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(s * Shift)))
+
+  /** token → token+"x<s>q": injective on the token space, so within-shard
+    * Jaccard/minhash/simhash structure is EXACTLY the base corpus's;
+    * across shards token sets are disjoint (no spurious near-dups). */
+  private def renameTokens(text: Column, s: Int): Column =
+    array_join(transform(split(text, " "), t => concat(t, lit(s"x${s}q"))), " ")
+
+  /** Orthogonal per-shard transform: flip the sign of dimension i when
+    * popcount(i & s) is odd. Preserves every within-shard inner product
+    * and norm bit-for-bit (signs cancel), decorrelates across shards. */
+  private def signFlip(vec: Column, s: Int): Column =
+    zip_with(vec,
+      transform(sequence(lit(0), size(vec) - 1),
+        i => (lit(1) - lit(2) * (bit_count(i.cast("long").bitwiseAND(lit(s.toLong))) % 2))
+          .cast("float")),
+      (x, sign) => x * sign)
+
+  def shard(spark: SparkSession, baseDir: String, name: String, s: Int): DataFrame = {
+    val df = Tables.load(spark, baseDir, name)
+    name match {
+      case "nation" | "region" => df // shared dimensions: emit once (s == 0)
+      case "customer" => shifted(df, s, Seq("c_custkey"))
+      case "supplier" => shifted(df, s, Seq("s_suppkey"))
+      case "part" => shifted(df, s, Seq("p_partkey"))
+      case "orders" => shifted(df, s, Seq("o_orderkey", "o_custkey"))
+      case "lineitem" =>
+        shifted(df, s, Seq("l_orderkey", "l_partkey", "l_suppkey"))
+      case "events" => shifted(df, s, Seq("event_id", "user_id"))
+      case "documents" =>
+        val base = shifted(df, s, Seq("doc_id"))
+        if (s == 0) base
+        else base
+          .withColumn("text", renameTokens(col("text"), s))
+          .withColumn("source", concat(col("source"), lit(s"_x$s")))
+          .withColumn("n_chars", length(col("text")))
+      case "embeddings" =>
+        val base = shifted(df, s, Seq("vec_id"))
+        if (s == 0) base
+        else base.withColumn("embedding", signFlip(col("embedding"), s))
+      case other => sys.error(s"unknown table: $other")
+    }
+  }
+
+  def generate(spark: SparkSession, baseDir: String, outDir: String,
+      factor: Int): Unit =
+    Tables.names.foreach { name =>
+      val shards = if (name == "nation" || name == "region") 1 else factor
+      val all = (0 until shards)
+        .map(s => shard(spark, baseDir, name, s))
+        .reduce(_ unionByName _)
+      all.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      println(s"[scalegen] $name: ${spark.read.parquet(s"$outDir/$name.parquet").count()} rows")
+    }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outDir = args.lift(1).getOrElse("/root/repo/testdata_sf1/sf1.0")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = GraftSession.get("graft-scalegen", Some("local[32]"), 32)
+    spark.sparkContext.setLogLevel("WARN")
+    generate(spark, baseDir, outDir, factor)
+    spark.stop()
+  }
+}

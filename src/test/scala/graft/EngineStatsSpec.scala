@@ -89,6 +89,55 @@ class EngineStatsSpec extends SparkSpec {
     assert(r.totalCount === 2)
   }
 
+  test("engine golden: full lifecycle NL→semantic→filter→rank→paginate→agg→relationships") {
+    // One composed request exercising every §3.1 stage in one pass; every
+    // field of the QueryResponse is pinned (the stages are tested
+    // piecewise above — this is the end-to-end contract).
+    val n2vec = embeddings.filter(col("node_id") === "n2")
+      .select("embedding").as[Seq[Float]].head()
+    val r = QueryEngine.query(tables, QueryRequest(
+      query = "which notes are similar to 'spark' processing",
+      queryType = NaturalLanguageQ,
+      queryVec = Some(n2vec),
+      limit = 1,
+      includeRelationships = true,
+      aggregations = Seq(AggSpec("count", "*", Some("n")),
+        AggSpec("max", "combined_score", Some("top_score")))),
+      embedder = graft.pipeline.Ingestion.HashEmbedding(16))
+
+    // NL parse: "similar" → SimilaritySearch intent, 'spark' entity →
+    // CI content filter, threshold bumped to 0.75
+    assert(r.explanation.exists(_.contains("intent=SimilaritySearch")))
+    assert(r.explanation.exists(_.contains("entities=spark")))
+    assert(r.explanation.exists(_.contains("threshold=0.75")))
+    assert(r.explanation.exists(_.startsWith("execute: semantic")))
+
+    // semantic: n2's own vector ⇒ cosine 1.0 survives 0.75; the filter
+    // keeps spark-containing docs (n2, n4); n4's cosine to n2 is below
+    // threshold ⇒ exactly one ranked row, pre-slice count 1
+    assert(r.totalCount === 1)
+    val row = r.results.select("node_id", "combined_score", "relationships")
+      .collect().head
+    assert(row.getString(0) === "n2")
+    // combined = 0.6·rel(=cos 1.0) + 0.2·quality + 0.2·length — pinned
+    val expectedScore = 0.6 * 1.0 +
+      0.2 * nodes.filter(col("node_id") === "n2")
+        .select(TextFunctions.qualityScore(col("content"),
+          length(col("content"))).as("q")).as[Double].head() +
+      0.2 * nodes.filter(col("node_id") === "n2")
+        .select(TextFunctions.lengthScore(length(col("content"))).as("l"))
+        .as[Double].head()
+    assert(math.abs(row.getDouble(1) - expectedScore) < 1e-12)
+    // relationship expansion: n2 ← n1 (in), n2 → n4 (out)
+    assert(row.getSeq[org.apache.spark.sql.Row](2)
+      .map(x => (x.getString(0), x.getString(1))).toSet ===
+      Set(("n1", "in"), ("n4", "out")))
+    // aggregations run over ranked PRE-pagination rows
+    val agg = r.aggregations.get.collect().head
+    assert(agg.getLong(agg.fieldIndex("n")) === 1L)
+    assert(math.abs(agg.getDouble(agg.fieldIndex("top_score")) - expectedScore) < 1e-12)
+  }
+
   test("driver contract: entry() returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
     // every query has either an oracle or is intentionally rows-only
