@@ -33,14 +33,18 @@ object RecallReport {
     val queryIds = emb.select("vec_id").orderBy("vec_id").limit(50)
       .collect().map(_.getLong(0))
     val k = 10
+    // exact ground truth is nprobe-independent — compute once per query
+    val groundTruth = queryIds.map { qid =>
+      val qvec = emb.filter(col("vec_id") === qid).select("embedding")
+      qid -> VectorSearch.topK(emb, qvec, k)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    }.toMap
     for (nprobe <- Seq(1, 2, 4)) {
       val recalls = queryIds.map { qid =>
         val qvec = emb.filter(col("vec_id") === qid).select("embedding")
-        val exact = VectorSearch.topK(emb, qvec, k)
-          .select("vec_id").collect().map(_.getLong(0)).toSet
         val approx = VectorSearch.ivfSearch(assigned, cents, qvec, k, nprobe)
           .select("vec_id").collect().map(_.getLong(0)).toSet
-        approx.intersect(exact).size.toDouble / k
+        approx.intersect(groundTruth(qid)).size.toDouble / k
       }
       println(f"[recall] topk_q22 nprobe=$nprobe recall@$k=${recalls.sum / recalls.length}%.4f")
     }

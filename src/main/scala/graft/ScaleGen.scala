@@ -28,8 +28,21 @@ object ScaleGen {
 
   private val Shift = 10000000L // key-space stride per shard (> any base id)
 
-  private def shifted(df: DataFrame, s: Int, keys: Seq[String]): DataFrame =
+  private def shifted(df: DataFrame, s: Int, keys: Seq[String]): DataFrame = {
+    if (s == 0) {
+      // validate once per table: base ids must fit under the stride or
+      // shards would collide (e.g. chaining ScaleGen on its own output)
+      val maxCols = keys.map(k => max(col(k)))
+      val maxes = df.agg(
+        (if (maxCols.size == 1) maxCols.head
+         else greatest(maxCols: _*)).as("m")).head()
+      require(maxes.isNullAt(0) || maxes.getLong(0) < Shift,
+        s"base ids in ${keys.mkString("/")} reach ${maxes.getLong(0)} ≥ " +
+          s"stride $Shift — shard key spaces would collide; rescale Shift " +
+          "or use a smaller base")
+    }
     keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(s * Shift)))
+  }
 
   /** token → token+"x<s>q": injective on the token space, so within-shard
     * Jaccard/minhash/simhash structure is EXACTLY the base corpus's;

@@ -131,6 +131,17 @@ object SimilarityJoins {
     // count-over-(blk,id) window after the explode would cost an extra
     // shuffle+sort pass over the exploded rows for a value that is just
     // size(toks)
+    // All three bounds below compare an integer against t·(integer
+    // expression) computed in doubles. t is usually not representable
+    // (0.8 → 0.8000…0004), so the product can land an ulp ABOVE the true
+    // rational value and flip an exact-equality comparison — dropping a
+    // pair whose Jaccard is exactly t, which the ≥-threshold callers
+    // (Dedup.ngramJaccard) must keep. Relaxing each bound by EPS keeps
+    // those pairs: FP error is ≤ ~n·2⁻⁵² (≪ 1e-8 for any real n) while
+    // genuinely-failing candidates miss the bound by ≥ 1/(|A|+|B|)
+    // (≫ 1e-8) — the relaxation only ever ADMITS candidates, and every
+    // candidate is exact-verified afterwards, so output is unaffected.
+    val Eps = 1e-8
     val ex = tokenized.select(col("blk"), col("id"), size(col("toks")).as("n"),
       explode(col("toks")).as("tok"))
     // per-block document frequency orders tokens rarest-first, which
@@ -141,7 +152,8 @@ object SimilarityJoins {
       .orderBy(col("df"), col("tok"))
     val prefix = ex.join(dfreq, Seq("blk", "tok"))
       .withColumn("rn", row_number().over(byRarity))
-      .filter(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .filter(col("rn") <=
+        col("n") - ceil(lit(threshold) * col("n") - Eps) + 1)
       .select(col("blk"), col("id"), col("tok"), col("n"), col("rn"))
     val lhs = prefix.select(col("blk"), col("tok"), col("id").as("a_id"),
       col("n").as("a_n"), col("rn").as("a_rn"))
@@ -155,7 +167,7 @@ object SimilarityJoins {
       joined
         // length filter — prunes before the pair-dedup shuffle
         .filter(least(col("a_n"), col("b_n")) >=
-          lit(threshold) * greatest(col("a_n"), col("b_n")))
+          lit(threshold) * greatest(col("a_n"), col("b_n")) - Eps)
         // positional overlap upper bound for THIS shared token occurrence
         .withColumn("ub", least(col("a_rn"), col("b_rn")) +
           least(col("a_n") - col("a_rn"), col("b_n") - col("b_rn")))
@@ -167,7 +179,7 @@ object SimilarityJoins {
           first(col("a_n")).as("a_n"), first(col("b_n")).as("b_n"))
         // positional filter: required overlap α = t·(|A|+|B|)/(1+t)
         .filter(col("ub") >=
-          lit(threshold) * (col("a_n") + col("b_n")) / (1 + threshold))
+          lit(threshold) * (col("a_n") + col("b_n")) / (1 + threshold) - Eps)
     } else {
       joined.groupBy(col("blk"), col("a_id"), col("b_id"))
         .agg(count(lit(1)).as("ub"))

@@ -76,38 +76,48 @@ object Importers {
       "&#10;" -> "\n", "&#13;" -> "\r", "&amp;" -> "&")
       .foldLeft(c) { case (acc, (from, to)) => regexp_replace(acc, from, to) }
 
+  /** Shape validation shared by every line-oriented importer: count the
+    * lines that LOOK like an entry (`marker`) and the lines that fully
+    * match the exporter's single-line pattern (`matched`); refuse unless
+    * they agree. This catches both total mismatches (pretty-printed /
+    * foreign dialects → zero parsed) and PARTIAL ones (a file where some
+    * entries happen to be single-line and the rest would be silently
+    * dropped — the worse failure, because it looks like success). One
+    * extra cold-path pass over the lines. */
+  private def validatedLines(spark: SparkSession, path: String,
+      marker: org.apache.spark.sql.Column, pat: String,
+      what: String): DataFrame = {
+    val lines = spark.read.text(path)
+    val s = lines.agg(
+      sum(when(marker, 1L).otherwise(0L)).as("markers"),
+      sum(when(col("value").rlike(pat), 1L).otherwise(0L)).as("matched"))
+      .head()
+    val (markers, matched) =
+      (if (s.isNullAt(0)) 0L else s.getLong(0),
+        if (s.isNullAt(1)) 0L else s.getLong(1))
+    require(markers == matched,
+      s"$path: $markers $what lines but only $matched parse as the " +
+        "single-line attribute shape the matching Exporter emits; " +
+        s"refusing to silently drop ${markers - matched} entries " +
+        "(multi-line / foreign dialects are not supported)")
+    lines
+  }
+
   /** GraphML import (data_importer.py graphml path): parses the
     * `<edge source=".." target=".." label=".."/>` elements — the
     * one-edge-per-line attribute shape `Exporters.graphMlFragments`
     * emits. NOT a general GraphML reader: exports that nest attributes
     * in `<data>` children or pretty-print an element across lines (e.g.
-    * the reference's ElementTree writer, data_exporter.py:370-470) don't
-    * match the line pattern — rather than silently yielding zero edges on
-    * such a file, a non-empty input with `<edge` markers but no parsed
-    * rows fails loudly (one extra cold-path pass over the lines).
-    * Line-oriented → fully distributed. */
+    * the reference's ElementTree writer, data_exporter.py:370-470) fail
+    * loudly (every `<edge` line must parse) instead of silently dropping
+    * edges. Line-oriented → fully distributed. */
   def graphMlEdges(spark: SparkSession, path: String): DataFrame = {
-    val lines = spark.read.text(path)
     val pat = """<edge source="([^"]*)" target="([^"]*)" label="([^"]*)"/>"""
-    // shape validation: <edge markers present but none parseable means a
-    // GraphML dialect this importer does not speak — refuse, don't drop
-    val shape = lines.agg(
-      sum(when(col("value").contains("<edge"), 1L).otherwise(0L)).as("markers"),
-      sum(when(regexp_extract(col("value"), pat, 1) =!= "", 1L).otherwise(0L))
-        .as("parsed")).head()
-    val (markers, parsed) =
-      (if (shape.isNullAt(0)) 0L else shape.getLong(0),
-        if (shape.isNullAt(1)) 0L else shape.getLong(1))
-    require(markers == 0L || parsed > 0L,
-      s"$path contains $markers <edge> elements but none match the " +
-        "single-line attribute shape this importer reads " +
-        "(Exporters.graphMlFragments); multi-line / <data>-child GraphML " +
-        "dialects are not supported")
-    lines
+    validatedLines(spark, path, col("value").contains("<edge"), pat, "<edge>")
+      .filter(col("value").rlike(pat)) // match-test, so empty ids survive
       .select(regexp_extract(col("value"), pat, 1).as("from_id"),
         regexp_extract(col("value"), pat, 2).as("to_id"),
         regexp_extract(col("value"), pat, 3).as("relation_type"))
-      .filter(col("from_id") =!= "")
       .select(unescXml(col("from_id")).as("from_id"),
         unescXml(col("to_id")).as("to_id"),
         unescXml(col("relation_type")).as("relation_type"))
@@ -116,9 +126,9 @@ object Importers {
   /** GraphML node-id import (`<node id=".."/>` elements). */
   def graphMlNodes(spark: SparkSession, path: String): DataFrame = {
     val pat = """<node id="([^"]*)"/>"""
-    spark.read.text(path)
+    validatedLines(spark, path, col("value").contains("<node"), pat, "<node>")
+      .filter(col("value").rlike(pat))
       .select(regexp_extract(col("value"), pat, 1).as("node_id"))
-      .filter(col("node_id") =!= "")
       .select(unescXml(col("node_id")).as("node_id"))
   }
 
@@ -147,11 +157,12 @@ object Importers {
     * per-row expression (url_decode handles %XX byte escapes). */
   def rdfEdges(spark: SparkSession, path: String): DataFrame = {
     val pat = """<urn:graft:([^>]*)> <urn:graft:rel:([^>]*)> <urn:graft:([^>]*)> \."""
-    spark.read.text(path)
+    validatedLines(spark, path, col("value").contains("<urn:graft:"), pat,
+        "urn:graft triple")
+      .filter(col("value").rlike(pat))
       .select(regexp_extract(col("value"), pat, 1).as("from_id"),
         regexp_extract(col("value"), pat, 2).as("relation_type"),
         regexp_extract(col("value"), pat, 3).as("to_id"))
-      .filter(col("from_id") =!= "")
       .select(url_decode(col("from_id")).as("from_id"),
         url_decode(col("to_id")).as("to_id"),
         url_decode(col("relation_type")).as("relation_type"))
@@ -160,16 +171,18 @@ object Importers {
   /** Plain-XML import: inverse of `Exporters.xmlFragments` — one
     * `<relationship>` element per line, fields as nested elements. The
     * exporter XML-escapes field values (incl. newlines as `&#10;`), so
-    * `[^<]*` captures each field exactly. */
+    * `[^<]*` captures each field exactly; any `<relationship` line that
+    * does not parse (pretty-printed dialects) fails loudly. */
   def xmlEdges(spark: SparkSession, path: String): DataFrame = {
     val pat = """<relationship><from_id>([^<]*)</from_id>""" +
       """<to_id>([^<]*)</to_id>""" +
       """<relation_type>([^<]*)</relation_type></relationship>"""
-    spark.read.text(path)
+    validatedLines(spark, path, col("value").contains("<relationship"), pat,
+        "<relationship>")
+      .filter(col("value").rlike(pat))
       .select(regexp_extract(col("value"), pat, 1).as("from_id"),
         regexp_extract(col("value"), pat, 2).as("to_id"),
         regexp_extract(col("value"), pat, 3).as("relation_type"))
-      .filter(col("from_id") =!= "")
       .select(unescXml(col("from_id")).as("from_id"),
         unescXml(col("to_id")).as("to_id"),
         unescXml(col("relation_type")).as("relation_type"))
@@ -178,9 +191,9 @@ object Importers {
   /** Plain-XML node import (`<node><node_id>..</node_id></node>`). */
   def xmlNodes(spark: SparkSession, path: String): DataFrame = {
     val pat = """<node><node_id>([^<]*)</node_id></node>"""
-    spark.read.text(path)
+    validatedLines(spark, path, col("value").contains("<node>"), pat, "<node>")
+      .filter(col("value").rlike(pat))
       .select(regexp_extract(col("value"), pat, 1).as("node_id"))
-      .filter(col("node_id") =!= "")
       .select(unescXml(col("node_id")).as("node_id"))
   }
 
@@ -218,6 +231,22 @@ object Importers {
     (s"""g\\.V\\(\\)\\.has\\('node_id', '$Lit'\\)\\.addE\\('$Lit'\\)""" +
       s"""\\.to\\(__\\.V\\(\\)\\.has\\('node_id', '$Lit'\\)\\)""").r
 
+  /** Statement-parser twin of `validatedLines`: every line that looks
+    * like a statement of this kind must fully parse — a dump from a real
+    * Neo4j/Gremlin server (different quoting, property maps) refuses
+    * loudly instead of importing a silently-partial graph. */
+  private def requireAllStatements(lines: org.apache.spark.sql.Dataset[String],
+      isMarker: String => Boolean, parsed: DataFrame, path: String,
+      what: String): DataFrame = {
+    val markers = lines.filter(isMarker).count()
+    val matched = parsed.count()
+    require(markers == matched,
+      s"$path: $markers $what statements but only $matched parse as the " +
+        "statement-per-line shape the matching Exporter emits; refusing " +
+        s"to silently drop ${markers - matched} entries")
+    parsed
+  }
+
   /** Cypher script import: inverse of `Exporters.cypherStatements`
     * (data_importer.py:54-71 routes Cypher through a live engine; a batch
     * engine parses the statements instead — same information, no server).
@@ -227,19 +256,25 @@ object Importers {
     * parse (cold path; statements-per-line, fully distributed). */
   def cypherEdges(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    spark.read.textFile(path).flatMap {
+    val lines = spark.read.textFile(path)
+    val parsed = lines.flatMap {
       case CypherEdge(f, t, r) => Some((unq(f), unq(t), r))
       case _ => None
     }.toDF("from_id", "to_id", "relation_type")
+    requireAllStatements(lines, _.startsWith("MATCH "), parsed, path,
+      "MATCH…CREATE edge")
   }
 
   /** Cypher node-id import (`CREATE (:Node {id: '..'});` statements). */
   def cypherNodes(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    spark.read.textFile(path).flatMap {
+    val lines = spark.read.textFile(path)
+    val parsed = lines.flatMap {
       case CypherNode(id) => Some(unq(id))
       case _ => None
     }.toDF("node_id")
+    requireAllStatements(lines, _.startsWith("CREATE (:Node"), parsed, path,
+      "CREATE node")
   }
 
   /** Gremlin script import: inverse of `Exporters.gremlinStatements`
@@ -247,19 +282,25 @@ object Importers {
     * shape db/janusgraph_storage.py:116-178). Lossless round-trip. */
   def gremlinEdges(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    spark.read.textFile(path).flatMap {
+    val lines = spark.read.textFile(path)
+    val parsed = lines.flatMap {
       case GremlinEdge(f, r, t) => Some((unq(f), unq(t), unq(r)))
       case _ => None
     }.toDF("from_id", "to_id", "relation_type")
+    requireAllStatements(lines, _.contains(".addE("), parsed, path,
+      "addE edge")
   }
 
   /** Gremlin node-id import (`g.addV('node').property(..)` statements). */
   def gremlinNodes(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    spark.read.textFile(path).flatMap {
+    val lines = spark.read.textFile(path)
+    val parsed = lines.flatMap {
       case GremlinNode(id) => Some(unq(id))
       case _ => None
     }.toDF("node_id")
+    requireAllStatements(lines, _.startsWith("g.addV("), parsed, path,
+      "addV node")
   }
 
   /** NetworkX node-link JSON import: inverse of `Exporters.nodeLinkJson`

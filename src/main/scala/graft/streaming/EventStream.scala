@@ -124,9 +124,14 @@ object EventStream {
     * consecutive groups of `batchSize` in lane order, so flushing a
     * whole-chunk prefix never moves a later chunk's boundary); only the
     * `batch_seq` label restarts per flush — the parity spec compares
-    * batches by contents. Pending state is a DataFrame
-    * (lineage-truncated per micro-batch); nothing collects to the
-    * driver. */
+    * batches by contents. PRECONDITION: micro-batches deliver events in
+    * (ts, event_id) order — an event arriving after a later-ordered
+    * event of the same lane could land behind an already-flushed chunk
+    * boundary (same-second ties included: ties must arrive in event_id
+    * order). Feeds that cannot guarantee tie order should deliver whole
+    * interval buckets per micro-batch or re-sort in foreachBatch.
+    * Pending state is a DataFrame (lineage-truncated per micro-batch);
+    * nothing collects to the driver. */
   final class PriorityBatcher(batchSize: Int, flushIntervalSec: Long,
       handler: DataFrame => Unit) {
     import graft.engine.Lineage.LineageOps
@@ -140,14 +145,17 @@ object EventStream {
       val all = pending.map(_.unionByName(withBucket)).getOrElse(withBucket)
         .truncateLineage()
       pending = Some(all)
+      // one aggregate answers all three trigger questions: count (size
+      // threshold), and min<max bucket (an older bucket is now closed)
       val stats = all.agg(count(lit(1)).as("n"),
+        min(col("interval_bucket")).as("min_ib"),
         max(col("interval_bucket")).as("max_ib")).head()
       val n = stats.getLong(0)
-      if (n == 0 || stats.isNullAt(1)) return
-      val maxIb = stats.getLong(1)
+      if (n == 0 || stats.isNullAt(2)) return
+      val maxIb = stats.getLong(2)
       val closed = col("interval_bucket") < maxIb
       // size OR interval threshold — the add_event trigger pair
-      val hasClosed = all.filter(closed).limit(1).count() > 0
+      val hasClosed = stats.getLong(1) < maxIb
       if (n < batchSize && !hasClosed) return
       // open-bucket lanes contribute their full chunks only
       val lane = Window.partitionBy(col("priority"), col("interval_bucket"))

@@ -189,6 +189,22 @@ class DedupStreamSpec extends SparkSpec {
     assert(batchNodes > 0)
   }
 
+  test("prefixPairs keeps pairs whose Jaccard equals the threshold exactly") {
+    // FP-boundary regression: t=0.8 with |A|=28 ⊂ |B|=35 gives
+    // J = 28/35 = 0.8 EXACTLY, but 0.8 is not double-representable —
+    // lit(0.8)*35 = 28.000000000000004, so un-relaxed length/positional/
+    // prefix bounds all flip on the equality and silently drop the pair
+    // a >=-threshold caller (Dedup.ngramJaccard) must keep.
+    val toksA = (1 to 28).map(i => f"t$i%02d")
+    val toksB = (1 to 35).map(i => f"t$i%02d")
+    val tokenized = Seq(("blk", 1L, toksA), ("blk", 2L, toksB))
+      .toDF("blk", "id", "toks")
+    val got = graft.semantic.SimilarityJoins.prefixPairs(tokenized, 0.8)
+      .filter(col("sim") >= 0.8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
   test("PriorityBatcher incremental flushes equal the batch twin's batches") {
     val evs = Tables.load(spark, sf, "events")
       .select("event_id", "ts", "user_id", "event_type", "value", "props")

@@ -116,6 +116,19 @@ class SnapshotImportSpec extends SparkSpec {
     assert(err.getMessage.contains("single-line attribute shape"))
   }
 
+  test("GraphML import refuses a PARTIALLY parseable file (no silent drops)") {
+    val dir = Files.createTempDirectory("graft-gml-part").toString + "/part.graphml"
+    // one well-formed single-line edge plus one split across lines: the
+    // old any-parse guard would pass and silently drop the second edge
+    Seq("""    <edge source="a" target="b" label="likes"/>""",
+      "<edge source=\"c\"", "      target=\"d\" label=\"cites\"/>")
+      .toDF("value").coalesce(1).write.text(dir)
+    val err = intercept[IllegalArgumentException] {
+      Importers.graphMlEdges(spark, dir)
+    }
+    assert(err.getMessage.contains("refusing to silently drop 1"))
+  }
+
   test("Cypher export round-trips ids (relation types are export-mangled)") {
     val dir = Files.createTempDirectory("graft-cy").toString + "/g.cypher"
     val n = nodes.union(Seq("it's\nodd\\id").toDF("node_id"))
