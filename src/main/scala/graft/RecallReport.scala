@@ -49,6 +49,23 @@ object RecallReport {
       println(f"[recall] topk_q22 nprobe=$nprobe recall@$k=${recalls.sum / recalls.length}%.4f")
     }
 
+    // ---- PQ ADC recall (q91 shape) vs exact L2 top-k ----
+    val books = VectorSearch.pqCodebooks(emb, "label", m = 8, dim = 64)
+    val encoded = VectorSearch.pqEncode(emb, books, m = 8, dim = 64).cache()
+    encoded.count()
+    val pqRecalls = queryIds.map { qid =>
+      val qvec = emb.filter(col("vec_id") === qid).select("embedding")
+      val exactL2 = emb.crossJoin(broadcast(qvec.select(col("embedding").as("qv"))))
+        .withColumn("d", graft.functions.VectorFunctions.l2Distance(
+          col("embedding"), col("qv")))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val approx = VectorSearch.pqSearch(encoded, books, qvec, 10, m = 8, dim = 64)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      approx.intersect(exactL2).size.toDouble / 10
+    }
+    println(f"[recall] pq_q91 m=8 recall@10=${pqRecalls.sum / pqRecalls.length}%.4f")
+
     // ---- near-dup pair recall (q31 shape) ----
     val threshold = 0.35
     val exactPairs = Dedup.embeddingNearDup(emb, threshold)

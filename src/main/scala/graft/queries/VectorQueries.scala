@@ -140,11 +140,59 @@ object VectorQueries {
        |ORDER BY ${VF.sql.cosine("e.embedding", "qv")} DESC, e.vec_id LIMIT 10""".stripMargin
   }
 
+  // -- q91: IVF_PQ ANN — product quantization (8 subspaces × label-mean
+  //         codebooks) + ADC top-10 by quantized L2 (the second index
+  //         family of vector_store_interface.py:24-44's enum)
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val books = VectorSearch.pqCodebooks(e, "label", m = 8, dim = 64)
+    val encoded = VectorSearch.pqEncode(e, books, m = 8, dim = 64)
+    VectorSearch.pqSearch(encoded, books, qvec(s, dir), k = 10, m = 8, dim = 64)
+  }
+
+  private val q91Sql = {
+    val sq = "list_sum(list_transform(list_zip(%s, %s), z -> (z[1]-z[2])*(z[1]-z[2])))"
+    s"""WITH el AS (
+       |  SELECT vec_id, label,
+       |    generate_subscripts(embedding, 1) - 1 AS pos,
+       |    unnest(embedding::DOUBLE[]) AS x
+       |  FROM embeddings),
+       |b AS (
+       |  SELECT CAST(floor(pos / 8) AS INT) AS sub, label AS code, pos,
+       |    avg(x) AS cx
+       |  FROM el GROUP BY 1, 2, 3),
+       |books AS (
+       |  SELECT sub, code, list(cx ORDER BY pos) AS codeword
+       |  FROM b GROUP BY sub, code),
+       |sv AS (
+       |  SELECT vec_id, CAST(floor(pos / 8) AS INT) AS sub,
+       |    list(x ORDER BY pos) AS subvec
+       |  FROM el GROUP BY 1, 2),
+       |enc AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT sv.vec_id, sv.sub, books.code,
+       |      row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+       |        ORDER BY ${sq.format("subvec", "codeword")}, code) AS rn
+       |    FROM sv JOIN books USING (sub)) x
+       |  WHERE rn = 1),
+       |qs AS (SELECT sub, subvec AS qsub FROM sv WHERE vec_id = 0),
+       |lut AS (
+       |  SELECT books.sub, code, ${sq.format("codeword", "qsub")} AS pd
+       |  FROM books JOIN qs ON books.sub = qs.sub),
+       |adc AS (
+       |  SELECT e.vec_id, round(sqrt(sum(l.pd)), 6) AS adc_dist
+       |  FROM enc e JOIN lut l ON e.sub = l.sub AND e.code = l.code
+       |  GROUP BY 1)
+       |SELECT vec_id, adc_dist FROM adc
+       |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q17_topk_cosine", q17, Some(q17Sql), headline = true),
     Q("q18_topk_filtered", q18, Some(q18Sql)),
     Q("q19_sim_selfjoin_exact", q19, Some(q19Sql), headline = true),
     Q("q20_knn_join", q20, Some(q20Sql)),
     Q("q21_sim_metrics", q21, Some(q21Sql)),
-    Q("q22_ann_ivf", q22, Some(q22Sql)))
+    Q("q22_ann_ivf", q22, Some(q22Sql)),
+    Q("q91_ann_ivf_pq", q91, Some(q91Sql)))
 }

@@ -1,6 +1,6 @@
 package graft.semantic
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorFunctions._
@@ -101,6 +101,99 @@ object VectorSearch {
       .groupBy(col("cell"))
       .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
       .select(col("cell"), expr("transform(pairs, p -> p.cx)").as("centroid"))
+
+  // ---- IVF_PQ: product quantization + ADC scan -----------------------
+  // The second index family of the reference's enum (vector_store_
+  // interface.py:24-44 lists FLAT/IVF_*/HNSW/ANNOY; FLAT + IVF are
+  // above). PQ compresses each vector to `m` small codes (one per
+  // contiguous dimension subspace) against per-subspace codebooks;
+  // search computes a query-specific lookup table of partial squared
+  // distances (m × ncodes doubles — broadcastable at any corpus size)
+  // and scores every vector with ONE array lookup per subspace: a
+  // single scan over rows carrying m ints, no shuffle, TakeOrdered
+  // top-k. This is the batch-scale ANN shape (HNSW, the remaining enum
+  // row, is an online-serving graph index — out of scope for a batch
+  // engine, documented in README). Codebooks are label-mean subvectors
+  // (deterministic, like `centroids`), so the whole path is
+  // oracle-checkable; production corpora would swap in k-means
+  // codebooks without changing any plan shape.
+
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def subspaced(df: DataFrame, idCols: Seq[String], dsub: Int,
+      out: String): DataFrame =
+    df.select(idCols.map(col) :+
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")): _*)
+      .withColumn("sub", (col("pos") / dsub).cast("int"))
+      .groupBy((idCols :+ "sub").map(col): _*)
+      .agg(array_sort(collect_list(struct(col("pos"), col("x")))).as("pairs"))
+      .select(idCols.map(col) :+ col("sub") :+
+        expr("transform(pairs, p -> p.x)").as(out): _*)
+
+  /** PQ codebooks: `m` contiguous subspaces over `dim` dimensions
+    * (last one shorter when m ∤ dim); one codeword per distinct label
+    * per subspace = that label's mean subvector.
+    * Returns (sub, code, codeword). */
+  def pqCodebooks(data: DataFrame, labelCol: String, m: Int, dim: Int): DataFrame = {
+    val dsub = (dim + m - 1) / m
+    data.select(col(labelCol).cast("int").as("code"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      .withColumn("sub", (col("pos") / dsub).cast("int"))
+      .groupBy(col("sub"), col("code"), col("pos"))
+      .agg(avg(col("x")).as("cx"))
+      .groupBy(col("sub"), col("code"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
+      .select(col("sub"), col("code"),
+        expr("transform(pairs, p -> p.cx)").as("codeword"))
+  }
+
+  /** PQ encode: each vector → `m` codes (nearest codeword per subspace,
+    * ties by code). Returns (vec_id, codes: array<int>) — the compact
+    * row-sized index a 100 TB corpus stores instead of raw vectors. */
+  def pqEncode(data: DataFrame, books: DataFrame, m: Int, dim: Int): DataFrame = {
+    val dsub = (dim + m - 1) / m
+    val byDist = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("d2"), col("code"))
+    subspaced(data, Seq("vec_id"), dsub, "subvec")
+      .join(broadcast(books), "sub")
+      .withColumn("d2", sqDist(col("subvec"), col("codeword")))
+      .withColumn("rn", row_number().over(byDist))
+      .filter(col("rn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("sc"))
+      .select(col("vec_id"), expr("transform(sc, p -> p.code)").as("codes"))
+  }
+
+  /** ADC search: build the query's (sub × code) table of partial squared
+    * distances, broadcast it as one nested-array row, and score every
+    * encoded vector with per-subspace lookups — approx top-k by
+    * quantized L2. Requires codes to be dense 0-based (label ids are).
+    * Ordering uses the ROUNDED distance (6 dp) so ranking is stable
+    * across summation orders. */
+  def pqSearch(encoded: DataFrame, books: DataFrame, queryVec: DataFrame,
+      k: Int, m: Int, dim: Int): DataFrame = {
+    val dsub = (dim + m - 1) / m
+    val qsub = subspaced(queryVec.select(lit(0L).as("vec_id"), col("embedding")),
+      Seq("vec_id"), dsub, "qsub").drop("vec_id")
+    val lut = books.join(qsub, "sub")
+      .withColumn("pd", sqDist(col("codeword"), col("qsub")))
+      .groupBy(col("sub"))
+      .agg(array_sort(collect_list(struct(col("code"), col("pd")))).as("cp"))
+      .select(col("sub"), expr("transform(cp, p -> p.pd)").as("pds"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("sub"), col("pds")))).as("sp"))
+      .select(expr("transform(sp, p -> p.pds)").as("lut"))
+    encoded.crossJoin(broadcast(lut))
+      .withColumn("adc_dist", round(sqrt(aggregate(
+        zip_with(col("codes"), col("lut"),
+          (c, subLut) => element_at(subLut, c + 1)),
+        lit(0.0), (acc, v) => acc + v)), 6))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("adc_dist"))
+  }
 
   /** IVF search: probe the `nprobe` nearest cells for the query, exact
     * cosine top-k inside those cells only. */

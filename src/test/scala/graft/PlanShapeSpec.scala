@@ -48,7 +48,8 @@ class PlanShapeSpec extends SparkSpec {
     "q77_behavioral_anomaly", // 1-row global averages
     "q80_diversity_feature",  // top-50 self-pairs
     "q84_synthesis_summary",  // 1-row corpus stats
-    "q85_synthesis_comparison") // bounded group-pair matrix
+    "q85_synthesis_comparison", // bounded group-pair matrix
+    "q91_ann_ivf_pq")         // 1-row broadcast ADC lookup table
 
   test("no catalog query plans a CartesianProduct") {
     val offenders = Catalog.all.map(_.name)
