@@ -50,7 +50,8 @@ object RecallReport {
     }
 
     // ---- PQ ADC recall (q91 shape) vs exact L2 top-k ----
-    val books = VectorSearch.pqCodebooks(emb, "label", m = 8, dim = 64)
+    val books = VectorSearch.pqCodebooks(emb, "label", m = 8, dim = 64).cache()
+    books.count()
     val encoded = VectorSearch.pqEncode(emb, books, m = 8, dim = 64).cache()
     encoded.count()
     val pqRecalls = queryIds.map { qid =>

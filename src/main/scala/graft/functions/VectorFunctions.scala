@@ -48,9 +48,13 @@ object VectorFunctions {
       .otherwise(least(greatest(hofDot(a, b) / den, lit(-1.0)), lit(1.0)))
   }
 
-  def hofL2Distance(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(a, b, (x, y) => (d(x) - d(y)) * (d(x) - d(y))),
-      lit(0.0), (acc, v) => acc + v))
+  /** Sum of squared differences — the shared fold under both the exact
+    * L2 distance and the PQ partial-distance tables (VectorSearch). */
+  def squaredL2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (d(x) - d(y)) * (d(x) - d(y))),
+      lit(0.0), (acc, v) => acc + v)
+
+  def hofL2Distance(a: Column, b: Column): Column = sqrt(squaredL2(a, b))
 
   /** L2 distance mapped to a similarity in (0,1]: 1/(1+d). */
   def l2Similarity(a: Column, b: Column): Column =

@@ -119,8 +119,7 @@ object VectorSearch {
   // codebooks without changing any plan shape.
 
   private def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.squaredL2(a, b)
 
   private def subspaced(df: DataFrame, idCols: Seq[String], dsub: Int,
       out: String): DataFrame =

@@ -69,7 +69,7 @@ class PlanShapeSpec extends SparkSpec {
   test("top-k queries plan as TakeOrderedAndProject, not sort+limit") {
     val topK = Seq("q06_sort_pagination", "q17_topk_cosine",
       "q18_topk_filtered", "q22_ann_ivf", "q50_ranking_scores",
-      "q70_rank_features")
+      "q70_rank_features", "q91_ann_ivf_pq")
     val missing = topK.filterNot(n => planOf(n).contains("TakeOrderedAndProject"))
     assert(missing.isEmpty,
       s"top-k degraded to global sort in: ${missing.mkString(", ")}")
