@@ -237,6 +237,27 @@ class DedupStreamSpec extends SparkSpec {
     assert(nFlushes > 2, s"expected incremental flushes, got $nFlushes")
   }
 
+  test("PriorityBatcher persists flushed batches to a parquet sink") {
+    // the reference's _persist_event_batch (event_system.py:887-smallest
+    // persistence handler): batches append to durable storage as they
+    // flush; the handler is just a DataFrame sink — fully distributed
+    val dir = java.nio.file.Files.createTempDirectory("evpersist").toString
+    val evs = Tables.load(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val pb = new EventStream.PriorityBatcher(10, 3600L,
+      b => b.write.mode("append").parquet(s"$dir/batches"))
+    evs.orderBy(col("ts"), col("event_id")).collect()
+      .grouped(400).foreach { chunk =>
+        pb.processBatch(spark.createDataFrame(
+          spark.sparkContext.parallelize(chunk.toIndexedSeq), evs.schema))
+      }
+    pb.close()
+    val persisted = spark.read.parquet(s"$dir/batches")
+    val expected = EventStream.eventBatches(evs, 10, 3600L)
+    assert(persisted.count() === expected.count())
+    assert(persisted.agg(sum("n_events")).head().getLong(0) === evs.count())
+  }
+
   test("multimodal stub pipeline computes byte statistics per item") {
     val media = Multimodal.synthesize(
       Seq((7L, "abc", 3L)).toDF("doc_id", "text", "n_chars"))
