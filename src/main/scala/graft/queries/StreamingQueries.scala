@@ -101,5 +101,5 @@ object StreamingQueries {
     Q("q57_window_tumbling", q57, Some(q57Sql), headline = true),
     Q("q58_window_sliding", q58, Some(q58Sql)),
     Q("q59_sessionize", q59, Some(q59Sql)),
-    Q("q90_event_bus_batches", q90, Some(q90Sql)))
+    Q("q90_event_bus_batches", q90, Some(q90Sql), headline = true))
 }

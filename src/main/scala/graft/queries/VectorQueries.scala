@@ -194,5 +194,5 @@ object VectorQueries {
     Q("q20_knn_join", q20, Some(q20Sql)),
     Q("q21_sim_metrics", q21, Some(q21Sql)),
     Q("q22_ann_ivf", q22, Some(q22Sql)),
-    Q("q91_ann_ivf_pq", q91, Some(q91Sql)))
+    Q("q91_ann_ivf_pq", q91, Some(q91Sql), headline = true))
 }
