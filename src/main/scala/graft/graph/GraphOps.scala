@@ -306,10 +306,14 @@ object GraphOps {
       val finished = step.filter(col("next_id").isNull)
         .select(col("len"), col("cur").as("end_id"), col("cnt").as("n_chains"))
       done = if (done == null) finished else done.unionByName(finished)
+      // truncate the aggregated (small) frontier too: the loop guard's
+      // isEmpty and the next join otherwise each re-run this aggregate
+      // against the checkpointed step — twice per level
       frontier = step.filter(col("next_id").isNotNull)
         .groupBy(col("next_id"), col("len"))
         .agg(sum(col("cnt")).as("cnt"))
         .select(col("next_id").as("cur"), (col("len") + 1).as("len"), col("cnt"))
+        .truncateLineage()
       h += 1
     }
     // complete chains of exactly maxLen still count — classify the final
