@@ -133,10 +133,24 @@ object EventStream {
     * Pending state is a DataFrame (lineage-truncated per micro-batch);
     * nothing collects to the driver. */
   final class PriorityBatcher(batchSize: Int, flushIntervalSec: Long,
-      handler: DataFrame => Unit) {
+      handler: DataFrame => Unit,
+      deadLetter: Option[DataFrame => Unit] = None) {
     import graft.engine.Lineage.LineageOps
     private var pending: Option[DataFrame] = None
     private val carried = Seq("priority", "sec", "interval_bucket")
+
+    /** Dead-letter routing (event_system.py:458-488 DeadLetterQueue +
+      * :869-872 add_failed_event): a flush whose handler throws sends
+      * the SAME batch frame to the dead-letter sink instead of crashing
+      * the stream or silently dropping the batch. With no sink
+      * configured the handler's exception propagates (fail-fast). */
+    private def deliver(batches: DataFrame): Unit =
+      deadLetter match {
+        case None => handler(batches)
+        case Some(dlq) =>
+          try handler(batches)
+          catch { case scala.util.control.NonFatal(_) => dlq(batches) }
+      }
 
     def processBatch(micro: DataFrame): Unit = {
       val withBucket = EventStream.withPriority(micro)
@@ -168,7 +182,7 @@ object EventStream {
         floor(col("lane_n") / batchSize) * batchSize
       val ready = marked.filter(closed || fullChunk).drop("rn", "lane_n")
       if (ready.limit(1).count() > 0) {
-        handler(EventStream.eventBatches(ready.drop(carried: _*),
+        deliver(EventStream.eventBatches(ready.drop(carried: _*),
           batchSize, flushIntervalSec))
         pending = Some(marked.filter(!closed && !fullChunk)
           .drop("rn", "lane_n").truncateLineage())
@@ -179,7 +193,7 @@ object EventStream {
       * batch_processor.flush(), event_system.py:796-798). */
     def close(): Unit = pending.foreach { p =>
       if (p.limit(1).count() > 0)
-        handler(EventStream.eventBatches(p.drop(carried: _*),
+        deliver(EventStream.eventBatches(p.drop(carried: _*),
           batchSize, flushIntervalSec))
       pending = None
     }

@@ -258,6 +258,30 @@ class DedupStreamSpec extends SparkSpec {
     assert(persisted.agg(sum("n_events")).head().getLong(0) === evs.count())
   }
 
+  test("PriorityBatcher routes failed flushes to the dead-letter sink") {
+    val evs = Tables.load(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .limit(200)
+    var delivered = 0L
+    var deadLettered = 0L
+    var calls = 0
+    val pb = new EventStream.PriorityBatcher(10, 3600L,
+      handler = b => {
+        calls += 1
+        if (calls == 1) sys.error("sink down") // first flush fails
+        delivered += b.count()
+      },
+      deadLetter = Some(b => deadLettered += b.count()))
+    evs.orderBy(col("ts"), col("event_id")).collect().grouped(100).foreach { c =>
+      pb.processBatch(spark.createDataFrame(
+        spark.sparkContext.parallelize(c.toIndexedSeq), evs.schema))
+    }
+    pb.close()
+    val total = EventStream.eventBatches(evs, 10, 3600L).count()
+    assert(deadLettered > 0)              // the failed flush landed in the DLQ
+    assert(delivered + deadLettered === total) // nothing lost, nothing doubled
+  }
+
   test("multimodal stub pipeline computes byte statistics per item") {
     val media = Multimodal.synthesize(
       Seq((7L, "abc", 3L)).toDF("doc_id", "text", "n_chars"))
