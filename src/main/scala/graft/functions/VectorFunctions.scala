@@ -60,6 +60,27 @@ object VectorFunctions {
   def l2Similarity(a: Column, b: Column): Column =
     lit(1.0) / (lit(1.0) + l2Distance(a, b))
 
+  /** HAMMING / JACCARD — the two binary-vector metrics of the
+    * reference's metric enum (vector_store_interface.py:24-30). They
+    * operate on bit vectors; the standard binarization of a float
+    * embedding is its sign bits (the SimHash construction), so these
+    * take float vectors and compare sign(x) > 0 positions. Pure integer
+    * folds — bit-stable across engines. */
+  def hammingSign(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+      (x, y) => when((x > 0) === (y > 0), 0L).otherwise(1L)),
+      lit(0L), (acc, v) => acc + v)
+
+  def jaccardSign(a: Column, b: Column): Column = {
+    val inter = aggregate(zip_with(a, b,
+      (x, y) => when(x > 0 && y > 0, 1L).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v)
+    val union = aggregate(zip_with(a, b,
+      (x, y) => when(x > 0 || y > 0, 1L).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v)
+    when(union === 0L, lit(0.0)).otherwise(inter.cast("double") / union)
+  }
+
   /** The same formulas as DuckDB SQL snippets (oracle side), over
     * DOUBLE[] casts so both engines accumulate in double. */
   object sql {
@@ -75,5 +96,15 @@ object VectorFunctions {
         s"z -> (z[1] - z[2]) * (z[1] - z[2]))))"
     def l2Similarity(a: String, b: String): String =
       s"(1.0 / (1.0 + ${l2Distance(a, b)}))"
+    def hammingSign(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(list_zip(($a)::DOUBLE[], ($b)::DOUBLE[]), " +
+        s"z -> CASE WHEN (z[1] > 0) = (z[2] > 0) THEN 0 ELSE 1 END)) AS BIGINT)"
+    def jaccardSign(a: String, b: String): String = {
+      val inter = s"list_sum(list_transform(list_zip(($a)::DOUBLE[], ($b)::DOUBLE[]), " +
+        s"z -> CASE WHEN z[1] > 0 AND z[2] > 0 THEN 1 ELSE 0 END))"
+      val union = s"list_sum(list_transform(list_zip(($a)::DOUBLE[], ($b)::DOUBLE[]), " +
+        s"z -> CASE WHEN z[1] > 0 OR z[2] > 0 THEN 1 ELSE 0 END))"
+      s"(CASE WHEN $union = 0 THEN 0.0 ELSE CAST($inter AS DOUBLE) / $union END)"
+    }
   }
 }

@@ -74,7 +74,9 @@ object VectorQueries {
        |  WHERE e.vec_id <> q.vec_id) x
        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
-  // -- q21: similarity metrics (cosine / L2 distance / L2-sim / dot)
+  // -- q21: similarity metrics — the full metric enum of
+  //         vector_store_interface.py:24-30 (cosine / L2 distance /
+  //         L2-sim / inner product / sign-Hamming / sign-Jaccard)
   private def q21(s: SparkSession, dir: String): DataFrame = {
     val a = emb(s, dir).filter(col("vec_id") < 100)
       .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
@@ -85,7 +87,9 @@ object VectorQueries {
         round(VF.cosine(col("a_vec"), col("b_vec")), 6).as("sim_cos"),
         round(VF.l2Distance(col("a_vec"), col("b_vec")), 6).as("dist_l2"),
         round(VF.l2Similarity(col("a_vec"), col("b_vec")), 6).as("sim_l2"),
-        round(VF.dot(col("a_vec"), col("b_vec")), 6).as("ip"))
+        round(VF.dot(col("a_vec"), col("b_vec")), 6).as("ip"),
+        VF.hammingSign(col("a_vec"), col("b_vec")).as("dist_hamming"),
+        round(VF.jaccardSign(col("a_vec"), col("b_vec")), 6).as("sim_jaccard"))
       .orderBy(col("a_id"))
   }
 
@@ -94,7 +98,9 @@ object VectorQueries {
        |  round(${VF.sql.cosine("a.embedding", "b.embedding")}, 6) AS sim_cos,
        |  round(${VF.sql.l2Distance("a.embedding", "b.embedding")}, 6) AS dist_l2,
        |  round(${VF.sql.l2Similarity("a.embedding", "b.embedding")}, 6) AS sim_l2,
-       |  round(${VF.sql.dot("a.embedding", "b.embedding")}, 6) AS ip
+       |  round(${VF.sql.dot("a.embedding", "b.embedding")}, 6) AS ip,
+       |  ${VF.sql.hammingSign("a.embedding", "b.embedding")} AS dist_hamming,
+       |  round(${VF.sql.jaccardSign("a.embedding", "b.embedding")}, 6) AS sim_jaccard
        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
        |WHERE a.vec_id < 100
        |ORDER BY a_id""".stripMargin
