@@ -67,6 +67,24 @@ object RecallReport {
     }
     println(f"[recall] pq_q91 m=8 recall@10=${pqRecalls.sum / pqRecalls.length}%.4f")
 
+    // ---- SQ8 recall (q92 shape) vs exact L2 top-k ----
+    val sqp = VectorSearch.sq8Params(emb).cache()
+    sqp.count()
+    val sqEnc = VectorSearch.sq8Encode(emb, sqp).cache()
+    sqEnc.count()
+    val sqRecalls = queryIds.map { qid =>
+      val qvec = emb.filter(col("vec_id") === qid).select("embedding")
+      val exactL2 = emb.crossJoin(broadcast(qvec.select(col("embedding").as("qv"))))
+        .withColumn("d", graft.functions.VectorFunctions.l2Distance(
+          col("embedding"), col("qv")))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val approx = VectorSearch.sq8Search(sqEnc, sqp, qvec, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      approx.intersect(exactL2).size.toDouble / 10
+    }
+    println(f"[recall] sq8_q92 recall@10=${sqRecalls.sum / sqRecalls.length}%.4f")
+
     // ---- near-dup pair recall (q31 shape) ----
     val threshold = 0.35
     val exactPairs = Dedup.embeddingNearDup(emb, threshold)

@@ -193,6 +193,37 @@ object VectorQueries {
        |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
   }
 
+  // -- q92: IVF_SQ8 — per-dimension 8-bit scalar quantization, ranked by
+  //         dequantized L2 (the third batch-relevant index family of the
+  //         vector_store_interface.py:24-44 enum)
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val params = VectorSearch.sq8Params(e)
+    val encoded = VectorSearch.sq8Encode(e, params)
+    VectorSearch.sq8Search(encoded, params, qvec(s, dir), k = 10)
+  }
+
+  private val q92Sql =
+    """WITH el AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+      |    unnest(embedding::DOUBLE[]) AS x
+      |  FROM embeddings),
+      |pm AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM el GROUP BY pos),
+      |enc AS (
+      |  SELECT vec_id, pos,
+      |    CASE WHEN mx = mn THEN 0
+      |         ELSE CAST(floor((x - mn) / (mx - mn) * 255 + 0.5) AS INT)
+      |    END AS c
+      |  FROM el JOIN pm USING (pos)),
+      |dq AS (
+      |  SELECT vec_id, pos, mn + CAST(c AS DOUBLE) / 255 * (mx - mn) AS xd
+      |  FROM enc JOIN pm USING (pos)),
+      |q AS (SELECT pos, x AS qx FROM el WHERE vec_id = 0),
+      |d AS (
+      |  SELECT dq.vec_id, round(sqrt(sum((xd - qx) * (xd - qx))), 6) AS sq_dist
+      |  FROM dq JOIN q USING (pos) GROUP BY dq.vec_id)
+      |SELECT vec_id, sq_dist FROM d ORDER BY sq_dist, vec_id LIMIT 10""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q17_topk_cosine", q17, Some(q17Sql), headline = true),
     Q("q18_topk_filtered", q18, Some(q18Sql)),
@@ -200,5 +231,6 @@ object VectorQueries {
     Q("q20_knn_join", q20, Some(q20Sql)),
     Q("q21_sim_metrics", q21, Some(q21Sql)),
     Q("q22_ann_ivf", q22, Some(q22Sql)),
-    Q("q91_ann_ivf_pq", q91, Some(q91Sql), headline = true))
+    Q("q91_ann_ivf_pq", q91, Some(q91Sql), headline = true),
+    Q("q92_ann_ivf_sq8", q92, Some(q92Sql)))
 }

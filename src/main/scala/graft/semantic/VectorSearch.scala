@@ -194,6 +194,54 @@ object VectorSearch {
       .select(col("vec_id"), col("adc_dist"))
   }
 
+  // ---- IVF_SQ8: per-dimension scalar quantization ---------------------
+  // The third batch-relevant index family of the enum: each dimension
+  // compresses to an 8-bit code against per-dimension [min, max] ranges
+  // (4× smaller than float32; 8× smaller than the double form). Search
+  // dequantizes on the fly — one broadcastable params row, no shuffle.
+  // Quantization uses floor(v·255 + 0.5) (half-up for non-negative v),
+  // which Spark and DuckDB compute identically, so the path is
+  // oracle-checkable end to end.
+
+  /** Per-dimension [min, max] over the corpus, as one broadcastable row
+    * of (mins, maxs) arrays ordered by dimension. */
+  def sq8Params(data: DataFrame): DataFrame =
+    data.select(posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("pos"), col("mn"), col("mx"))))
+        .as("pm"))
+      .select(expr("transform(pm, p -> p.mn)").as("mins"),
+        expr("transform(pm, p -> p.mx)").as("maxs"))
+
+  /** SQ8 encode: code_i = floor((x_i − min_i)/(max_i − min_i)·255 + 0.5),
+    * constant dims → 0. Returns (vec_id, codes: array<int>). */
+  def sq8Encode(data: DataFrame, params: DataFrame): DataFrame =
+    data.crossJoin(broadcast(params))
+      .select(col("vec_id"),
+        expr("""transform(embedding, (x, i) ->
+          CASE WHEN maxs[i] = mins[i] THEN 0
+               ELSE CAST(floor((CAST(x AS DOUBLE) - mins[i]) /
+                 (maxs[i] - mins[i]) * 255 + 0.5) AS INT) END)""").as("codes"))
+
+  /** SQ8 search: rank by L2 between the query and the DEQUANTIZED codes
+    * (x'_i = min_i + code_i/255·(max_i − min_i)) — a single scan over
+    * int8-sized codes with the params row broadcast. Rounded distance
+    * (6 dp) orders the result for cross-engine stability. */
+  def sq8Search(encoded: DataFrame, params: DataFrame, queryVec: DataFrame,
+      k: Int): DataFrame =
+    encoded.crossJoin(broadcast(params))
+      .crossJoin(broadcast(queryVec
+        .select(col("embedding").cast("array<double>").as("qv"))))
+      .withColumn("dq", expr("""transform(codes, (c, i) ->
+        mins[i] + CAST(c AS DOUBLE) / 255 * (maxs[i] - mins[i]))"""))
+      .withColumn("sq_dist",
+        round(sqrt(graft.functions.VectorFunctions.squaredL2(col("dq"), col("qv"))), 6))
+      .orderBy(col("sq_dist"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("sq_dist"))
+
   /** IVF search: probe the `nprobe` nearest cells for the query, exact
     * cosine top-k inside those cells only. */
   def ivfSearch(assigned: DataFrame, cents: DataFrame, queryVec: DataFrame,

@@ -49,7 +49,8 @@ class PlanShapeSpec extends SparkSpec {
     "q80_diversity_feature",  // top-50 self-pairs
     "q84_synthesis_summary",  // 1-row corpus stats
     "q85_synthesis_comparison", // bounded group-pair matrix
-    "q91_ann_ivf_pq")         // 1-row broadcast ADC lookup table
+    "q91_ann_ivf_pq",         // 1-row broadcast ADC lookup table
+    "q92_ann_ivf_sq8")        // 1-row broadcast quantization params + query
 
   test("no catalog query plans a CartesianProduct") {
     val offenders = Catalog.all.map(_.name)
@@ -69,7 +70,7 @@ class PlanShapeSpec extends SparkSpec {
   test("top-k queries plan as TakeOrderedAndProject, not sort+limit") {
     val topK = Seq("q06_sort_pagination", "q17_topk_cosine",
       "q18_topk_filtered", "q22_ann_ivf", "q50_ranking_scores",
-      "q70_rank_features", "q91_ann_ivf_pq")
+      "q70_rank_features", "q91_ann_ivf_pq", "q92_ann_ivf_sq8")
     val missing = topK.filterNot(n => planOf(n).contains("TakeOrderedAndProject"))
     assert(missing.isEmpty,
       s"top-k degraded to global sort in: ${missing.mkString(", ")}")
