@@ -194,6 +194,19 @@ object VectorSearch {
       .select(col("vec_id"), col("adc_dist"))
   }
 
+  /** AUTO index selection (the enum's AUTO row,
+    * vector_store_interface.py:24-44): the documented policy a batch
+    * engine applies per corpus — FLAT below ~100k vectors (an exact scan
+    * beats any index build), IVF_FLAT to ~100M (scan fraction
+    * nprobe/nlist), IVF_SQ8 beyond (4× compression at 0.99 measured
+    * recall), IVF_PQ only when storage dominates (deepest compression;
+    * recall pays — docs/TUNING.md). */
+  def autoIndex(nVectors: Long, storageBound: Boolean = false): String =
+    if (storageBound) "IVF_PQ"
+    else if (nVectors < 100000L) "FLAT"
+    else if (nVectors < 100000000L) "IVF_FLAT"
+    else "IVF_SQ8"
+
   // ---- IVF_SQ8: per-dimension scalar quantization ---------------------
   // The third batch-relevant index family of the enum: each dimension
   // compresses to an 8-bit code against per-dimension [min, max] ranges
