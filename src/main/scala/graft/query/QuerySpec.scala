@@ -69,6 +69,60 @@ object QuerySpec {
 
   def builder(): Builder = new Builder
 
+  /** QueryValidator (query_language.py:131-206): collects error STRINGS
+    * instead of throwing — the reference returns the full list so a
+    * client can fix every problem at once. Field universes per query
+    * type default to the reference's `supported_fields` map (:135-157)
+    * and are overridable for custom schemas. */
+  object Validator {
+    /** The 21-operator filter dialect Filters implements (plus the
+      * unknown-op pass-through, which validation REJECTS — pass-through
+      * is an execution-leniency, not a valid spec). */
+    val SupportedOps: Set[String] = Set("eq", "ne", "gt", "gte", "lt",
+      "lte", "in", "not_in", "contains", "not_contains", "starts_with",
+      "ends_with", "regex", "exists", "not_exists", "empty", "not_empty",
+      "between", "date_range", "array_contains", "array_length")
+    val SupportedAggs: Set[String] =
+      Set("count", "sum", "avg", "min", "max", "group_by")
+    val QueryTypes: Set[String] =
+      Set("nodes", "relationships", "graph", "aggregation", "search")
+    val DefaultFields: Map[String, Set[String]] = Map(
+      "nodes" -> Set("id", "content", "source", "timestamp",
+        "rating_truthfulness", "rating_importance", "rating_novelty",
+        "tags", "metadata"),
+      "relationships" -> Set("id", "source_id", "target_id",
+        "relationship_type", "confidence", "metadata", "timestamp"),
+      "graph" -> Set("nodes", "relationships", "metadata"))
+
+    def validate(spec: Spec, queryType: String,
+        fields: Map[String, Set[String]] = DefaultFields): Seq[String] = {
+      val errs = Seq.newBuilder[String]
+      if (!QueryTypes(queryType))
+        errs += s"Invalid query type: $queryType"
+      val universe = fields.get(queryType)
+      spec.filters.foreach { f =>
+        if (!SupportedOps(f.op))
+          errs += s"Invalid filter operator: ${f.op}"
+        universe.foreach { u =>
+          if (!u(f.field))
+            errs += s"Invalid field '${f.field}' for query type '$queryType'"
+        }
+      }
+      spec.aggregations.foreach { a =>
+        if (!SupportedAggs(a.op.toLowerCase))
+          errs += s"Invalid aggregation operation: ${a.op}"
+      }
+      universe.foreach { u =>
+        spec.projections.filterNot(u).foreach { p =>
+          errs += s"Invalid projection field '$p' for query type '$queryType'"
+        }
+      }
+      spec.limit.filter(_ < 0).foreach(_ => errs += "Limit must be non-negative")
+      if (spec.offset < 0) errs += "Offset must be non-negative"
+      errs.result()
+    }
+  }
+
   private def aggColumn(a: Agg): Column = {
     // alias defaults to "op_field" (query_language.py:483-484)
     val alias = a.alias.getOrElse(s"${a.op}_${a.field}")

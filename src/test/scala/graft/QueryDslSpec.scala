@@ -65,6 +65,34 @@ class QueryDslSpec extends SparkSpec {
     assert(QuerySpec.run(nodes, spec).as[String].collect().toSeq == Seq("n2", "n3"))
   }
 
+  test("DSL validator collects every error, mirrors the reference checks") {
+    import QuerySpec.Validator
+    // valid spec → no errors (test_query_language.py test_valid_node_query)
+    val ok = QuerySpec.builder().where("content", "contains", "x")
+      .select("id", "content").limit(10).build()
+    assert(Validator.validate(ok, "nodes").isEmpty)
+    // each invalid facet produces its own error string, all collected
+    val bad = QuerySpec.builder()
+      .where("content", "frobnicate", "x")  // invalid operator
+      .where("nope", "eq", "x")             // invalid field for nodes
+      .select("also_nope")                  // invalid projection field
+      .aggregate("median", "rating")        // invalid aggregation
+      .limit(-1)                            // negative limit
+      .build()
+    val errs = Validator.validate(bad, "nodes")
+    assert(errs.exists(_.contains("Invalid filter operator: frobnicate")))
+    assert(errs.exists(_.contains("Invalid field 'nope'")))
+    assert(errs.exists(_.contains("Invalid projection field 'also_nope'")))
+    assert(errs.exists(_.contains("Invalid aggregation operation: median")))
+    assert(errs.contains("Limit must be non-negative"))
+    assert(errs.size === 5)
+    // invalid query type; field checks skipped for types with no universe
+    assert(Validator.validate(ok, "bogus")
+      .contains("Invalid query type: bogus"))
+    assert(Validator.validate(ok, "search")
+      .isEmpty) // search has no field universe → only structural checks
+  }
+
   test("NL classification rules") {
     import NaturalLanguage._
     assert(classify("how many nodes are about x") == CountAggregation)
