@@ -28,9 +28,16 @@ import graft.queries.Catalog
   */
 class PlanShapeSpec extends SparkSpec {
 
-  private def planOf(name: String): String =
+  private def planOf(name: String): String = {
+    // the session is JVM-shared across suites; pin the join-planning
+    // confs a sibling suite (or an aborted restore) may have left in a
+    // non-default state — plan assertions must grade the default plans
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set(graft.engine.Lineage.ReliableKey, "false")
     Catalog.byName(name).run(spark, sf).queryExecution
       .explainString(FormattedMode)
+  }
 
   /** Queries whose plans contain a BroadcastNestedLoopJoin on purpose:
     * every build side is bounded by construction (see the operator's
