@@ -77,9 +77,96 @@ object TextQueries {
     s"""SELECT doc_id, ${TF.sql.fingerprint("text")} AS fp
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -- q93: multi-dimension content quality (quality_assessment.py
+  //         ContentQualityAnalyzer): five component scores → overall
+  //         mean → level tier. metaFields=1 (documents carry `source`
+  //         of the reference's five important metadata fields).
+  private def q93(s: SparkSession, dir: String): DataFrame =
+    graft.text.QualityAssessment.assess(docs(s, dir), "text", lit(1))
+      .select(col("doc_id"),
+        round(col("length_score"), 6).as("length_score"),
+        round(col("structure_score"), 6).as("structure_score"),
+        round(col("richness_score"), 6).as("richness_score"),
+        round(col("clarity_score"), 6).as("clarity_score"),
+        round(col("completeness_score"), 6).as("completeness_score"),
+        round(col("overall_quality"), 6).as("overall_quality"),
+        col("quality_level"))
+      .orderBy(col("doc_id"))
+
+  private val q93Sql = {
+    // DuckDB plain string literals don't process backslash escapes, so
+    // regex patterns paste through with their backslashes intact
+    def rx(pat: String) = s"len(regexp_extract_all(text, '$pat'))"
+    val sentencesGt10 =
+      "len(list_filter(string_split_regex(text, '[.!?]+'), s -> length(trim(s)) > 10))"
+    val posHits = graft.text.QualityAssessment.Positive
+      .map(w => s"CASE WHEN contains(lower(text), '$w') THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val negHits = graft.text.QualityAssessment.Negative
+      .map(w => s"CASE WHEN contains(lower(text), '$w') THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val addressed = graft.text.QualityAssessment.QuestionIndicators
+      .map(_.map(w => s"contains(lower(text), '$w')").mkString(" OR "))
+      .map(g => s"CASE WHEN $g THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(text) < 50 THEN 0.2
+       |         WHEN length(text) < 100 THEN 0.5
+       |         WHEN length(text) < 500 THEN 0.8
+       |         WHEN length(text) < 2000 THEN 1.0
+       |         WHEN length(text) < 5000 THEN 0.9 ELSE 0.7 END AS length_score,
+       |    least(
+       |      (CASE WHEN ${rx("(?m)^#+\\s|^[A-Z][^.!?]*:$$")} > 0 THEN 0.2 ELSE 0.0 END) +
+       |      (CASE WHEN ${rx("(?m)^[\\s]*[-*•]\\s")} > 0 THEN 0.2 ELSE 0.0 END) +
+       |      (CASE WHEN len(string_split(text, e'\\n\\n')) > 1 THEN 0.2 ELSE 0.0 END) +
+       |      (CASE WHEN $sentencesGt10 >= 2 THEN 0.2 ELSE 0.0 END) +
+       |      (CASE WHEN $sentencesGt10 >= 5 THEN 0.2 ELSE 0.0 END), 1.0) AS structure_score,
+       |    least(
+       |      (CASE WHEN ${rx("\\[(\\d+)\\]|\\(([^)]+\\d{4}[^)]*)\\)")} > 0
+       |        THEN least(${rx("\\[(\\d+)\\]|\\(([^)]+\\d{4}[^)]*)\\)")} * 0.1, 0.3) ELSE 0.0 END) +
+       |      (CASE WHEN ${rx("https?://[^\\s]+")} > 0
+       |        THEN least(${rx("https?://[^\\s]+")} * 0.05, 0.2) ELSE 0.0 END) +
+       |      (CASE WHEN ${rx("\\b\\d+(?:\\.\\d+)?(?:%|kg|meters?|seconds?|minutes?|hours?|days?|years?)?\\b")} > 0
+       |        THEN least(${rx("\\b\\d+(?:\\.\\d+)?(?:%|kg|meters?|seconds?|minutes?|hours?|days?|years?)?\\b")} * 0.02, 0.2) ELSE 0.0 END) +
+       |      (CASE WHEN ${rx("\\b\\d{1,2}[/-]\\d{1,2}[/-]\\d{2,4}\\b|\\b\\d{4}-\\d{2}-\\d{2}\\b")} > 0
+       |        THEN least(${rx("\\b\\d{1,2}[/-]\\d{1,2}[/-]\\d{2,4}\\b|\\b\\d{4}-\\d{2}-\\d{2}\\b")} * 0.05, 0.15) ELSE 0.0 END) +
+       |      (CASE WHEN ${rx("\\b[A-Z][a-z]*(?:[A-Z][a-z]*)+\\b")} > 0
+       |        THEN least(${rx("\\b[A-Z][a-z]*(?:[A-Z][a-z]*)+\\b")} * 0.01, 0.15) ELSE 0.0 END), 1.0) AS richness_score,
+       |    greatest(0.0, least(0.5 +
+       |      least(($posHits) * 0.05, 0.3) -
+       |      least(($negHits) * 0.1, 0.4) +
+       |      (CASE WHEN len(string_split_regex(text, '\\s+')) * 1.0 /
+       |                 len(string_split_regex(text, '[.!?]+')) BETWEEN 10 AND 20 THEN 0.2
+       |            WHEN len(string_split_regex(text, '\\s+')) * 1.0 /
+       |                 len(string_split_regex(text, '[.!?]+')) > 30 THEN -0.2
+       |            ELSE 0.0 END), 1.0)) AS clarity_score,
+       |    least(0.5 + ($addressed) / 5.0 * 0.4 + 1.0 / 5.0 * 0.1, 1.0)
+       |      AS completeness_score
+       |  FROM documents)
+       |SELECT doc_id,
+       |  round(length_score, 6) AS length_score,
+       |  round(structure_score, 6) AS structure_score,
+       |  round(richness_score, 6) AS richness_score,
+       |  round(clarity_score, 6) AS clarity_score,
+       |  round(completeness_score, 6) AS completeness_score,
+       |  round((length_score + structure_score + richness_score +
+       |    clarity_score + completeness_score) / 5, 6) AS overall_quality,
+       |  CASE WHEN (length_score + structure_score + richness_score +
+       |      clarity_score + completeness_score) / 5 >= 0.9 THEN 'excellent'
+       |    WHEN (length_score + structure_score + richness_score +
+       |      clarity_score + completeness_score) / 5 >= 0.7 THEN 'good'
+       |    WHEN (length_score + structure_score + richness_score +
+       |      clarity_score + completeness_score) / 5 >= 0.5 THEN 'fair'
+       |    WHEN (length_score + structure_score + richness_score +
+       |      clarity_score + completeness_score) / 5 >= 0.3 THEN 'poor'
+       |    ELSE 'critical' END AS quality_level
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q32_text_langid", q32, Some(q32Sql)),
     Q("q33_text_quality", q33, Some(q33Sql)),
     Q("q34_token_counts", q34, Some(q34Sql), headline = true),
-    Q("q35_fingerprint", q35, Some(q35Sql)))
+    Q("q35_fingerprint", q35, Some(q35Sql)),
+    Q("q93_quality_dimensions", q93, Some(q93Sql)))
 }
