@@ -228,6 +228,72 @@ object GraphQueries {
        |${pathLevelsSql("und", "l.path || ' > ' || e.to_id", "'c:1'", 3)}
        |SELECT node_id, hop, path FROM walkp ORDER BY node_id""".stripMargin
 
+  // -- q94: per-node structural quality (quality_assessment.py
+  //         StructuralQualityAnalyzer:415-625): connectivity tier,
+  //         relationship quality, in/out balance centrality, type
+  //         diversity tier → overall mean + level
+  private def q94(s: SparkSession, dir: String): DataFrame =
+    graft.graph.StructuralQuality.assess(KGraph.materialized(s, dir))
+      .select(col("node_id"), col("n_rels"),
+        round(col("connectivity"), 6).as("connectivity"),
+        round(col("rel_quality"), 6).as("rel_quality"),
+        round(col("centrality"), 6).as("centrality"),
+        round(col("diversity"), 6).as("diversity"),
+        round(col("overall_structural"), 6).as("overall_structural"),
+        col("quality_level"))
+      .orderBy(col("node_id"))
+
+  private val q94Sql = {
+    // exact milli-units mirror (see StructuralQuality.assess): integer
+    // sums divide once, so rel_quality is float-order independent
+    val relQ = """least(500 +
+      |      CASE WHEN relation_type IN ('related_to', 'associated_with') THEN -200
+      |           WHEN relation_type IN ('part_of', 'instance_of', 'causes', 'enables') THEN 300
+      |           ELSE 0 END +
+      |      CASE WHEN confidence IS NOT NULL AND confidence <> 0
+      |           THEN CAST(round((confidence::DOUBLE) * 200) AS BIGINT) ELSE 0 END, 1000)""".stripMargin
+    s"""$W,
+       |inc AS (
+       |  SELECT from_id AS node_id, 1 AS n_out, 0 AS n_in, relation_type,
+       |    $relQ AS rel_q_milli
+       |  FROM edges
+       |  UNION ALL
+       |  SELECT to_id, 0, 1, relation_type, $relQ FROM edges),
+       |a AS (
+       |  SELECT node_id, count(*) AS n_rels, sum(n_out) AS out_n,
+       |    sum(n_in) AS in_n,
+       |    CAST(sum(rel_q_milli) AS DOUBLE) / (count(*) * 1000) AS rel_quality,
+       |    count(DISTINCT relation_type) AS n_types
+       |  FROM inc GROUP BY node_id),
+       |sc AS (
+       |  SELECT node_id, n_rels, rel_quality,
+       |    CASE WHEN n_rels = 1 THEN 0.3 WHEN n_rels <= 3 THEN 0.6
+       |         WHEN n_rels <= 7 THEN 0.9 ELSE 1.0 END AS connectivity,
+       |    (CASE WHEN greatest(in_n, out_n) > 0
+       |          THEN least(in_n, out_n) * 1.0 / greatest(in_n, out_n)
+       |          ELSE 0.0 END) * 0.7 +
+       |      least(n_rels / 10.0, 1.0) * 0.3 AS centrality,
+       |    CASE WHEN n_types * 1.0 / n_rels >= 0.8 THEN 1.0
+       |         WHEN n_types * 1.0 / n_rels >= 0.6 THEN 0.8
+       |         WHEN n_types * 1.0 / n_rels >= 0.4 THEN 0.6
+       |         WHEN n_types * 1.0 / n_rels >= 0.2 THEN 0.4
+       |         ELSE 0.2 END AS diversity
+       |  FROM a)
+       |SELECT node_id, n_rels,
+       |  round(connectivity, 6) AS connectivity,
+       |  round(rel_quality, 6) AS rel_quality,
+       |  round(centrality, 6) AS centrality,
+       |  round(diversity, 6) AS diversity,
+       |  round((connectivity + rel_quality + centrality + diversity) / 4, 6)
+       |    AS overall_structural,
+       |  CASE WHEN (connectivity + rel_quality + centrality + diversity) / 4 >= 0.9 THEN 'excellent'
+       |       WHEN (connectivity + rel_quality + centrality + diversity) / 4 >= 0.7 THEN 'good'
+       |       WHEN (connectivity + rel_quality + centrality + diversity) / 4 >= 0.5 THEN 'fair'
+       |       WHEN (connectivity + rel_quality + centrality + diversity) / 4 >= 0.3 THEN 'poor'
+       |       ELSE 'critical' END AS quality_level
+       |FROM sc ORDER BY node_id""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q11_neighbors_1hop", q11, Some(q11Sql)),
     Q("q12_multihop_bfs_in", q12, Some(q12Sql), headline = true),
@@ -236,5 +302,6 @@ object GraphQueries {
     Q("q15_induced_subgraph", q15, Some(q15Sql)),
     Q("q16_pattern_match", q16, Some(q16Sql)),
     Q("q71_multihop_paths", q71, Some(q71Sql)),
-    Q("q72_shortest_path_recon", q72, Some(q72Sql)))
+    Q("q72_shortest_path_recon", q72, Some(q72Sql)),
+    Q("q94_structural_quality", q94, Some(q94Sql)))
 }

@@ -59,19 +59,33 @@ class PlanShapeSpec extends SparkSpec {
     "q91_ann_ivf_pq",         // 1-row broadcast ADC lookup table
     "q92_ann_ivf_sq8")        // 1-row broadcast quantization params + query
 
+  // On failure, include a plan excerpt around the first occurrence so a
+  // transient/state-dependent failure self-diagnoses from the log alone.
+  private def excerpt(plan: String, marker: String): String = {
+    val i = plan.indexOf(marker)
+    if (i < 0) "" else plan.slice((i - 300).max(0), i + 500)
+  }
+
   test("no catalog query plans a CartesianProduct") {
     val offenders = Catalog.all.map(_.name)
-      .filter(n => planOf(n).contains("CartesianProduct"))
+      .map(n => n -> planOf(n))
+      .filter(_._2.contains("CartesianProduct"))
     assert(offenders.isEmpty,
-      s"cartesian product crept into: ${offenders.mkString(", ")}")
+      s"cartesian product crept into: ${offenders.map(_._1).mkString(", ")}\n" +
+        offenders.map { case (n, p) =>
+          s"--- $n ---\n${excerpt(p, "CartesianProduct")}" }.mkString("\n"))
   }
 
   test("BroadcastNestedLoopJoin only where the build side is bounded by design") {
     val offenders = Catalog.all.map(_.name)
       .filterNot(boundedNestedLoop)
-      .filter(n => planOf(n).contains("BroadcastNestedLoopJoin"))
+      .map(n => n -> planOf(n))
+      .filter(_._2.contains("BroadcastNestedLoopJoin"))
     assert(offenders.isEmpty,
-      s"new nested-loop join (unbounded cross?) in: ${offenders.mkString(", ")}")
+      s"new nested-loop join (unbounded cross?) in: " +
+        s"${offenders.map(_._1).mkString(", ")}\n" +
+        offenders.map { case (n, p) =>
+          s"--- $n ---\n${excerpt(p, "BroadcastNestedLoopJoin")}" }.mkString("\n"))
   }
 
   test("top-k queries plan as TakeOrderedAndProject, not sort+limit") {
