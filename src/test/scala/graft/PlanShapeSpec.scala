@@ -28,16 +28,22 @@ import graft.queries.Catalog
   */
 class PlanShapeSpec extends SparkSpec {
 
-  private def planOf(name: String): String = {
-    // the session is JVM-shared across suites; pin the join-planning
-    // confs a sibling suite (or an aborted restore) may have left in a
-    // non-default state — plan assertions must grade the default plans
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-    spark.conf.set(graft.engine.Lineage.ReliableKey, "false")
-    Catalog.byName(name).run(spark, sf).queryExecution
-      .explainString(FormattedMode)
+  // Plan grading runs in an ISOLATED child session: the test session is
+  // JVM-shared across suites, so sibling suites' conf changes, temp
+  // views, and (keyed-by-session) KGraph cache state could otherwise
+  // leak into the graded plans. newSession() shares the SparkContext
+  // but gets default confs and a fresh KGraph cache key.
+  private lazy val planSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    s
   }
+
+  private def planOf(name: String): String =
+    Catalog.byName(name).run(planSession, sf).queryExecution
+      .explainString(FormattedMode)
 
   /** Queries whose plans contain a BroadcastNestedLoopJoin on purpose:
     * every build side is bounded by construction (see the operator's
@@ -106,14 +112,14 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("every catalog query survives codegen with fallback disabled") {
-    val conf = spark.conf
+    val conf = planSession.conf
     val prevFallback = conf.get("spark.sql.codegen.fallback", "true")
     val prevFactory = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
     conf.set("spark.sql.codegen.fallback", "false")
     conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
     try {
       val failures = Catalog.all.flatMap { q =>
-        try { q.run(spark, sf).count(); None }
+        try { q.run(planSession, sf).count(); None }
         catch { case e: Throwable =>
           Some(s"${q.name}: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}")
         }
