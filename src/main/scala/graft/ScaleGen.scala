@@ -32,7 +32,9 @@ object ScaleGen {
     if (s == 0) {
       // validate once per table: base ids must fit under the stride or
       // shards would collide (e.g. chaining ScaleGen on its own output)
-      val maxCols = keys.map(k => max(col(k)))
+      // cast to long so integer-typed key columns still hit the designed
+      // require() message instead of a ClassCastException in getLong
+      val maxCols = keys.map(k => max(col(k).cast("long")))
       val maxes = df.agg(
         (if (maxCols.size == 1) maxCols.head
          else greatest(maxCols: _*)).as("m")).head()
@@ -41,7 +43,8 @@ object ScaleGen {
           s"stride $Shift — shard key spaces would collide; rescale Shift " +
           "or use a smaller base")
     }
-    keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(s * Shift)))
+    keys.foldLeft(df)((d, k) =>
+      d.withColumn(k, col(k).cast("long") + lit(s * Shift)))
   }
 
   /** token → token+"x<s>q": injective on the token space, so within-shard

@@ -28,12 +28,16 @@ import org.apache.spark.sql.functions._
 object StructuralQuality {
 
   def assess(edges: DataFrame): DataFrame = {
-    // per-edge quality in EXACT milli-units (500 + adj + 200·confidence,
-    // capped at 1000): the per-node mean then aggregates integers and
-    // divides ONCE, so the result doesn't depend on float summation
-    // order — an avg() over doubles here rounds differently between
-    // engines when a node's mean lands exactly on a 6-decimal boundary
-    // (observed: 0.6515625 with 64 incident edges)
+    // per-edge quality in milli-units (500 + adj + 200·confidence, capped
+    // at 1000): the per-node mean then aggregates integers and divides
+    // ONCE, so the result doesn't depend on float summation order — an
+    // avg() over doubles here rounds differently between engines when a
+    // node's mean lands exactly on a 6-decimal boundary (observed:
+    // 0.6515625 with 64 incident edges). DIVERGENCE: round(conf*200)
+    // quantizes the reference's exact 0.5+adj+0.2*conf to 0.005 steps
+    // (≤5e-4 per edge) — cross-engine determinism is bought at the cost
+    // of reference parity on non-multiple-of-0.005 confidences (README
+    // divergences list).
     val relQMilli = least(lit(500L) +
       when(col("relation_type").isin("related_to", "associated_with"), -200L)
         .when(col("relation_type").isin("part_of", "instance_of", "causes",

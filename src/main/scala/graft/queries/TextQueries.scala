@@ -99,6 +99,9 @@ object TextQueries {
     def rx(pat: String) = s"len(regexp_extract_all(text, '$pat'))"
     val sentencesGt10 =
       "len(list_filter(string_split_regex(text, '[.!?]+'), s -> length(trim(s)) > 10))"
+    // Python str.split(): empty tokens dropped (leading/trailing ws)
+    val wordCount =
+      "len(list_filter(string_split_regex(text, '\\s+'), w -> length(w) > 0))"
     val posHits = graft.text.QualityAssessment.Positive
       .map(w => s"CASE WHEN contains(lower(text), '$w') THEN 1 ELSE 0 END")
       .mkString(" + ")
@@ -135,9 +138,9 @@ object TextQueries {
        |    greatest(0.0, least(0.5 +
        |      least(($posHits) * 0.05, 0.3) -
        |      least(($negHits) * 0.1, 0.4) +
-       |      (CASE WHEN len(string_split_regex(text, '\\s+')) * 1.0 /
+       |      (CASE WHEN $wordCount * 1.0 /
        |                 len(string_split_regex(text, '[.!?]+')) BETWEEN 10 AND 20 THEN 0.2
-       |            WHEN len(string_split_regex(text, '\\s+')) * 1.0 /
+       |            WHEN $wordCount * 1.0 /
        |                 len(string_split_regex(text, '[.!?]+')) > 30 THEN -0.2
        |            ELSE 0.0 END), 1.0)) AS clarity_score,
        |    least(0.5 + ($addressed) / 5.0 * 0.4 + 1.0 / 5.0 * 0.1, 1.0)

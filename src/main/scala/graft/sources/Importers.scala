@@ -177,7 +177,10 @@ object Importers {
     val pat = """<relationship><from_id>([^<]*)</from_id>""" +
       """<to_id>([^<]*)</to_id>""" +
       """<relation_type>([^<]*)</relation_type></relationship>"""
-    validatedLines(spark, path, col("value").contains("<relationship"), pat,
+    // marker must be the element itself: a collectXml document also has
+    // '<relationships>' section tags and '<relationship_count>' metadata
+    // lines, which must not count as droppable entries
+    validatedLines(spark, path, col("value").contains("<relationship>"), pat,
         "<relationship>")
       .filter(col("value").rlike(pat))
       .select(regexp_extract(col("value"), pat, 1).as("from_id"),

@@ -90,9 +90,10 @@ object QualityAssessment {
         .reduce(_ + _)
     val posAdj = least(hits(Positive) * 0.05, lit(0.3))
     val negAdj = least(hits(Negative) * 0.1, lit(0.4))
-    // words / ALL split segments (Python len(re.split(...)) keeps empties)
+    // sentences keep empties (Python len(re.split(...))); words drop them
+    // (Python str.split() — leading/trailing whitespace yields no token)
     val nSentences = size(split(text, "[.!?]+"))
-    val nWords = size(split(text, "\\s+"))
+    val nWords = size(filter(split(text, "\\s+"), t => length(t) > 0))
     val avgLen = nWords.cast("double") / nSentences
     val lenAdj = when(avgLen >= 10 && avgLen <= 20, 0.2)
       .when(avgLen > 30, -0.2).otherwise(0.0)

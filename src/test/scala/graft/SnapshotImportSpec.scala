@@ -172,6 +172,20 @@ class SnapshotImportSpec extends SparkSpec {
       ("a", "e\nf", "likes")))
   }
 
+  test("full collectXml document round-trips through the importer") {
+    // the document form adds <relationships>/<relationship_count> lines
+    // that contain "<relationship" — the marker must not count them
+    val base = Files.createTempDirectory("graft-xmldoc").toString
+    val path = s"$base/g.xml"
+    Files.writeString(java.nio.file.Path.of(path),
+      Exporters.collectXml(nodes, edges))
+    assert(Importers.xmlNodes(spark, path).as[String].collect().toSet ==
+      Set("a", "b", "c&d"))
+    assert(Importers.xmlEdges(spark, path)
+      .as[(String, String, String)].collect().toSet ==
+      Set(("a", "b", "likes"), ("b", "c&d", "cites")))
+  }
+
   test("node-link JSON round-trips through nodeLinkGraph") {
     val base = Files.createTempDirectory("graft-nl").toString
     val path = s"$base/g.json"
