@@ -166,10 +166,127 @@ object TextQueries {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  // -- q95: temporal quality (quality_assessment.py
+  //         TemporalQualityAnalyzer:651-940) — the trio's third leg.
+  //         The documents table has no timestamps, so the catalog query
+  //         derives deterministic metadata from doc_id (the established
+  //         synthetic-metadata idiom): created_at spans all five
+  //         freshness tiers against the pinned now=2025-06-01, with
+  //         nulls exercising the no-timestamp paths.
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TemporalQuality
+    val d = docs(s, dir)
+      .withColumn("created_at",
+        when(col("doc_id") % 11 === 0, lit(null).cast("date"))
+          .otherwise(date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+            (col("doc_id") * 13 % 500).cast("int"))))
+      .withColumn("updated_at",
+        when(col("doc_id") % 3 === 0 && col("created_at").isNotNull,
+          date_add(col("created_at"), 10)).otherwise(lit(null).cast("date")))
+      .withColumn("update_count",
+        when(col("doc_id") % 13 === 0, lit(null).cast("long"))
+          .otherwise(col("doc_id") % 15))
+    val meta = TemporalQuality.Meta().copy(
+      createdAt = col("created_at"), updatedAt = col("updated_at"),
+      updateCount = col("update_count"))
+    TemporalQuality.assess(d, "text",
+        lit(java.sql.Date.valueOf("2025-06-01")), lit(2025), meta)
+      .select(col("doc_id"),
+        round(col("freshness_score"), 6).as("freshness_score"),
+        round(col("temporal_consistency_score"), 6)
+          .as("temporal_consistency_score"),
+        round(col("update_frequency_score"), 6).as("update_frequency_score"),
+        round(col("temporal_relevance_score"), 6).as("temporal_relevance_score"),
+        round(col("temporal_score"), 6).as("temporal_score"),
+        col("temporal_level"),
+        round(col("assessment_confidence"), 6).as("assessment_confidence"),
+        col("temporal_issues"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q95Sql = {
+    import graft.text.TemporalQuality._
+    def hitsSql(words: Seq[String]): String = words
+      .map(w => s"CASE WHEN contains(lower(text), '$w') THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val validYears = "list_filter(list_transform(regexp_extract_all(text, " +
+      """'\b\d{4}\b'), y -> CAST(y AS INT)), y -> y >= 1900 AND y <= 2025)"""
+    s"""WITH meta AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN doc_id % 11 = 0 THEN NULL
+       |      ELSE DATE '2024-01-01' + CAST((doc_id * 13) % 500 AS INT)
+       |      END AS created_at,
+       |    CASE WHEN doc_id % 3 = 0 AND doc_id % 11 <> 0
+       |      THEN DATE '2024-01-01' + CAST((doc_id * 13) % 500 + 10 AS INT)
+       |      ELSE NULL END AS updated_at,
+       |    CASE WHEN doc_id % 13 = 0 THEN NULL ELSE doc_id % 15
+       |      END AS update_count
+       |  FROM documents),
+       |comps AS (
+       |  SELECT doc_id,
+       |    CASE WHEN coalesce(created_at, updated_at) IS NULL THEN 0.3
+       |      WHEN date_diff('day', coalesce(created_at, updated_at),
+       |        DATE '2025-06-01') <= 30 THEN 1.0
+       |      WHEN date_diff('day', coalesce(created_at, updated_at),
+       |        DATE '2025-06-01') <= 90 THEN 0.8
+       |      WHEN date_diff('day', coalesce(created_at, updated_at),
+       |        DATE '2025-06-01') <= 180 THEN 0.6
+       |      WHEN date_diff('day', coalesce(created_at, updated_at),
+       |        DATE '2025-06-01') <= 365 THEN 0.4
+       |      ELSE 0.2 END AS f,
+       |    CASE WHEN NOT (len(regexp_extract_all(text, '\\b\\d{4}\\b')) > 0
+       |        OR regexp_matches(text, '\\b\\d{1,2}[/-]\\d{1,2}[/-]\\d{2,4}\\b')
+       |        OR regexp_matches(text, '\\b\\d{4}-\\d{2}-\\d{2}\\b')) THEN 0.7
+       |      WHEN coalesce(created_at, updated_at) IS NULL THEN 0.6
+       |      WHEN len($validYears) = 0 THEN 0.7
+       |      ELSE 1.0 - len(list_filter($validYears,
+       |        y -> abs(y - year(coalesce(created_at, updated_at))) > 5))
+       |        * 1.0 / len($validYears) END AS c,
+       |    CASE WHEN update_count IS NOT NULL THEN
+       |        CASE WHEN update_count = 0 THEN 0.5
+       |          WHEN update_count <= 3 THEN 0.7
+       |          WHEN update_count <= 10 THEN 0.9 ELSE 1.0 END
+       |      ELSE CASE WHEN
+       |          (CASE WHEN created_at IS NOT NULL THEN 1 ELSE 0 END) +
+       |          (CASE WHEN updated_at IS NOT NULL THEN 1 ELSE 0 END) >= 2
+       |        THEN 0.8 ELSE 0.6 END END AS u,
+       |    CASE WHEN (${hitsSql(Current)}) + (${hitsSql(Historical)}) +
+       |        (${hitsSql(Future)}) = 0 THEN 0.7
+       |      ELSE least(((${hitsSql(Current)}) * 1.0 +
+       |        (${hitsSql(Future)}) * 0.8 + (${hitsSql(Historical)}) * 0.6) /
+       |        ((${hitsSql(Current)}) + (${hitsSql(Historical)}) +
+       |         (${hitsSql(Future)})), 1.0) END AS r,
+       |    ((CASE WHEN created_at IS NOT NULL THEN 1 ELSE 0 END) +
+       |     (CASE WHEN updated_at IS NOT NULL THEN 1 ELSE 0 END)) / 4.0
+       |      AS meta_factor
+       |  FROM meta),
+       |withmean AS (
+       |  SELECT *, (f + c + u + r) / 4 AS m FROM comps)
+       |SELECT doc_id,
+       |  round(f, 6) AS freshness_score,
+       |  round(c, 6) AS temporal_consistency_score,
+       |  round(u, 6) AS update_frequency_score,
+       |  round(r, 6) AS temporal_relevance_score,
+       |  round(m, 6) AS temporal_score,
+       |  CASE WHEN m >= 0.9 THEN 'excellent' WHEN m >= 0.7 THEN 'good'
+       |    WHEN m >= 0.5 THEN 'fair' WHEN m >= 0.3 THEN 'poor'
+       |    ELSE 'critical' END AS temporal_level,
+       |  round(meta_factor * 0.6 + greatest(0.0, 1.0 -
+       |    ((f-m)*(f-m) + (c-m)*(c-m) + (u-m)*(u-m) + (r-m)*(r-m)) / 4) * 0.4,
+       |    6) AS assessment_confidence,
+       |  concat_ws('; ',
+       |    CASE WHEN f < 0.4 THEN '$OutdatedIssue' END,
+       |    CASE WHEN c < 0.5 THEN '$InconsistentIssue' END,
+       |    CASE WHEN u < 0.5 THEN '$NoHistoryIssue' END,
+       |    CASE WHEN r < 0.5 THEN '$NotRelevantIssue' END) AS temporal_issues
+       |FROM withmean ORDER BY doc_id""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q32_text_langid", q32, Some(q32Sql)),
     Q("q33_text_quality", q33, Some(q33Sql)),
     Q("q34_token_counts", q34, Some(q34Sql), headline = true),
     Q("q35_fingerprint", q35, Some(q35Sql)),
-    Q("q93_quality_dimensions", q93, Some(q93Sql)))
+    Q("q93_quality_dimensions", q93, Some(q93Sql)),
+    Q("q95_temporal_quality", q95, Some(q95Sql)))
 }
