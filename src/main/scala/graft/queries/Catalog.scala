@@ -32,7 +32,8 @@ object Catalog {
       MutationQueries.qs ++
       MultimodalQueries.qs ++
       StreamingQueries.qs ++
-      InsightQueries.qs
+      InsightQueries.qs ++
+      QualityQueries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,256 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.quality.SourceReliability
+import graft.quality.SourceReliability.{Meta => SMeta}
+
+/** Quality-module family (the reference's quality/ package second half):
+  * source reliability, gap detection, contradiction resolution,
+  * cross-validation. Documents carry no source URLs or timestamps, so
+  * the catalog queries derive deterministic source strings / metadata
+  * from doc_id (the established synthetic-metadata idiom) — the
+  * analyzers themselves are generic column expressions.
+  */
+object QualityQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  // deterministic source strings covering every classification branch:
+  // URL normalization (query/fragment strip, trailing-slash strip), DOI
+  // extraction, free-text cleanup; known-domain, questionable-marker
+  // and db-miss authority paths; shared + unique consistency groups.
+  private val SrcCases: Seq[String] = Seq(
+    "https://www.nature.com/articles/nat{0}/",
+    "https://www.cdc.gov/flu/weekly?week={1}",
+    "https://en.wikipedia.org/wiki/Topic_{2}",
+    "doi: 10.1000/jrnl.{3}, Journal of Testing",
+    "Personal blog post number {1}",
+    "https://www.reuters.com/world/story{4}",
+    "University research publication no. {5}",
+    "tabloid rumor feed {1}")
+
+  // key renderers: {1} = doc_id itself (unique), others are small mods
+  // so identifiers repeat and the per-source count paths all run
+  private def key(i: Int, docId: org.apache.spark.sql.Column) = i match {
+    case 0 => (docId % 30).cast("string")
+    case 1 => docId.cast("string")
+    case 2 => (docId % 7).cast("string")
+    case 3 => (docId % 12).cast("string")
+    case 4 => (docId % 40).cast("string")
+    case 5 => (docId % 5).cast("string")
+  }
+  private def keySql(i: Int) = i match {
+    case 0 => "(doc_id % 30)"
+    case 1 => "doc_id"
+    case 2 => "(doc_id % 7)"
+    case 3 => "(doc_id % 12)"
+    case 4 => "(doc_id % 40)"
+    case 5 => "(doc_id % 5)"
+  }
+
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val src = SrcCases.zipWithIndex.foldLeft(when(lit(false), "never")) {
+      case (w, (tpl, i)) =>
+        val k = "\\{(\\d)\\}".r.findFirstMatchIn(tpl).get.group(1).toInt
+        val Array(pre, post) = tpl.split("\\{\\d\\}", -1)
+        w.when(id % 8 === i, concat(lit(pre), key(k, id), lit(post)))
+    }.otherwise("unreachable")
+    val d = docs(s, dir)
+      .withColumn("src", src)
+      .withColumn("author",
+        when(id % 5 === 0, "Dr. Jane Researcher")
+          .when(id % 5 === 1, "John Doe").otherwise(lit(null).cast("string")))
+      .withColumn("publication",
+        when(id % 4 === 0, "Journal of Synthetic Data")
+          .when(id % 4 === 1, "Vendor Whitepaper")
+          .otherwise(lit(null).cast("string")))
+      .withColumn("institution",
+        when(id % 6 === 0, "Test University").otherwise(lit(null).cast("string")))
+      .withColumn("peer_reviewed", id % 9 === 0)
+      .withColumn("publication_date",
+        when(id % 3 === 0, lit(null).cast("date"))
+          .otherwise(date_add(lit(java.sql.Date.valueOf("2023-01-01")),
+            (id * 7 % 900).cast("int"))))
+      .withColumn("updated_at",
+        when(id % 4 === 0, date_add(lit(java.sql.Date.valueOf("2025-01-01")),
+          (id % 200).cast("int"))).otherwise(lit(null).cast("date")))
+    val meta = SMeta().copy(author = col("author"),
+      publication = col("publication"), institution = col("institution"),
+      peerReviewed = col("peer_reviewed"),
+      publicationDate = col("publication_date"), updatedAt = col("updated_at"))
+    SourceReliability.assess(d, "src", "text",
+        lit(java.sql.Date.valueOf("2025-06-01")), meta)
+      .select(col("doc_id"), col("source_identifier"), col("source_type"),
+        col("n_same_source"),
+        round(col("authority_score"), 6).as("authority_score"),
+        round(col("authority_confidence"), 6).as("authority_confidence"),
+        round(col("consistency_score"), 6).as("consistency_score"),
+        round(col("consistency_confidence"), 6).as("consistency_confidence"),
+        round(col("freshness_score"), 6).as("freshness_score"),
+        round(col("freshness_confidence"), 6).as("freshness_confidence"),
+        round(col("reliability_score"), 6).as("reliability_score"),
+        col("reliability_level"),
+        round(col("assessment_confidence"), 6).as("assessment_confidence"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q96Sql = {
+    import SourceReliability._
+    val srcCase = SrcCases.zipWithIndex.map { case (tpl, i) =>
+      val k = "\\{(\\d)\\}".r.findFirstMatchIn(tpl).get.group(1).toInt
+      val Array(pre, post) = tpl.split("\\{\\d\\}", -1)
+      s"WHEN $i THEN '$pre' || ${keySql(k)} || '$post'"
+    }.mkString("\n      ")
+    val typeChain = TypePatterns.map { case (t, pats) =>
+      s"WHEN regexp_matches(lower(src), '${pats.mkString("|")}') THEN '$t'"
+    }.mkString("\n      ")
+    def anyContains(target: String, ds: Seq[String]): String =
+      ds.map(x => s"contains($target, '$x')").mkString(" OR ")
+    val domainAdds = HighAuthority
+      .map(x => s"(CASE WHEN contains(lower(text), '$x') THEN 0.1 ELSE 0.0 END)")
+      .mkString(" + ")
+    val citeAdds = CitationPats
+      .map(p => s"(CASE WHEN regexp_matches(text, '$p') THEN 0.05 ELSE 0.0 END)")
+      .mkString(" + ")
+    val methAdds = MethodologyWords
+      .map(w => s"(CASE WHEN contains(lower(text), '$w') THEN 0.02 ELSE 0.0 END)")
+      .mkString(" + ")
+    def cntHits(target: String, ws: Seq[String]): String = ws
+      .map(w => s"(CASE WHEN contains($target, '$w') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH meta AS (
+       |  SELECT doc_id, text,
+       |    CASE doc_id % 8
+       |      $srcCase
+       |      END AS src,
+       |    CASE WHEN doc_id % 5 = 0 THEN 'Dr. Jane Researcher'
+       |      WHEN doc_id % 5 = 1 THEN 'John Doe' END AS author,
+       |    CASE WHEN doc_id % 4 = 0 THEN 'Journal of Synthetic Data'
+       |      WHEN doc_id % 4 = 1 THEN 'Vendor Whitepaper' END AS publication,
+       |    CASE WHEN doc_id % 6 = 0 THEN 'Test University' END AS institution,
+       |    doc_id % 9 = 0 AS peer_reviewed,
+       |    CASE WHEN doc_id % 3 = 0 THEN NULL
+       |      ELSE DATE '2023-01-01' + CAST((doc_id * 7) % 900 AS INT)
+       |      END AS publication_date,
+       |    CASE WHEN doc_id % 4 = 0 THEN
+       |      DATE '2025-01-01' + CAST(doc_id % 200 AS INT) END AS updated_at
+       |  FROM documents),
+       |ident AS (
+       |  SELECT *,
+       |    CASE WHEN src LIKE 'http://%' OR src LIKE 'https://%'
+       |        THEN regexp_replace(regexp_extract(src,
+       |          '^https?://([^?#]*)', 1), '/+$$', '')
+       |      WHEN contains(lower(src), 'doi:')
+       |          AND regexp_extract(src, '(?i)doi:\\s*([^\\s,]+)', 1) <> ''
+       |        THEN 'doi:' || regexp_extract(src, '(?i)doi:\\s*([^\\s,]+)', 1)
+       |      ELSE substring(regexp_replace(trim(src), '\\s+', ' '), 1, 200)
+       |      END AS source_identifier,
+       |    CASE
+       |      $typeChain
+       |      ELSE 'unknown' END AS source_type
+       |  FROM meta),
+       |counted AS (
+       |  SELECT i.*, c.n_same_source FROM ident i JOIN (
+       |    SELECT source_identifier, count(*) AS n_same_source
+       |    FROM ident GROUP BY 1) c USING (source_identifier)),
+       |comps AS (
+       |  SELECT doc_id, source_identifier, source_type, n_same_source,
+       |    CASE WHEN ${anyContains("lower(source_identifier)", HighAuthority)}
+       |        THEN 0.9
+       |      WHEN ${anyContains("lower(source_identifier)", MediumAuthority)}
+       |        THEN 0.7
+       |      WHEN ${anyContains("lower(source_identifier)", QuestionableMarkers)}
+       |        THEN 0.2 END AS db,
+       |    CASE source_type WHEN 'academic' THEN 0.9
+       |      WHEN 'governmental' THEN 0.8 WHEN 'professional' THEN 0.7
+       |      WHEN 'news_media' THEN 0.6 WHEN 'reference' THEN 0.7
+       |      WHEN 'user_generated' THEN 0.3 WHEN 'commercial' THEN 0.4
+       |      ELSE 0.5 END AS type_score,
+       |    least(0.5 + $domainAdds + $citeAdds + $methAdds, 1.0)
+       |      AS content_score,
+       |    least(0.5 +
+       |      (CASE WHEN author IS NOT NULL AND
+       |        (${anyContains("lower(author)", Seq("dr.", "ph.d", "professor", "phd"))})
+       |        THEN 0.2 ELSE 0.0 END) +
+       |      (CASE WHEN publication IS NOT NULL AND
+       |        (${anyContains("lower(publication)", Seq("journal", "review", "proceedings"))})
+       |        THEN 0.1 ELSE 0.0 END) +
+       |      (CASE WHEN institution IS NOT NULL THEN 0.1 ELSE 0.0 END) +
+       |      (CASE WHEN peer_reviewed THEN 0.2 ELSE 0.0 END), 1.0)
+       |      AS meta_score,
+       |    (${anyContains("lower(source_identifier)", HighAuthority ++ MediumAuthority)})
+       |      AS known_domain,
+       |    CASE WHEN publication_date IS NULL THEN NULL
+       |      WHEN date_diff('day', publication_date, DATE '2025-06-01') <= 30 THEN 1.0
+       |      WHEN date_diff('day', publication_date, DATE '2025-06-01') <= 90 THEN 0.9
+       |      WHEN date_diff('day', publication_date, DATE '2025-06-01') <= 180 THEN 0.7
+       |      WHEN date_diff('day', publication_date, DATE '2025-06-01') <= 365 THEN 0.5
+       |      WHEN date_diff('day', publication_date, DATE '2025-06-01') <= 730 THEN 0.3
+       |      ELSE 0.1 END AS pub_f,
+       |    CASE WHEN updated_at IS NULL THEN NULL
+       |      WHEN date_diff('day', updated_at, DATE '2025-06-01') <= 7 THEN 1.0
+       |      WHEN date_diff('day', updated_at, DATE '2025-06-01') <= 30 THEN 0.9
+       |      WHEN date_diff('day', updated_at, DATE '2025-06-01') <= 90 THEN 0.7
+       |      WHEN date_diff('day', updated_at, DATE '2025-06-01') <= 180 THEN 0.5
+       |      ELSE 0.3 END AS upd_f,
+       |    greatest(0.1, least(0.5 +
+       |      (CASE WHEN (${cntHits("lower(text)", RecentIndicators)}) > 0
+       |        THEN least((${cntHits("lower(text)", RecentIndicators)}) * 0.1, 0.3)
+       |        ELSE 0.0 END) -
+       |      (CASE WHEN (${cntHits("lower(text)", OutdatedIndicators)}) > 0
+       |        THEN least((${cntHits("lower(text)", OutdatedIndicators)}) * 0.1, 0.3)
+       |        ELSE 0.0 END), 1.0)) AS cont_f
+       |  FROM counted),
+       |metrics AS (
+       |  SELECT doc_id, source_identifier, source_type, n_same_source,
+       |    CASE WHEN db IS NULL THEN 0.3
+       |      ELSE db * 0.4 + type_score * 0.2 + content_score * 0.2 +
+       |        meta_score * 0.2 END AS a_s,
+       |    CASE WHEN db IS NULL THEN 0.1
+       |      ELSE least(0.5 + (CASE WHEN known_domain THEN 0.3 ELSE 0.0 END) +
+       |        (CASE WHEN source_type IN ('academic', 'governmental')
+       |          THEN 0.2 ELSE 0.0 END) + 0.2, 1.0) END AS a_c,
+       |    CASE WHEN db IS NULL THEN 0.0 ELSE 0.3 END AS a_w,
+       |    CASE WHEN n_same_source < 2 THEN 0.6
+       |      ELSE (0.7 + 0.75 + 0.8) / 3 END AS c_s,
+       |    CASE WHEN n_same_source < 2 THEN 0.3
+       |      ELSE least(n_same_source / 10.0, 1.0) END AS c_c,
+       |    (coalesce(pub_f, 0.0) + coalesce(upd_f, 0.0) + cont_f) /
+       |      ((CASE WHEN pub_f IS NOT NULL THEN 1 ELSE 0 END) +
+       |       (CASE WHEN upd_f IS NOT NULL THEN 1 ELSE 0 END) + 1) AS f_s,
+       |    CASE WHEN (CASE WHEN pub_f IS NOT NULL THEN 1 ELSE 0 END) +
+       |      (CASE WHEN upd_f IS NOT NULL THEN 1 ELSE 0 END) + 1 >= 2
+       |      THEN 0.8 ELSE 0.5 END AS f_c
+       |  FROM comps),
+       |overall AS (
+       |  SELECT *, greatest(0.0, least(
+       |      (a_s * a_w * a_c + c_s * 0.2 * c_c + f_s * 0.15 * f_c) /
+       |      (a_w * a_c + 0.2 * c_c + 0.15 * f_c), 1.0)) AS rel
+       |  FROM metrics)
+       |SELECT doc_id, source_identifier, source_type, n_same_source,
+       |  round(a_s, 6) AS authority_score,
+       |  round(a_c, 6) AS authority_confidence,
+       |  round(c_s, 6) AS consistency_score,
+       |  round(c_c, 6) AS consistency_confidence,
+       |  round(f_s, 6) AS freshness_score,
+       |  round(f_c, 6) AS freshness_confidence,
+       |  round(rel, 6) AS reliability_score,
+       |  CASE WHEN rel >= 0.9 THEN 'highly_reliable'
+       |    WHEN rel >= 0.7 THEN 'reliable'
+       |    WHEN rel >= 0.5 THEN 'moderately_reliable'
+       |    WHEN rel >= 0.3 THEN 'questionable'
+       |    ELSE 'unreliable' END AS reliability_level,
+       |  round(least((a_c + c_c + f_c) / 3 + least(
+       |    ((CASE WHEN a_c > 0.7 THEN 1 ELSE 0 END) +
+       |     (CASE WHEN c_c > 0.7 THEN 1 ELSE 0 END) +
+       |     (CASE WHEN f_c > 0.7 THEN 1 ELSE 0 END)) * 0.1, 0.2), 1.0), 6)
+       |    AS assessment_confidence
+       |FROM overall ORDER BY doc_id""".stripMargin
+  }
+
+  val qs: Seq[Q] = Seq(
+    Q("q96_source_reliability", q96, Some(q96Sql)))
+}
