@@ -251,6 +251,214 @@ object QualityQueries {
        |FROM overall ORDER BY doc_id""".stripMargin
   }
 
+  // -- q97: knowledge-gap detection (gap_detection.py:91-780) over a
+  //         derived node/edge view: documents as nodes (domain=source),
+  //         deterministic prior-doc edges with cycling relation types so
+  //         the isolation / weak / hierarchical / connected-pair
+  //         branches all fire.
+  private def nodesView(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      concat(lit("d:"), col("doc_id").cast("string")).as("node_id"),
+      col("doc_id").as("ord"), col("source").as("domain"),
+      col("source").as("node_type"), col("text").as("content"))
+
+  private def edgesView(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .filter(col("doc_id") >= 20 && col("doc_id") % 4 =!= 0 &&
+        col("doc_id") % 9 =!= 0)
+      .select(concat(lit("d:"), col("doc_id").cast("string")).as("from_id"),
+        concat(lit("d:"), (col("doc_id") - 20).cast("string")).as("to_id"),
+        when(col("doc_id") % 5 === 0, "related_to")
+          .when(col("doc_id") % 5 === 1, "part_of")
+          .when(col("doc_id") % 5 === 2, "causes")
+          .when(col("doc_id") % 5 === 3, "similar_to")
+          .otherwise("instance_of").as("relation_type"))
+
+  private val nodesViewSql =
+    """nodes AS (
+      |  SELECT 'd:' || doc_id AS node_id, doc_id AS ord, source AS domain,
+      |    source AS node_type, text AS content FROM documents)""".stripMargin
+  private val edgesViewSql =
+    """edges AS (
+      |  SELECT 'd:' || doc_id AS from_id, 'd:' || (doc_id - 20) AS to_id,
+      |    CASE doc_id % 5 WHEN 0 THEN 'related_to' WHEN 1 THEN 'part_of'
+      |      WHEN 2 THEN 'causes' WHEN 3 THEN 'similar_to'
+      |      ELSE 'instance_of' END AS relation_type
+      |  FROM documents
+      |  WHERE doc_id >= 20 AND doc_id % 4 <> 0 AND doc_id % 9 <> 0)""".stripMargin
+
+  private def q97(s: SparkSession, dir: String): DataFrame =
+    graft.quality.GapDetection.detectGaps(nodesView(s, dir), edgesView(s, dir))
+      .select(col("gap_id"), col("gap_type"), col("severity"),
+        col("description"), col("affected_area"), col("missing_elements"),
+        col("related_n"),
+        round(col("confidence"), 6).as("confidence"),
+        col("detection_method"),
+        round(col("priority_score"), 6).as("priority_score"))
+      .orderBy(col("gap_id"))
+
+  private val q97Sql = {
+    import graft.quality.GapDetection._
+    def anyC(target: String, ws: Seq[String]): String =
+      ws.map(w => s"contains($target, '$w')").mkString(" OR ")
+    val hasCols = ContentExpectations.map { case (t, ws) =>
+      s"(${anyC("lower(content)", ws)}) AS has_$t"
+    }.mkString(",\n    ")
+    val maxCols = ContentExpectations.map { case (t, _) =>
+      s"max(has_$t) AS has_$t" }.mkString(", ")
+    val completenessLegs = Seq(
+      ("definition", "TRUE"), ("example", "TRUE"),
+      ("process", "trig_process"),
+      ("cause", "trig_cause"), ("effect", "trig_cause")).map { case (t, g) =>
+      s"""  SELECT 'content_completeness_' || topic || '_$t' AS gap_id,
+         |    'content_gap' AS gap_type,
+         |    CASE WHEN '$t' = 'definition' AND n > 0 THEN 'critical'
+         |      WHEN '$t' IN ('example', 'process') AND n >= 3 THEN 'high'
+         |      WHEN '$t' IN ('cause', 'effect') AND n >= 2 THEN 'medium'
+         |      ELSE 'low' END AS severity,
+         |    'Missing $t information for ' || topic AS description,
+         |    topic AS affected_area, '$t' AS missing_elements,
+         |    n AS related_n, 0.7 AS confidence,
+         |    'content_type_analysis' AS detection_method,
+         |    ${PriorityBase(t)} * (0.7 + 0.3 * least(n / 5.0, 1.0))
+         |      AS priority_score
+         |  FROM groups WHERE $g AND NOT has_$t""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val incompleteWhere = (Seq(
+      """regexp_matches(content, '\.\.\.')""",
+      """regexp_matches(content, '\[?\?\]?')""",
+      """regexp_matches(content, '(?i)\b(?:unclear|unknown|uncertain|incomplete|partial)\b')""",
+      """regexp_matches(content, '(?i)\b(?:need more|requires additional|insufficient)\b')""",
+      """regexp_matches(content, '(?i)\b(?:to be determined|TBD|TODO)\b')""") :+
+      ("""(len(list_filter(string_split_regex(content, '[.!?]+'),""" +
+        """ s -> length(trim(s)) > 10)) < 2 AND length(content) < 100)"""))
+      .mkString("\n      OR ")
+    s"""WITH $nodesViewSql,
+       |$edgesViewSql,
+       |base AS (
+       |  SELECT *, coalesce(
+       |    nullif(regexp_extract(array_to_string(list_slice(
+       |      list_filter(string_split_regex(content, '\\s+'),
+       |        w -> length(w) > 0), 1, 10), ' '),
+       |      '\\b[A-Z][a-z]+\\b'), ''),
+       |    node_type, 'general') AS topic,
+       |    $hasCols,
+       |    (${anyC("lower(content)", Seq("process", "method", "procedure"))})
+       |      AS trig_process,
+       |    (${anyC("lower(content)", Seq("cause", "effect", "result"))})
+       |      AS trig_cause
+       |  FROM nodes),
+       |groups AS (
+       |  SELECT domain, topic, CAST(count(*) AS BIGINT) AS n, $maxCols,
+       |    max(trig_process) AS trig_process, max(trig_cause) AS trig_cause,
+       |    max(${anyC("lower(content)", ExampleIndicators)}) AS any_ex
+       |  FROM base GROUP BY domain, topic),
+       |degrees AS (
+       |  SELECT node_id, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT from_id AS node_id FROM edges
+       |    UNION ALL SELECT to_id FROM edges) GROUP BY 1),
+       |toks AS (
+       |  SELECT node_id, ord, domain, lower(content) AS lc,
+       |    list_distinct(list_filter(string_split_regex(lower(content),
+       |      '\\s+'), w -> length(w) > 0)) AS w
+       |  FROM nodes),
+       |gaps AS (
+       |$completenessLegs
+       |  UNION ALL
+       |  SELECT 'essential_info_' || node_id, 'content_gap', 'medium',
+       |    'Incomplete essential information in ' || node_id,
+       |    coalesce(node_type, 'content'), 'complete_information',
+       |    CAST(1 AS BIGINT), 0.6, 'incomplete_information_analysis', 0.6
+       |  FROM base
+       |  WHERE $incompleteWhere
+       |  UNION ALL
+       |  SELECT 'depth_gap_' || node_id, 'depth_gap', 'medium',
+       |    'Insufficient detail in ' || node_id,
+       |    coalesce(node_type, 'content'), 'detailed_information',
+       |    CAST(1 AS BIGINT), 0.7, 'depth_analysis', 0.5 + ds * 0.3
+       |  FROM (SELECT node_id, node_type, least(
+       |      least(length(content) / 500.0, 1.0) * 0.3 +
+       |      least((len(list_filter(string_split_regex(content, '\\s+'),
+       |          x -> length(x) > 0)) * 1.0 /
+       |        len(string_split_regex(content, '[.!?]+'))) / 15, 1.0) * 0.2 +
+       |      least((${DetailIndicators.map(w =>
+      s"(CASE WHEN contains(lower(content), '$w') THEN 1 ELSE 0 END)")
+      .mkString(" + ")}) / 3.0, 1.0) * 0.2 +
+       |      least((len(regexp_extract_all(content, '\\b[A-Z]{2,}\\b')) +
+       |        len(regexp_extract_all(content, '\\d+(?:\\.\\d+)?')) +
+       |        len(regexp_extract_all(content, '\\b\\w+ly\\b'))) / 10.0,
+       |        1.0) * 0.3, 1.0) AS ds
+       |    FROM base) WHERE ds < 0.4
+       |  UNION ALL
+       |  SELECT 'examples_gap_' || topic, 'content_gap', 'medium',
+       |    'Missing examples for ' || topic, topic,
+       |    'examples,illustrations', n, 0.8, 'example_analysis', 0.6
+       |  FROM groups WHERE n >= 2 AND NOT any_ex
+       |  UNION ALL
+       |  SELECT CASE WHEN deg = 0 THEN 'isolation_gap_' || node_id
+       |      ELSE 'weak_connectivity_' || node_id END,
+       |    'relationship_gap',
+       |    CASE WHEN deg = 0 THEN 'high' ELSE 'medium' END,
+       |    CASE WHEN deg = 0
+       |      THEN 'Isolated node with no relationships: ' || node_id
+       |      ELSE 'Weakly connected node: ' || node_id END,
+       |    'connectivity',
+       |    CASE WHEN deg = 0 THEN 'relationships,connections'
+       |      ELSE 'additional_relationships' END,
+       |    CAST(1 AS BIGINT),
+       |    CASE WHEN deg = 0 THEN 0.9 ELSE 0.7 END,
+       |    CASE WHEN deg = 0 THEN 'isolation_analysis'
+       |      ELSE 'weak_connectivity_analysis' END,
+       |    CASE WHEN deg = 0 THEN 0.8 ELSE 0.6 END
+       |  FROM (SELECT n.node_id, coalesce(d.deg, 0) AS deg
+       |    FROM nodes n LEFT JOIN degrees d USING (node_id))
+       |  WHERE deg <= 2
+       |  UNION ALL
+       |  SELECT 'logical_connection_' || a.node_id || '_' || b.node_id,
+       |    'relationship_gap', 'medium',
+       |    'Missing logical connection between ' || a.node_id || ' and ' ||
+       |      b.node_id,
+       |    'logical_connectivity',
+       |    (CASE
+       |      WHEN ${anyC("a.lc", Seq("part of", "component", "element"))}
+       |        THEN 'part_of'
+       |      WHEN ${anyC("b.lc", Seq("part of", "component", "element"))}
+       |        THEN 'contains'
+       |      WHEN ${anyC("a.lc", Seq("causes", "leads to", "results in"))}
+       |        THEN 'causes'
+       |      WHEN ${anyC("a.lc", Seq("similar", "like", "comparable"))}
+       |        THEN 'similar_to'
+       |      ELSE 'related_to' END) || '_relationship',
+       |    CAST(2 AS BIGINT), 0.6, 'logical_connection_analysis', 0.5
+       |  FROM toks a JOIN toks b ON a.domain = b.domain AND a.ord < b.ord
+       |  LEFT JOIN (SELECT DISTINCT
+       |      least(from_id, to_id) || '|' || greatest(from_id, to_id) AS pk
+       |    FROM edges) e
+       |    ON e.pk = least(a.node_id, b.node_id) || '|' ||
+       |      greatest(a.node_id, b.node_id)
+       |  WHERE len(a.w) > 0 AND len(b.w) > 0
+       |    AND len(list_intersect(a.w, b.w)) * 1.0 /
+       |      (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) > 0.3
+       |    AND e.pk IS NULL
+       |  UNION ALL
+       |  SELECT 'hierarchy_gap_' || node_id, 'relationship_gap', 'medium',
+       |    'Missing hierarchical relationships for ' || node_id,
+       |    'hierarchy', 'hierarchical_relationships',
+       |    CAST(1 AS BIGINT), 0.7, 'hierarchical_analysis', 0.6
+       |  FROM nodes
+       |  WHERE (${anyC("lower(content)", HierarchicalIndicators)})
+       |    AND node_id NOT IN (
+       |      SELECT from_id FROM edges WHERE relation_type IN
+       |        (${HierarchicalRelTypes.map(t => s"'$t'").mkString(", ")})
+       |      UNION SELECT to_id FROM edges WHERE relation_type IN
+       |        (${HierarchicalRelTypes.map(t => s"'$t'").mkString(", ")})))
+       |SELECT gap_id, gap_type, severity, description, affected_area,
+       |  missing_elements, related_n, round(confidence, 6) AS confidence,
+       |  detection_method, round(priority_score, 6) AS priority_score
+       |FROM gaps ORDER BY gap_id""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
-    Q("q96_source_reliability", q96, Some(q96Sql)))
+    Q("q96_source_reliability", q96, Some(q96Sql)),
+    Q("q97_gap_detection", q97, Some(q97Sql)))
 }
