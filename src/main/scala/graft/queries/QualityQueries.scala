@@ -458,7 +458,172 @@ object QualityQueries {
        |FROM gaps ORDER BY gap_id""".stripMargin
   }
 
+  // -- q98: typed contradiction detection + hybrid resolution
+  //         (contradiction_resolution.py:110-700). Documents carry no
+  //         contradicting claims, so each node's content appends a
+  //         deterministic claim sentence chosen by doc_id%6 — the six
+  //         claims pairwise exercise all four pattern axes plus
+  //         non-matching pairs — and authority/ts/confidence node
+  //         attributes are doc_id-derived so every hybrid leg (and the
+  //         no-leg requires_review path) fires.
+  private val Claims: Seq[String] = Seq(
+    " the metric value is not stable after the change.",
+    " it is true the old design stays stable definitely before rollout.",
+    " it is clear throughput numbers increase more than before.",
+    " it is clear throughput numbers decrease less than after, never a " +
+      "beneficial change.",
+    " the outcome is good today and numbers decrease slightly.",
+    " the outcome is bad and harmful, absolutely false.")
+
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val claim = Claims.zipWithIndex.foldLeft(when(lit(false), "never")) {
+      case (w, (c, i)) => w.when(id % 6 === i, c)
+    }.otherwise("unreachable")
+    val nodes = docs(s, dir).select(
+      concat(lit("d:"), id.cast("string")).as("node_id"),
+      id.as("ord"), col("source").as("domain"),
+      concat(col("text"), claim).as("content"),
+      ((id * 37) % 100 / lit(100.0)).as("authority"),
+      when(id % 11 === 0, lit(null).cast("date"))
+        .otherwise(date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+          (id * 13 % 500).cast("int"))).as("ts"),
+      ((id * 53) % 100 / lit(100.0)).as("confidence"))
+    graft.quality.ContradictionResolution.resolve(nodes)
+      .select(col("case_id"), col("node_1"), col("node_2"),
+        col("contradiction_type"), col("severity"),
+        round(col("confidence"), 6).as("confidence"),
+        col("claim_1"), col("claim_2"), col("context"),
+        col("resolution_status"), col("strategy_used"), col("action_type"),
+        col("target_node"),
+        round(col("resolution_confidence"), 6).as("resolution_confidence"),
+        col("final_recommendation"))
+      .orderBy(col("case_id"))
+  }
+
+  private val q98Sql = {
+    import graft.quality.ContradictionResolution._
+    val claimCase = Claims.zipWithIndex
+      .map { case (c, i) => s"WHEN $i THEN '$c'" }.mkString("\n      ")
+    val bestIdx = Patterns.zipWithIndex.map { case ((_, p, n), i) =>
+      s"""WHEN (contains(lc1, '$p') AND contains(lc2, '$n'))
+         |      OR (contains(lc1, '$n') AND contains(lc2, '$p')) THEN $i"""
+        .stripMargin
+    }.mkString("\n    ")
+    def onIdx(f: ((String, String, String), Int) => String): String =
+      "CASE best_idx " + Patterns.zipWithIndex.map { case (pat, i) =>
+        s"WHEN $i THEN ${f(pat, i)}" }.mkString(" ") + " END"
+    def claimSql(side: String, pos: String, neg: String): String =
+      s"""coalesce(substring(trim(list_filter(
+         |        string_split_regex($side, '[.!?]+'),
+         |        s -> contains(lower(s), '$pos') OR
+         |          contains(lower(s), '$neg'))[1]), 1, 200),
+         |      substring($side, 1, 100) || '...')""".stripMargin
+    val strong = StrongIndicators
+      .map(w => s"contains(lc1, '$w') OR contains(lc2, '$w')")
+      .mkString(" OR ")
+    val negCnt = NegationIndicators
+      .map(w => s"(CASE WHEN contains(lc1, '$w') OR contains(lc2, '$w') " +
+        "THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH nodes AS (
+       |  SELECT 'd:' || doc_id AS node_id, doc_id AS ord,
+       |    source AS domain,
+       |    text || CASE doc_id % 6
+       |      $claimCase
+       |      END AS content,
+       |    ((doc_id * 37) % 100) / 100.0 AS authority,
+       |    CASE WHEN doc_id % 11 = 0 THEN NULL
+       |      ELSE DATE '2024-01-01' + CAST((doc_id * 13) % 500 AS INT)
+       |      END AS ts,
+       |    ((doc_id * 53) % 100) / 100.0 AS confidence
+       |  FROM documents),
+       |pairs AS (
+       |  SELECT a.node_id AS a_id, b.node_id AS b_id,
+       |    a.content AS a_c, b.content AS b_c,
+       |    lower(a.content) AS lc1, lower(b.content) AS lc2,
+       |    a.authority AS a_auth, b.authority AS b_auth,
+       |    a.ts AS a_ts, b.ts AS b_ts,
+       |    a.confidence AS a_conf, b.confidence AS b_conf
+       |  FROM nodes a JOIN nodes b
+       |    ON a.domain = b.domain AND a.ord < b.ord),
+       |hits AS (
+       |  SELECT * FROM (
+       |    SELECT *, CASE
+       |      $bestIdx
+       |      ELSE -1 END AS best_idx
+       |    FROM pairs) WHERE best_idx >= 0),
+       |scored AS (
+       |  SELECT *,
+       |    ${onIdx((p, _) => s"'${p._1}'")} AS ctype,
+       |    least(0.8 + (CASE WHEN $strong THEN 0.1 ELSE 0.0 END) +
+       |      least(($negCnt) * 0.05, 0.2), 1.0) AS conf,
+       |    ${onIdx((p, _) => claimSql("a_c", p._2, p._3))} AS claim_1,
+       |    ${onIdx((p, _) => claimSql("b_c", p._2, p._3))} AS claim_2,
+       |    ${onIdx((p, _) =>
+      s"'${p._1} contradiction involving (''${p._2}'', ''${p._3}'')'")}
+       |      AS context,
+       |    greatest(a_auth, b_auth) > 0.7 AS auth_res,
+       |    CASE WHEN b_auth > a_auth THEN b_id ELSE a_id END AS auth_win,
+       |    greatest(a_auth, b_auth) * 0.4 AS auth_score,
+       |    a_ts IS NOT NULL OR b_ts IS NOT NULL AS temp_res,
+       |    CASE WHEN a_ts IS NULL AND b_ts IS NOT NULL THEN b_id
+       |      WHEN b_ts IS NULL THEN a_id
+       |      WHEN b_ts > a_ts THEN b_id ELSE a_id END AS temp_win,
+       |    greatest(a_conf, b_conf) > 0.7 AS conf_res,
+       |    CASE WHEN b_conf > a_conf THEN b_id ELSE a_id END AS conf_win,
+       |    greatest(a_conf, b_conf) * 0.3 AS conf_score
+       |  FROM hits),
+       |resolved AS (
+       |  SELECT *,
+       |    ${onIdx((p, _) => TypeSeverity(p._1).toString)} + conf * 0.2 +
+       |      least((length(a_c) + length(b_c)) / 1000.0 * 0.1, 0.2)
+       |      AS sev_score,
+       |    (CASE WHEN auth_res AND auth_win = a_id THEN auth_score
+       |      ELSE 0.0 END) +
+       |    (CASE WHEN temp_res AND temp_win = a_id THEN 0.7 * 0.3
+       |      ELSE 0.0 END) +
+       |    (CASE WHEN conf_res AND conf_win = a_id THEN conf_score
+       |      ELSE 0.0 END) AS s1,
+       |    (CASE WHEN auth_res AND auth_win = b_id THEN auth_score
+       |      ELSE 0.0 END) +
+       |    (CASE WHEN temp_res AND temp_win = b_id THEN 0.7 * 0.3
+       |      ELSE 0.0 END) +
+       |    (CASE WHEN conf_res AND conf_win = b_id THEN conf_score
+       |      ELSE 0.0 END) AS s2,
+       |    coalesce(CASE WHEN auth_res THEN auth_win END,
+       |      CASE WHEN temp_res THEN temp_win END,
+       |      CASE WHEN conf_res THEN conf_win END) AS first_win,
+       |    auth_res OR temp_res OR conf_res AS any_res
+       |  FROM scored),
+       |finals AS (
+       |  SELECT *,
+       |    CASE WHEN NOT any_res THEN NULL
+       |      WHEN s1 > s2 THEN a_id WHEN s2 > s1 THEN b_id
+       |      ELSE first_win END AS target_node
+       |  FROM resolved)
+       |SELECT 'contradiction_' || a_id || '_' || b_id AS case_id,
+       |  a_id AS node_1, b_id AS node_2,
+       |  ctype AS contradiction_type,
+       |  CASE WHEN sev_score >= 0.8 THEN 'critical'
+       |    WHEN sev_score >= 0.6 THEN 'high'
+       |    WHEN sev_score >= 0.4 THEN 'medium' ELSE 'low' END AS severity,
+       |  round(conf, 6) AS confidence, claim_1, claim_2, context,
+       |  CASE WHEN any_res THEN 'resolved'
+       |    ELSE 'requires_review' END AS resolution_status,
+       |  'hybrid_approach' AS strategy_used,
+       |  CASE WHEN any_res THEN 'hybrid_resolution' END AS action_type,
+       |  target_node,
+       |  round(CASE WHEN any_res THEN least(greatest(s1, s2), 1.0)
+       |    ELSE 0.0 END, 6) AS resolution_confidence,
+       |  CASE WHEN any_res
+       |    THEN 'Accept ' || target_node || ' based on hybrid analysis'
+       |    ELSE 'Contradiction requires human expert review'
+       |    END AS final_recommendation
+       |FROM finals ORDER BY case_id""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q96_source_reliability", q96, Some(q96Sql)),
-    Q("q97_gap_detection", q97, Some(q97Sql)))
+    Q("q97_gap_detection", q97, Some(q97Sql)),
+    Q("q98_contradiction_resolution", q98, Some(q98Sql)))
 }
