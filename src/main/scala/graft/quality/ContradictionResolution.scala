@@ -29,8 +29,17 @@ import org.apache.spark.sql.functions._
   *
   * Scale: within-domain self-join (blocked on the domain key); all
   * scoring is per-pair column arithmetic inside the join projection.
+  * BOUNDED-GROUP CONTRACT: the domain key blocks cross-domain pairs but
+  * one skewed domain would still pair O(n²) within itself, so detection
+  * considers at most `maxPerDomain` nodes per domain — the first N by
+  * `ord`, mirroring the reference's candidate slice of the first 100
+  * nodes handed to the detector (enhanced_mcp_endpoint.py:612
+  * `nodes[:100]`). Same contract as the bounded-group analyses q62/q75.
   */
 object ContradictionResolution {
+
+  /** Reference candidate bound (enhanced_mcp_endpoint.py:612). */
+  val DefaultMaxPerDomain = 100
 
   /** (axis, positive, negative) in reference dict/list order (:118-145). */
   val Patterns: Seq[(String, String, String)] = Seq(
@@ -73,11 +82,20 @@ object ContradictionResolution {
     * `nodes(node_id, ord, domain, content, authority, ts, confidence)`
     * (authority/confidence doubles, ts a date/timestamp; nullable). One
     * row per contradicting within-domain pair. */
-  def resolve(nodes: DataFrame): DataFrame = {
+  def resolve(nodes: DataFrame,
+      maxPerDomain: Int = DefaultMaxPerDomain): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // candidate bound: first maxPerDomain nodes per domain by ord (the
+    // reference's list-position slice); the window shuffles on the same
+    // domain key the pair join needs, so this adds no extra exchange
+    val capped = nodes
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("domain")).orderBy(col("ord"))))
+      .filter(col("__rn") <= maxPerDomain).drop("__rn")
     val cols = Seq("node_id", "ord", "content", "authority", "ts",
       "confidence")
-    val a = nodes.select(col("domain") +: cols.map(c => col(c).as(s"a_$c")): _*)
-    val b = nodes.select(col("domain") +: cols.map(c => col(c).as(s"b_$c")): _*)
+    val a = capped.select(col("domain") +: cols.map(c => col(c).as(s"a_$c")): _*)
+    val b = capped.select(col("domain") +: cols.map(c => col(c).as(s"b_$c")): _*)
     val lc1 = lower(col("a_content"))
     val lc2 = lower(col("b_content"))
 

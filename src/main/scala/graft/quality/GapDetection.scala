@@ -24,8 +24,17 @@ import graft.text.{TextFunctions => TF}
   * logical-connection leg is a within-domain self-join (blocked by the
   * domain key, codegen set-Jaccard per pair) anti-joined against the
   * normalized edge list — no cross-domain pair is ever generated.
+  * BOUNDED-GROUP CONTRACT: the logical-connection leg (the only
+  * pairwise leg) considers at most `maxPairPerDomain` nodes per domain
+  * — the first N by `ord`, mirroring the reference's candidate slice
+  * (enhanced_mcp_endpoint.py:612 `nodes[:100]`) — so one skewed domain
+  * cannot go O(n²); all other legs stay linear and uncapped. Same
+  * contract as the bounded-group analyses q62/q75.
   */
 object GapDetection {
+
+  /** Reference candidate bound (enhanced_mcp_endpoint.py:612). */
+  val DefaultMaxPairPerDomain = 100
 
   /** Content-type indicator lists (:99-160), reference dict order. */
   val ContentExpectations: Seq[(String, Seq[String])] = Seq(
@@ -121,7 +130,8 @@ object GapDetection {
 
   /** Detect all gap families over a node+edge frame; returns one row per
     * gap with the reference's id/type/severity/priority fields. */
-  def detectGaps(nodes: DataFrame, edges: DataFrame): DataFrame = {
+  def detectGaps(nodes: DataFrame, edges: DataFrame,
+      maxPairPerDomain: Int = DefaultMaxPairPerDomain): DataFrame = {
     val content = col("content")
     val lowered = lower(content)
     val base = nodes.select(col("node_id"), col("ord"), col("domain"),
@@ -240,11 +250,20 @@ object GapDetection {
       when(col("deg") === 0, 0.8).otherwise(0.6).as("priority_score"))
 
     // ---- missing logical connections (:612-680): within-domain pairs
-    // with word-set Jaccard > 0.3 that have no edge in either direction
-    val toks = base.select(col("node_id"), col("ord"), col("domain"),
-      lowered.as("lc"),
-      array_distinct(filter(split(lowered, """\s+"""), w => length(w) > 0))
-        .as("w"))
+    // with word-set Jaccard > 0.3 that have no edge in either direction.
+    // Candidate bound: first maxPairPerDomain per domain by ord (the
+    // reference's slice) — the window shuffles on the same domain key
+    // the pair join needs, so this adds no extra exchange.
+    val pairCapped = {
+      import org.apache.spark.sql.expressions.Window
+      base.withColumn("__rn", row_number().over(
+          Window.partitionBy(col("domain")).orderBy(col("ord"))))
+        .filter(col("__rn") <= maxPairPerDomain).drop("__rn")
+    }
+    val toks = pairCapped.select(col("node_id"), col("ord"), col("domain"),
+      lower(col("content")).as("lc"),
+      array_distinct(filter(split(lower(col("content")), """\s+"""),
+        w => length(w) > 0)).as("w"))
     val l = toks.select(col("domain"), col("node_id").as("a_id"),
       col("ord").as("a_ord"), col("lc").as("a_lc"), col("w").as("a_w"))
     val r = toks.select(col("domain"), col("node_id").as("b_id"),

@@ -361,7 +361,9 @@ object QualityQueries {
        |  SELECT node_id, ord, domain, lower(content) AS lc,
        |    list_distinct(list_filter(string_split_regex(lower(content),
        |      '\\s+'), w -> length(w) > 0)) AS w
-       |  FROM nodes),
+       |  FROM nodes
+       |  QUALIFY row_number() OVER (PARTITION BY domain ORDER BY ord)
+       |    <= ${graft.quality.GapDetection.DefaultMaxPairPerDomain}),
        |gaps AS (
        |$completenessLegs
        |  UNION ALL
@@ -536,7 +538,9 @@ object QualityQueries {
        |      ELSE DATE '2024-01-01' + CAST((doc_id * 13) % 500 AS INT)
        |      END AS ts,
        |    ((doc_id * 53) % 100) / 100.0 AS confidence
-       |  FROM documents),
+       |  FROM documents
+       |  QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id)
+       |    <= ${graft.quality.ContradictionResolution.DefaultMaxPerDomain}),
        |pairs AS (
        |  SELECT a.node_id AS a_id, b.node_id AS b_id,
        |    a.content AS a_c, b.content AS b_c,

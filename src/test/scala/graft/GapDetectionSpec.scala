@@ -144,4 +144,25 @@ class GapDetectionSpec extends SparkSpec {
     assert(g.contains("hierarchy_gap_b"))  // only related_to
     assert(!g.contains("hierarchy_gap_c")) // no hierarchical language
   }
+
+  test("bounded-group contract caps ONLY the logical-connection leg") {
+    // 3 near-identical nodes in one domain: uncapped, all 3 pairs gap;
+    // capped at 2, only the first two (by ord) pair — while the linear
+    // legs (isolation here: every node has 0 edges) stay uncapped.
+    val n = nodes(
+      ("a", 1, "d", "t", "shared common words repeat across these nodes"),
+      ("b", 2, "d", "t", "shared common words repeat across these nodes"),
+      ("c", 3, "d", "t", "shared common words repeat across these nodes"))
+    val full = gaps(n, edges())
+    assert(full.contains("logical_connection_a_b") &&
+      full.contains("logical_connection_a_c") &&
+      full.contains("logical_connection_b_c"))
+    val capped = GapDetection.detectGaps(n, edges(), maxPairPerDomain = 2)
+      .collect().map(_.getString(0)).toSet
+    assert(capped.contains("logical_connection_a_b"))
+    assert(!capped.contains("logical_connection_a_c") &&
+      !capped.contains("logical_connection_b_c"))
+    // linear legs unaffected by the pair cap: all 3 isolation gaps stay
+    assert(Seq("a", "b", "c").forall(i => capped.contains(s"isolation_gap_$i")))
+  }
 }
