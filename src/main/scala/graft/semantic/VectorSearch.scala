@@ -194,15 +194,27 @@ object VectorSearch {
       .select(col("vec_id"), col("adc_dist"))
   }
 
+  /** Minimum per-subspace codebook cardinality for AUTO to hand out
+    * IVF_PQ: 256 codewords (the standard 8-bit PQ setting). Measured at
+    * sf0.1 (docs/TUNING.md): 10-codeword books give recall@10 = 0.16 —
+    * an index that loses 5 of every 6 true neighbors is not a usable
+    * default, so small-book corpora fall back to IVF_SQ8 (same 4×
+    * compression ballpark, 0.99 measured recall). */
+  val MinPqCodebookSize = 256
+
   /** AUTO index selection (the enum's AUTO row,
     * vector_store_interface.py:24-44): the documented policy a batch
     * engine applies per corpus — FLAT below ~100k vectors (an exact scan
     * beats any index build), IVF_FLAT to ~100M (scan fraction
     * nprobe/nlist), IVF_SQ8 beyond (4× compression at 0.99 measured
-    * recall), IVF_PQ only when storage dominates (deepest compression;
-    * recall pays — docs/TUNING.md). */
-  def autoIndex(nVectors: Long, storageBound: Boolean = false): String =
-    if (storageBound) "IVF_PQ"
+    * recall). IVF_PQ is handed out only when storage dominates AND the
+    * available codebooks meet [[MinPqCodebookSize]] — below that the
+    * policy emits IVF_SQ8 rather than disclose-and-proceed at recall
+    * 0.16 (docs/TUNING.md "PQ recall"). */
+  def autoIndex(nVectors: Long, storageBound: Boolean = false,
+      codebookSize: Int = MinPqCodebookSize): String =
+    if (storageBound && codebookSize >= MinPqCodebookSize) "IVF_PQ"
+    else if (storageBound) "IVF_SQ8"
     else if (nVectors < 100000L) "FLAT"
     else if (nVectors < 100000000L) "IVF_FLAT"
     else "IVF_SQ8"

@@ -65,4 +65,15 @@ class InterchangeSpec extends SparkSpec {
     assert(VectorSearch.autoIndex(500000000L) === "IVF_SQ8")
     assert(VectorSearch.autoIndex(1000L, storageBound = true) === "IVF_PQ")
   }
+
+  test("AUTO gates PQ on codebook size: small books fall back to SQ8") {
+    // measured: 10-codeword books give recall@10 = 0.16 (docs/TUNING.md)
+    // — AUTO must not hand that out even when storage dominates
+    assert(VectorSearch.autoIndex(1000L, storageBound = true,
+      codebookSize = 10) === "IVF_SQ8")
+    assert(VectorSearch.autoIndex(1000L, storageBound = true,
+      codebookSize = VectorSearch.MinPqCodebookSize) === "IVF_PQ")
+    // the gate only applies to the storage-bound branch
+    assert(VectorSearch.autoIndex(1000L, codebookSize = 10) === "FLAT")
+  }
 }
