@@ -626,8 +626,248 @@ object QualityQueries {
        |FROM finals ORDER BY case_id""".stripMargin
   }
 
+  // -- q99: cross-validation claims pipeline (cross_validation.py:98-780).
+  //         Documents are unpunctuated word soup, so each node appends a
+  //         deterministic claim sentence chosen by doc_id%8 (the q98
+  //         idiom): the eight variants cover factual / numerical /
+  //         temporal / relational claim patterns, all three confidence
+  //         indicator tiers, and the evidence-side support /
+  //         contradiction indicator arithmetic. Claims are extracted
+  //         from the doc_id%5==0 subset (validate_node is per-node; the
+  //         subset hits all 8 variants) and validated against the full
+  //         same-domain corpus.
+  private val CvSentences: Seq[String] = Seq(
+    " The batch layer is confirmed and documented since 2019.",
+    " The merge path is not stable and possibly broken currently.",
+    " The shuffle stage can move over 100 blocks when tuned well, " +
+      "it appears.",
+    " The cache tier, part of the storage layer, mirrors the page pool.",
+    " However the sort unit is unclear, but nevertheless it could " +
+      "differ from the spec.",
+    " The scan engine supports and confirms the plan, likewise the " +
+      "codegen.",
+    " The join core weighed 50kg under heavy load during 2021 tests.",
+    " Development started before 2019 and accelerated recently, the " +
+      "graph walk agrees.")
+
+  private def cvNodes(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val sentence = CvSentences.zipWithIndex
+      .foldLeft(when(lit(false), "never")) { case (w, (c, i)) =>
+        w.when(id % 8 === i, c)
+      }.otherwise("unreachable")
+    docs(s, dir).select(
+      concat(lit("d:"), id.cast("string")).as("node_id"),
+      id.as("ord"), col("source").as("domain"),
+      concat(substring(col("text"), 1, 120), lit("."), sentence)
+        .as("content"),
+      ((id * 53) % 100 / lit(100.0)).as("conf_meta"))
+  }
+
+  private def q99(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.CrossValidation
+    val corpus = cvNodes(s, dir)
+    val claims = CrossValidation.extractClaims(
+      corpus.filter(col("ord") % 5 === 0))
+    val evidence = CrossValidation.collectEvidence(claims, corpus)
+    CrossValidation.analyze(claims, evidence)
+      .select(col("claim_id"), col("source_node_id"), col("claim_type"),
+        col("claim_text"),
+        round(col("claim_confidence"), 6).as("claim_confidence"),
+        col("n_supporting"), col("n_contradicting"), col("n_neutral"),
+        round(col("consensus_score"), 6).as("consensus_score"),
+        col("validation_status"), col("confidence_level"),
+        col("validation_summary"))
+      .orderBy(col("claim_id"))
+  }
+
+  private val q99Sql = {
+    import graft.quality.CrossValidation._
+    val sentenceCase = CvSentences.zipWithIndex
+      .map { case (c, i) => s"WHEN $i THEN '$c'" }.mkString("\n      ")
+    val patternLegs = ClaimPatterns.zipWithIndex.map { case ((ct, pat), pi) =>
+      s"""    SELECT node_id, ord, domain, content, conf_meta,
+         |      '$ct' AS claim_type, $pi AS pi,
+         |      unnest(regexp_extract_all(content, '(?i)$pat', 1)) AS raw
+         |    FROM sel""".stripMargin
+    }.mkString("\n    UNION ALL\n")
+    def anyC(target: String, ws: Seq[String]): String =
+      ws.map(w => s"contains($target, '$w')").mkString(" OR ")
+    val wordsExpr = (t: String) =>
+      s"len(list_filter(string_split_regex($t, '\\s+'), w -> length(w) > 0))"
+    val cScoreSql = ContradictionIndicators
+      .map(w => s"(CASE WHEN contains(ev_lc, '$w') THEN 0.2 ELSE 0.0 END)")
+      .mkString(" + ") + " +\n      " +
+      (1 to 3).map(i =>
+        s"(CASE WHEN len(cw_ord) >= $i AND contains(ev_lc, 'not ' || " +
+          s"cw_ord[$i]) THEN 0.3 ELSE 0.0 END)").mkString(" + ")
+    val sScoreSql = SupportIndicators
+      .map(w => s"(CASE WHEN contains(ev_lc, '$w') THEN 0.2 ELSE 0.0 END)")
+      .mkString(" + ") +
+      " + (CASE WHEN relevance > 0.6 THEN 0.3 ELSE 0.0 END)"
+    s"""WITH corpus AS (
+       |  SELECT 'd:' || doc_id AS node_id, doc_id AS ord,
+       |    source AS domain,
+       |    substring(text, 1, 120) || '.' || CASE doc_id % 8
+       |      $sentenceCase
+       |      END AS content,
+       |    ((doc_id * 53) % 100) / 100.0 AS conf_meta
+       |  FROM documents),
+       |sel AS (SELECT * FROM corpus WHERE ord % 5 = 0),
+       |claims_all AS (
+       |  SELECT DISTINCT node_id, ord, domain, content, conf_meta,
+       |    claim_type, pi, trim(raw) AS claim_text
+       |  FROM (
+       |$patternLegs
+       |  ) WHERE length(trim(raw)) > 10),
+       |claims_dedup AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY node_id, lower(claim_text)
+       |      ORDER BY pi, claim_text) AS rn
+       |    FROM claims_all)
+       |  WHERE rn = 1 AND length(claim_text) > 15),
+       |claims AS (
+       |  SELECT node_id || '_' || claim_type || '_' || md5(claim_text)
+       |      AS claim_id,
+       |    node_id, ord, domain, claim_type, claim_text, conf
+       |  FROM (
+       |    SELECT *, greatest(0.1, least(0.5
+       |      + (CASE WHEN ${anyC("lower(claim_text)", HighIndicators)}
+       |          THEN 0.3 ELSE 0.0 END)
+       |      + (CASE WHEN ${anyC("lower(claim_text)", MediumIndicators)}
+       |          THEN 0.1 ELSE 0.0 END)
+       |      - (CASE WHEN ${anyC("lower(claim_text)", LowIndicators)}
+       |          THEN 0.2 ELSE 0.0 END)
+       |      + (CASE WHEN regexp_matches(claim_text, '[0-9]')
+       |          THEN 0.1 ELSE 0.0 END)
+       |      + (CASE WHEN ${wordsExpr("claim_text")} > 8
+       |          THEN 0.1 ELSE 0.0 END), 1.0)) AS conf
+       |    FROM claims_dedup)
+       |  WHERE conf >= 0.3 AND ${wordsExpr("claim_text")} >= 3),
+       |ev_cap AS (
+       |  SELECT domain, node_id AS ev_id, ord AS ev_ord,
+       |    content AS ev_content, conf_meta AS ev_conf
+       |  FROM corpus
+       |  QUALIFY row_number() OVER (PARTITION BY domain ORDER BY ord)
+       |    <= ${graft.quality.ContradictionResolution.DefaultMaxPerDomain}),
+       |pairs AS (
+       |  SELECT c.*, e.ev_id, e.ev_ord, e.ev_conf,
+       |    lower(c.claim_text) AS claim_lc, lower(e.ev_content) AS ev_lc,
+       |    list_distinct(list_filter(string_split_regex(
+       |      lower(c.claim_text), '\\s+'), w -> length(w) > 0)) AS cw,
+       |    list_filter(string_split_regex(lower(c.claim_text), '\\s+'),
+       |      w -> length(w) > 0) AS cw_ord,
+       |    list_distinct(list_filter(string_split_regex(
+       |      lower(e.ev_content), '\\s+'), w -> length(w) > 0)) AS tw
+       |  FROM claims c JOIN ev_cap e USING (domain)
+       |  WHERE e.ev_id <> c.node_id),
+       |rel AS (
+       |  SELECT *, least(
+       |      (CASE WHEN len(cw) = 0 OR len(tw) = 0 THEN 0.0
+       |        ELSE len(list_intersect(cw, tw)) * 1.0 /
+       |          (len(cw) + len(tw) - len(list_intersect(cw, tw))) END)
+       |      + (CASE WHEN contains(ev_lc, claim_lc) THEN 0.3
+       |        ELSE 0.0 END), 1.0) AS relevance
+       |  FROM pairs),
+       |typed AS (
+       |  SELECT *,
+       |    CASE WHEN c_score > s_score AND c_score > 0.3
+       |        THEN 'contradicting'
+       |      WHEN s_score > c_score AND s_score > 0.3 THEN 'supporting'
+       |      ELSE 'neutral' END AS support_type,
+       |    CASE WHEN c_score > s_score AND c_score > 0.3 THEN c_score
+       |      WHEN s_score > c_score AND s_score > 0.3 THEN s_score
+       |      ELSE greatest(c_score, s_score) END AS support_conf,
+       |    greatest(0.1, least(0.5
+       |      + (CASE WHEN ${anyC("lower(domain)",
+              Seq("journal", "research", "academic"))} THEN 0.2
+       |        WHEN ${anyC("lower(domain)", Seq("wiki", "blog", "forum"))}
+       |          THEN -0.1 ELSE 0.0 END)
+       |      + (ev_conf - 0.5) * 0.4, 1.0)) AS reliability
+       |  FROM (
+       |    SELECT *,
+       |      $cScoreSql AS c_score,
+       |      $sScoreSql AS s_score
+       |    FROM rel WHERE relevance >= 0.3)),
+       |evtop AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY claim_id
+       |      ORDER BY relevance * reliability DESC, ev_ord) AS ern
+       |    FROM typed)
+       |  WHERE ern <= $MaxEvidencePerClaim),
+       |agg AS (
+       |  SELECT claim_id,
+       |    CAST(count(*) AS BIGINT) AS n_ev,
+       |    CAST(count(*) FILTER (WHERE support_type = 'supporting') AS BIGINT)
+       |      AS n_sup,
+       |    CAST(count(*) FILTER (WHERE support_type = 'contradicting') AS BIGINT)
+       |      AS n_con,
+       |    CAST(count(*) FILTER (WHERE support_type = 'neutral') AS BIGINT)
+       |      AS n_neu,
+       |    coalesce(sum(reliability * support_conf)
+       |      FILTER (WHERE support_type = 'supporting'), 0.0) AS sw,
+       |    coalesce(sum(reliability * support_conf)
+       |      FILTER (WHERE support_type = 'contradicting'), 0.0) AS cww,
+       |    count(*) FILTER (WHERE reliability > 0.6) AS hq,
+       |    avg(reliability) AS ar, avg(support_conf) AS ac
+       |  FROM evtop GROUP BY claim_id),
+       |finals AS (
+       |  SELECT c.claim_id, c.node_id, c.claim_type, c.claim_text, c.conf,
+       |    coalesce(a.n_ev, 0) AS n_ev, coalesce(a.n_sup, 0) AS n_sup,
+       |    coalesce(a.n_con, 0) AS n_con, coalesce(a.n_neu, 0) AS n_neu,
+       |    a.hq, a.ar, a.ac,
+       |    CASE WHEN coalesce(a.n_sup, 0) = 0 AND coalesce(a.n_con, 0) = 0
+       |        THEN 0.5
+       |      WHEN a.sw + a.cww = 0.0 THEN 0.5
+       |      ELSE a.sw / (a.sw + a.cww) END AS consensus
+       |  FROM claims c LEFT JOIN agg a USING (claim_id)),
+       |labeled AS (
+       |  SELECT *,
+       |    CASE WHEN n_ev = 0 THEN 'insufficient'
+       |      WHEN hq < 2 THEN 'insufficient'
+       |      WHEN consensus >= 0.75 THEN 'validated'
+       |      WHEN consensus <= 0.25 THEN 'conflicted'
+       |      WHEN consensus >= 0.4 AND consensus <= 0.6 THEN 'conflicted'
+       |      ELSE 'insufficient' END AS validation_status,
+       |    CASE WHEN n_ev = 0 THEN 'very_low'
+       |      WHEN (ar + ac) / 2 * 0.6 + abs(consensus - 0.5) * 2 * 0.4
+       |        >= 0.85 THEN 'high'
+       |      WHEN (ar + ac) / 2 * 0.6 + abs(consensus - 0.5) * 2 * 0.4
+       |        >= 0.6 THEN 'medium'
+       |      WHEN (ar + ac) / 2 * 0.6 + abs(consensus - 0.5) * 2 * 0.4
+       |        >= 0.3 THEN 'low'
+       |      ELSE 'very_low' END AS confidence_level
+       |  FROM finals)
+       |SELECT claim_id, node_id AS source_node_id, claim_type, claim_text,
+       |  round(conf, 6) AS claim_confidence,
+       |  n_sup AS n_supporting, n_con AS n_contradicting,
+       |  n_neu AS n_neutral,
+       |  round(consensus, 6) AS consensus_score,
+       |  validation_status, confidence_level,
+       |  'Validation of claim: ' || substring(claim_text, 1, 100) ||
+       |    '...' || '. ' ||
+       |  (CASE WHEN n_sup > 0 AND n_con > 0
+       |      THEN 'Found ' || n_sup || ' supporting and ' || n_con ||
+       |        ' contradicting sources'
+       |    WHEN n_sup > 0 THEN 'Found ' || n_sup ||
+       |      ' supporting sources with no contradictions'
+       |    WHEN n_con > 0 THEN 'Found ' || n_con ||
+       |      ' contradicting sources with no support'
+       |    ELSE 'No clear supporting or contradicting evidence found'
+       |    END) || '. ' ||
+       |  (CASE WHEN consensus >= 0.75
+       |      THEN 'Strong consensus supports the claim'
+       |    WHEN consensus <= 0.25
+       |      THEN 'Strong consensus contradicts the claim'
+       |    ELSE 'Mixed or insufficient evidence for consensus'
+       |    END) || '.' AS validation_summary
+       |FROM labeled ORDER BY claim_id""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q96_source_reliability", q96, Some(q96Sql)),
     Q("q97_gap_detection", q97, Some(q97Sql)),
-    Q("q98_contradiction_resolution", q98, Some(q98Sql)))
+    Q("q98_contradiction_resolution", q98, Some(q98Sql)),
+    Q("q99_cross_validation", q99, Some(q99Sql)))
 }
