@@ -50,7 +50,7 @@ object QualityQueries {
     case 5 => "(doc_id % 5)"
   }
 
-  private def q96(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def q96(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
     val src = SrcCases.zipWithIndex.foldLeft(when(lit(false), "never")) {
       case (w, (tpl, i)) =>
@@ -97,7 +97,7 @@ object QualityQueries {
       .orderBy(col("doc_id"))
   }
 
-  private val q96Sql = {
+  private[queries] val q96Sql = {
     import SourceReliability._
     val srcCase = SrcCases.zipWithIndex.map { case (tpl, i) =>
       val k = "\\{(\\d)\\}".r.findFirstMatchIn(tpl).get.group(1).toInt
@@ -287,7 +287,7 @@ object QualityQueries {
       |  FROM documents
       |  WHERE doc_id >= 20 AND doc_id % 4 <> 0 AND doc_id % 9 <> 0)""".stripMargin
 
-  private def q97(s: SparkSession, dir: String): DataFrame =
+  private[queries] def q97(s: SparkSession, dir: String): DataFrame =
     graft.quality.GapDetection.detectGaps(nodesView(s, dir), edgesView(s, dir))
       .select(col("gap_id"), col("gap_type"), col("severity"),
         col("description"), col("affected_area"), col("missing_elements"),
@@ -297,7 +297,7 @@ object QualityQueries {
         round(col("priority_score"), 6).as("priority_score"))
       .orderBy(col("gap_id"))
 
-  private val q97Sql = {
+  private[queries] val q97Sql = {
     import graft.quality.GapDetection._
     def anyC(target: String, ws: Seq[String]): String =
       ws.map(w => s"contains($target, '$w')").mkString(" OR ")
@@ -664,7 +664,7 @@ object QualityQueries {
       ((id * 53) % 100 / lit(100.0)).as("conf_meta"))
   }
 
-  private def q99(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def q99(s: SparkSession, dir: String): DataFrame = {
     import graft.quality.CrossValidation
     val corpus = cvNodes(s, dir)
     val claims = CrossValidation.extractClaims(
@@ -681,7 +681,7 @@ object QualityQueries {
       .orderBy(col("claim_id"))
   }
 
-  private val q99Sql = {
+  private[queries] val q99Sql = {
     import graft.quality.CrossValidation._
     val sentenceCase = CvSentences.zipWithIndex
       .map { case (c, i) => s"WHEN $i THEN '$c'" }.mkString("\n      ")
@@ -865,9 +865,234 @@ object QualityQueries {
        |FROM labeled ORDER BY claim_id""".stripMargin
   }
 
+  // -- q100/q102/q103: QualityEnhancementEngine orchestrator
+  //    (quality_enhancement_engine.py:311-844) — composes the verified
+  //    component frames (q93 content, q94-shaped structural over the
+  //    document edge view, q95 temporal, q96 reliability, q99
+  //    validation consensus) into the per-node combined QualityScore
+  //    (q100), the prioritized enhancement actions (q102) and the
+  //    one-row report aggregates (q103). Components enter the
+  //    composition at their published 6-dp rounding (both engines
+  //    verify those values independently, so the composed inputs are
+  //    identical bit-for-bit).
+  private def structEdges(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    docs(s, dir)
+      .filter(id >= 20 && id % 4 =!= 0 && id % 9 =!= 0)
+      .select(concat(lit("d:"), id.cast("string")).as("from_id"),
+        concat(lit("d:"), (id - 20).cast("string")).as("to_id"),
+        when(id % 5 === 0, "related_to").when(id % 5 === 1, "part_of")
+          .when(id % 5 === 2, "causes").when(id % 5 === 3, "similar_to")
+          .otherwise("instance_of").as("relation_type"),
+        ((id * 29) % 100 / lit(100.0)).as("confidence"))
+  }
+
+  private def engineScores(s: SparkSession, dir: String): DataFrame = {
+    def keyed(df: DataFrame) = df.select(
+      (concat(lit("d:"), col("doc_id").cast("string")).as("node_id") +:
+        df.columns.filter(_ != "doc_id").toIndexedSeq.map(col)): _*)
+    val content = TextQueries.q93(s, dir)
+      .select(col("doc_id"), col("overall_quality").as("content_score"))
+    val structural = graft.graph.StructuralQuality.assess(structEdges(s, dir))
+      .select(col("node_id"),
+        round(col("overall_structural"), 6).as("structural_score"))
+    val temporal = TextQueries.q95(s, dir)
+      .select(col("doc_id"), col("temporal_score"))
+    val reliability = q96(s, dir)
+      .select(col("doc_id"), col("reliability_score"))
+    val validation = q99(s, dir)
+      .groupBy(col("source_node_id").as("node_id"))
+      .agg(avg(col("consensus_score")).as("validation_score"))
+    graft.quality.QualityEngine.scores(keyed(content), structural,
+      keyed(temporal), keyed(reliability), validation)
+  }
+
+  private def q100(s: SparkSession, dir: String): DataFrame =
+    engineScores(s, dir).select(col("node_id"), col("content_score"),
+        col("structural_score"), col("temporal_score"),
+        col("reliability_score"),
+        round(col("validation_score"), 6).as("validation_score"),
+        round(col("overall_score"), 6).as("overall_score"),
+        col("quality_level"))
+      .orderBy(col("node_id"))
+
+  private def q102(s: SparkSession, dir: String): DataFrame =
+    graft.quality.QualityEngine.recommendations(engineScores(s, dir),
+        q99(s, dir), q97(s, dir), q96(s, dir))
+      .select(col("node_id"), col("action_type"), col("priority"),
+        col("description"),
+        round(col("expected_improvement"), 6).as("expected_improvement"),
+        round(col("confidence"), 6).as("confidence"),
+        col("estimated_effort"))
+
+  private def q103(s: SparkSession, dir: String): DataFrame =
+    graft.quality.QualityEngine.report(engineScores(s, dir), q99(s, dir))
+      .select(col("total_nodes_analyzed"), col("n_excellent"),
+        col("n_good"), col("n_fair"), col("n_poor"), col("n_critical"),
+        col("conflict_count"), col("critical_issues"),
+        col("overall_quality_trend"))
+
+  /** Shared SQL prelude: the verified component queries as named CTEs
+    * (their own WITHs are scoped inside each CTE body) plus the
+    * composed per-node base. */
+  private def engineBaseSql: String = {
+    val relQ = """least(500 +
+      |      CASE WHEN relation_type IN ('related_to', 'associated_with') THEN -200
+      |           WHEN relation_type IN ('part_of', 'instance_of', 'causes', 'enables') THEN 300
+      |           ELSE 0 END +
+      |      CASE WHEN confidence IS NOT NULL AND confidence <> 0
+      |           THEN CAST(round((confidence::DOUBLE) * 200) AS BIGINT) ELSE 0 END, 1000)""".stripMargin
+    s"""c93 AS ($q93IndentedSql),
+       |c95 AS ($q95IndentedSql),
+       |c96 AS ($q96IndentedSql),
+       |c99 AS ($q99IndentedSql),
+       |sedges AS (
+       |  SELECT 'd:' || doc_id AS from_id, 'd:' || (doc_id - 20) AS to_id,
+       |    CASE doc_id % 5 WHEN 0 THEN 'related_to' WHEN 1 THEN 'part_of'
+       |      WHEN 2 THEN 'causes' WHEN 3 THEN 'similar_to'
+       |      ELSE 'instance_of' END AS relation_type,
+       |    ((doc_id * 29) % 100) / 100.0 AS confidence
+       |  FROM documents
+       |  WHERE doc_id >= 20 AND doc_id % 4 <> 0 AND doc_id % 9 <> 0),
+       |sinc AS (
+       |  SELECT from_id AS node_id, 1 AS n_out, 0 AS n_in, relation_type,
+       |    $relQ AS rel_q_milli
+       |  FROM sedges
+       |  UNION ALL
+       |  SELECT to_id, 0, 1, relation_type, $relQ FROM sedges),
+       |sagg AS (
+       |  SELECT node_id, count(*) AS n_rels, sum(n_out) AS out_n,
+       |    sum(n_in) AS in_n,
+       |    CAST(sum(rel_q_milli) AS DOUBLE) / (count(*) * 1000) AS rel_quality,
+       |    count(DISTINCT relation_type) AS n_types
+       |  FROM sinc GROUP BY node_id),
+       |cstruct AS (
+       |  SELECT node_id, round((
+       |    (CASE WHEN n_rels = 1 THEN 0.3 WHEN n_rels <= 3 THEN 0.6
+       |       WHEN n_rels <= 7 THEN 0.9 ELSE 1.0 END) + rel_quality +
+       |    ((CASE WHEN greatest(in_n, out_n) > 0
+       |        THEN least(in_n, out_n) * 1.0 / greatest(in_n, out_n)
+       |        ELSE 0.0 END) * 0.7 + least(n_rels / 10.0, 1.0) * 0.3) +
+       |    (CASE WHEN n_types * 1.0 / n_rels >= 0.8 THEN 1.0
+       |       WHEN n_types * 1.0 / n_rels >= 0.6 THEN 0.8
+       |       WHEN n_types * 1.0 / n_rels >= 0.4 THEN 0.6
+       |       WHEN n_types * 1.0 / n_rels >= 0.2 THEN 0.4
+       |       ELSE 0.2 END)) / 4, 6) AS structural_score
+       |  FROM sagg),
+       |cval AS (
+       |  SELECT source_node_id AS node_id,
+       |    avg(consensus_score) AS validation_score
+       |  FROM c99 GROUP BY 1),
+       |ebase AS (
+       |  SELECT 'd:' || doc_id AS node_id, doc_id,
+       |    c93.overall_quality AS content_score,
+       |    coalesce(cs.structural_score, 0.0) AS structural_score,
+       |    c95.temporal_score, c96.reliability_score,
+       |    coalesce(cv.validation_score, 0.5) AS validation_score
+       |  FROM c93 JOIN c95 USING (doc_id) JOIN c96 USING (doc_id)
+       |  LEFT JOIN cstruct cs ON cs.node_id = 'd:' || doc_id
+       |  LEFT JOIN cval cv ON cv.node_id = 'd:' || doc_id),
+       |escored AS (
+       |  SELECT *,
+       |    (content_score + structural_score + temporal_score +
+       |      reliability_score + validation_score) / 5 AS overall_score
+       |  FROM ebase)""".stripMargin
+  }
+
+  // the component SQLs indented as CTE bodies (pure cosmetics: their
+  // internal WITHs are legal inside a parenthesized CTE)
+  private def q93IndentedSql = TextQueries.q93Sql
+  private def q95IndentedSql = TextQueries.q95Sql
+  private def q96IndentedSql = q96Sql
+  private def q99IndentedSql = q99Sql
+
+  private def levelSql(x: String): String =
+    s"""CASE WHEN $x >= 0.9 THEN 'excellent' WHEN $x >= 0.7 THEN 'good'
+       |    WHEN $x >= 0.5 THEN 'fair' WHEN $x >= 0.3 THEN 'poor'
+       |    ELSE 'critical' END""".stripMargin
+
+  private val q100Sql =
+    s"""WITH $engineBaseSql
+       |SELECT node_id, content_score, structural_score, temporal_score,
+       |  reliability_score,
+       |  round(validation_score, 6) AS validation_score,
+       |  round(overall_score, 6) AS overall_score,
+       |  ${levelSql("overall_score")} AS quality_level
+       |FROM escored ORDER BY node_id""".stripMargin
+
+  private val q102Sql =
+    s"""WITH $engineBaseSql,
+       |c97 AS ($q97Sql),
+       |legs AS (
+       |  SELECT node_id, 'improve_content' AS action_type,
+       |    CASE WHEN content_score < 0.4 THEN 'high' ELSE 'medium' END
+       |      AS priority,
+       |    'Improve content quality (current score: ' ||
+       |      CAST(round(content_score, 2) AS VARCHAR) || ')' AS description,
+       |    0.6 - content_score AS expected_improvement,
+       |    0.8 AS confidence, 'medium' AS estimated_effort,
+       |    0 AS leg, node_id AS sub_ord
+       |  FROM escored WHERE content_score < 0.6
+       |  UNION ALL
+       |  SELECT source_node_id, 'resolve_contradiction', 'high',
+       |    'Resolve validation conflicts', 0.3, 0.7, 'high', 1, claim_id
+       |  FROM c99 WHERE validation_status = 'conflicted'
+       |  UNION ALL
+       |  SELECT 'general', 'fill_gap', 'high',
+       |    'Fill knowledge gap: ' || description, 0.4, confidence,
+       |    'high', 2, gap_id
+       |  FROM c97 WHERE severity = 'critical'
+       |  UNION ALL
+       |  SELECT source_identifier, 'update_source', 'medium',
+       |    'Improve source reliability (' || reliability_level || ')',
+       |    0.3, assessment_confidence, 'medium', 3,
+       |    lpad(CAST(doc_id AS VARCHAR), 12, '0')
+       |  FROM c96 WHERE reliability_level IN ('questionable', 'unreliable'))
+       |SELECT node_id, action_type, priority, description,
+       |  round(expected_improvement, 6) AS expected_improvement,
+       |  round(confidence, 6) AS confidence, estimated_effort
+       |FROM legs
+       |ORDER BY priority, expected_improvement DESC, leg, sub_ord
+       |LIMIT 20""".stripMargin
+
+  private val q103Sql =
+    s"""WITH $engineBaseSql,
+       |dist AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS total_nodes_analyzed,
+       |    CAST(count(*) FILTER (WHERE ${levelSql("overall_score")} =
+       |      'excellent') AS BIGINT) AS n_excellent,
+       |    CAST(count(*) FILTER (WHERE ${levelSql("overall_score")} =
+       |      'good') AS BIGINT) AS n_good,
+       |    CAST(count(*) FILTER (WHERE ${levelSql("overall_score")} =
+       |      'fair') AS BIGINT) AS n_fair,
+       |    CAST(count(*) FILTER (WHERE ${levelSql("overall_score")} =
+       |      'poor') AS BIGINT) AS n_poor,
+       |    CAST(count(*) FILTER (WHERE ${levelSql("overall_score")} =
+       |      'critical') AS BIGINT) AS n_critical
+       |  FROM escored),
+       |conf AS (
+       |  SELECT CAST(count(*) FILTER (WHERE validation_status =
+       |    'conflicted') AS BIGINT) AS conflict_count FROM c99)
+       |SELECT total_nodes_analyzed, n_excellent, n_good, n_fair, n_poor,
+       |  n_critical, conflict_count,
+       |  concat_ws('; ',
+       |    CASE WHEN n_critical > 0 THEN n_critical ||
+       |      ' nodes have critical quality issues' END,
+       |    CASE WHEN conflict_count > 0 THEN conflict_count ||
+       |      ' validation conflicts detected' END) AS critical_issues,
+       |  CASE WHEN n_excellent * 1.0 / total_nodes_analyzed > 0.5
+       |      THEN 'stable'
+       |    WHEN n_excellent * 1.0 / total_nodes_analyzed > 0.2
+       |      THEN 'improving'
+       |    ELSE 'declining' END AS overall_quality_trend
+       |FROM dist, conf""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q96_source_reliability", q96, Some(q96Sql)),
     Q("q97_gap_detection", q97, Some(q97Sql)),
     Q("q98_contradiction_resolution", q98, Some(q98Sql)),
-    Q("q99_cross_validation", q99, Some(q99Sql)))
+    Q("q99_cross_validation", q99, Some(q99Sql)),
+    Q("q100_quality_engine", q100, Some(q100Sql)),
+    Q("q102_enhancement_actions", q102, Some(q102Sql)),
+    Q("q103_quality_report", q103, Some(q103Sql)))
 }

@@ -81,7 +81,7 @@ object TextQueries {
   //         ContentQualityAnalyzer): five component scores → overall
   //         mean → level tier. metaFields=1 (documents carry `source`
   //         of the reference's five important metadata fields).
-  private def q93(s: SparkSession, dir: String): DataFrame =
+  private[queries] def q93(s: SparkSession, dir: String): DataFrame =
     graft.text.QualityAssessment.assess(docs(s, dir), "text", lit(1))
       .select(col("doc_id"),
         round(col("length_score"), 6).as("length_score"),
@@ -93,7 +93,7 @@ object TextQueries {
         col("quality_level"))
       .orderBy(col("doc_id"))
 
-  private val q93Sql = {
+  private[queries] val q93Sql = {
     // DuckDB plain string literals don't process backslash escapes, so
     // regex patterns paste through with their backslashes intact
     def rx(pat: String) = s"len(regexp_extract_all(text, '$pat'))"
@@ -173,7 +173,7 @@ object TextQueries {
   //         synthetic-metadata idiom): created_at spans all five
   //         freshness tiers against the pinned now=2025-06-01, with
   //         nulls exercising the no-timestamp paths.
-  private def q95(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def q95(s: SparkSession, dir: String): DataFrame = {
     import graft.text.TemporalQuality
     val d = docs(s, dir)
       .withColumn("created_at",
@@ -204,7 +204,7 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
-  private val q95Sql = {
+  private[queries] val q95Sql = {
     import graft.text.TemporalQuality._
     def hitsSql(words: Seq[String]): String = words
       .map(w => s"CASE WHEN contains(lower(text), '$w') THEN 1 ELSE 0 END")
