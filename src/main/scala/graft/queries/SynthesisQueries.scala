@@ -176,9 +176,126 @@ object SynthesisQueries {
        |FROM t a JOIN t b ON a.node_id < b.node_id
        |ORDER BY a_id, b_id""".stripMargin
 
+  // -- q104: QuestionParser taxonomy (question_answering.py:88-308).
+  //    Ten deterministic question templates (one per doc, chosen by
+  //    doc_id%10, most splicing the doc's first token) cover all eight
+  //    question types plus the factual default, entity extraction
+  //    (proper nouns + quoted strings), keyword filtering, intent
+  //    rendering, time/limit constraints and the confidence formula.
+  //    Templates with `None` take no corpus token.
+  private val QTemplates: Seq[(String, Option[String])] = Seq(
+    ("What is the Spark Engine doing with ", Some(" today?")),
+    ("Compare Alpha Core versus Beta Cache for ", Some(" workloads")),
+    ("Why does the Query Planner fail on ", Some(" inputs?")),
+    ("How to tune the Shuffle Stage for ", Some(" spill?")),
+    ("When did the Batch Window move before 2020 rollout?", None),
+    ("Define the meaning of ", Some(" in simple terms")),
+    ("How is the Page Pool related to the Disk Layer?", None),
+    ("What patterns in the data reveal trends for ", Some("?")),
+    ("Show the 3 most common faults in 2021 during rollout windows", None),
+    ("Tell me about \"silver lining\" and Hadoop platforms", None))
+
+  private def q104(s: SparkSession, dir: String): DataFrame = {
+    import graft.query.QuestionParser
+    val id = col("doc_id")
+    val w = regexp_extract(col("text"), "^[a-z]+", 0)
+    val question = QTemplates.zipWithIndex
+      .foldLeft(when(lit(false), "never")) {
+        case (acc, ((pre, post), i)) =>
+          acc.when(id % 10 === i, post match {
+            case Some(p) => concat(lit(pre), w, lit(p))
+            case None => lit(pre)
+          })
+      }.otherwise("unreachable")
+    QuestionParser.parse(
+        Tables.load(s, dir, "documents").select(id, question.as("question")),
+        "question")
+      .select(col("doc_id"), col("question"), col("question_type"),
+        array_join(col("entities"), "|").as("entities"),
+        array_join(col("keywords"), "|").as("keywords"),
+        col("intent"), col("time_filter"), col("limit_n"),
+        round(col("parsing_confidence"), 6).as("parsing_confidence"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q104Sql = {
+    import graft.query.QuestionParser._
+    val qCase = QTemplates.zipWithIndex.map { case ((pre, post), i) =>
+      val expr = post match {
+        case Some(p) =>
+          s"'${pre.replace("\"", "\"")}' || regexp_extract(text, '^[a-z]+') || '$p'"
+        case None => s"'$pre'"
+      }
+      s"WHEN $i THEN $expr"
+    }.mkString("\n      ")
+    val typeCase = TypePatterns.map { case (t, pat) =>
+      s"WHEN regexp_matches(ql, '(?i)$pat') THEN '$t'"
+    }.mkString("\n      ")
+    // single-quote regex chars spliced via chr(39) to dodge SQL quoting
+    val sqPat = """chr(39) || '([^' || chr(39) || ']*)' || chr(39)"""
+    val stopList = StopWords.map(wd => s"'$wd'").mkString(", ")
+    s"""WITH qs AS (
+       |  SELECT doc_id, CASE doc_id % 10
+       |      $qCase
+       |      END AS question
+       |  FROM documents),
+       |parsed AS (
+       |  SELECT doc_id, question, lower(trim(question)) AS ql,
+       |    list_sort(list_distinct(list_filter(
+       |      regexp_extract_all(question,
+       |        '[A-Z][a-z]+(?:\\s+[A-Z][a-z]+)*') ||
+       |      regexp_extract_all(question, '"([^"]*)"', 1) ||
+       |      regexp_extract_all(question, $sqPat, 1),
+       |      e -> length(e) > 2))) AS ents,
+       |    list_filter(regexp_extract_all(lower(trim(question)),
+       |      '\\b\\w+\\b'),
+       |      w -> length(w) > 2 AND w NOT IN ($stopList)) AS kws
+       |  FROM qs),
+       |typed AS (
+       |  SELECT *, CASE
+       |      $typeCase
+       |      ELSE 'factual' END AS question_type
+       |  FROM parsed)
+       |SELECT doc_id, question, question_type,
+       |  array_to_string(ents, '|') AS entities,
+       |  array_to_string(kws, '|') AS keywords,
+       |  CASE WHEN question_type = 'factual' AND len(ents) > 0
+       |      THEN 'Get factual information about ' ||
+       |        array_to_string(list_slice(ents, 1, 2), ', ')
+       |    WHEN question_type = 'factual' THEN 'Get factual information'
+       |    WHEN question_type = 'comparative' THEN 'Compare entities: ' ||
+       |      array_to_string(list_slice(ents, 1, 3), ', ')
+       |    WHEN question_type = 'causal'
+       |      THEN 'Explain causation involving ' ||
+       |        array_to_string(list_slice(ents, 1, 2), ', ')
+       |    WHEN question_type = 'procedural'
+       |      THEN 'Provide procedural information for ' ||
+       |        array_to_string(list_slice(kws, 1, 2), ', ')
+       |    ELSE 'Process ' || question_type || ' question about ' ||
+       |      array_to_string(list_slice(ents, 1, 2), ', ')
+       |    END AS intent,
+       |  coalesce(
+       |    nullif(regexp_extract(ql, 'in (\\d{4})', 1), ''),
+       |    nullif(regexp_extract(ql, 'during ([^,]+)', 1), ''),
+       |    nullif(regexp_extract(ql, 'before ([^,]+)', 1), ''),
+       |    nullif(regexp_extract(ql, 'after ([^,]+)', 1), ''))
+       |    AS time_filter,
+       |  CAST(nullif(regexp_extract(ql, '(\\d+)\\s+(most|top|best)', 1),
+       |    '') AS INT) AS limit_n,
+       |  round(least(0.5
+       |    + (CASE WHEN len(ents) > 0
+       |        THEN 0.2 * least(len(ents) / 3.0, 1.0) ELSE 0.0 END)
+       |    + (CASE WHEN len(kws) > 0
+       |        THEN 0.1 * least(len(kws) / 5.0, 1.0) ELSE 0.0 END)
+       |    + (CASE WHEN question_type <> 'factual' THEN 0.2
+       |        ELSE 0.0 END), 1.0), 6) AS parsing_confidence
+       |FROM typed ORDER BY doc_id""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q67_qa_evidence", q67, Some(q67Sql)),
     Q("q68_timeline_synthesis", q68, Some(q68Sql)),
     Q("q84_synthesis_summary", q84, Some(q84Sql)),
-    Q("q85_synthesis_comparison", q85, Some(q85Sql)))
+    Q("q85_synthesis_comparison", q85, Some(q85Sql)),
+    Q("q104_question_parse", q104, Some(q104Sql)))
 }
