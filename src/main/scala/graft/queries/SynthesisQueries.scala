@@ -292,10 +292,345 @@ object SynthesisQueries {
        |FROM typed ORDER BY doc_id""".stripMargin
   }
 
+  // -- q101: comprehensive synthesis
+  //    (knowledge_synthesis_engine.py:303-780). One synthesis per
+  //    domain: the QA leg ranks the domain's docs by the q67 quality
+  //    score (top-5 sources, top-1 answer); the insight leg derives
+  //    common-term patterns (words in >= 60% of the domain's docs, cap
+  //    10), one half-vs-half activity trend over the q95 date
+  //    derivation, and length-z anomalies; the perspective leg groups
+  //    docs into doc_id%4 stances (>= 2 members) with min-doc
+  //    viewpoints and pairwise-overlap consensus tiers. SynthesisEngine
+  //    then applies the reference's integration arithmetic.
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SynthesisEngine
+    val id = col("doc_id")
+    val d = Tables.load(s, dir, "documents")
+      .withColumn("quality", TF.qualityScore(col("text"), col("n_chars")))
+      .withColumn("words", array_distinct(
+        filter(split(lower(col("text")), """\s+"""), w => length(w) > 0)))
+      .withColumn("created_at",
+        when(id % 11 === 0, lit(null).cast("date"))
+          .otherwise(date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+            (id * 13 % 500).cast("int"))))
+
+    val w5 = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val ranked = d.withColumn("qrn", row_number().over(w5))
+    val qa = ranked.filter(col("qrn") <= 5).groupBy(col("source")).agg(
+      avg(col("quality")).as("qa_confidence"),
+      count(lit(1)).as("qa_sources"),
+      min_by(col("words"), col("qrn")).as("answer_words"))
+
+    val domSize = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val wordDf = d.select(col("source"), col("doc_id"),
+        explode(col("words")).as("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .join(domSize, "source")
+      .withColumn("ratio", col("df").cast("double") / col("n_docs"))
+      .filter(col("ratio") >= 0.6)
+      .withColumn("prn", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("df").desc, col("word"))))
+      .filter(col("prn") <= 10)
+    val patterns = wordDf.groupBy(col("source")).agg(
+      count(lit(1)).as("n_patterns"), sum(col("ratio")).as("pat_conf_sum"))
+
+    val trend = d.filter(col("created_at").isNotNull)
+      .groupBy(col("source")).agg(
+        count(when(col("created_at") < "2024-09-01", 1)).as("h1"),
+        count(when(col("created_at") >= "2024-09-01", 1)).as("h2"))
+      .withColumn("n_trends",
+        when(col("h1") + col("h2") > 0, 1L).otherwise(0L))
+      .withColumn("trend_conf",
+        least((col("h1") + col("h2")) / lit(20.0), lit(1.0)))
+
+    val lenStats = d.groupBy(col("source")).agg(
+      avg(length(col("text"))).as("len_avg"),
+      stddev_pop(length(col("text"))).as("len_sd"))
+    val anomalies = d.join(lenStats, "source")
+      .filter(col("len_sd") > 0 &&
+        abs(length(col("text")) - col("len_avg")) > col("len_sd") * 2)
+    val anomalyAgg = anomalies.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_anomalies"))
+
+    val stanceConf = d.withColumn("stance", expr("(doc_id div 20) % 4"))
+      .groupBy(col("source"), col("stance")).agg(
+        count(lit(1)).as("members"), avg(col("quality")).as("pconf"),
+        min_by(col("words"), col("doc_id")).as("viewpoint_words"))
+      .filter(col("members") >= 2)
+    val perspAgg = stanceConf.groupBy(col("source")).agg(
+      count(lit(1)).as("n_perspectives"),
+      avg(col("pconf")).as("perspective_confidence"))
+    val pairSim = stanceConf.as("a").join(stanceConf.as("b"),
+        col("a.source") === col("b.source") &&
+          col("a.stance") < col("b.stance"))
+      .select(col("a.source").as("source"),
+        TF.jaccardSim(col("a.viewpoint_words"), col("b.viewpoint_words"))
+          .as("sim"))
+      .groupBy(col("source")).agg(avg(col("sim")).as("avg_sim"))
+      .withColumn("overall_consensus",
+        when(col("avg_sim") > 0.8, "strong_consensus")
+          .when(col("avg_sim") > 0.6, "moderate_consensus")
+          .when(col("avg_sim") > 0.4, "weak_consensus")
+          .otherwise("no_consensus"))
+    val agreements = stanceConf.join(qa, "source")
+      .filter(TF.jaccardSim(col("viewpoint_words"), col("answer_words"))
+        > 0.2)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_agreements"))
+
+    val srcDocs = ranked.filter(col("qrn") <= 5)
+      .select(col("source"), col("doc_id"))
+      .unionByName(anomalies.select(col("source"), col("doc_id")))
+      .unionByName(d.withColumn("stance", expr("(doc_id div 20) % 4"))
+        .join(stanceConf.select(col("source"), col("stance")),
+          Seq("source", "stance"))
+        .select(col("source"), col("doc_id")))
+    val sources = srcDocs.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("sources_analyzed"))
+
+    val legs = qa
+      .join(patterns, Seq("source"), "left")
+      .join(trend, Seq("source"), "left")
+      .join(anomalyAgg, Seq("source"), "left")
+      .join(perspAgg, Seq("source"), "left")
+      .join(pairSim.select(col("source"), col("overall_consensus")),
+        Seq("source"), "left")
+      .join(agreements, Seq("source"), "left")
+      .join(sources, Seq("source"), "left")
+      .withColumn("n_patterns", coalesce(col("n_patterns"), lit(0L)))
+      .withColumn("n_trends", coalesce(col("n_trends"), lit(0L)))
+      .withColumn("n_anomalies", coalesce(col("n_anomalies"), lit(0L)))
+      .withColumn("n_perspectives", coalesce(col("n_perspectives"), lit(0L)))
+      .withColumn("perspective_confidence",
+        coalesce(col("perspective_confidence"), lit(0.0)))
+      .withColumn("n_agreements", coalesce(col("n_agreements"), lit(0L)))
+      .withColumn("sources_analyzed",
+        coalesce(col("sources_analyzed"), lit(0L)))
+      .withColumn("insight_confidence",
+        when(col("n_patterns") + col("n_trends") + col("n_anomalies") > 0,
+          (coalesce(col("pat_conf_sum"), lit(0.0)) +
+            coalesce(col("trend_conf") * col("n_trends"), lit(0.0)) +
+            lit(0.7) * col("n_anomalies")) /
+            (col("n_patterns") + col("n_trends") + col("n_anomalies"))))
+      .withColumn("query_text",
+        concat(lit("What is known about "), col("source"), lit("?")))
+    SynthesisEngine.comprehensive(legs)
+      .select(col("source").as("domain"), col("query_text"),
+        round(col("qa_confidence"), 6).as("qa_confidence"),
+        col("qa_sources"), col("n_patterns"), col("n_trends"),
+        col("n_anomalies"),
+        round(col("insight_confidence"), 6).as("insight_confidence"),
+        col("n_perspectives"),
+        round(col("perspective_confidence"), 6)
+          .as("perspective_confidence"),
+        col("overall_consensus"), col("n_agreements"),
+        col("sources_analyzed"),
+        round(col("cross_validation_score"), 6)
+          .as("cross_validation_score"),
+        round(col("data_coverage"), 6).as("data_coverage"),
+        round(col("synthesis_confidence"), 6).as("synthesis_confidence"),
+        col("executive_summary"))
+      .orderBy(col("domain"))
+  }
+
+  private val q101Sql = {
+    val qual = TF.sql.qualityScore("text", "n_chars")
+    val wordsOf = (t: String) =>
+      s"list_distinct(list_filter(string_split_regex(lower($t), '\\s+'), " +
+        "w -> length(w) > 0))"
+    // mirrors SetJaccardExpr: inter/union with the 0-denominator -> 0.0
+    def jac(a: String, b: String) =
+      s"""(CASE WHEN (len($a) + len($b) - len(list_intersect($a, $b))) > 0
+         |  THEN len(list_intersect($a, $b)) * 1.0 /
+         |    (len($a) + len($b) - len(list_intersect($a, $b)))
+         |  ELSE 0.0 END)""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id, source, text, $qual AS quality,
+       |    ${wordsOf("text")} AS words,
+       |    CASE WHEN doc_id % 11 = 0 THEN NULL
+       |      ELSE DATE '2024-01-01' + CAST((doc_id * 13) % 500 AS INT)
+       |      END AS created_at
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY source
+       |    ORDER BY quality DESC, doc_id) AS qrn FROM d),
+       |qa AS (
+       |  SELECT source, avg(quality) AS qa_confidence,
+       |    CAST(count(*) AS BIGINT) AS qa_sources,
+       |    min_by(words, qrn) AS answer_words
+       |  FROM ranked WHERE qrn <= 5 GROUP BY source),
+       |dom AS (SELECT source, count(*) AS n_docs FROM d GROUP BY source),
+       |wdf AS (
+       |  SELECT source, word, count(DISTINCT doc_id) AS df
+       |  FROM (SELECT source, doc_id, unnest(words) AS word FROM d)
+       |  GROUP BY source, word),
+       |pat AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_patterns,
+       |    sum(ratio) AS pat_conf_sum
+       |  FROM (
+       |    SELECT source, word, ratio, row_number() OVER (
+       |      PARTITION BY source ORDER BY df DESC, word) AS prn
+       |    FROM (SELECT w.source, w.word, w.df,
+       |        w.df * 1.0 / dom.n_docs AS ratio
+       |      FROM wdf w JOIN dom USING (source)
+       |      WHERE w.df * 1.0 / dom.n_docs >= 0.6))
+       |  WHERE prn <= 10 GROUP BY source),
+       |tr AS (
+       |  SELECT source,
+       |    CAST(count(*) FILTER (WHERE created_at < DATE '2024-09-01')
+       |      AS BIGINT) AS h1,
+       |    CAST(count(*) FILTER (WHERE created_at >= DATE '2024-09-01')
+       |      AS BIGINT) AS h2
+       |  FROM d WHERE created_at IS NOT NULL GROUP BY source),
+       |trend AS (
+       |  SELECT source,
+       |    CAST(CASE WHEN h1 + h2 > 0 THEN 1 ELSE 0 END AS BIGINT)
+       |      AS n_trends,
+       |    least((h1 + h2) / 20.0, 1.0) AS trend_conf
+       |  FROM tr),
+       |lenstats AS (
+       |  SELECT source, avg(length(text)) AS len_avg,
+       |    stddev_pop(length(text)) AS len_sd
+       |  FROM d GROUP BY source),
+       |anom AS (
+       |  SELECT d.source, d.doc_id
+       |  FROM d JOIN lenstats USING (source)
+       |  WHERE len_sd > 0 AND abs(length(text) - len_avg) > 2 * len_sd),
+       |anomagg AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_anomalies
+       |  FROM anom GROUP BY source),
+       |stance AS (
+       |  SELECT source, (doc_id // 20) % 4 AS stance,
+       |    CAST(count(*) AS BIGINT) AS members,
+       |    avg(quality) AS pconf, min_by(words, doc_id) AS viewpoint_words
+       |  FROM d GROUP BY source, (doc_id // 20) % 4
+       |  HAVING count(*) >= 2),
+       |persp AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_perspectives,
+       |    avg(pconf) AS perspective_confidence
+       |  FROM stance GROUP BY source),
+       |pairsim AS (
+       |  SELECT source, CASE WHEN avg_sim > 0.8 THEN 'strong_consensus'
+       |    WHEN avg_sim > 0.6 THEN 'moderate_consensus'
+       |    WHEN avg_sim > 0.4 THEN 'weak_consensus'
+       |    ELSE 'no_consensus' END AS overall_consensus
+       |  FROM (
+       |    SELECT a.source AS source,
+       |      avg(${jac("a.viewpoint_words", "b.viewpoint_words")}) AS avg_sim
+       |    FROM stance a JOIN stance b
+       |      ON a.source = b.source AND a.stance < b.stance
+       |    GROUP BY a.source)),
+       |agree AS (
+       |  SELECT s.source, CAST(count(*) AS BIGINT) AS n_agreements
+       |  FROM stance s JOIN qa USING (source)
+       |  WHERE ${jac("s.viewpoint_words", "qa.answer_words")} > 0.2
+       |  GROUP BY s.source),
+       |srcdocs AS (
+       |  SELECT source, doc_id FROM ranked WHERE qrn <= 5
+       |  UNION ALL SELECT source, doc_id FROM anom
+       |  UNION ALL
+       |  SELECT d.source, d.doc_id
+       |  FROM d JOIN stance s ON d.source = s.source
+       |    AND (d.doc_id // 20) % 4 = s.stance),
+       |srcs AS (
+       |  SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT)
+       |    AS sources_analyzed
+       |  FROM srcdocs GROUP BY source),
+       |legs AS (
+       |  SELECT qa.source, qa.qa_confidence, qa.qa_sources,
+       |    coalesce(pat.n_patterns, 0) AS n_patterns,
+       |    coalesce(trend.n_trends, 0) AS n_trends,
+       |    coalesce(anomagg.n_anomalies, 0) AS n_anomalies,
+       |    CASE WHEN coalesce(pat.n_patterns, 0) +
+       |        coalesce(trend.n_trends, 0) +
+       |        coalesce(anomagg.n_anomalies, 0) > 0
+       |      THEN (coalesce(pat.pat_conf_sum, 0.0) +
+       |        coalesce(trend.trend_conf * trend.n_trends, 0.0) +
+       |        0.7 * coalesce(anomagg.n_anomalies, 0)) /
+       |        (coalesce(pat.n_patterns, 0) + coalesce(trend.n_trends, 0) +
+       |          coalesce(anomagg.n_anomalies, 0))
+       |      END AS insight_confidence,
+       |    coalesce(persp.n_perspectives, 0) AS n_perspectives,
+       |    coalesce(persp.perspective_confidence, 0.0)
+       |      AS perspective_confidence,
+       |    pairsim.overall_consensus,
+       |    coalesce(agree.n_agreements, 0) AS n_agreements,
+       |    coalesce(srcs.sources_analyzed, 0) AS sources_analyzed,
+       |    'What is known about ' || qa.source || '?' AS query_text
+       |  FROM qa
+       |  LEFT JOIN pat USING (source)
+       |  LEFT JOIN trend USING (source)
+       |  LEFT JOIN anomagg USING (source)
+       |  LEFT JOIN persp USING (source)
+       |  LEFT JOIN pairsim USING (source)
+       |  LEFT JOIN agree USING (source)
+       |  LEFT JOIN srcs USING (source)),
+       |meta AS (
+       |  SELECT *,
+       |    CASE WHEN qa_confidence IS NULL OR n_perspectives = 0 THEN 0.5
+       |      ELSE least(n_agreements * 1.0 / n_perspectives + 0.3, 1.0)
+       |      END AS cross_validation_score,
+       |    CASE WHEN sources_analyzed >= 10 THEN 0.9
+       |      WHEN sources_analyzed >= 5 THEN 0.7
+       |      WHEN sources_analyzed >= 3 THEN 0.5
+       |      WHEN sources_analyzed >= 1 THEN 0.3 ELSE 0.1 END
+       |      AS data_coverage
+       |  FROM legs),
+       |synth AS (
+       |  SELECT *,
+       |    least(((coalesce(qa_confidence, 0.0) +
+       |      coalesce(insight_confidence, 0.0) + perspective_confidence) /
+       |      ((CASE WHEN qa_confidence IS NOT NULL THEN 1 ELSE 0 END) +
+       |       (CASE WHEN insight_confidence IS NOT NULL THEN 1 ELSE 0 END)
+       |       + 1)) * 0.7 + cross_validation_score * 0.3, 0.95)
+       |      AS synthesis_confidence
+       |  FROM meta)
+       |SELECT source AS domain, query_text,
+       |  round(qa_confidence, 6) AS qa_confidence, qa_sources,
+       |  n_patterns, n_trends, n_anomalies,
+       |  round(insight_confidence, 6) AS insight_confidence,
+       |  n_perspectives,
+       |  round(perspective_confidence, 6) AS perspective_confidence,
+       |  overall_consensus, n_agreements, sources_analyzed,
+       |  round(cross_validation_score, 6) AS cross_validation_score,
+       |  round(data_coverage, 6) AS data_coverage,
+       |  round(synthesis_confidence, 6) AS synthesis_confidence,
+       |  concat_ws('. ',
+       |    'Comprehensive synthesis for: ' || query_text,
+       |    CASE WHEN qa_confidence IS NOT NULL
+       |      THEN 'Direct answer provided with ' ||
+       |        CAST(round(qa_confidence * 100, 1) AS VARCHAR) ||
+       |        '% confidence' ||
+       |        CASE WHEN qa_sources > 0
+       |          THEN ' based on ' || qa_sources || ' sources'
+       |          ELSE '' END END,
+       |    CASE WHEN n_patterns + n_trends + n_anomalies > 0
+       |      THEN 'Discovered ' || (n_patterns + n_trends + n_anomalies)
+       |        || ' insights including patterns, trends, and anomalies'
+       |      ELSE 'No significant patterns or trends identified' END,
+       |    CASE WHEN n_perspectives > 0
+       |      THEN 'Analyzed ' || n_perspectives ||
+       |        ' different perspectives' ||
+       |        CASE WHEN overall_consensus IS NOT NULL
+       |          THEN ' with ' || replace(overall_consensus, '_', ' ') ||
+       |            ' among viewpoints'
+       |          ELSE '' END
+       |      ELSE 'Limited perspective diversity found' END,
+       |    CASE WHEN synthesis_confidence > 0.7
+       |      THEN 'High confidence in synthesis results'
+       |      WHEN synthesis_confidence > 0.4
+       |      THEN 'Moderate confidence in synthesis results'
+       |      ELSE 'Low confidence - additional research recommended' END)
+       |    || '.' AS executive_summary
+       |FROM synth ORDER BY domain""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q67_qa_evidence", q67, Some(q67Sql)),
     Q("q68_timeline_synthesis", q68, Some(q68Sql)),
     Q("q84_synthesis_summary", q84, Some(q84Sql)),
     Q("q85_synthesis_comparison", q85, Some(q85Sql)),
+    Q("q101_comprehensive_synthesis", q101, Some(q101Sql)),
     Q("q104_question_parse", q104, Some(q104Sql)))
 }
