@@ -66,7 +66,18 @@ object Bench {
       graft.graph.KGraph.orientedMaterialized(spark, sfDir, d).count())
     Catalog.byName("q01_pricing_summary").run(spark, sfDir).count()
 
-    val headline = Catalog.all.filter(_.headline)
+    // SPARK_GRAFT_BENCH_ONLY=qA,qB,... narrows the set (scale-proof
+    // runs bench non-headline families, e.g. the quality module); the
+    // driver never sets it, so official rounds bench the headline set
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val headline = only match {
+      case Some(names) =>
+        val unknown = names.diff(Catalog.all.map(_.name).toSet)
+        require(unknown.isEmpty, s"unknown bench names: ${unknown.mkString(",")}")
+        Catalog.all.filter(q => names(q.name))
+      case None => Catalog.all.filter(_.headline)
+    }
     // Each query is timed twice and reports the min: a single-shot timing
     // on a shared box smears under CPU contention (an identical binary
     // measured 34 s and 82 s on consecutive rounds). The two samples are
