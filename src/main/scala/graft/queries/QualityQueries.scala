@@ -887,7 +887,7 @@ object QualityQueries {
         ((id * 29) % 100 / lit(100.0)).as("confidence"))
   }
 
-  private def engineScores(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def engineScores(s: SparkSession, dir: String): DataFrame = {
     def keyed(df: DataFrame) = df.select(
       (concat(lit("d:"), col("doc_id").cast("string")).as("node_id") +:
         df.columns.filter(_ != "doc_id").toIndexedSeq.map(col)): _*)
@@ -917,8 +917,19 @@ object QualityQueries {
       .orderBy(col("node_id"))
 
   private def q102(s: SparkSession, dir: String): DataFrame =
-    graft.quality.QualityEngine.recommendations(engineScores(s, dir),
-        q99(s, dir), q97(s, dir), q96(s, dir))
+    // persist() on the reliability input is a codegen isolation
+    // boundary, not a perf cache: pruned and filter-pushed into the
+    // recommendation union, q96's reliability/confidence expression
+    // trees land 3x (pushed filter + two projections) in one generated
+    // method and overflow Janino's 64 KB limit — an exchange alone
+    // does not help because the pushed filter rides below it. The
+    // InMemoryRelation stops pushdown, so q96 keeps its own verified
+    // codegen-clean stage shape (PlanShapeSpec strict sweep pins it).
+    // At cluster scale the same boundary is a write-then-read of the
+    // reliability table, which a quality-report pass would do anyway.
+    graft.quality.QualityEngine.recommendations(
+        engineScores(s, dir),
+        q99(s, dir), q97(s, dir), q96(s, dir).persist())
       .select(col("node_id"), col("action_type"), col("priority"),
         col("description"),
         round(col("expected_improvement"), 6).as("expected_improvement"),

@@ -63,7 +63,8 @@ class PlanShapeSpec extends SparkSpec {
     "q84_synthesis_summary",  // 1-row corpus stats
     "q85_synthesis_comparison", // bounded group-pair matrix
     "q91_ann_ivf_pq",         // 1-row broadcast ADC lookup table
-    "q92_ann_ivf_sq8")        // 1-row broadcast quantization params + query
+    "q92_ann_ivf_sq8",        // 1-row broadcast quantization params + query
+    "q103_quality_report")    // 1-row distribution x 1-row conflict count
 
   // On failure, include a plan excerpt around the first occurrence so a
   // transient/state-dependent failure self-diagnoses from the log alone.
