@@ -126,6 +126,45 @@ object QualityEngine {
       .drop("leg", "sub_ord")
   }
 
+  /** Quality-ranking weights in reference dict order (:111-117). */
+  val RankingWeights: Seq[(String, Double)] = Seq(
+    "content_score" -> 0.25, "reliability_score" -> 0.30,
+    "validation_score" -> 0.20, "temporal_score" -> 0.15,
+    "structural_score" -> 0.10)
+
+  /** Quality-based result ranking (QualityRanker, :103-300): weighted
+    * component score (summed in the reference's dict order) plus an
+    * optional query-context relevance bonus — word-overlap ratio ×0.2
+    * capped at 0.1 (:287-300) — capped overall at 1.0, ranked
+    * descending. `scored` is a [[scores]]-shaped frame that also
+    * carries `content_words` (the node's lowercased word set) when a
+    * context is supplied. DIVERGENCES: the validation component uses
+    * the real cross-validation consensus where the reference stubs 0.7
+    * (:281-285, the q98 realize-the-stub precedent), and score ties
+    * rank by node_id where Python's stable sort keeps input order. */
+  def rankByQuality(scored: DataFrame,
+      queryContext: Option[Seq[String]] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weighted = RankingWeights
+      .map { case (c, w) => col(c) * w }.reduce(_ + _)
+    val bonus = queryContext match {
+      case Some(words) =>
+        val ctx = array_distinct(
+          typedLit(words.map(_.toLowerCase)))
+        val ratio = size(array_intersect(col("content_words"), ctx))
+          .cast("double") / size(ctx)
+        least(lit(0.1), ratio * 0.2)
+      case None => lit(0.0)
+    }
+    scored
+      .withColumn("context_bonus", bonus)
+      .withColumn("quality_score",
+        least(lit(1.0), weighted + col("context_bonus")))
+      .withColumn("quality_rank", row_number().over(
+        Window.orderBy(col("quality_score").desc, col("node_id"))))
+      .withColumn("quality_ranked", lit(true))
+  }
+
   /** One-row report aggregates (:664-724): quality-level distribution,
     * critical-issue lines, overall trend. The contradiction-report leg
     * is exercised separately (q98); its absence takes the reference's

@@ -1098,6 +1098,60 @@ object QualityQueries {
        |    ELSE 'declining' END AS overall_quality_trend
        |FROM dist, conf""".stripMargin
 
+  // -- q105: quality-based result ranking (QualityRanker,
+  //    quality_enhancement_engine.py:103-300) — the engine's weighted
+  //    component score over the composed per-node frame plus the
+  //    query-context relevance bonus, ranked descending.
+  private val Q105Context = Seq("table", "scan", "merge", "batch",
+    "performance")
+
+  private def q105(s: SparkSession, dir: String): DataFrame = {
+    val words = docs(s, dir).select(
+      concat(lit("d:"), col("doc_id").cast("string")).as("node_id"),
+      array_distinct(filter(split(lower(col("text")), """\s+"""),
+        w => length(w) > 0)).as("content_words"))
+    graft.quality.QualityEngine.rankByQuality(
+        engineScores(s, dir).join(words, "node_id"), Some(Q105Context))
+      .select(col("quality_rank"), col("node_id"),
+        round(col("quality_score"), 6).as("quality_score"),
+        round(col("context_bonus"), 6).as("context_bonus"),
+        col("content_score"), col("structural_score"),
+        col("temporal_score"), col("reliability_score"),
+        round(col("validation_score"), 6).as("validation_score"),
+        col("quality_ranked"))
+      .orderBy(col("quality_rank"))
+  }
+
+  private val q105Sql = {
+    val ctxList = Q105Context.map(w => s"'$w'").mkString("[", ", ", "]")
+    val weighted = graft.quality.QualityEngine.RankingWeights
+      .map { case (c, w) => s"$c * $w" }.mkString(" + ")
+    s"""WITH $engineBaseSql,
+       |wordsets AS (
+       |  SELECT 'd:' || doc_id AS node_id,
+       |    list_distinct(list_filter(string_split_regex(lower(text),
+       |      '\\s+'), w -> length(w) > 0)) AS content_words
+       |  FROM documents),
+       |scored2 AS (
+       |  SELECT e.*, least(0.1,
+       |      (len(list_intersect(w.content_words, $ctxList)) / 5.0) * 0.2)
+       |      AS context_bonus
+       |  FROM escored e JOIN wordsets w USING (node_id)),
+       |rankedq AS (
+       |  SELECT *,
+       |    least(1.0, $weighted + context_bonus) AS quality_score
+       |  FROM scored2)
+       |SELECT CAST(row_number() OVER (
+       |    ORDER BY quality_score DESC, node_id) AS INT) AS quality_rank,
+       |  node_id, round(quality_score, 6) AS quality_score,
+       |  round(context_bonus, 6) AS context_bonus,
+       |  content_score, structural_score, temporal_score,
+       |  reliability_score,
+       |  round(validation_score, 6) AS validation_score,
+       |  TRUE AS quality_ranked
+       |FROM rankedq ORDER BY quality_rank""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q96_source_reliability", q96, Some(q96Sql)),
     Q("q97_gap_detection", q97, Some(q97Sql)),
@@ -1105,5 +1159,6 @@ object QualityQueries {
     Q("q99_cross_validation", q99, Some(q99Sql)),
     Q("q100_quality_engine", q100, Some(q100Sql)),
     Q("q102_enhancement_actions", q102, Some(q102Sql)),
-    Q("q103_quality_report", q103, Some(q103Sql)))
+    Q("q103_quality_report", q103, Some(q103Sql)),
+    Q("q105_quality_ranking", q105, Some(q105Sql)))
 }

@@ -63,6 +63,27 @@ class QualityEngineSpec extends SparkSpec {
       math.abs(recs(4)._4 - 0.05) < 1e-12)
   }
 
+  test("rankByQuality: weighted sum, context bonus cap, tie order") {
+    val scored = Seq(
+      ("a", 1.0, 1.0, 1.0, 1.0, 1.0, Seq("table", "scan", "merge")),
+      ("b", 0.8, 0.5, 0.5, 0.5, 0.5, Seq("nothing", "relevant")),
+      ("c", 0.8, 0.5, 0.5, 0.5, 0.5, Seq.empty[String]))
+      .toDF("node_id", "content_score", "structural_score",
+        "temporal_score", "reliability_score", "validation_score",
+        "content_words")
+    val r = QualityEngine.rankByQuality(scored,
+        Some(Seq("table", "scan", "merge", "batch", "performance")))
+      .collect().map(x => x.getAs[String]("node_id") ->
+        (x.getAs[Double]("quality_score"), x.getAs[Double]("context_bonus"),
+          x.getAs[Int]("quality_rank"))).toMap
+    // a: weighted = 1.0, bonus = min(0.1, 3/5*0.2) = 0.1, capped at 1.0
+    assert(r("a")._1 == 1.0 && r("a")._2 == 0.1 && r("a")._3 == 1)
+    // b/c identical weighted score (0.8*.25 + .5*(.3+.2+.15+.1) = 0.575),
+    // zero bonus; tie ranks by node_id
+    assert(r("b")._2 == 0.0 && math.abs(r("b")._1 - 0.575) < 1e-12)
+    assert(r("b")._3 == 2 && r("c")._3 == 3)
+  }
+
   test("report: distribution, issue lines, trend tiers") {
     val scores = QualityEngine.scores(
       comp("content_score", ("a", 1.0), ("b", 0.95), ("c", 0.1)),
