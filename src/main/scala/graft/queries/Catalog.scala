@@ -33,7 +33,8 @@ object Catalog {
       MultimodalQueries.qs ++
       StreamingQueries.qs ++
       InsightQueries.qs ++
-      QualityQueries.qs
+      QualityQueries.qs ++
+      MonitoringQueries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

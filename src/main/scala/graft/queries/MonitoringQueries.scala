@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.monitoring.PerfMonitor
+
+/** Monitoring family (performance_monitor.py MetricsAggregator +
+  * PerformanceMonitor): windowed query statistics, per-type breakdown,
+  * threshold alerts, optimization recommendations.
+  *
+  * The events feed stands in for the reference's QueryMetrics stream
+  * (performance_monitor.py:22-32) under a fixed mapping: exec_ms := value,
+  * query_type := event_type, error := event_type = 'error', cache_hit :=
+  * user_id % 3 = 0 (a deterministic ~1/3 hit rate), result_count :=
+  * props.k, query_id := event_id. The oracle applies the identical
+  * mapping, so the gate checks the aggregator arithmetic, not the
+  * mapping. Hourly windows rather than the reference's 5-minute default
+  * (window_size_minutes is a constructor arg) so windows hold enough
+  * samples to exercise the n > 10 interpolated-p95 branch.
+  */
+object MonitoringQueries {
+
+  private def metrics(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(col("ts"),
+        col("value").as("exec_ms"),
+        col("event_type").as("query_type"),
+        (col("event_type") === "error").cast("int").as("is_error"),
+        (col("user_id") % 3 === 0).cast("int").as("cache_hit"),
+        get_json_object(col("props"), "$.k").cast("long").as("result_count"),
+        col("event_id").as("query_id"))
+
+  private val metricsSql =
+    """m AS (
+      |  SELECT ts, value AS exec_ms, event_type AS query_type,
+      |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_error,
+      |    CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS cache_hit,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS result_count,
+      |    event_id AS query_id
+      |  FROM events)""".stripMargin
+
+  // DuckDB mirror of the exclusive-p95 / median index arithmetic
+  // (PerfMonitor.medianOfSorted / p95OfSorted scaladoc has the derivation).
+  private val statsSql =
+    s"""WITH $metricsSql,
+       |a AS (
+       |  SELECT CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS window_start,
+       |    count(*) AS n, list(exec_ms ORDER BY exec_ms) AS l,
+       |    avg(exec_ms) AS avg_raw, max(exec_ms) AS max_raw,
+       |    avg(result_count * 1.0) AS rc_raw,
+       |    sum(cache_hit) AS hits, sum(is_error) AS errs
+       |  FROM m GROUP BY 1),
+       |j AS (
+       |  SELECT *, greatest(1, least((19 * (n + 1)) // 20, n - 1)) AS j95
+       |  FROM a)
+       |SELECT window_start, n AS total_queries,
+       |  round(avg_raw, 6) AS avg_time_ms,
+       |  round(CASE WHEN n % 2 = 1 THEN l[CAST((n + 1) // 2 AS INT)]
+       |        ELSE (l[CAST(n // 2 AS INT)] + l[CAST(n // 2 + 1 AS INT)]) / 2
+       |        END, 6) AS median_time_ms,
+       |  round(CASE WHEN n > 10 THEN
+       |      (l[CAST(j95 AS INT)] * (20 - (19 * (n + 1) - 20 * j95))
+       |       + l[CAST(j95 AS INT) + 1] * (19 * (n + 1) - 20 * j95)) / 20
+       |    ELSE l[CAST(n AS INT)] END, 6) AS p95_time_ms,
+       |  round(max_raw, 6) AS max_time_ms,
+       |  round(rc_raw, 6) AS avg_result_count,
+       |  round(hits * 1.0 / n, 6) AS cache_hit_rate,
+       |  round(errs * 1.0 / n, 6) AS error_rate,
+       |  round(n * 1.0 / 3600, 6) AS qps
+       |FROM j ORDER BY window_start""".stripMargin
+
+  // -- q106: windowed query statistics (get_query_statistics,
+  //          performance_monitor.py:118-157; median/p95 per
+  //          statistics.median / quantiles n=20 exclusive [18])
+  private def q106(s: SparkSession, dir: String): DataFrame =
+    PerfMonitor.queryStats(metrics(s, dir), 3600L)
+      .orderBy(col("window_start"))
+
+  // -- q107: by_query_type breakdown (performance_monitor.py:144-156)
+  private def q107(s: SparkSession, dir: String): DataFrame =
+    PerfMonitor.byTypeStats(metrics(s, dir), 3600L)
+      .orderBy(col("window_start"), col("query_type"))
+
+  private val q107Sql =
+    s"""WITH $metricsSql
+       |SELECT CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS window_start,
+       |  query_type, count(*) AS cnt,
+       |  round(avg(exec_ms), 6) AS avg_time_ms,
+       |  round(max(exec_ms), 6) AS max_time_ms
+       |FROM m GROUP BY 1, 2 ORDER BY window_start, query_type""".stripMargin
+
+  // -- q108: threshold alerts — per-metric slow queries (warning) +
+  //          per-window error rate with critical escalation above 0.1
+  //          (_check_query_alerts :411-424, _check_aggregated_alerts
+  //          :465-480). slowMs 300 stands in for the configurable
+  //          query_avg_time_ms threshold (ctor arg :248-254) at this
+  //          feed's latency scale.
+  private def q108(s: SparkSession, dir: String): DataFrame =
+    PerfMonitor.alerts(metrics(s, dir), 3600L, slowMs = 300.0)
+      .orderBy(col("metric_type"), col("ref_id"))
+
+  private val q108Sql =
+    s"""WITH $metricsSql,
+       |slow AS (
+       |  SELECT 'query_performance' AS metric_type, 'warning' AS severity,
+       |    round(exec_ms, 6) AS value, 300.0 AS threshold,
+       |    CAST(query_id AS VARCHAR) AS ref_id
+       |  FROM m WHERE exec_ms > 300.0 AND is_error = 0),
+       |er AS (
+       |  SELECT CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS window_start,
+       |    sum(is_error) * 1.0 / count(*) AS er
+       |  FROM m GROUP BY 1),
+       |agg AS (
+       |  SELECT 'query_error_rate' AS metric_type,
+       |    CASE WHEN er > 0.1 THEN 'critical' ELSE 'warning' END AS severity,
+       |    round(er, 6) AS value, 0.05 AS threshold,
+       |    CAST(window_start AS VARCHAR) AS ref_id
+       |  FROM er WHERE er > 0.05)
+       |SELECT * FROM slow UNION ALL SELECT * FROM agg
+       |ORDER BY metric_type, ref_id""".stripMargin
+
+  // -- q109: optimization recommendations per window
+  //          (get_performance_recommendations :542-575 rule constants)
+  private def q109(s: SparkSession, dir: String): DataFrame =
+    PerfMonitor.recommendations(PerfMonitor.queryStats(metrics(s, dir), 3600L))
+      .orderBy(col("window_start"), col("code"))
+
+  private val q109Sql =
+    s"""WITH $metricsSql,
+       |a AS (
+       |  SELECT CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS window_start,
+       |    count(*) AS n, avg(exec_ms) AS avg_raw,
+       |    sum(cache_hit) AS hits, sum(is_error) AS errs
+       |  FROM m GROUP BY 1),
+       |s AS (
+       |  SELECT window_start,
+       |    round(avg_raw, 6) AS avg_time_ms,
+       |    round(hits * 1.0 / n, 6) AS cache_hit_rate,
+       |    round(errs * 1.0 / n, 6) AS error_rate
+       |  FROM a)
+       |SELECT window_start, code FROM (
+       |  SELECT window_start, 'optimize_query_caching' AS code FROM s
+       |    WHERE cache_hit_rate < 0.3
+       |  UNION ALL
+       |  SELECT window_start, 'optimize_query_patterns' AS code FROM s
+       |    WHERE avg_time_ms > 1000.0
+       |  UNION ALL
+       |  SELECT window_start, 'review_error_handling' AS code FROM s
+       |    WHERE error_rate > 0.01)
+       |ORDER BY window_start, code""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+    Q("q106_perf_window_stats", q106, Some(statsSql)),
+    Q("q107_metrics_by_type", q107, Some(q107Sql)),
+    Q("q108_perf_alerts", q108, Some(q108Sql)),
+    Q("q109_perf_recommendations", q109, Some(q109Sql)))
+}
