@@ -94,6 +94,27 @@ object PerfMonitor {
           .as("error_rate"),
         round(col("total_queries").cast("double") / windowSec, 6).as("qps"))
 
+  /** Windowed ingestion statistics (`get_ingestion_statistics`,
+    * performance_monitor.py:158-191): operation count, total items,
+    * mean/peak throughput, mean processing time, total errors, and error
+    * rate over ITEMS (total_errors / total_items — not over operations,
+    * unlike the query-side error_rate). Input columns: ts, items,
+    * proc_ms, throughput, err_count. */
+  def ingestionStats(metrics: DataFrame, windowSec: Long): DataFrame =
+    metrics
+      .groupBy(windowStart(col("ts"), windowSec).as("window_start"))
+      .agg(
+        count(lit(1)).as("total_operations"),
+        sum(col("items")).as("total_items"),
+        round(avg(col("throughput")), 6).as("avg_throughput"),
+        round(max(col("throughput")), 6).as("peak_throughput"),
+        round(avg(col("proc_ms")), 6).as("avg_processing_ms"),
+        sum(col("err_count")).as("total_errors"))
+      .withColumn("error_rate",
+        when(col("total_items") > 0,
+          round(col("total_errors").cast("double") / col("total_items"), 6))
+          .otherwise(0.0))
+
   /** `by_query_type` breakdown inside `get_query_statistics`
     * (performance_monitor.py:144-156): per (window, type) count, mean
     * and max latency. */

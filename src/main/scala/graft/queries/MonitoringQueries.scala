@@ -150,9 +150,55 @@ object MonitoringQueries {
        |    WHERE error_rate > 0.01)
        |ORDER BY window_start, code""".stripMargin
 
+  // -- q110: windowed ingestion statistics (get_ingestion_statistics,
+  //          performance_monitor.py:158-191; throughput derived as
+  //          items / (ms/1000) with the proc_ms > 0 guard, exactly as
+  //          record_ingestion_performance :327-341 computes it; note
+  //          error_rate here is over ITEMS, not operations). Events
+  //          stand in as ingestion operations: items := props.k,
+  //          proc_ms := value, one error per 'error'-typed event.
+  private def ingestion(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(col("ts"),
+        get_json_object(col("props"), "$.k").cast("long").as("items"),
+        col("value").as("proc_ms"),
+        (col("event_type") === "error").cast("long").as("err_count"))
+      .withColumn("throughput",
+        when(col("proc_ms") > 0, col("items") / (col("proc_ms") / 1000.0))
+          .otherwise(0.0))
+
+  private def q110(s: SparkSession, dir: String): DataFrame =
+    PerfMonitor.ingestionStats(ingestion(s, dir), 3600L)
+      .orderBy(col("window_start"))
+
+  private val q110Sql =
+    """WITH i AS (
+      |  SELECT ts,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS items,
+      |    value AS proc_ms,
+      |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS err_count,
+      |    CASE WHEN value > 0
+      |      THEN CAST(json_extract_string(props, '$.k') AS BIGINT) / (value / 1000.0)
+      |      ELSE 0.0 END AS throughput
+      |  FROM events),
+      |a AS (
+      |  SELECT CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS window_start,
+      |    count(*) AS total_operations,
+      |    CAST(sum(items) AS BIGINT) AS total_items,
+      |    round(avg(throughput), 6) AS avg_throughput,
+      |    round(max(throughput), 6) AS peak_throughput,
+      |    round(avg(proc_ms), 6) AS avg_processing_ms,
+      |    CAST(sum(err_count) AS BIGINT) AS total_errors
+      |  FROM i GROUP BY 1)
+      |SELECT *, CASE WHEN total_items > 0
+      |    THEN round(total_errors * 1.0 / total_items, 6) ELSE 0.0
+      |  END AS error_rate
+      |FROM a ORDER BY window_start""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q106_perf_window_stats", q106, Some(statsSql)),
     Q("q107_metrics_by_type", q107, Some(q107Sql)),
     Q("q108_perf_alerts", q108, Some(q108Sql)),
-    Q("q109_perf_recommendations", q109, Some(q109Sql)))
+    Q("q109_perf_recommendations", q109, Some(q109Sql)),
+    Q("q110_ingestion_stats", q110, Some(q110Sql)))
 }

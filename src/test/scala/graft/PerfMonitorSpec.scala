@@ -60,6 +60,21 @@ class PerfMonitorSpec extends SparkSpec {
     assert(r.getAs[Double]("qps") == math.rint(3.0 / 3600 * 1e6) / 1e6)
   }
 
+  test("ingestionStats: error rate over items, zero-time throughput guard") {
+    val m = Seq(
+      (10L, 100L, 2000.0, 1L, 50.0),   // 100 items in 2s -> 50/s, 1 error
+      (20L, 300L, 0.0, 0L, 0.0))       // proc_ms = 0 -> throughput 0
+      .toDF("sec", "items", "proc_ms", "err_count", "throughput")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val r = PerfMonitor.ingestionStats(m, 3600L).head()
+    assert(r.getAs[Long]("total_operations") == 2L)
+    assert(r.getAs[Long]("total_items") == 400L)
+    assert(r.getAs[Double]("avg_throughput") == 25.0)
+    assert(r.getAs[Double]("peak_throughput") == 50.0)
+    assert(r.getAs[Long]("total_errors") == 1L)
+    assert(r.getAs[Double]("error_rate") == 0.0025)
+  }
+
   test("alerts: slow-query warnings skip error rows; severity escalates at 0.1") {
     // window A (sec 0..): 1 error in 8 -> er = 0.125 > 0.1 -> critical
     // window B (sec 7200..): 1 error in 16 -> er = 0.0625 -> warning
