@@ -34,7 +34,8 @@ object Catalog {
       StreamingQueries.qs ++
       InsightQueries.qs ++
       QualityQueries.qs ++
-      MonitoringQueries.qs
+      MonitoringQueries.qs ++
+      SamplingQueries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.pipeline.Sampling
+
+/** Deterministic sampling / split family (training-pipeline mandate):
+  * reproducible train/val/test assignment and per-group quota sampling
+  * over the documents corpus. No reference counterpart — the oracle
+  * gate checks the portable-hash arithmetic agrees across engines,
+  * which is the whole point of hash-keyed sampling.
+  */
+object SamplingQueries {
+
+  private def docs(s: SparkSession, dir: String) =
+    Tables.load(s, dir, "documents")
+
+  private def bucketSql(key: String, buckets: Int, salt: String) =
+    Sampling.sql.hashBucket(key, buckets, salt)
+
+  // -- q111: train/val/test split assignment, 98/1/1 by doc_id hash.
+  //          Per-key, so appends never reassign existing rows.
+  private def q111(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        Sampling.splitColumn(col("doc_id"),
+          Seq("train" -> 98, "val" -> 1, "test" -> 1), salt = "v1")
+          .as("split"))
+      .orderBy(col("doc_id"))
+
+  private val q111Sql =
+    s"""SELECT doc_id, source,
+       |  CASE WHEN ${bucketSql("doc_id", 100, "v1")} < 98 THEN 'train'
+       |       WHEN ${bucketSql("doc_id", 100, "v1")} < 99 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -- q112: per-source quota sample — the 10 docs of each source with
+  //          the smallest (hash, doc_id); stable under appends to other
+  //          sources.
+  private def q112(s: SparkSession, dir: String): DataFrame =
+    Sampling.quotaSample(docs(s, dir), col("source"), col("doc_id"),
+        quota = 10, salt = "v1")
+      .select(col("source"), col("doc_id"), col("sample_rank"))
+      .orderBy(col("source"), col("sample_rank"))
+
+  private val q112Sql =
+    s"""SELECT source, doc_id, sample_rank FROM (
+       |  SELECT source, doc_id, CAST(row_number() OVER (
+       |      PARTITION BY source
+       |      ORDER BY ${bucketSql("doc_id", 1000000000, "v1")}, doc_id)
+       |    AS INT) AS sample_rank
+       |  FROM documents)
+       |WHERE sample_rank <= 10
+       |ORDER BY source, sample_rank""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+    Q("q111_split_assign", q111, Some(q111Sql)),
+    Q("q112_quota_sample", q112, Some(q112Sql)))
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Sampling
+
+/** Pins the deterministic-sampling contracts: per-key stability under
+  * appends (the property rand()/sample() lack), exact weight coverage of
+  * the split ranges, salt re-dealing, and quota-sample group isolation. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = (1L to 200L).map(i => (i, s"src${i % 4}"))
+    .toDF("doc_id", "source")
+
+  test("splitColumn covers every bucket and is stable under appends") {
+    val weights = Seq("train" -> 98, "val" -> 1, "test" -> 1)
+    val assigned = docs.select(col("doc_id"),
+      Sampling.splitColumn(col("doc_id"), weights, "s").as("split"))
+    val m = assigned.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m.values.toSet.subsetOf(Set("train", "val", "test")))
+    // appending rows must not move existing keys
+    val bigger = (1L to 400L).toDF("doc_id").select(col("doc_id"),
+      Sampling.splitColumn(col("doc_id"), weights, "s").as("split"))
+    val m2 = bigger.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m.forall { case (k, v) => m2(k) == v })
+  }
+
+  test("splitColumn: a different salt re-deals assignments") {
+    val weights = Seq("a" -> 1, "b" -> 1)
+    def deal(salt: String) = docs.select(
+      Sampling.splitColumn(col("doc_id"), weights, salt).as("s"))
+      .collect().map(_.getString(0)).toSeq
+    assert(deal("x") != deal("y"))
+  }
+
+  test("rateSample keeps a rate-proportional, deterministic subset") {
+    val kept = Sampling.rateSample(docs, col("doc_id"), 0.25, "s")
+    val n = kept.count()
+    assert(n > 20 && n < 80) // 200 * 0.25 = 50 expected
+    // re-evaluation returns the identical row set
+    assert(Sampling.rateSample(docs, col("doc_id"), 0.25, "s")
+      .collect().map(_.getLong(0)).sorted.toSeq ==
+      kept.collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("quotaSample takes exactly quota per group, isolated across groups") {
+    val sampled = Sampling.quotaSample(docs, col("source"), col("doc_id"), 5, "s")
+    val bySrc = sampled.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.values.forall(_ == 5L) && bySrc.size == 4)
+    // appending docs to src0 must not change the sample for src1
+    val src1Before = sampled.filter(col("source") === "src1")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val more = docs.unionByName(
+      (1000L to 1100L).map(i => (i, "src0")).toDF("doc_id", "source"))
+    val src1After = Sampling
+      .quotaSample(more, col("source"), col("doc_id"), 5, "s")
+      .filter(col("source") === "src1").collect().map(_.getLong(0)).sorted.toSeq
+    assert(src1Before == src1After)
+  }
+}
