@@ -126,6 +126,26 @@ object PerfMonitor {
         round(avg(col("exec_ms")), 6).as("avg_time_ms"),
         round(max(col("exec_ms")), 6).as("max_time_ms"))
 
+  /** Windowed resource statistics (`get_resource_statistics`,
+    * performance_monitor.py:192-221): sample count, cpu avg/max/p95
+    * (p95 under the same n > 10 guard), memory avg/max percent and
+    * avg/max used MB. Input columns: ts, cpu_percent, memory_percent,
+    * memory_used_mb. */
+  def resourceStats(metrics: DataFrame, windowSec: Long): DataFrame =
+    metrics
+      .groupBy(windowStart(col("ts"), windowSec).as("window_start"))
+      .agg(
+        count(lit(1)).as("sample_count"),
+        round(avg(col("cpu_percent")), 6).as("cpu_avg"),
+        round(max(col("cpu_percent")), 6).as("cpu_max"),
+        sort_array(collect_list(col("cpu_percent"))).as("cpu_sorted"),
+        round(avg(col("memory_percent")), 6).as("mem_avg_percent"),
+        round(max(col("memory_percent")), 6).as("mem_max_percent"),
+        round(avg(col("memory_used_mb")), 6).as("mem_avg_used_mb"),
+        round(max(col("memory_used_mb")), 6).as("mem_max_used_mb"))
+      .withColumn("cpu_p95", round(p95OfSorted(col("cpu_sorted")), 6))
+      .drop("cpu_sorted")
+
   /** Threshold alerts, both reference forms (performance_monitor.py:411-480):
     *   - per-metric slow-query alerts — exec_ms above `slowMs` and not an
     *     error row → warning (`_check_query_alerts`);

@@ -195,10 +195,57 @@ object MonitoringQueries {
       |  END AS error_rate
       |FROM a ORDER BY window_start""".stripMargin
 
+  // -- q113: windowed resource statistics (get_resource_statistics,
+  //          performance_monitor.py:192-221) — completes the
+  //          MetricsAggregator trio. Events stand in as resource
+  //          samples: cpu_percent := value mod 100,
+  //          memory_percent := props.k (0..99), memory_used_mb :=
+  //          value * 10; same p95 arithmetic as q106.
+  private def resource(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(col("ts"),
+        pmod(col("value"), lit(100.0)).as("cpu_percent"),
+        get_json_object(col("props"), "$.k").cast("double")
+          .as("memory_percent"),
+        (col("value") * 10).as("memory_used_mb"))
+
+  private def q113(s: SparkSession, dir: String): DataFrame =
+    PerfMonitor.resourceStats(resource(s, dir), 3600L)
+      .orderBy(col("window_start"))
+
+  private val q113Sql =
+    """WITH r AS (
+      |  SELECT ts, fmod(value, 100.0) AS cpu_percent,
+      |    CAST(json_extract_string(props, '$.k') AS DOUBLE) AS memory_percent,
+      |    value * 10 AS memory_used_mb
+      |  FROM events),
+      |a AS (
+      |  SELECT CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS window_start,
+      |    count(*) AS sample_count,
+      |    round(avg(cpu_percent), 6) AS cpu_avg,
+      |    round(max(cpu_percent), 6) AS cpu_max,
+      |    list(cpu_percent ORDER BY cpu_percent) AS l, count(*) AS n,
+      |    round(avg(memory_percent), 6) AS mem_avg_percent,
+      |    round(max(memory_percent), 6) AS mem_max_percent,
+      |    round(avg(memory_used_mb), 6) AS mem_avg_used_mb,
+      |    round(max(memory_used_mb), 6) AS mem_max_used_mb
+      |  FROM r GROUP BY 1),
+      |j AS (
+      |  SELECT *, greatest(1, least((19 * (n + 1)) // 20, n - 1)) AS j95
+      |  FROM a)
+      |SELECT window_start, sample_count, cpu_avg, cpu_max,
+      |  mem_avg_percent, mem_max_percent, mem_avg_used_mb, mem_max_used_mb,
+      |  round(CASE WHEN n > 10 THEN
+      |      (l[CAST(j95 AS INT)] * (20 - (19 * (n + 1) - 20 * j95))
+      |       + l[CAST(j95 AS INT) + 1] * (19 * (n + 1) - 20 * j95)) / 20
+      |    ELSE l[CAST(n AS INT)] END, 6) AS cpu_p95
+      |FROM j ORDER BY window_start""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q106_perf_window_stats", q106, Some(statsSql)),
     Q("q107_metrics_by_type", q107, Some(q107Sql)),
     Q("q108_perf_alerts", q108, Some(q108Sql)),
     Q("q109_perf_recommendations", q109, Some(q109Sql)),
-    Q("q110_ingestion_stats", q110, Some(q110Sql)))
+    Q("q110_ingestion_stats", q110, Some(q110Sql)),
+    Q("q113_resource_stats", q113, Some(q113Sql)))
 }

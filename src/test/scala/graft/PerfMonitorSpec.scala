@@ -75,6 +75,21 @@ class PerfMonitorSpec extends SparkSpec {
     assert(r.getAs[Double]("error_rate") == 0.0025)
   }
 
+  test("resourceStats completes the aggregator trio") {
+    val m = Seq(
+      (10L, 50.0, 40.0, 512.0),
+      (20L, 90.0, 80.0, 1024.0))
+      .toDF("sec", "cpu_percent", "memory_percent", "memory_used_mb")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val r = PerfMonitor.resourceStats(m, 3600L).head()
+    assert(r.getAs[Long]("sample_count") == 2L)
+    assert(r.getAs[Double]("cpu_avg") == 70.0)
+    assert(r.getAs[Double]("cpu_max") == 90.0)
+    assert(r.getAs[Double]("cpu_p95") == 90.0) // n <= 10 -> max
+    assert(r.getAs[Double]("mem_avg_percent") == 60.0)
+    assert(r.getAs[Double]("mem_max_used_mb") == 1024.0)
+  }
+
   test("alerts: slow-query warnings skip error rows; severity escalates at 0.1") {
     // window A (sec 0..): 1 error in 8 -> er = 0.125 > 0.1 -> critical
     // window B (sec 7200..): 1 error in 16 -> er = 0.0625 -> warning
