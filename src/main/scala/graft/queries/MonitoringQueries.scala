@@ -241,11 +241,93 @@ object MonitoringQueries {
       |    ELSE l[CAST(n AS INT)] END, 6) AS cpu_p95
       |FROM j ORDER BY window_start""".stripMargin
 
+  // -- q114: default alert rules evaluated per window
+  //          (alert_config.py:120-300 rule table + :321-389 evaluation;
+  //          each window is one metrics snapshot). Long-format metrics
+  //          from the three aggregator legs; cooldown throttling is the
+  //          stateful half, pinned in AlertRulesSpec.
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    val q = PerfMonitor.queryStats(metrics(s, dir), 3600L)
+    val i = PerfMonitor.ingestionStats(ingestion(s, dir), 3600L)
+    val r = PerfMonitor.resourceStats(resource(s, dir), 3600L)
+    val long = q.select(col("window_start"),
+        lit("query_avg_time_ms").as("metric_type"),
+        col("avg_time_ms").as("value"))
+      .unionByName(q.select(col("window_start"),
+        lit("query_error_rate").as("metric_type"),
+        col("error_rate").as("value")))
+      .unionByName(q.select(col("window_start"),
+        lit("cache_hit_rate").as("metric_type"),
+        col("cache_hit_rate").as("value")))
+      .unionByName(i.select(col("window_start"),
+        lit("ingestion_error_rate").as("metric_type"),
+        col("error_rate").as("value")))
+      .unionByName(r.select(col("window_start"),
+        lit("cpu_percent").as("metric_type"), col("cpu_avg").as("value")))
+      .unionByName(r.select(col("window_start"),
+        lit("memory_percent").as("metric_type"),
+        col("mem_avg_percent").as("value")))
+    graft.monitoring.AlertRules.evaluate(long)
+      .select(col("window_start"), col("rule_name"), col("metric_type"),
+        col("severity"), col("value"), col("threshold"))
+      .orderBy(col("window_start"), col("rule_name"))
+  }
+
+  private val q114Sql =
+    s"""WITH $metricsSql,
+       |q AS (
+       |  SELECT CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS window_start,
+       |    round(avg(exec_ms), 6) AS avg_time_ms,
+       |    round(sum(is_error) * 1.0 / count(*), 6) AS error_rate,
+       |    round(sum(cache_hit) * 1.0 / count(*), 6) AS cache_hit_rate
+       |  FROM m GROUP BY 1),
+       |ing AS (
+       |  SELECT CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS window_start,
+       |    CASE WHEN sum(CAST(json_extract_string(props, '$$.k') AS BIGINT)) > 0
+       |      THEN round(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1.0
+       |        / sum(CAST(json_extract_string(props, '$$.k') AS BIGINT)), 6)
+       |      ELSE 0.0 END AS ing_error_rate
+       |  FROM events GROUP BY 1),
+       |res AS (
+       |  SELECT CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS window_start,
+       |    round(avg(fmod(value, 100.0)), 6) AS cpu_avg,
+       |    round(avg(CAST(json_extract_string(props, '$$.k') AS DOUBLE)), 6) AS mem_avg
+       |  FROM events GROUP BY 1),
+       |long AS (
+       |  SELECT window_start, 'query_avg_time_ms' AS metric_type, avg_time_ms AS value FROM q
+       |  UNION ALL SELECT window_start, 'query_error_rate', error_rate FROM q
+       |  UNION ALL SELECT window_start, 'cache_hit_rate', cache_hit_rate FROM q
+       |  UNION ALL SELECT window_start, 'ingestion_error_rate', ing_error_rate FROM ing
+       |  UNION ALL SELECT window_start, 'cpu_percent', cpu_avg FROM res
+       |  UNION ALL SELECT window_start, 'memory_percent', mem_avg FROM res),
+       |rules(rule_name, metric_type, condition, threshold, severity) AS (VALUES
+       |  ('high_cpu_utilization', 'cpu_percent', 'gt', 85.0, 'warning'),
+       |  ('critical_cpu_utilization', 'cpu_percent', 'gt', 95.0, 'critical'),
+       |  ('high_memory_utilization', 'memory_percent', 'gt', 80.0, 'warning'),
+       |  ('critical_memory_utilization', 'memory_percent', 'gt', 95.0, 'critical'),
+       |  ('slow_query_performance', 'query_avg_time_ms', 'gt', 5000.0, 'warning'),
+       |  ('very_slow_query_performance', 'query_avg_time_ms', 'gt', 15000.0, 'critical'),
+       |  ('high_query_error_rate', 'query_error_rate', 'gt', 0.05, 'warning'),
+       |  ('critical_query_error_rate', 'query_error_rate', 'gt', 0.15, 'critical'),
+       |  ('low_cache_hit_rate', 'cache_hit_rate', 'lt', 0.3, 'warning'),
+       |  ('high_ingestion_error_rate', 'ingestion_error_rate', 'gt', 0.02, 'warning'),
+       |  ('critical_ingestion_error_rate', 'ingestion_error_rate', 'gt', 0.10, 'critical'))
+       |SELECT window_start, rule_name, metric_type, severity, value, threshold
+       |FROM long JOIN rules USING (metric_type)
+       |WHERE CASE WHEN condition = 'gt' THEN value > threshold
+       |           WHEN condition = 'lt' THEN value < threshold
+       |           WHEN condition = 'eq' THEN value = threshold
+       |           WHEN condition = 'gte' THEN value >= threshold
+       |           WHEN condition = 'lte' THEN value <= threshold
+       |           ELSE FALSE END
+       |ORDER BY window_start, rule_name""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q106_perf_window_stats", q106, Some(statsSql)),
     Q("q107_metrics_by_type", q107, Some(q107Sql)),
     Q("q108_perf_alerts", q108, Some(q108Sql)),
     Q("q109_perf_recommendations", q109, Some(q109Sql)),
     Q("q110_ingestion_stats", q110, Some(q110Sql)),
-    Q("q113_resource_stats", q113, Some(q113Sql)))
+    Q("q113_resource_stats", q113, Some(q113Sql)),
+    Q("q114_alert_rules", q114, Some(q114Sql)))
 }
