@@ -55,7 +55,35 @@ object SamplingQueries {
        |WHERE sample_rank <= 10
        |ORDER BY source, sample_rank""".stripMargin
 
+  // -- q115: benchmark decontamination — training docs sharing word
+  //          8-grams with the held-out set (source 'src0' stands in as
+  //          the benchmark). Inverted-index join on hashed shingles;
+  //          the oracle replays the identical hash arithmetic.
+  private def q115(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.pipeline.Decontaminate.sharedNgrams(
+        d.filter(col("source") =!= "src0"),
+        d.filter(col("source") === "src0"),
+        "doc_id", "text", n = 8, minShared = 1L)
+      .select(col("train_id"), col("bench_id"), col("n_shared"))
+      .orderBy(col("train_id"), col("bench_id"))
+  }
+
+  private val q115Sql = {
+    val sh = graft.pipeline.Decontaminate.sql
+      .shingleHashes("string_split(text, ' ')", 8)
+    s"""WITH sh AS (
+       |  SELECT doc_id, source, unnest($sh) AS g_id FROM documents),
+       |t AS (SELECT doc_id AS train_id, g_id FROM sh WHERE source <> 'src0'),
+       |b AS (SELECT doc_id AS bench_id, g_id FROM sh WHERE source = 'src0')
+       |SELECT train_id, bench_id, count(*) AS n_shared
+       |FROM t JOIN b USING (g_id)
+       |GROUP BY 1, 2 HAVING count(*) >= 1
+       |ORDER BY train_id, bench_id""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q111_split_assign", q111, Some(q111Sql)),
-    Q("q112_quota_sample", q112, Some(q112Sql)))
+    Q("q112_quota_sample", q112, Some(q112Sql)),
+    Q("q115_decontamination", q115, Some(q115Sql)))
 }
