@@ -108,7 +108,12 @@ class PlanShapeSpec extends SparkSpec {
     // q73: top-k topic seeds broadcast into the edge semi-joins; q22:
     // centroids broadcast into the assignment join. If these degrade to
     // shuffle joins the small side suddenly pays a full shuffle at scale.
-    for (n <- Seq("q73_topic_subgraph", "q22_ann_ivf"))
+    // q115: the benchmark side of the decontamination join must stay
+    // broadcast — a shuffle there re-partitions the full train corpus's
+    // shingle explosion at scale; q114: the rule table is an explicit
+    // broadcast by construction.
+    for (n <- Seq("q73_topic_subgraph", "q22_ann_ivf",
+        "q114_alert_rules", "q115_decontamination"))
       assert(planOf(n).contains("Broadcast"), s"$n lost its broadcast")
   }
 
