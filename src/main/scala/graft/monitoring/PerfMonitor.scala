@@ -94,6 +94,63 @@ object PerfMonitor {
           .as("error_rate"),
         round(col("total_queries").cast("double") / windowSec, 6).as("qps"))
 
+  /** `queryStats` without the per-window array — the two-pass rank form
+    * for windows too dense to collect: row_number + count window
+    * functions pick out exactly the order statistics the median/p95
+    * arithmetic needs, and a conditional aggregate pivots them into one
+    * row per window. Same output, bit-for-bit index arithmetic; the
+    * cost is a window sort instead of per-group array memory, which is
+    * the right trade once a window holds millions of samples. */
+  def queryStatsRanked(metrics: DataFrame, windowSec: Long): DataFrame = {
+    val byW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start"))
+    val ranked = metrics
+      .withColumn("window_start", windowStart(col("ts"), windowSec))
+      .withColumn("rn", row_number().over(byW.orderBy(col("exec_ms"))))
+      .withColumn("n", count(lit(1)).over(byW).cast("long"))
+    // same index arithmetic as medianOfSorted / p95OfSorted, evaluated
+    // per row against that row's rank
+    val n = col("n")
+    val medLo = (((n + 1) - pmod(n + 1, lit(2L))) / 2).cast("long")
+    val scaled = lit(19L) * (n + 1)
+    val j = greatest(lit(1L),
+      least(((scaled - pmod(scaled, lit(20L))) / 20).cast("long"), n - 1))
+    val v = col("exec_ms")
+    val agg = ranked.groupBy(col("window_start")).agg(
+      count(lit(1)).as("total_queries"),
+      avg(v).as("avg_raw"),
+      max(v).as("max_raw"),
+      avg(col("result_count").cast("double")).as("rc_raw"),
+      sum(col("cache_hit")).as("hits"),
+      sum(col("is_error")).as("errs"),
+      max(when(pmod(n, lit(2L)) === 1 && col("rn") === medLo, v)).as("med_odd"),
+      max(when(pmod(n, lit(2L)) === 0 && col("rn") === medLo, v)).as("med_lo"),
+      max(when(pmod(n, lit(2L)) === 0 && col("rn") === medLo + 1, v)).as("med_hi"),
+      max(when(col("rn") === j, v)).as("v_j"),
+      max(when(col("rn") === j + 1, v)).as("v_j1"))
+    val na = col("total_queries").cast("long")
+    val scaledA = lit(19L) * (na + 1)
+    val jA = greatest(lit(1L),
+      least(((scaledA - pmod(scaledA, lit(20L))) / 20).cast("long"), na - 1))
+    val deltaA = (scaledA - jA * 20).cast("double")
+    agg.select(
+      col("window_start"),
+      col("total_queries"),
+      round(col("avg_raw"), 6).as("avg_time_ms"),
+      round(coalesce(col("med_odd"),
+        (col("med_lo") + col("med_hi")) / 2), 6).as("median_time_ms"),
+      round(when(na > 10,
+          (col("v_j") * (lit(20.0) - deltaA) + col("v_j1") * deltaA) / 20)
+        .otherwise(col("max_raw")), 6).as("p95_time_ms"),
+      round(col("max_raw"), 6).as("max_time_ms"),
+      round(col("rc_raw"), 6).as("avg_result_count"),
+      round(col("hits").cast("double") / col("total_queries"), 6)
+        .as("cache_hit_rate"),
+      round(col("errs").cast("double") / col("total_queries"), 6)
+        .as("error_rate"),
+      round(col("total_queries").cast("double") / windowSec, 6).as("qps"))
+  }
+
   /** Windowed ingestion statistics (`get_ingestion_statistics`,
     * performance_monitor.py:158-191): operation count, total items,
     * mean/peak throughput, mean processing time, total errors, and error

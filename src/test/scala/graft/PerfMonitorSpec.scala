@@ -60,6 +60,32 @@ class PerfMonitorSpec extends SparkSpec {
     assert(r.getAs[Double]("qps") == math.rint(3.0 / 3600 * 1e6) / 1e6)
   }
 
+  test("queryStatsRanked equals the array form on mixed-parity windows") {
+    // three windows: n=3 (odd, p95->max), n=4 (even median), n=12 (>10,
+    // interpolated p95) — deterministic value grids
+    val rows =
+      (1 to 3).map(i => (i * 7L, i * 10.0, 0, i % 2, i.toLong, i.toLong)) ++
+      (1 to 4).map(i => (3600L + i * 7L, i * 5.0, i % 3 min 1, 0, i.toLong, 10L + i)) ++
+      (1 to 12).map(i => (7200L + i * 7L, i * 3.5, 0, 1, i.toLong, 20L + i))
+    val m = rows
+      .toDF("sec", "exec_ms", "is_error", "cache_hit", "result_count", "query_id")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val a = PerfMonitor.queryStats(m, 3600L).orderBy("window_start").collect()
+    val b = PerfMonitor.queryStatsRanked(m, 3600L).orderBy("window_start").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
+  test("queryStatsRanked equals the array form on the real events feed") {
+    val m = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("ts"), col("value").as("exec_ms"),
+        (col("event_type") === "error").cast("int").as("is_error"),
+        (col("user_id") % 3 === 0).cast("int").as("cache_hit"),
+        get_json_object(col("props"), "$.k").cast("long").as("result_count"))
+    val a = PerfMonitor.queryStats(m, 3600L).orderBy("window_start").collect()
+    val b = PerfMonitor.queryStatsRanked(m, 3600L).orderBy("window_start").collect()
+    assert(a.length > 100 && a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
   test("ingestionStats: error rate over items, zero-time throughput guard") {
     val m = Seq(
       (10L, 100L, 2000.0, 1L, 50.0),   // 100 items in 2s -> 50/s, 1 error
