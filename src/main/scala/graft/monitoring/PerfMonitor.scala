@@ -20,9 +20,9 @@ import org.apache.spark.sql.functions._
   * is bounded by the event rate within one window — the same bound as the
   * reference's in-memory deque. Windows are independent groups, so the
   * aggregation is a single shuffle on window_start and parallelizes across
-  * windows; for windows too dense for one task, swap the array form for a
-  * two-pass rank join (row_number + count per window) without changing the
-  * arithmetic below.
+  * windows; for windows too dense for one task, `queryStatsRanked` is the
+  * array-free form of the same arithmetic (row_number/count window
+  * functions + conditional pivot), equality-pinned in PerfMonitorSpec.
   */
 object PerfMonitor {
 

@@ -82,8 +82,54 @@ object SamplingQueries {
        |ORDER BY train_id, bench_id""".stripMargin
   }
 
+  // -- q116: end-to-end corpus build — the composition a training-data
+  //          pipeline actually runs: quality gate -> exact dedup (keep
+  //          the smallest doc_id per canonical token-set key) -> split
+  //          assignment -> per-(source, split) manifest. Every leg is an
+  //          existing operator; the gate checks the composition.
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{TextFunctions => TF}
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("dkey"))
+    docs(s, dir)
+      .withColumn("quality", TF.qualityScore(col("text"), col("n_chars")))
+      .filter(col("quality") >= 0.75)
+      .withColumn("dkey",
+        md5(array_join(array_sort(TF.distinctTokens(col("text"))), " ")))
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("keep_id"))
+      .withColumn("split", Sampling.splitColumn(col("doc_id"),
+        Seq("train" -> 98, "val" -> 1, "test" -> 1), salt = "v1"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TF.tokens(col("text")))).as("n_tokens"),
+        round(avg(col("quality")), 6).as("avg_quality"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  private val q116Sql = {
+    import graft.text.{TextFunctions => TF}
+    val quality = TF.sql.qualityScore("text", "n_chars")
+    s"""WITH gated AS (
+       |  SELECT doc_id, source, text, $quality AS quality,
+       |    md5(array_to_string(list_sort(${TF.sql.distinctTokens("text")}), ' ')) AS dkey
+       |  FROM documents WHERE $quality >= 0.75),
+       |kept AS (
+       |  SELECT *, min(doc_id) OVER (PARTITION BY dkey) AS keep_id FROM gated),
+       |assigned AS (
+       |  SELECT source, quality, ${TF.sql.tokenCount("text")} AS n_toks,
+       |    CASE WHEN ${bucketSql("doc_id", 100, "v1")} < 98 THEN 'train'
+       |         WHEN ${bucketSql("doc_id", 100, "v1")} < 99 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM kept WHERE doc_id = keep_id)
+       |SELECT source, split, count(*) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |  round(avg(quality), 6) AS avg_quality
+       |FROM assigned GROUP BY 1, 2 ORDER BY source, split""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q111_split_assign", q111, Some(q111Sql)),
     Q("q112_quota_sample", q112, Some(q112Sql)),
-    Q("q115_decontamination", q115, Some(q115Sql)))
+    Q("q115_decontamination", q115, Some(q115Sql)),
+    Q("q116_corpus_build", q116, Some(q116Sql)))
 }
