@@ -323,7 +323,7 @@ object MonitoringQueries {
        |ORDER BY window_start, rule_name""".stripMargin
 
   val qs: Seq[Q] = Seq(
-    Q("q106_perf_window_stats", q106, Some(statsSql)),
+    Q("q106_perf_window_stats", q106, Some(statsSql), headline = true),
     Q("q107_metrics_by_type", q107, Some(q107Sql)),
     Q("q108_perf_alerts", q108, Some(q108Sql)),
     Q("q109_perf_recommendations", q109, Some(q109Sql)),

@@ -130,6 +130,6 @@ object SamplingQueries {
   val qs: Seq[Q] = Seq(
     Q("q111_split_assign", q111, Some(q111Sql)),
     Q("q112_quota_sample", q112, Some(q112Sql)),
-    Q("q115_decontamination", q115, Some(q115Sql)),
+    Q("q115_decontamination", q115, Some(q115Sql), headline = true),
     Q("q116_corpus_build", q116, Some(q116Sql)))
 }
