@@ -242,12 +242,14 @@ object PerfMonitor {
     * statistics (psutil) and have no batch analog. Input: the
     * `queryStats` output. */
   def recommendations(stats: DataFrame): DataFrame = {
-    val rules = Seq(
-      ("optimize_query_caching", col("cache_hit_rate") < 0.3),
-      ("optimize_query_patterns", col("avg_time_ms") > 1000.0),
-      ("review_error_handling", col("error_rate") > 0.01))
-    rules.map { case (code, cond) =>
-      stats.filter(cond).select(col("window_start"), lit(code).as("code"))
-    }.reduce(_ unionByName _)
+    // single pass: a union of filters would re-run the stats aggregation
+    // once per rule (no CSE across union branches) — build the code array
+    // per row and explode instead
+    val codes = array(
+      when(col("cache_hit_rate") < 0.3, "optimize_query_caching"),
+      when(col("avg_time_ms") > 1000.0, "optimize_query_patterns"),
+      when(col("error_rate") > 0.01, "review_error_handling"))
+    stats.select(col("window_start"),
+      explode(filter(codes, c => c.isNotNull)).as("code"))
   }
 }

@@ -246,27 +246,25 @@ object MonitoringQueries {
   //          each window is one metrics snapshot). Long-format metrics
   //          from the three aggregator legs; cooldown throttling is the
   //          stateful half, pinned in AlertRulesSpec.
+  // one row per (window, metric) WITHOUT re-running the stats aggregate
+  // per metric: a union of selects over the same frame re-aggregates once
+  // per branch (no CSE across union legs) — explode a struct array instead
+  private def unpivot(df: DataFrame, cols: (String, String)*): DataFrame =
+    df.select(col("window_start"), explode(array(cols.map { case (m, c) =>
+        struct(lit(m).as("metric_type"), col(c).as("value")) }: _*)).as("kv"))
+      .select(col("window_start"), col("kv.metric_type").as("metric_type"),
+        col("kv.value").as("value"))
+
   private def q114(s: SparkSession, dir: String): DataFrame = {
     val q = PerfMonitor.queryStats(metrics(s, dir), 3600L)
     val i = PerfMonitor.ingestionStats(ingestion(s, dir), 3600L)
     val r = PerfMonitor.resourceStats(resource(s, dir), 3600L)
-    val long = q.select(col("window_start"),
-        lit("query_avg_time_ms").as("metric_type"),
-        col("avg_time_ms").as("value"))
-      .unionByName(q.select(col("window_start"),
-        lit("query_error_rate").as("metric_type"),
-        col("error_rate").as("value")))
-      .unionByName(q.select(col("window_start"),
-        lit("cache_hit_rate").as("metric_type"),
-        col("cache_hit_rate").as("value")))
-      .unionByName(i.select(col("window_start"),
-        lit("ingestion_error_rate").as("metric_type"),
-        col("error_rate").as("value")))
-      .unionByName(r.select(col("window_start"),
-        lit("cpu_percent").as("metric_type"), col("cpu_avg").as("value")))
-      .unionByName(r.select(col("window_start"),
-        lit("memory_percent").as("metric_type"),
-        col("mem_avg_percent").as("value")))
+    val long = unpivot(q, "query_avg_time_ms" -> "avg_time_ms",
+        "query_error_rate" -> "error_rate",
+        "cache_hit_rate" -> "cache_hit_rate")
+      .unionByName(unpivot(i, "ingestion_error_rate" -> "error_rate"))
+      .unionByName(unpivot(r, "cpu_percent" -> "cpu_avg",
+        "memory_percent" -> "mem_avg_percent"))
     graft.monitoring.AlertRules.evaluate(long)
       .select(col("window_start"), col("rule_name"), col("metric_type"),
         col("severity"), col("value"), col("threshold"))
