@@ -37,11 +37,18 @@ object KGraph {
     * (sqlite_storage.py:913-935: edges(from_node_id), edges(to_node_id)).
     * BFS hops against these only shuffle the frontier side. */
   def orientedMaterialized(spark: SparkSession, dir: String,
-      direction: GraphOps.Direction): DataFrame =
+      direction: GraphOps.Direction): DataFrame = {
+    // resolve the base table BEFORE computeIfAbsent: a nested
+    // computeIfAbsent on the same map throws IllegalStateException
+    // ("Recursive update") whenever the two keys land in the same hash
+    // bin — which depends on the session's hashCode, so it surfaced as
+    // an intermittent failure, not a deterministic one
+    val base = materialized(spark, dir)
     cache.computeIfAbsent(s"${spark.hashCode()}|$dir|$direction",
-      _ => GraphOps.oriented(materialized(spark, dir), direction)
+      _ => GraphOps.oriented(base, direction)
         .repartition(col("node_id"))
         .truncateLineage())
+  }
 
   /** Typed edges: from_id, to_id, relation_type, confidence. */
   def edges(spark: SparkSession, dir: String): DataFrame = {
