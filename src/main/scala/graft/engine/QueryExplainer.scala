@@ -54,6 +54,12 @@ object QueryExplainer {
 
   private def finalPlan(p: SparkPlan): SparkPlan = p match {
     case a: AdaptiveSparkPlanExec => finalPlan(a.executedPlan)
+    // after AQE execution, materialized stages appear as leaf wrappers —
+    // unwrap to reach the operators (and their metrics) inside
+    case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      finalPlan(s.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      finalPlan(r.child)
     case other => other
   }
 
@@ -89,13 +95,17 @@ object QueryExplainer {
     fromName.collect { case (tag, true) => tag }
   }
 
-  /** Run the frame (noop sink — full execution, rows discarded) and read
-    * the per-operator steps off the executed plan: numOutputRows from
-    * SQLMetrics, time from the node's timing metrics (ms). Children's
-    * output is the node's input. */
+  /** Run the frame (rows discarded) and read the per-operator steps off
+    * the executed plan: numOutputRows from SQLMetrics, time from the
+    * node's timing metrics (ms). Children's output is the node's input.
+    *
+    * The execution must drive df's OWN queryExecution — a sink write
+    * (`df.write.format("noop")`) plans a SEPARATE QueryExecution, and
+    * the instance read here would never have run, leaving every metric
+    * at zero. */
   def execute(df: DataFrame): (Seq[Step], Double) = {
     val t0 = System.nanoTime()
-    df.write.format("noop").mode("overwrite").save()
+    df.queryExecution.executedPlan.execute().foreach(_ => ())
     val totalMs = (System.nanoTime() - t0) / 1e6
     val nodes = collectNodes(finalPlan(df.queryExecution.executedPlan))
     val steps = nodes.map { node =>

@@ -57,6 +57,11 @@ class QueryExplainerSpec extends SparkSpec {
     assert(totalMs > 0)
     assert(steps.exists(_.operation == "filter"))
     assert(steps.exists(_.operation == "aggregation"))
+    // metrics must come from the plan instance that actually RAN: the
+    // scan's numOutputRows is the real row count, not a never-executed
+    // plan's zero
+    assert(steps.exists(s => s.operation == "graph_query" &&
+      s.outputSize.exists(_ > 0)))
     assert(steps.exists(s => s.optimizations.contains("topk_pushdown")))
     // the aggregate emits partial + final nodes; partials flagged
     assert(steps.exists(s => s.optimizations.contains("partial_aggregation")))
