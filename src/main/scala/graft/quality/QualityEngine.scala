@@ -141,7 +141,15 @@ object QualityEngine {
     * context is supplied. DIVERGENCES: the validation component uses
     * the real cross-validation consensus where the reference stubs 0.7
     * (:281-285, the q98 realize-the-stub precedent), and score ties
-    * rank by node_id where Python's stable sort keeps input order. */
+    * rank by node_id where Python's stable sort keeps input order.
+    *
+    * BOUNDED-INPUT CONTRACT (the q51 diversity-re-rank precedent): the
+    * reference's QualityRanker ranks a query's RESULT list, already
+    * bounded by the engine's result caps — so the global row_number
+    * window here is a single-partition sort over that bounded set by
+    * design. Do not hand it an unbounded corpus at scale; rank after
+    * the result cap, or swap row_number for orderBy().limit(k) when
+    * only the top-k matter (TakeOrdered, no global sort). */
   def rankByQuality(scored: DataFrame,
       queryContext: Option[Seq[String]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
