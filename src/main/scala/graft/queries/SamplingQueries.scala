@@ -127,9 +127,34 @@ object SamplingQueries {
        |FROM assigned GROUP BY 1, 2 ORDER BY source, split""".stripMargin
   }
 
+  // -- q117: token-window chunking (64-token windows, 16 overlap) — the
+  //          context-bounding step between corpus build and tokenization.
+  //          Chunk text is verified via its fingerprint (content-exact
+  //          without shipping the text through the compare).
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{TextFunctions => TF}
+    graft.pipeline.Chunking.chunk(docs(s, dir), "doc_id", "text",
+        size = 64, overlap = 16)
+      .select(col("doc_id"), col("chunk_id"), col("n_tok"),
+        TF.fingerprint(col("chunk_text")).as("fp"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  private val q117Sql = {
+    import graft.text.{TextFunctions => TF}
+    val ch = graft.pipeline.Chunking.sql
+      .chunks("string_split(text, ' ')", 64, 16)
+    s"""WITH c AS (
+       |  SELECT doc_id, unnest($ch, recursive := true) FROM documents)
+       |SELECT doc_id, chunk_id, n_tok,
+       |  ${TF.sql.fingerprint("chunk_text")} AS fp
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q111_split_assign", q111, Some(q111Sql)),
     Q("q112_quota_sample", q112, Some(q112Sql)),
     Q("q115_decontamination", q115, Some(q115Sql), headline = true),
-    Q("q116_corpus_build", q116, Some(q116Sql)))
+    Q("q116_corpus_build", q116, Some(q116Sql)),
+    Q("q117_token_chunks", q117, Some(q117Sql)))
 }
