@@ -55,6 +55,38 @@ object Chunking {
         col("c.n_tok").as("n_tok"), col("c.chunk_text").as("chunk_text"))
   }
 
+  final case class Piece(group: String, ord: Long, id: Long, n_tok: Int)
+
+  /** Sequential sequence packing — the step after chunking: walk each
+    * group's chunks in `ord` order and open a new bin whenever the next
+    * chunk would overflow `capacity` (how LLM training actually packs:
+    * concatenate in order, cut at the context boundary). The recurrence
+    * is inherently sequential per group, so it runs as a sorted fold in
+    * `flatMapGroups` (the alert-throttle shape): per-group state is two
+    * counters, groups (shards/splits) are the parallelism unit. Chunks
+    * longer than `capacity` get a bin of their own (truncation is the
+    * tokenizer's call, not the packer's). Input columns: group, ord,
+    * id, n_tok; output adds bin and bin_fill. */
+  def packSequential(chunks: DataFrame, capacity: Int): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    chunks.select(col("group"), col("ord").cast("long"),
+        col("id").cast("long"), col("n_tok").cast("int")).as[Piece]
+      .groupByKey(_.group)
+      .flatMapGroups { (g, it) =>
+        val sorted = it.toSeq.sortBy(p => (p.ord, p.id))
+        var bin = 0L
+        var fill = 0
+        sorted.iterator.map { p =>
+          if (fill > 0 && fill + p.n_tok > capacity) { bin += 1; fill = 0 }
+          fill += p.n_tok
+          (g, p.ord, p.id, p.n_tok, bin, fill)
+        }
+      }
+      .toDF("group", "ord", "id", "n_tok", "bin", "bin_fill")
+  }
+
   /** DuckDB equivalent (oracle side): list of (chunk_id, n_tok, text)
     * structs to UNNEST. */
   object sql {

@@ -31,6 +31,27 @@ class ChunkingSpec extends SparkSpec {
     assert(c.length == 2 && c.last._2 == 3) // tokens 9,10,11
   }
 
+  test("packSequential cuts bins at the capacity boundary, per group") {
+    import org.apache.spark.sql.functions.col
+    val chunks = Seq(
+      ("a", 0L, 1L, 60), ("a", 1L, 2L, 30), ("a", 2L, 3L, 20),
+      ("a", 3L, 4L, 90),   // alone: 90 fits a fresh 100-bin
+      ("a", 4L, 5L, 120),  // oversized: bin of its own
+      ("a", 5L, 6L, 10),
+      ("b", 0L, 7L, 100))  // group b: independent state
+      .toDF("group", "ord", "id", "n_tok")
+    val out = Chunking.packSequential(chunks, capacity = 100)
+      .orderBy(col("group"), col("ord"))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(4), r.getInt(5)))
+    assert(out.toSeq == Seq(
+      ("a", 1L, 0L, 60), ("a", 2L, 0L, 90),  // 60+30 fits
+      ("a", 3L, 1L, 20),                     // +20 would pass 100 -> new bin
+      ("a", 4L, 2L, 90),
+      ("a", 5L, 3L, 120),                    // oversized alone
+      ("a", 6L, 4L, 10),                     // oversized bin is full -> next
+      ("b", 7L, 0L, 100)))
+  }
+
   test("overlap must be smaller than size") {
     intercept[IllegalArgumentException] {
       Chunking.chunk(doc(5), "doc_id", "text", size = 4, overlap = 4)
