@@ -35,7 +35,8 @@ object Catalog {
       InsightQueries.qs ++
       QualityQueries.qs ++
       MonitoringQueries.qs ++
-      SamplingQueries.qs
+      SamplingQueries.qs ++
+      SecurityQueries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,97 @@
+package graft.security
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Audit-log analytics: the reference's AuditLogger keeps events in an
+  * in-process deque and answers summary / pattern questions by looping
+  * over it (`memory_core/security/audit.py:111-624`). Here the audit
+  * log is a table and each analysis is one windowed/grouped pass, so
+  * the same questions run over an unbounded retained log.
+  *
+  * Expected columns on the enriched log: user_id, event_id, ts,
+  * category, level, success, risk_score, ip_address.
+  */
+object AuditAnalytics {
+
+  /** Security summary over a trailing window (audit.py:561-623
+    * get_security_summary): long-form (stat, key, value) rows so the
+    * by-level and by-category breakdowns ride the same schema as the
+    * scalar counters. `now` anchors the days_back cutoff — the caller
+    * passes a data-derived anchor so results are deterministic. */
+  def securitySummary(audit: DataFrame, now: Column,
+      daysBack: Int = 7): DataFrame = {
+    val recent = audit.filter(
+      col("ts") >= now - expr(s"INTERVAL $daysBack DAYS"))
+    val scalar = recent.agg(
+      count(lit(1)).as("total_events"),
+      sum(when(col("category") === "authentication" && !col("success"), 1L)
+        .otherwise(0L)).as("failed_authentications"),
+      sum(when(col("category") === "authorization" && !col("success"), 1L)
+        .otherwise(0L)).as("unauthorized_access_attempts"),
+      sum(when(col("risk_score") >= 0.7, 1L).otherwise(0L))
+        .as("high_risk_events"),
+      sum(when(col("category") === "security_incident", 1L).otherwise(0L))
+        .as("security_incidents"),
+      countDistinct(col("user_id")).as("unique_users"),
+      countDistinct(col("ip_address")).as("unique_ips"))
+    val scalarLong = scalar.select(explode(array(
+      Seq("total_events", "failed_authentications",
+        "unauthorized_access_attempts", "high_risk_events",
+        "security_incidents", "unique_users", "unique_ips").map(c =>
+        struct(lit(c).as("stat"), lit("").as("key"),
+          col(c).cast("long").as("value"))): _*)).as("kv"))
+      .select(col("kv.stat").as("stat"), col("kv.key").as("key"),
+        col("kv.value").as("value"))
+    val byLevel = recent.groupBy(col("level").as("key"))
+      .agg(count(lit(1)).as("value"))
+      .select(lit("events_by_level").as("stat"), col("key"), col("value"))
+    val byCategory = recent.groupBy(col("category").as("key"))
+      .agg(count(lit(1)).as("value"))
+      .select(lit("events_by_category").as("stat"), col("key"),
+        col("value"))
+    scalarLong.unionByName(byLevel).unionByName(byCategory)
+  }
+
+  /** Brute-force detection (audit.py:263-294): for each FAILED
+    * authentication event, count failures by the same user inside the
+    * trailing window; at or past the threshold the event escalates to
+    * an incident carrying the count. The reference re-queries the log
+    * per event with a 15-minute window; here it is one range-frame
+    * window over the failure slice, partitioned per user. Defaults
+    * mirror the reference (900 s, 5); test-scale callers pass a wider
+    * window because the synthetic log is sparser than a login service.
+    */
+  def bruteForce(authFailures: DataFrame, windowSec: Long = 900L,
+      threshold: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-windowSec * 1000000L, Window.currentRow)
+    authFailures
+      .withColumn("failed_attempts_count", count(lit(1)).over(w))
+      .filter(col("failed_attempts_count") >= threshold)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("failed_attempts_count"), lit(0.8).as("risk_score"))
+  }
+
+  /** New-IP access anomaly (audit.py:297-324): an access event from an
+    * address the user has never used before, provided the user has
+    * prior history (known_ips non-empty). One per-user ordered window;
+    * the prior-IP set is the ROWS-preceding frame. */
+  def newIpAccess(access: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val prior = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    access
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prior_ips", collect_list(col("ip_address")).over(prior))
+      .filter(col("rn") > 1 &&
+        !array_contains(col("prior_ips"), col("ip_address")))
+      .select(col("user_id"), col("event_id"), col("ip_address"),
+        size(array_distinct(col("prior_ips"))).as("n_known_ips"),
+        lit(0.4).as("risk_score"))
+  }
+}

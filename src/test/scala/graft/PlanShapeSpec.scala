@@ -64,7 +64,10 @@ class PlanShapeSpec extends SparkSpec {
     "q85_synthesis_comparison", // bounded group-pair matrix
     "q91_ann_ivf_pq",         // 1-row broadcast ADC lookup table
     "q92_ann_ivf_sq8",        // 1-row broadcast quantization params + query
-    "q103_quality_report")    // 1-row distribution x 1-row conflict count
+    "q103_quality_report",    // 1-row distribution x 1-row conflict count
+    "q118_access_grants",     // broadcast principal frame (5 users)
+    "q119_privacy_stats",     // same bounded principal broadcast
+    "q120_security_summary")  // 1-row max-ts anchor
 
   // On failure, include a plan excerpt around the first occurrence so a
   // transient/state-dependent failure self-diagnoses from the log alone.
