@@ -404,10 +404,73 @@ object SecurityQueries {
        |FROM w WHERE rn > 1 AND NOT list_contains(prior, ip_address)
        |ORDER BY user_id, event_id""".stripMargin
 
+  // -- q123: governance-gated corpus build — the q116 pipeline run over
+  //          ONLY the documents a principal may read (q118's grant set
+  //          for user_0). Access filtering precedes dedup/split so
+  //          non-readable documents can neither shadow a readable
+  //          duplicate nor leak into the manifest — the composition a
+  //          compliance-constrained training pipeline runs.
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{TextFunctions => TF}
+    import graft.pipeline.Sampling
+    val d = docs(s, dir)
+    val readable = AccessControl.grants(meta(d), usersDf(s), rules(d),
+        rolesDf(s), "knowledge_read")
+      .filter(col("user_id") === "user_0")
+      .select(col("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("dkey"))
+    d.join(readable, Seq("doc_id"), "left_semi")
+      .withColumn("quality", TF.qualityScore(col("text"), col("n_chars")))
+      .filter(col("quality") >= 0.75)
+      .withColumn("dkey",
+        md5(array_join(array_sort(TF.distinctTokens(col("text"))), " ")))
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("keep_id"))
+      .withColumn("split", Sampling.splitColumn(col("doc_id"),
+        Seq("train" -> 98, "val" -> 1, "test" -> 1), salt = "v1"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TF.tokens(col("text")))).as("n_tokens"),
+        round(avg(col("quality")), 6).as("avg_quality"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  private val q123Sql = {
+    import graft.text.{TextFunctions => TF}
+    val quality = TF.sql.qualityScore("text", "n_chars")
+    val bucket = graft.pipeline.Sampling.sql.hashBucket("doc_id", 100, "v1")
+    s"""WITH RECURSIVE
+       |$accessCtesSql,
+       |readable AS (
+       |  SELECT DISTINCT doc_id FROM grants
+       |  WHERE reason IS NOT NULL AND user_id = 'user_0'),
+       |gated AS (
+       |  SELECT doc_id, source, text, $quality AS quality,
+       |    md5(array_to_string(list_sort(${TF.sql.distinctTokens("text")}),
+       |      ' ')) AS dkey
+       |  FROM documents
+       |  WHERE doc_id IN (SELECT doc_id FROM readable)
+       |    AND $quality >= 0.75),
+       |kept AS (
+       |  SELECT *, min(doc_id) OVER (PARTITION BY dkey) AS keep_id
+       |  FROM gated),
+       |assigned AS (
+       |  SELECT source, quality, ${TF.sql.tokenCount("text")} AS n_toks,
+       |    CASE WHEN $bucket < 98 THEN 'train'
+       |         WHEN $bucket < 99 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM kept WHERE doc_id = keep_id)
+       |SELECT source, split, count(*) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |  round(avg(quality), 6) AS avg_quality
+       |FROM assigned GROUP BY 1, 2 ORDER BY source, split""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q118_access_grants", q118, Some(q118Sql)),
     Q("q119_privacy_stats", q119, Some(q119Sql)),
     Q("q120_security_summary", q120, Some(q120Sql)),
     Q("q121_brute_force", q121, Some(q121Sql)),
-    Q("q122_new_ip_anomaly", q122, Some(q122Sql)))
+    Q("q122_new_ip_anomaly", q122, Some(q122Sql)),
+    Q("q123_governed_corpus", q123, Some(q123Sql)))
 }

@@ -58,12 +58,16 @@ object AccessControl {
               reach("ancestor") === col("via"))
             .select(reach("role_id"), col("parent").as("ancestor")))
         .distinct().cache()
-      val m = next.count()
+      val m = next.count() // materializes next before the unpersist below
+      reach.unpersist()
       grew = m > n
       reach = next
       n = m
     }
-    reach
+    // hand back an uncached frame: recomputing the bounded-depth join
+    // chain is cheap, and catalog queries re-run must not accumulate
+    // storage entries in long-lived sessions
+    reach.unpersist()
   }
 
   /** (role_id, permission_id): each role's own plus inherited
@@ -74,6 +78,24 @@ object AccessControl {
         "ancestor")
       .select(col("role_id"), explode(col("permissions")).as("permission_id"))
       .distinct()
+
+  /** Roles participating in an inheritance cycle
+    * (rbac.py:729-760 validate_role_hierarchy): a role is cyclic iff
+    * some OTHER role is both its ancestor and its descendant in the
+    * closure (or it parents itself). One self-join of the closure. */
+  def cyclicRoles(roles: DataFrame): DataFrame = {
+    val c = roleClosure(roles)
+    val selfParent = roles
+      .filter(array_contains(col("parent_roles"), col("role_id")))
+      .select(col("role_id"))
+    val strict = c.filter(col("role_id") =!= col("ancestor"))
+    val mutual = strict.join(
+        strict.select(col("role_id").as("b_role"),
+          col("ancestor").as("b_anc")),
+        col("role_id") === col("b_anc") && col("ancestor") === col("b_role"))
+      .select(col("role_id"))
+    mutual.unionByName(selfParent).distinct()
+  }
 
   /** Resolve each principal to (user_id, user_org, has_perm) for one
     * permission type — the rbac.py:661-687 check_permission fold over

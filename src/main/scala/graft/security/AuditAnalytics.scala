@@ -1,8 +1,9 @@
 package graft.security
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Audit-log analytics: the reference's AuditLogger keeps events in an
   * in-process deque and answers summary / pattern questions by looping
@@ -73,6 +74,53 @@ object AuditAnalytics {
       .filter(col("failed_attempts_count") >= threshold)
       .select(col("user_id"), col("event_id"), col("ts"),
         col("failed_attempts_count"), lit(0.8).as("risk_score"))
+  }
+
+  final case class AuthFail(user_id: Long, event_id: Long, us: Long)
+  final case class Incident(user_id: Long, event_id: Long, ts_us: Long,
+      failed_attempts_count: Long, risk_score: Double)
+  private final case class BfState(times: List[Long])
+
+  /** Streaming twin of [[bruteForce]] — the reference's pattern
+    * analyzer runs ONLINE, per incoming event (audit.py:263-294), so
+    * the stateful path is the faithful deployment shape; the batch
+    * window above is the oracle-checkable twin. Per-user state holds
+    * only the failure timestamps inside the trailing window (pruned on
+    * every event — bounded by window x failure rate, not history), and
+    * an idle-group timeout at 2x the window removes departed users from
+    * the state store. Within a micro-batch, events at the SAME
+    * timestamp are folded as one run so each emits the full tie count —
+    * the RANGE-frame semantics of the batch twin; exact parity assumes
+    * an event-time-ordered feed, like the sessionization twin. */
+  def bruteForceStream(fails: Dataset[AuthFail], windowSec: Long = 900L,
+      threshold: Int = 5): Dataset[Incident] = {
+    import fails.sparkSession.implicits._
+    val wUs = windowSec * 1000000L
+    fails.groupByKey(_.user_id)
+      .flatMapGroupsWithState[BfState, Incident](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (user: Long, evs: Iterator[AuthFail], state: GroupState[BfState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = evs.toSeq.sortBy(e => (e.us, e.event_id)).toList
+            var times = state.getOption.map(_.times).getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer.empty[Incident]
+            var rest = sorted
+            while (rest.nonEmpty) {
+              val us = rest.head.us
+              val (run, tail) = rest.span(_.us == us)
+              rest = tail
+              times = (times ::: run.map(_.us)).dropWhile(_ < us - wUs)
+              val n = times.length.toLong
+              if (n >= threshold)
+                run.foreach(e =>
+                  out += Incident(user, e.event_id, e.us, n, 0.8))
+            }
+            state.update(BfState(times))
+            state.setTimeoutDuration(windowSec * 2 * 1000L)
+            out.iterator
+          }
+      }
   }
 
   /** New-IP access anomaly (audit.py:297-324): an access event from an

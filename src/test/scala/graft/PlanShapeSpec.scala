@@ -67,7 +67,8 @@ class PlanShapeSpec extends SparkSpec {
     "q103_quality_report",    // 1-row distribution x 1-row conflict count
     "q118_access_grants",     // broadcast principal frame (5 users)
     "q119_privacy_stats",     // same bounded principal broadcast
-    "q120_security_summary")  // 1-row max-ts anchor
+    "q120_security_summary",  // 1-row max-ts anchor
+    "q123_governed_corpus")   // same bounded principal broadcast as q118
 
   // On failure, include a plan excerpt around the first occurrence so a
   // transient/state-dependent failure self-diagnoses from the log alone.

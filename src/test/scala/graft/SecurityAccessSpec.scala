@@ -40,6 +40,17 @@ class SecurityAccessSpec extends SparkSpec {
     assert(perms == Set("a" -> "pa", "a" -> "pb", "b" -> "pa", "b" -> "pb"))
   }
 
+  test("cyclicRoles: flags cycle members only (rbac.py validate_role_hierarchy)") {
+    val r = roles(
+      ("a", Seq("pa"), Seq("b")),
+      ("b", Seq("pb"), Seq("a")),
+      ("self", Seq("ps"), Seq("self")),
+      ("clean", Seq("pc"), Seq("a"))) // points INTO a cycle but is not in one
+    val bad = AccessControl.cyclicRoles(r)
+      .collect().map(_.getString(0)).toSet
+    assert(bad == Set("a", "b", "self"))
+  }
+
   private val specRoles = roles(
     ("reader", Seq("knowledge_read"), Nil),
     ("editor", Seq("knowledge_update"), Seq("reader")),
@@ -114,6 +125,43 @@ class SecurityAccessSpec extends SparkSpec {
     val h2 = AuditAnalytics.bruteForce(edge, windowSec = 900L,
       threshold = 2).collect()
     assert(h2.length == 1 && h2.head.getLong(1) == 2L)
+  }
+
+  test("bruteForceStream matches the batch twin on a bounded feed") {
+    // every event as a failed attempt — dense enough at sf0.001
+    val fails = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .as[AuditAnalytics.AuthFail]
+    val win = 7L * 86400
+    val batch = AuditAnalytics.bruteForce(
+        fails.select(col("user_id"), col("event_id"),
+          timestamp_micros(col("us")).as("ts")),
+        windowSec = win, threshold = 3)
+      .select(col("user_id"), col("event_id"),
+        col("failed_attempts_count"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val streamed = AuditAnalytics.bruteForceStream(fails, windowSec = win,
+        threshold = 3)
+      .select(col("user_id"), col("event_id"),
+        col("failed_attempts_count"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("bruteForceStream: same-timestamp ties fold as one RANGE run") {
+    val fails = Seq(
+      AuditAnalytics.AuthFail(1L, 1L, 1000000L),
+      AuditAnalytics.AuthFail(1L, 2L, 1000000L), // tie with event 1
+      AuditAnalytics.AuthFail(1L, 3L, 999000000000L)) // far outside window
+      .toDS()
+    val out = AuditAnalytics.bruteForceStream(fails, windowSec = 900L,
+        threshold = 2)
+      .collect().map(i => (i.event_id, i.failed_attempts_count)).sorted
+    // both tied events see the full tie count (RANGE, not ROWS), and
+    // the late lone failure sees a pruned window
+    assert(out.toSeq == Seq((1L, 2L), (2L, 2L)))
   }
 
   test("newIpAccess: first event exempt; repeats known; new IP flagged") {
