@@ -379,7 +379,9 @@ object SecurityQueries {
        |ORDER BY user_id, event_id""".stripMargin
 
   // -- q122: new-IP access anomaly (audit.py:297-324) — knowledge
-  //          access from an address outside the user's prior set.
+  //          access from an address outside the user's 30-day known
+  //          set (reference intent; see the newIpAccess scaladoc for
+  //          the append-before-analyze divergence note).
   private def q122(s: SparkSession, dir: String): DataFrame =
     AuditAnalytics.newIpAccess(
         audit(s, dir).filter(col("category") === "knowledge_access"))
@@ -392,16 +394,15 @@ object SecurityQueries {
        |  WHERE category = 'knowledge_access'),
        |w AS (
        |  SELECT user_id, event_id, ip_address,
-       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
-       |      AS rn,
        |    list(ip_address) OVER (PARTITION BY user_id
-       |      ORDER BY ts, event_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+       |      ORDER BY epoch_us(ts)
+       |      RANGE BETWEEN 2592000000000 PRECEDING AND 1 PRECEDING)
+       |      AS prior
        |  FROM a)
        |SELECT user_id, event_id, ip_address,
        |  CAST(len(list_distinct(prior)) AS INT) AS n_known_ips,
        |  0.4 AS risk_score
-       |FROM w WHERE rn > 1 AND NOT list_contains(prior, ip_address)
+       |FROM w WHERE len(prior) > 0 AND NOT list_contains(prior, ip_address)
        |ORDER BY user_id, event_id""".stripMargin
 
   // -- q123: governance-gated corpus build — the q116 pipeline run over

@@ -124,19 +124,23 @@ object AuditAnalytics {
   }
 
   /** New-IP access anomaly (audit.py:297-324): an access event from an
-    * address the user has never used before, provided the user has
-    * prior history (known_ips non-empty). One per-user ordered window;
-    * the prior-IP set is the ROWS-preceding frame. */
-  def newIpAccess(access: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
+    * address outside the user's known set of the trailing
+    * `lookbackDays` (the reference's days_back=30 recent_access query),
+    * provided that set is non-empty. One per-user RANGE-preceding
+    * window; the known set is the frame's collected IPs.
+    *
+    * Documented divergence: the reference appends the event to the log
+    * BEFORE analyzing it (audit.py:244,260), so its own IP is already
+    * in known_ips and the check as written can never fire — dead code.
+    * This implements the documented intent (membership against PRIOR
+    * accesses), which is also what its risk model describes. */
+  def newIpAccess(access: DataFrame, lookbackDays: Int = 30): DataFrame = {
     val prior = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-lookbackDays * 86400L * 1000000L, -1L)
     access
-      .withColumn("rn", row_number().over(w))
       .withColumn("prior_ips", collect_list(col("ip_address")).over(prior))
-      .filter(col("rn") > 1 &&
+      .filter(size(col("prior_ips")) > 0 &&
         !array_contains(col("prior_ips"), col("ip_address")))
       .select(col("user_id"), col("event_id"), col("ip_address"),
         size(array_distinct(col("prior_ips"))).as("n_known_ips"),

@@ -164,16 +164,21 @@ class SecurityAccessSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L), (2L, 2L)))
   }
 
-  test("newIpAccess: first event exempt; repeats known; new IP flagged") {
+  test("newIpAccess: empty-set exempt; repeats known; lookback expires") {
+    val day = 1440 // minutes
     val acc = Seq(
       (1L, 1L, ts(1), "ip_a"),
       (1L, 2L, ts(2), "ip_a"), // known
       (1L, 3L, ts(3), "ip_b"), // new
       (1L, 4L, ts(4), "ip_a"), // known again
-      (2L, 5L, ts(1), "ip_z")) // first event of u2 — exempt
+      // 40 days later: the 30-day known set has emptied — exempt again,
+      // exactly the reference's days_back=30 recent_access scope
+      (1L, 5L, ts(41 * day), "ip_c"),
+      (1L, 6L, ts(41 * day + 1), "ip_d"), // new vs {ip_c}
+      (2L, 7L, ts(1), "ip_z")) // first event of u2 — exempt
       .toDF("user_id", "event_id", "ts", "ip_address")
     val out = AuditAnalytics.newIpAccess(acc)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
-    assert(out.toSeq == Seq((1L, 3L, 1)))
+    assert(out.toSeq == Seq((1L, 3L, 1), (1L, 6L, 1)))
   }
 }
