@@ -271,6 +271,7 @@ object SecurityQueries {
   private def audit(s: SparkSession, dir: String): DataFrame =
     events(s, dir).select(
       col("user_id"), col("event_id"), col("ts"),
+      col("event_type").as("action"),
       when(col("event_type") === "signup", "authentication")
         .when(col("event_type") === "click", "authorization")
         .when(col("event_type") === "view", "knowledge_access")
@@ -286,7 +287,7 @@ object SecurityQueries {
 
   private val auditSql =
     """audit AS (
-      |  SELECT user_id, event_id, ts,
+      |  SELECT user_id, event_id, ts, event_type AS action,
       |    CASE event_type WHEN 'signup' THEN 'authentication'
       |      WHEN 'click' THEN 'authorization'
       |      WHEN 'view' THEN 'knowledge_access'
@@ -405,6 +406,57 @@ object SecurityQueries {
        |FROM w WHERE len(prior) > 0 AND NOT list_contains(prior, ip_address)
        |ORDER BY user_id, event_id""".stripMargin
 
+  // -- q124: compliance report for ['access_control',
+  //          'knowledge_management'] over the trailing 30 days
+  //          (audit.py:625-679): tag-overlap scope; per-tag counts
+  //          explode (an event counts once per matching tag), plus
+  //          user/action breakdowns and 0.3/0.7 risk tiers.
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    val a = audit(s, dir).withColumn("compliance_tags",
+      AuditAnalytics.complianceTags(col("category")))
+    val now = a.agg(max(col("ts")).as("now_ts"))
+    AuditAnalytics.complianceReport(a.crossJoin(broadcast(now)),
+        Seq("access_control", "knowledge_management"), col("now_ts"))
+      .orderBy(col("stat"), col("key"))
+  }
+
+  private val q124Sql =
+    s"""WITH $auditSql,
+       |tagged AS (
+       |  SELECT *, CASE category
+       |    WHEN 'authentication' THEN ['authentication','access_control']
+       |    WHEN 'authorization' THEN ['authorization','access_control']
+       |    WHEN 'knowledge_access' THEN ['data_access','knowledge_management']
+       |    WHEN 'knowledge_modification'
+       |      THEN ['data_modification','knowledge_management']
+       |    ELSE ['security_incident','threat_detection'] END
+       |    AS compliance_tags
+       |  FROM audit),
+       |scope AS (
+       |  SELECT * FROM tagged
+       |  WHERE list_has_any(compliance_tags,
+       |      ['access_control','knowledge_management'])
+       |    AND ts >= (SELECT max(ts) FROM audit) - INTERVAL 30 DAY)
+       |SELECT stat, key, value FROM (
+       |  SELECT 'total_events' AS stat, '' AS key,
+       |    CAST(count(*) AS BIGINT) AS value FROM scope
+       |  UNION ALL
+       |  SELECT 'events_by_tag', tag, CAST(count(*) AS BIGINT) FROM (
+       |    SELECT unnest(compliance_tags) AS tag FROM scope)
+       |  WHERE tag IN ('access_control','knowledge_management')
+       |  GROUP BY tag
+       |  UNION ALL
+       |  SELECT 'events_by_user', CAST(user_id AS VARCHAR),
+       |    CAST(count(*) AS BIGINT) FROM scope GROUP BY user_id
+       |  UNION ALL
+       |  SELECT 'events_by_action', action, CAST(count(*) AS BIGINT)
+       |  FROM scope GROUP BY action
+       |  UNION ALL
+       |  SELECT 'risk_distribution', CASE WHEN risk_score < 0.3 THEN 'low'
+       |    WHEN risk_score < 0.7 THEN 'medium' ELSE 'high' END,
+       |    CAST(count(*) AS BIGINT) FROM scope GROUP BY 2)
+       |ORDER BY stat, key""".stripMargin
+
   // -- q123: governance-gated corpus build — the q116 pipeline run over
   //          ONLY the documents a principal may read (q118's grant set
   //          for user_0). Access filtering precedes dedup/split so
@@ -473,5 +525,6 @@ object SecurityQueries {
     Q("q120_security_summary", q120, Some(q120Sql)),
     Q("q121_brute_force", q121, Some(q121Sql)),
     Q("q122_new_ip_anomaly", q122, Some(q122Sql)),
-    Q("q123_governed_corpus", q123, Some(q123Sql)))
+    Q("q123_governed_corpus", q123, Some(q123Sql)),
+    Q("q124_compliance_report", q124, Some(q124Sql)))
 }

@@ -76,6 +76,48 @@ object AuditAnalytics {
         col("failed_attempts_count"), lit(0.8).as("risk_score"))
   }
 
+  /** The audit.py:325-492 log_* helpers stamp each category with fixed
+    * compliance tags; this is that convention as a column. */
+  def complianceTags(category: Column): Column =
+    when(category === "authentication",
+        array(lit("authentication"), lit("access_control")))
+      .when(category === "authorization",
+        array(lit("authorization"), lit("access_control")))
+      .when(category === "knowledge_access",
+        array(lit("data_access"), lit("knowledge_management")))
+      .when(category === "knowledge_modification",
+        array(lit("data_modification"), lit("knowledge_management")))
+      .otherwise(array(lit("security_incident"), lit("threat_detection")))
+
+  /** Compliance report (audit.py:625-679 get_compliance_report):
+    * events carrying ANY of the requested tags inside the trailing
+    * window, broken down by tag (exploded — an event counts once per
+    * matching tag), user, action, and the fixed 0.3/0.7 risk tiers.
+    * Long-form (stat, key, value) like [[securitySummary]]. Expects
+    * `compliance_tags` and `action` columns on the frame. */
+  def complianceReport(audit: DataFrame, tags: Seq[String], now: Column,
+      daysBack: Int = 30): DataFrame = {
+    val scope = audit.filter(
+      arrays_overlap(col("compliance_tags"), lit(tags.toArray)) &&
+        col("ts") >= now - expr(s"INTERVAL $daysBack DAYS"))
+    def leg(stat: String, key: Column, src: DataFrame = scope) =
+      src.groupBy(key.as("key")).agg(count(lit(1)).as("value"))
+        .select(lit(stat).as("stat"), col("key"), col("value"))
+    val total = scope.agg(count(lit(1)).as("value"))
+      .select(lit("total_events").as("stat"), lit("").as("key"),
+        col("value"))
+    val byTag = leg("events_by_tag", col("tag"),
+      scope.select(explode(col("compliance_tags")).as("tag"))
+        .filter(col("tag").isin(tags: _*)))
+    val byUser = leg("events_by_user", col("user_id").cast("string"))
+    val byAction = leg("events_by_action", col("action"))
+    val risk = leg("risk_distribution",
+      when(col("risk_score") < 0.3, "low")
+        .when(col("risk_score") < 0.7, "medium").otherwise("high"))
+    total.unionByName(byTag).unionByName(byUser).unionByName(byAction)
+      .unionByName(risk)
+  }
+
   final case class AuthFail(user_id: Long, event_id: Long, us: Long)
   final case class Incident(user_id: Long, event_id: Long, ts_us: Long,
       failed_attempts_count: Long, risk_score: Double)

@@ -68,7 +68,8 @@ class PlanShapeSpec extends SparkSpec {
     "q118_access_grants",     // broadcast principal frame (5 users)
     "q119_privacy_stats",     // same bounded principal broadcast
     "q120_security_summary",  // 1-row max-ts anchor
-    "q123_governed_corpus")   // same bounded principal broadcast as q118
+    "q123_governed_corpus",   // same bounded principal broadcast as q118
+    "q124_compliance_report") // 1-row max-ts anchor
 
   // On failure, include a plan excerpt around the first occurrence so a
   // transient/state-dependent failure self-diagnoses from the log alone.
