@@ -54,7 +54,7 @@ object AccessControl {
     while (grew) {
       val next = reach
         .unionByName(
-          reach.join(edges.withColumnRenamed("role_id", "via"),
+          reach.join(broadcast(edges.withColumnRenamed("role_id", "via")),
               reach("ancestor") === col("via"))
             .select(reach("role_id"), col("parent").as("ancestor")))
         .distinct().cache()
@@ -74,7 +74,8 @@ object AccessControl {
     * permissions (rbac.py:640-651 collect_permissions). */
   def rolePermissions(roles: DataFrame): DataFrame =
     roleClosure(roles)
-      .join(roles.select(col("role_id").as("ancestor"), col("permissions")),
+      .join(broadcast(
+          roles.select(col("role_id").as("ancestor"), col("permissions"))),
         "ancestor")
       .select(col("role_id"), explode(col("permissions")).as("permission_id"))
       .distinct()
@@ -105,10 +106,12 @@ object AccessControl {
       permission: String): DataFrame = {
     val perms = rolePermissions(roles)
       .filter(col("permission_id") === permission)
+    // principal frames are bounded governance metadata — broadcast
+    // explicitly so the tiny joins never plan a shuffle
     users
       .select(col("user_id"), col("org").as("user_org"),
         explode_outer(col("roles")).as("role_id"))
-      .join(perms, Seq("role_id"), "left")
+      .join(broadcast(perms), Seq("role_id"), "left")
       .groupBy(col("user_id"), col("user_org"))
       .agg(max(col("permission_id").isNotNull).as("has_perm"))
   }
@@ -123,12 +126,14 @@ object AccessControl {
     val permOk = array_contains(col("perms"), permission) ||
       array_contains(col("perms"), "*")
     val live = rules.filter(col("valid") && permOk)
-    val byRole = users
-      .select(col("user_id"), explode(col("roles")).as("role_id"))
+    // the principal side is the broadcast build; the rule table may be
+    // larger (though still governance-bounded) and streams through
+    val byRole = broadcast(users
+        .select(col("user_id"), explode(col("roles")).as("role_id")))
       .join(live.filter(col("rule_role").isNotNull),
         col("role_id") === col("rule_role"))
       .select(col("user_id"), col("doc_id"))
-    val byUser = users.select(col("user_id"))
+    val byUser = broadcast(users.select(col("user_id")))
       .join(live.filter(col("rule_user").isNotNull),
         col("user_id") === col("rule_user"))
       .select(col("user_id"), col("doc_id"))
