@@ -151,10 +151,80 @@ object SamplingQueries {
        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
   }
 
+  // -- q125: PII scrub (pipeline mandate, no reference counterpart) —
+  //          per-kind detection counts + redaction, verified through the
+  //          md5 of the redacted text. The synthetic corpus carries no
+  //          PII, so a deterministic doc_id-derived tail plants emails /
+  //          phones / SSNs / IPs / card numbers that BOTH engines build
+  //          identically; the scrub itself is pure per-row regex.
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.PiiScrub
+    def pad4(c: org.apache.spark.sql.Column) =
+      lpad((c % 10000).cast("string"), 4, "0")
+    val id = col("doc_id")
+    val aug = docs(s, dir).select(id, concat(
+      col("text"),
+      when(id % 3 === 0, concat(lit(" contact user"), id.cast("string"),
+        lit("@example.com"))).otherwise(""),
+      when(id % 5 === 0, concat(lit(" call 555-010-"), pad4(id)))
+        .otherwise(""),
+      when(id % 7 === 0, concat(lit(" ssn 123-45-"), pad4(id)))
+        .otherwise(""),
+      when(id % 4 === 0, concat(lit(" from 10.0."),
+        (id % 256).cast("string"), lit("."), (id % 100).cast("string")))
+        .otherwise(""),
+      when(id % 11 === 0, concat(lit(" card 4111-1111-1111-"), pad4(id)))
+        .otherwise("")).as("text"))
+    aug.select(col("doc_id"),
+        PiiScrub.count(col("text"), "email").as("n_email"),
+        PiiScrub.count(col("text"), "card").as("n_card"),
+        PiiScrub.count(col("text"), "ssn").as("n_ssn"),
+        PiiScrub.count(col("text"), "phone").as("n_phone"),
+        PiiScrub.count(col("text"), "ip").as("n_ip"),
+        md5(PiiScrub.redact(col("text"))).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q125Sql = {
+    import graft.pipeline.PiiScrub
+    val pats = PiiScrub.patterns.map(_._2)
+    val (em, cd, ssn, ph, ip) = (pats(0), pats(1), pats(2), pats(3), pats(4))
+    val redacted = PiiScrub.patterns.foldLeft("text") {
+      case (expr, (_, pat, mask)) =>
+        s"regexp_replace($expr, '$pat', '$mask', 'g')"
+    }
+    s"""WITH aug AS (
+       |  SELECT doc_id, text
+       |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id
+       |         || '@example.com' ELSE '' END
+       |    || CASE WHEN doc_id % 5 = 0 THEN ' call 555-010-'
+       |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |       ELSE '' END
+       |    || CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-'
+       |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |       ELSE '' END
+       |    || CASE WHEN doc_id % 4 = 0 THEN ' from 10.0.'
+       |         || CAST(doc_id % 256 AS VARCHAR) || '.'
+       |         || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+       |    || CASE WHEN doc_id % 11 = 0 THEN ' card 4111-1111-1111-'
+       |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |       ELSE '' END AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$em')) AS INT) AS n_email,
+       |  CAST(len(regexp_extract_all(text, '$cd')) AS INT) AS n_card,
+       |  CAST(len(regexp_extract_all(text, '$ssn')) AS INT) AS n_ssn,
+       |  CAST(len(regexp_extract_all(text, '$ph')) AS INT) AS n_phone,
+       |  CAST(len(regexp_extract_all(text, '$ip')) AS INT) AS n_ip,
+       |  md5($redacted) AS redacted_md5
+       |FROM aug ORDER BY doc_id""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q111_split_assign", q111, Some(q111Sql)),
     Q("q112_quota_sample", q112, Some(q112Sql)),
     Q("q115_decontamination", q115, Some(q115Sql), headline = true),
     Q("q116_corpus_build", q116, Some(q116Sql)),
-    Q("q117_token_chunks", q117, Some(q117Sql)))
+    Q("q117_token_chunks", q117, Some(q117Sql)),
+    Q("q125_pii_scrub", q125, Some(q125Sql)))
 }
