@@ -216,4 +216,36 @@ object Dedup {
       .filter(col("sim") >= threshold)
       .select(col("a_id"), col("b_id"), col("sim"))
   }
+
+  /** Cluster canonicalization — the step every pair-producing dedup
+    * needs before it can DROP anything: near-dup pairs are not
+    * transitive, so "keep a, drop b" per pair can drop both ends of a
+    * chain. Connected components over the pair graph define the
+    * duplicate clusters; one survivor per cluster (longest text, ties
+    * to the smallest id — the usual keep-the-richest-copy policy) is
+    * marked canonical and the rest are droppable.
+    *
+    * Scale shape: the pair graph is tiny relative to the corpus (only
+    * docs with a near-dup appear), label propagation shuffles narrow
+    * (id, label) rows per iteration and converges in O(cluster
+    * diameter) rounds — near-dup clusters are dense, so diameter is
+    * small even when clusters are large. The final survivor pick is one
+    * window over the clustered docs only, and the downstream drop is an
+    * anti-join of the corpus against the non-canonical ids. */
+  def clusters(pairs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a_id").as("from_id"), col("b_id").as("to_id"))
+    val cc = graft.graph.GraphOps.connectedComponents(edges, maxIter)
+      .select(col("node_id").as(idCol), col("component").as("cluster_id"))
+    val byRichness = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(length(col(textCol)).desc, col(idCol))
+    val bySize = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+    cc.join(docs.select(col(idCol), col(textCol)), idCol)
+      .withColumn("cluster_size", count(lit(1)).over(bySize))
+      .withColumn("is_canonical", row_number().over(byRichness) === 1)
+      .select(col(idCol), col("cluster_id"), col("cluster_size"),
+        col("is_canonical"))
+  }
 }

@@ -58,6 +58,54 @@ object DedupQueries {
        |WHERE est >= 0.9
        |ORDER BY a_id, b_id""".stripMargin
 
+  // -- q126: cluster canonicalization over the q28 pair graph —
+  //          connected components (min-label propagation) + one survivor
+  //          per cluster (longest text, tie to smallest id). The oracle
+  //          replays the LSH pair generation, then closes the graph with
+  //          a recursive CTE: min reachable id == the propagated label.
+  private def q126(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.minhashLsh(d, "doc_id", "text", k = 12, bands = 2,
+      threshold = 0.9)
+    Dedup.clusters(pairs, d, "doc_id", "text").orderBy(col("doc_id"))
+  }
+
+  private val q126Sql =
+    s"""WITH RECURSIVE sig AS (
+       |  SELECT doc_id AS id, ${TF.sql.minhashSignature("text", 12)} AS sig
+       |  FROM documents),
+       |banded AS (
+       |  SELECT id, sig,
+       |    b::VARCHAR || '#' || array_to_string(sig[b*6+1:b*6+6], '#') AS bucket
+       |  FROM sig, range(0, 2) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+       |  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.id < b.id),
+       |pairs AS (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT c.a_id, c.b_id,
+       |      len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2])) * 1.0 / 12 AS est
+       |    FROM cand c JOIN sig sa ON sa.id = c.a_id JOIN sig sb ON sb.id = c.b_id) x
+       |  WHERE est >= 0.9),
+       |und AS (
+       |  SELECT a_id AS s, b_id AS t FROM pairs
+       |  UNION SELECT b_id AS s, a_id AS t FROM pairs),
+       |reach AS (
+       |  SELECT s, t FROM und
+       |  UNION
+       |  SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s WHERE u.t <> r.s),
+       |comp AS (
+       |  SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+       |  FROM reach GROUP BY s),
+       |ranked AS (
+       |  SELECT c.doc_id, c.cluster_id,
+       |    count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+       |    row_number() OVER (PARTITION BY c.cluster_id
+       |      ORDER BY len(d.text) DESC, c.doc_id) AS rn
+       |  FROM comp c JOIN documents d USING (doc_id))
+       |SELECT doc_id, cluster_id, cluster_size, rn = 1 AS is_canonical
+       |FROM ranked ORDER BY doc_id""".stripMargin
+
   // -- q29: SimHash (16-bit, frequency-weighted) hamming ≤ 3 within source
   private def q29(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(docs(s, dir), "doc_id", "text", "source", maxDist = 3)
@@ -147,5 +195,6 @@ object DedupQueries {
     Q("q28_dedup_minhash_lsh", q28, Some(q28Sql), headline = true),
     Q("q29_dedup_simhash", q29, Some(q29Sql)),
     Q("q30_dedup_ngram_jaccard", q30, Some(q30Sql)),
-    Q("q31_embedding_neardup", q31, Some(q31Sql)))
+    Q("q31_embedding_neardup", q31, Some(q31Sql)),
+    Q("q126_dedup_clusters", q126, Some(q126Sql)))
 }
