@@ -220,11 +220,46 @@ object SamplingQueries {
        |FROM aug ORDER BY doc_id""".stripMargin
   }
 
+  // -- q127: temperature-scaled mixture plan over the skewed lang
+  //          column (218 en … 64 fr at sf0.01), T=2 flattens toward
+  //          uniform. `realized` counts actual copies emitted by the
+  //          mix() epoch-explode — the oracle derives the same number
+  //          arithmetically (full_epochs·n + remainder = quota), so the
+  //          two engines confirm the quota through different paths.
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Mixing
+    val d = docs(s, dir)
+    val realized = Mixing.mix(d, "lang", "doc_id", 2.0, 1000L)
+      .groupBy(col("lang").as("source"))
+      .agg(count(lit(1)).as("realized"))
+    Mixing.plan(d, "lang", 2.0, 1000L)
+      .join(realized, Seq("source"), "left")
+      .withColumn("realized", coalesce(col("realized"), lit(0L)))
+      .orderBy(col("source"))
+  }
+
+  private val q127Sql =
+    """WITH counts AS (
+      |  SELECT lang AS source, count(*) AS n_docs FROM documents GROUP BY 1),
+      |tot AS (SELECT sum(n_docs) AS n_total FROM counts),
+      |w AS (
+      |  SELECT source, n_docs, pow(n_docs * 1.0 / n_total, 1.0 / 2.0) AS w
+      |  FROM counts, tot),
+      |ws AS (SELECT sum(w) AS w_sum FROM w),
+      |q AS (
+      |  SELECT source, n_docs, w / w_sum AS p,
+      |    CAST(round(w / w_sum * 1000) AS BIGINT) AS quota FROM w, ws)
+      |SELECT source, n_docs, round(p, 6) AS p, quota,
+      |  quota // n_docs AS full_epochs, quota % n_docs AS remainder,
+      |  (quota // n_docs) * n_docs + quota % n_docs AS realized
+      |FROM q ORDER BY source""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q111_split_assign", q111, Some(q111Sql)),
     Q("q112_quota_sample", q112, Some(q112Sql)),
     Q("q115_decontamination", q115, Some(q115Sql), headline = true),
     Q("q116_corpus_build", q116, Some(q116Sql)),
     Q("q117_token_chunks", q117, Some(q117Sql)),
-    Q("q125_pii_scrub", q125, Some(q125Sql)))
+    Q("q125_pii_scrub", q125, Some(q125Sql)),
+    Q("q127_mixture_plan", q127, Some(q127Sql)))
 }
