@@ -282,11 +282,73 @@ object TextQueries {
        |FROM withmean ORDER BY doc_id""".stripMargin
   }
 
+  // -- q128: repetition quality filters (Gopher-rules style) — word and
+  //          bigram occurrence stats from one sorted linear pass per row
+  //          (scan-local; the oracle takes the explode+group-by road, so
+  //          the run-length aggregate is verified against an independent
+  //          counting method). Thresholds picked on the corpus
+  //          distribution: top_word_share flags ~18%, dup_bigram_frac
+  //          ~25% at sf0.01. Docs under 2 tokens have no bigram and are
+  //          out of scope on both sides.
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Repetition
+    val toks = Repetition.tokens(col("text"))
+    val base = docs(s, dir)
+      .select(col("doc_id"), toks.as("l"))
+      .filter(size(col("l")) >= 2)
+      .withColumn("ws", Repetition.runStats(col("l")))
+      .withColumn("bs", Repetition.runStats(Repetition.bigrams(col("l"))))
+      .withColumn("n_words", size(col("l")).cast("long"))
+      .withColumn("n_bi", (size(col("l")) - 1).cast("long"))
+    base.select(col("doc_id"), col("n_words"),
+        round(Repetition.topShare(col("ws"), col("n_words")), 6)
+          .as("top_word_share"),
+        round(Repetition.dupFraction(col("ws"), col("n_words")), 6)
+          .as("dup_word_frac"),
+        round(Repetition.topShare(col("bs"), col("n_bi")), 6)
+          .as("top_bigram_share"),
+        round(Repetition.dupFraction(col("bs"), col("n_bi")), 6)
+          .as("dup_bigram_frac"))
+      .withColumn("pass",
+        col("top_word_share") <= 0.12 && col("dup_bigram_frac") <= 0.10)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q128Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+      |  FROM documents),
+      |scoped AS (SELECT * FROM toks WHERE len(l) >= 2),
+      |words AS (SELECT doc_id, unnest(l) AS w FROM scoped),
+      |wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2),
+      |wagg AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, max(c) AS topw,
+      |    coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS dupw
+      |  FROM wc GROUP BY 1),
+      |bi AS (
+      |  SELECT doc_id, l[i] || ' ' || l[i+1] AS b
+      |  FROM scoped, unnest(range(1, len(l))) r(i)),
+      |bc AS (SELECT doc_id, b, count(*) AS c FROM bi GROUP BY 1, 2),
+      |bagg AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bi, max(c) AS topb,
+      |    coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS dupb
+      |  FROM bc GROUP BY 1),
+      |m AS (
+      |  SELECT doc_id, n_words,
+      |    round(topw * 1.0 / n_words, 6) AS top_word_share,
+      |    round(dupw * 1.0 / n_words, 6) AS dup_word_frac,
+      |    round(topb * 1.0 / n_bi, 6) AS top_bigram_share,
+      |    round(dupb * 1.0 / n_bi, 6) AS dup_bigram_frac
+      |  FROM wagg JOIN bagg USING (doc_id))
+      |SELECT *, top_word_share <= 0.12 AND dup_bigram_frac <= 0.10 AS pass
+      |FROM m ORDER BY doc_id""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q32_text_langid", q32, Some(q32Sql)),
     Q("q33_text_quality", q33, Some(q33Sql)),
     Q("q34_token_counts", q34, Some(q34Sql), headline = true),
     Q("q35_fingerprint", q35, Some(q35Sql)),
     Q("q93_quality_dimensions", q93, Some(q93Sql)),
-    Q("q95_temporal_quality", q95, Some(q95Sql)))
+    Q("q95_temporal_quality", q95, Some(q95Sql)),
+    Q("q128_repetition_filters", q128, Some(q128Sql)))
 }

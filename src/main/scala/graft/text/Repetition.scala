@@ -1,0 +1,67 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Repetition-based quality filters for training corpora (builder
+  * mandate — no reference counterpart): excessive word / n-gram
+  * repetition is the classic low-quality-document signal (boilerplate,
+  * keyword stuffing, generation loops), filtered on ratio thresholds in
+  * the Gopher-rules style.
+  *
+  * Everything is per-row column arithmetic over the token array — the
+  * occurrence statistics come from ONE linear pass over the sorted
+  * array (run-length aggregate), not from a token explode + group-by,
+  * so the metrics compute inside the scan with zero shuffle at any
+  * corpus size. Per-row cost is O(tokens · log tokens) for the sort;
+  * the alternative count-per-distinct-token lambda is O(tokens ·
+  * distinct) and quadratic on long documents.
+  */
+object Repetition {
+
+  /** Whitespace tokens with empties dropped (leading/trailing space
+    * safe). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** Adjacent-pair (bigram) strings of a token array. */
+  def bigrams(toks: Column): Column =
+    transform(sequence(lit(1), size(toks) - 1),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+
+  /** Occurrence statistics of an array in one sorted linear pass:
+    * struct(best = top occurrence count, nruns = distinct values,
+    * dup = total occurrences of values appearing more than once). */
+  def runStats(arr: Column): Column = {
+    def state(prev: Column, run: Column, best: Column, nruns: Column,
+        dup: Column) =
+      struct(prev.as("prev"), run.as("run"), best.as("best"),
+        nruns.as("nruns"), dup.as("dup"))
+    def closeRun(acc: Column) = (
+      greatest(acc("best"), acc("run")),
+      acc("dup") + when(acc("run") > 1, acc("run")).otherwise(lit(0L)))
+    aggregate(
+      array_sort(arr),
+      state(lit(null).cast("string"), lit(0L), lit(0L), lit(0L), lit(0L)),
+      (acc, x) => {
+        val (best, dup) = closeRun(acc)
+        when(acc("prev").isNotNull && x === acc("prev"),
+          state(x, acc("run") + 1, acc("best"), acc("nruns"), acc("dup")))
+          .otherwise(state(x, lit(1L), best, acc("nruns") + 1, dup))
+      },
+      acc => {
+        val (best, dup) = closeRun(acc)
+        struct(best.as("best"), acc("nruns").as("nruns"), dup.as("dup"))
+      })
+  }
+
+  /** Top-occurrence share: best / total, the "one token dominates"
+    * signal. */
+  def topShare(stats: Column, total: Column): Column =
+    stats("best") / total
+
+  /** Duplicated-occurrence fraction: share of occurrences whose value
+    * appears more than once. */
+  def dupFraction(stats: Column, total: Column): Column =
+    stats("dup") / total
+}
