@@ -332,32 +332,64 @@ object GraphOps {
       .agg(sum(col("n_chains")).as("n_chains"))
   }
 
-  /** Connected components by iterative min-label propagation — each
-    * iteration is one join + aggregate; converges in O(diameter) rounds.
-    * (GraphX offers this too; the DataFrame form keeps everything in
-    * Catalyst/AQE and works with bucketed edges at scale.) */
+  /** Connected components by star contraction: every round merges each
+    * node of the CURRENT graph into min(self, neighbors) and rewrites
+    * the edge list through the merge (intra-component self-edges drop).
+    * Merges happen along edges only, so components never mix, and the
+    * component's min id can only merge into itself — labels converge to
+    * the min member id, same contract as plain min-label propagation.
+    *
+    * The difference is the work curve: propagation joins the FULL edge
+    * list every round for O(diameter) rounds, while contraction shrinks
+    * the edge list geometrically (a near-clique — the shape of near-dup
+    * clusters — contracts to nothing in one round; a path halves), so
+    * rounds cost less as they go and O(log n) rounds suffice worst-case.
+    * Convergence is edges-empty — a no-op check on a materialized frame,
+    * not an extra label-comparison join. (GraphX ships the same idea;
+    * this form keeps everything in Catalyst/AQE.) */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    // only endpoints are needed — works on bare (from_id, to_id) edge lists
-    val und = edges.select(col("from_id").as("node_id"), col("to_id").as("next_id"))
-      .unionByName(edges.select(col("to_id").as("node_id"), col("from_id").as("next_id")))
-      .repartition(col("node_id"))
+    // normalized undirected edge list, u < v — works on bare
+    // (from_id, to_id) lists; self-loops don't affect components.
+    // NOT deduplicated: duplicate input edges only pad the first
+    // contraction's aggregate, while an upfront distinct would shuffle
+    // the full edge list once more than necessary (pair-join producers
+    // like minhashLsh already emit distinct pairs).
+    var e = edges.select(
+        least(col("from_id"), col("to_id")).as("u"),
+        greatest(col("from_id"), col("to_id")).as("v"))
+      .filter(col("u") =!= col("v"))
       .truncateLineage()
-    var labels = und.select(col("node_id")).distinct()
-      .withColumn("component", col("node_id")).truncateLineage()
-    var changed = true
+    // original node -> current contracted-graph node; seeded by the
+    // first round's merge map (which covers exactly the endpoint set)
+    var labels: DataFrame = null
     var i = 0
-    while (changed && i < maxIter) {
-      val prop = und.join(labels, "node_id")
-        .select(col("next_id").as("node_id"), col("component"))
-      val next = labels.unionByName(prop)
-        .groupBy("node_id").agg(min(col("component")).as("component"))
+    while (!e.isEmpty && i < maxIter) {
+      // min over (self, neighborhood) in the contracted graph — `rel`
+      // has one row per live node, always ≤ the original node count and
+      // tiny next to the edge list it contracts
+      val rel = e.select(col("u").as("n"), col("v").as("m"))
+        .unionByName(e.select(col("v").as("n"), col("u").as("m")))
+        .groupBy(col("n")).agg(least(col("n"), min(col("m"))).as("newl"))
         .truncateLineage()
-      changed = !next.join(labels,
-        next("node_id") === labels("node_id") &&
-          next("component") === labels("component"), "left_anti").isEmpty
-      labels = next
+      labels =
+        if (labels == null)
+          rel.select(col("n").as("node_id"), col("newl").as("component"))
+        else labels
+          .join(rel.withColumnRenamed("n", "component"), Seq("component"), "left")
+          .select(col("node_id"),
+            coalesce(col("newl"), col("component")).as("component"))
+          .truncateLineage()
+      e = e.join(rel.withColumnRenamed("n", "u").withColumnRenamed("newl", "lu"), "u")
+        .join(rel.withColumnRenamed("n", "v").withColumnRenamed("newl", "lv"), "v")
+        .select(least(col("lu"), col("lv")).as("u"),
+          greatest(col("lu"), col("lv")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .truncateLineage()
       i += 1
     }
-    labels
+    if (labels == null)
+      e.select(col("u").as("node_id"), col("u").as("component")).limit(0)
+    else labels
   }
 }
