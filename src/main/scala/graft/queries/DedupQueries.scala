@@ -190,11 +190,67 @@ object DedupQueries {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  // -- q130: duplicated-span detection — 4-token shingles occurring in
+  //          more than one distinct document; per-doc duplicated-shingle
+  //          fraction + span-union token coverage. Coverage counts
+  //          distinct exploded positions (integer arithmetic) so both
+  //          engines agree exactly; k=4 on this corpus flags ~6% of
+  //          shingle types (k=3 saturates at 42%, k=5 only sees the
+  //          planted near-dups).
+  private val SpanK = 4
+
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.SpanDedup
+    import graft.text.Repetition
+    val toks = docs(s, dir)
+      .select(col("doc_id"), Repetition.tokens(col("text")).as("l"))
+    SpanDedup.stats(toks, SpanK)
+      .select(col("doc_id"), col("n_tokens"), col("n_shingles"),
+        col("dup_shingles"), round(col("dup_frac"), 6).as("dup_frac"),
+        col("covered_tokens"),
+        round(col("covered_frac"), 6).as("covered_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q130Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS l
+       |  FROM documents),
+       |scoped AS (SELECT * FROM toks WHERE len(l) >= $SpanK),
+       |sh AS (
+       |  SELECT doc_id, i AS pos,
+       |    list_aggregate(l[i:i+$SpanK-1], 'string_agg', ' ') AS shingle
+       |  FROM scoped, unnest(range(1, len(l) - $SpanK + 2)) r(i)),
+       |dup AS (
+       |  SELECT shingle FROM sh GROUP BY shingle
+       |  HAVING count(DISTINCT doc_id) > 1),
+       |ds AS (SELECT sh.* FROM sh JOIN dup USING (shingle)),
+       |per AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+       |dper AS (SELECT doc_id, count(*) AS dup_shingles FROM ds GROUP BY 1),
+       |cov AS (
+       |  SELECT doc_id, count(DISTINCT pos + off) AS covered_tokens
+       |  FROM ds, unnest(range(0, $SpanK)) r(off) GROUP BY 1)
+       |SELECT s.doc_id, CAST(len(s.l) AS BIGINT) AS n_tokens,
+       |  per.n_shingles,
+       |  coalesce(dper.dup_shingles, 0) AS dup_shingles,
+       |  round(coalesce(dper.dup_shingles, 0) * 1.0 / per.n_shingles, 6)
+       |    AS dup_frac,
+       |  coalesce(cov.covered_tokens, 0) AS covered_tokens,
+       |  round(coalesce(cov.covered_tokens, 0) * 1.0 / len(s.l), 6)
+       |    AS covered_frac
+       |FROM scoped s
+       |JOIN per USING (doc_id)
+       |LEFT JOIN dper USING (doc_id)
+       |LEFT JOIN cov USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q27_dedup_exact", q27, Some(q27Sql), headline = true),
     Q("q28_dedup_minhash_lsh", q28, Some(q28Sql), headline = true),
     Q("q29_dedup_simhash", q29, Some(q29Sql)),
     Q("q30_dedup_ngram_jaccard", q30, Some(q30Sql)),
     Q("q31_embedding_neardup", q31, Some(q31Sql)),
-    Q("q126_dedup_clusters", q126, Some(q126Sql)))
+    Q("q126_dedup_clusters", q126, Some(q126Sql)),
+    Q("q130_duplicated_spans", q130, Some(q130Sql)))
 }

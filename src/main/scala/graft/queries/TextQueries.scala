@@ -343,6 +343,49 @@ object TextQueries {
       |SELECT *, top_word_share <= 0.12 AND dup_bigram_frac <= 0.10 AS pass
       |FROM m ORDER BY doc_id""".stripMargin
 
+  // -- q129: corpus bigram-LM perplexity scoring (CCNet-style filter).
+  //          The per-doc log-prob sum folds a position-sorted array on
+  //          BOTH sides (Spark aggregate() vs DuckDB sum(... ORDER BY
+  //          pos)), so the doubles agree bit-for-bit before round().
+  //          Threshold: the corpus ppl distribution at sf0.01 spans
+  //          ~13.3-19.6 with planted near-dup boilerplate at the low
+  //          end; pass cuts the high-surprise tail at 18.
+  private def q129(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{NgramLm, Repetition}
+    val toks = docs(s, dir)
+      .select(col("doc_id"), Repetition.tokens(col("text")).as("l"))
+      .filter(size(col("l")) >= 2)
+    NgramLm.score(toks)
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("ce"), 6).as("cross_entropy"),
+        round(col("ppl"), 6).as("perplexity"))
+      .withColumn("pass", col("perplexity") <= 18.0d)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q129Sql =
+    s"""WITH ${graft.text.NgramLm.sql.toksCte},
+       |inst AS (
+       |  SELECT doc_id, i AS pos, l[i] AS w1, l[i+1] AS w2
+       |  FROM scoped, unnest(range(1, len(l))) r(i)),
+       |c12 AS (SELECT w1, w2, count(*) AS c12 FROM inst GROUP BY 1, 2),
+       |c1 AS (SELECT w1, count(*) AS c1 FROM inst GROUP BY 1),
+       |v AS (
+       |  SELECT count(DISTINCT w) AS v
+       |  FROM (SELECT unnest(l) AS w FROM scoped)),
+       |lp AS (
+       |  SELECT doc_id, pos, ln((c12 + 1.0) / (c1 + v)) AS lp
+       |  FROM inst JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    -sum(lp ORDER BY pos) / count(*) AS ce
+       |  FROM lp GROUP BY 1)
+       |SELECT doc_id, n_bigrams,
+       |  round(ce, 6) AS cross_entropy,
+       |  round(exp(ce), 6) AS perplexity,
+       |  round(exp(ce), 6) <= 18.0 AS pass
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q32_text_langid", q32, Some(q32Sql)),
     Q("q33_text_quality", q33, Some(q33Sql)),
@@ -350,5 +393,6 @@ object TextQueries {
     Q("q35_fingerprint", q35, Some(q35Sql)),
     Q("q93_quality_dimensions", q93, Some(q93Sql)),
     Q("q95_temporal_quality", q95, Some(q95Sql)),
-    Q("q128_repetition_filters", q128, Some(q128Sql)))
+    Q("q128_repetition_filters", q128, Some(q128Sql)),
+    Q("q129_lm_perplexity", q129, Some(q129Sql)))
 }

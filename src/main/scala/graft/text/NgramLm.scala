@@ -1,0 +1,78 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained bigram language model scoring (builder mandate — no
+  * reference counterpart): the CCNet-style "perplexity filter" used by
+  * large-scale training pipelines, where each document is scored by how
+  * surprising its word sequence is under a model of the whole corpus,
+  * and the tail of the perplexity distribution is cut. Here the model
+  * IS the corpus being scored (self-perplexity): add-one-smoothed
+  * bigram probabilities from global prefix/bigram counts.
+  *
+  * Scale shape: two key-partitioned count aggregates (bigram, prefix),
+  * two shuffle hash joins back onto the bigram instance stream, and one
+  * per-document aggregate — every stage is keyed, nothing is collected,
+  * and the only broadcast is the 1-row vocabulary frame. At 100 TB the
+  * count tables are corpus-vocabulary-sized (quadratic in vocab, not in
+  * corpus) so the joins stay hash joins on word keys.
+  *
+  * Determinism contract: per-document log-probabilities are summed in
+  * POSITION order via a sorted-array left fold, not a floating-point
+  * shuffle-order `sum`, so the engine and an oracle that sums in the
+  * same order produce bit-identical doubles before rounding.
+  */
+object NgramLm {
+
+  /** Bigram instances of token-array frame (doc_id, l) →
+    * (doc_id, pos, w1, w2); pos is the 1-based bigram position. */
+  def bigramInstances(toks: DataFrame): DataFrame =
+    toks
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("l")) - 1),
+          i => struct(element_at(col("l"), i).as("w1"),
+            element_at(col("l"), i + 1).as("w2")))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col.w1").as("w1"), col("col.w2").as("w2"))
+
+  /** Per-document cross-entropy + perplexity under the corpus bigram
+    * model: ce = -(1/n)·Σ ln((c(w1,w2)+1)/(c(w1·)+V)). Input is the
+    * tokenized frame (doc_id, l) with at least 2 tokens per row;
+    * output (doc_id, n_bigrams, ce, ppl) with ce/ppl unrounded. */
+  def score(toks: DataFrame): DataFrame = {
+    val inst = bigramInstances(toks)
+    val bigramCounts = inst.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val prefixCounts = inst.groupBy(col("w1"))
+      .agg(count(lit(1)).as("c1"))
+    val vocab = toks.select(explode(col("l")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val lp = inst
+      .join(bigramCounts, Seq("w1", "w2"))
+      .join(prefixCounts, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("pos"),
+        log((col("c12") + lit(1.0)) / (col("c1") + col("v"))).as("lp"))
+    lp.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("lp"))))
+        .as("lps"))
+      .select(col("doc_id"),
+        size(col("lps")).cast("long").as("n_bigrams"),
+        (-aggregate(col("lps"), lit(0.0d), (acc, x) => acc + x("lp")) /
+          size(col("lps"))).as("ce"))
+      .withColumn("ppl", exp(col("ce")))
+  }
+
+  /** The same scoring as inline DuckDB SQL fragments (oracle side). */
+  object sql {
+    /** Tokenizing CTE prefix shared by the oracle: (doc_id, l) with
+      * len(l) >= 2, from `documents`. */
+    val toksCte: String =
+      """toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+        |  FROM documents),
+        |scoped AS (SELECT * FROM toks WHERE len(l) >= 2)""".stripMargin
+  }
+}

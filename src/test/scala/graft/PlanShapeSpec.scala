@@ -70,7 +70,8 @@ class PlanShapeSpec extends SparkSpec {
     "q120_security_summary",  // 1-row max-ts anchor
     "q123_governed_corpus",   // same bounded principal broadcast as q118
     "q124_compliance_report", // 1-row max-ts anchor
-    "q127_mixture_plan")      // 1-row normalization aggregates (n_total, w_sum)
+    "q127_mixture_plan",      // 1-row normalization aggregates (n_total, w_sum)
+    "q129_lm_perplexity")     // 1-row vocabulary-size broadcast
 
   // On failure, include a plan excerpt around the first occurrence so a
   // transient/state-dependent failure self-diagnoses from the log alone.
