@@ -320,6 +320,43 @@ object MonitoringQueries {
        |           ELSE FALSE END
        |ORDER BY window_start, rule_name""".stripMargin
 
+  // -- q131: query-cache hit analysis (query_cache.py) — TTL hit/miss/
+  //          expiry outcome per request as ONE window expression (last
+  //          cacheable same-key request before this one), grouped into
+  //          the reference's CacheStatistics per request type. TTL 600 s
+  //          sits inside the event stream's inter-arrival distribution
+  //          so all three outcomes occur; the skip-fast-responses rule
+  //          (value < 10 ms never cached) is what distinguishes this
+  //          from a plain self-lag — a hit needs a CACHEABLE put.
+  private def q131(s: SparkSession, dir: String): DataFrame =
+    graft.engine.CacheAnalysis
+      .statistics(Tables.load(s, dir, "events"), ttlSeconds = 600L)
+      .orderBy(col("event_type"))
+
+  private val q131Sql =
+    """WITH keyed AS (
+      |  SELECT event_id, ts, event_type,
+      |    lower(trim(event_type)) || ':' || json_extract_string(props, '$.k')
+      |      AS cache_key,
+      |    value >= 10.0 AS cacheable
+      |  FROM events),
+      |o AS (
+      |  SELECT event_type, cache_key,
+      |    epoch_us(ts) - max(CASE WHEN cacheable THEN epoch_us(ts) END)
+      |      OVER (PARTITION BY cache_key ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS gap_us
+      |  FROM keyed)
+      |SELECT event_type,
+      |  count(*) AS requests,
+      |  count(CASE WHEN gap_us <= 600 * 1000000 THEN 1 END) AS hits,
+      |  count(CASE WHEN gap_us > 600 * 1000000 THEN 1 END) AS expired_misses,
+      |  count(CASE WHEN gap_us IS NULL THEN 1 END) AS cold_misses,
+      |  round(count(CASE WHEN gap_us <= 600 * 1000000 THEN 1 END) * 1.0
+      |    / count(*), 6) AS hit_rate,
+      |  count(DISTINCT cache_key) AS distinct_keys
+      |FROM o GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q106_perf_window_stats", q106, Some(statsSql), headline = true),
     Q("q107_metrics_by_type", q107, Some(q107Sql)),
@@ -327,5 +364,6 @@ object MonitoringQueries {
     Q("q109_perf_recommendations", q109, Some(q109Sql)),
     Q("q110_ingestion_stats", q110, Some(q110Sql)),
     Q("q113_resource_stats", q113, Some(q113Sql)),
-    Q("q114_alert_rules", q114, Some(q114Sql)))
+    Q("q114_alert_rules", q114, Some(q114Sql)),
+    Q("q131_cache_hit_analysis", q131, Some(q131Sql)))
 }
