@@ -1,8 +1,9 @@
 package graft.engine
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Query-cache behavior analysis over a request log — the batch
   * analogue of the reference's QueryCache
@@ -76,4 +77,53 @@ object CacheAnalysis {
         round(count(when(col("outcome") === "hit", 1)).cast("double") /
           count(lit(1)), 6).as("hit_rate"),
         countDistinct(col("cache_key")).as("distinct_keys"))
+
+  /** One normalized cache request on the stream side. `us` is the
+    * event time in epoch micros. */
+  final case class CacheReq(cache_key: String, event_id: Long,
+      event_type: String, us: Long, cacheable: Boolean)
+
+  /** Streamed per-request outcome. */
+  final case class CacheOutcome(event_id: Long, cache_key: String,
+      event_type: String, outcome: String)
+
+  private final case class CacheState(lastPutUs: Long)
+
+  /** Streaming twin of [[outcomes]]: per-key state is ONE long (the
+    * latest cacheable put time), updated in (us, event_id) order —
+    * so on a bounded feed the labels match the batch window exactly
+    * (the parity contract CacheAnalysisSpec pins, same shape as the
+    * q121 brute-force twin).
+    *
+    * State is kept for the life of the stream (NoTimeout): dropping a
+    * key's state would relabel its next request cold instead of
+    * expired. That mirrors the batch window, which remembers every
+    * prior put. The reference's periodic `_cleanup_expired`
+    * (query_cache.py:432-458) DOES evict expired entries, after which
+    * its next access reads cold — a production stream would set a
+    * state timeout ≥ TTL and inherit exactly that cleanup semantics;
+    * parity with the no-cleanup batch reading requires keeping state. */
+  def outcomesStream(reqs: Dataset[CacheReq],
+      ttlSeconds: Long): Dataset[CacheOutcome] = {
+    import reqs.sparkSession.implicits._
+    val ttlUs = ttlSeconds * 1000000L
+    reqs.groupByKey(_.cache_key)
+      .flatMapGroupsWithState[CacheState, CacheOutcome](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, evs: Iterator[CacheReq], state: GroupState[CacheState]) =>
+          var lastPut = state.getOption.map(_.lastPutUs)
+          val out = evs.toSeq.sortBy(e => (e.us, e.event_id)).map { e =>
+            val outcome = lastPut match {
+              case None => "cold_miss"
+              case Some(p) if e.us - p <= ttlUs => "hit"
+              case _ => "expired_miss"
+            }
+            if (e.cacheable)
+              lastPut = Some(lastPut.fold(e.us)(math.max(_, e.us)))
+            CacheOutcome(e.event_id, key, e.event_type, outcome)
+          }
+          lastPut.foreach(p => state.update(CacheState(p)))
+          out.iterator
+      }
+  }
 }

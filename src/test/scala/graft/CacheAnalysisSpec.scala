@@ -56,6 +56,29 @@ class CacheAnalysisSpec extends SparkSpec {
     assert(o.toSeq == Seq("cold_miss", "hit"))
   }
 
+  test("outcomesStream matches the batch window on a bounded feed") {
+    // 7-day TTL: at sf0.001 the per-key inter-arrival makes all three
+    // outcomes occur (600 s yields no hits at this scale)
+    val ttl = 7L * 86400
+    val events = Tables.load(spark, sf, "events")
+    val batch = CacheAnalysis.outcomes(events, ttlSeconds = ttl)
+      .select(col("event_id"), col("outcome"))
+      .as[(Long, String)].collect().sorted.toSeq
+    val reqs = events.select(
+      concat_ws(":", lower(trim(col("event_type"))),
+        get_json_object(col("props"), "$.k")).as("cache_key"),
+      col("event_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"),
+      (col("value") >= CacheAnalysis.MinCacheableMs).as("cacheable"))
+      .as[CacheAnalysis.CacheReq]
+    val streamed = CacheAnalysis.outcomesStream(reqs, ttlSeconds = ttl)
+      .select(col("event_id"), col("outcome"))
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(batch.nonEmpty && batch.exists(_._2 == "hit") &&
+      batch.exists(_._2 == "expired_miss"))
+    assert(streamed == batch)
+  }
+
   test("statistics aggregate the outcome split per type") {
     val stats = CacheAnalysis.statistics(Seq(
       ev(1L, 0L, "search", 50.0, 7),
