@@ -254,6 +254,61 @@ object SamplingQueries {
       |  (quota // n_docs) * n_docs + quota % n_docs AS realized
       |FROM q ORDER BY source""".stripMargin
 
+  // -- q132: split-leakage audit — the train/eval overlap report a
+  //          pipeline publishes after splitting (GPT-3/PaLM-style
+  //          contamination tables): for each val/test document of the
+  //          q111 assignment, how many TRAIN documents share 8-token
+  //          word n-grams with it, and how hard is the worst overlap.
+  //          Pure composition: q111's deterministic split feeds q115's
+  //          inverted-index join; eval docs with zero overlap still
+  //          report (left join), because "no leakage" is the result
+  //          that matters. leaked >= 3 shared shingles separates real
+  //          near-dup leakage from single-phrase collisions here.
+  private def q132(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).withColumn("split",
+      Sampling.splitColumn(col("doc_id"),
+        Seq("train" -> 98, "val" -> 1, "test" -> 1), salt = "v1"))
+    val shared = graft.pipeline.Decontaminate.sharedNgrams(
+        d.filter(col("split") === "train"),
+        d.filter(col("split") =!= "train"),
+        "doc_id", "text", n = 8, minShared = 1L)
+      .withColumnRenamed("bench_id", "eval_id")
+    d.filter(col("split") =!= "train")
+      .select(col("doc_id").as("eval_id"), col("split"))
+      .join(shared, Seq("eval_id"), "left")
+      .groupBy(col("eval_id"), col("split"))
+      .agg(count(col("train_id")).as("n_train_docs"),
+        coalesce(sum(col("n_shared")), lit(0L)).as("total_shared"),
+        coalesce(max(col("n_shared")), lit(0L)).as("max_shared"))
+      .withColumn("leaked", col("max_shared") >= 3L)
+      .orderBy(col("eval_id"))
+  }
+
+  private val q132Sql = {
+    val sh = graft.pipeline.Decontaminate.sql
+      .shingleHashes("string_split(text, ' ')", 8)
+    s"""WITH sp AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN ${bucketSql("doc_id", 100, "v1")} < 98 THEN 'train'
+       |         WHEN ${bucketSql("doc_id", 100, "v1")} < 99 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |sh AS (SELECT doc_id, split, unnest($sh) AS g_id FROM sp),
+       |t AS (SELECT doc_id AS train_id, g_id FROM sh WHERE split = 'train'),
+       |e AS (SELECT doc_id AS eval_id, g_id FROM sh WHERE split <> 'train'),
+       |pair AS (
+       |  SELECT eval_id, train_id, count(*) AS n_shared
+       |  FROM e JOIN t USING (g_id) GROUP BY 1, 2)
+       |SELECT s.doc_id AS eval_id, s.split,
+       |  count(p.train_id) AS n_train_docs,
+       |  CAST(coalesce(sum(p.n_shared), 0) AS BIGINT) AS total_shared,
+       |  coalesce(max(p.n_shared), 0) AS max_shared,
+       |  coalesce(max(p.n_shared), 0) >= 3 AS leaked
+       |FROM sp s LEFT JOIN pair p ON p.eval_id = s.doc_id
+       |WHERE s.split <> 'train'
+       |GROUP BY 1, 2 ORDER BY eval_id""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q111_split_assign", q111, Some(q111Sql)),
     Q("q112_quota_sample", q112, Some(q112Sql)),
@@ -261,5 +316,6 @@ object SamplingQueries {
     Q("q116_corpus_build", q116, Some(q116Sql)),
     Q("q117_token_chunks", q117, Some(q117Sql)),
     Q("q125_pii_scrub", q125, Some(q125Sql)),
-    Q("q127_mixture_plan", q127, Some(q127Sql)))
+    Q("q127_mixture_plan", q127, Some(q127Sql)),
+    Q("q132_split_leakage", q132, Some(q132Sql)))
 }
