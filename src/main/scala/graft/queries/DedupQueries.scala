@@ -245,6 +245,62 @@ object DedupQueries {
        |LEFT JOIN cov USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // -- q135: cross-source duplicate-flow matrix — where do the near
+  //          duplicates COME FROM? The q28 pair graph joined to each
+  //          side's source, aggregated per unordered source pair: the
+  //          diagnostic that tells a corpus owner which dumps duplicate
+  //          which (same-dump boilerplate vs cross-dump mirroring) and
+  //          so which inter-source dedup passes are worth running.
+  //          Matrix cells are count + mean estimated Jaccard in integer
+  //          signature-match units (est*12 is exact), so the avg is
+  //          shuffle-order safe.
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.minhashLsh(d, "doc_id", "text", k = 12, bands = 2,
+      threshold = 0.9)
+    val src = d.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("a_id"), col("source").as("src_a")),
+        Seq("a_id"))
+      .join(src.select(col("doc_id").as("b_id"), col("source").as("src_b")),
+        Seq("b_id"))
+      .select(least(col("src_a"), col("src_b")).as("source_lo"),
+        greatest(col("src_a"), col("src_b")).as("source_hi"),
+        round(col("est_jaccard") * 12).cast("long").as("match12"))
+      .groupBy(col("source_lo"), col("source_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("match12")) / 12.0, 6).as("avg_est_jaccard"))
+      .orderBy(col("source_lo"), col("source_hi"))
+  }
+
+  private val q135Sql =
+    s"""WITH sig AS (
+       |  SELECT doc_id AS id, ${TF.sql.minhashSignature("text", 12)} AS sig
+       |  FROM documents),
+       |banded AS (
+       |  SELECT id, sig,
+       |    b::VARCHAR || '#' || array_to_string(sig[b*6+1:b*6+6], '#') AS bucket
+       |  FROM sig, range(0, 2) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+       |  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.id < b.id),
+       |pairs AS (
+       |  SELECT c.a_id, c.b_id,
+       |    len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2]))
+       |      AS match12
+       |  FROM cand c JOIN sig sa ON sa.id = c.a_id JOIN sig sb ON sb.id = c.b_id
+       |  WHERE len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2]))
+       |    * 1.0 / 12 >= 0.9),
+       |lab AS (
+       |  SELECT least(da.source, db.source) AS source_lo,
+       |    greatest(da.source, db.source) AS source_hi, p.match12
+       |  FROM pairs p
+       |  JOIN documents da ON da.doc_id = p.a_id
+       |  JOIN documents db ON db.doc_id = p.b_id)
+       |SELECT source_lo, source_hi, count(*) AS n_pairs,
+       |  round(avg(match12) / 12.0, 6) AS avg_est_jaccard
+       |FROM lab GROUP BY 1, 2 ORDER BY source_lo, source_hi""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q27_dedup_exact", q27, Some(q27Sql), headline = true),
     Q("q28_dedup_minhash_lsh", q28, Some(q28Sql), headline = true),
@@ -252,5 +308,6 @@ object DedupQueries {
     Q("q30_dedup_ngram_jaccard", q30, Some(q30Sql)),
     Q("q31_embedding_neardup", q31, Some(q31Sql)),
     Q("q126_dedup_clusters", q126, Some(q126Sql)),
-    Q("q130_duplicated_spans", q130, Some(q130Sql)))
+    Q("q130_duplicated_spans", q130, Some(q130Sql)),
+    Q("q135_dup_flow_matrix", q135, Some(q135Sql)))
 }

@@ -309,6 +309,104 @@ object SamplingQueries {
        |GROUP BY 1, 2 ORDER BY eval_id""".stripMargin
   }
 
+  // -- q133: per-source curriculum buckets — decile the corpus by
+  //          bigram-LM difficulty (q129's cross-entropy) WITHIN each
+  //          source and report per-bucket stats, the assignment a
+  //          curriculum-ordered training run consumes. Partitioned
+  //          ntile, not a global one: per-source windows scale (the
+  //          global-order form would collapse to one partition). The
+  //          decile boundary doubles are bit-identical cross-engine
+  //          (position-ordered fold, see NgramLm), so the ntile
+  //          assignment is too; min/max ppl are order statistics, so
+  //          no shuffle-order float summation leaks into the output.
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{NgramLm, Repetition}
+    val d = docs(s, dir)
+    val toks = d.select(col("doc_id"), Repetition.tokens(col("text")).as("l"))
+      .filter(size(col("l")) >= 2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("ce"), col("doc_id"))
+    NgramLm.score(toks)
+      .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .withColumn("bucket", ntile(10).over(w))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams") + 1L).as("n_tokens"),
+        round(min(exp(col("ce"))), 6).as("min_ppl"),
+        round(max(exp(col("ce"))), 6).as("max_ppl"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
+  private val q133Sql =
+    s"""WITH ${graft.text.NgramLm.sql.scoreCtes},
+       |bk AS (
+       |  SELECT a.doc_id, d.source, a.n_bigrams, a.ce,
+       |    ntile(10) OVER (PARTITION BY d.source ORDER BY a.ce, a.doc_id)
+       |      AS bucket
+       |  FROM lmagg a JOIN documents d USING (doc_id))
+       |SELECT source, CAST(bucket AS INT) AS bucket,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_bigrams + 1) AS BIGINT) AS n_tokens,
+       |  round(min(exp(ce)), 6) AS min_ppl,
+       |  round(max(exp(ce)), 6) AS max_ppl
+       |FROM bk GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin
+
+  // -- q134: token-budget data selection — keep the highest-quality
+  //          documents until a global token budget is exhausted
+  //          (data-pruning under budget). The selection key is
+  //          INTEGER quality milli-units (round(quality*1000), ties by
+  //          doc_id) so ordering and the running total are exact
+  //          integer arithmetic on both engines. Two-phase plan, not a
+  //          global cumsum window: quality∈[0,1] means ≤1001 distinct
+  //          keys, so phase 1 aggregates tokens per key (the only
+  //          unpartitioned window runs over that ≤1001-row frame) and
+  //          phase 2 adds a PER-KEY doc_id-ordered window — nothing
+  //          sequential ever sees the full corpus, which is what makes
+  //          this survive 100 TB where `sum() OVER (ORDER BY ...)`
+  //          over all rows cannot. The oracle takes the global-cumsum
+  //          road, proving the two-phase decomposition exact.
+  private val TokenBudget = 15000L
+
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{TextFunctions => TF}
+    val W = org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir).select(col("doc_id"),
+      round(TF.qualityScore(col("text"), col("n_chars")) * 1000)
+        .cast("long").as("q_milli"),
+      TF.tokenCount(col("text")).cast("long").as("n_tok"))
+    val perKey = d.groupBy(col("q_milli"))
+      .agg(sum(col("n_tok")).as("key_tokens"))
+    val before = W.orderBy(col("q_milli").desc)
+      .rowsBetween(W.unboundedPreceding, -1)
+    val cum = perKey.withColumn("tokens_before",
+      coalesce(sum(col("key_tokens")).over(before), lit(0L)))
+    val within = W.partitionBy(col("q_milli")).orderBy(col("doc_id"))
+    d.join(cum.select(col("q_milli"), col("tokens_before")), Seq("q_milli"))
+      .withColumn("cum_tokens",
+        col("tokens_before") + sum(col("n_tok")).over(within))
+      .filter(col("cum_tokens") <= TokenBudget)
+      .select(col("doc_id"), col("q_milli"), col("n_tok"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q134Sql = {
+    import graft.text.{TextFunctions => TF}
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(round(${TF.sql.qualityScore("text", "n_chars")} * 1000)
+       |      AS BIGINT) AS q_milli,
+       |    CAST(${TF.sql.tokenCount("text")} AS BIGINT) AS n_tok
+       |  FROM documents),
+       |sel AS (
+       |  SELECT doc_id, q_milli, n_tok,
+       |    CAST(sum(n_tok) OVER (ORDER BY q_milli DESC, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM d)
+       |SELECT doc_id, q_milli, n_tok, cum_tokens
+       |FROM sel WHERE cum_tokens <= $TokenBudget
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q111_split_assign", q111, Some(q111Sql)),
     Q("q112_quota_sample", q112, Some(q112Sql)),
@@ -317,5 +415,7 @@ object SamplingQueries {
     Q("q117_token_chunks", q117, Some(q117Sql)),
     Q("q125_pii_scrub", q125, Some(q125Sql)),
     Q("q127_mixture_plan", q127, Some(q127Sql)),
-    Q("q132_split_leakage", q132, Some(q132Sql)))
+    Q("q132_split_leakage", q132, Some(q132Sql)),
+    Q("q133_curriculum_buckets", q133, Some(q133Sql)),
+    Q("q134_token_budget_select", q134, Some(q134Sql)))
 }

@@ -364,27 +364,12 @@ object TextQueries {
   }
 
   private val q129Sql =
-    s"""WITH ${graft.text.NgramLm.sql.toksCte},
-       |inst AS (
-       |  SELECT doc_id, i AS pos, l[i] AS w1, l[i+1] AS w2
-       |  FROM scoped, unnest(range(1, len(l))) r(i)),
-       |c12 AS (SELECT w1, w2, count(*) AS c12 FROM inst GROUP BY 1, 2),
-       |c1 AS (SELECT w1, count(*) AS c1 FROM inst GROUP BY 1),
-       |v AS (
-       |  SELECT count(DISTINCT w) AS v
-       |  FROM (SELECT unnest(l) AS w FROM scoped)),
-       |lp AS (
-       |  SELECT doc_id, pos, ln((c12 + 1.0) / (c1 + v)) AS lp
-       |  FROM inst JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
-       |agg AS (
-       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-       |    -sum(lp ORDER BY pos) / count(*) AS ce
-       |  FROM lp GROUP BY 1)
+    s"""WITH ${graft.text.NgramLm.sql.scoreCtes}
        |SELECT doc_id, n_bigrams,
        |  round(ce, 6) AS cross_entropy,
        |  round(exp(ce), 6) AS perplexity,
        |  round(exp(ce), 6) <= 18.0 AS pass
-       |FROM agg ORDER BY doc_id""".stripMargin
+       |FROM lmagg ORDER BY doc_id""".stripMargin
 
   val qs: Seq[Q] = Seq(
     Q("q32_text_langid", q32, Some(q32Sql)),

@@ -74,5 +74,27 @@ object NgramLm {
         |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
         |  FROM documents),
         |scoped AS (SELECT * FROM toks WHERE len(l) >= 2)""".stripMargin
+
+    /** Full oracle CTE chain ending in
+      * `lmagg(doc_id, n_bigrams, ce)` — the DuckDB twin of [[score]]
+      * (sum(... ORDER BY pos) reproduces the position-ordered fold
+      * bit-for-bit). */
+    val scoreCtes: String =
+      s"""$toksCte,
+         |inst AS (
+         |  SELECT doc_id, i AS pos, l[i] AS w1, l[i+1] AS w2
+         |  FROM scoped, unnest(range(1, len(l))) r(i)),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM inst GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM inst GROUP BY 1),
+         |v AS (
+         |  SELECT count(DISTINCT w) AS v
+         |  FROM (SELECT unnest(l) AS w FROM scoped)),
+         |lp AS (
+         |  SELECT doc_id, pos, ln((c12 + 1.0) / (c1 + v)) AS lp
+         |  FROM inst JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+         |lmagg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    -sum(lp ORDER BY pos) / count(*) AS ce
+         |  FROM lp GROUP BY 1)""".stripMargin
   }
 }
