@@ -371,6 +371,57 @@ object TextQueries {
        |  round(exp(ce), 6) <= 18.0 AS pass
        |FROM lmagg ORDER BY doc_id""".stripMargin
 
+  // -- q136: vocabulary construction + OOV coverage — tokenizer-training
+  //          prep: global token frequencies → top-V vocabulary (count
+  //          desc, token asc tiebreak) → per-source instance/type
+  //          coverage of that vocabulary. Scale shape: the instance
+  //          stream is one explode (linear, scan-local); the type frame
+  //          is a vocab-bounded aggregate; the top-V cut is
+  //          TakeOrdered over the TYPE frame (vocab-bounded, not
+  //          corpus-bounded); and the V-row vocab broadcasts back onto
+  //          the instance stream — nothing quadratic, nothing
+  //          sequential over the corpus. The per-source distinct-type
+  //          counts plan as Expand+partial aggregates (linear).
+  private val VocabSize = 1000
+
+  private def q136(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("source"),
+      explode(TF.tokens(col("text"))).as("token"))
+    val types = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val vocab = types.orderBy(col("tf").desc, col("token")).limit(VocabSize)
+      .select(col("token"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_instances"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov_instances"),
+        countDistinct(col("token")).as("n_types"),
+        countDistinct(when(col("in_vocab").isNull, col("token")))
+          .as("oov_types"))
+      .withColumn("oov_rate",
+        round(col("oov_instances") * lit(1.0) / col("n_instances"), 6))
+      .orderBy(col("source"))
+  }
+
+  private val q136Sql =
+    s"""WITH toks AS (
+       |  SELECT source, unnest(${TF.sql.tokens("text")}) AS token
+       |  FROM documents),
+       |types AS (SELECT token, count(*) AS tf FROM toks GROUP BY token),
+       |vocab AS (
+       |  SELECT token, 1 AS in_vocab FROM types
+       |  ORDER BY tf DESC, token LIMIT $VocabSize)
+       |SELECT source,
+       |  count(*) AS n_instances,
+       |  CAST(sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS oov_instances,
+       |  count(DISTINCT token) AS n_types,
+       |  count(DISTINCT CASE WHEN in_vocab IS NULL THEN token END)
+       |    AS oov_types,
+       |  round(sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) * 1.0
+       |    / count(*), 6) AS oov_rate
+       |FROM toks LEFT JOIN vocab USING (token)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q32_text_langid", q32, Some(q32Sql)),
     Q("q33_text_quality", q33, Some(q33Sql)),
@@ -379,5 +430,6 @@ object TextQueries {
     Q("q93_quality_dimensions", q93, Some(q93Sql)),
     Q("q95_temporal_quality", q95, Some(q95Sql)),
     Q("q128_repetition_filters", q128, Some(q128Sql)),
-    Q("q129_lm_perplexity", q129, Some(q129Sql)))
+    Q("q129_lm_perplexity", q129, Some(q129Sql)),
+    Q("q136_vocab_coverage", q136, Some(q136Sql)))
 }
