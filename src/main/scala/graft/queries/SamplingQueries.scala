@@ -407,6 +407,51 @@ object SamplingQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // -- q138: batch padding-waste analysis — length-bucketed batching
+  //          efficiency: docs bucketed by power-of-2 token-length bins
+  //          (bucket = bit-length of n_tok, an exact INTEGER stand-in
+  //          for floor(log2)+1 — no libm log2 whose last bit could
+  //          differ cross-engine), then per-bucket padded-token cost if
+  //          every doc pads to the bucket max, waste vs actual tokens.
+  //          The report a batching curator reads to pick bucket
+  //          boundaries before packing (q117's chunker feeds this).
+  //          Scale shape: one scan + one aggregate whose output is
+  //          bounded by the bit-length of the longest document (~dozens
+  //          of rows at any corpus size); everything else is arithmetic
+  //          on that bounded frame.
+  private def q138(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{TextFunctions => TF}
+    val d = docs(s, dir).select(
+      TF.tokenCount(col("text")).cast("long").as("n_tok"))
+    d.withColumn("bucket", length(bin(col("n_tok"))))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tok"),
+        max(col("n_tok")).as("max_tok"))
+      .withColumn("padded_tok", col("n_docs") * col("max_tok"))
+      .withColumn("waste_tok", col("padded_tok") - col("sum_tok"))
+      .withColumn("waste_rate",
+        round(col("waste_tok") * lit(1.0) / col("padded_tok"), 6))
+      .orderBy(col("bucket"))
+  }
+
+  private val q138Sql = {
+    import graft.text.{TextFunctions => TF}
+    s"""WITH d AS (
+       |  SELECT CAST(${TF.sql.tokenCount("text")} AS BIGINT) AS n_tok
+       |  FROM documents),
+       |b AS (
+       |  SELECT length(bin(n_tok)) AS bucket, count(*) AS n_docs,
+       |    CAST(sum(n_tok) AS BIGINT) AS sum_tok, max(n_tok) AS max_tok
+       |  FROM d GROUP BY 1)
+       |SELECT bucket, n_docs, sum_tok, max_tok,
+       |  n_docs * max_tok AS padded_tok,
+       |  n_docs * max_tok - sum_tok AS waste_tok,
+       |  round((n_docs * max_tok - sum_tok) * 1.0 / (n_docs * max_tok), 6)
+       |    AS waste_rate
+       |FROM b ORDER BY bucket""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q111_split_assign", q111, Some(q111Sql)),
     Q("q112_quota_sample", q112, Some(q112Sql)),
@@ -417,5 +462,6 @@ object SamplingQueries {
     Q("q127_mixture_plan", q127, Some(q127Sql)),
     Q("q132_split_leakage", q132, Some(q132Sql)),
     Q("q133_curriculum_buckets", q133, Some(q133Sql)),
-    Q("q134_token_budget_select", q134, Some(q134Sql)))
+    Q("q134_token_budget_select", q134, Some(q134Sql)),
+    Q("q138_padding_waste", q138, Some(q138Sql)))
 }

@@ -224,6 +224,66 @@ object VectorQueries {
       |  FROM dq JOIN q USING (pos) GROUP BY dq.vec_id)
       |SELECT vec_id, sq_dist FROM d ORDER BY sq_dist, vec_id LIMIT 10""".stripMargin
 
+  // -- q137: inter-source centroid similarity — the embedding-space
+  //          drift map a corpus curator reads before mixing sources
+  //          (which sources say the same things in vector space?).
+  //          Exactness scheme: each dimension is quantized to integer
+  //          milli-units (round(v*1000) — a float32 times 1000 can
+  //          never land exactly on .5, so both engines round alike),
+  //          summed EXACTLY as longs per (source, dim), and divided
+  //          once — so the centroid is bit-identical cross-engine
+  //          without any ordered-fold machinery on the corpus side.
+  //          The only floating folds (cosine of two centroid vectors)
+  //          run over the bounded #sources-row frame via the same
+  //          left-to-right VectorSimExpr / list_dot_product pair that
+  //          q17-q21 prove equal. Scale shape: one d-way posexplode of
+  //          the scan (linear, scan-local), a per-(source,dim)
+  //          aggregate whose OUTPUT is #sources x d, and a pair join
+  //          bounded by #sources^2 — the BNLJ build side is the tiny
+  //          centroid frame (PlanShapeSpec allowlist).
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("source"))
+    val e = emb(s, dir)
+    val dims = e.join(d, e("vec_id") === d("doc_id"))
+      .select(col("source"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("source"), col("dim"),
+        round(col("v").cast("double") * 1000).cast("long").as("milli"))
+    val cent = dims.groupBy(col("source"), col("dim"))
+      .agg(sum(col("milli")).as("s_milli"), count(lit(1)).as("n"))
+      .select(col("source"), col("dim"),
+        (col("s_milli").cast("double") /
+          (col("n").cast("double") * 1000.0)).as("c"))
+    val vecs = cent.groupBy(col("source"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x("c")).as("cvec"))
+    val a = vecs.select(col("source").as("source_a"), col("cvec").as("va"))
+    val b = vecs.select(col("source").as("source_b"), col("cvec").as("vb"))
+    a.join(broadcast(b), col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        round(VF.cosine(col("va"), col("vb")), 6).as("centroid_cos"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  private val q137Sql =
+    s"""WITH dims AS (
+       |  SELECT d.source, i - 1 AS dim,
+       |    CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+       |      AS milli
+       |  FROM embeddings e
+       |  JOIN documents d ON e.vec_id = d.doc_id,
+       |  unnest(range(1, len(e.embedding) + 1)) r(i)),
+       |cent AS (
+       |  SELECT source, dim,
+       |    CAST(sum(milli) AS DOUBLE) / (count(*) * 1000.0) AS c
+       |  FROM dims GROUP BY source, dim),
+       |vecs AS (
+       |  SELECT source, list(c ORDER BY dim) AS cvec FROM cent
+       |  GROUP BY source)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  round(${VF.sql.cosine("a.cvec", "b.cvec")}, 6) AS centroid_cos
+       |FROM vecs a JOIN vecs b ON a.source < b.source
+       |ORDER BY source_a, source_b""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q17_topk_cosine", q17, Some(q17Sql), headline = true),
     Q("q18_topk_filtered", q18, Some(q18Sql)),
@@ -232,5 +292,6 @@ object VectorQueries {
     Q("q21_sim_metrics", q21, Some(q21Sql)),
     Q("q22_ann_ivf", q22, Some(q22Sql)),
     Q("q91_ann_ivf_pq", q91, Some(q91Sql), headline = true),
-    Q("q92_ann_ivf_sq8", q92, Some(q92Sql)))
+    Q("q92_ann_ivf_sq8", q92, Some(q92Sql)),
+    Q("q137_source_centroid_sim", q137, Some(q137Sql)))
 }

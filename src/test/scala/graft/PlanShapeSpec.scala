@@ -51,6 +51,7 @@ class PlanShapeSpec extends SparkSpec {
     * a distributed cross product. */
   private val boundedNestedLoop = Set(
     "q17_topk_cosine",        // 1-row query vector
+    "q137_source_centroid_sim", // centroid frame bounded by #sources
     "q18_topk_filtered",      // 1-row query vector
     "q20_knn_join",           // bounded probe set (25 queries)
     "q22_ann_ivf",            // broadcast centroid table (nlist rows)
@@ -71,7 +72,8 @@ class PlanShapeSpec extends SparkSpec {
     "q123_governed_corpus",   // same bounded principal broadcast as q118
     "q124_compliance_report", // 1-row max-ts anchor
     "q127_mixture_plan",      // 1-row normalization aggregates (n_total, w_sum)
-    "q129_lm_perplexity")     // 1-row vocabulary-size broadcast
+    "q129_lm_perplexity",     // 1-row vocabulary-size broadcast
+    "q133_curriculum_buckets") // same 1-row vocab broadcast via NgramLm.score
 
   // On failure, include a plan excerpt around the first occurrence so a
   // transient/state-dependent failure self-diagnoses from the log alone.
