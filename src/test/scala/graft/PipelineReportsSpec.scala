@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Catalog
+
+/** Invariant pins for the corpus-report operators added with the
+  * vocabulary/centroid/padding trio (q136-q138). The DuckDB oracle
+  * proves cross-engine equality; these tests pin the properties a
+  * regression could silently break while still matching a co-broken
+  * oracle (both sides are generated from the same SQL-twin helpers).
+  */
+class PipelineReportsSpec extends SparkSpec {
+
+  private def run(name: String) = Catalog.byName(name).run(spark, sf)
+
+  test("q136: OOV rates bounded and consistent with their counts") {
+    val rows = run("q136_vocab_coverage").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_instances")
+      val oov = r.getAs[Long]("oov_instances")
+      val types = r.getAs[Long]("n_types")
+      val oovTypes = r.getAs[Long]("oov_types")
+      assert(oov >= 0 && oov <= n)
+      assert(oovTypes >= 0 && oovTypes <= types)
+      val rate = r.getAs[Double]("oov_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      // the rounded rate matches its own counts
+      assert(math.abs(rate - oov.toDouble / n) < 5e-7)
+    }
+  }
+
+  test("q136: every source of the corpus reports") {
+    val d = Tables.load(spark, sf, "documents")
+    val nSources = d.select(col("source")).distinct().count()
+    assert(run("q136_vocab_coverage").count() == nSources)
+  }
+
+  test("q137: one cell per unordered source pair, cosine in [-1,1]") {
+    val d = Tables.load(spark, sf, "documents")
+    val n = d.select(col("source")).distinct().count()
+    val rows = run("q137_source_centroid_sim").collect()
+    assert(rows.length == n * (n - 1) / 2)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("centroid_cos")
+      assert(c >= -1.0 && c <= 1.0)
+      // pairs are emitted lexicographically ordered, never self-paired
+      assert(r.getAs[String]("source_a") < r.getAs[String]("source_b"))
+    }
+  }
+
+  test("q138: padding accounting is internally consistent") {
+    val rows = run("q138_padding_waste").collect()
+    assert(rows.nonEmpty)
+    var docs = 0L
+    rows.foreach { r =>
+      val nDocs = r.getAs[Long]("n_docs")
+      val sumTok = r.getAs[Long]("sum_tok")
+      val maxTok = r.getAs[Long]("max_tok")
+      val padded = r.getAs[Long]("padded_tok")
+      val waste = r.getAs[Long]("waste_tok")
+      assert(padded == nDocs * maxTok)
+      assert(waste == padded - sumTok && waste >= 0)
+      // bucket = bit-length of max_tok in that bucket's range
+      val bucket = r.getAs[Int]("bucket")
+      assert(maxTok < (1L << bucket) && maxTok >= (1L << (bucket - 1)))
+      docs += nDocs
+    }
+    // every document lands in exactly one bucket
+    assert(docs == Tables.load(spark, sf, "documents").count())
+  }
+}
