@@ -452,6 +452,103 @@ object SamplingQueries {
        |FROM b ORDER BY bucket""".stripMargin
   }
 
+  // -- q139: corpus filter funnel — the survival report a pipeline run
+  //          prints: per-source counts of documents surviving each gate
+  //          applied IN ORDER (language -> repetition -> perplexity ->
+  //          quality), composing q32's language ID, q128's Gopher-style
+  //          repetition rules, q129's bigram-LM perplexity cut and
+  //          q33's quality score into one aggregation pass. Docs under
+  //          2 tokens have no repetition/LM stats and fail those gates
+  //          (left-join null -> false on both engines). Every gate
+  //          compares ROUNDED milli/6-decimal values so the boolean is
+  //          bit-identical cross-engine (same contract as the source
+  //          queries). Scale shape: all gates are scan-local column
+  //          arithmetic except the LM join (vocab-bounded model frames,
+  //          broadcast — q129's shape); output is #sources rows.
+  private def q139(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{NgramLm, Repetition, TextFunctions => TF}
+    val d = docs(s, dir)
+    val toks = d.select(col("doc_id"), Repetition.tokens(col("text")).as("l"))
+      .filter(size(col("l")) >= 2)
+    val rep = toks
+      .withColumn("ws", Repetition.runStats(col("l")))
+      .withColumn("bs", Repetition.runStats(Repetition.bigrams(col("l"))))
+      .withColumn("n_words", size(col("l")).cast("long"))
+      .withColumn("n_bi", (size(col("l")) - 1).cast("long"))
+      .select(col("doc_id"),
+        ((round(Repetition.topShare(col("ws"), col("n_words")), 6) <= 0.12d) &&
+          (round(Repetition.dupFraction(col("bs"), col("n_bi")), 6) <= 0.10d))
+          .as("rep_ok"))
+    val lm = NgramLm.score(toks).select(col("doc_id"),
+      (round(exp(col("ce")), 6) <= 18.0d).as("ppl_ok"))
+    d.select(col("doc_id"), col("source"),
+        (TF.langId(col("text")) === lit("en")).as("lang_ok"),
+        (round(TF.qualityScore(col("text"), col("n_chars")), 6) >= 0.5d)
+          .as("q_ok"))
+      .join(rep, Seq("doc_id"), "left")
+      .join(lm, Seq("doc_id"), "left")
+      .select(col("source"), col("lang_ok"), col("q_ok"),
+        coalesce(col("rep_ok"), lit(false)).as("rep_ok"),
+        coalesce(col("ppl_ok"), lit(false)).as("ppl_ok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lang_ok"), 1L).otherwise(0L)).as("n_lang"),
+        sum(when(col("lang_ok") && col("rep_ok"), 1L).otherwise(0L))
+          .as("n_rep"),
+        sum(when(col("lang_ok") && col("rep_ok") && col("ppl_ok"), 1L)
+          .otherwise(0L)).as("n_ppl"),
+        sum(when(col("lang_ok") && col("rep_ok") && col("ppl_ok") &&
+          col("q_ok"), 1L).otherwise(0L)).as("n_final"))
+      .withColumn("survival_rate",
+        round(col("n_final") * lit(1.0) / col("n_docs"), 6))
+      .orderBy(col("source"))
+  }
+
+  private val q139Sql = {
+    import graft.text.{NgramLm, TextFunctions => TF}
+    s"""WITH ${NgramLm.sql.scoreCtes},
+       |words AS (SELECT doc_id, unnest(l) AS w FROM scoped),
+       |wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2),
+       |wagg AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, max(c) AS topw
+       |  FROM wc GROUP BY 1),
+       |bi AS (
+       |  SELECT doc_id, l[i] || ' ' || l[i+1] AS b
+       |  FROM scoped, unnest(range(1, len(l))) r(i)),
+       |bc AS (SELECT doc_id, b, count(*) AS c FROM bi GROUP BY 1, 2),
+       |bagg AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bi,
+       |    coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS dupb
+       |  FROM bc GROUP BY 1),
+       |rep AS (
+       |  SELECT doc_id,
+       |    round(topw * 1.0 / n_words, 6) <= 0.12
+       |      AND round(dupb * 1.0 / n_bi, 6) <= 0.10 AS rep_ok
+       |  FROM wagg JOIN bagg USING (doc_id)),
+       |flags AS (
+       |  SELECT d.source,
+       |    (${TF.sql.langId("text")} = 'en') AS lang_ok,
+       |    (round(${TF.sql.qualityScore("text", "n_chars")}, 6) >= 0.5)
+       |      AS q_ok,
+       |    coalesce(r.rep_ok, false) AS rep_ok,
+       |    coalesce(round(exp(g.ce), 6) <= 18.0, false) AS ppl_ok
+       |  FROM documents d
+       |  LEFT JOIN rep r USING (doc_id)
+       |  LEFT JOIN lmagg g USING (doc_id))
+       |SELECT source,
+       |  count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+       |  CAST(sum(CASE WHEN lang_ok AND rep_ok THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_rep,
+       |  CAST(sum(CASE WHEN lang_ok AND rep_ok AND ppl_ok THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_ppl,
+       |  CAST(sum(CASE WHEN lang_ok AND rep_ok AND ppl_ok AND q_ok
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+       |  round(sum(CASE WHEN lang_ok AND rep_ok AND ppl_ok AND q_ok
+       |    THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS survival_rate
+       |FROM flags GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q111_split_assign", q111, Some(q111Sql)),
     Q("q112_quota_sample", q112, Some(q112Sql)),
@@ -463,5 +560,6 @@ object SamplingQueries {
     Q("q132_split_leakage", q132, Some(q132Sql)),
     Q("q133_curriculum_buckets", q133, Some(q133Sql)),
     Q("q134_token_budget_select", q134, Some(q134Sql)),
-    Q("q138_padding_waste", q138, Some(q138Sql)))
+    Q("q138_padding_waste", q138, Some(q138Sql)),
+    Q("q139_filter_funnel", q139, Some(q139Sql)))
 }

@@ -49,6 +49,19 @@ class PipelineReportsSpec extends SparkSpec {
     }
   }
 
+  test("q139: funnel counts are monotone non-increasing per source") {
+    val rows = run("q139_filter_funnel").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val funnel = Seq("n_docs", "n_lang", "n_rep", "n_ppl", "n_final")
+        .map(r.getAs[Long](_))
+      assert(funnel.zip(funnel.tail).forall { case (a, b) => a >= b },
+        s"funnel not monotone: $funnel")
+      val rate = r.getAs[Double]("survival_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
   test("q138: padding accounting is internally consistent") {
     val rows = run("q138_padding_waste").collect()
     assert(rows.nonEmpty)
