@@ -216,6 +216,71 @@ object StatsQueries {
       |       ELSE 'none' END AS level
       |FROM r WHERE rn = 1 ORDER BY source""".stripMargin
 
+  // -- q140: join-key skew diagnosis — the report an engineer reads
+  //          BEFORE picking a partition/salting strategy: for each
+  //          candidate partition key, the key-frequency distribution
+  //          (cardinality, max, exact median via PerfMonitor's
+  //          statistics.median order arithmetic, max/median skew
+  //          ratio, heaviest key). Bounded-group contract: the sorted
+  //          frequency array is bounded by the KEY CARDINALITY, so
+  //          this form is for candidate PARTITION keys (enum-like
+  //          columns); for high-cardinality keys the array-free
+  //          ranked form (PerfMonitor.queryStatsRanked precedent) is
+  //          the scale path. The per-key frequency pass itself is one
+  //          partial-aggregate shuffle per table — linear at any SF.
+  private def skewLeg(df: DataFrame, keyCol: String, label: String): DataFrame = {
+    import graft.monitoring.PerfMonitor
+    val med = PerfMonitor.medianOfSorted(col("l"))
+    df.groupBy(col(keyCol).cast("string").as("k"))
+      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("c")).as("n_rows"),
+        max(col("c")).as("max_freq"),
+        sort_array(collect_list(col("c").cast("double"))).as("l"),
+        element_at(sort_array(collect_list(struct(col("c"), col("k"))),
+          asc = false), 1).getField("k").as("top_key"))
+      .select(lit(label).as("key_col"), col("n_keys"), col("n_rows"),
+        col("max_freq"),
+        round(med, 6).as("median_freq"),
+        round(col("max_freq") / med, 6).as("skew_ratio"),
+        col("top_key"))
+  }
+
+  private def q140(s: SparkSession, dir: String): DataFrame =
+    Seq((docs(s, dir), "source", "documents.source"),
+        (docs(s, dir), "lang", "documents.lang"),
+        (events(s, dir), "event_type", "events.event_type"),
+        (Tables.load(s, dir, "lineitem"), "l_returnflag", "lineitem.l_returnflag"),
+        (Tables.load(s, dir, "orders"), "o_orderstatus", "orders.o_orderstatus"))
+      .map { case (df, k, label) => skewLeg(df, k, label) }
+      .reduce(_ unionByName _)
+      .orderBy(col("key_col"))
+
+  private def skewLegSql(table: String, key: String): String =
+    s"""SELECT key_col, n_keys, n_rows, max_freq,
+       |  round(med, 6) AS median_freq,
+       |  round(max_freq * 1.0 / med, 6) AS skew_ratio,
+       |  top_key
+       |FROM (
+       |  SELECT *, CASE WHEN n_keys % 2 = 1
+       |      THEN l[CAST((n_keys + 1) // 2 AS INT)]
+       |      ELSE (l[CAST(n_keys // 2 AS INT)]
+       |            + l[CAST(n_keys // 2 + 1 AS INT)]) / 2 END AS med
+       |  FROM (
+       |    SELECT '$table.$key' AS key_col, count(*) AS n_keys,
+       |      CAST(sum(c) AS BIGINT) AS n_rows, max(c) AS max_freq,
+       |      list(CAST(c AS DOUBLE) ORDER BY c) AS l,
+       |      (list(k ORDER BY c DESC, k DESC))[1] AS top_key
+       |    FROM (SELECT CAST($key AS VARCHAR) AS k, count(*) AS c
+       |          FROM $table GROUP BY 1)))""".stripMargin
+
+  private val q140Sql =
+    Seq("documents" -> "source", "documents" -> "lang",
+        "events" -> "event_type", "lineitem" -> "l_returnflag",
+        "orders" -> "o_orderstatus")
+      .map { case (t, k) => skewLegSql(t, k) }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY key_col")
+
   val qs: Seq[Q] = Seq(
     Q("q60_growth_rate", q60, Some(q60Sql)),
     Q("q61_decline_periods", q61, Some(q61Sql)),
@@ -223,5 +288,6 @@ object StatsQueries {
     Q("q63_sequence_chains", q63, Some(q63Sql), headline = true),
     Q("q64_content_scan", q64, Some(q64Sql)),
     Q("q65_structural_anomaly", q65, Some(q65Sql)),
-    Q("q66_consensus_levels", q66, Some(q66Sql)))
+    Q("q66_consensus_levels", q66, Some(q66Sql)),
+    Q("q140_key_skew_report", q140, Some(q140Sql)))
 }

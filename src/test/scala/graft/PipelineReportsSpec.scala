@@ -62,6 +62,22 @@ class PipelineReportsSpec extends SparkSpec {
     }
   }
 
+  test("q140: skew report invariants hold for every analyzed key") {
+    val rows = run("q140_key_skew_report").collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val nKeys = r.getAs[Long]("n_keys")
+      val nRows = r.getAs[Long]("n_rows")
+      val maxF = r.getAs[Long]("max_freq")
+      val med = r.getAs[Double]("median_freq")
+      assert(nKeys >= 1 && maxF >= 1 && nRows >= maxF)
+      // median is between 1 and max; the ratio is >= 1 by definition
+      assert(med >= 1.0 && med <= maxF.toDouble)
+      assert(r.getAs[Double]("skew_ratio") >= 1.0)
+      assert(r.getAs[String]("top_key").nonEmpty)
+    }
+  }
+
   test("q138: padding accounting is internally consistent") {
     val rows = run("q138_padding_waste").collect()
     assert(rows.nonEmpty)
