@@ -40,9 +40,10 @@ object Bench {
     "q90_event_bus_batches" -> 0.48,
     "q73_topic_subgraph" -> 1.49,
     "q78_perspective_matrix" -> 0.42,
-    // round-7 headline promotions (quiet-host mins, BENCH_NOTES r7)
-    "q106_perf_window_stats" -> 0.55,
-    "q115_decontamination" -> 2.31)
+    // round-7 headline promotions (quiet-host mins, BENCH_NOTES r7;
+    // tightened to the full-set pre-validation run late in round 7)
+    "q106_perf_window_stats" -> 0.31,
+    "q115_decontamination" -> 2.11)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
