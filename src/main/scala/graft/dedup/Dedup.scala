@@ -76,6 +76,45 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Asymmetric MinHash-LSH: near-dup pairs between a NEW batch and the
+    * EXISTING corpus — the incremental-ingestion form of [[minhashLsh]].
+    * Band buckets are built per side and candidates come only from
+    * cross-side bucket matches, so the old×old and new×new pair spaces
+    * are never generated: a daily append to a 100 TB corpus costs the
+    * batch's bucket join against the (pre-computable, cacheable) corpus
+    * band index, not a re-dedup of the corpus. Same signature/banding
+    * arithmetic as [[minhashLsh]], so the two compose: run this for the
+    * delta, the symmetric sweep only for full rebuilds.
+    * Returns (new_id, old_id, est_jaccard). */
+  def minhashLshAgainst(newDocs: DataFrame, oldDocs: DataFrame,
+      idCol: String, textCol: String, k: Int, bands: Int,
+      threshold: Double): DataFrame = {
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"bands must divide k (got k=$k, bands=$bands): a remainder silently " +
+        "drops signature slots, and r=0 degenerates to an all-pairs join")
+    val r = k / bands
+    def sig(docs: DataFrame) = docs.select(col(idCol).as("id"),
+      TextFunctions.minhashSignature(col(textCol), k).as("sig"))
+      .truncateLineage()
+    def banded(sigDf: DataFrame) = sigDf.select(col("id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> " +
+          s"xxhash64(concat_ws('#', cast(b as string), slice(sig, b * $r + 1, $r))))"))
+        .as(Seq("band", "bucket")))
+      .select(col("id"), col("bucket"))
+    val (nSig, oSig) = (sig(newDocs), sig(oldDocs))
+    val cand = banded(nSig).select(col("bucket"), col("id").as("new_id"))
+      .join(banded(oSig).select(col("bucket"), col("id").as("old_id")), "bucket")
+      .select(col("new_id"), col("old_id"))
+      .distinct()
+    cand
+      .join(nSig.select(col("id").as("new_id"), col("sig").as("a_sig")), "new_id")
+      .join(oSig.select(col("id").as("old_id"), col("sig").as("b_sig")), "old_id")
+      .select(col("new_id"), col("old_id"),
+        TextFunctions.minhashEstimate(col("a_sig"), col("b_sig"), k).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   /** 16-bit SimHash per document: bit j is the sign of Σ_tokens
     * (±1 by token-hash bit j), weighted by token frequency (tokens kept
     * with duplicates). */

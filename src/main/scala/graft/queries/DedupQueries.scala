@@ -301,6 +301,107 @@ object DedupQueries {
        |  round(avg(match12) / 12.0, 6) AS avg_est_jaccard
        |FROM lab GROUP BY 1, 2 ORDER BY source_lo, source_hi""".stripMargin
 
+  // -- q142: incremental-append dedup delta — the report a continuously
+  //          ingesting corpus produces DAILY: treat the newest 20% of
+  //          doc_ids as the arriving batch and dedup it AGAINST the
+  //          existing 80% without ever re-pairing the existing corpus
+  //          with itself. Exact duplicates by content-key semi-join,
+  //          near duplicates by the asymmetric LSH (minhashLshAgainst:
+  //          cross-side bucket matches only), then a per-source delta:
+  //          how many new docs are exact dups, near dups (non-exact),
+  //          net new, and how many net-new tokens actually land. The
+  //          cutoff is derived from max(doc_id) in exact integer
+  //          arithmetic so both engines split identically at any SF.
+  //          Scale shape: one 1-row broadcast (the cutoff), one semi
+  //          join on the content key, and a bucket equi-join whose left
+  //          side is the batch — cost tracks the batch size, which is
+  //          the property that makes daily dedup affordable at 100 TB.
+  private def q142(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val cut = d.agg(max(col("doc_id")).as("max_id"))
+      .select(expr("(max_id + 1) * 4 div 5").as("cutoff"))
+    val dd = d.crossJoin(broadcast(cut))
+    val oldD = dd.filter(col("doc_id") < col("cutoff"))
+    val newD = dd.filter(col("doc_id") >= col("cutoff"))
+    def key(c: org.apache.spark.sql.Column) =
+      md5(array_join(array_sort(TF.distinctTokens(c)), " "))
+    val exactDup = newD.select(col("doc_id"), key(col("text")).as("k"))
+      .join(oldD.select(key(col("text")).as("k")).distinct(), Seq("k"), "left_semi")
+      .select(col("doc_id"))
+      .withColumn("exact_dup", lit(true))
+    val nearDup = Dedup.minhashLshAgainst(newD, oldD, "doc_id", "text",
+        k = 12, bands = 2, threshold = 0.9)
+      .select(col("new_id").as("doc_id")).distinct()
+      .withColumn("near_any", lit(true))
+    newD.select(col("doc_id"), col("source"),
+        TF.tokenCount(col("text")).cast("long").as("n_tok"))
+      .join(exactDup, Seq("doc_id"), "left")
+      .join(nearDup, Seq("doc_id"), "left")
+      .withColumn("exact_dup", coalesce(col("exact_dup"), lit(false)))
+      .withColumn("near_dup",
+        coalesce(col("near_any"), lit(false)) && !col("exact_dup"))
+      .withColumn("net_new", !col("exact_dup") && !col("near_dup"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_new"),
+        sum(when(col("exact_dup"), 1L).otherwise(0L)).as("n_exact_dup"),
+        sum(when(col("near_dup"), 1L).otherwise(0L)).as("n_near_dup"),
+        sum(when(col("net_new"), 1L).otherwise(0L)).as("n_net_new"),
+        coalesce(sum(when(col("net_new"), col("n_tok"))), lit(0L))
+          .as("net_new_tokens"))
+      .orderBy(col("source"))
+  }
+
+  private val q142Sql =
+    s"""WITH cut AS (SELECT (max(doc_id) + 1) * 4 // 5 AS cutoff FROM documents),
+       |ob AS (SELECT d.* FROM documents d, cut WHERE doc_id < cutoff),
+       |nb AS (SELECT d.* FROM documents d, cut WHERE doc_id >= cutoff),
+       |okeys AS (
+       |  SELECT DISTINCT md5(array_to_string(list_sort(list_distinct(
+       |    string_split(text, ' '))), ' ')) AS k FROM ob),
+       |ex AS (
+       |  SELECT doc_id FROM nb
+       |  WHERE md5(array_to_string(list_sort(list_distinct(
+       |    string_split(text, ' '))), ' ')) IN (SELECT k FROM okeys)),
+       |sig_n AS (
+       |  SELECT doc_id AS id, ${TF.sql.minhashSignature("text", 12)} AS sig
+       |  FROM nb),
+       |sig_o AS (
+       |  SELECT doc_id AS id, ${TF.sql.minhashSignature("text", 12)} AS sig
+       |  FROM ob),
+       |band_n AS (
+       |  SELECT id, sig,
+       |    b::VARCHAR || '#' || array_to_string(sig[b*6+1:b*6+6], '#') AS bucket
+       |  FROM sig_n, range(0, 2) t(b)),
+       |band_o AS (
+       |  SELECT id, sig,
+       |    b::VARCHAR || '#' || array_to_string(sig[b*6+1:b*6+6], '#') AS bucket
+       |  FROM sig_o, range(0, 2) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT n.id AS new_id, o.id AS old_id
+       |  FROM band_n n JOIN band_o o ON n.bucket = o.bucket),
+       |near AS (
+       |  SELECT DISTINCT c.new_id AS doc_id
+       |  FROM cand c JOIN sig_n sn ON sn.id = c.new_id
+       |  JOIN sig_o so ON so.id = c.old_id
+       |  WHERE len(list_filter(list_zip(sn.sig, so.sig), z -> z[1] = z[2]))
+       |    * 1.0 / 12 >= 0.9),
+       |flags AS (
+       |  SELECT n.source, ${TF.sql.tokenCount("n.text")} AS n_tok,
+       |    (n.doc_id IN (SELECT doc_id FROM ex)) AS exact_dup,
+       |    (n.doc_id IN (SELECT doc_id FROM near)
+       |      AND n.doc_id NOT IN (SELECT doc_id FROM ex)) AS near_dup
+       |  FROM nb n)
+       |SELECT source, count(*) AS n_new,
+       |  CAST(sum(CASE WHEN exact_dup THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_exact_dup,
+       |  CAST(sum(CASE WHEN near_dup THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_near_dup,
+       |  CAST(sum(CASE WHEN NOT exact_dup AND NOT near_dup THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_net_new,
+       |  CAST(coalesce(sum(CASE WHEN NOT exact_dup AND NOT near_dup
+       |    THEN n_tok END), 0) AS BIGINT) AS net_new_tokens
+       |FROM flags GROUP BY source ORDER BY source""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q27_dedup_exact", q27, Some(q27Sql), headline = true),
     Q("q28_dedup_minhash_lsh", q28, Some(q28Sql), headline = true),
@@ -309,5 +410,6 @@ object DedupQueries {
     Q("q31_embedding_neardup", q31, Some(q31Sql)),
     Q("q126_dedup_clusters", q126, Some(q126Sql)),
     Q("q130_duplicated_spans", q130, Some(q130Sql)),
-    Q("q135_dup_flow_matrix", q135, Some(q135Sql)))
+    Q("q135_dup_flow_matrix", q135, Some(q135Sql)),
+    Q("q142_incremental_dedup", q142, Some(q142Sql)))
 }

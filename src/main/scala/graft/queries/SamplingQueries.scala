@@ -549,6 +549,69 @@ object SamplingQueries {
        |FROM flags GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // -- q141: output shard manifest — the write plan a corpus build ends
+  //          with: walk the documents in doc_id order and start a new
+  //          output shard every ShardTokens tokens (a doc belongs to the
+  //          shard its FIRST token lands in, the sequence-writer
+  //          convention, so shards are contiguous doc_id ranges). The
+  //          assignment needs an exclusive global token prefix-sum, which
+  //          a `sum() OVER (ORDER BY doc_id)` cannot provide at scale
+  //          (one sequential pass over the corpus) — so it is computed as
+  //          a TWO-LEVEL prefix sum: per-range token totals (range =
+  //          doc_id div 1024) cumsum'd over the small boundary frame,
+  //          plus a doc_id-ordered window WITHIN each range. Nothing
+  //          sequential ever sees more than corpus/1024 rows (recursive
+  //          application squares the compression if the boundary frame
+  //          itself outgrows a partition). The oracle takes the global
+  //          cumsum road, proving the decomposition exact. shard_id uses
+  //          integer `div`, never float division, so the boundary doc of
+  //          every shard is bit-identical cross-engine.
+  private val ShardTokens = 4096L
+  private val RangeWidth = 1024L
+
+  private def q141(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{TextFunctions => TF}
+    val W = org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir).select(col("doc_id"),
+        TF.tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("rng", expr(s"doc_id div $RangeWidth"))
+    val beforeRange = W.orderBy(col("rng"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val rangeCum = d.groupBy(col("rng"))
+      .agg(sum(col("n_tok")).as("range_tokens"))
+      .withColumn("range_before",
+        coalesce(sum(col("range_tokens")).over(beforeRange), lit(0L)))
+    val within = W.partitionBy(col("rng")).orderBy(col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    d.join(rangeCum.select(col("rng"), col("range_before")), Seq("rng"))
+      .withColumn("tokens_before",
+        col("range_before") + coalesce(sum(col("n_tok")).over(within), lit(0L)))
+      .withColumn("shard_id", expr(s"tokens_before div $ShardTokens"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard_id"))
+  }
+
+  private val q141Sql = {
+    import graft.text.{TextFunctions => TF}
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(${TF.sql.tokenCount("text")} AS BIGINT) AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tok,
+       |    CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS tokens_before
+       |  FROM d)
+       |SELECT tokens_before // $ShardTokens AS shard_id,
+       |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q111_split_assign", q111, Some(q111Sql)),
     Q("q112_quota_sample", q112, Some(q112Sql)),
@@ -561,5 +624,6 @@ object SamplingQueries {
     Q("q133_curriculum_buckets", q133, Some(q133Sql)),
     Q("q134_token_budget_select", q134, Some(q134Sql)),
     Q("q138_padding_waste", q138, Some(q138Sql)),
-    Q("q139_filter_funnel", q139, Some(q139Sql)))
+    Q("q139_filter_funnel", q139, Some(q139Sql)),
+    Q("q141_shard_manifest", q141, Some(q141Sql)))
 }

@@ -74,7 +74,8 @@ class PlanShapeSpec extends SparkSpec {
     "q127_mixture_plan",      // 1-row normalization aggregates (n_total, w_sum)
     "q129_lm_perplexity",     // 1-row vocabulary-size broadcast
     "q133_curriculum_buckets", // same 1-row vocab broadcast via NgramLm.score
-    "q139_filter_funnel")     // same 1-row vocab broadcast via NgramLm.score
+    "q139_filter_funnel",     // same 1-row vocab broadcast via NgramLm.score
+    "q142_incremental_dedup") // 1-row cutoff broadcast (max doc_id split)
 
   // On failure, include a plan excerpt around the first occurrence so a
   // transient/state-dependent failure self-diagnoses from the log alone.
