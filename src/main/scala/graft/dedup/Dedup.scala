@@ -115,6 +115,30 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** One micro-batch step of STREAMING incremental dedup (the
+    * foreachBatch form of [[minhashLshAgainst]]): the complete near-dup
+    * pair set the full-corpus sweep would emit for pairs involving this
+    * batch — within-batch symmetric pairs plus batch-vs-corpus
+    * asymmetric pairs, id-normalized to (a_id < b_id). Because LSH
+    * candidacy is a per-pair predicate (share ≥1 band bucket), the
+    * union of this over any batch decomposition of a corpus equals
+    * [[minhashLsh]] of the whole corpus EXACTLY — every unordered pair
+    * lands in the same batch (symmetric leg) or straddles two
+    * (asymmetric leg), never both, with identical signatures either
+    * way. DedupStreamSpec pins that parity through a real
+    * Structured Streaming run. */
+  def incrementalPairs(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, k: Int, bands: Int,
+      threshold: Double): DataFrame = {
+    val within = minhashLsh(batch, idCol, textCol, k, bands, threshold)
+    val across = minhashLshAgainst(batch, corpus, idCol, textCol, k, bands,
+        threshold)
+      .select(least(col("new_id"), col("old_id")).as("a_id"),
+        greatest(col("new_id"), col("old_id")).as("b_id"),
+        col("est_jaccard"))
+    within.unionByName(across)
+  }
+
   /** 16-bit SimHash per document: bit j is the sign of Σ_tokens
     * (±1 by token-hash bit j), weighted by token frequency (tokens kept
     * with duplicates). */

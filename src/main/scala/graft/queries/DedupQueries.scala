@@ -402,6 +402,85 @@ object DedupQueries {
        |    THEN n_tok END), 0) AS BIGINT) AS net_new_tokens
        |FROM flags GROUP BY source ORDER BY source""".stripMargin
 
+  // -- q143: effective dataset size under dedup weighting — the number
+  //          that tells a corpus owner what a source is WORTH after
+  //          near-dup discounting: each doc contributes n_tok divided by
+  //          its q28/q126 cluster size (singletons divide by 1), the
+  //          soft-dedup weighting (each duplicate cluster counts once in
+  //          expectation) used instead of hard removal when training
+  //          wants the distributional mass kept. Contributions are exact
+  //          integer MILLI-tokens ((n_tok*1000) div size — documented
+  //          quantization, no shuffle-order float summation); the only
+  //          float op is one final division per source row. Scale shape:
+  //          the pair graph is q28's bucketed LSH, components are the
+  //          q126 star contraction, the weighting is a scan + one
+  //          cluster-size equi-join back.
+  private def q143(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.minhashLsh(d, "doc_id", "text", k = 12, bands = 2,
+      threshold = 0.9)
+    val sizes = Dedup.clusters(pairs, d, "doc_id", "text")
+      .select(col("doc_id"), col("cluster_size"))
+    d.select(col("doc_id"), col("source"),
+        TF.tokenCount(col("text")).cast("long").as("n_tok"))
+      .join(sizes, Seq("doc_id"), "left")
+      .withColumn("csize", coalesce(col("cluster_size"), lit(1L)))
+      .withColumn("eff_milli", expr("(n_tok * 1000) div csize"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("csize") > 1L, 1L).otherwise(0L)).as("n_clustered"),
+        sum(col("n_tok")).as("raw_tokens"),
+        sum(col("eff_milli")).as("effective_milli"))
+      .withColumn("survival",
+        round(col("effective_milli") / 1000.0 / col("raw_tokens"), 6))
+      .orderBy(col("source"))
+  }
+
+  private val q143Sql =
+    s"""WITH RECURSIVE sig AS (
+       |  SELECT doc_id AS id, ${TF.sql.minhashSignature("text", 12)} AS sig
+       |  FROM documents),
+       |banded AS (
+       |  SELECT id, sig,
+       |    b::VARCHAR || '#' || array_to_string(sig[b*6+1:b*6+6], '#') AS bucket
+       |  FROM sig, range(0, 2) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+       |  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.id < b.id),
+       |pairs AS (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT c.a_id, c.b_id,
+       |      len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2])) * 1.0 / 12 AS est
+       |    FROM cand c JOIN sig sa ON sa.id = c.a_id JOIN sig sb ON sb.id = c.b_id) x
+       |  WHERE est >= 0.9),
+       |und AS (
+       |  SELECT a_id AS s, b_id AS t FROM pairs
+       |  UNION SELECT b_id AS s, a_id AS t FROM pairs),
+       |reach AS (
+       |  SELECT s, t FROM und
+       |  UNION
+       |  SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s WHERE u.t <> r.s),
+       |comp AS (
+       |  SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+       |  FROM reach GROUP BY s),
+       |csz AS (
+       |  SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1),
+       |w AS (
+       |  SELECT d.source,
+       |    CAST(${TF.sql.tokenCount("d.text")} AS BIGINT) AS n_tok,
+       |    coalesce(z.cluster_size, 1) AS csize
+       |  FROM documents d
+       |  LEFT JOIN comp c ON c.doc_id = d.doc_id
+       |  LEFT JOIN csz z ON z.cluster_id = c.cluster_id)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_clustered,
+       |  CAST(sum(n_tok) AS BIGINT) AS raw_tokens,
+       |  CAST(sum((n_tok * 1000) // csize) AS BIGINT) AS effective_milli,
+       |  round(sum((n_tok * 1000) // csize) / 1000.0 / sum(n_tok), 6)
+       |    AS survival
+       |FROM w GROUP BY source ORDER BY source""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q27_dedup_exact", q27, Some(q27Sql), headline = true),
     Q("q28_dedup_minhash_lsh", q28, Some(q28Sql), headline = true),
@@ -411,5 +490,6 @@ object DedupQueries {
     Q("q126_dedup_clusters", q126, Some(q126Sql)),
     Q("q130_duplicated_spans", q130, Some(q130Sql)),
     Q("q135_dup_flow_matrix", q135, Some(q135Sql)),
-    Q("q142_incremental_dedup", q142, Some(q142Sql)))
+    Q("q142_incremental_dedup", q142, Some(q142Sql)),
+    Q("q143_effective_tokens", q143, Some(q143Sql)))
 }

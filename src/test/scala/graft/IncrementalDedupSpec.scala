@@ -51,6 +51,47 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(asym == sym)
   }
 
+  test("streaming incremental LSH over micro-batches equals the full sweep") {
+    import org.apache.spark.sql.types._
+    // the real corpus, streamed one file per trigger so the run actually
+    // crosses several micro-batch boundaries with uneven contents
+    val corpus = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val srcDir = java.nio.file.Files.createTempDirectory("incdedup-src").toString
+    corpus.repartition(5).write.mode("overwrite").parquet(srcDir)
+    val accDir = java.nio.file.Files.createTempDirectory("incdedup-acc").toString
+
+    val pairs = scala.collection.mutable.Set.empty[(Long, Long)]
+    var batches = 0
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        batches += 1
+        val seen = try s.read.parquet(accDir)
+          catch { case _: Throwable => s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema) }
+        pairs ++= Dedup.incrementalPairs(batch.toDF(), seen, "doc_id", "text",
+            k = 12, bands = 2, threshold = 0.9)
+          .select("a_id", "b_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        batch.write.mode("append").parquet(accDir): Unit
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    val full = Dedup.minhashLsh(corpus, "doc_id", "text", k = 12, bands = 2,
+        threshold = 0.9)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(batches > 2, s"expected several micro-batches, got $batches")
+    assert(pairs.toSet == full)
+    assert(full.nonEmpty)
+  }
+
   test("shard manifest: two-level prefix sum equals the global cumsum") {
     val W = org.apache.spark.sql.expressions.Window
     // deterministic uneven token counts over a doc_id space spanning
