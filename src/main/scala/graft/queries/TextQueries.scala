@@ -422,6 +422,57 @@ object TextQueries {
        |FROM toks LEFT JOIN vocab USING (token)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  // -- q144: source vocabulary-overlap matrix — the LEXICAL counterpart
+  //          of q137's embedding-centroid map: per unordered source
+  //          pair, Jaccard overlap of token-TYPE vocabularies, computed
+  //          from a type-level inverted index (distinct (source, token)
+  //          → equi-join on token), never a doc-level pair join. Scale
+  //          shape: the (source, token) frame is a linear distinct
+  //          (partial-agg'd); the pair expansion is bounded by
+  //          #sources² PER TOKEN TYPE (Σ_t |S_t|² ≤ V·S², linear in
+  //          vocab with a #sources² constant); the matrix itself is
+  //          #sources²-bounded at any corpus size. Counts are integer;
+  //          the only float op is one division per matrix cell.
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    val st = docs(s, dir).select(col("source"),
+        explode(TF.distinctTokens(col("text"))).as("token"))
+      .distinct()
+    val ts = st.groupBy(col("source")).agg(count(lit(1)).as("n_types"))
+    st.select(col("token"), col("source").as("src_a"))
+      .join(st.select(col("token"), col("source").as("src_b")), Seq("token"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(ts.select(col("source").as("src_a"), col("n_types").as("types_a")),
+        Seq("src_a"))
+      .join(ts.select(col("source").as("src_b"), col("n_types").as("types_b")),
+        Seq("src_b"))
+      .withColumn("jaccard", round(col("n_shared") * lit(1.0) /
+        (col("types_a") + col("types_b") - col("n_shared")), 6))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        col("types_a"), col("types_b"), col("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  private val q144Sql =
+    s"""WITH st AS (
+       |  SELECT DISTINCT source, token FROM (
+       |    SELECT source, unnest(${TF.sql.distinctTokens("text")}) AS token
+       |    FROM documents)),
+       |ts AS (SELECT source, count(*) AS n_types FROM st GROUP BY 1),
+       |pair AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+       |  FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT p.src_a, p.src_b, p.n_shared,
+       |  ta.n_types AS types_a, tb.n_types AS types_b,
+       |  round(p.n_shared * 1.0 / (ta.n_types + tb.n_types - p.n_shared), 6)
+       |    AS jaccard
+       |FROM pair p
+       |JOIN ts ta ON ta.source = p.src_a
+       |JOIN ts tb ON tb.source = p.src_b
+       |ORDER BY src_a, src_b""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q32_text_langid", q32, Some(q32Sql)),
     Q("q33_text_quality", q33, Some(q33Sql)),
@@ -431,5 +482,6 @@ object TextQueries {
     Q("q95_temporal_quality", q95, Some(q95Sql)),
     Q("q128_repetition_filters", q128, Some(q128Sql)),
     Q("q129_lm_perplexity", q129, Some(q129Sql)),
-    Q("q136_vocab_coverage", q136, Some(q136Sql)))
+    Q("q136_vocab_coverage", q136, Some(q136Sql)),
+    Q("q144_vocab_overlap_matrix", q144, Some(q144Sql)))
 }
