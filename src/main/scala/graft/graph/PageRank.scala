@@ -1,0 +1,98 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank over the knowledge graph (builder mandate —
+  * the reference's closest analog is StructuralQualityAnalyzer's
+  * degree-based centrality leg, quality_assessment.py; web-scale data
+  * curation uses exactly this to weight domains/documents by link
+  * importance, per the original Page et al. 1999 formulation with
+  * damping 0.85).
+  *
+  * Scale shape: each iteration is ONE equi-join of the rank frame onto
+  * the edge list (hash join on from_id) followed by ONE keyed integer
+  * sum per destination node — the canonical distributed PageRank plan.
+  * No collect_list (per-node in-degree can be millions at 100 TB), no
+  * driver-side state; `iterations` is a compile-time-small constant so
+  * the lineage stays a short static DAG.
+  *
+  * Determinism contract: floating-point sums are shuffle-order
+  * sensitive, so per-edge contributions are quantized to integer
+  * NANO-units (`round(r/outdeg * 1e9)` as long) and summed exactly;
+  * ranks re-enter the next iteration as the quantized double
+  * `0.15 + 0.85 * (sum/1e9)`. Both engines apply the same quantization
+  * (positive values: Spark HALF_UP == DuckDB half-away-from-zero), so
+  * every iteration's ranks are bit-identical cross-engine. Bound: the
+  * rank mass is ≤ #nodes, so a per-node nano-unit sum stays below 2^63
+  * until ~9.2e9 aggregate incoming rank — beyond that, drop to
+  * micro-units (same plan, one constant).
+  */
+object PageRank {
+
+  val Damping = 0.85
+  val Nano = 1e9
+
+  /** Node frame (node_id) ∪ both edge endpoints. */
+  def nodes(edges: DataFrame): DataFrame =
+    edges.select(col("from_id").as("node_id"))
+      .unionByName(edges.select(col("to_id").as("node_id")))
+      .distinct()
+
+  /** Ranks after `iterations` rounds from a uniform 1.0 start:
+    * (node_id, rank) unrounded (but exactly representable — every rank
+    * is 0.15 + 0.85 * k/1e9 for integer k). Dangling-node mass is not
+    * redistributed (documented divergence from the stochastic-matrix
+    * form; both engines agree). */
+  def ranks(edges: DataFrame, iterations: Int = 3): DataFrame = {
+    val e = edges.select(col("from_id"), col("to_id"))
+    val outdeg = e.groupBy(col("from_id")).agg(count(lit(1)).as("outdeg"))
+    val all = nodes(edges)
+    var r = all.withColumn("rank", lit(1.0))
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(outdeg, Seq("from_id"))
+        .join(r.withColumnRenamed("node_id", "from_id"), Seq("from_id"))
+        .select(col("to_id").as("node_id"),
+          round(col("rank") / col("outdeg") * lit(Nano), 0)
+            .cast("long").as("c"))
+        .groupBy(col("node_id"))
+        .agg(sum(col("c")).as("s"))
+      r = all.join(contrib, Seq("node_id"), "left")
+        .select(col("node_id"),
+          (lit(1.0 - Damping) + lit(Damping) *
+            (coalesce(col("s"), lit(0L)) / lit(Nano))).as("rank"))
+    }
+    r
+  }
+
+  /** DuckDB oracle fragments. */
+  object sql {
+    /** CTE chain (appended after an `edges` CTE) ending in
+      * `pr$iterations(node_id, rank)` — the oracle twin of [[ranks]]. */
+    def ranksCtes(iterations: Int = 3): String = {
+      val base =
+        """outdeg AS (
+          |  SELECT from_id, count(*) AS outdeg FROM edges GROUP BY 1),
+          |nodes AS (
+          |  SELECT from_id AS node_id FROM edges
+          |  UNION SELECT to_id FROM edges),
+          |pr0 AS (SELECT node_id, 1.0 AS rank FROM nodes)""".stripMargin
+      val iters = (1 to iterations).map { i =>
+        s"""c$i AS (
+           |  SELECT e.to_id AS node_id,
+           |    CAST(sum(CAST(round(p.rank / o.outdeg * 1e9, 0) AS BIGINT))
+           |      AS BIGINT) AS s
+           |  FROM edges e
+           |  JOIN outdeg o USING (from_id)
+           |  JOIN pr${i - 1} p ON p.node_id = e.from_id
+           |  GROUP BY 1),
+           |pr$i AS (
+           |  SELECT n.node_id,
+           |    ${1.0 - Damping} + $Damping * (coalesce(c.s, 0) / 1e9) AS rank
+           |  FROM nodes n LEFT JOIN c$i c USING (node_id))""".stripMargin
+      }
+      (base +: iters).mkString(",\n")
+    }
+  }
+}

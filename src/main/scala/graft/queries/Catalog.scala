@@ -36,7 +36,8 @@ object Catalog {
       QualityQueries.qs ++
       MonitoringQueries.qs ++
       SamplingQueries.qs ++
-      SecurityQueries.qs
+      SecurityQueries.qs ++
+      CurationQueries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

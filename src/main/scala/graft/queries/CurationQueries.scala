@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions
+import graft.graph.{KGraph, PageRank}
+import graft.pipeline.Dsir
+import graft.text.Bm25
+
+/** Corpus-curation family (builder mandate, beyond the reference's §2
+  * surface): target-domain importance resampling (DSIR), BM25 keyword
+  * retrieval, link-importance PageRank, and ANN hard-negative mining —
+  * the selection/weighting legs a 100 TB training-data pipeline runs
+  * after the cleaning (q125-q139) and dedup (q27-q31) stages.
+  */
+object CurationQueries {
+
+  private def docs(s: SparkSession, dir: String) =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String) =
+    Tables.load(s, dir, "embeddings")
+
+  // -- q145: DSIR importance resampling — score every non-target doc by
+  //          hashed-unigram log importance against the src0 target
+  //          slice, keep the top 200. Scale shape: feature tables are
+  //          256 rows (broadcast); one posexplode scan + one keyed
+  //          per-doc aggregate + TakeOrdered. See pipeline/Dsir.scala.
+  private val DsirTarget = "src0"
+  private val DsirTop = 200
+
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val imp = Dsir.importance(d, col("source") === DsirTarget)
+    imp.join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .orderBy(col("logw").desc, col("doc_id"))
+      .limit(DsirTop)
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        round(col("logw"), 6).as("log_weight"),
+        round(col("logw") / col("n_tok"), 6).as("avg_token_lw"))
+  }
+
+  private val q145Sql =
+    s"""WITH ${Dsir.sql.importanceCtes(DsirTarget)}
+       |SELECT a.doc_id, d.source, a.n_tok,
+       |  round(a.logw, 6) AS log_weight,
+       |  round(a.logw / a.n_tok, 6) AS avg_token_lw
+       |FROM dsagg a JOIN documents d USING (doc_id)
+       |ORDER BY a.logw DESC, a.doc_id
+       |LIMIT $DsirTop""".stripMargin
+
+  // -- q146: BM25 keyword retrieval — top 20 documents for a fixed
+  //           5-term query. Scale shape: isin-filtered explode scan,
+  //          query-bounded idf broadcast, TakeOrdered. See text/Bm25.
+  private val Bm25Terms = Seq("spark", "hash", "window", "merge", "batch")
+  private val Bm25Top = 20
+
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Bm25.score(d, Bm25Terms)
+      .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25Top)
+      .select(col("doc_id"), col("source"), col("n_hit"),
+        round(col("score"), 6).as("bm25"))
+  }
+
+  private val q146Sql =
+    s"""WITH ${Bm25.sql.scoreCtes(Bm25Terms)}
+       |SELECT a.doc_id, d.source, a.n_hit, round(a.score, 6) AS bm25
+       |FROM bmagg a JOIN documents d USING (doc_id)
+       |ORDER BY a.score DESC, a.doc_id
+       |LIMIT $Bm25Top""".stripMargin
+
+  // -- q147: PageRank link importance — 3 damped iterations over the
+  //          knowledge-graph edge list, top 50 nodes. Scale shape: one
+  //          hash join + one exact integer sum per iteration (static
+  //          3-stage DAG); see graph/PageRank.scala for the nano-unit
+  //          determinism contract.
+  private val PrIters = 3
+  private val PrTop = 50
+
+  private def q147(s: SparkSession, dir: String): DataFrame =
+    PageRank.ranks(KGraph.materialized(s, dir), PrIters)
+      .orderBy(col("rank").desc, col("node_id"))
+      .limit(PrTop)
+      .select(col("node_id"),
+        substring(col("node_id"), 1, 1).as("node_type"),
+        round(col("rank"), 6).as("rank"))
+
+  private val q147Sql =
+    s"""WITH ${KGraph.edgesSql},
+       |${PageRank.sql.ranksCtes(PrIters)}
+       |SELECT node_id, substr(node_id, 1, 1) AS node_type,
+       |  round(rank, 6) AS rank
+       |FROM pr$PrIters
+       |ORDER BY pr$PrIters.rank DESC, node_id
+       |LIMIT $PrTop""".stripMargin
+
+  // -- q148: hard-negative mining — for each of 16 probe embeddings,
+  //          the 5 most cosine-similar vectors whose DOCUMENT comes
+  //          from a DIFFERENT source (the contrastive-training
+  //          "looks similar, isn't same-source" candidates). Scale
+  //          shape: the probe frame broadcasts (16 rows, bounded by
+  //          design) onto one linear candidate scan; ranking is a
+  //          per-probe window, never a global sort. Brute-force exact —
+  //          the IVF path (q22/q31) is the recall-traded variant.
+  private val HnProbes = 16
+  private val HnK = 5
+
+  private def q148(s: SparkSession, dir: String): DataFrame = {
+    val src = docs(s, dir).select(col("doc_id"), col("source"))
+    val e = emb(s, dir).join(src, col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("embedding"), col("source"))
+    val probes = broadcast(e.filter(col("vec_id") < HnProbes)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("source").as("q_source")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    e.crossJoin(probes)
+      .filter(col("source") =!= col("q_source"))
+      .withColumn("sim",
+        VectorFunctions.cosine(col("embedding"), col("q_vec")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= HnK)
+      .select(col("q_id"), col("q_source"), col("vec_id"),
+        col("source"), col("rnk").cast("long").as("rnk"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  private val q148Sql = {
+    val cos = VectorFunctions.sql.cosine("c.embedding", "q.embedding")
+    s"""WITH e AS (
+       |  SELECT e.vec_id, e.embedding, d.source
+       |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+       |sims AS (
+       |  SELECT q.vec_id AS q_id, q.source AS q_source,
+       |    c.vec_id AS vec_id, c.source AS source,
+       |    $cos AS sim
+       |  FROM e q JOIN e c
+       |    ON q.vec_id < $HnProbes AND c.source <> q.source),
+       |ranked AS (
+       |  SELECT q_id, q_source, vec_id, source,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk,
+       |    round(sim, 6) AS sim
+       |  FROM sims)
+       |SELECT q_id, q_source, vec_id, source, rnk, sim
+       |FROM ranked WHERE rnk <= $HnK
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
+  val qs: Seq[Q] = Seq(
+    Q("q145_dsir_importance", q145, Some(q145Sql)),
+    Q("q146_bm25_topk", q146, Some(q146Sql)),
+    Q("q147_pagerank", q147, Some(q147Sql)),
+    Q("q148_hard_negatives", q148, Some(q148Sql)))
+}

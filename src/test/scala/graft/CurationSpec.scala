@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Dsir
+import graft.text.Bm25
+import graft.graph.PageRank
+
+/** Pins the curation-family semantics on hand-computable fixtures:
+  * DSIR importance orders target-like docs first, BM25 rewards tf and
+  * rare terms, PageRank matches the closed-form damped values, and the
+  * quantized iteration is deterministic across re-runs. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dsir: candidates sharing the target's vocabulary outscore the rest") {
+    val docs = Seq(
+      (1L, "alpha beta alpha beta", "t"),   // target slice
+      (2L, "alpha beta beta alpha", "t"),
+      (3L, "alpha beta alpha gamma", "c"),  // target-like candidate
+      (4L, "delta epsilon zeta eta", "c"),  // off-target candidate
+      (5L, "alpha alpha alpha alpha", "c")
+    ).toDF("doc_id", "text", "source")
+    val w = Dsir.importance(docs, col("source") === "t")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(3) > w(4), s"target-like doc must outrank off-target: $w")
+    assert(w(5) > w(4), s"pure target vocab must outrank off-target: $w")
+    // every doc's weight is a finite double (smoothing covers unseen buckets)
+    assert(w.values.forall(v => !v.isNaN && !v.isInfinite))
+  }
+
+  test("bm25: higher tf wins within a term; rare terms outweigh common") {
+    val docs = Seq(
+      (1L, "spark spark spark noise noise"),
+      (2L, "spark noise noise noise noise"),
+      (3L, "noise noise noise noise noise"),
+      (4L, "rare noise noise noise noise"),
+      (5L, "spark noise rare filler filler")
+    ).toDF("doc_id", "text")
+    val s = Bm25.score(docs, Seq("spark", "rare"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byDoc = s.map(x => x._1 -> x._3).toMap
+    assert(!byDoc.contains(3L), "doc matching no term must be absent")
+    assert(byDoc(1L) > byDoc(2L), "tf=3 must beat tf=1 for the same term")
+    // 'rare' (df=2) has higher idf than 'spark' (df=3): doc 4 (rare only)
+    // must outscore doc 2 (spark only) at equal tf and dl
+    assert(byDoc(4L) > byDoc(2L), s"rare-term doc must outscore: $byDoc")
+    // doc 5 hits both terms
+    assert(s.find(_._1 == 5L).get._2 == 2L)
+  }
+
+  test("pagerank: closed-form damped values on a 3-node star, " +
+    "deterministic across re-runs") {
+    val edges = Seq(("a", "b"), ("c", "b")).toDF("from_id", "to_id")
+    def run() = PageRank.ranks(edges, 3).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val r = run()
+    // sources never gain rank: the (1-d) floor every iteration
+    val floor = 1.0 - PageRank.Damping
+    assert(r("a") == floor && r("c") == floor)
+    // b: iter1 = .15+.85*2 = 1.85; iter2 onward = .15+.85*(.15+.15) = .405
+    assert(math.abs(r("b") - 0.405) < 1e-6, s"b=${r("b")}")
+    assert(run() == r, "quantized iteration must be bit-stable")
+  }
+
+  test("pagerank: rank mass concentrates along the edge direction") {
+    // the KGraph points orders→customers→nations→regions: downstream
+    // node types must accumulate more rank on average, and the single
+    // highest-ranked node must be a region sink
+    val byType = PageRank.ranks(graft.graph.KGraph.materialized(spark, sf), 3)
+      .groupBy(substring(col("node_id"), 1, 1).as("t"))
+      .agg(avg(col("rank")).as("m"), max(col("rank")).as("mx"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    assert(byType("r")._1 > byType("n")._1 && byType("n")._1 > byType("c")._1,
+      s"rank must flow downstream: $byType")
+    assert(byType("r")._2 == byType.values.map(_._2).max,
+      "a region sink must hold the global maximum")
+  }
+}

@@ -75,7 +75,10 @@ class PlanShapeSpec extends SparkSpec {
     "q129_lm_perplexity",     // 1-row vocabulary-size broadcast
     "q133_curriculum_buckets", // same 1-row vocab broadcast via NgramLm.score
     "q139_filter_funnel",     // same 1-row vocab broadcast via NgramLm.score
-    "q142_incremental_dedup") // 1-row cutoff broadcast (max doc_id split)
+    "q142_incremental_dedup", // 1-row cutoff broadcast (max doc_id split)
+    "q145_dsir_importance",   // 1-row target/candidate token totals
+    "q146_bm25_topk",         // 1-row corpus stats (n_docs, avgdl)
+    "q148_hard_negatives")    // bounded probe frame (16 rows by design)
 
   // On failure, include a plan excerpt around the first occurrence so a
   // transient/state-dependent failure self-diagnoses from the log alone.
