@@ -2,6 +2,7 @@ package graft.graph
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.engine.Lineage.LineageOps
 
 /** Fixed-iteration PageRank over the knowledge graph (builder mandate —
   * the reference's closest analog is StructuralQualityAnalyzer's
@@ -45,13 +46,22 @@ object PageRank {
     * redistributed (documented divergence from the stochastic-matrix
     * form; both engines agree). */
   def ranks(edges: DataFrame, iterations: Int = 3): DataFrame = {
+    // The static frames (weighted edge list, node set) and each
+    // iteration's rank frame are lineage-truncated: without the cut,
+    // iteration k re-executes every previous iteration's join DAG (the
+    // BFS operators use the same pattern, GraphOps.scala). The edge
+    // list carries outdeg pre-joined once, so an iteration is exactly
+    // one hash join (ranks onto edges, both keyed by from_id) + one
+    // keyed integer sum + the left join onto the node set.
+    val outdeg = edges.groupBy(col("from_id")).agg(count(lit(1)).as("outdeg"))
     val e = edges.select(col("from_id"), col("to_id"))
-    val outdeg = e.groupBy(col("from_id")).agg(count(lit(1)).as("outdeg"))
-    val all = nodes(edges)
+      .join(outdeg, Seq("from_id"))
+      .repartition(col("from_id"))
+      .truncateLineage()
+    val all = nodes(edges).repartition(col("node_id")).truncateLineage()
     var r = all.withColumn("rank", lit(1.0))
     for (_ <- 1 to iterations) {
       val contrib = e
-        .join(outdeg, Seq("from_id"))
         .join(r.withColumnRenamed("node_id", "from_id"), Seq("from_id"))
         .select(col("to_id").as("node_id"),
           round(col("rank") / col("outdeg") * lit(Nano), 0)
@@ -62,6 +72,7 @@ object PageRank {
         .select(col("node_id"),
           (lit(1.0 - Damping) + lit(Damping) *
             (coalesce(col("s"), lit(0L)) / lit(Nano))).as("rank"))
+        .truncateLineage()
     }
     r
   }
