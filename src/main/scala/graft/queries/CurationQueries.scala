@@ -152,9 +152,44 @@ object CurationQueries {
        |ORDER BY q_id, rnk""".stripMargin
   }
 
+  // -- q149: k-means corpus map — 2 deterministic Lloyd iterations
+  //          (k=8, seeds = lowest 8 vec_ids, exact milli-unit centroid
+  //          means; semantic/KMeans.scala) then the cluster-balance
+  //          report every training pipeline reads before mixing:
+  //          per-cluster size, source spread, and exact micro-unit
+  //          mean squared distance (cohesion).
+  private val KmK = 8
+  private val KmIters = 2
+
+  private def q149(s: SparkSession, dir: String): DataFrame = {
+    val asg = graft.semantic.KMeans.fit(
+      emb(s, dir), "vec_id", "embedding", KmK, KmIters)
+    val src = docs(s, dir).select(col("doc_id"), col("source"))
+    asg.join(src, col("vec_id") === col("doc_id"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("source")).as("n_src"),
+        (sum(round(col("sqdist") * lit(1000000), 0).cast("long")) /
+          (lit(1000000.0) * count(lit(1)))).as("mean_sqdist"))
+      .select(col("cid"), col("n"), col("n_src"),
+        round(col("mean_sqdist"), 6).as("mean_sqdist"))
+      .orderBy(col("cid"))
+  }
+
+  private val q149Sql =
+    s"""WITH ${graft.semantic.KMeans.sql.fitCtes(KmK, KmIters)}
+       |SELECT a.cid, count(*) AS n,
+       |  count(DISTINCT d.source) AS n_src,
+       |  round(sum(CAST(round(a.sqdist * 1000000) AS BIGINT)) /
+       |    (1000000.0 * count(*)), 6) AS mean_sqdist
+       |FROM asgF a JOIN documents d ON a.vec_id = d.doc_id
+       |GROUP BY a.cid
+       |ORDER BY a.cid""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q145_dsir_importance", q145, Some(q145Sql)),
     Q("q146_bm25_topk", q146, Some(q146Sql)),
     Q("q147_pagerank", q147, Some(q147Sql)),
-    Q("q148_hard_negatives", q148, Some(q148Sql)))
+    Q("q148_hard_negatives", q148, Some(q148Sql)),
+    Q("q149_kmeans_corpus_map", q149, Some(q149Sql)))
 }

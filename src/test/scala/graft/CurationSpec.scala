@@ -62,6 +62,24 @@ class CurationSpec extends SparkSpec {
     assert(run() == r, "quantized iteration must be bit-stable")
   }
 
+  test("kmeans: separable clusters resolve, assignment is bit-stable") {
+    // two tight groups on opposite corners of the plane; seeds (ids 0,1)
+    // land one per group, so 2 iterations must separate them exactly
+    val vs = Seq(
+      (0L, Array(0.0f, 0.1f)), (2L, Array(0.1f, 0.0f)),
+      (3L, Array(0.05f, 0.05f)),
+      (1L, Array(5.0f, 5.1f)), (4L, Array(5.1f, 5.0f)),
+      (5L, Array(4.9f, 5.2f))
+    ).toDF("vec_id", "embedding")
+    def run() = graft.semantic.KMeans.fit(vs, "vec_id", "embedding", 2, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = run()
+    assert(a(0) == a(2) && a(2) == a(3), s"low corner must cohere: $a")
+    assert(a(1) == a(4) && a(4) == a(5), s"high corner must cohere: $a")
+    assert(a(0) != a(1), "the two corners must be distinct clusters")
+    assert(run() == a, "quantized Lloyd must be bit-stable across runs")
+  }
+
   test("pagerank: rank mass concentrates along the edge direction") {
     // the KGraph points orders→customers→nations→regions: downstream
     // node types must accumulate more rank on average, and the single
