@@ -186,10 +186,136 @@ object CurationQueries {
        |GROUP BY a.cid
        |ORDER BY a.cid""".stripMargin
 
+  // -- q150: corpus datasheet — the per-source "data card" a pipeline
+  //          publishes with a training set: volume, token mass, language
+  //          purity, exact-dup exposure, mean quality. One linear scan
+  //          computing all per-doc features, one content-key aggregate
+  //          joined back (the q27 dedup key), one per-source rollup.
+  //          Float means use exact micro-unit integer sums (q143
+  //          precedent) so the rollup is shuffle-order-proof.
+  private def q150(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{TextFunctions => TF}
+    val base = docs(s, dir).select(col("source"), col("doc_id"),
+      TF.tokenCount(col("text")).cast("long").as("n_tok"),
+      TF.langId(col("text")).as("lang_pred"),
+      TF.qualityScore(col("text"), col("n_chars")).as("q"),
+      md5(array_join(array_sort(TF.distinctTokens(col("text"))), " "))
+        .as("key"))
+    val groups = base.groupBy(col("key"))
+      .agg(count(lit(1)).as("group_size"))
+    base.join(groups, Seq("key"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("tokens"),
+        sum(when(col("lang_pred") === "en", 1L).otherwise(0L)).as("en_docs"),
+        sum(when(col("group_size") > 1, 1L).otherwise(0L)).as("dup_docs"),
+        sum(round(col("q") * lit(1000000), 0).cast("long")).as("q_micro"))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        round(col("tokens") * lit(1.0) / col("n_docs"), 6).as("mean_tokens"),
+        round(col("en_docs") * lit(1.0) / col("n_docs"), 6).as("en_share"),
+        round(col("dup_docs") * lit(1.0) / col("n_docs"), 6).as("dup_rate"),
+        round(col("q_micro") / (lit(1000000.0) * col("n_docs")), 6)
+          .as("mean_quality"))
+      .orderBy(col("source"))
+  }
+
+  private val q150Sql = {
+    import graft.text.{TextFunctions => TF}
+    s"""WITH base AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    ${TF.sql.langId("text")} AS lang_pred,
+       |    ${TF.sql.qualityScore("text", "n_chars")} AS q,
+       |    md5(array_to_string(list_sort(list_distinct(
+       |      string_split(text, ' '))), ' ')) AS key
+       |  FROM documents),
+       |groups AS (
+       |  SELECT key, count(*) AS group_size FROM base GROUP BY 1)
+       |SELECT source,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS tokens,
+       |  round(sum(n_tok) * 1.0 / count(*), 6) AS mean_tokens,
+       |  round(sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END) * 1.0
+       |    / count(*), 6) AS en_share,
+       |  round(sum(CASE WHEN group_size > 1 THEN 1 ELSE 0 END) * 1.0
+       |    / count(*), 6) AS dup_rate,
+       |  round(sum(CAST(round(q * 1000000) AS BIGINT)) /
+       |    (1000000.0 * count(*)), 6) AS mean_quality
+       |FROM base JOIN groups USING (key)
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
+  // -- q151: reciprocal-rank fusion — the standard hybrid-retrieval
+  //          combiner (Cormack et al. 2009): BM25 leg (q146 terms) and
+  //          cosine leg (probe vec 0) each rank their top 100, fused by
+  //          1/(60+rank) in a fixed two-term sum. Scale shape: both
+  //          legs end in TakeOrdered top-k; ranking windows then run
+  //          over k-row frames (bounded by design), and the fusion is
+  //          one full-outer equi-join of two 100-row frames.
+  private val RrfK = 60
+  private val RrfLeg = 100
+  private val RrfTop = 25
+
+  private def q151(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val wb = Window.orderBy(col("score").desc, col("doc_id"))
+    val bmLeg = Bm25.score(d, Bm25Terms)
+      .orderBy(col("score").desc, col("doc_id")).limit(RrfLeg)
+      .select(col("doc_id"), row_number().over(wb).cast("long").as("bm_rank"))
+    val e = emb(s, dir)
+    val probe = broadcast(e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_vec")))
+    val wv = Window.orderBy(col("sim").desc, col("vec_id"))
+    val vecLeg = e.crossJoin(probe)
+      .withColumn("sim",
+        VectorFunctions.cosine(col("embedding"), col("q_vec")))
+      .orderBy(col("sim").desc, col("vec_id")).limit(RrfLeg)
+      .select(col("vec_id").as("doc_id"),
+        row_number().over(wv).cast("long").as("vec_rank"))
+    bmLeg.join(vecLeg, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("bm_rank"), col("vec_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(RrfK) + col("bm_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK) + col("vec_rank")), lit(0.0)), 6)
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(RrfTop)
+  }
+
+  private val q151Sql = {
+    val cos = VectorFunctions.sql.cosine("e.embedding", "p.embedding")
+    s"""WITH ${Bm25.sql.scoreCtes(Bm25Terms)},
+       |bmleg AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+       |      AS bm_rank
+       |  FROM bmagg
+       |  ORDER BY score DESC, doc_id LIMIT $RrfLeg),
+       |vecleg AS (
+       |  SELECT vec_id AS doc_id,
+       |    CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT)
+       |      AS vec_rank
+       |  FROM (
+       |    SELECT e.vec_id, $cos AS sim
+       |    FROM embeddings e CROSS JOIN
+       |      (SELECT embedding FROM embeddings WHERE vec_id = 0) p)
+       |  ORDER BY sim DESC, vec_id LIMIT $RrfLeg)
+       |SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
+       |  b.bm_rank AS bm_rank, v.vec_rank AS vec_rank,
+       |  round(coalesce(1.0 / ($RrfK + b.bm_rank), 0.0) +
+       |    coalesce(1.0 / ($RrfK + v.vec_rank), 0.0), 6) AS rrf
+       |FROM bmleg b FULL OUTER JOIN vecleg v ON b.doc_id = v.doc_id
+       |ORDER BY rrf DESC, doc_id
+       |LIMIT $RrfTop""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q145_dsir_importance", q145, Some(q145Sql)),
     Q("q146_bm25_topk", q146, Some(q146Sql)),
     Q("q147_pagerank", q147, Some(q147Sql)),
     Q("q148_hard_negatives", q148, Some(q148Sql)),
-    Q("q149_kmeans_corpus_map", q149, Some(q149Sql)))
+    Q("q149_kmeans_corpus_map", q149, Some(q149Sql)),
+    Q("q150_corpus_datasheet", q150, Some(q150Sql)),
+    Q("q151_rrf_fusion", q151, Some(q151Sql)))
 }
