@@ -310,6 +310,116 @@ object CurationQueries {
        |LIMIT $RrfTop""".stripMargin
   }
 
+  // -- q152: quality-weighted sampling WITHOUT replacement — the
+  //          Efraimidis–Spirakis one-pass scheme (key = ln(u)/w, take
+  //          the k largest), with u derived from the portable md5 hash
+  //          so the "randomness" is reproducible cross-engine. The
+  //          standard way a 100 TB corpus takes an unbiased
+  //          quality-tilted subsample in ONE scan + ONE TakeOrdered —
+  //          no per-group state, no multi-pass quota fixup. Report:
+  //          how the 500-doc sample tilts across sources.
+  private val WsSample = 500
+  private val WsSalt = "ws"
+
+  private def q152(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{TextFunctions => TF}
+    val base = docs(s, dir).select(col("source"), col("doc_id"),
+      TF.qualityScore(col("text"), col("n_chars")).as("q"))
+      .withColumn("w", greatest(col("q"), lit(0.001)))
+      .withColumn("u",
+        (TF.md5Long(concat(col("doc_id").cast("string"), lit(WsSalt))) +
+          lit(1L)) / lit(4294967297.0))
+      .withColumn("k", log(col("u")) / col("w"))
+    base.orderBy(col("k").desc, col("doc_id")).limit(WsSample)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"),
+        (sum(round(col("q") * lit(1000000), 0).cast("long")) /
+          (lit(1000000.0) * count(lit(1)))).as("mq"))
+      .select(col("source"), col("n_sampled"),
+        round(col("mq"), 6).as("mean_quality"))
+      .orderBy(col("source"))
+  }
+
+  private val q152Sql = {
+    import graft.text.{TextFunctions => TF}
+    val h = TF.sql.md5Long(s"(CAST(doc_id AS VARCHAR) || '$WsSalt')")
+    s"""WITH base AS (
+       |  SELECT source, doc_id,
+       |    ${TF.sql.qualityScore("text", "n_chars")} AS q,
+       |    greatest(${TF.sql.qualityScore("text", "n_chars")}, 0.001) AS w,
+       |    ($h + 1) / 4294967297.0 AS u
+       |  FROM documents),
+       |sampled AS (
+       |  SELECT source, doc_id, q FROM base
+       |  ORDER BY ln(u) / w DESC, doc_id LIMIT $WsSample)
+       |SELECT source, count(*) AS n_sampled,
+       |  round(sum(CAST(round(q * 1000000) AS BIGINT)) /
+       |    (1000000.0 * count(*)), 6) AS mean_quality
+       |FROM sampled
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // -- q153: IVF cell-balance report — the index-build health check
+  //          behind q22/q91/q92: per-cell population, share, and exact
+  //          micro-unit mean assignment distance. A skewed cell list is
+  //          what turns nprobe/nlist pruning into a full scan, so this
+  //          is the report that decides nlist before a 100 TB build.
+  //          Reuses the deterministic label-mean centroids + argmin
+  //          assignment the oracle-green q22 pins.
+  private def q153(s: SparkSession, dir: String): DataFrame = {
+    import graft.semantic.VectorSearch
+    val e = emb(s, dir)
+    val cents = VectorSearch.centroids(e, "label")
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("cell"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("dist",
+        VectorFunctions.l2Distance(col("embedding"), col("centroid")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+    val total = e.agg(count(lit(1)).as("n_total"))
+    assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("dist") * lit(1000000), 0).cast("long")) /
+          (lit(1000000.0) * count(lit(1)))).as("md"))
+      .crossJoin(broadcast(total))
+      .select(col("cell"), col("n"),
+        round(col("n") * lit(1.0) / col("n_total"), 6).as("share"),
+        round(col("md"), 6).as("mean_dist"))
+      .orderBy(col("cell"))
+  }
+
+  private val q153Sql = {
+    val l2 = "sqrt(list_sum(list_transform(list_zip(%s, %s), " +
+      "z -> (z[1]-z[2])*(z[1]-z[2]))))"
+    s"""WITH el AS (
+       |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+       |         unnest(embedding::DOUBLE[]) AS x
+       |  FROM embeddings),
+       |centl AS (
+       |  SELECT label AS cell, list(cx ORDER BY pos) AS centroid FROM (
+       |    SELECT label, pos, avg(x) AS cx FROM el GROUP BY label, pos) c
+       |  GROUP BY label),
+       |dists AS (
+       |  SELECT e.vec_id, c.cell,
+       |    ${l2.format("e.embedding::DOUBLE[]", "c.centroid")} AS dist
+       |  FROM embeddings e CROSS JOIN centl c),
+       |assign AS (
+       |  SELECT vec_id, cell, dist FROM (
+       |    SELECT vec_id, cell, dist,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell)
+       |        AS rn
+       |    FROM dists) x WHERE rn = 1),
+       |tot AS (SELECT count(*) AS n_total FROM embeddings)
+       |SELECT cell, count(*) AS n,
+       |  round(count(*) * 1.0 / n_total, 6) AS share,
+       |  round(sum(CAST(round(dist * 1000000) AS BIGINT)) /
+       |    (1000000.0 * count(*)), 6) AS mean_dist
+       |FROM assign CROSS JOIN tot
+       |GROUP BY cell, n_total
+       |ORDER BY cell""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q145_dsir_importance", q145, Some(q145Sql)),
     Q("q146_bm25_topk", q146, Some(q146Sql)),
@@ -317,5 +427,7 @@ object CurationQueries {
     Q("q148_hard_negatives", q148, Some(q148Sql)),
     Q("q149_kmeans_corpus_map", q149, Some(q149Sql)),
     Q("q150_corpus_datasheet", q150, Some(q150Sql)),
-    Q("q151_rrf_fusion", q151, Some(q151Sql)))
+    Q("q151_rrf_fusion", q151, Some(q151Sql)),
+    Q("q152_weighted_sample", q152, Some(q152Sql)),
+    Q("q153_ivf_cell_balance", q153, Some(q153Sql)))
 }
