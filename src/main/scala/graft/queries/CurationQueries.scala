@@ -420,6 +420,24 @@ object CurationQueries {
        |ORDER BY cell""".stripMargin
   }
 
+  // -- q154: BPE merge training — the tokenizer-prep stage (Sennrich
+  //          et al. 2016): 12 highest-count merges over the corpus.
+  //          After one corpus scan for word counts, every iteration is
+  //          VOCAB-bounded (pair census + 1-row argmax + per-word merge
+  //          fold), so training cost is sub-linear in corpus size. All
+  //          integer arithmetic with lexicographic tie-breaks — fully
+  //          deterministic (CurationSpec pins the canonical fixture) —
+  //          but iterative merge application is not SQL-expressible, so
+  //          this entry takes the driver's rows-only check.
+  private val BpeMerges = 12
+
+  private def q154(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.text.BpeTrainer.train(docs(s, dir), "text", BpeMerges)
+      .toDF("rank", "left", "right", "cnt")
+      .orderBy(col("rank"))
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q145_dsir_importance", q145, Some(q145Sql)),
     Q("q146_bm25_topk", q146, Some(q146Sql)),
@@ -429,5 +447,6 @@ object CurationQueries {
     Q("q150_corpus_datasheet", q150, Some(q150Sql)),
     Q("q151_rrf_fusion", q151, Some(q151Sql)),
     Q("q152_weighted_sample", q152, Some(q152Sql)),
-    Q("q153_ivf_cell_balance", q153, Some(q153Sql)))
+    Q("q153_ivf_cell_balance", q153, Some(q153Sql)),
+    Q("q154_bpe_merges", q154, None))
 }

@@ -80,6 +80,31 @@ class CurationSpec extends SparkSpec {
     assert(run() == a, "quantized Lloyd must be bit-stable across runs")
   }
 
+  test("bpe: canonical fixture learns the paper's merges, bit-stable") {
+    // Sennrich et al. 2016 §3.2 example: low x5, lower x2, newest x6,
+    // widest x3. (e,s)=(s,t)=(t,</w>)=9 tie → lexicographic picks
+    // (e,s), then (es,t), (est,</w>), then (l,o)=(lo,w)=7 → (l,o), (lo,w)
+    val docs = Seq(
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    ).toDF("text")
+    def run() = graft.text.BpeTrainer.train(docs, "text", 5)
+    val m = run()
+    assert(m.map(x => (x._2, x._3)) == Seq(
+      ("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w")),
+      s"unexpected merges: $m")
+    assert(m.map(_._4) == Seq(9L, 9L, 9L, 7L, 7L))
+    assert(run() == m, "training must be bit-stable across runs")
+  }
+
+  test("bpe: leftmost-first application on overlapping runs") {
+    val merged = spark.range(1)
+      .select(graft.text.BpeTrainer.applyMerge(
+        split(lit("a a a"), " "), "a", "a").as("s"))
+      .collect()(0).getSeq[String](0)
+    assert(merged == Seq("aa", "a"), s"got $merged")
+  }
+
   test("pagerank: rank mass concentrates along the edge direction") {
     // the KGraph points orders→customers→nations→regions: downstream
     // node types must accumulate more rank on average, and the single
