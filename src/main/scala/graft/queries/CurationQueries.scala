@@ -438,6 +438,83 @@ object CurationQueries {
       .orderBy(col("rank"))
   }
 
+  // -- q155: train/eval distribution-drift report — after the q111
+  //          deterministic split, compare each split's hashed-unigram
+  //          distribution against train via Jensen–Shannon divergence
+  //          over the 256 DSIR feature buckets. The release gate that
+  //          catches a skewed split or a drifted eval set before
+  //          training. Scale shape: one posexplode scan (the q145
+  //          instance stream) + bucket-bounded aggregates; the JS sum
+  //          folds over the 256-row bucket frame in bucket order
+  //          (sorted-array fold = oracle sum ORDER BY b).
+  private val DriftBuckets = Dsir.DefaultBuckets
+
+  private def q155(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Sampling
+    val inst = Dsir.instances(docs(s, dir), DriftBuckets)
+      .withColumn("split", Sampling.splitColumn(col("doc_id"),
+        Seq("train" -> 8, "val" -> 1, "test" -> 1)))
+    val counts = inst.groupBy(col("split"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val totals = inst.groupBy(col("split")).agg(count(lit(1)).as("t"))
+    val p = counts.join(totals, Seq("split"))
+      .select(col("split"), col("b"),
+        ((col("c") + lit(1.0)) / (col("t") + lit(DriftBuckets.toDouble)))
+          .as("p"))
+    val train = p.filter(col("split") === "train")
+      .select(col("b"), col("p").as("pt"))
+    // per-bucket JS contribution vs train; smoothing keeps every bucket
+    // defined on both sides, and the left join keeps train-only buckets
+    // out (their eval-side mass is the smoothing floor — both engines
+    // drop them identically)
+    val contrib = p.filter(col("split") =!= "train")
+      .join(train, Seq("b"))
+      .select(col("split"), col("b"),
+        (lit(0.5) * (col("p") * log(col("p") * lit(2.0) /
+            (col("p") + col("pt")))) +
+          lit(0.5) * (col("pt") * log(col("pt") * lit(2.0) /
+            (col("p") + col("pt"))))).as("js"))
+    contrib.groupBy(col("split"))
+      .agg(sort_array(collect_list(struct(col("b"), col("js")))).as("jss"))
+      .select(col("split"),
+        size(col("jss")).cast("long").as("n_buckets"),
+        round(aggregate(col("jss"), lit(0.0d), (acc, x) => acc + x("js")), 6)
+          .as("js_divergence"))
+      .orderBy(col("split"))
+  }
+
+  private val q155Sql = {
+    import graft.pipeline.Sampling
+    val bucket = Sampling.sql.hashBucket("l[i]", DriftBuckets)
+    val split = s"CASE WHEN ${Sampling.sql.hashBucket("doc_id", 10)} < 8 " +
+      s"THEN 'train' WHEN ${Sampling.sql.hashBucket("doc_id", 10)} < 9 " +
+      "THEN 'val' ELSE 'test' END"
+    s"""WITH toks AS (
+       |  SELECT doc_id, $split AS split, string_split(text, ' ') AS l
+       |  FROM documents),
+       |inst AS (
+       |  SELECT split, $bucket AS b
+       |  FROM toks, unnest(range(1, len(l) + 1)) r(i)),
+       |counts AS (
+       |  SELECT split, b, count(*) AS c FROM inst GROUP BY 1, 2),
+       |totals AS (SELECT split, count(*) AS t FROM inst GROUP BY 1),
+       |p AS (
+       |  SELECT split, b,
+       |    (c + 1.0) / (t + $DriftBuckets.0) AS p
+       |  FROM counts JOIN totals USING (split)),
+       |train AS (SELECT b, p AS pt FROM p WHERE split = 'train'),
+       |contrib AS (
+       |  SELECT p.split, p.b,
+       |    0.5 * (p.p * ln(p.p * 2.0 / (p.p + t.pt))) +
+       |      0.5 * (t.pt * ln(t.pt * 2.0 / (p.p + t.pt))) AS js
+       |  FROM p JOIN train t USING (b)
+       |  WHERE p.split <> 'train')
+       |SELECT split, CAST(count(*) AS BIGINT) AS n_buckets,
+       |  round(sum(js ORDER BY b), 6) AS js_divergence
+       |FROM contrib
+       |GROUP BY split ORDER BY split""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q145_dsir_importance", q145, Some(q145Sql)),
     Q("q146_bm25_topk", q146, Some(q146Sql)),
@@ -448,5 +525,6 @@ object CurationQueries {
     Q("q151_rrf_fusion", q151, Some(q151Sql)),
     Q("q152_weighted_sample", q152, Some(q152Sql)),
     Q("q153_ivf_cell_balance", q153, Some(q153Sql)),
-    Q("q154_bpe_merges", q154, None))
+    Q("q154_bpe_merges", q154, None),
+    Q("q155_split_drift", q155, Some(q155Sql)))
 }
