@@ -515,6 +515,95 @@ object CurationQueries {
        |GROUP BY split ORDER BY split""".stripMargin
   }
 
+  // -- q156: cluster-safe split — near-dup-aware train/eval assignment:
+  //          hash the q126 CLUSTER id (not the doc id), so every LSH
+  //          near-dup cluster lands in one split and cross-split
+  //          leakage is zero BY CONSTRUCTION. The report proves it in
+  //          data: per split, docs/clusters plus the near-dup pairs
+  //          that cross splits under this scheme (always 0) vs under
+  //          the naive doc-hash split (the leakage a doc-level split
+  //          silently ships). Scale shape: q28's LSH pair graph +
+  //          star-contraction components (both 100 TB-shaped), then
+  //          pure hash arithmetic and keyed aggregates.
+  private val CsSalt = "cs"
+  private val CsWeights = Seq("train" -> 8, "val" -> 1, "test" -> 1)
+
+  private def q156(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Dedup
+    import graft.pipeline.Sampling
+    val d = docs(s, dir)
+    val pairs = Dedup.minhashLsh(d, "doc_id", "text", k = 12, bands = 2,
+      threshold = 0.9)
+    val cc = graft.graph.GraphOps.connectedComponents(
+        pairs.select(col("a_id").as("from_id"), col("b_id").as("to_id")))
+      .select(col("node_id").as("doc_id"), col("component").as("cluster_id"))
+    val spl = d.select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .select(col("doc_id"), col("cluster_id"),
+        Sampling.splitColumn(col("cluster_id"), CsWeights, CsSalt)
+          .as("split"),
+        Sampling.splitColumn(col("doc_id"), CsWeights, CsSalt)
+          .as("naive_split"))
+    val stats = spl.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+    val a = spl.select(col("doc_id").as("a_id"), col("split").as("sa"),
+      col("naive_split").as("na"))
+    val b = spl.select(col("doc_id").as("b_id"), col("split").as("sb"),
+      col("naive_split").as("nb"))
+    val pagg = pairs.join(a, Seq("a_id")).join(b, Seq("b_id"))
+      .groupBy(least(col("sa"), col("sb")).as("split"))
+      .agg(count(lit(1)).as("pairs_touching"),
+        sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L))
+          .as("safe_cross"),
+        sum(when(col("na") =!= col("nb"), 1L).otherwise(0L))
+          .as("naive_cross"))
+    stats.join(pagg, Seq("split"), "left")
+      .select(col("split"), col("n_docs"), col("n_clusters"),
+        coalesce(col("pairs_touching"), lit(0L)).as("pairs_touching"),
+        coalesce(col("safe_cross"), lit(0L)).as("safe_cross"),
+        coalesce(col("naive_cross"), lit(0L)).as("naive_cross"))
+      .orderBy(col("split"))
+  }
+
+  private val q156Sql = {
+    import graft.pipeline.Sampling
+    def splitCase(key: String) = {
+      val h = Sampling.sql.hashBucket(key, 10, CsSalt)
+      s"CASE WHEN $h < 8 THEN 'train' WHEN $h < 9 THEN 'val' " +
+        "ELSE 'test' END"
+    }
+    s"""WITH RECURSIVE ${DedupQueries.componentCtes},
+       |spl AS (
+       |  SELECT d.doc_id,
+       |    coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+       |    ${splitCase("coalesce(c.cluster_id, d.doc_id)")} AS split,
+       |    ${splitCase("d.doc_id")} AS naive_split
+       |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+       |stats AS (
+       |  SELECT split, count(*) AS n_docs,
+       |    count(DISTINCT cluster_id) AS n_clusters
+       |  FROM spl GROUP BY 1),
+       |pagg AS (
+       |  SELECT least(a.split, b.split) AS split,
+       |    CAST(count(*) AS BIGINT) AS pairs_touching,
+       |    CAST(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS safe_cross,
+       |    CAST(sum(CASE WHEN a.naive_split <> b.naive_split
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS naive_cross
+       |  FROM pairs p
+       |  JOIN spl a ON p.a_id = a.doc_id
+       |  JOIN spl b ON p.b_id = b.doc_id
+       |  GROUP BY 1)
+       |SELECT s.split, s.n_docs, s.n_clusters,
+       |  coalesce(pa.pairs_touching, 0) AS pairs_touching,
+       |  coalesce(pa.safe_cross, 0) AS safe_cross,
+       |  coalesce(pa.naive_cross, 0) AS naive_cross
+       |FROM stats s LEFT JOIN pagg pa USING (split)
+       |ORDER BY s.split""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q145_dsir_importance", q145, Some(q145Sql)),
     Q("q146_bm25_topk", q146, Some(q146Sql)),
@@ -526,5 +615,6 @@ object CurationQueries {
     Q("q152_weighted_sample", q152, Some(q152Sql)),
     Q("q153_ivf_cell_balance", q153, Some(q153Sql)),
     Q("q154_bpe_merges", q154, None),
-    Q("q155_split_drift", q155, Some(q155Sql)))
+    Q("q155_split_drift", q155, Some(q155Sql)),
+    Q("q156_cluster_safe_split", q156, Some(q156Sql)))
 }

@@ -70,8 +70,11 @@ object DedupQueries {
     Dedup.clusters(pairs, d, "doc_id", "text").orderBy(col("doc_id"))
   }
 
-  private val q126Sql =
-    s"""WITH RECURSIVE sig AS (
+  /** Shared recursive CTE chain: q28's LSH pair graph → undirected
+    * closure → `comp(doc_id, cluster_id)` (docs in no pair absent).
+    * Reused by q126 and the cluster-safe split (q156). */
+  private[queries] val componentCtes: String =
+    s"""sig AS (
        |  SELECT doc_id AS id, ${TF.sql.minhashSignature("text", 12)} AS sig
        |  FROM documents),
        |banded AS (
@@ -96,7 +99,10 @@ object DedupQueries {
        |  SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s WHERE u.t <> r.s),
        |comp AS (
        |  SELECT s AS doc_id, least(s, min(t)) AS cluster_id
-       |  FROM reach GROUP BY s),
+       |  FROM reach GROUP BY s)""".stripMargin
+
+  private val q126Sql =
+    s"""WITH RECURSIVE $componentCtes,
        |ranked AS (
        |  SELECT c.doc_id, c.cluster_id,
        |    count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
