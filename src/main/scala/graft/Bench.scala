@@ -43,7 +43,11 @@ object Bench {
     // round-7 headline promotions (quiet-host mins, BENCH_NOTES r7;
     // tightened to the full-set pre-validation run late in round 7)
     "q106_perf_window_stats" -> 0.31,
-    "q115_decontamination" -> 2.11)
+    "q115_decontamination" -> 2.11,
+    // curation-family promotions (quiet-host mins, BENCH_NOTES
+    // addendum 13)
+    "q145_dsir_importance" -> 1.93,
+    "q147_pagerank" -> 5.58)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -604,10 +604,116 @@ object CurationQueries {
        |ORDER BY s.split""".stripMargin
   }
 
+  // -- q157: ANN recall@10 evaluation — the oracle-gated form of the
+  //          RecallReport diagnostic: for 16 probe vectors, the exact
+  //          cosine top-10 vs the IVF(nprobe=2) top-10 (the q22 path),
+  //          per-probe hit counts and recall. Turns the TUNING.md
+  //          recall claims into a hash-checked metric. Scale shape:
+  //          both legs broadcast the 16-probe frame onto linear scans;
+  //          the IVF leg prunes its scan to the probed cells first;
+  //          rankings are per-probe windows (WindowGroupLimit), and the
+  //          final intersection is one (q_id, vec_id) equi-join.
+  private val ArProbes = 16
+  private val ArK = 10
+  private val ArNprobe = 2
+
+  private def q157(s: SparkSession, dir: String): DataFrame = {
+    import graft.semantic.VectorSearch
+    val e = emb(s, dir)
+    val cents = VectorSearch.centroids(e, "label")
+    val probes = broadcast(e.filter(col("vec_id") < ArProbes)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val exact = e.crossJoin(probes)
+      .withColumn("sim",
+        VectorFunctions.cosine(col("embedding"), col("q_vec")))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= ArK)
+      .select(col("q_id"), col("vec_id"))
+    val assigned = VectorSearch.ivfAssign(e, "label", Some(cents))
+    val wc = Window.partitionBy(col("q_id"))
+      .orderBy(col("cdist"), col("cell"))
+    val probeCells = broadcast(cents).crossJoin(probes)
+      .withColumn("cdist",
+        VectorFunctions.l2Distance(col("centroid"), col("q_vec")))
+      .withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= ArNprobe)
+      .select(col("q_id"), col("cell"), col("q_vec"))
+    val approx = assigned.join(probeCells, Seq("cell"))
+      .withColumn("sim",
+        VectorFunctions.cosine(col("embedding"), col("q_vec")))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= ArK)
+      .select(col("q_id"), col("vec_id"))
+    exact.join(approx, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+      .select(col("q_id"), col("n_hit"),
+        round(col("n_hit") / lit(ArK.toDouble), 6).as("recall_at_10"))
+      .orderBy(col("q_id"))
+  }
+
+  private val q157Sql = {
+    val l2 = "sqrt(list_sum(list_transform(list_zip(%s, %s), " +
+      "z -> (z[1]-z[2])*(z[1]-z[2]))))"
+    val cosEq = VectorFunctions.sql.cosine("e.embedding", "p.q_vec")
+    val cosAq = VectorFunctions.sql.cosine("a2.embedding", "pc.q_vec")
+    s"""WITH el AS (
+       |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+       |         unnest(embedding::DOUBLE[]) AS x
+       |  FROM embeddings),
+       |centl AS (
+       |  SELECT label AS cell, list(cx ORDER BY pos) AS centroid FROM (
+       |    SELECT label, pos, avg(x) AS cx FROM el GROUP BY label, pos) c
+       |  GROUP BY label),
+       |dists AS (
+       |  SELECT e.vec_id, c.cell,
+       |    ${l2.format("e.embedding::DOUBLE[]", "c.centroid")} AS dist
+       |  FROM embeddings e CROSS JOIN centl c),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell)
+       |        AS rn
+       |    FROM dists) x WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+       |  FROM embeddings WHERE vec_id < $ArProbes),
+       |exact AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT p.q_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY p.q_id
+       |        ORDER BY $cosEq DESC, e.vec_id) AS rn
+       |    FROM embeddings e CROSS JOIN probes p) x
+       |  WHERE rn <= $ArK),
+       |probecells AS (
+       |  SELECT q_id, cell, q_vec FROM (
+       |    SELECT p.q_id, c.cell, p.q_vec,
+       |      row_number() OVER (PARTITION BY p.q_id
+       |        ORDER BY ${l2.format("c.centroid", "p.q_vec")}, c.cell)
+       |        AS crn
+       |    FROM centl c CROSS JOIN probes p) x
+       |  WHERE crn <= $ArNprobe),
+       |approx AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT pc.q_id, a.vec_id,
+       |      row_number() OVER (PARTITION BY pc.q_id
+       |        ORDER BY $cosAq DESC, a.vec_id) AS rn
+       |    FROM assign a
+       |    JOIN probecells pc ON a.cell = pc.cell
+       |    JOIN embeddings a2 ON a2.vec_id = a.vec_id) x
+       |  WHERE rn <= $ArK)
+       |SELECT x.q_id, count(*) AS n_hit,
+       |  round(count(*) / $ArK.0, 6) AS recall_at_10
+       |FROM exact x
+       |WHERE EXISTS (SELECT 1 FROM approx ap
+       |  WHERE ap.q_id = x.q_id AND ap.vec_id = x.vec_id)
+       |GROUP BY x.q_id
+       |ORDER BY x.q_id""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
-    Q("q145_dsir_importance", q145, Some(q145Sql)),
+    Q("q145_dsir_importance", q145, Some(q145Sql), headline = true),
     Q("q146_bm25_topk", q146, Some(q146Sql)),
-    Q("q147_pagerank", q147, Some(q147Sql)),
+    Q("q147_pagerank", q147, Some(q147Sql), headline = true),
     Q("q148_hard_negatives", q148, Some(q148Sql)),
     Q("q149_kmeans_corpus_map", q149, Some(q149Sql)),
     Q("q150_corpus_datasheet", q150, Some(q150Sql)),
@@ -616,5 +722,6 @@ object CurationQueries {
     Q("q153_ivf_cell_balance", q153, Some(q153Sql)),
     Q("q154_bpe_merges", q154, None),
     Q("q155_split_drift", q155, Some(q155Sql)),
-    Q("q156_cluster_safe_split", q156, Some(q156Sql)))
+    Q("q156_cluster_safe_split", q156, Some(q156Sql)),
+    Q("q157_ann_recall_eval", q157, Some(q157Sql)))
 }
