@@ -116,7 +116,11 @@ class PlanShapeSpec extends SparkSpec {
   test("top-k queries plan as TakeOrderedAndProject, not sort+limit") {
     val topK = Seq("q06_sort_pagination", "q17_topk_cosine",
       "q18_topk_filtered", "q22_ann_ivf", "q50_ranking_scores",
-      "q70_rank_features", "q91_ann_ivf_pq", "q92_ann_ivf_sq8")
+      "q70_rank_features", "q91_ann_ivf_pq", "q92_ann_ivf_sq8",
+      // curation family: selection must stay a per-partition heap —
+      // a global sort of the candidate stream is the 100 TB failure
+      "q145_dsir_importance", "q146_bm25_topk", "q147_pagerank",
+      "q152_weighted_sample")
     val missing = topK.filterNot(n => planOf(n).contains("TakeOrderedAndProject"))
     assert(missing.isEmpty,
       s"top-k degraded to global sort in: ${missing.mkString(", ")}")
@@ -131,7 +135,11 @@ class PlanShapeSpec extends SparkSpec {
     // shingle explosion at scale; q114: the rule table is an explicit
     // broadcast by construction.
     for (n <- Seq("q73_topic_subgraph", "q22_ann_ivf",
-        "q114_alert_rules", "q115_decontamination"))
+        "q114_alert_rules", "q115_decontamination",
+        // curation family: the feature/idf/centroid frames are the
+        // bounded sides by construction
+        "q145_dsir_importance", "q146_bm25_topk", "q149_kmeans_corpus_map",
+        "q153_ivf_cell_balance", "q157_ann_recall_eval"))
       assert(planOf(n).contains("Broadcast"), s"$n lost its broadcast")
   }
 
