@@ -710,6 +710,72 @@ object CurationQueries {
        |ORDER BY x.q_id""".stripMargin
   }
 
+  // -- q158: source divergence map — Jensen–Shannon divergence of each
+  //          source's hashed-unigram distribution against the REST of
+  //          the corpus (exact complement counts: rest = global −
+  //          source, all integers). The "which source is the odd one
+  //          out" view that pairs with q137's centroid map and q144's
+  //          vocabulary matrix; inputs to source reweighting decisions.
+  //          Scale shape: one instance scan, (source × 256)-bounded
+  //          aggregates, source-ordered bucket folds.
+  private def q158(s: SparkSession, dir: String): DataFrame = {
+    val inst = Dsir.instances(docs(s, dir), DriftBuckets)
+    val sb = inst.groupBy(col("source"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val st = inst.groupBy(col("source")).agg(count(lit(1)).as("t"))
+    val gb = inst.groupBy(col("b")).agg(count(lit(1)).as("cg"))
+    val gt = inst.agg(count(lit(1)).as("tg"))
+    val contrib = gb.crossJoin(broadcast(gt))
+      .join(broadcast(st), lit(true)) // (bucket × source) grid
+      .join(sb, Seq("source", "b"), "left")
+      .select(col("source"), col("b"),
+        ((coalesce(col("c"), lit(0L)) + lit(1.0)) /
+          (col("t") + lit(DriftBuckets.toDouble))).as("p"),
+        ((col("cg") - coalesce(col("c"), lit(0L)) + lit(1.0)) /
+          (col("tg") - col("t") + lit(DriftBuckets.toDouble))).as("r"))
+      .select(col("source"), col("b"),
+        (lit(0.5) * (col("p") * log(col("p") * lit(2.0) /
+            (col("p") + col("r")))) +
+          lit(0.5) * (col("r") * log(col("r") * lit(2.0) /
+            (col("p") + col("r"))))).as("js"))
+    contrib.groupBy(col("source"))
+      .agg(sort_array(collect_list(struct(col("b"), col("js")))).as("jss"))
+      .select(col("source"),
+        size(col("jss")).cast("long").as("n_buckets"),
+        round(aggregate(col("jss"), lit(0.0d), (acc, x) => acc + x("js")), 6)
+          .as("js_divergence"))
+      .orderBy(col("source"))
+  }
+
+  private val q158Sql = {
+    import graft.pipeline.Sampling
+    val bucket = Sampling.sql.hashBucket("l[i]", DriftBuckets)
+    s"""WITH toks AS (
+       |  SELECT source, string_split(text, ' ') AS l FROM documents),
+       |inst AS (
+       |  SELECT source, $bucket AS b
+       |  FROM toks, unnest(range(1, len(l) + 1)) r(i)),
+       |sb AS (SELECT source, b, count(*) AS c FROM inst GROUP BY 1, 2),
+       |st AS (SELECT source, count(*) AS t FROM inst GROUP BY 1),
+       |gb AS (SELECT b, count(*) AS cg FROM inst GROUP BY 1),
+       |gt AS (SELECT count(*) AS tg FROM inst),
+       |contrib AS (
+       |  SELECT source, b,
+       |    0.5 * (p * ln(p * 2.0 / (p + r))) +
+       |      0.5 * (r * ln(r * 2.0 / (p + r))) AS js
+       |  FROM (
+       |    SELECT st.source, gb.b,
+       |      (coalesce(sb.c, 0) + 1.0) / (st.t + $DriftBuckets.0) AS p,
+       |      (gb.cg - coalesce(sb.c, 0) + 1.0) /
+       |        (gt.tg - st.t + $DriftBuckets.0) AS r
+       |    FROM gb CROSS JOIN gt CROSS JOIN st
+       |    LEFT JOIN sb ON sb.source = st.source AND sb.b = gb.b) x)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_buckets,
+       |  round(sum(js ORDER BY b), 6) AS js_divergence
+       |FROM contrib
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q145_dsir_importance", q145, Some(q145Sql), headline = true),
     Q("q146_bm25_topk", q146, Some(q146Sql)),
@@ -723,5 +789,6 @@ object CurationQueries {
     Q("q154_bpe_merges", q154, None),
     Q("q155_split_drift", q155, Some(q155Sql)),
     Q("q156_cluster_safe_split", q156, Some(q156Sql)),
-    Q("q157_ann_recall_eval", q157, Some(q157Sql)))
+    Q("q157_ann_recall_eval", q157, Some(q157Sql)),
+    Q("q158_source_divergence", q158, Some(q158Sql)))
 }

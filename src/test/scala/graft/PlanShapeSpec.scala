@@ -82,7 +82,8 @@ class PlanShapeSpec extends SparkSpec {
     "q149_kmeans_corpus_map", // k-row centroid broadcast per iteration
     "q151_rrf_fusion",        // 1-row probe vector + 1-row bm25 stats
     "q153_ivf_cell_balance",  // nlist-row centroid broadcast (q22 shape)
-    "q157_ann_recall_eval")   // 16-probe broadcast on both eval legs
+    "q157_ann_recall_eval",   // 16-probe broadcast on both eval legs
+    "q158_source_divergence") // bucket(256) x source(#sources) grid
 
   // On failure, include a plan excerpt around the first occurrence so a
   // transient/state-dependent failure self-diagnoses from the log alone.
