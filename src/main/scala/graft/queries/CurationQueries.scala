@@ -776,6 +776,80 @@ object CurationQueries {
        |GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // -- q159: embedding dominant-direction report — matrix-free power
+  //          iteration (2 steps) for the top principal direction of the
+  //          centered embedding cloud + its variance share, the
+  //          all-but-the-top (Mu & Viswanath 2018) health check run
+  //          before embeddings feed retrieval/clustering. Scale shape:
+  //          one linear scan per power step with a dim-bounded integer
+  //          aggregate; μ/v are 1-row broadcast frames; the covariance
+  //          matrix never materializes. See semantic/Pca.scala for the
+  //          micro-unit determinism contract.
+  private val PcaDim = 64
+  private val PcaIters = 2
+
+  private def q159(s: SparkSession, dir: String): DataFrame = {
+    import graft.semantic.Pca
+    val e = emb(s, dir)
+    val mu = Pca.meanVector(e, "embedding")
+    val v = Pca.topDirection(e, "embedding", mu, PcaDim, PcaIters)
+    val share = Pca.varianceShare(e, "embedding", mu, v)
+    v.select(posexplode(col("v")).as(Seq("dim", "loading")))
+      .crossJoin(broadcast(share))
+      .select(col("dim").cast("long").as("dim"),
+        round(col("loading"), 6).as("loading"),
+        round(col("var_share"), 6).as("var_share"), col("n"))
+      .orderBy(col("dim"))
+  }
+
+  private val q159Sql = {
+    val cent = "list_transform(list_zip(x, mu), z -> z[1] - z[2])"
+    def iter(i: Int): String =
+      s"""w$i AS (
+         |  SELECT list(w ORDER BY pos) AS w FROM (
+         |    SELECT pos,
+         |      sum(CAST(round(c * d * 1000000) AS BIGINT)) / 1000000.0 AS w
+         |    FROM (
+         |      SELECT generate_subscripts(c, 1) AS pos, unnest(c) AS c, d
+         |      FROM (
+         |        SELECT $cent AS c,
+         |          list_dot_product($cent, v) AS d
+         |        FROM ev CROSS JOIN mu CROSS JOIN v${i - 1}) y)
+         |    GROUP BY pos) z),
+         |v$i AS (
+         |  SELECT list_transform(w, e -> e / nrm) AS v FROM (
+         |    SELECT w, sqrt(list_sum(list_transform(w, e -> e * e))) AS nrm
+         |    FROM w$i) z)""".stripMargin
+    s"""WITH ev AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+       |mu AS (
+       |  SELECT list(m ORDER BY pos) AS mu FROM (
+       |    SELECT pos,
+       |      sum(CAST(round(x * 1000) AS BIGINT)) / (1000.0 * count(*)) AS m
+       |    FROM (SELECT generate_subscripts(x, 1) AS pos, unnest(x) AS x
+       |          FROM ev) e
+       |    GROUP BY pos) z),
+       |v0 AS (
+       |  SELECT list_transform(range(1, ${PcaDim + 1}),
+       |    i -> 1.0 / sqrt($PcaDim.0)) AS v),
+       |${(1 to PcaIters).map(iter).mkString(",\n")},
+       |sh AS (
+       |  SELECT count(*) AS n,
+       |    sum(CAST(round(d * d * 1000000) AS BIGINT)) AS top,
+       |    sum(CAST(round(ss * 1000000) AS BIGINT)) AS tot
+       |  FROM (
+       |    SELECT list_dot_product($cent, v) AS d,
+       |      list_dot_product($cent, $cent) AS ss
+       |    FROM ev CROSS JOIN mu CROSS JOIN v$PcaIters) y)
+       |SELECT CAST(dim AS BIGINT) AS dim, round(loading, 6) AS loading,
+       |  round(top * 1.0 / tot, 6) AS var_share, n
+       |FROM (
+       |  SELECT generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS loading
+       |  FROM v$PcaIters) l
+       |CROSS JOIN sh
+       |ORDER BY dim""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q145_dsir_importance", q145, Some(q145Sql), headline = true),
     Q("q146_bm25_topk", q146, Some(q146Sql)),
@@ -790,5 +864,6 @@ object CurationQueries {
     Q("q155_split_drift", q155, Some(q155Sql)),
     Q("q156_cluster_safe_split", q156, Some(q156Sql)),
     Q("q157_ann_recall_eval", q157, Some(q157Sql)),
-    Q("q158_source_divergence", q158, Some(q158Sql)))
+    Q("q158_source_divergence", q158, Some(q158Sql)),
+    Q("q159_dominant_direction", q159, Some(q159Sql)))
 }

@@ -83,7 +83,8 @@ class PlanShapeSpec extends SparkSpec {
     "q151_rrf_fusion",        // 1-row probe vector + 1-row bm25 stats
     "q153_ivf_cell_balance",  // nlist-row centroid broadcast (q22 shape)
     "q157_ann_recall_eval",   // 16-probe broadcast on both eval legs
-    "q158_source_divergence") // bucket(256) x source(#sources) grid
+    "q158_source_divergence", // bucket(256) x source(#sources) grid
+    "q159_dominant_direction") // 1-row mu/v/share frames per power step
 
   // On failure, include a plan excerpt around the first occurrence so a
   // transient/state-dependent failure self-diagnoses from the log alone.
