@@ -105,6 +105,31 @@ class CurationSpec extends SparkSpec {
     assert(merged == Seq("aa", "a"), s"got $merged")
   }
 
+  test("pca: power iteration finds the elongated axis, bit-stable") {
+    import graft.semantic.Pca
+    // cloud stretched along (1,1)/√2 with small orthogonal noise: the
+    // dominant direction must align with the diagonal and explain most
+    // of the variance
+    val vs = Seq(
+      (0L, Array(3.0f, 3.1f)), (1L, Array(-3.0f, -2.9f)),
+      (2L, Array(2.0f, 1.9f)), (3L, Array(-2.0f, -2.1f)),
+      (4L, Array(1.0f, 1.1f)), (5L, Array(-1.0f, -0.9f))
+    ).toDF("vec_id", "embedding")
+    val mu = Pca.meanVector(vs, "embedding")
+    def direction() = Pca.topDirection(vs, "embedding", mu, 2, 2)
+      .collect()(0).getSeq[Double](0)
+    val v = direction()
+    val diag = 1.0 / math.sqrt(2.0)
+    assert(math.abs(math.abs(v(0)) - diag) < 0.05 &&
+      math.abs(math.abs(v(1)) - diag) < 0.05, s"direction $v not diagonal")
+    assert(v(0) * v(1) > 0, "components must share a sign on this cloud")
+    val vFrame = Pca.topDirection(vs, "embedding", mu, 2, 2)
+    val share = Pca.varianceShare(vs, "embedding", mu, vFrame)
+      .collect()(0).getDouble(1)
+    assert(share > 0.95, s"diagonal must dominate the variance: $share")
+    assert(direction() == v, "power iteration must be bit-stable")
+  }
+
   test("pagerank: rank mass concentrates along the edge direction") {
     // the KGraph points orders→customers→nations→regions: downstream
     // node types must accumulate more rank on average, and the single
