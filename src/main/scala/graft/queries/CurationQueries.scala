@@ -850,6 +850,113 @@ object CurationQueries {
        |ORDER BY dim""".stripMargin
   }
 
+  // -- q160: ABTT-corrected retrieval comparison — applies q159's
+  //          dominant direction: embeddings centered and with the top
+  //          direction projected out (x' = c − (c·v)v), then the exact
+  //          cosine top-10 for probe 0 under RAW vs CORRECTED
+  //          similarity, joined rank-by-rank. Shows what the nuisance
+  //          direction was doing to retrieval. Scale shape: same 1-row
+  //          μ/v broadcasts + one linear corrected scan per leg; both
+  //          selections TakeOrdered before the 10-row rank windows.
+  private val AbttK = 10
+
+  private def q160(s: SparkSession, dir: String): DataFrame = {
+    import graft.semantic.Pca
+    val e = emb(s, dir)
+    val mu = Pca.meanVector(e, "embedding")
+    val v = Pca.topDirection(e, "embedding", mu, PcaDim, PcaIters)
+    val cExpr = zip_with(col("embedding").cast("array<double>"),
+      col("mu"), (a, b) => a - b)
+    val corrected = e.crossJoin(broadcast(mu)).crossJoin(broadcast(v))
+      .select(col("vec_id"), cExpr.as("c"),
+        VectorFunctions.dot(cExpr, col("v")).as("d"), col("v"))
+      .select(col("vec_id"),
+        zip_with(col("c"), col("v"), (c, vv) => c - col("d") * vv)
+          .as("xc"))
+    val rawQ = broadcast(e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_raw")))
+    val corQ = broadcast(corrected.filter(col("vec_id") === 0)
+      .select(col("xc").as("q_cor")))
+    def leg(frame: DataFrame, vecCol: String, qCol: String,
+        prefix: String) = {
+      val w = Window.orderBy(col("sim").desc, col("vec_id"))
+      frame.withColumn("sim",
+          VectorFunctions.cosine(col(vecCol), col(qCol)))
+        .orderBy(col("sim").desc, col("vec_id")).limit(AbttK)
+        .select(row_number().over(w).cast("long").as("rank"),
+          col("vec_id").as(s"${prefix}_vec_id"),
+          round(col("sim"), 6).as(s"${prefix}_sim"))
+    }
+    val raw = leg(e.crossJoin(rawQ), "embedding", "q_raw", "raw")
+    val cor = leg(corrected.crossJoin(corQ), "xc", "q_cor", "abtt")
+    raw.join(cor, Seq("rank")).orderBy(col("rank"))
+  }
+
+  private val q160Sql = {
+    val cent = "list_transform(list_zip(x, mu), z -> z[1] - z[2])"
+    val cosRaw = VectorFunctions.sql.cosine("e.embedding", "q.embedding")
+    val cosCor = VectorFunctions.sql.cosine("c.xc", "q.xc")
+    def pcaIter(i: Int): String =
+      s"""w$i AS (
+         |  SELECT list(w ORDER BY pos) AS w FROM (
+         |    SELECT pos,
+         |      sum(CAST(round(c * d * 1000000) AS BIGINT)) / 1000000.0 AS w
+         |    FROM (
+         |      SELECT generate_subscripts(c, 1) AS pos, unnest(c) AS c, d
+         |      FROM (
+         |        SELECT $cent AS c,
+         |          list_dot_product($cent, v) AS d
+         |        FROM ev CROSS JOIN mu CROSS JOIN v${i - 1}) y)
+         |    GROUP BY pos) z),
+         |v$i AS (
+         |  SELECT list_transform(w, e -> e / nrm) AS v FROM (
+         |    SELECT w, sqrt(list_sum(list_transform(w, e -> e * e))) AS nrm
+         |    FROM w$i) z)""".stripMargin
+    s"""WITH ev AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+       |mu AS (
+       |  SELECT list(m ORDER BY pos) AS mu FROM (
+       |    SELECT pos,
+       |      sum(CAST(round(x * 1000) AS BIGINT)) / (1000.0 * count(*)) AS m
+       |    FROM (SELECT generate_subscripts(x, 1) AS pos, unnest(x) AS x
+       |          FROM ev) e
+       |    GROUP BY pos) z),
+       |v0 AS (
+       |  SELECT list_transform(range(1, ${PcaDim + 1}),
+       |    i -> 1.0 / sqrt($PcaDim.0)) AS v),
+       |${(1 to PcaIters).map(pcaIter).mkString(",\n")},
+       |corrected AS (
+       |  SELECT vec_id,
+       |    list_transform(list_zip(c, v), z -> z[1] - d * z[2]) AS xc
+       |  FROM (
+       |    SELECT vec_id, $cent AS c,
+       |      list_dot_product($cent, v) AS d, v
+       |    FROM ev CROSS JOIN mu CROSS JOIN v$PcaIters) y),
+       |rawleg AS (
+       |  SELECT rn AS rank, vec_id AS raw_vec_id,
+       |    round(sim, 6) AS raw_sim
+       |  FROM (
+       |    SELECT e.vec_id, $cosRaw AS sim,
+       |      CAST(row_number() OVER (ORDER BY $cosRaw DESC, e.vec_id)
+       |        AS BIGINT) AS rn
+       |    FROM embeddings e CROSS JOIN
+       |      (SELECT embedding FROM embeddings WHERE vec_id = 0) q) x
+       |  WHERE rn <= $AbttK),
+       |corleg AS (
+       |  SELECT rn AS rank, vec_id AS abtt_vec_id,
+       |    round(sim, 6) AS abtt_sim
+       |  FROM (
+       |    SELECT c.vec_id, $cosCor AS sim,
+       |      CAST(row_number() OVER (ORDER BY $cosCor DESC, c.vec_id)
+       |        AS BIGINT) AS rn
+       |    FROM corrected c CROSS JOIN
+       |      (SELECT xc FROM corrected WHERE vec_id = 0) q) x
+       |  WHERE rn <= $AbttK)
+       |SELECT r.rank, r.raw_vec_id, r.raw_sim, c.abtt_vec_id, c.abtt_sim
+       |FROM rawleg r JOIN corleg c USING (rank)
+       |ORDER BY r.rank""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q145_dsir_importance", q145, Some(q145Sql), headline = true),
     Q("q146_bm25_topk", q146, Some(q146Sql)),
@@ -865,5 +972,6 @@ object CurationQueries {
     Q("q156_cluster_safe_split", q156, Some(q156Sql)),
     Q("q157_ann_recall_eval", q157, Some(q157Sql)),
     Q("q158_source_divergence", q158, Some(q158Sql)),
-    Q("q159_dominant_direction", q159, Some(q159Sql)))
+    Q("q159_dominant_direction", q159, Some(q159Sql)),
+    Q("q160_abtt_retrieval", q160, Some(q160Sql)))
 }
