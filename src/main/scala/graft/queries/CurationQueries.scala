@@ -957,6 +957,70 @@ object CurationQueries {
        |ORDER BY r.rank""".stripMargin
   }
 
+  // -- q161: held-out perplexity — the PROPER eval form of q129's
+  //          self-perplexity: the bigram model (counts + vocabulary)
+  //          trains on the q111-style train split only, and val-split
+  //          documents are scored under it, with add-one smoothing
+  //          absorbing unseen prefixes/bigrams (n_oov reported). The
+  //          per-split LM quality gate a pipeline runs before shipping
+  //          an eval set. Scale shape: q129's keyed count joins, with
+  //          the count tables built from the train slice only.
+  private def q161(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Sampling
+    import graft.text.{NgramLm, Repetition}
+    val base = docs(s, dir)
+      .select(col("doc_id"), Repetition.tokens(col("text")).as("l"),
+        Sampling.splitColumn(col("doc_id"), CsWeights).as("split"))
+      .filter(size(col("l")) >= 2)
+    NgramLm.scoreAgainst(
+        base.filter(col("split") === "train"),
+        base.filter(col("split") === "val"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_oov"),
+        round(col("ce"), 6).as("cross_entropy"),
+        round(col("ppl"), 6).as("perplexity"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q161Sql = {
+    import graft.pipeline.Sampling
+    val h = Sampling.sql.hashBucket("doc_id", 10)
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS l,
+       |    CASE WHEN $h < 8 THEN 'train' WHEN $h < 9 THEN 'val'
+       |      ELSE 'test' END AS split
+       |  FROM documents),
+       |scoped AS (SELECT * FROM toks WHERE len(l) >= 2),
+       |ti AS (
+       |  SELECT doc_id, i AS pos, l[i] AS w1, l[i+1] AS w2
+       |  FROM scoped, unnest(range(1, len(l))) r(i)
+       |  WHERE split = 'train'),
+       |c12 AS (SELECT w1, w2, count(*) AS c12 FROM ti GROUP BY 1, 2),
+       |c1 AS (SELECT w1, count(*) AS c1 FROM ti GROUP BY 1),
+       |v AS (
+       |  SELECT count(DISTINCT w) AS v
+       |  FROM (SELECT unnest(l) AS w FROM scoped WHERE split = 'train')),
+       |ei AS (
+       |  SELECT doc_id, i AS pos, l[i] AS w1, l[i+1] AS w2
+       |  FROM scoped, unnest(range(1, len(l))) r(i)
+       |  WHERE split = 'val'),
+       |lp AS (
+       |  SELECT ei.doc_id, ei.pos,
+       |    ln((coalesce(c12, 0) + 1.0) / (coalesce(c1, 0) + v)) AS lp,
+       |    CASE WHEN c12 IS NULL THEN 1 ELSE 0 END AS oov
+       |  FROM ei
+       |  LEFT JOIN c12 USING (w1, w2)
+       |  LEFT JOIN c1 USING (w1)
+       |  CROSS JOIN v)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(oov) AS BIGINT) AS n_oov,
+       |  round(-sum(lp ORDER BY pos) / count(*), 6) AS cross_entropy,
+       |  round(exp(-sum(lp ORDER BY pos) / count(*)), 6) AS perplexity
+       |FROM lp
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q145_dsir_importance", q145, Some(q145Sql), headline = true),
     Q("q146_bm25_topk", q146, Some(q146Sql)),
@@ -973,5 +1037,6 @@ object CurationQueries {
     Q("q157_ann_recall_eval", q157, Some(q157Sql)),
     Q("q158_source_divergence", q158, Some(q158Sql)),
     Q("q159_dominant_direction", q159, Some(q159Sql)),
-    Q("q160_abtt_retrieval", q160, Some(q160Sql)))
+    Q("q160_abtt_retrieval", q160, Some(q160Sql)),
+    Q("q161_heldout_perplexity", q161, Some(q161Sql)))
 }

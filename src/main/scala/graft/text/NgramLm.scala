@@ -64,6 +64,40 @@ object NgramLm {
       .withColumn("ppl", exp(col("ce")))
   }
 
+  /** Held-out scoring: the bigram model (counts + vocabulary) comes
+    * from `train` ONLY; `eval` documents are scored under it, with
+    * unseen prefixes/bigrams handled by the same add-one smoothing
+    * (coalesce to zero counts). Output adds `n_oov` — the number of
+    * eval bigrams never seen in training. Same position-ordered fold
+    * determinism contract as [[score]]. */
+  def scoreAgainst(train: DataFrame, eval: DataFrame): DataFrame = {
+    val trainInst = bigramInstances(train)
+    val bigramCounts = trainInst.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val prefixCounts = trainInst.groupBy(col("w1"))
+      .agg(count(lit(1)).as("c1"))
+    val vocab = train.select(explode(col("l")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val lp = bigramInstances(eval)
+      .join(bigramCounts, Seq("w1", "w2"), "left")
+      .join(prefixCounts, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("pos"),
+        log((coalesce(col("c12"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("c1"), lit(0L)) + col("v"))).as("lp"),
+        when(col("c12").isNull, 1L).otherwise(0L).as("oov"))
+    lp.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("lp"))))
+        .as("lps"),
+        sum(col("oov")).as("n_oov"))
+      .select(col("doc_id"),
+        size(col("lps")).cast("long").as("n_bigrams"),
+        col("n_oov"),
+        (-aggregate(col("lps"), lit(0.0d), (acc, x) => acc + x("lp")) /
+          size(col("lps"))).as("ce"))
+      .withColumn("ppl", exp(col("ce")))
+  }
+
   /** The same scoring as inline DuckDB SQL fragments (oracle side). */
   object sql {
     /** Tokenizing CTE prefix shared by the oracle: (doc_id, l) with

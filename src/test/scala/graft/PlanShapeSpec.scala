@@ -85,7 +85,8 @@ class PlanShapeSpec extends SparkSpec {
     "q157_ann_recall_eval",   // 16-probe broadcast on both eval legs
     "q158_source_divergence", // bucket(256) x source(#sources) grid
     "q159_dominant_direction", // 1-row mu/v/share frames per power step
-    "q160_abtt_retrieval")    // same 1-row mu/v frames + 1-row probes
+    "q160_abtt_retrieval",    // same 1-row mu/v frames + 1-row probes
+    "q161_heldout_perplexity") // 1-row train-vocabulary broadcast
 
   // On failure, include a plan excerpt around the first occurrence so a
   // transient/state-dependent failure self-diagnoses from the log alone.
