@@ -35,6 +35,14 @@ object Verify {
             .parquet(s"$outDir/$name")
           catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            // remove any PRIOR dump for this query: a stale result
+            // under the current name would otherwise hash-compare
+            // against the oracle and mask the failure as a pass
+            val dir = new java.io.File(s"$outDir/$name")
+            if (dir.exists()) {
+              dir.listFiles().foreach(_.delete())
+              dir.delete(): Unit
+            }
           }
       })
     }

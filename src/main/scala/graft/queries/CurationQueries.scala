@@ -1021,6 +1021,100 @@ object CurationQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // -- q162: dedup threshold sensitivity — ONE LSH signature pass
+  //          (k=12, 2 bands, floor 0.7), then the pair count, touched-doc
+  //          count, and exact micro-unit mean signature-Jaccard at each
+  //          candidate threshold {0.7, 0.8, 0.9}. The tuning report that
+  //          decides how aggressive near-dedup should be before a full
+  //          run — re-running the corpus sweep per threshold is the
+  //          anti-pattern it replaces. Scale shape: q28's banded
+  //          candidate generation once; thresholds are a 3-row explode
+  //          over the pair frame.
+  private val ThSweep = Seq(0.7, 0.8, 0.9)
+
+  private def q162(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Dedup
+    val pairs = Dedup.minhashLsh(docs(s, dir), "doc_id", "text",
+      k = 12, bands = 2, threshold = ThSweep.min)
+    // single pass over the pair frame: one conditional aggregate per
+    // threshold (no per-threshold replication); docs-touched at t =
+    // docs whose best pair estimate reaches t, from a per-doc max frame
+    // threshold-indexed (not value-named) columns: a dot in a column
+    // name ("np_0.7") would parse as a nested-field reference
+    val pairAggs = ThSweep.zipWithIndex.flatMap { case (t, i) =>
+      Seq(sum(when(col("est_jaccard") >= t, 1L).otherwise(0L))
+          .as(s"np_$i"),
+        sum(when(col("est_jaccard") >= t,
+            round(col("est_jaccard") * lit(1000000), 0).cast("long"))
+          .otherwise(0L)).as(s"se_$i"))
+    }
+    val pw = pairs.agg(pairAggs.head, pairAggs.tail: _*)
+    val docAggs = ThSweep.zipWithIndex.map { case (t, i) =>
+      sum(when(col("m") >= t, 1L).otherwise(0L)).as(s"nd_$i") }
+    val dw = pairs
+      .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"),
+        col("est_jaccard"))
+      .groupBy(col("doc_id")).agg(max(col("est_jaccard")).as("m"))
+      .agg(docAggs.head, docAggs.tail: _*)
+    val wide = pw.crossJoin(dw)
+    val rows = ThSweep.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("threshold"),
+        col(s"np_$i").as("n_pairs"), col(s"nd_$i").as("n_docs_touched"),
+        round(col(s"se_$i") / (lit(1000000.0) * col(s"np_$i")), 6)
+          .as("mean_est")) }
+    wide.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.threshold"), col("r.n_pairs"),
+        col("r.n_docs_touched"), col("r.mean_est"))
+      .orderBy(col("threshold"))
+  }
+
+  private val q162Sql = {
+    import graft.text.{TextFunctions => TF}
+    s"""WITH sig AS (
+       |  SELECT doc_id AS id, ${TF.sql.minhashSignature("text", 12)} AS sig
+       |  FROM documents),
+       |banded AS (
+       |  SELECT id, sig,
+       |    b::VARCHAR || '#' || array_to_string(sig[b*6+1:b*6+6], '#') AS bucket
+       |  FROM sig, range(0, 2) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+       |  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.id < b.id),
+       |pairs AS (
+       |  SELECT a_id, b_id, est FROM (
+       |    SELECT c.a_id, c.b_id,
+       |      len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2]))
+       |        * 1.0 / 12 AS est
+       |    FROM cand c JOIN sig sa ON sa.id = c.a_id
+       |    JOIN sig sb ON sb.id = c.b_id) x
+       |  WHERE est >= ${ThSweep.min}),
+       |pw AS (
+       |  SELECT
+       |${ThSweep.map(t =>
+          s"    CAST(sum(CASE WHEN est >= $t THEN 1 ELSE 0 END) AS BIGINT) AS \"np_$t\",\n" +
+          s"    CAST(sum(CASE WHEN est >= $t THEN CAST(round(est * 1000000) AS BIGINT) ELSE 0 END) AS BIGINT) AS \"se_$t\"")
+         .mkString(",\n")}
+       |  FROM pairs),
+       |dm AS (
+       |  SELECT doc_id, max(est) AS m FROM (
+       |    SELECT a_id AS doc_id, est FROM pairs
+       |    UNION ALL SELECT b_id, est FROM pairs) u
+       |  GROUP BY 1),
+       |dw AS (
+       |  SELECT
+       |${ThSweep.map(t =>
+          s"    CAST(sum(CASE WHEN m >= $t THEN 1 ELSE 0 END) AS BIGINT) AS \"nd_$t\"")
+         .mkString(",\n")}
+       |  FROM dm)
+       |SELECT t.threshold,
+       |  CASE ${ThSweep.map(t => s"WHEN t.threshold = $t THEN \"np_$t\"").mkString(" ")} END AS n_pairs,
+       |  CASE ${ThSweep.map(t => s"WHEN t.threshold = $t THEN \"nd_$t\"").mkString(" ")} END AS n_docs_touched,
+       |  CASE ${ThSweep.map(t => s"WHEN t.threshold = $t THEN round(\"se_$t\" / (1000000.0 * \"np_$t\"), 6)").mkString(" ")} END AS mean_est
+       |FROM pw CROSS JOIN dw
+       |CROSS JOIN (VALUES ${ThSweep.map(t => s"(CAST($t AS DOUBLE))").mkString(", ")}) t(threshold)
+       |ORDER BY t.threshold""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q145_dsir_importance", q145, Some(q145Sql), headline = true),
     Q("q146_bm25_topk", q146, Some(q146Sql)),
@@ -1038,5 +1132,6 @@ object CurationQueries {
     Q("q158_source_divergence", q158, Some(q158Sql)),
     Q("q159_dominant_direction", q159, Some(q159Sql)),
     Q("q160_abtt_retrieval", q160, Some(q160Sql)),
-    Q("q161_heldout_perplexity", q161, Some(q161Sql)))
+    Q("q161_heldout_perplexity", q161, Some(q161Sql)),
+    Q("q162_dedup_threshold_sweep", q162, Some(q162Sql)))
 }

@@ -114,8 +114,12 @@ def main():
     only = set(args[2:])
 
     if not skip_verify:
+        # pass the name filter through so a targeted check only dumps
+        # (and therefore only re-runs) the requested queries
+        names = " ".join(sorted(only))
         r = subprocess.run(
-            ["sbt", "-batch", f'runMain graft.Verify {sfdir} {outdir}'],
+            ["sbt", "-batch",
+             f'runMain graft.Verify {sfdir} {outdir} {names}'.strip()],
             cwd="/root/repo", capture_output=True, text=True)
         sys.stdout.write("\n".join(r.stdout.splitlines()[-5:]) + "\n")
         # NB: sbt prints the forked JVM's stderr as "[error] ..." lines even
