@@ -1115,6 +1115,52 @@ object CurationQueries {
        |ORDER BY t.threshold""".stripMargin
   }
 
+  // -- q163: Heaps'-law vocabulary growth — per-source (token, type)
+  //          mass plus the corpus-level Heaps fit ln V = ln k + β ln T
+  //          across sources (regr_slope/regr_intercept — the q38
+  //          parity). β says how fast NEW vocabulary keeps arriving as
+  //          the corpus grows: the datasheet statistic behind "is more
+  //          data still adding new words", which sizes tokenizer vocab
+  //          (q136) and OOV expectations. One explode scan + per-source
+  //          aggregates; the fit is over #sources points.
+  private def q163(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{TextFunctions => TF}
+    val bySrc = docs(s, dir)
+      .select(col("source"), explode(TF.tokens(col("text"))).as("token"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("tokens"),
+        countDistinct(col("token")).as("types"))
+    val fit = bySrc.agg(
+      expr("regr_slope(ln(types), ln(tokens))").as("heaps_beta"),
+      expr("regr_intercept(ln(types), ln(tokens))").as("heaps_lnk"))
+    bySrc.crossJoin(broadcast(fit))
+      .select(col("source"), col("tokens"), col("types"),
+        round(col("types") * lit(1.0) / col("tokens"), 6)
+          .as("type_token_ratio"),
+        round(col("heaps_beta"), 6).as("heaps_beta"),
+        round(col("heaps_lnk"), 6).as("heaps_lnk"))
+      .orderBy(col("source"))
+  }
+
+  private val q163Sql =
+    s"""WITH bysrc AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS tokens,
+       |    count(DISTINCT token) AS types
+       |  FROM (
+       |    SELECT source, unnest(string_split(text, ' ')) AS token
+       |    FROM documents) t
+       |  GROUP BY source),
+       |fit AS (
+       |  SELECT regr_slope(ln(types), ln(tokens)) AS heaps_beta,
+       |    regr_intercept(ln(types), ln(tokens)) AS heaps_lnk
+       |  FROM bysrc)
+       |SELECT source, tokens, types,
+       |  round(types * 1.0 / tokens, 6) AS type_token_ratio,
+       |  round(heaps_beta, 6) AS heaps_beta,
+       |  round(heaps_lnk, 6) AS heaps_lnk
+       |FROM bysrc CROSS JOIN fit
+       |ORDER BY source""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q145_dsir_importance", q145, Some(q145Sql), headline = true),
     Q("q146_bm25_topk", q146, Some(q146Sql)),
@@ -1133,5 +1179,6 @@ object CurationQueries {
     Q("q159_dominant_direction", q159, Some(q159Sql)),
     Q("q160_abtt_retrieval", q160, Some(q160Sql)),
     Q("q161_heldout_perplexity", q161, Some(q161Sql)),
-    Q("q162_dedup_threshold_sweep", q162, Some(q162Sql)))
+    Q("q162_dedup_threshold_sweep", q162, Some(q162Sql)),
+    Q("q163_heaps_law", q163, Some(q163Sql)))
 }
