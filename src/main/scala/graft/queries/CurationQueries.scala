@@ -1161,6 +1161,60 @@ object CurationQueries {
        |FROM bysrc CROSS JOIN fit
        |ORDER BY source""".stripMargin
 
+  // -- q164: Zipf rank–frequency fit — q163's companion: the top-1000
+  //          token frequencies against their ranks in ln-ln space
+  //          (slope ≈ −1 for natural text; a flat slope flags synthetic
+  //          or templated corpora). Scale shape: one token-count
+  //          aggregate (vocab-bounded), TakeOrdered top-1000, then a
+  //          1000-row rank window and a 1-row fit broadcast back onto
+  //          the top-20 report rows.
+  private val ZipfFit = 1000
+  private val ZipfTop = 20
+
+  private def q164(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{TextFunctions => TF}
+    val counts = docs(s, dir)
+      .select(explode(TF.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val w = Window.orderBy(col("freq").desc, col("token"))
+    val ranked = counts.orderBy(col("freq").desc, col("token"))
+      .limit(ZipfFit)
+      .select(row_number().over(w).cast("long").as("rank"),
+        col("token"), col("freq"))
+    val fit = ranked.agg(
+      expr("regr_slope(ln(freq), ln(rank))").as("zipf_slope"),
+      expr("regr_intercept(ln(freq), ln(rank))").as("zipf_lnc"))
+    ranked.filter(col("rank") <= ZipfTop)
+      .crossJoin(broadcast(fit))
+      .select(col("rank"), col("token"), col("freq"),
+        round(col("zipf_slope"), 6).as("zipf_slope"),
+        round(col("zipf_lnc"), 6).as("zipf_lnc"))
+      .orderBy(col("rank"))
+  }
+
+  private val q164Sql =
+    s"""WITH counts AS (
+       |  SELECT token, count(*) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS token
+       |    FROM documents) t
+       |  GROUP BY token),
+       |ranked AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY freq DESC, token)
+       |      AS BIGINT) AS rank,
+       |    token, freq
+       |  FROM counts
+       |  ORDER BY freq DESC, token LIMIT $ZipfFit),
+       |fit AS (
+       |  SELECT regr_slope(ln(freq), ln(rank)) AS zipf_slope,
+       |    regr_intercept(ln(freq), ln(rank)) AS zipf_lnc
+       |  FROM ranked)
+       |SELECT rank, token, freq,
+       |  round(zipf_slope, 6) AS zipf_slope,
+       |  round(zipf_lnc, 6) AS zipf_lnc
+       |FROM ranked CROSS JOIN fit
+       |WHERE rank <= $ZipfTop
+       |ORDER BY rank""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q145_dsir_importance", q145, Some(q145Sql), headline = true),
     Q("q146_bm25_topk", q146, Some(q146Sql)),
@@ -1180,5 +1234,6 @@ object CurationQueries {
     Q("q160_abtt_retrieval", q160, Some(q160Sql)),
     Q("q161_heldout_perplexity", q161, Some(q161Sql)),
     Q("q162_dedup_threshold_sweep", q162, Some(q162Sql)),
-    Q("q163_heaps_law", q163, Some(q163Sql)))
+    Q("q163_heaps_law", q163, Some(q163Sql)),
+    Q("q164_zipf_fit", q164, Some(q164Sql)))
 }

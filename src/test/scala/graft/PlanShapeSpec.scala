@@ -88,7 +88,8 @@ class PlanShapeSpec extends SparkSpec {
     "q160_abtt_retrieval",    // same 1-row mu/v frames + 1-row probes
     "q161_heldout_perplexity", // 1-row train-vocabulary broadcast
     "q162_dedup_threshold_sweep", // 1-row pair-stats x 1-row doc-stats
-    "q163_heaps_law")         // 1-row regression-fit broadcast
+    "q163_heaps_law",         // 1-row regression-fit broadcast
+    "q164_zipf_fit")          // 1-row regression-fit broadcast
 
   // On failure, include a plan excerpt around the first occurrence so a
   // transient/state-dependent failure self-diagnoses from the log alone.
