@@ -37,12 +37,20 @@ object Verify {
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
             // remove any PRIOR dump for this query: a stale result
             // under the current name would otherwise hash-compare
-            // against the oracle and mask the failure as a pass
-            val dir = new java.io.File(s"$outDir/$name")
-            if (dir.exists()) {
-              dir.listFiles().foreach(_.delete())
-              dir.delete(): Unit
+            // against the oracle and mask the failure as a pass.
+            // Deletion is recursive (a failed overwrite can leave a
+            // _temporary/ subtree, which would make a flat delete
+            // silently no-op) and logs when it cannot complete.
+            def rm(f: java.io.File): Boolean = {
+              if (f.isDirectory)
+                Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+              val ok = f.delete()
+              if (!ok) System.err.println(
+                s"[verify] $name: could not delete stale ${f.getPath}")
+              ok
             }
+            val dir = new java.io.File(s"$outDir/$name")
+            if (dir.exists()) { rm(dir): Unit }
           }
       })
     }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -21,6 +21,60 @@ object CurationQueries {
     Tables.load(s, dir, "documents")
   private def emb(s: SparkSession, dir: String) =
     Tables.load(s, dir, "embeddings")
+
+  /** Deterministic ln-ln least-squares fit (shared by q163/q164):
+    * slope/intercept of ln(y) ~ ln(x) computed from EXACT micro-unit
+    * integer sums. Stage 1 quantizes each point's ln to a bigint
+    * (round(ln·1e6)); stage 2 sums those bigints (exact, order-free);
+    * stage 3 evaluates the closed-form slope/intercept as one fixed
+    * IEEE double expression tree over the cast sums. Identical bigint
+    * sums → identical doubles on any engine, unlike native regr_slope
+    * whose running double accumulation is partition-order dependent.
+    * Slope is invariant under the uniform ×1e6 scaling of both axes;
+    * the intercept divides the scale back out. Returns one row
+    * (slopeName, interceptName), un-rounded. */
+  private def lnlnFit(pts: DataFrame, x: Column, y: Column,
+      slopeName: String, interceptName: String): DataFrame =
+    pts
+      .select(
+        round(log(x.cast("double")) * lit(1000000), 0).cast("long").as("lx"),
+        round(log(y.cast("double")) * lit(1000000), 0).cast("long").as("ly"))
+      .agg(count(lit(1)).cast("double").as("np"),
+        sum(col("lx")).cast("double").as("sx"),
+        sum(col("ly")).cast("double").as("sy"),
+        sum(col("lx") * col("ly")).cast("double").as("sxy"),
+        sum(col("lx") * col("lx")).cast("double").as("sxx"))
+      .select(col("np"), col("sx"), col("sy"),
+        ((col("np") * col("sxy") - col("sx") * col("sy")) /
+          (col("np") * col("sxx") - col("sx") * col("sx")))
+          .as(slopeName))
+      .select(col(slopeName),
+        ((col("sy") - col(slopeName) * col("sx")) /
+          (col("np") * lit(1000000.0))).as(interceptName))
+
+  /** DuckDB twin of [[lnlnFit]]: same quantization, same sums, same
+    * expression tree. `src` is a relation with columns x/y named by
+    * `xCol`/`yCol`. */
+  private def lnlnFitSql(src: String, xCol: String, yCol: String,
+      slopeName: String, interceptName: String): String =
+    s"""pts AS (
+       |  SELECT CAST(round(ln($xCol) * 1000000) AS BIGINT) AS lx,
+       |    CAST(round(ln($yCol) * 1000000) AS BIGINT) AS ly
+       |  FROM $src),
+       |sums AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS np,
+       |    CAST(sum(lx) AS DOUBLE) AS sx, CAST(sum(ly) AS DOUBLE) AS sy,
+       |    CAST(sum(lx * ly) AS DOUBLE) AS sxy,
+       |    CAST(sum(lx * lx) AS DOUBLE) AS sxx
+       |  FROM pts),
+       |slopes AS (
+       |  SELECT np, sx, sy,
+       |    (np * sxy - sx * sy) / (np * sxx - sx * sx) AS $slopeName
+       |  FROM sums),
+       |fit AS (
+       |  SELECT $slopeName,
+       |    (sy - $slopeName * sx) / (np * 1000000.0) AS $interceptName
+       |  FROM slopes)""".stripMargin
 
   // -- q145: DSIR importance resampling — score every non-target doc by
   //          hashed-unigram log importance against the src0 target
@@ -463,10 +517,12 @@ object CurationQueries {
           .as("p"))
     val train = p.filter(col("split") === "train")
       .select(col("b"), col("p").as("pt"))
-    // per-bucket JS contribution vs train; smoothing keeps every bucket
-    // defined on both sides, and the left join keeps train-only buckets
-    // out (their eval-side mass is the smoothing floor — both engines
-    // drop them identically)
+    // per-bucket JS contribution vs train. The join is INNER on both
+    // engines, so buckets observed on only one side are dropped and the
+    // reported "js_divergence" is a PARTIAL JSD over the shared bucket
+    // set (both engines drop the same buckets, so the oracle gate is
+    // exact). q158 builds the full smoothed bucket grid when the
+    // complete JSD is wanted.
     val contrib = p.filter(col("split") =!= "train")
       .join(train, Seq("b"))
       .select(col("split"), col("b"),
@@ -1117,12 +1173,19 @@ object CurationQueries {
 
   // -- q163: Heaps'-law vocabulary growth — per-source (token, type)
   //          mass plus the corpus-level Heaps fit ln V = ln k + β ln T
-  //          across sources (regr_slope/regr_intercept — the q38
-  //          parity). β says how fast NEW vocabulary keeps arriving as
-  //          the corpus grows: the datasheet statistic behind "is more
-  //          data still adding new words", which sizes tokenizer vocab
-  //          (q136) and OOV expectations. One explode scan + per-source
-  //          aggregates; the fit is over #sources points.
+  //          across sources. β says how fast NEW vocabulary keeps
+  //          arriving as the corpus grows: the datasheet statistic
+  //          behind "is more data still adding new words", which sizes
+  //          tokenizer vocab (q136) and OOV expectations. One explode
+  //          scan + per-source aggregates; the fit is over #sources
+  //          points. Determinism: the least-squares fit is computed
+  //          from exact micro-unit integer sums of the ln terms (NOT
+  //          native regr_slope, whose double accumulation is
+  //          partition-order dependent) — both engines sum identical
+  //          bigints, cast them to double once, and evaluate the same
+  //          IEEE expression tree, so the fit is bit-stable. The slope
+  //          is scale-invariant under the uniform ×1e6 quantization;
+  //          the intercept divides the micro-units back out.
   private def q163(s: SparkSession, dir: String): DataFrame = {
     import graft.text.{TextFunctions => TF}
     val bySrc = docs(s, dir)
@@ -1130,9 +1193,8 @@ object CurationQueries {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("tokens"),
         countDistinct(col("token")).as("types"))
-    val fit = bySrc.agg(
-      expr("regr_slope(ln(types), ln(tokens))").as("heaps_beta"),
-      expr("regr_intercept(ln(types), ln(tokens))").as("heaps_lnk"))
+    val fit = lnlnFit(bySrc, col("tokens"), col("types"),
+      "heaps_beta", "heaps_lnk")
     bySrc.crossJoin(broadcast(fit))
       .select(col("source"), col("tokens"), col("types"),
         round(col("types") * lit(1.0) / col("tokens"), 6)
@@ -1150,10 +1212,7 @@ object CurationQueries {
        |    SELECT source, unnest(string_split(text, ' ')) AS token
        |    FROM documents) t
        |  GROUP BY source),
-       |fit AS (
-       |  SELECT regr_slope(ln(types), ln(tokens)) AS heaps_beta,
-       |    regr_intercept(ln(types), ln(tokens)) AS heaps_lnk
-       |  FROM bysrc)
+       |${lnlnFitSql("bysrc", "tokens", "types", "heaps_beta", "heaps_lnk")}
        |SELECT source, tokens, types,
        |  round(types * 1.0 / tokens, 6) AS type_token_ratio,
        |  round(heaps_beta, 6) AS heaps_beta,
@@ -1181,9 +1240,8 @@ object CurationQueries {
       .limit(ZipfFit)
       .select(row_number().over(w).cast("long").as("rank"),
         col("token"), col("freq"))
-    val fit = ranked.agg(
-      expr("regr_slope(ln(freq), ln(rank))").as("zipf_slope"),
-      expr("regr_intercept(ln(freq), ln(rank))").as("zipf_lnc"))
+    val fit = lnlnFit(ranked, col("rank"), col("freq"),
+      "zipf_slope", "zipf_lnc")
     ranked.filter(col("rank") <= ZipfTop)
       .crossJoin(broadcast(fit))
       .select(col("rank"), col("token"), col("freq"),
@@ -1204,10 +1262,7 @@ object CurationQueries {
        |    token, freq
        |  FROM counts
        |  ORDER BY freq DESC, token LIMIT $ZipfFit),
-       |fit AS (
-       |  SELECT regr_slope(ln(freq), ln(rank)) AS zipf_slope,
-       |    regr_intercept(ln(freq), ln(rank)) AS zipf_lnc
-       |  FROM ranked)
+       |${lnlnFitSql("ranked", "rank", "freq", "zipf_slope", "zipf_lnc")}
        |SELECT rank, token, freq,
        |  round(zipf_slope, 6) AS zipf_slope,
        |  round(zipf_lnc, 6) AS zipf_lnc

@@ -37,9 +37,14 @@ object BpeTrainer {
   def initSymbols(word: Column): Column =
     concat(split(word, ""), array(lit(EndOfWord)))
 
-  /** Weighted adjacent-pair census over a (syms, n) table. */
+  /** Weighted adjacent-pair census over a (syms, n) table. Words that
+    * have collapsed to a single symbol carry no adjacent pair and are
+    * filtered out first — without the guard, `sequence(1, size-1)`
+    * on a 1-element array yields the DESCENDING sequence [1, 0] and
+    * `element_at(syms, 0)` throws at runtime. */
   def pairCounts(words: DataFrame): DataFrame =
     words
+      .filter(size(col("syms")) >= 2)
       .select(col("n"), explode(transform(
         sequence(lit(1), size(col("syms")) - 1),
         i => struct(element_at(col("syms"), i).as("left"),
