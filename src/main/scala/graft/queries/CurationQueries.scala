@@ -1282,13 +1282,13 @@ object CurationQueries {
     Q("q153_ivf_cell_balance", q153, Some(q153Sql)),
     Q("q154_bpe_merges", q154, None),
     Q("q155_split_drift", q155, Some(q155Sql)),
-    Q("q156_cluster_safe_split", q156, Some(q156Sql)),
+    Q("q156_cluster_safe_split", q156, Some(q156Sql), headline = true),
     Q("q157_ann_recall_eval", q157, Some(q157Sql)),
     Q("q158_source_divergence", q158, Some(q158Sql)),
     Q("q159_dominant_direction", q159, Some(q159Sql)),
     Q("q160_abtt_retrieval", q160, Some(q160Sql)),
     Q("q161_heldout_perplexity", q161, Some(q161Sql)),
-    Q("q162_dedup_threshold_sweep", q162, Some(q162Sql)),
+    Q("q162_dedup_threshold_sweep", q162, Some(q162Sql), headline = true),
     Q("q163_heaps_law", q163, Some(q163Sql)),
     Q("q164_zipf_fit", q164, Some(q164Sql)))
 }

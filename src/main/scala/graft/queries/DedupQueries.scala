@@ -493,9 +493,9 @@ object DedupQueries {
     Q("q29_dedup_simhash", q29, Some(q29Sql)),
     Q("q30_dedup_ngram_jaccard", q30, Some(q30Sql)),
     Q("q31_embedding_neardup", q31, Some(q31Sql)),
-    Q("q126_dedup_clusters", q126, Some(q126Sql)),
+    Q("q126_dedup_clusters", q126, Some(q126Sql), headline = true),
     Q("q130_duplicated_spans", q130, Some(q130Sql)),
-    Q("q135_dup_flow_matrix", q135, Some(q135Sql)),
+    Q("q135_dup_flow_matrix", q135, Some(q135Sql), headline = true),
     Q("q142_incremental_dedup", q142, Some(q142Sql)),
     Q("q143_effective_tokens", q143, Some(q143Sql)))
 }
