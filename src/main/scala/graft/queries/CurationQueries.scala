@@ -1270,6 +1270,84 @@ object CurationQueries {
        |WHERE rank <= $ZipfTop
        |ORDER BY rank""".stripMargin
 
+  // -- q165: BPE ENCODING — q154's missing second half: apply a fixed,
+  //          rank-ordered merge table to the corpus and report the REAL
+  //          subword token counts a training pipeline budgets with
+  //          (whitespace tokens overcount rare words, undercount
+  //          morphology). The merge list is a FIXTURE (16 common
+  //          English merges, each operand a base char or an earlier
+  //          merge's output — the property trained lists have by
+  //          construction) so the DuckDB oracle can apply the identical
+  //          chain. Scale shape: encoding runs once per DISTINCT word
+  //          (vocab-bounded — the dominant cost at 100 TB is the one
+  //          explode scan + the (source, word) aggregate), then the
+  //          per-word symbol count joins back onto frequencies. The
+  //          encode itself is a chain of literal `replace` passes over
+  //          a delimiter-wrapped symbol string (BpeTrainer.delimited):
+  //          pure codegen'd string expressions, one leftmost-first
+  //          merge pass per rank on both engines.
+  private val BpeEow = graft.text.BpeTrainer.EndOfWord
+  private val BpeFixtureMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "the" -> BpeEow, "e" -> BpeEow,
+    "s" -> BpeEow, "d" -> BpeEow, "a" -> "n", "an" -> "d",
+    "and" -> BpeEow, "i" -> "n", "in" -> BpeEow, "e" -> "r",
+    "er" -> BpeEow, "o" -> "n", "t" -> BpeEow, "o" -> "f")
+
+  private def q165(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{BpeTrainer => B, TextFunctions => TF}
+    val words = docs(s, dir)
+      .select(col("source"), explode(TF.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("freq"))
+    val vocab = words.select(col("word")).distinct()
+      .select(col("word"),
+        B.symbolCount(B.encodeSymbols(col("word"), BpeFixtureMerges))
+          .as("n_sym"))
+    words.join(vocab, Seq("word"))
+      .groupBy(col("source"))
+      .agg(sum(col("freq")).as("ws_tokens"),
+        sum(col("freq") * col("n_sym")).as("bpe_tokens"),
+        sum(col("freq") * (length(col("word")) + lit(1)))
+          .as("char_symbols"))
+      .select(col("source"), col("ws_tokens"), col("bpe_tokens"),
+        round(col("bpe_tokens") * lit(1.0) / col("ws_tokens"), 6)
+          .as("symbols_per_token"),
+        round(col("bpe_tokens") * lit(1.0) / col("char_symbols"), 6)
+          .as("bpe_compression"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB twin of the encode chain: chr(1)-delimited symbols, one
+    * literal replace per merge in rank order. */
+  private val q165Sql = {
+    def d(sym: String) = s"chr(1)||'$sym'||chr(1)"
+    val init = "regexp_replace(replace(word, chr(1), ''), '(.)', " +
+      "chr(1)||'\\1'||chr(1), 'g') || " + d(BpeEow)
+    val enc = BpeFixtureMerges.foldLeft(init) { case (acc, (l, r)) =>
+      s"replace($acc, ${d(l)}||${d(r)}, ${d(l + r)})"
+    }
+    s"""WITH words AS (
+       |  SELECT source, word, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT source, unnest(string_split(text, ' ')) AS word
+       |    FROM documents) t
+       |  WHERE length(word) > 0
+       |  GROUP BY source, word),
+       |vocab AS (
+       |  SELECT word,
+       |    (length(enc) - length(replace(enc, chr(1), ''))) // 2 AS n_sym
+       |  FROM (SELECT word, $enc AS enc
+       |        FROM (SELECT DISTINCT word FROM words) v) e)
+       |SELECT source,
+       |  CAST(sum(freq) AS BIGINT) AS ws_tokens,
+       |  CAST(sum(freq * n_sym) AS BIGINT) AS bpe_tokens,
+       |  round(sum(freq * n_sym) * 1.0 / sum(freq), 6) AS symbols_per_token,
+       |  round(sum(freq * n_sym) * 1.0 / sum(freq * (length(word) + 1)), 6)
+       |    AS bpe_compression
+       |FROM words JOIN vocab USING (word)
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q145_dsir_importance", q145, Some(q145Sql), headline = true),
     Q("q146_bm25_topk", q146, Some(q146Sql)),
@@ -1290,5 +1368,6 @@ object CurationQueries {
     Q("q161_heldout_perplexity", q161, Some(q161Sql)),
     Q("q162_dedup_threshold_sweep", q162, Some(q162Sql), headline = true),
     Q("q163_heaps_law", q163, Some(q163Sql)),
-    Q("q164_zipf_fit", q164, Some(q164Sql)))
+    Q("q164_zipf_fit", q164, Some(q164Sql)),
+    Q("q165_bpe_encode", q165, Some(q165Sql)))
 }

@@ -54,36 +54,135 @@ object BpeTrainer {
 
   /** Apply one merge (left, right) → left+right, leftmost-first. */
   def applyMerge(syms: Column, left: String, right: String): Column =
+    applyMerges(syms, Seq((left, right)))
+
+  /** Apply a SYMBOL-DISJOINT merge batch in one left-to-right pass.
+    * Because no symbol (or merge output) is shared between batch
+    * members, at most one merge can match a given (prev, cur) position
+    * and the single greedy pass equals applying each merge
+    * leftmost-first in sequence — the precondition [[selectBatch]]
+    * enforces. */
+  def applyMerges(syms: Column, ms: Seq[(String, String)]): Column =
     aggregate(syms,
       array().cast("array<string>"),
-      (acc, x) =>
-        when(size(acc) > 0 &&
-            element_at(acc, -1) === lit(left) && x === lit(right),
-          concat(slice(acc, lit(1), size(acc) - 1),
-            array(lit(left + right))))
-          .otherwise(concat(acc, array(x))))
+      (acc, x) => ms.foldRight(concat(acc, array(x))) {
+        case ((l, r), els) =>
+          when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(lit(l + r))))
+            .otherwise(els)
+      })
+
+  /** Maximal batch of merges provably identical to taking them one at a
+    * time (so batched training is BIT-IDENTICAL to sequential BPE, not
+    * an approximation). Scanning the census in (cnt desc, left, right)
+    * order — the sequential tie-break — a candidate joins the batch iff
+    *
+    *  1. it shares no symbol with any selected merge (disjointness:
+    *     earlier selections cannot change its count), and
+    *  2. its count is STRICTLY greater than every census pair that
+    *     overlaps a selected merge, including the unseen tail bound
+    *     (`tailMax`). Applying a selected merge only creates pairs
+    *     involving its output symbol, and each such new pair's count is
+    *     bounded by an overlapping census pair (a new (x, ab) occurs
+    *     only where (x, a) did) — so nothing the earlier merges create
+    *     or leave behind can outrank, or tie with, the candidate when
+    *     its sequential turn comes.
+    *
+    * Output-string collisions (a candidate consuming or re-creating a
+    * symbol that a selected merge outputs, or vice versa) terminate the
+    * batch: a one-pass fold could then merge occurrences a sequential
+    * pass ordered by rank would not see. Returns the selected
+    * (left, right, cnt) rows in rank order. */
+  private def selectBatch(top: Array[org.apache.spark.sql.Row],
+      tailMax: Long, maxSelect: Int): Seq[(String, String, Long)] = {
+    val sel = scala.collection.mutable.ListBuffer[(String, String, Long)]()
+    val used = scala.collection.mutable.Set[String]()
+    val outs = scala.collection.mutable.Set[String]()
+    var maxSkip = tailMax
+    var stop = false
+    for (row <- top if !stop && sel.size < maxSelect) {
+      val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+      val outCollision = outs(l) || outs(r) || used(l + r) || outs(l + r)
+      val adjOverlap = used(l) || used(r)
+      if (sel.isEmpty || (!outCollision && !adjOverlap && c > maxSkip)) {
+        sel += ((l, r, c)); used += l; used += r; outs += (l + r)
+      } else if (outCollision) stop = true
+      else if (adjOverlap) maxSkip = math.max(maxSkip, c)
+      else stop = true
+    }
+    sel.toList
+  }
+
+  /** Symbol delimiter for the flat-string ENCODING representation (a
+    * control char that never appears in whitespace-split tokens of the
+    * synthetic corpus; stripped defensively in [[delimited]]). */
+  val Sep = "\u0001"
+
+  /** A word as a flat delimited symbol string: every character wrapped
+    * Sep‹c›Sep, then the end-of-word marker. "ab" → ␁a␁␁b␁␁</w>␁.
+    * Carrying BOTH delimiters per symbol means adjacent symbols never
+    * share a boundary character, so a literal leftmost non-overlapping
+    * `replace` of ␁l␁␁r␁ → ␁lr␁ is EXACTLY one leftmost-first BPE merge
+    * pass — including on self-runs (␁a␁␁a␁␁a␁ → ␁aa␁␁a␁) — and the
+    * whole encode chain stays inside codegen'd string expressions on
+    * both engines (no UDF, and SQL-expressible for the DuckDB oracle). */
+  def delimited(word: Column): Column =
+    concat(
+      regexp_replace(replace(word, lit(Sep), lit("")), "(.)", Sep + "$1" + Sep),
+      lit(Sep + EndOfWord + Sep))
+
+  /** BPE ENCODING: apply a FIXED rank-ordered merge list to a word,
+    * one leftmost-first pass per merge (the standard apply-in-rank-order
+    * encoder; valid whenever each merge's operands are base characters
+    * or outputs of STRICTLY earlier merges, which trained lists satisfy
+    * by construction). Returns the delimited symbol string. */
+  def encodeSymbols(word: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(delimited(word)) { case (c, (l, r)) =>
+      replace(c, lit(Sep + l + Sep + Sep + r + Sep), lit(Sep + l + r + Sep))
+    }
+
+  /** Number of symbols in a delimited encoding (delimiter count / 2). */
+  def symbolCount(encoded: Column): Column =
+    ((length(encoded) -
+      length(replace(encoded, lit(Sep), lit("")))) / 2).cast("long")
 
   /** Train `n` merges; returns (rank, left, right, cnt) ordered by rank.
-    * Stops early if no adjacent pair remains. */
-  def train(docs: DataFrame, textCol: String, n: Int): Seq[(Int, String, String, Long)] = {
+    * Stops early if no adjacent pair remains.
+    *
+    * Job bound: one pair-census job + one `batchTop`-row collect + one
+    * merge-fold job PER BATCH, and batches hold every merge the census
+    * order proves independent (see [[selectBatch]]) — O(n / E[batch])
+    * Spark jobs instead of the naive O(n) one-job-per-merge loop, with
+    * identical output. Long-tailed real censuses batch well (distinct
+    * counts over disjoint symbol pairs); the worst case (every top pair
+    * chained through a shared symbol, e.g. a single repeated character)
+    * degrades gracefully to batch size 1. The per-round work stays
+    * vocabulary-bounded: the census is a vocab-sized explode + keyed
+    * sum and the driver only ever holds `batchTop` rows. */
+  def train(docs: DataFrame, textCol: String, n: Int,
+      batchTop: Int = 256): Seq[(Int, String, String, Long)] = {
     var words = wordCounts(docs, textCol)
       .select(initSymbols(col("word")).as("syms"), col("n"))
       .truncateLineage()
     val merges = scala.collection.mutable.ListBuffer[(Int, String, String, Long)]()
-    var rank = 1
-    while (rank <= n) {
-      val best = pairCounts(words)
+    var done = false
+    while (merges.size < n && !done) {
+      val top = pairCounts(words)
         .orderBy(col("cnt").desc, col("left"), col("right"))
-        .limit(1).collect()
-      if (best.isEmpty) { rank = n + 1 }
+        .limit(batchTop).collect()
+      if (top.isEmpty) done = true
       else {
-        val (l, r, c) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((rank, l, r, c))
+        val tailMax = if (top.length == batchTop) top.last.getLong(2) else 0L
+        val batch = selectBatch(top, tailMax, n - merges.size)
+        batch.foreach { case (l, r, c) =>
+          merges += ((merges.size + 1, l, r, c))
+        }
         words = words
-          .select(applyMerge(col("syms"), l, r).as("syms"), col("n"))
+          .select(applyMerges(col("syms"),
+            batch.map(m => (m._1, m._2))).as("syms"), col("n"))
           .truncateLineage()
-        rank += 1
       }
     }
     merges.toList

@@ -97,6 +97,56 @@ class CurationSpec extends SparkSpec {
     assert(run() == m, "training must be bit-stable across runs")
   }
 
+  test("bpe: batched training equals one-merge-at-a-time training") {
+    // long-tail census (distinct counts, disjoint symbols) where the
+    // batch rule fires, vs batchTop=1 which forces the sequential path;
+    // the learned lists must be identical, counts included
+    val docs = Seq((
+      Seq.fill(9)("ab") ++ Seq.fill(7)("cd") ++ Seq.fill(5)("ef") ++
+        Seq.fill(3)("gh") ++ Seq.fill(2)("abcd")).mkString(" ")
+    ).toDF("text")
+    val batched = graft.text.BpeTrainer.train(docs, "text", 6)
+    val sequential = graft.text.BpeTrainer.train(docs, "text", 6, batchTop = 1)
+    assert(batched == sequential,
+      s"batched $batched != sequential $sequential")
+  }
+
+  test("bpe: encode applies fixture merges leftmost-first per rank") {
+    import graft.text.{BpeTrainer => B}
+    val enc = Seq("the", "then", "and", "thethe")
+      .toDF("word")
+      .select(col("word"),
+        B.symbolCount(B.encodeSymbols(col("word"),
+          Seq("t" -> "h", "th" -> "e", "the" -> B.EndOfWord))).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "the" -> [the</w>] (1); "then" -> [the, n, </w>] (3);
+    // "and" -> [a, n, d, </w>] (4); "thethe" -> [the, the</w>] (2)
+    assert(enc == Map("the" -> 1L, "then" -> 3L, "and" -> 4L,
+      "thethe" -> 2L), s"got $enc")
+  }
+
+  test("bpe: encoding under a trained merge list reproduces train's folds") {
+    // encode with the merges train() itself learned on the Sennrich
+    // fixture ((e,s),(es,t),(est,</w>),(l,o),(lo,w)): each word must
+    // collapse exactly as training's merge folds collapsed it
+    val docs = Seq(
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    ).toDF("text")
+    val merges = graft.text.BpeTrainer.train(docs, "text", 5)
+      .map(m => (m._2, m._3))
+    import graft.text.{BpeTrainer => B}
+    val counts = Seq("low", "lower", "newest", "widest").toDF("word")
+      .select(col("word"),
+        B.symbolCount(B.encodeSymbols(col("word"), merges)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // low -> [low, </w>]? (l,o)+(lo,w) give [low], then </w> unmerged;
+    // lower -> [low, e, r, </w>]; newest -> [n, e, w, est</w>];
+    // widest -> [w, i, d, est</w>]
+    assert(counts == Map("low" -> 2L, "lower" -> 4L, "newest" -> 4L,
+      "widest" -> 4L), s"got $counts")
+  }
+
   test("bpe: leftmost-first application on overlapping runs") {
     val merged = spark.range(1)
       .select(graft.text.BpeTrainer.applyMerge(
