@@ -42,6 +42,51 @@ object SpanDedup {
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("shingle"))
 
+  /** Maximal duplicated EXTENTS — the exact-substring dedup unit of the
+    * Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    * Better" family: contiguous runs of token positions covered by at
+    * least one cross-document duplicated k-shingle, per document. Where
+    * [[stats]] counts coverage, this materializes the actual substring
+    * spans a pipeline would CUT (while keeping the document), via
+    * gaps-and-islands over the covered position set (tpos − row_number
+    * — all integer arithmetic, bit-exact on any engine).
+    *
+    * Scale shape: candidate generation is an inverted-index equi-join on
+    * the shingle key — co-occurring documents never pair up, which is
+    * what lets exact-substring dedup run at corpus sizes where pairwise
+    * comparison cannot (Lee et al. reach the same property through a
+    * suffix array; the shingle index is the join-friendly equivalent
+    * with a k-token resolution floor). The islands window partitions by
+    * doc_id, so extent assembly is per-document-local after one keyed
+    * shuffle. At 100 TB the shingle string itself would be replaced by
+    * a 64-bit rolling hash as the join key (2^-64 collision odds, per
+    * the paper's hashed variant) — the string key here keeps the
+    * catalog entry exactly oracle-comparable.
+    *
+    * Returns (doc_id, ext_start, ext_end, ext_len), 1-based inclusive
+    * token positions. */
+  def extents(toks: DataFrame, k: Int): DataFrame = {
+    val sh = shingles(toks, k)
+    val dupTypes = sh.groupBy(col("shingle"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("shingle"))
+    val covered = sh.join(dupTypes, Seq("shingle"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("tpos"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tpos"))
+    covered
+      .withColumn("grp", col("tpos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("tpos")).as("ext_start"),
+        max(col("tpos")).as("ext_end"),
+        count(lit(1)).as("ext_len"))
+      .select(col("doc_id"), col("ext_start"), col("ext_end"),
+        col("ext_len"))
+  }
+
   /** Per-document duplicated-span statistics: (doc_id, n_tokens,
     * n_shingles, dup_shingles, dup_frac, covered_tokens, covered_frac)
     * — fractions unrounded. */

@@ -251,6 +251,91 @@ object DedupQueries {
        |LEFT JOIN cov USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // -- q166: exact-substring dedup removal report — the Lee et al. 2022
+  //          family (the one standard public dedup mode q130 only
+  //          approximates with per-shingle coverage): maximal
+  //          cross-document duplicated token EXTENTS per doc
+  //          (SpanDedup.extents — inverted-index shingle join, NO
+  //          all-pairs; gaps-and-islands extent assembly), thresholded
+  //          at MinExtent tokens (the paper cuts ≥50-token substrings;
+  //          this corpus's planted spans are shorter), then rolled up
+  //          per source: how many docs would be cut, how many extents,
+  //          how many tokens removed, and the removal fraction against
+  //          the source's total token mass. All-integer inputs → exact
+  //          cross-engine; the fractions divide exact bigints.
+  private val ExtK = 4
+  private val MinExtent = 8
+
+  private def q166(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.SpanDedup
+    import graft.text.Repetition
+    val d = docs(s, dir)
+    val toks = d.select(col("doc_id"), Repetition.tokens(col("text")).as("l"))
+    val ext = SpanDedup.extents(toks, ExtK)
+      .filter(col("ext_len") >= MinExtent)
+      .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val totals = toks
+      .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(sum(size(col("l"))).as("total_tokens"))
+    ext.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_cut"),
+        count(lit(1)).as("n_extents"),
+        sum(col("ext_len")).as("removed_tokens"),
+        max(col("ext_len")).as("max_extent_len"))
+      .join(totals, Seq("source"))
+      .select(col("source"), col("n_docs_cut"), col("n_extents"),
+        col("removed_tokens"), col("max_extent_len"),
+        round(col("removed_tokens") * lit(1.0) / col("n_extents"), 6)
+          .as("mean_extent_len"),
+        col("total_tokens"),
+        round(col("removed_tokens") * lit(1.0) / col("total_tokens"), 6)
+          .as("removed_frac"))
+      .orderBy(col("source"))
+  }
+
+  private val q166Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS l
+       |  FROM documents),
+       |scoped AS (SELECT * FROM toks WHERE len(l) >= $ExtK),
+       |sh AS (
+       |  SELECT doc_id, i AS pos,
+       |    list_aggregate(l[i:i+$ExtK-1], 'string_agg', ' ') AS shingle
+       |  FROM scoped, unnest(range(1, len(l) - $ExtK + 2)) r(i)),
+       |dup AS (
+       |  SELECT shingle FROM sh GROUP BY shingle
+       |  HAVING count(DISTINCT doc_id) > 1),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, pos + off AS tpos
+       |  FROM (SELECT sh.* FROM sh JOIN dup USING (shingle)) ds,
+       |    unnest(range(0, $ExtK)) r(off)),
+       |isl AS (
+       |  SELECT doc_id, tpos,
+       |    tpos - row_number() OVER (PARTITION BY doc_id ORDER BY tpos)
+       |      AS grp
+       |  FROM cov),
+       |ext AS (
+       |  SELECT doc_id, count(*) AS ext_len
+       |  FROM isl GROUP BY doc_id, grp
+       |  HAVING count(*) >= $MinExtent),
+       |src AS (SELECT doc_id, source FROM documents),
+       |tot AS (
+       |  SELECT source, CAST(sum(len(l)) AS BIGINT) AS total_tokens
+       |  FROM toks JOIN src USING (doc_id) GROUP BY source)
+       |SELECT source,
+       |  count(DISTINCT doc_id) AS n_docs_cut,
+       |  CAST(count(*) AS BIGINT) AS n_extents,
+       |  CAST(sum(ext_len) AS BIGINT) AS removed_tokens,
+       |  CAST(max(ext_len) AS BIGINT) AS max_extent_len,
+       |  round(sum(ext_len) * 1.0 / count(*), 6) AS mean_extent_len,
+       |  total_tokens,
+       |  round(sum(ext_len) * 1.0 / total_tokens, 6) AS removed_frac
+       |FROM ext JOIN src USING (doc_id) JOIN tot USING (source)
+       |GROUP BY source, total_tokens
+       |ORDER BY source""".stripMargin
+
   // -- q135: cross-source duplicate-flow matrix — where do the near
   //          duplicates COME FROM? The q28 pair graph joined to each
   //          side's source, aggregated per unordered source pair: the
@@ -497,5 +582,6 @@ object DedupQueries {
     Q("q130_duplicated_spans", q130, Some(q130Sql)),
     Q("q135_dup_flow_matrix", q135, Some(q135Sql), headline = true),
     Q("q142_incremental_dedup", q142, Some(q142Sql)),
-    Q("q143_effective_tokens", q143, Some(q143Sql)))
+    Q("q143_effective_tokens", q143, Some(q143Sql)),
+    Q("q166_exact_substring_dedup", q166, Some(q166Sql)))
 }

@@ -41,6 +41,32 @@ class SpanDedupSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(3) == 0L && r.getLong(5) == 0L))
   }
 
+  test("extents merge overlapping spans into maximal runs, split on gaps") {
+    // doc 1 shares "p q r s" (positions 1-4) with doc 2 and "x y z"
+    // (positions 7-9) with doc 3; position 5-6 ("a b") is unique, so
+    // the coverage splits into two extents: [1,4] and [7,9]
+    val out = SpanDedup.extents(
+      toks(1L -> "p q r s a b x y z",
+           2L -> "k p q r s m n o w",
+           3L -> "h g f e d c x y z"), 3)
+      .filter(col("doc_id") === 1L)
+      .orderBy("ext_start").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq((1L, 4L, 4L), (7L, 9L, 3L)), s"got $out")
+  }
+
+  test("extents: adjacent duplicated shingles from different partners fuse") {
+    // positions 1-3 dup with doc 2, positions 3-5 dup with doc 3 —
+    // coverage 1-5 is contiguous, ONE extent of length 5
+    val out = SpanDedup.extents(
+      toks(1L -> "a b c d e",
+           2L -> "x a b c y",
+           3L -> "w c d e z"), 3)
+      .filter(col("doc_id") === 1L).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq((1L, 5L, 5L)), s"got $out")
+  }
+
   test("within-document repeats alone are not duplicated spans") {
     // "m n o m n o" repeats internally but no other doc shares it
     val out = SpanDedup.stats(
