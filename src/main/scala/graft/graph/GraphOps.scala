@@ -332,64 +332,93 @@ object GraphOps {
       .agg(sum(col("n_chains")).as("n_chains"))
   }
 
-  /** Connected components by star contraction: every round merges each
-    * node of the CURRENT graph into min(self, neighbors) and rewrites
-    * the edge list through the merge (intra-component self-edges drop).
-    * Merges happen along edges only, so components never mix, and the
-    * component's min id can only merge into itself — labels converge to
-    * the min member id, same contract as plain min-label propagation.
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al. 2014, "Connected Components in
+    * MapReduce and Beyond" — the published two-phase algorithm).
+    * Edges are kept child>parent; each round rewires every node's
+    * strictly-larger neighbors onto its neighborhood minimum
+    * (large-star), then its smaller neighbors onto that minimum
+    * (small-star). Rewiring happens along edges only, so components
+    * never mix, and the fixed point is a star forest centered at each
+    * component's minimum member — labels are the min member id, the
+    * same contract as min-label propagation.
     *
-    * The difference is the work curve: propagation joins the FULL edge
-    * list every round for O(diameter) rounds, while contraction shrinks
-    * the edge list geometrically (a near-clique — the shape of near-dup
-    * clusters — contracts to nothing in one round; a path halves), so
-    * rounds cost less as they go and O(log n) rounds suffice worst-case.
-    * Convergence is edges-empty — a no-op check on a materialized frame,
-    * not an extra label-comparison join. (GraphX ships the same idea;
-    * this form keeps everything in Catalyst/AQE.) */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    // normalized undirected edge list, u < v — works on bare
-    // (from_id, to_id) lists; self-loops don't affect components.
-    // NOT deduplicated: duplicate input edges only pad the first
-    // contraction's aggregate, while an upfront distinct would shuffle
-    // the full edge list once more than necessary (pair-join producers
-    // like minhashLsh already emit distinct pairs).
+    * Why this form: the previous single-operator contraction (merge
+    * every node into min(self, neighbors), round 7) collapses cliques
+    * in one round but only shortens a CHAIN by one edge per round —
+    * O(n) rounds on path graphs, and past `maxIter` it silently
+    * returned partially-merged labels. The two-phase alternation is
+    * the published fix: worst-case O(log^2 n) rounds deterministic,
+    * ~log n observed (the 256-node-path spec pins <= 2*log2(n)+4),
+    * cliques still collapse in one round, and non-convergence now
+    * THROWS instead of mislabeling. Per-round cost is two
+    * neighborhood-min aggregates + the change-test join, all over the
+    * current (shrinking) edge list — same shuffle family as before.
+    * Convergence test is edge-set equality (count + inner join on both
+    * columns — exact, not a hash heuristic). */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame =
+    componentsAndRounds(edges, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of rounds to the fixed
+    * point — the spec hook that pins the O(log n) observed bound. */
+  private[graft] def componentsAndRounds(edges: DataFrame, maxIter: Int)
+      : (DataFrame, Int) = {
+    // normalized child>parent edge list; self-loops drop (a node with
+    // only self-loops is not emitted, matching the round-7 contract).
+    // distinct() up front: the operators below are set-oriented and the
+    // change-test needs set equality; pair-join producers (minhashLsh)
+    // already emit distinct pairs, so this is a no-op shuffle for them
+    // under AQE's exchange reuse.
     var e = edges.select(
-        least(col("from_id"), col("to_id")).as("u"),
-        greatest(col("from_id"), col("to_id")).as("v"))
-      .filter(col("u") =!= col("v"))
+        greatest(col("from_id"), col("to_id")).as("a"),
+        least(col("from_id"), col("to_id")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
       .truncateLineage()
-    // original node -> current contracted-graph node; seeded by the
-    // first round's merge map (which covers exactly the endpoint set)
-    var labels: DataFrame = null
+    var n = e.count()
+    var converged = n == 0L
     var i = 0
-    while (!e.isEmpty && i < maxIter) {
-      // min over (self, neighborhood) in the contracted graph — `rel`
-      // has one row per live node, always ≤ the original node count and
-      // tiny next to the edge list it contracts
-      val rel = e.select(col("u").as("n"), col("v").as("m"))
-        .unionByName(e.select(col("v").as("n"), col("u").as("m")))
-        .groupBy(col("n")).agg(least(col("n"), min(col("m"))).as("newl"))
-        .truncateLineage()
-      labels =
-        if (labels == null)
-          rel.select(col("n").as("node_id"), col("newl").as("component"))
-        else labels
-          .join(rel.withColumnRenamed("n", "component"), Seq("component"), "left")
-          .select(col("node_id"),
-            coalesce(col("newl"), col("component")).as("component"))
-          .truncateLineage()
-      e = e.join(rel.withColumnRenamed("n", "u").withColumnRenamed("newl", "lu"), "u")
-        .join(rel.withColumnRenamed("n", "v").withColumnRenamed("newl", "lv"), "v")
-        .select(least(col("lu"), col("lv")).as("u"),
-          greatest(col("lu"), col("lv")).as("v"))
-        .filter(col("u") =!= col("v"))
+    while (!converged && i < maxIter) {
+      // large-star: for every node u, connect each strictly-larger
+      // neighbor v to m(u) = min(neighborhood(u) + u). m <= u < v keeps
+      // the child>parent invariant; each undirected edge is re-emitted
+      // exactly once, from its smaller endpoint's group.
+      val nbr = e.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+      val lm = nbr.groupBy(col("u"))
+        .agg(least(col("u"), min(col("v"))).as("m"))
+      val large = nbr.join(lm, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
         .distinct()
         .truncateLineage()
+      // small-star: for every node a, connect its smaller neighbors and
+      // a itself to m(a) = min of those neighbors. b >= m with b == m
+      // filtered keeps child>parent.
+      val sm = large.groupBy(col("a")).agg(min(col("b")).as("m"))
+      val next = large.join(sm, Seq("a"))
+        .filter(col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .unionByName(sm.select(col("a"), col("m").as("b")))
+        .distinct()
+        .truncateLineage()
+      // exact fixed-point test: both frames are distinct sets, so
+      // equal counts + full-width inner-join count means set equality
+      val nNext = next.count()
+      converged = nNext == n &&
+        next.join(e, Seq("a", "b")).count() == n
+      e = next
+      n = nNext
       i += 1
     }
-    if (labels == null)
-      e.select(col("u").as("node_id"), col("u").as("component")).limit(0)
-    else labels
+    if (!converged && i == maxIter)
+      throw new IllegalStateException(
+        s"connectedComponents: no fixed point after $maxIter rounds " +
+          "(two-phase star contraction needs ~log2(n) rounds; raise maxIter)")
+    // star forest: children -> their center, centers label themselves
+    val labels = e.select(col("a").as("node_id"), col("b").as("component"))
+      .unionByName(
+        e.select(col("b").as("node_id"), col("b").as("component")).distinct())
+    (labels, i)
   }
 }

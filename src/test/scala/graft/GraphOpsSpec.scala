@@ -117,4 +117,36 @@ class GraphOpsSpec extends SparkSpec {
       .as[(String, String)].collect().toMap
     assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
   }
+
+  test("connected components: path graph converges in O(log n) rounds") {
+    // Adversarial long-chain fixture (round-7 verdict item 7): the
+    // single-operator min-neighbor contraction shortened a chain by ONE
+    // edge per round (O(n)) and silently returned partial labels past
+    // maxIter. The two-phase star alternation must label a 256-node
+    // path correctly well inside 2*log2(n)+4 rounds — a future edit
+    // that reintroduces propagation-style behavior trips the throw or
+    // this bound, not a silent mislabel.
+    val n = 256
+    val path = (0 until n - 1)
+      .map(i => (f"n$i%03d", f"n${i + 1}%03d")).toDF("from_id", "to_id")
+    val (labels, rounds) = GraphOps.componentsAndRounds(path, maxIter = 30)
+    val got = labels.as[(String, String)].collect()
+    assert(got.length == n)
+    assert(got.forall(_._2 == "n000"),
+      s"chain not fully merged: ${got.filter(_._2 != "n000").take(5).toSeq}")
+    val bound = 2 * (math.log(n) / math.log(2)).ceil.toInt + 4
+    assert(rounds <= bound, s"took $rounds rounds, bound $bound")
+  }
+
+  test("connected components: clique collapses in one contraction round") {
+    // near-dup clusters are near-cliques — the shape must stay the
+    // cheap one: a k-clique is a star forest after a single round
+    // (+1 round for the fixed-point confirmation).
+    val ids = (0 until 12).map(i => f"c$i%02d")
+    val clique = (for (i <- ids; j <- ids if i < j) yield (i, j))
+      .toDF("from_id", "to_id")
+    val (labels, rounds) = GraphOps.componentsAndRounds(clique, maxIter = 30)
+    assert(labels.as[(String, String)].collect().forall(_._2 == "c00"))
+    assert(rounds <= 2, s"clique took $rounds rounds")
+  }
 }
