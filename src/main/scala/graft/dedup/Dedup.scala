@@ -237,6 +237,33 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("sim"))
   }
 
+  /** SemDeDup within-cluster prune (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): given a cluster assignment (cid, id) and the
+    * vectors, flag as semantic duplicates the higher-id member of
+    * every same-cluster pair with cosine >= tau. The deterministic
+    * set-expressible variant of the paper's keep-one rule —
+    * greedy-by-id, not path-dependent — so re-runs and engines agree
+    * id-for-id. Pairs straddling cluster boundaries are never compared:
+    * that is the method's documented recall trade, the same dial as
+    * [[embeddingNearDupBlocked]]'s cells.
+    *
+    * Scale shape: the pair leg is a hash equi-join on cid, so all-pairs
+    * work is O(Σ cluster_size²) — bounded by the clustering the caller
+    * controls (raise k at corpus scale; the paper runs k≈11k on LAION).
+    * Returns (cid, dup_id) distinct. */
+  def semanticDuplicates(assignment: DataFrame, vecs: DataFrame,
+      idCol: String, vecCol: String, tau: Double): DataFrame = {
+    val m = assignment.select(col("cid"), col(idCol))
+      .join(vecs.select(col(idCol), col(vecCol)), Seq(idCol))
+    m.select(col("cid"), col(idCol).as("a_id"), col(vecCol).as("a_vec"))
+      .join(m.select(col("cid"), col(idCol).as("b_id"),
+        col(vecCol).as("b_vec")), Seq("cid"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(VectorFunctions.cosine(col("a_vec"), col("b_vec")) >= tau)
+      .select(col("cid"), col("b_id").as("dup_id")).distinct()
+  }
+
   /** IVF-blocked embedding near-dup — the corpus-scale form. Dense
     * vectors admit no exact sub-quadratic threshold join (every dimension
     * is populated, so AllPairs-style prefix bounds never prune), so the

@@ -1348,6 +1348,235 @@ object CurationQueries {
        |ORDER BY source""".stripMargin
   }
 
+  // -- q167: SemDeDup — semantic deduplication via within-cluster
+  //          cosine pruning (Abbas et al. 2023, "SemDeDup: Data-
+  //          efficient learning at web-scale through semantic
+  //          deduplication"): k-means the embedding space (reusing the
+  //          q149 deterministic Lloyd fit), then compare pairs ONLY
+  //          inside each cluster and drop the higher-id member of any
+  //          pair above the cosine threshold. The deterministic
+  //          set-expressible variant of the paper's keep-one rule: a
+  //          vector is a semantic duplicate iff a lower-id cluster-mate
+  //          is within tau (greedy-by-id, not path-dependent).
+  //          Scale shape: THE point of the method — all-pairs work is
+  //          O(sum cluster_size^2), never O(n^2); the pair leg is a
+  //          hash equi-join on cid whose skew is exactly what q153's
+  //          cell-balance report monitors, and at 100 TB you raise k so
+  //          clusters stay bounded (the paper runs k~11k on LAION).
+  private val SdTau = 0.30
+
+  private def q167(s: SparkSession, dir: String): DataFrame = {
+    val asg = graft.semantic.KMeans.fit(
+        emb(s, dir), "vec_id", "embedding", KmK, KmIters)
+      .select(col("vec_id"), col("cid"))
+    val dup = graft.dedup.Dedup.semanticDuplicates(
+      asg, emb(s, dir), "vec_id", "embedding", SdTau)
+    asg.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .join(dup.groupBy(col("cid")).agg(count(lit(1)).as("n_sem_dup")),
+        Seq("cid"), "left")
+      .select(col("cid"), col("n"),
+        coalesce(col("n_sem_dup"), lit(0L)).as("n_sem_dup"),
+        round((col("n") - coalesce(col("n_sem_dup"), lit(0L))) *
+          lit(1.0) / col("n"), 6).as("keep_rate"))
+      .orderBy(col("cid"))
+  }
+
+  private val q167Sql = {
+    val cos = VectorFunctions.sql.cosine("a.v", "b.v")
+    s"""WITH ${graft.semantic.KMeans.sql.fitCtes(KmK, KmIters)},
+       |m AS (SELECT f.vec_id, f.cid, e.v
+       |      FROM asgF f JOIN ev e USING (vec_id)),
+       |dup AS (
+       |  SELECT DISTINCT b.cid, b.vec_id AS b_id
+       |  FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE $cos >= $SdTau),
+       |sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM asgF GROUP BY 1),
+       |dc AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_sem_dup
+       |       FROM dup GROUP BY 1)
+       |SELECT s.cid, s.n,
+       |  COALESCE(d.n_sem_dup, 0) AS n_sem_dup,
+       |  round((s.n - COALESCE(d.n_sem_dup, 0)) * 1.0 / s.n, 6) AS keep_rate
+       |FROM sz s LEFT JOIN dc d USING (cid)
+       |ORDER BY s.cid""".stripMargin
+  }
+
+  // -- q168: UniMax sampling allocation (Chung et al. 2023, "UniMax:
+  //          Fairer and More Effective Language Sampling for Large-
+  //          Scale Multilingual Pretraining"): given a total token
+  //          budget and a per-source epoch cap, allocate the budget as
+  //          uniformly as possible without repeating any source more
+  //          than E epochs — waterfilling. Closed form instead of the
+  //          paper's sequential loop: sort sources by capacity
+  //          ascending; source i is capped iff cap_i*(S-i+1) <=
+  //          budget - prefix_{i-1} (ALL arithmetic exact bigints), the
+  //          capped set is a prefix of that order, and the uncapped
+  //          rest shares the leftover evenly (one double division at
+  //          the end). Scale shape: one linear token-count aggregate,
+  //          then every window runs over the #sources-row frame —
+  //          bounded, the q134/q141 precedent.
+  private val UmEpochCap = 4L
+  private val UmBudgetNum = 3L // budget = floor(3/5 of corpus tokens)
+  private val UmBudgetDen = 5L
+
+  private def q168(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{TextFunctions => TF}
+    val st = docs(s, dir).groupBy(col("source"))
+      .agg(sum(TF.tokenCount(col("text")).cast("long")).as("n_tok"))
+    graft.pipeline.Unimax
+      .alloc(st, UmEpochCap, UmBudgetNum, UmBudgetDen)
+      .select(col("source"), col("n_tok"), col("cap"),
+        round(col("alloc"), 2).as("allocated"),
+        round(col("alloc") / col("n_tok"), 6).as("epochs"))
+      .orderBy(col("source"))
+  }
+
+  private val q168Sql =
+    s"""WITH st AS (
+       |  SELECT source,
+       |    CAST(sum(${graft.text.TextFunctions.sql.tokenCount("text")})
+       |      AS BIGINT) AS n_tok
+       |  FROM documents GROUP BY 1),
+       |st2 AS (SELECT source, n_tok, n_tok * $UmEpochCap AS cap FROM st),
+       |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS tot,
+       |  CAST(count(*) AS BIGINT) AS n_src FROM st2),
+       |ranked AS (
+       |  SELECT s.*, t.tot, t.n_src,
+       |    (t.tot * $UmBudgetNum) // $UmBudgetDen AS budget,
+       |    CAST(row_number() OVER w AS BIGINT) AS i,
+       |    sum(s.cap) OVER w AS p
+       |  FROM st2 s CROSS JOIN tot t
+       |  WINDOW w AS (ORDER BY s.cap, s.source
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |flagged AS (
+       |  SELECT *, CASE WHEN cap * (n_src - i + 1) <= budget - (p - cap)
+       |    THEN 1 ELSE 0 END AS ok FROM ranked),
+       |pref AS (
+       |  SELECT *, min(ok) OVER (ORDER BY cap, source
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS capped
+       |  FROM flagged),
+       |galloc AS (
+       |  SELECT *,
+       |    sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS n_capped,
+       |    sum(CASE WHEN capped THEN cap ELSE 0 END) OVER () AS capped_sum
+       |  FROM pref)
+       |SELECT source, n_tok, cap,
+       |  round(CASE WHEN capped THEN CAST(cap AS DOUBLE)
+       |    ELSE (budget - capped_sum) * 1.0 / (n_src - n_capped) END, 2)
+       |    AS allocated,
+       |  round(CASE WHEN capped THEN CAST(cap AS DOUBLE)
+       |    ELSE (budget - capped_sum) * 1.0 / (n_src - n_capped) END
+       |    / n_tok, 6) AS epochs
+       |FROM galloc
+       |ORDER BY source""".stripMargin
+
+  // -- q169: prototype-distance data pruning (Sorscher et al. 2022,
+  //          "Beyond neural scaling laws: beating power law scaling via
+  //          data pruning"): rank each vector by distance to its
+  //          cluster centroid and keep the HARDEST fraction per cluster
+  //          (far-from-prototype examples carry the most signal when
+  //          data is abundant). Reuses the q149 Lloyd fit; keep count
+  //          is the exact integer ceil(3n/5) per cluster; ranking ties
+  //          break by vec_id. Scale shape: the fit's bounded broadcast
+  //          rounds plus ONE per-cluster window — no global sort, no
+  //          pairwise leg at all.
+  private val PpKeepNum = 3L // keep ceil(3/5) hardest per cluster
+  private val PpKeepDen = 5L
+
+  private def q169(s: SparkSession, dir: String): DataFrame = {
+    val asg = graft.semantic.KMeans.fit(
+      emb(s, dir), "vec_id", "embedding", KmK, KmIters)
+    val byHard = Window.partitionBy(col("cid"))
+      .orderBy(col("sqdist").desc, col("vec_id"))
+    val sz = Window.partitionBy(col("cid"))
+    asg.withColumn("rnk", row_number().over(byHard).cast("long"))
+      .withColumn("n", count(lit(1)).over(sz))
+      .withColumn("n_keep",
+        expr(s"($PpKeepNum * n + ${PpKeepDen - 1}) div $PpKeepDen"))
+      .filter(col("rnk") <= col("n_keep"))
+      .groupBy(col("cid"))
+      .agg(max(col("n")).as("n"), max(col("n_keep")).as("n_keep"),
+        round(min(col("sqdist")), 6).as("cut_sqdist"))
+      .orderBy(col("cid"))
+  }
+
+  private val q169Sql =
+    s"""WITH ${graft.semantic.KMeans.sql.fitCtes(KmK, KmIters)},
+       |ranked AS (
+       |  SELECT cid, vec_id, sqdist,
+       |    CAST(row_number() OVER (PARTITION BY cid
+       |      ORDER BY sqdist DESC, vec_id) AS BIGINT) AS rnk,
+       |    CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS n
+       |  FROM asgF),
+       |kept AS (
+       |  SELECT *, ($PpKeepNum * n + ${PpKeepDen - 1}) // $PpKeepDen
+       |    AS n_keep
+       |  FROM ranked)
+       |SELECT cid, max(n) AS n, max(n_keep) AS n_keep,
+       |  round(min(sqdist), 6) AS cut_sqdist
+       |FROM kept WHERE rnk <= n_keep
+       |GROUP BY cid
+       |ORDER BY cid""".stripMargin
+
+  // -- q170: lexical-entropy quality signal — per-document Shannon
+  //          entropy of the word distribution, the standard
+  //          repetitiveness proxy (a doc that reuses few words has low
+  //          H; complements q128's Gopher surface rules with an
+  //          information-theoretic score). Determinism: per-word terms
+  //          freq*ln(freq) are micro-quantized bigints summed exactly
+  //          (the q163/q164 ln-quantization pattern), and H's closed
+  //          form ln(L) - S/L is evaluated as ONE integer numerator
+  //          (lnL_micro*L - S) over one double division, so both
+  //          engines emit bit-identical doubles. Scale shape: the
+  //          per-doc score is Repetition.entropy — a sorted-run fold
+  //          INSIDE the scan (zero shuffle, the q128 runStats shape) —
+  //          so the whole query is one linear pass + one per-source
+  //          rollup; the oracle recomputes H from the independent
+  //          unnest + group-by formulation, cross-checking the fold.
+  private val WeTau = 2.5 // docs below this H flag as repetitive
+
+  private def q170(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Repetition
+    val d = docs(s, dir).select(col("source"), col("doc_id"),
+      Repetition.entropy(Repetition.tokens(col("text"))).as("h"))
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(round(col("h") * lit(1e6), 0).cast("long")) /
+          (lit(1e6) * count(lit(1))), 6).as("mean_entropy"),
+        round(min(col("h")), 6).as("min_entropy"),
+        round(max(col("h")), 6).as("max_entropy"),
+        sum(when(col("h") < WeTau, 1L).otherwise(0L)).as("n_repetitive"))
+      .orderBy(col("source"))
+  }
+
+  private val q170Sql =
+    s"""WITH w AS (
+       |  SELECT source, doc_id, word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT source, doc_id,
+       |          unnest(${graft.text.TextFunctions.sql.tokens("text")})
+       |            AS word
+       |        FROM documents) t
+       |  WHERE length(word) > 0
+       |  GROUP BY 1, 2, 3),
+       |d AS (
+       |  SELECT source, doc_id, sum(freq) AS len,
+       |    sum(CAST(round(freq * ln(freq) * 1e6) AS BIGINT)) AS sl
+       |  FROM w GROUP BY 1, 2),
+       |h AS (
+       |  SELECT source, doc_id,
+       |    (CAST(round(ln(len) * 1e6) AS BIGINT) * len - sl) /
+       |      (1e6 * len) AS h
+       |  FROM d)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  round(sum(CAST(round(h * 1e6) AS BIGINT)) / (1e6 * count(*)), 6)
+       |    AS mean_entropy,
+       |  round(min(h), 6) AS min_entropy,
+       |  round(max(h), 6) AS max_entropy,
+       |  CAST(sum(CASE WHEN h < $WeTau THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_repetitive
+       |FROM h
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q145_dsir_importance", q145, Some(q145Sql), headline = true),
     Q("q146_bm25_topk", q146, Some(q146Sql)),
@@ -1369,5 +1598,9 @@ object CurationQueries {
     Q("q162_dedup_threshold_sweep", q162, Some(q162Sql), headline = true),
     Q("q163_heaps_law", q163, Some(q163Sql)),
     Q("q164_zipf_fit", q164, Some(q164Sql)),
-    Q("q165_bpe_encode", q165, Some(q165Sql)))
+    Q("q165_bpe_encode", q165, Some(q165Sql)),
+    Q("q167_semdedup", q167, Some(q167Sql)),
+    Q("q168_unimax_alloc", q168, Some(q168Sql)),
+    Q("q169_prototype_prune", q169, Some(q169Sql)),
+    Q("q170_word_entropy", q170, Some(q170Sql)))
 }

@@ -55,6 +55,43 @@ object Repetition {
       })
   }
 
+  /** Shannon entropy of the token distribution — the
+    * information-theoretic repetitiveness score (H = ln L - (1/L)·Σ
+    * freq·ln freq; 0 for a single repeated token, ln(distinct) for an
+    * even spread). Same zero-shuffle shape as [[runStats]]: frequencies
+    * come from one sorted-run pass inside the scan, never an explode +
+    * group-by.
+    *
+    * Determinism contract: each run's freq·ln(freq) term is quantized
+    * to a micro-unit bigint and the terms integer-sum (order-free —
+    * the q163/q164 ln-quantization pattern), so the closed form
+    * `(round(ln L·1e6)·L − Σq) / (1e6·L)` is one integer numerator over
+    * one double division: bit-identical on any engine that sums the
+    * same (token, freq) multiset. Empty arrays score 0. */
+  def entropy(arr: Column): Column = {
+    def q(run: Column) =
+      round(run.cast("double") * log(run.cast("double")) * lit(1e6), 0)
+        .cast("long")
+    def state(prev: Column, run: Column, sumq: Column) =
+      struct(prev.as("prev"), run.as("run"), sumq.as("sumq"))
+    val sumQ = aggregate(
+      array_sort(arr),
+      state(lit(null).cast("string"), lit(0L), lit(0L)),
+      (acc, x) => {
+        val closed = acc("sumq") +
+          when(acc("run") > 0, q(acc("run"))).otherwise(lit(0L))
+        when(acc("prev").isNotNull && x === acc("prev"),
+          state(x, acc("run") + 1, acc("sumq")))
+          .otherwise(state(x, lit(1L), closed))
+      },
+      acc => acc("sumq") +
+        when(acc("run") > 0, q(acc("run"))).otherwise(lit(0L)))
+    val len = size(arr).cast("long")
+    when(len === 0L, lit(0.0)).otherwise(
+      (round(log(len.cast("double")) * lit(1e6), 0).cast("long") * len -
+        sumQ) / (lit(1e6) * len.cast("double")))
+  }
+
   /** Top-occurrence share: best / total, the "one token dominates"
     * signal. */
   def topShare(stats: Column, total: Column): Column =

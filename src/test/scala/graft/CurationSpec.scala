@@ -180,6 +180,45 @@ class CurationSpec extends SparkSpec {
     assert(direction() == v, "power iteration must be bit-stable")
   }
 
+  test("unimax: capped prefix takes capacity, rest shares leftover evenly") {
+    // caps (E=4): a=40, b=400, c=4000; budget = floor(0.6*1110) = 666.
+    // sorted by cap: a capped (40*3=120 <= 666), b not (400*2=800 >
+    // 666-40=626), c not -> leftover (666-40)/2 = 313 each.
+    val st = Seq(("a", 10L), ("b", 100L), ("c", 1000L))
+      .toDF("source", "n_tok")
+    val got = graft.pipeline.Unimax.alloc(st, 4L, 3L, 5L)
+      .select("source", "cap", "alloc")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("a") == ((40L, 40.0)))
+    assert(got("b") == ((400L, 313.0)))
+    assert(got("c") == ((4000L, 313.0)))
+  }
+
+  test("unimax: budget above total capacity caps every source") {
+    val st = Seq(("a", 10L), ("b", 20L)).toDF("source", "n_tok")
+    // budget = floor(30 * 9 / 1) = 270 >= caps 40+80
+    val got = graft.pipeline.Unimax.alloc(st, 4L, 9L, 1L)
+      .select("source", "alloc").as[(String, Double)].collect().toMap
+    assert(got == Map("a" -> 40.0, "b" -> 80.0))
+  }
+
+  test("semdedup: flags higher-id twin in-cluster, misses cross-cluster twin") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)), // twins, same cluster
+      (3L, Seq(0.0f, 1.0f)),                        // distinct, same cluster
+      (4L, Seq(1.0f, 0.0f))                         // twin of 1, OTHER cluster
+    ).toDF("vec_id", "embedding")
+    val asg = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L))
+      .toDF("vec_id", "cid")
+    val got = graft.dedup.Dedup
+      .semanticDuplicates(asg, vecs, "vec_id", "embedding", 0.9)
+      .as[(Long, Long)].collect().toSet
+    // only the in-cluster twin's higher id flags; the cross-cluster twin
+    // is the method's documented recall trade
+    assert(got == Set((0L, 2L)))
+  }
+
   test("pagerank: rank mass concentrates along the edge direction") {
     // the KGraph points orders→customers→nations→regions: downstream
     // node types must accumulate more rank on average, and the single

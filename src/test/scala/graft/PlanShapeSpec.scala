@@ -89,7 +89,10 @@ class PlanShapeSpec extends SparkSpec {
     "q161_heldout_perplexity", // 1-row train-vocabulary broadcast
     "q162_dedup_threshold_sweep", // 1-row pair-stats x 1-row doc-stats
     "q163_heaps_law",         // 1-row regression-fit broadcast
-    "q164_zipf_fit")          // 1-row regression-fit broadcast
+    "q164_zipf_fit",          // 1-row regression-fit broadcast
+    "q167_semdedup",          // k-row centroid broadcast (q149 fit reuse)
+    "q168_unimax_alloc",      // 1-row corpus-total broadcast
+    "q169_prototype_prune")   // k-row centroid broadcast (q149 fit reuse)
 
   // On failure, include a plan excerpt around the first occurrence so a
   // transient/state-dependent failure self-diagnoses from the log alone.

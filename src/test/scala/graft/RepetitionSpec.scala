@@ -26,6 +26,23 @@ class RepetitionSpec extends SparkSpec {
     assert(stats("solo") == ((1L, 1L, 1L, 0L)))
   }
 
+  test("word entropy matches closed-form hand values") {
+    def h(text: String): Double = Seq(text).toDF("t")
+      .select(Repetition.entropy(Repetition.tokens(col("t"))).as("h"))
+      .as[Double].head()
+    // single token: H = 0 up to the micro-quantization residue
+    // (round(ln4·1e6)·4 − round(4·ln4·1e6) = −1 → −2.5e-7; the oracle
+    // quantizes identically, so the residue is cross-engine-stable)
+    assert(math.abs(h("w w w w")) < 1e-6)
+    assert(h("") == 0.0)                    // empty doc guard (exact)
+    // 4 evenly-spread tokens: H = ln(4) at micro precision
+    assert(math.abs(h("a b c d") - math.log(4)) < 1e-6)
+    // a a b b: H = ln(2) — terms 2·2ln2 cancel against 4·ln4 exactly
+    assert(math.abs(h("a a b b") - math.log(2)) < 1e-6)
+    // skewed: a a a b → ln(4) - (3 ln 3)/4
+    assert(math.abs(h("a a a b") - (math.log(4) - 3 * math.log(3) / 4)) < 1e-6)
+  }
+
   test("tokenizer drops empties from ragged whitespace") {
     assert(stats("  a  b\t c ")._1 == 3L)
   }
