@@ -352,10 +352,16 @@ object GraphOps {
     * ~log n observed (the 256-node-path spec pins <= 2*log2(n)+4),
     * cliques still collapse in one round, and non-convergence now
     * THROWS instead of mislabeling. Per-round cost is two
-    * neighborhood-min aggregates + the change-test join, all over the
-    * current (shrinking) edge list — same shuffle family as before.
-    * Convergence test is edge-set equality (count + inner join on both
-    * columns — exact, not a hash heuristic). */
+    * neighborhood-min aggregates + one node-sized role aggregate for
+    * the convergence test, all over the current (shrinking) edge list.
+    *
+    * Convergence test: a post-small-star edge set is a fixed point of
+    * BOTH operators iff no node is simultaneously a child and a parent
+    * AND no child has two parents (then every component is one star
+    * whose center — the smallest endpoint, since edges stay
+    * child>parent — absorbs a large-star and a small-star unchanged).
+    * That is one union + one node-keyed aggregate per round, far
+    * cheaper than re-joining the full edge set for set equality. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame =
     componentsAndRounds(edges, maxIter)._1
 
@@ -365,24 +371,23 @@ object GraphOps {
       : (DataFrame, Int) = {
     // normalized child>parent edge list; self-loops drop (a node with
     // only self-loops is not emitted, matching the round-7 contract).
-    // distinct() up front: the operators below are set-oriented and the
-    // change-test needs set equality; pair-join producers (minhashLsh)
-    // already emit distinct pairs, so this is a no-op shuffle for them
-    // under AQE's exchange reuse.
+    // NOT deduplicated up front: every aggregate below absorbs
+    // duplicates and `next` is rebuilt distinct each round, so an
+    // upfront distinct would only add a full-edge shuffle.
     var e = edges.select(
         greatest(col("from_id"), col("to_id")).as("a"),
         least(col("from_id"), col("to_id")).as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct()
       .truncateLineage()
-    var n = e.count()
-    var converged = n == 0L
+    var converged = e.isEmpty
     var i = 0
     while (!converged && i < maxIter) {
       // large-star: for every node u, connect each strictly-larger
       // neighbor v to m(u) = min(neighborhood(u) + u). m <= u < v keeps
       // the child>parent invariant; each undirected edge is re-emitted
-      // exactly once, from its smaller endpoint's group.
+      // at least once, from its smaller endpoint's group. No distinct:
+      // duplicate (v, m) rows are absorbed by the small-star aggregates
+      // below, cheaper than an extra full-edge shuffle here.
       val nbr = e.select(col("a").as("u"), col("b").as("v"))
         .unionByName(e.select(col("b").as("u"), col("a").as("v")))
       val lm = nbr.groupBy(col("u"))
@@ -390,7 +395,6 @@ object GraphOps {
       val large = nbr.join(lm, Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("v").as("a"), col("m").as("b"))
-        .distinct()
         .truncateLineage()
       // small-star: for every node a, connect its smaller neighbors and
       // a itself to m(a) = min of those neighbors. b >= m with b == m
@@ -402,13 +406,18 @@ object GraphOps {
         .unionByName(sm.select(col("a"), col("m").as("b")))
         .distinct()
         .truncateLineage()
-      // exact fixed-point test: both frames are distinct sets, so
-      // equal counts + full-width inner-join count means set equality
-      val nNext = next.count()
-      converged = nNext == n &&
-        next.join(e, Seq("a", "b")).count() == n
+      // fixed-point test (see scaladoc): any node that is child+parent
+      // or a twice-parented child disproves the star forest. `next` is
+      // distinct, so counting child edges per node is exact.
+      converged = next
+        .select(col("a").as("n"), lit(1L).as("c"), lit(0L).as("p"))
+        .unionByName(
+          next.select(col("b").as("n"), lit(0L).as("c"), lit(1L).as("p")))
+        .groupBy(col("n"))
+        .agg(sum(col("c")).as("nc"), max(col("p")).as("np"))
+        .filter(col("nc") > 1L || (col("nc") > 0L && col("np") > 0L))
+        .isEmpty
       e = next
-      n = nNext
       i += 1
     }
     if (!converged && i == maxIter)
