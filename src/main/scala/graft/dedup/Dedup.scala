@@ -224,6 +224,55 @@ object Dedup {
       .select(col("blk"), col("a_id"), col("b_id"), col("sim"))
   }
 
+  /** Containment near-dup pairs (Broder 1997, "On the resemblance and
+    * containment of documents"): asymmetric subset duplication — a
+    * short document embedded inside a longer one scores containment
+    * |S_a ∩ S_b| / min(|S_a|,|S_b|) ≈ 1 while its symmetric Jaccard
+    * stays low, so MinHash-LSH (q28) never surfaces the pair. The
+    * standard quote/boilerplate/subset-dup detector.
+    *
+    * Scale shape: word-shingle inverted index (the q115 decontamination
+    * machinery — per-doc DISTINCT hashed n-grams), with shingles whose
+    * doc frequency exceeds `maxDf` dropped before the join (the classic
+    * stopword cut — a documented recall trade that bounds every posting
+    * list, making pair work O(Σ df²) with df ≤ maxDf, never
+    * corpus-quadratic). The shared-shingle count per pair comes
+    * straight off that equi-join — the full shingle sets never
+    * re-join — and set sizes are measured in the same pruned universe
+    * so containment is internally consistent. Integer counts
+    * throughout; the two ratios are single double divisions. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, maxDf: Int = 50, tau: Double = 0.8,
+      minShingles: Int = 5): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+        explode(array_distinct(transform(
+          graft.pipeline.Decontaminate.wordShingles(
+            TextFunctions.tokens(col(textCol)), n),
+          g => TextFunctions.md5Long(g)))).as("g_id"))
+      .truncateLineage() // shingle once; reused by df + pair stages
+    val hot = sh.groupBy(col("g_id")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("g_id"))
+    val pruned = sh.join(hot, Seq("g_id"), "left_anti").truncateLineage()
+    val nsh = pruned.groupBy(col("id")).agg(count(lit(1)).as("nsh"))
+    val pairs = pruned.select(col("g_id"), col("id").as("a_id"))
+      .join(pruned.select(col("g_id"), col("id").as("b_id")), Seq("g_id"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("shared"))
+    pairs
+      .join(nsh.select(col("id").as("a_id"), col("nsh").as("nsh_a")),
+        Seq("a_id"))
+      .join(nsh.select(col("id").as("b_id"), col("nsh").as("nsh_b")),
+        Seq("b_id"))
+      .filter(least(col("nsh_a"), col("nsh_b")) >= minShingles)
+      .withColumn("containment",
+        col("shared") * lit(1.0) / least(col("nsh_a"), col("nsh_b")))
+      .filter(col("containment") >= tau)
+      .select(col("a_id"), col("b_id"), col("shared"),
+        col("nsh_a"), col("nsh_b"), col("containment"),
+        (col("shared") * lit(1.0) /
+          (col("nsh_a") + col("nsh_b") - col("shared"))).as("jaccard"))
+  }
+
   /** Embedding-cosine near-dup: exact all-pairs (no blocking) — the
     * small-corpus reference sweep. The theta join (a_id < b_id) is a
     * nested loop, O(n²) with no shuffle key — correct, but NOT the form

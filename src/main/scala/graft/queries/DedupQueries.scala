@@ -572,6 +572,66 @@ object DedupQueries {
        |    AS survival
        |FROM w GROUP BY source ORDER BY source""".stripMargin
 
+  // -- q171: containment dedup report — Broder 1997 asymmetric
+  //          containment over the word-shingle inverted index
+  //          (Dedup.containmentPairs): pairs where the smaller shingle
+  //          set is ≥ 80% inside the larger one, the subset-duplication
+  //          mode (quotes, boilerplate, doc-embedded-in-doc) that the
+  //          symmetric q28 LSH misses by construction. Both endpoint
+  //          sources join in for the per-pair report; hot shingles
+  //          (df > 50) are cut before the join so no posting list is
+  //          unbounded.
+  private val CtN = 8
+  private val CtMaxDf = 50
+  private val CtTau = 0.8
+  private val CtMinSh = 5
+
+  private def q171(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.containmentPairs(d, "doc_id", "text", CtN, CtMaxDf, CtTau, CtMinSh)
+      .join(d.select(col("doc_id").as("a_id"), col("source").as("a_source")),
+        Seq("a_id"))
+      .join(d.select(col("doc_id").as("b_id"), col("source").as("b_source")),
+        Seq("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_source"), col("b_source"),
+        col("shared"), col("nsh_a"), col("nsh_b"),
+        round(col("containment"), 6).as("containment"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val q171Sql = {
+    val sh = graft.pipeline.Decontaminate.sql
+      .shingleHashes("string_split(text, ' ')", CtN)
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest($sh) AS g_id FROM documents),
+       |keep AS (SELECT g_id FROM sh GROUP BY g_id
+       |         HAVING count(*) <= $CtMaxDf),
+       |shp AS (SELECT s.doc_id, s.g_id FROM sh s JOIN keep USING (g_id)),
+       |nsh AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh
+       |        FROM shp GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    CAST(count(*) AS BIGINT) AS shared
+       |  FROM shp a JOIN shp b ON a.g_id = b.g_id AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT p.a_id, p.b_id, p.shared, na.nsh AS nsh_a, nb.nsh AS nsh_b
+       |  FROM pairs p
+       |  JOIN nsh na ON p.a_id = na.doc_id
+       |  JOIN nsh nb ON p.b_id = nb.doc_id
+       |  WHERE least(na.nsh, nb.nsh) >= $CtMinSh
+       |    AND p.shared * 1.0 / least(na.nsh, nb.nsh) >= $CtTau)
+       |SELECT s.a_id, s.b_id, da.source AS a_source, db.source AS b_source,
+       |  s.shared, s.nsh_a, s.nsh_b,
+       |  round(s.shared * 1.0 / least(s.nsh_a, s.nsh_b), 6) AS containment,
+       |  round(s.shared * 1.0 / (s.nsh_a + s.nsh_b - s.shared), 6) AS jaccard
+       |FROM scored s
+       |JOIN documents da ON s.a_id = da.doc_id
+       |JOIN documents db ON s.b_id = db.doc_id
+       |ORDER BY s.a_id, s.b_id""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q27_dedup_exact", q27, Some(q27Sql), headline = true),
     Q("q28_dedup_minhash_lsh", q28, Some(q28Sql), headline = true),
@@ -583,5 +643,6 @@ object DedupQueries {
     Q("q135_dup_flow_matrix", q135, Some(q135Sql), headline = true),
     Q("q142_incremental_dedup", q142, Some(q142Sql)),
     Q("q143_effective_tokens", q143, Some(q143Sql)),
-    Q("q166_exact_substring_dedup", q166, Some(q166Sql)))
+    Q("q166_exact_substring_dedup", q166, Some(q166Sql)),
+    Q("q171_containment_dedup", q171, Some(q171Sql)))
 }
