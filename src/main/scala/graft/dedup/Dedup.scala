@@ -224,6 +224,48 @@ object Dedup {
       .select(col("blk"), col("a_id"), col("b_id"), col("sim"))
   }
 
+  /** Incremental SemDeDup — [[semanticDuplicates]]'s daily-ingest twin
+    * (the semantic analog of [[minhashLshAgainst]]): assign BOTH sides
+    * to a fixed trained centroid table (e.g. `KMeans.fitCentroids` over
+    * the existing corpus), then flag a batch vector as a semantic
+    * duplicate when a same-cluster CORPUS vector is within `tau`
+    * (vs_corpus=true) or a lower-id same-cluster BATCH mate is
+    * (vs_corpus=false). The corpus is never re-paired with itself, so
+    * cost tracks the batch size — the property that keeps daily
+    * semantic dedup affordable at 100 TB. With append-only ids (every
+    * batch id greater than every corpus id) the flagged set equals the
+    * full [[semanticDuplicates]] sweep restricted to batch ids
+    * (parity-pinned in ContainmentSpec's sibling suite).
+    * Returns (cid, dup_id, vs_corpus). */
+  def semanticDuplicatesAgainst(batch: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, idCol: String, vecCol: String,
+      tau: Double): DataFrame = {
+    import graft.semantic.KMeans
+    def members(side: DataFrame) =
+      KMeans.assign(side, centroids, idCol, vecCol)
+        .select(col("cid"), col(idCol))
+        .join(side.select(col(idCol), col(vecCol)), Seq(idCol))
+    val b = members(batch)
+    val c = members(corpus)
+    val vsCorpus = b.select(col("cid"), col(idCol).as("dup_id"),
+        col(vecCol).as("b_vec"))
+      .join(c.select(col("cid"), col(vecCol).as("c_vec")), Seq("cid"))
+      .filter(VectorFunctions.cosine(col("b_vec"), col("c_vec")) >= tau)
+      .select(col("cid"), col("dup_id")).distinct()
+    val inBatch = b.select(col("cid"), col(idCol).as("a_id"),
+        col(vecCol).as("a_vec"))
+      .join(b.select(col("cid"), col(idCol).as("b_id"),
+        col(vecCol).as("b_vec")), Seq("cid"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(VectorFunctions.cosine(col("a_vec"), col("b_vec")) >= tau)
+      .select(col("cid"), col("b_id").as("dup_id")).distinct()
+    vsCorpus.select(col("cid"), col("dup_id"), lit(true).as("vs_corpus"))
+      .unionByName(inBatch.select(col("cid"), col("dup_id"),
+        lit(false).as("vs_corpus")))
+      .groupBy(col("cid"), col("dup_id"))
+      .agg(max(col("vs_corpus")).as("vs_corpus"))
+  }
+
   /** Containment near-dup pairs (Broder 1997, "On the resemblance and
     * containment of documents"): asymmetric subset duplication — a
     * short document embedded inside a longer one scores containment

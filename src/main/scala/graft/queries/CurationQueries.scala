@@ -1577,6 +1577,100 @@ object CurationQueries {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  // -- q172: incremental SemDeDup delta — q167's daily-ingest twin
+  //          (the semantic analog of q142's exact/LSH delta): newest
+  //          20% of vec_ids arrive as the batch, centroids are trained
+  //          on the EXISTING 80% only (KMeans.fitCentroids — the
+  //          reusable index artifact), and the batch is flagged against
+  //          corpus + lower batch mates without ever re-pairing the
+  //          corpus with itself. Per-cluster report: arrivals, dups vs
+  //          corpus, batch-internal-only dups, net new. Scale shape:
+  //          the cutoff is a 1-row broadcast, centroid training and
+  //          both assignments are k-row broadcasts onto linear scans,
+  //          and the pair legs are cid equi-joins with the BATCH on one
+  //          side — cost tracks the batch, not the corpus.
+  private def q172(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Dedup
+    import graft.semantic.KMeans
+    val cut = emb(s, dir).agg(max(col("vec_id")).as("max_id"))
+      .select(expr("(max_id + 1) * 4 div 5").as("cutoff"))
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cut))
+    val oldE = e.filter(col("vec_id") < col("cutoff"))
+    val newE = e.filter(col("vec_id") >= col("cutoff"))
+    val cents = KMeans.fitCentroids(oldE, "vec_id", "embedding",
+      KmK, KmIters)
+    val dup = Dedup.semanticDuplicatesAgainst(newE, oldE, cents,
+      "vec_id", "embedding", SdTau)
+    KMeans.assign(newE, cents, "vec_id", "embedding")
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_new"))
+      .join(dup.groupBy(col("cid"))
+        .agg(sum(when(col("vs_corpus"), 1L).otherwise(0L))
+          .as("n_dup_corpus"),
+          sum(when(col("vs_corpus"), 0L).otherwise(1L))
+            .as("n_dup_batch_only")), Seq("cid"), "left")
+      .select(col("cid"), col("n_new"),
+        coalesce(col("n_dup_corpus"), lit(0L)).as("n_dup_corpus"),
+        coalesce(col("n_dup_batch_only"), lit(0L)).as("n_dup_batch_only"),
+        (col("n_new") - coalesce(col("n_dup_corpus"), lit(0L)) -
+          coalesce(col("n_dup_batch_only"), lit(0L))).as("n_net_new"))
+      .orderBy(col("cid"))
+  }
+
+  private val q172Sql = {
+    val K = graft.semantic.KMeans.sql
+    val cosNB = VectorFunctions.sql.cosine("n.v", "o.v")
+    val cosNN = VectorFunctions.sql.cosine("a.v", "b.v")
+    val sqd = "list_sum(list_transform(list_zip(e.v, c.cent), " +
+      "z -> (z[1] - z[2]) * (z[1] - z[2])))"
+    s"""WITH cut AS (
+       |  SELECT (max(vec_id) + 1) * 4 // 5 AS cutoff FROM embeddings),
+       |ob AS (SELECT e.* FROM embeddings e, cut WHERE vec_id < cutoff),
+       |nb AS (SELECT e.* FROM embeddings e, cut WHERE vec_id >= cutoff),
+       |${K.fitCtes(KmK, KmIters, src = "ob")},
+       |evn AS (SELECT vec_id, (embedding)::DOUBLE[] AS v FROM nb),
+       |asgN AS (
+       |  SELECT vec_id, cid, v FROM (
+       |    SELECT e.vec_id, c.cid, e.v,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY $sqd, c.cid) AS rn
+       |    FROM evn e CROSS JOIN cent$KmIters c)
+       |  WHERE rn = 1),
+       |asgO AS (
+       |  SELECT f.vec_id, f.cid, e.v FROM asgF f JOIN ev e USING (vec_id)),
+       |dupC AS (
+       |  SELECT DISTINCT n.cid, n.vec_id AS dup_id
+       |  FROM asgN n JOIN asgO o ON n.cid = o.cid
+       |  WHERE $cosNB >= $SdTau),
+       |dupB AS (
+       |  SELECT DISTINCT b.cid, b.vec_id AS dup_id
+       |  FROM asgN a JOIN asgN b
+       |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE $cosNN >= $SdTau),
+       |dup AS (
+       |  SELECT cid, dup_id, bool_or(vs_corpus) AS vs_corpus FROM (
+       |    SELECT cid, dup_id, TRUE AS vs_corpus FROM dupC
+       |    UNION ALL
+       |    SELECT cid, dup_id, FALSE FROM dupB) u
+       |  GROUP BY 1, 2),
+       |arr AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_new
+       |        FROM asgN GROUP BY 1),
+       |dd AS (
+       |  SELECT cid,
+       |    CAST(sum(CASE WHEN vs_corpus THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_dup_corpus,
+       |    CAST(sum(CASE WHEN vs_corpus THEN 0 ELSE 1 END) AS BIGINT)
+       |      AS n_dup_batch_only
+       |  FROM dup GROUP BY 1)
+       |SELECT a.cid, a.n_new,
+       |  COALESCE(d.n_dup_corpus, 0) AS n_dup_corpus,
+       |  COALESCE(d.n_dup_batch_only, 0) AS n_dup_batch_only,
+       |  a.n_new - COALESCE(d.n_dup_corpus, 0) -
+       |    COALESCE(d.n_dup_batch_only, 0) AS n_net_new
+       |FROM arr a LEFT JOIN dd d USING (cid)
+       |ORDER BY a.cid""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q145_dsir_importance", q145, Some(q145Sql), headline = true),
     Q("q146_bm25_topk", q146, Some(q146Sql)),
@@ -1602,5 +1696,6 @@ object CurationQueries {
     Q("q167_semdedup", q167, Some(q167Sql)),
     Q("q168_unimax_alloc", q168, Some(q168Sql)),
     Q("q169_prototype_prune", q169, Some(q169Sql)),
-    Q("q170_word_entropy", q170, Some(q170Sql)))
+    Q("q170_word_entropy", q170, Some(q170Sql)),
+    Q("q172_incremental_semdedup", q172, Some(q172Sql)))
 }

@@ -79,15 +79,24 @@ object KMeans {
         transform(col("pcs"), x => x("c")).as("cent"))
 
   /** `iterations` Lloyd rounds from the deterministic seed; returns the
-    * final assignment (idCol, cid, sqdist). */
-  def fit(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
-      iterations: Int): DataFrame = {
+    * trained centroid table (cid, cent) — the reusable artifact an
+    * incremental pipeline assigns NEW batches against without
+    * re-fitting (q172). */
+  def fitCentroids(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, iterations: Int): DataFrame = {
     var cents = seed(vecs, idCol, vecCol, k)
     for (_ <- 1 to iterations)
       cents = update(vecs, assign(vecs, cents, idCol, vecCol),
         idCol, vecCol)
-    assign(vecs, cents, idCol, vecCol)
+    cents
   }
+
+  /** `iterations` Lloyd rounds from the deterministic seed; returns the
+    * final assignment (idCol, cid, sqdist). */
+  def fit(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+      iterations: Int): DataFrame =
+    assign(vecs, fitCentroids(vecs, idCol, vecCol, k, iterations),
+      idCol, vecCol)
 
   /** DuckDB oracle fragments over `embeddings(vec_id, embedding)`. */
   object sql {
@@ -119,16 +128,18 @@ object KMeans {
          |  GROUP BY 1)""".stripMargin
 
     /** Full CTE chain ending in `asgF(vec_id, cid, sqdist)` — the
-      * oracle twin of [[fit]] over `embeddings`. */
-    def fitCtes(k: Int, iterations: Int): String = {
+      * oracle twin of [[fit]] over `src` (a table or prior CTE with
+      * vec_id + embedding; default the embeddings table). */
+    def fitCtes(k: Int, iterations: Int,
+        src: String = "embeddings"): String = {
       val base =
         s"""ev AS (
-           |  SELECT vec_id, (embedding)::DOUBLE[] AS v FROM embeddings),
+           |  SELECT vec_id, (embedding)::DOUBLE[] AS v FROM $src),
            |cent0 AS (
            |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
            |      AS cid,
            |    ${quant("embedding")} AS cent
-           |  FROM embeddings ORDER BY vec_id LIMIT $k)""".stripMargin
+           |  FROM $src ORDER BY vec_id LIMIT $k)""".stripMargin
       val iters = (1 to iterations).map(iterCtes)
       val fin =
         s"""asgF AS (

@@ -219,6 +219,37 @@ class CurationSpec extends SparkSpec {
     assert(got == Set((0L, 2L)))
   }
 
+  test("incremental semdedup equals the full sweep's batch slice") {
+    import graft.dedup.Dedup
+    import graft.semantic.KMeans
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("cid", "cent")
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.95, 0.05)), (3L, Seq(0.6, 0.8))
+    ).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (7L, Seq(1.0, 0.0)),   // twin of corpus 1 -> vs_corpus
+      (8L, Seq(0.1, 0.9)),   // no mate within tau
+      (9L, Seq(0.05, 0.95))  // twin of batch 8 only -> batch-internal
+    ).toDF("vec_id", "embedding")
+    val asym = Dedup.semanticDuplicatesAgainst(batch, corpus, cents,
+        "vec_id", "embedding", 0.9)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(asym.map(_._2) == Set(7L, 9L))
+    assert(asym.find(_._2 == 7L).get._3, "7 duplicates a CORPUS vector")
+    assert(!asym.find(_._2 == 9L).get._3, "9 duplicates only a batch mate")
+    // append-only parity: the asymmetric result IS the full sweep
+    // restricted to batch ids (batch ids all above corpus ids)
+    val all = corpus.unionByName(batch)
+    val full = Dedup.semanticDuplicates(
+        KMeans.assign(all, cents, "vec_id", "embedding")
+          .select(col("cid"), col("vec_id")),
+        all, "vec_id", "embedding", 0.9)
+      .as[(Long, Long)].collect().toSet
+      .filter(_._2 >= 7L)
+    assert(full == asym.map(t => (t._1, t._2)))
+  }
+
   test("pagerank: rank mass concentrates along the edge direction") {
     // the KGraph points orders→customers→nations→regions: downstream
     // node types must accumulate more rank on average, and the single

@@ -92,7 +92,8 @@ class PlanShapeSpec extends SparkSpec {
     "q164_zipf_fit",          // 1-row regression-fit broadcast
     "q167_semdedup",          // k-row centroid broadcast (q149 fit reuse)
     "q168_unimax_alloc",      // 1-row corpus-total broadcast
-    "q169_prototype_prune")   // k-row centroid broadcast (q149 fit reuse)
+    "q169_prototype_prune",   // k-row centroid broadcast (q149 fit reuse)
+    "q172_incremental_semdedup") // 1-row cutoff + k-row centroid broadcasts
 
   // On failure, include a plan excerpt around the first occurrence so a
   // transient/state-dependent failure self-diagnoses from the log alone.
