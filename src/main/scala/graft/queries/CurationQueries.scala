@@ -1671,6 +1671,48 @@ object CurationQueries {
        |ORDER BY a.cid""".stripMargin
   }
 
+  // -- q173: quality-classifier filter — the fasttext-shaped "looks
+  //          like the reference corpus" logistic regression every
+  //          public pretraining pipeline trains (CCNet / GPT-3-style;
+  //          DSIR's discriminative sibling): 3 fixed batch-GD steps
+  //          over 64 hashed unigram-frequency features separating the
+  //          q145 target source from the rest, then every document
+  //          scored under the learned weights. Per-source report:
+  //          volume, exact micro-unit mean score, docs flagged
+  //          reference-like (score ≥ 0.5). Scale shape + determinism:
+  //          see pipeline/QualityClassifier.
+  private val QcBuckets = 64
+  private val QcIters = 3
+  private val QcLr = 8L
+
+  private def q173(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.QualityClassifier
+    val d = docs(s, dir)
+    val feats = QualityClassifier.features(
+      d, col("source") === DsirTarget, QcBuckets)
+    val (w, bias) = QualityClassifier.train(feats, QcBuckets, QcIters, QcLr)
+    QualityClassifier.scores(feats, w, bias)
+      .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("score_micro")) / (lit(1e6) * count(lit(1))), 6)
+          .as("mean_score"),
+        sum(when(col("score_micro") >= 500000L, 1L).otherwise(0L))
+          .as("n_ref_like"))
+      .orderBy(col("source"))
+  }
+
+  private val q173Sql =
+    s"""WITH ${graft.pipeline.QualityClassifier.sql
+        .trainCtes(DsirTarget, QcBuckets, QcIters, QcLr)}
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  round(sum(s.score_micro) / (1e6 * count(*)), 6) AS mean_score,
+       |  CAST(sum(CASE WHEN s.score_micro >= 500000 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_ref_like
+       |FROM qscore s JOIN documents d USING (doc_id)
+       |GROUP BY d.source
+       |ORDER BY d.source""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q145_dsir_importance", q145, Some(q145Sql), headline = true),
     Q("q146_bm25_topk", q146, Some(q146Sql)),
@@ -1697,5 +1739,6 @@ object CurationQueries {
     Q("q168_unimax_alloc", q168, Some(q168Sql)),
     Q("q169_prototype_prune", q169, Some(q169Sql)),
     Q("q170_word_entropy", q170, Some(q170Sql)),
-    Q("q172_incremental_semdedup", q172, Some(q172Sql)))
+    Q("q172_incremental_semdedup", q172, Some(q172Sql)),
+    Q("q173_quality_classifier", q173, Some(q173Sql)))
 }

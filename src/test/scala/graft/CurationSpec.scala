@@ -250,6 +250,32 @@ class CurationSpec extends SparkSpec {
     assert(full == asym.map(t => (t._1, t._2)))
   }
 
+  test("quality classifier learns to separate the reference slice") {
+    import graft.pipeline.QualityClassifier
+    // synthetic feature frame, bypassing hashing: ref docs (y=1) use
+    // bucket 0 exclusively, the rest bucket 1 — GD must push w[0] up
+    // and w[1] down, symmetric so the bias stays 0
+    val feats = Seq(
+      (1L, 1L, 0L, 3L, 3L), (2L, 1L, 0L, 3L, 3L),
+      (3L, 0L, 1L, 3L, 3L), (4L, 0L, 1L, 3L, 3L)
+    ).toDF("doc_id", "y", "b", "cnt", "n_tok")
+    val (w, bias) = QualityClassifier.train(feats, buckets = 2,
+      iterations = 3, lr = 8L)
+    val sc = QualityClassifier.scores(feats, w, bias)
+      .as[(Long, Long)].collect().toMap
+    assert(sc(1L) == sc(2L) && sc(3L) == sc(4L))
+    assert(sc(1L) > 500000L && sc(3L) < 500000L,
+      s"reference docs must score above the rest: $sc")
+    // symmetric fixture: scores mirror around 0.5 and bias stays 0
+    assert(sc(1L) + sc(3L) == 1000000L)
+    assert(bias.as[Long].head() == 0L)
+    // bit-stability: a re-train lands on identical weights
+    val (w2, _) = QualityClassifier.train(feats, buckets = 2,
+      iterations = 3, lr = 8L)
+    assert(w.as[(Long, Long)].collect().toSet ==
+      w2.as[(Long, Long)].collect().toSet)
+  }
+
   test("pagerank: rank mass concentrates along the edge direction") {
     // the KGraph points orders→customers→nations→regions: downstream
     // node types must accumulate more rank on average, and the single

@@ -93,7 +93,8 @@ class PlanShapeSpec extends SparkSpec {
     "q167_semdedup",          // k-row centroid broadcast (q149 fit reuse)
     "q168_unimax_alloc",      // 1-row corpus-total broadcast
     "q169_prototype_prune",   // k-row centroid broadcast (q149 fit reuse)
-    "q172_incremental_semdedup") // 1-row cutoff + k-row centroid broadcasts
+    "q172_incremental_semdedup", // 1-row cutoff + k-row centroid broadcasts
+    "q173_quality_classifier") // 1-row bias/n-docs + 64-row weight broadcasts
 
   // On failure, include a plan excerpt around the first occurrence so a
   // transient/state-dependent failure self-diagnoses from the log alone.
