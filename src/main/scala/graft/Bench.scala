@@ -58,7 +58,13 @@ object Bench {
     "q126_dedup_clusters" -> 6.80,
     "q135_dup_flow_matrix" -> 5.44, // re-pinned r8 (quiet full-run min)
     "q156_cluster_safe_split" -> 7.92,
-    "q162_dedup_threshold_sweep" -> 4.68)
+    "q162_dedup_threshold_sweep" -> 4.68,
+    // round-8 new-operator promotions (quiet sf0.1 mins, BENCH_NOTES
+    // round-8 addendum 2)
+    "q167_semdedup" -> 3.00,
+    "q171_containment_dedup" -> 3.28,
+    "q172_incremental_semdedup" -> 3.11,
+    "q173_quality_classifier" -> 3.02)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -54,6 +54,12 @@ object QualityClassifier {
   private def termQ(wi: Column, cnt: Column, nTok: Column): Column =
     round(wi * cnt * lit(1.0) / nTok, 0).cast("long")
 
+  /** round-half-away-from-zero on the driver — the semantics Spark's
+    * `round` and DuckDB's `round` share (scala's math.round rounds
+    * -2.5 UP to -2, which would diverge from both engines). */
+  private def rnd(x: Double): Long =
+    (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+
   /** Trained state after `iterations` GD steps: (weights(b, wi),
     * bias 1-row frame (bi)) — both micro-unit bigints.
     *
@@ -62,45 +68,60 @@ object QualityClassifier {
     * imbalanced reference-vs-rest split, where an unbalanced fit just
     * learns the base rate into the bias and every score collapses to
     * the prior): the scaled error is micro-quantized before the
-    * gradient sums, keeping the exact-integer contract. */
+    * gradient sums, keeping the exact-integer contract.
+    *
+    * The model state (buckets+1 micro-unit longs) lives on the DRIVER
+    * between steps and enters each pass as a literal array — the
+    * documented bounded-collect pattern (state is feature-bounded,
+    * never corpus-bounded), so a GD step is exactly two linear passes
+    * (margin/error aggregate, gradient aggregate) with no per-step
+    * broadcast jobs; IterationShapeSpec pins the per-step stage count. */
   def train(feats: DataFrame, buckets: Int = DefaultBuckets,
       iterations: Int = DefaultIterations, lr: Long = DefaultLr)
       : (DataFrame, DataFrame) = {
     val spark = feats.sparkSession
     import spark.implicits._
+    // the label frame and its class totals are loop-invariant —
+    // materialize once; the totals are 3 bounded scalars
     val f = feats.truncateLineage()
-    val ys = f.select(col("doc_id"), col("y")).distinct()
-    val nDocs = ys.agg(count(lit(1)).as("nd"))
-    val clsCounts = ys.groupBy(col("y")).agg(count(lit(1)).as("ny"))
-    var w = (0L until buckets).toDF("b").select(col("b"),
-      lit(0L).as("wi"))
-    var bias = Seq(0L).toDF("bi")
+    val ys = f.select(col("doc_id"), col("y")).distinct().truncateLineage()
+    val cls = ys.groupBy(col("y")).agg(count(lit(1)).as("ny"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nd = cls.values.sum
+    // absent-class guard: the literal for a class with zero members is
+    // never evaluated at runtime (no row takes that branch) — max(1)
+    // only keeps the eager expression build total
+    val nPos = cls.getOrElse(1L, 1L).max(1L)
+    val nNeg = cls.getOrElse(0L, 1L).max(1L)
+    val wArr = Array.fill(buckets)(0L)
+    var bi = 0L
     for (_ <- 1 to iterations) {
-      val errs = scores(f, w, bias)
+      val wLit = typedLit(wArr.toSeq)
+      val margins = f
+        .groupBy(col("doc_id"))
+        .agg(sum(termQ(element_at(wLit, (col("b") + 1).cast("int")),
+          col("cnt"), col("n_tok"))).as("mq"))
+      val errs = margins
         .join(ys, Seq("doc_id"))
-        .join(broadcast(clsCounts), Seq("y"))
-        .crossJoin(broadcast(nDocs))
         .select(col("doc_id"),
-          round((col("score_micro") - col("y") * lit(1000000L)) *
-            col("nd") * lit(1.0) / (lit(2L) * col("ny")), 0)
+          round((round(lit(1e6) / (lit(1.0) +
+              exp(-(col("mq") + lit(bi)) / lit(1e6))), 0).cast("long") -
+            col("y") * lit(1000000L)) * lit(nd) * lit(1.0) /
+            (lit(2L) * when(col("y") === 1L, lit(nPos))
+              .otherwise(lit(nNeg))), 0)
             .cast("long").as("err"))
         .truncateLineage()
-      val grad = f.join(errs, Seq("doc_id"))
+      val grads = f.join(errs, Seq("doc_id"))
         .groupBy(col("b"))
         .agg(sum(termQ(col("err"), col("cnt"), col("n_tok"))).as("gq"))
-      w = w.join(grad, Seq("b"), "left")
-        .crossJoin(broadcast(nDocs))
-        .select(col("b"),
-          (col("wi") - round(lit(lr) * coalesce(col("gq"), lit(0L)) *
-            lit(1.0) / col("nd"), 0).cast("long")).as("wi"))
-        .truncateLineage()
-      bias = bias.crossJoin(errs.agg(sum(col("err")).as("es")))
-        .crossJoin(broadcast(nDocs))
-        .select((col("bi") - round(lit(lr) * col("es") * lit(1.0) /
-          col("nd"), 0).cast("long")).as("bi"))
-        .truncateLineage()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val errSum = errs.agg(sum(col("err"))).head().getLong(0)
+      for (b <- 0 until buckets)
+        wArr(b) -= rnd(lr * grads.getOrElse(b.toLong, 0L) * 1.0 / nd)
+      bi -= rnd(lr * errSum * 1.0 / nd)
     }
-    (w, bias)
+    ((0 until buckets).map(b => (b.toLong, wArr(b))).toDF("b", "wi"),
+      Seq(bi).toDF("bi"))
   }
 
   /** Micro-quantized sigmoid scores under (weights, bias):

@@ -1735,10 +1735,10 @@ object CurationQueries {
     Q("q163_heaps_law", q163, Some(q163Sql)),
     Q("q164_zipf_fit", q164, Some(q164Sql)),
     Q("q165_bpe_encode", q165, Some(q165Sql)),
-    Q("q167_semdedup", q167, Some(q167Sql)),
+    Q("q167_semdedup", q167, Some(q167Sql), headline = true),
     Q("q168_unimax_alloc", q168, Some(q168Sql)),
     Q("q169_prototype_prune", q169, Some(q169Sql)),
     Q("q170_word_entropy", q170, Some(q170Sql)),
-    Q("q172_incremental_semdedup", q172, Some(q172Sql)),
-    Q("q173_quality_classifier", q173, Some(q173Sql)))
+    Q("q172_incremental_semdedup", q172, Some(q172Sql), headline = true),
+    Q("q173_quality_classifier", q173, Some(q173Sql), headline = true))
 }

@@ -644,5 +644,5 @@ object DedupQueries {
     Q("q142_incremental_dedup", q142, Some(q142Sql)),
     Q("q143_effective_tokens", q143, Some(q143Sql)),
     Q("q166_exact_substring_dedup", q166, Some(q166Sql)),
-    Q("q171_containment_dedup", q171, Some(q171Sql)))
+    Q("q171_containment_dedup", q171, Some(q171Sql), headline = true))
 }

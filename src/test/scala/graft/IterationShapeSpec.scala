@@ -69,6 +69,29 @@ class IterationShapeSpec extends SparkSpec {
       s"per-iteration stage delta drifted: $delta (3-iter run $s3, 4-iter run $s4)")
   }
 
+  test("q173 classifier: stage count grows by a pinned per-GD-step delta") {
+    import graft.pipeline.QualityClassifier
+    val feats = (1L to 40L).flatMap(d => Seq(
+      (d, d % 2, d % 8, 3L, 6L), (d, d % 2, (d + 3) % 8, 3L, 6L)))
+      .toDF("doc_id", "y", "b", "cnt", "n_tok")
+      .localCheckpoint()
+    def run(iters: Int): Unit = {
+      val (w, bias) = QualityClassifier.train(feats, buckets = 8,
+        iterations = iters)
+      QualityClassifier.scores(feats, w, bias).count()
+    }
+    run(1) // warm
+    val s3 = submittedStages { run(3) }
+    val s4 = submittedStages { run(4) }
+    val delta = s4 - s3
+    info(s"stages: 3 iters=$s3, 4 iters=$s4, per-iteration delta=$delta")
+    // one margin aggregate + one gradient aggregate + the bounded
+    // weight/bias updates per step — doubling the per-step passes (the
+    // failure this guards) would land at >= 2x this pin
+    assert(delta >= 1 && delta <= 12,
+      s"per-GD-step stage delta drifted: $delta (3-iter $s3, 4-iter $s4)")
+  }
+
   test("q149 kmeans: exactly one centroid broadcast join per Lloyd round") {
     // KMeans.fit chains iterations without lineage truncation, so the
     // final plan is the full DAG: each of the KmIters update rounds and
