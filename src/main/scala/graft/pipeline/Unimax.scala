@@ -57,4 +57,44 @@ object Unimax {
           .otherwise((col("budget") - col("capped_sum")) * lit(1.0) /
             (col("n_src") - col("n_capped"))).as("alloc"))
   }
+
+  /** DuckDB oracle twin: CTE chain over `src` (source, n_tok) ending in
+    * `${p}alloc(source, n_tok, cap, alloc)` — prefix `p` keeps the
+    * names collision-free when composed into larger chains (q174). */
+  object sql {
+    def allocCtes(src: String, epochCap: Long, budgetNum: Long,
+        budgetDen: Long, p: String = "u"): String =
+      s"""${p}st AS (
+         |  SELECT source, n_tok, n_tok * $epochCap AS cap FROM $src),
+         |${p}tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS tot,
+         |  CAST(count(*) AS BIGINT) AS n_src FROM ${p}st),
+         |${p}rnk AS (
+         |  SELECT s.*, t.tot, t.n_src,
+         |    (t.tot * $budgetNum) // $budgetDen AS budget,
+         |    CAST(row_number() OVER w AS BIGINT) AS i,
+         |    sum(s.cap) OVER w AS p
+         |  FROM ${p}st s CROSS JOIN ${p}tot t
+         |  WINDOW w AS (ORDER BY s.cap, s.source
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |${p}flg AS (
+         |  SELECT *, CASE WHEN cap * (n_src - i + 1) <= budget - (p - cap)
+         |    THEN 1 ELSE 0 END AS ok FROM ${p}rnk),
+         |${p}prf AS (
+         |  SELECT *, min(ok) OVER (ORDER BY cap, source
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+         |    AS capped
+         |  FROM ${p}flg),
+         |${p}glb AS (
+         |  SELECT *,
+         |    sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS n_capped,
+         |    sum(CASE WHEN capped THEN cap ELSE 0 END) OVER ()
+         |      AS capped_sum
+         |  FROM ${p}prf),
+         |${p}alloc AS (
+         |  SELECT source, n_tok, cap,
+         |    CASE WHEN capped THEN CAST(cap AS DOUBLE)
+         |      ELSE (budget - capped_sum) * 1.0 / (n_src - n_capped) END
+         |      AS alloc
+         |  FROM ${p}glb)""".stripMargin
+  }
 }

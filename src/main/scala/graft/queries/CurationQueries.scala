@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.VectorFunctions
+import graft.functions.{ExactRound, VectorFunctions}
 import graft.graph.{KGraph, PageRank}
 import graft.pipeline.Dsir
 import graft.text.Bm25
@@ -1376,8 +1376,9 @@ object CurationQueries {
         Seq("cid"), "left")
       .select(col("cid"), col("n"),
         coalesce(col("n_sem_dup"), lit(0L)).as("n_sem_dup"),
-        round((col("n") - coalesce(col("n_sem_dup"), lit(0L))) *
-          lit(1.0) / col("n"), 6).as("keep_rate"))
+        ExactRound.ratio6(
+          col("n") - coalesce(col("n_sem_dup"), lit(0L)), col("n"))
+          .as("keep_rate"))
       .orderBy(col("cid"))
   }
 
@@ -1395,7 +1396,7 @@ object CurationQueries {
        |       FROM dup GROUP BY 1)
        |SELECT s.cid, s.n,
        |  COALESCE(d.n_sem_dup, 0) AS n_sem_dup,
-       |  round((s.n - COALESCE(d.n_sem_dup, 0)) * 1.0 / s.n, 6) AS keep_rate
+       |  ${graft.functions.ExactRound.sql.ratio6("s.n - COALESCE(d.n_sem_dup, 0)", "s.n")} AS keep_rate
        |FROM sz s LEFT JOIN dc d USING (cid)
        |ORDER BY s.cid""".stripMargin
   }
@@ -1431,42 +1432,17 @@ object CurationQueries {
   }
 
   private val q168Sql =
-    s"""WITH st AS (
+    s"""WITH st0 AS (
        |  SELECT source,
        |    CAST(sum(${graft.text.TextFunctions.sql.tokenCount("text")})
        |      AS BIGINT) AS n_tok
        |  FROM documents GROUP BY 1),
-       |st2 AS (SELECT source, n_tok, n_tok * $UmEpochCap AS cap FROM st),
-       |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS tot,
-       |  CAST(count(*) AS BIGINT) AS n_src FROM st2),
-       |ranked AS (
-       |  SELECT s.*, t.tot, t.n_src,
-       |    (t.tot * $UmBudgetNum) // $UmBudgetDen AS budget,
-       |    CAST(row_number() OVER w AS BIGINT) AS i,
-       |    sum(s.cap) OVER w AS p
-       |  FROM st2 s CROSS JOIN tot t
-       |  WINDOW w AS (ORDER BY s.cap, s.source
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-       |flagged AS (
-       |  SELECT *, CASE WHEN cap * (n_src - i + 1) <= budget - (p - cap)
-       |    THEN 1 ELSE 0 END AS ok FROM ranked),
-       |pref AS (
-       |  SELECT *, min(ok) OVER (ORDER BY cap, source
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS capped
-       |  FROM flagged),
-       |galloc AS (
-       |  SELECT *,
-       |    sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS n_capped,
-       |    sum(CASE WHEN capped THEN cap ELSE 0 END) OVER () AS capped_sum
-       |  FROM pref)
+       |${graft.pipeline.Unimax.sql.allocCtes(
+          "st0", UmEpochCap, UmBudgetNum, UmBudgetDen)}
        |SELECT source, n_tok, cap,
-       |  round(CASE WHEN capped THEN CAST(cap AS DOUBLE)
-       |    ELSE (budget - capped_sum) * 1.0 / (n_src - n_capped) END, 2)
-       |    AS allocated,
-       |  round(CASE WHEN capped THEN CAST(cap AS DOUBLE)
-       |    ELSE (budget - capped_sum) * 1.0 / (n_src - n_capped) END
-       |    / n_tok, 6) AS epochs
-       |FROM galloc
+       |  round(alloc, 2) AS allocated,
+       |  round(alloc / n_tok, 6) AS epochs
+       |FROM ualloc
        |ORDER BY source""".stripMargin
 
   // -- q169: prototype-distance data pruning (Sorscher et al. 2022,
@@ -1540,8 +1516,9 @@ object CurationQueries {
       Repetition.entropy(Repetition.tokens(col("text"))).as("h"))
     d.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        round(sum(round(col("h") * lit(1e6), 0).cast("long")) /
-          (lit(1e6) * count(lit(1))), 6).as("mean_entropy"),
+        ExactRound.microMean6(
+          sum(round(col("h") * lit(1e6), 0).cast("long")), count(lit(1)))
+          .as("mean_entropy"),
         round(min(col("h")), 6).as("min_entropy"),
         round(max(col("h")), 6).as("max_entropy"),
         sum(when(col("h") < WeTau, 1L).otherwise(0L)).as("n_repetitive"))
@@ -1567,7 +1544,7 @@ object CurationQueries {
        |      (1e6 * len) AS h
        |  FROM d)
        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-       |  round(sum(CAST(round(h * 1e6) AS BIGINT)) / (1e6 * count(*)), 6)
+       |  ${graft.functions.ExactRound.sql.microMean6("sum(CAST(round(h * 1e6) AS BIGINT))", "count(*)")}
        |    AS mean_entropy,
        |  round(min(h), 6) AS min_entropy,
        |  round(max(h), 6) AS max_entropy,
@@ -1695,7 +1672,7 @@ object CurationQueries {
       .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        round(sum(col("score_micro")) / (lit(1e6) * count(lit(1))), 6)
+        ExactRound.microMean6(sum(col("score_micro")), count(lit(1)))
           .as("mean_score"),
         sum(when(col("score_micro") >= 500000L, 1L).otherwise(0L))
           .as("n_ref_like"))
@@ -1706,12 +1683,132 @@ object CurationQueries {
     s"""WITH ${graft.pipeline.QualityClassifier.sql
         .trainCtes(DsirTarget, QcBuckets, QcIters, QcLr)}
        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
-       |  round(sum(s.score_micro) / (1e6 * count(*)), 6) AS mean_score,
+       |  ${graft.functions.ExactRound.sql.microMean6("sum(s.score_micro)", "count(*)")} AS mean_score,
        |  CAST(sum(CASE WHEN s.score_micro >= 500000 THEN 1 ELSE 0 END)
        |    AS BIGINT) AS n_ref_like
        |FROM qscore s JOIN documents d USING (doc_id)
        |GROUP BY d.source
        |ORDER BY d.source""".stripMargin
+
+  // -- q174: end-to-end curation build v2 — the round-8 operator
+  //          family composed into the pipeline a training run actually
+  //          executes (q116's successor): (1) entropy gate drops
+  //          repetitive docs (q170), (2) SemDeDup drops semantic
+  //          duplicates (q167), (3) the class-balanced classifier
+  //          scores survivors against the reference source (q173),
+  //          (4) UniMax waterfills the token budget across sources
+  //          over the SURVIVOR mass (q168), (5) each source spends its
+  //          allocation on its best-scored docs first (per-source
+  //          running token cumsum — a PARTITIONED window, no global
+  //          sort). Report: per-source candidates, selected docs,
+  //          selected tokens, allocation, mean selected score.
+  private def q174(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Dedup
+    import graft.pipeline.{QualityClassifier, Unimax}
+    import graft.semantic.KMeans
+    import graft.text.{Repetition, TextFunctions => TF}
+    val d = docs(s, dir)
+    val keepEnt = d.select(col("doc_id"), col("source"),
+        TF.tokenCount(col("text")).cast("long").as("n_tok"),
+        Repetition.entropy(Repetition.tokens(col("text"))).as("h"))
+      .filter(col("h") >= WeTau)
+    val asg = KMeans.fit(emb(s, dir), "vec_id", "embedding", KmK, KmIters)
+      .select(col("vec_id"), col("cid"))
+    val dup = Dedup.semanticDuplicates(asg, emb(s, dir),
+        "vec_id", "embedding", SdTau)
+      .select(col("dup_id").as("doc_id"))
+    val feats = QualityClassifier.features(
+      d, col("source") === DsirTarget, QcBuckets)
+    val (w, bias) = QualityClassifier.train(feats, QcBuckets, QcIters, QcLr)
+    val sv = keepEnt.join(dup, Seq("doc_id"), "left_anti")
+      .join(QualityClassifier.scores(feats, w, bias), Seq("doc_id"))
+    val alloc = Unimax.alloc(
+        sv.groupBy(col("source")).agg(sum(col("n_tok")).as("n_tok")),
+        UmEpochCap, UmBudgetNum, UmBudgetDen)
+      .select(col("source"), col("alloc"))
+    val bySrc = Window.partitionBy(col("source"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sel = sv.join(alloc, Seq("source"))
+      .withColumn("cum", sum(col("n_tok")).over(bySrc))
+      .filter(col("cum") <= col("alloc"))
+    sv.groupBy(col("source")).agg(count(lit(1)).as("n_candidates"))
+      .join(sel.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_selected"),
+          sum(col("n_tok")).as("tok_selected"),
+          ExactRound.microMean6(sum(col("score_micro")), count(lit(1)))
+            .as("mean_sel_score")), Seq("source"), "left")
+      .join(alloc, Seq("source"))
+      .select(col("source"), col("n_candidates"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        coalesce(col("tok_selected"), lit(0L)).as("tok_selected"),
+        round(col("alloc"), 2).as("allocated"),
+        coalesce(col("mean_sel_score"), lit(0.0)).as("mean_sel_score"))
+      .orderBy(col("source"))
+  }
+
+  private val q174Sql = {
+    val cos = VectorFunctions.sql.cosine("a.v", "b.v")
+    s"""WITH ${graft.pipeline.QualityClassifier.sql
+        .trainCtes(DsirTarget, QcBuckets, QcIters, QcLr)},
+       |${graft.semantic.KMeans.sql.fitCtes(KmK, KmIters)},
+       |sm AS (SELECT f.vec_id, f.cid, e.v
+       |       FROM asgF f JOIN ev e USING (vec_id)),
+       |sdup AS (
+       |  SELECT DISTINCT b.vec_id AS doc_id
+       |  FROM sm a JOIN sm b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE $cos >= $SdTau),
+       |ew AS (
+       |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |        FROM documents) t
+       |  WHERE length(word) > 0 GROUP BY 1, 2),
+       |ed AS (
+       |  SELECT doc_id, sum(freq) AS len,
+       |    sum(CAST(round(freq * ln(freq) * 1e6) AS BIGINT)) AS sl
+       |  FROM ew GROUP BY 1),
+       |eh AS (
+       |  SELECT doc_id,
+       |    (CAST(round(ln(len) * 1e6) AS BIGINT) * len - sl) /
+       |      (1e6 * len) AS h
+       |  FROM ed),
+       |sv AS (
+       |  SELECT d.doc_id, d.source, n.n_tok, q.score_micro
+       |  FROM documents d
+       |  JOIN qntok n USING (doc_id)
+       |  JOIN qscore q USING (doc_id)
+       |  JOIN eh USING (doc_id)
+       |  WHERE eh.h >= $WeTau
+       |    AND d.doc_id NOT IN (SELECT doc_id FROM sdup)),
+       |svm AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tok
+       |        FROM sv GROUP BY 1),
+       |${graft.pipeline.Unimax.sql.allocCtes(
+          "svm", UmEpochCap, UmBudgetNum, UmBudgetDen)},
+       |sel AS (
+       |  SELECT v.*, a.alloc,
+       |    sum(v.n_tok) OVER (PARTITION BY v.source
+       |      ORDER BY v.score_micro DESC, v.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM sv v JOIN ualloc a USING (source)),
+       |selk AS (SELECT * FROM sel WHERE cum <= alloc),
+       |cand AS (SELECT source, CAST(count(*) AS BIGINT) AS n_candidates
+       |         FROM sv GROUP BY 1),
+       |rep AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_selected,
+       |    CAST(sum(n_tok) AS BIGINT) AS tok_selected,
+       |    ${graft.functions.ExactRound.sql.microMean6("sum(score_micro)", "count(*)")}
+       |      AS mean_sel_score
+       |  FROM selk GROUP BY 1)
+       |SELECT c.source, c.n_candidates,
+       |  COALESCE(r.n_selected, 0) AS n_selected,
+       |  COALESCE(r.tok_selected, 0) AS tok_selected,
+       |  round(a.alloc, 2) AS allocated,
+       |  COALESCE(r.mean_sel_score, 0.0) AS mean_sel_score
+       |FROM cand c
+       |LEFT JOIN rep r USING (source)
+       |JOIN ualloc a USING (source)
+       |ORDER BY c.source""".stripMargin
+  }
 
   val qs: Seq[Q] = Seq(
     Q("q145_dsir_importance", q145, Some(q145Sql), headline = true),
@@ -1740,5 +1837,6 @@ object CurationQueries {
     Q("q169_prototype_prune", q169, Some(q169Sql)),
     Q("q170_word_entropy", q170, Some(q170Sql)),
     Q("q172_incremental_semdedup", q172, Some(q172Sql), headline = true),
-    Q("q173_quality_classifier", q173, Some(q173Sql), headline = true))
+    Q("q173_quality_classifier", q173, Some(q173Sql), headline = true),
+    Q("q174_curation_build_v2", q174, Some(q174Sql)))
 }

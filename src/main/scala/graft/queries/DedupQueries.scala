@@ -595,8 +595,10 @@ object DedupQueries {
         Seq("b_id"))
       .select(col("a_id"), col("b_id"), col("a_source"), col("b_source"),
         col("shared"), col("nsh_a"), col("nsh_b"),
-        round(col("containment"), 6).as("containment"),
-        round(col("jaccard"), 6).as("jaccard"))
+        graft.functions.ExactRound.ratio6(col("shared"),
+          least(col("nsh_a"), col("nsh_b"))).as("containment"),
+        graft.functions.ExactRound.ratio6(col("shared"),
+          col("nsh_a") + col("nsh_b") - col("shared")).as("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -624,8 +626,8 @@ object DedupQueries {
        |    AND p.shared * 1.0 / least(na.nsh, nb.nsh) >= $CtTau)
        |SELECT s.a_id, s.b_id, da.source AS a_source, db.source AS b_source,
        |  s.shared, s.nsh_a, s.nsh_b,
-       |  round(s.shared * 1.0 / least(s.nsh_a, s.nsh_b), 6) AS containment,
-       |  round(s.shared * 1.0 / (s.nsh_a + s.nsh_b - s.shared), 6) AS jaccard
+       |  ${graft.functions.ExactRound.sql.ratio6("s.shared", "least(s.nsh_a, s.nsh_b)")} AS containment,
+       |  ${graft.functions.ExactRound.sql.ratio6("s.shared", "s.nsh_a + s.nsh_b - s.shared")} AS jaccard
        |FROM scored s
        |JOIN documents da ON s.a_id = da.doc_id
        |JOIN documents db ON s.b_id = db.doc_id
