@@ -40,11 +40,19 @@ object ExactRound {
   def microMean6(microSum: Column, den: Column): Column =
     intDiv(microSum * lit(2L) + den, den * lit(2L)) / lit(1e6)
 
+  /** round-half-up(num/den · 1e6) kept as a micro-unit LONG — for
+    * quantizing a per-row exact ratio BEFORE an integer sum feeding
+    * [[microMean6]] (mean-of-rounded, shuffle-order-proof). */
+  def micro6(num: Column, den: Column): Column =
+    intDiv(num * lit(2000000L) + den, den * lit(2L))
+
   /** DuckDB twins (same integer forms). */
   object sql {
     def ratio6(num: String, den: String): String =
       s"((2 * ($num) * 1000000 + ($den)) // (2 * ($den))) / 1e6"
     def microMean6(microSum: String, den: String): String =
       s"((2 * ($microSum) + ($den)) // (2 * ($den))) / 1e6"
+    def micro6(num: String, den: String): String =
+      s"((2 * ($num) * 1000000 + ($den)) // (2 * ($den)))"
   }
 }

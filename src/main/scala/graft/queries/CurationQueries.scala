@@ -1810,6 +1810,36 @@ object CurationQueries {
        |ORDER BY c.source""".stripMargin
   }
 
+  // -- q175: classifier evaluation — the eval report a pipeline reads
+  //          before trusting the q173 filter: exact ROC-AUC (Mann–
+  //          Whitney over the micro-quantized score histogram, ties at
+  //          ½) and 0.5-threshold precision/recall/F1/accuracy, with
+  //          the reference source as ground truth. All ratios are
+  //          integer-exact (ExactRound); the only window runs over the
+  //          VALUE-bounded score grid (≤ 1e6+1 rows), never the
+  //          corpus — scale contract in pipeline/Evaluation.scala.
+  private def q175(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.{Evaluation, QualityClassifier}
+    val d = docs(s, dir)
+    val feats = QualityClassifier.features(
+      d, col("source") === DsirTarget, QcBuckets)
+    val (w, bias) = QualityClassifier.train(feats, QcBuckets, QcIters, QcLr)
+    Evaluation.binaryMetrics(
+      QualityClassifier.scores(feats, w, bias)
+        .join(d.select(col("doc_id"),
+          when(col("source") === DsirTarget, 1L).otherwise(0L).as("y")),
+          Seq("doc_id")))
+  }
+
+  private val q175Sql =
+    s"""WITH ${graft.pipeline.QualityClassifier.sql
+        .trainCtes(DsirTarget, QcBuckets, QcIters, QcLr)},
+       |qsl AS (
+       |  SELECT s.score_micro,
+       |    CASE WHEN d.source = '$DsirTarget' THEN 1 ELSE 0 END AS y
+       |  FROM qscore s JOIN documents d USING (doc_id))
+       |${graft.pipeline.Evaluation.sql.binaryMetricsSelect("qsl")}""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q145_dsir_importance", q145, Some(q145Sql), headline = true),
     Q("q146_bm25_topk", q146, Some(q146Sql)),
@@ -1838,5 +1868,6 @@ object CurationQueries {
     Q("q170_word_entropy", q170, Some(q170Sql)),
     Q("q172_incremental_semdedup", q172, Some(q172Sql), headline = true),
     Q("q173_quality_classifier", q173, Some(q173Sql), headline = true),
-    Q("q174_curation_build_v2", q174, Some(q174Sql)))
+    Q("q174_curation_build_v2", q174, Some(q174Sql)),
+    Q("q175_classifier_eval", q175, Some(q175Sql)))
 }

@@ -634,6 +634,96 @@ object DedupQueries {
        |ORDER BY s.a_id, s.b_id""".stripMargin
   }
 
+  // -- q176: MinHash estimator fidelity — the calibration report that
+  //          justifies q28's (k, bands, τ) choice: for every candidate
+  //          pair at est ≥ 0.5 under the q28 banding, the exact
+  //          token-set Jaccard is computed and bucketed by the
+  //          matching-slot count m (est = m/12), reporting pair
+  //          volume, mean exact Jaccard, and how often the sketch
+  //          over-/under-estimates. The standard LSH verify pass:
+  //          candidacy is IDENTICAL to q28 (banding unchanged — no new
+  //          pair space), the token-array join touches only surviving
+  //          candidates (output-bounded), and the report is bounded at
+  //          k+1 rows. Over/under is the EXACT fraction compare
+  //          m·u vs 12·i — no float thresholds; means are
+  //          micro-quantized integer sums (ExactRound).
+  private def q176(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactRound
+    val d = docs(s, dir)
+    val pairs = Dedup.minhashLsh(d, "doc_id", "text", k = 12, bands = 2,
+      threshold = 0.5)
+    val ts = d.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("ts"))
+    pairs
+      .join(ts.select(col("doc_id").as("a_id"), col("ts").as("a_ts")), "a_id")
+      .join(ts.select(col("doc_id").as("b_id"), col("ts").as("b_ts")), "b_id")
+      .select(round(col("est_jaccard") * 12, 0).cast("long").as("m"),
+        size(array_intersect(col("a_ts"), col("b_ts"))).cast("long").as("i"),
+        (size(col("a_ts")) + size(col("b_ts"))).cast("long").as("ab"))
+      .select(col("m"), col("i"), (col("ab") - col("i")).as("u"))
+      .select(col("m"),
+        when(col("u") === 0L, lit(1000000L))
+          .otherwise(ExactRound.micro6(col("i"), col("u"))).as("ex"),
+        when(col("m") * col("u") > lit(12L) * col("i"), 1L).otherwise(0L)
+          .as("ov"),
+        when(col("m") * col("u") < lit(12L) * col("i"), 1L).otherwise(0L)
+          .as("un"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("ex")).as("exs"), sum(col("ov")).as("n_over"),
+        sum(col("un")).as("n_under"))
+      .select(col("m"), col("n_pairs"),
+        ExactRound.ratio6(col("m"), lit(12L)).as("est_jaccard"),
+        ExactRound.microMean6(col("exs"), col("n_pairs")).as("mean_exact"),
+        col("n_over"), col("n_under"))
+      .orderBy(col("m"))
+  }
+
+  private val q176Sql = {
+    import graft.functions.{ExactRound => ER}
+    s"""WITH sig AS (
+       |  SELECT doc_id AS id, ${TF.sql.minhashSignature("text", 12)} AS sig
+       |  FROM documents),
+       |banded AS (
+       |  SELECT id, sig,
+       |    b::VARCHAR || '#' || array_to_string(sig[b*6+1:b*6+6], '#') AS bucket
+       |  FROM sig, range(0, 2) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+       |  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.id < b.id),
+       |est AS (
+       |  SELECT c.a_id, c.b_id,
+       |    CAST(len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2]))
+       |      AS BIGINT) AS m
+       |  FROM cand c JOIN sig sa ON sa.id = c.a_id
+       |  JOIN sig sb ON sb.id = c.b_id),
+       |keep AS (SELECT * FROM est WHERE m >= 6),
+       |ts AS (
+       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+       |  FROM documents),
+       |iu AS (
+       |  SELECT k.m,
+       |    CAST(len(list_filter(a.ts, x -> list_contains(b.ts, x)))
+       |      AS BIGINT) AS i,
+       |    CAST(len(a.ts) + len(b.ts) AS BIGINT) AS ab
+       |  FROM keep k JOIN ts a ON a.doc_id = k.a_id
+       |  JOIN ts b ON b.doc_id = k.b_id),
+       |px AS (SELECT m, i, ab - i AS u FROM iu),
+       |pm AS (
+       |  SELECT m,
+       |    CASE WHEN u = 0 THEN 1000000
+       |      ELSE ${ER.sql.micro6("i", "u")} END AS ex,
+       |    CASE WHEN m * u > 12 * i THEN 1 ELSE 0 END AS ov,
+       |    CASE WHEN m * u < 12 * i THEN 1 ELSE 0 END AS un
+       |  FROM px)
+       |SELECT m, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  ${ER.sql.ratio6("m", "12")} AS est_jaccard,
+       |  ${ER.sql.microMean6("sum(ex)", "count(*)")} AS mean_exact,
+       |  CAST(sum(ov) AS BIGINT) AS n_over,
+       |  CAST(sum(un) AS BIGINT) AS n_under
+       |FROM pm GROUP BY m ORDER BY m""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q27_dedup_exact", q27, Some(q27Sql), headline = true),
     Q("q28_dedup_minhash_lsh", q28, Some(q28Sql), headline = true),
@@ -646,5 +736,6 @@ object DedupQueries {
     Q("q142_incremental_dedup", q142, Some(q142Sql)),
     Q("q143_effective_tokens", q143, Some(q143Sql)),
     Q("q166_exact_substring_dedup", q166, Some(q166Sql)),
-    Q("q171_containment_dedup", q171, Some(q171Sql), headline = true))
+    Q("q171_containment_dedup", q171, Some(q171Sql), headline = true),
+    Q("q176_minhash_fidelity", q176, Some(q176Sql)))
 }

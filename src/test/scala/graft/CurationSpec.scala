@@ -276,6 +276,42 @@ class CurationSpec extends SparkSpec {
       w2.as[(Long, Long)].collect().toSet)
   }
 
+  test("evaluation: hand-computed AUC with ties and 0.5-threshold " +
+      "confusion metrics") {
+    import graft.pipeline.Evaluation
+    // np=3, nn=3; strict positive-over-negative pairs: 3+3+2, one tie
+    // at 500000 counting 1/2 -> U = 8.5, AUC = 8.5/9 = 0.944444
+    val scored = Seq(
+      (900000L, 1L), (700000L, 1L), (500000L, 1L),
+      (500000L, 0L), (300000L, 0L), (100000L, 0L)
+    ).toDF("score_micro", "y")
+    val m = Evaluation.binaryMetrics(scored)
+      .as[(String, Double)].collect().toMap
+    assert(m("auc") == 0.944444, s"AUC with a half-counted tie: $m")
+    assert(m("n_pos") == 3.0 && m("n_neg") == 3.0)
+    // predicted positive at >= 500000: tp=3, fp=1
+    assert(m("prec_05") == 0.75 && m("rec_05") == 1.0)
+    assert(m("f1_05") == 0.857143, s"f1 = 6/7 rounded half-up: $m")
+    assert(m("acc_05") == 0.833333, s"acc = 5/6 rounded half-up: $m")
+  }
+
+  test("evaluation: perfect separation scores AUC 1; one-class input " +
+      "reports 0 for undefined ratios") {
+    import graft.pipeline.Evaluation
+    val perfect = Seq((900000L, 1L), (800000L, 1L), (200000L, 0L))
+      .toDF("score_micro", "y")
+    val mp = Evaluation.binaryMetrics(perfect)
+      .as[(String, Double)].collect().toMap
+    assert(mp("auc") == 1.0 && mp("prec_05") == 1.0 && mp("rec_05") == 1.0)
+    val oneClass = Seq((900000L, 1L), (100000L, 1L))
+      .toDF("score_micro", "y")
+    val mo = Evaluation.binaryMetrics(oneClass)
+      .as[(String, Double)].collect().toMap
+    assert(mo("auc") == 0.0 && mo("n_neg") == 0.0,
+      s"no negatives -> AUC undefined, reported 0: $mo")
+    assert(mo("rec_05") == 0.5, s"recall still defined (tp=1 of np=2): $mo")
+  }
+
   test("pagerank: rank mass concentrates along the edge direction") {
     // the KGraph points orders→customers→nations→regions: downstream
     // node types must accumulate more rank on average, and the single
