@@ -1840,6 +1840,89 @@ object CurationQueries {
        |  FROM qscore s JOIN documents d USING (doc_id))
        |${graft.pipeline.Evaluation.sql.binaryMetricsSelect("qsl")}""".stripMargin
 
+  // -- q177: semantic decontamination — the paraphrase-level
+  //          complement to q115's n-gram gate: a rephrased benchmark
+  //          item shares no 8-gram with its source but still sits next
+  //          to it in embedding space, so training docs whose embedding
+  //          cosine to ANY benchmark-source vector reaches the
+  //          semantic-dup threshold are flagged before the corpus
+  //          ships. Per-source report over the TRAIN side: volume,
+  //          flagged count, exact flag rate. Scale shape: centroids
+  //          (q149's Lloyd) are fit on the train side only — k-row
+  //          broadcasts over linear scans — and the pair leg is a cid
+  //          equi-join with the BENCH side (the small, fixed eval
+  //          suite) on one side, so cost tracks bench size per
+  //          cluster; train never pairs with train.
+  private def q177(s: SparkSession, dir: String): DataFrame = {
+    import graft.semantic.KMeans
+    val d = docs(s, dir).select(col("doc_id"), col("source"))
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      .join(d, col("vec_id") === col("doc_id"))
+    val trainE = e.filter(col("source") =!= DsirTarget)
+      .select(col("vec_id"), col("embedding"))
+    val benchE = e.filter(col("source") === DsirTarget)
+      .select(col("vec_id"), col("embedding"))
+    val cents = KMeans.fitCentroids(trainE, "vec_id", "embedding",
+      KmK, KmIters)
+    def side(x: DataFrame) =
+      KMeans.assign(x, cents, "vec_id", "embedding")
+        .select(col("cid"), col("vec_id"))
+        .join(x, Seq("vec_id"))
+    val flag = side(trainE)
+      .select(col("cid"), col("vec_id"), col("embedding").as("t_vec"))
+      .join(side(benchE).select(col("cid"), col("embedding").as("b_vec")),
+        Seq("cid"))
+      .filter(VectorFunctions.cosine(col("t_vec"), col("b_vec")) >= SdTau)
+      .select(col("vec_id")).distinct()
+      .withColumn("flagged", lit(true))
+    trainE.select(col("vec_id"))
+      .join(d, col("vec_id") === col("doc_id"))
+      .join(flag, Seq("vec_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"))
+      .select(col("source"), col("n_docs"), col("n_flagged"),
+        ExactRound.ratio6(col("n_flagged"), col("n_docs")).as("flag_rate"))
+      .orderBy(col("source"))
+  }
+
+  private val q177Sql = {
+    val K = graft.semantic.KMeans.sql
+    val sqd = "list_sum(list_transform(list_zip(e.v, c.cent), " +
+      "z -> (z[1] - z[2]) * (z[1] - z[2])))"
+    val cosTB = VectorFunctions.sql.cosine("t.v", "b.v")
+    s"""WITH tb AS (
+       |  SELECT e.* FROM embeddings e JOIN documents d
+       |    ON e.vec_id = d.doc_id WHERE d.source <> '$DsirTarget'),
+       |bb AS (
+       |  SELECT e.* FROM embeddings e JOIN documents d
+       |    ON e.vec_id = d.doc_id WHERE d.source = '$DsirTarget'),
+       |${K.fitCtes(KmK, KmIters, src = "tb")},
+       |evb AS (SELECT vec_id, (embedding)::DOUBLE[] AS v FROM bb),
+       |asgB AS (
+       |  SELECT vec_id, cid, v FROM (
+       |    SELECT e.vec_id, c.cid, e.v,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY $sqd, c.cid) AS rn
+       |    FROM evb e CROSS JOIN cent$KmIters c)
+       |  WHERE rn = 1),
+       |asgT AS (
+       |  SELECT f.vec_id, f.cid, e.v FROM asgF f JOIN ev e USING (vec_id)),
+       |flag AS (
+       |  SELECT DISTINCT t.vec_id
+       |  FROM asgT t JOIN asgB b ON t.cid = b.cid
+       |  WHERE $cosTB >= $SdTau)
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_flagged,
+       |  ${ExactRound.sql.ratio6(
+          "sum(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END)",
+          "count(*)")} AS flag_rate
+       |FROM tb e JOIN documents d ON e.vec_id = d.doc_id
+       |LEFT JOIN flag f ON e.vec_id = f.vec_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q145_dsir_importance", q145, Some(q145Sql), headline = true),
     Q("q146_bm25_topk", q146, Some(q146Sql)),
@@ -1869,5 +1952,6 @@ object CurationQueries {
     Q("q172_incremental_semdedup", q172, Some(q172Sql), headline = true),
     Q("q173_quality_classifier", q173, Some(q173Sql), headline = true),
     Q("q174_curation_build_v2", q174, Some(q174Sql)),
-    Q("q175_classifier_eval", q175, Some(q175Sql)))
+    Q("q175_classifier_eval", q175, Some(q175Sql)),
+    Q("q177_semantic_decontamination", q177, Some(q177Sql)))
 }

@@ -95,7 +95,9 @@ class PlanShapeSpec extends SparkSpec {
     "q169_prototype_prune",   // k-row centroid broadcast (q149 fit reuse)
     "q172_incremental_semdedup", // 1-row cutoff + k-row centroid broadcasts
     "q173_quality_classifier", // 1-row bias/n-docs + 64-row weight broadcasts
-    "q174_curation_build_v2") // composes q167/q173's bounded broadcasts
+    "q174_curation_build_v2", // composes q167/q173's bounded broadcasts
+    "q175_classifier_eval",   // 1-row bias + 64-row weights (q173 scoring reuse)
+    "q177_semantic_decontamination") // k-row centroid broadcast on both sides
 
   // On failure, include a plan excerpt around the first occurrence so a
   // transient/state-dependent failure self-diagnoses from the log alone.
