@@ -46,6 +46,12 @@ object ExactRound {
   def micro6(num: Column, den: Column): Column =
     intDiv(num * lit(2000000L) + den, den * lit(2L))
 
+  /** round-half-up(microSum/den) kept as a micro-unit LONG — the long
+    * form of [[microMean6]], for results that feed further integer
+    * arithmetic instead of being reported. */
+  def meanMicro(microSum: Column, den: Column): Column =
+    intDiv(microSum * lit(2L) + den, den * lit(2L))
+
   /** DuckDB twins (same integer forms). */
   object sql {
     def ratio6(num: String, den: String): String =
@@ -54,5 +60,7 @@ object ExactRound {
       s"((2 * ($microSum) + ($den)) // (2 * ($den))) / 1e6"
     def micro6(num: String, den: String): String =
       s"((2 * ($num) * 1000000 + ($den)) // (2 * ($den)))"
+    def meanMicro(microSum: String, den: String): String =
+      s"((2 * ($microSum) + ($den)) // (2 * ($den)))"
   }
 }

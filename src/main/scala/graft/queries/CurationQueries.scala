@@ -1923,6 +1923,162 @@ object CurationQueries {
        |GROUP BY d.source ORDER BY d.source""".stripMargin
   }
 
+  // -- q178: excess-loss domain reweighting — the DoReMi-shaped (Xie
+  //          et al. 2023, "Doremi: Optimizing data mixtures...") one-
+  //          shot mixture update a pipeline runs between q127's static
+  //          mixing and a full proxy-model loop: each domain's held-out
+  //          loss under the q161 train-split bigram LM is compared to
+  //          the corpus-wide mean, and domains running ABOVE it (hard /
+  //          under-served) get their baseline token share multiplied by
+  //          exp(excess/4) (exponentiated-gradient step, excess clipped
+  //          at 2 nats so the weight blow-up — and the integer range —
+  //          is bounded), then renormalized. Report: per-domain val
+  //          volume, mean NLL, excess, baseline share, updated weight.
+  //          Scale shape: the LM legs are q161's (vocab-keyed hash
+  //          joins, 1-row vocab broadcast); everything after the
+  //          per-source aggregate runs on a SOURCE-bounded frame, so
+  //          the unpartitioned windows are bounded by the domain count.
+  //          Determinism: per-position NLL is micro-quantized before
+  //          any sum; every downstream value is integer arithmetic
+  //          (ExactRound) except the one exp(), quantized immediately.
+  private val DmCapMicro = 2000000L // clip excess at 2 nats
+  private val DmEtaDen = 4.0 // weight multiplier = exp(excess / 4)
+
+  private def q178(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Sampling
+    import graft.text.{NgramLm, Repetition}
+    val all = docs(s, dir).select(col("doc_id"), col("source"),
+      Repetition.tokens(col("text")).as("l"),
+      Sampling.splitColumn(col("doc_id"), CsWeights).as("split"))
+    val scoped = all.filter(size(col("l")) >= 2)
+    val train = scoped.filter(col("split") === "train")
+    val ev = scoped.filter(col("split") === "val")
+    val ti = NgramLm.bigramInstances(train)
+    val c12 = ti.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = ti.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = train.select(explode(col("l")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val nll = NgramLm.bigramInstances(ev)
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round(-log((coalesce(col("c12"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("c1"), lit(0L)) + col("v"))) * lit(1000000), 0)
+          .cast("long").as("nll"))
+    val ps = nll
+      .join(docs(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("nb"), sum(col("nll")).as("snll"))
+    val ts = all.groupBy(col("source"))
+      .agg(sum(size(col("l")).cast("long")).as("tok"))
+    val allW = Window.orderBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ts.join(ps, Seq("source"), "left")
+      .select(col("source"), col("tok"),
+        coalesce(col("nb"), lit(0L)).as("nb"),
+        coalesce(col("snll"), lit(0L)).as("snll"))
+      .withColumn("tok_tot", sum(col("tok")).over(allW))
+      .withColumn("nb_tot", sum(col("nb")).over(allW))
+      .withColumn("snll_tot", sum(col("snll")).over(allW))
+      .withColumn("lref",
+        when(col("nb_tot") === 0L, lit(0L))
+          .otherwise(ExactRound.meanMicro(col("snll_tot"), col("nb_tot"))))
+      .withColumn("excess",
+        when(col("nb") === 0L, lit(0L))
+          .otherwise(least(greatest(
+            ExactRound.meanMicro(col("snll"), col("nb")) - col("lref"),
+            lit(0L)), lit(DmCapMicro))))
+      .withColumn("share_micro",
+        ExactRound.micro6(col("tok"), col("tok_tot")))
+      .withColumn("a",
+        round(lit(1e6) * exp(col("excess") / lit(DmEtaDen * 1e6)), 0)
+          .cast("long"))
+      .withColumn("num", col("share_micro") * col("a"))
+      .withColumn("num_tot", sum(col("num")).over(allW))
+      .select(col("source"), col("nb").as("n_val_bigrams"),
+        when(col("nb") === 0L, lit(0.0))
+          .otherwise(ExactRound.microMean6(col("snll"), col("nb")))
+          .as("mean_nll"),
+        (col("excess") / lit(1e6)).as("excess_nll"),
+        (col("share_micro") / lit(1e6)).as("base_share"),
+        ExactRound.ratio6(col("num"), col("num_tot")).as("weight"))
+      .orderBy(col("source"))
+  }
+
+  private val q178Sql = {
+    import graft.pipeline.Sampling
+    val h = Sampling.sql.hashBucket("doc_id", 10)
+    val ER = ExactRound.sql
+    s"""WITH dtoks AS (
+       |  SELECT doc_id, source,
+       |    list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS l,
+       |    CASE WHEN $h < 8 THEN 'train' WHEN $h < 9 THEN 'val'
+       |      ELSE 'test' END AS split
+       |  FROM documents),
+       |dscoped AS (SELECT * FROM dtoks WHERE len(l) >= 2),
+       |dti AS (
+       |  SELECT doc_id, i AS pos, l[i] AS w1, l[i+1] AS w2
+       |  FROM dscoped, unnest(range(1, len(l))) r(i)
+       |  WHERE split = 'train'),
+       |dc12 AS (SELECT w1, w2, count(*) AS c12 FROM dti GROUP BY 1, 2),
+       |dc1 AS (SELECT w1, count(*) AS c1 FROM dti GROUP BY 1),
+       |dv AS (
+       |  SELECT count(DISTINCT w) AS v
+       |  FROM (SELECT unnest(l) AS w FROM dscoped WHERE split = 'train')),
+       |dei AS (
+       |  SELECT doc_id, i AS pos, l[i] AS w1, l[i+1] AS w2
+       |  FROM dscoped, unnest(range(1, len(l))) r(i)
+       |  WHERE split = 'val'),
+       |dnll AS (
+       |  SELECT e.doc_id,
+       |    CAST(round(-ln((coalesce(c12, 0) + 1.0) /
+       |      (coalesce(c1, 0) + v)) * 1000000) AS BIGINT) AS nll
+       |  FROM dei e
+       |  LEFT JOIN dc12 USING (w1, w2)
+       |  LEFT JOIN dc1 USING (w1)
+       |  CROSS JOIN dv),
+       |dps AS (
+       |  SELECT d.source, CAST(count(*) AS BIGINT) AS nb,
+       |    CAST(sum(n.nll) AS BIGINT) AS snll
+       |  FROM dnll n JOIN documents d USING (doc_id) GROUP BY 1),
+       |dts AS (
+       |  SELECT source, CAST(sum(len(l)) AS BIGINT) AS tok
+       |  FROM dtoks GROUP BY 1),
+       |dg AS (
+       |  SELECT t.source, t.tok,
+       |    COALESCE(p.nb, 0) AS nb, COALESCE(p.snll, 0) AS snll,
+       |    CAST(sum(t.tok) OVER () AS BIGINT) AS tok_tot,
+       |    CAST(sum(COALESCE(p.nb, 0)) OVER () AS BIGINT) AS nb_tot,
+       |    CAST(sum(COALESCE(p.snll, 0)) OVER () AS BIGINT) AS snll_tot
+       |  FROM dts t LEFT JOIN dps p USING (source)),
+       |dx AS (
+       |  SELECT source, tok, nb, snll, tok_tot,
+       |    CASE WHEN nb = 0 THEN 0
+       |      ELSE least(greatest(${ER.meanMicro("snll", "nb")} -
+       |        (CASE WHEN nb_tot = 0 THEN 0
+       |          ELSE ${ER.meanMicro("snll_tot", "nb_tot")} END), 0),
+       |        $DmCapMicro) END AS excess
+       |  FROM dg),
+       |dy AS (
+       |  SELECT source, nb, snll, excess,
+       |    ${ER.micro6("tok", "tok_tot")} AS share_micro,
+       |    CAST(round(1e6 * exp(excess / ${DmEtaDen * 1e6})) AS BIGINT) AS a
+       |  FROM dx),
+       |dz AS (
+       |  SELECT source, nb, snll, excess, share_micro,
+       |    share_micro * a AS num,
+       |    CAST(sum(share_micro * a) OVER () AS BIGINT) AS num_tot
+       |  FROM dy)
+       |SELECT source, nb AS n_val_bigrams,
+       |  CASE WHEN nb = 0 THEN 0.0
+       |    ELSE ${ER.microMean6("snll", "nb")} END AS mean_nll,
+       |  excess / 1e6 AS excess_nll,
+       |  share_micro / 1e6 AS base_share,
+       |  ${ER.ratio6("num", "num_tot")} AS weight
+       |FROM dz ORDER BY source""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q145_dsir_importance", q145, Some(q145Sql), headline = true),
     Q("q146_bm25_topk", q146, Some(q146Sql)),
@@ -1953,5 +2109,6 @@ object CurationQueries {
     Q("q173_quality_classifier", q173, Some(q173Sql), headline = true),
     Q("q174_curation_build_v2", q174, Some(q174Sql)),
     Q("q175_classifier_eval", q175, Some(q175Sql)),
-    Q("q177_semantic_decontamination", q177, Some(q177Sql)))
+    Q("q177_semantic_decontamination", q177, Some(q177Sql)),
+    Q("q178_doremi_mixture", q178, Some(q178Sql)))
 }

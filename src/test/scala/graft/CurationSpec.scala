@@ -312,6 +312,27 @@ class CurationSpec extends SparkSpec {
     assert(mo("rec_05") == 0.5, s"recall still defined (tp=1 of np=2): $mo")
   }
 
+  test("doremi mixture: weights renormalize and reward excess-loss domains") {
+    val rows = graft.queries.Catalog.byName("q178_doremi_mixture")
+      .run(spark, sf)
+      .select(col("source"), col("excess_nll"), col("base_share"),
+        col("weight"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4,
+      s"weights must renormalize to ~1: ${rows.map(_._4).sum}")
+    // the multiplier is monotone in excess: the max-excess domain's
+    // weight/share uplift must be the largest
+    val uplift = rows.map(r => (r._2, r._4 / r._3))
+    val maxExcess = uplift.maxBy(_._1)
+    assert(maxExcess._2 == uplift.map(_._2).max,
+      s"max-excess domain must get the max uplift: $uplift")
+    // zero-excess domains all share the identical (multiplier-1) uplift
+    val flat = uplift.filter(_._1 == 0.0).map(_._2)
+    assert(flat.nonEmpty && math.abs(flat.max - flat.min) < 1e-4)
+  }
+
   test("pagerank: rank mass concentrates along the edge direction") {
     // the KGraph points orders→customers→nations→regions: downstream
     // node types must accumulate more rank on average, and the single
