@@ -2079,6 +2079,75 @@ object CurationQueries {
        |FROM dz ORDER BY source""".stripMargin
   }
 
+  // -- q179: cluster-quality report — the validation leg for the q149
+  //          corpus map: per-cluster SIMPLIFIED silhouette (Hruschka et
+  //          al. 2004's centroid form: s = (b−a)/max(a,b) with a = L2
+  //          to the own centroid, b = to the second-nearest), the form
+  //          that stays k-bounded at 100 TB because it never pairs
+  //          points with points — one k-row centroid broadcast onto a
+  //          linear scan, one per-vec rank over k rows. Report: size,
+  //          mean silhouette, and how many members sit within 0.1 of
+  //          the decision boundary (ambiguous assignments — the docs a
+  //          re-clustering would move first). Per-vec silhouette is
+  //          micro-quantized the moment the doubles combine (round
+  //          absorbs sqrt/division ulp, the established contract);
+  //          aggregate stats are exact integer sums.
+  private def q179(s: SparkSession, dir: String): DataFrame = {
+    import graft.semantic.KMeans
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val cents = KMeans.fitCentroids(e, "vec_id", "embedding", KmK, KmIters)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sqdist"), col("cid"))
+    val ranked = e
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("sqdist", VectorFunctions.squaredL2(col("v"), col("cent")))
+      .withColumn("rn", row_number().over(w))
+    val own = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("sqdist").as("a2"))
+    val second = ranked.filter(col("rn") === 2)
+      .select(col("vec_id"), col("sqdist").as("b2"))
+    own.join(second, Seq("vec_id"))
+      .select(col("cid"),
+        when(greatest(sqrt(col("a2")), sqrt(col("b2"))) === 0.0, lit(0L))
+          .otherwise(round((sqrt(col("b2")) - sqrt(col("a2"))) /
+            greatest(sqrt(col("a2")), sqrt(col("b2"))) * lit(1000000), 0)
+            .cast("long")).as("sil"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"), sum(col("sil")).as("sils"),
+        sum(when(col("sil") < 100000L, 1L).otherwise(0L)).as("n_border"))
+      .select(col("cid"), col("n"),
+        ExactRound.microMean6(col("sils"), col("n")).as("mean_sil"),
+        col("n_border"))
+      .orderBy(col("cid"))
+  }
+
+  private val q179Sql = {
+    val K = graft.semantic.KMeans.sql
+    val sqd = "list_sum(list_transform(list_zip(e.v, c.cent), " +
+      "z -> (z[1] - z[2]) * (z[1] - z[2])))"
+    s"""WITH ${K.fitCtes(KmK, KmIters)},
+       |rk AS (
+       |  SELECT e.vec_id, c.cid, $sqd AS sqdist,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY $sqd, c.cid) AS rn
+       |  FROM ev e CROSS JOIN cent$KmIters c),
+       |own AS (SELECT vec_id, cid, sqdist AS a2 FROM rk WHERE rn = 1),
+       |sec AS (SELECT vec_id, sqdist AS b2 FROM rk WHERE rn = 2),
+       |sil AS (
+       |  SELECT o.cid,
+       |    CASE WHEN greatest(sqrt(o.a2), sqrt(s.b2)) = 0 THEN 0
+       |      ELSE CAST(round((sqrt(s.b2) - sqrt(o.a2)) /
+       |        greatest(sqrt(o.a2), sqrt(s.b2)) * 1000000) AS BIGINT)
+       |      END AS sil
+       |  FROM own o JOIN sec s USING (vec_id))
+       |SELECT cid, CAST(count(*) AS BIGINT) AS n,
+       |  ${ExactRound.sql.microMean6("sum(sil)", "count(*)")} AS mean_sil,
+       |  CAST(sum(CASE WHEN sil < 100000 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_border
+       |FROM sil GROUP BY cid ORDER BY cid""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q145_dsir_importance", q145, Some(q145Sql), headline = true),
     Q("q146_bm25_topk", q146, Some(q146Sql)),
@@ -2110,5 +2179,6 @@ object CurationQueries {
     Q("q174_curation_build_v2", q174, Some(q174Sql)),
     Q("q175_classifier_eval", q175, Some(q175Sql)),
     Q("q177_semantic_decontamination", q177, Some(q177Sql)),
-    Q("q178_doremi_mixture", q178, Some(q178Sql)))
+    Q("q178_doremi_mixture", q178, Some(q178Sql)),
+    Q("q179_silhouette", q179, Some(q179Sql)))
 }

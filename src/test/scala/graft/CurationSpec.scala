@@ -333,6 +333,17 @@ class CurationSpec extends SparkSpec {
     assert(flat.nonEmpty && math.abs(flat.max - flat.min) < 1e-4)
   }
 
+  test("silhouette: covers every vector, stays in [0,1], borders bounded") {
+    val rows = graft.queries.Catalog.byName("q179_silhouette")
+      .run(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val nVec = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.map(_._1).sum == nVec,
+      "every vector lands in exactly one cluster report row")
+    assert(rows.forall { case (n, m, b) => m >= 0.0 && m <= 1.0 && b <= n },
+      s"silhouette means must be in [0,1], borders <= size: ${rows.toSeq}")
+  }
+
   test("pagerank: rank mass concentrates along the edge direction") {
     // the KGraph points orders→customers→nations→regions: downstream
     // node types must accumulate more rank on average, and the single

@@ -98,7 +98,8 @@ class PlanShapeSpec extends SparkSpec {
     "q174_curation_build_v2", // composes q167/q173's bounded broadcasts
     "q175_classifier_eval",   // 1-row bias + 64-row weights (q173 scoring reuse)
     "q177_semantic_decontamination", // k-row centroid broadcast on both sides
-    "q178_doremi_mixture")    // 1-row train-vocabulary broadcast (q161 shape)
+    "q178_doremi_mixture",    // 1-row train-vocabulary broadcast (q161 shape)
+    "q179_silhouette")        // k-row centroid broadcast (q149 fit reuse)
 
   // On failure, include a plan excerpt around the first occurrence so a
   // transient/state-dependent failure self-diagnoses from the log alone.
