@@ -2148,6 +2148,96 @@ object CurationQueries {
        |FROM sil GROUP BY cid ORDER BY cid""".stripMargin
   }
 
+  // -- q180: n-gram novelty report — the memorization/generalization
+  //          proxy measured before trusting a val split (the n-gram
+  //          overlap methodology of the dedup literature, Lee et al.
+  //          2022): for n ∈ {2,4,8}, what fraction of each source's
+  //          val-split n-grams (per-doc distinct instances, and
+  //          source-distinct types) already occur anywhere in the
+  //          train split? High seen-rates at large n mean the val set
+  //          rehearses training text (leakage q132 would catch only at
+  //          document grain); low rates at n=2 flag out-of-domain val
+  //          docs. Scale shape: per n, one inverted-index LEFT join
+  //          keyed on the 64-bit shingle hash (q115's machinery) —
+  //          instance-linear, never doc×doc; the distinct train set is
+  //          n-gram-vocabulary-bounded. Counts are exact integers;
+  //          rates are ExactRound ratios.
+  private def q180(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.{Decontaminate => DC, Sampling}
+    import graft.text.{TextFunctions => TF}
+    val base = docs(s, dir).select(col("doc_id"), col("source"),
+      col("text"), Sampling.splitColumn(col("doc_id"), CsWeights).as("split"))
+    def grams(df: DataFrame, n: Int) = df.select(col("source"),
+      explode(array_distinct(transform(
+        DC.wordShingles(TF.tokens(col("text")), n),
+        g => TF.md5Long(g)))).as("g_id"))
+    val frames = Seq(2, 4, 8).map { n =>
+      val tset = grams(base.filter(col("split") === "train"), n)
+        .select(col("g_id")).distinct()
+        .withColumn("seen", lit(true))
+      grams(base.filter(col("split") === "val"), n)
+        .join(tset, Seq("g_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_vgrams"),
+          sum(when(col("seen"), 1L).otherwise(0L)).as("n_seen"),
+          countDistinct(col("g_id")).as("n_distinct"),
+          countDistinct(when(col("seen"), col("g_id")))
+            .as("n_distinct_seen"))
+        .select(col("source"), lit(n.toLong).as("n"), col("n_vgrams"),
+          col("n_seen"),
+          ExactRound.ratio6(col("n_seen"), col("n_vgrams")).as("seen_rate"),
+          col("n_distinct"), col("n_distinct_seen"),
+          ExactRound.ratio6(col("n_distinct_seen"), col("n_distinct"))
+            .as("distinct_seen_rate"))
+    }
+    frames.reduce(_ unionByName _).orderBy(col("source"), col("n"))
+  }
+
+  private val q180Sql = {
+    import graft.pipeline.Sampling
+    val h = Sampling.sql.hashBucket("doc_id", 10)
+    val ER = ExactRound.sql
+    def leg(n: Int) = {
+      val sh = graft.pipeline.Decontaminate.sql
+        .shingleHashes("string_split(text, ' ')", n)
+      s"""tg$n AS (
+         |  SELECT DISTINCT g_id FROM (
+         |    SELECT unnest($sh) AS g_id FROM nv WHERE split = 'train') t),
+         |vg$n AS (
+         |  SELECT source, g_id FROM (
+         |    SELECT source, unnest($sh) AS g_id FROM nv
+         |    WHERE split = 'val') t),
+         |r$n AS (
+         |  SELECT v.source, CAST($n AS BIGINT) AS n,
+         |    CAST(count(*) AS BIGINT) AS n_vgrams,
+         |    CAST(sum(CASE WHEN t.g_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_seen,
+         |    ${ER.ratio6(
+              "sum(CASE WHEN t.g_id IS NOT NULL THEN 1 ELSE 0 END)",
+              "count(*)")} AS seen_rate,
+         |    CAST(count(DISTINCT v.g_id) AS BIGINT) AS n_distinct,
+         |    CAST(count(DISTINCT CASE WHEN t.g_id IS NOT NULL
+         |      THEN v.g_id END) AS BIGINT) AS n_distinct_seen,
+         |    ${ER.ratio6(
+              "count(DISTINCT CASE WHEN t.g_id IS NOT NULL THEN v.g_id END)",
+              "count(DISTINCT v.g_id)")} AS distinct_seen_rate
+         |  FROM vg$n v LEFT JOIN tg$n t USING (g_id)
+         |  GROUP BY v.source)""".stripMargin
+    }
+    s"""WITH nv AS (
+       |  SELECT doc_id, source, text,
+       |    CASE WHEN $h < 8 THEN 'train' WHEN $h < 9 THEN 'val'
+       |      ELSE 'test' END AS split
+       |  FROM documents),
+       |${leg(2)},
+       |${leg(4)},
+       |${leg(8)}
+       |SELECT * FROM r2
+       |UNION ALL SELECT * FROM r4
+       |UNION ALL SELECT * FROM r8
+       |ORDER BY source, n""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q145_dsir_importance", q145, Some(q145Sql), headline = true),
     Q("q146_bm25_topk", q146, Some(q146Sql)),
@@ -2180,5 +2270,6 @@ object CurationQueries {
     Q("q175_classifier_eval", q175, Some(q175Sql)),
     Q("q177_semantic_decontamination", q177, Some(q177Sql)),
     Q("q178_doremi_mixture", q178, Some(q178Sql)),
-    Q("q179_silhouette", q179, Some(q179Sql)))
+    Q("q179_silhouette", q179, Some(q179Sql)),
+    Q("q180_ngram_novelty", q180, Some(q180Sql)))
 }
