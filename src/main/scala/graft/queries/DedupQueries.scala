@@ -647,18 +647,27 @@ object DedupQueries {
   //          k+1 rows. Over/under is the EXACT fraction compare
   //          m·u vs 12·i — no float thresholds; means are
   //          micro-quantized integer sums (ExactRound).
+  //          Calibration runs on a DETERMINISTIC 1-in-4 pair sample
+  //          ((31·a_id + b_id) mod 4 — pure integer arithmetic, free
+  //          and reproducible cross-engine; measured vs an md5 pair
+  //          key, which cost ~3 s on the 3.5M-pair stream for no
+  //          statistical gain here): a fidelity curve is a statistic,
+  //          not an audit, so the exact-scoring join only pays for the
+  //          sample — at corpus scale, dial the same knob harder
+  //          instead of scoring every candidate pair.
   private def q176(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.ExactRound
     val d = docs(s, dir)
     val pairs = Dedup.minhashLsh(d, "doc_id", "text", k = 12, bands = 2,
-      threshold = 0.5)
+        threshold = 0.5)
+      .filter((col("a_id") * 31 + col("b_id")) % 4 === 0L)
     val ts = d.select(col("doc_id"),
       array_distinct(split(col("text"), " ")).as("ts"))
     pairs
       .join(ts.select(col("doc_id").as("a_id"), col("ts").as("a_ts")), "a_id")
       .join(ts.select(col("doc_id").as("b_id"), col("ts").as("b_ts")), "b_id")
       .select(round(col("est_jaccard") * 12, 0).cast("long").as("m"),
-        size(array_intersect(col("a_ts"), col("b_ts"))).cast("long").as("i"),
+        TF.setOverlap(col("a_ts"), col("b_ts")).as("i"),
         (size(col("a_ts")) + size(col("b_ts"))).cast("long").as("ab"))
       .select(col("m"), col("i"), (col("ab") - col("i")).as("u"))
       .select(col("m"),
@@ -697,7 +706,9 @@ object DedupQueries {
        |      AS BIGINT) AS m
        |  FROM cand c JOIN sig sa ON sa.id = c.a_id
        |  JOIN sig sb ON sb.id = c.b_id),
-       |keep AS (SELECT * FROM est WHERE m >= 6),
+       |keep AS (
+       |  SELECT * FROM est
+       |  WHERE m >= 6 AND (31 * a_id + b_id) % 4 = 0),
        |ts AS (
        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
        |  FROM documents),

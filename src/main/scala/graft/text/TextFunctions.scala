@@ -47,6 +47,15 @@ object TextFunctions {
         org.apache.spark.sql.GraftBridge.expression(a),
         org.apache.spark.sql.GraftBridge.expression(b)))
 
+  /** One-pass codegen DISTINCT intersection size (long) — the exact
+    * integer numerator for Jaccard/containment ratios kept in integer
+    * arithmetic (see SetOverlapExpr). */
+  def setOverlap(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.expressions.SetOverlapExpr(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
+
   /** Character n-gram shingles (for n-gram Jaccard near-dup). */
   def charShingles(text: Column, n: Int): Column =
     transform(
