@@ -64,7 +64,11 @@ object Bench {
     "q167_semdedup" -> 3.00,
     "q171_containment_dedup" -> 3.28,
     "q172_incremental_semdedup" -> 3.11,
-    "q173_quality_classifier" -> 3.02)
+    "q173_quality_classifier" -> 3.02,
+    // round-8 evaluation-family promotions (quiet sf0.1 mins,
+    // BENCH_NOTES round-8 addendum 3)
+    "q175_classifier_eval" -> 3.60,
+    "q176_minhash_fidelity" -> 9.03)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

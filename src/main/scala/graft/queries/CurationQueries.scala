@@ -2267,7 +2267,7 @@ object CurationQueries {
     Q("q172_incremental_semdedup", q172, Some(q172Sql), headline = true),
     Q("q173_quality_classifier", q173, Some(q173Sql), headline = true),
     Q("q174_curation_build_v2", q174, Some(q174Sql)),
-    Q("q175_classifier_eval", q175, Some(q175Sql)),
+    Q("q175_classifier_eval", q175, Some(q175Sql), headline = true),
     Q("q177_semantic_decontamination", q177, Some(q177Sql)),
     Q("q178_doremi_mixture", q178, Some(q178Sql)),
     Q("q179_silhouette", q179, Some(q179Sql)),

@@ -748,5 +748,5 @@ object DedupQueries {
     Q("q143_effective_tokens", q143, Some(q143Sql)),
     Q("q166_exact_substring_dedup", q166, Some(q166Sql)),
     Q("q171_containment_dedup", q171, Some(q171Sql), headline = true),
-    Q("q176_minhash_fidelity", q176, Some(q176Sql)))
+    Q("q176_minhash_fidelity", q176, Some(q176Sql), headline = true))
 }
