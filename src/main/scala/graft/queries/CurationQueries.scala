@@ -2238,6 +2238,121 @@ object CurationQueries {
        |ORDER BY source, n""".stripMargin
   }
 
+  // -- q181: retrieval-quality evaluation — MRR and nDCG@10 for the
+  //          exact-cosine retriever against source-match relevance
+  //          (the q148/q157 probe protocol turned into the standard IR
+  //          metrics a pipeline reports before trusting retrieval-
+  //          based curation like q146/q151/q160). Relevance: a result
+  //          is relevant iff it shares the probe's source (self
+  //          excluded); ideal DCG truncates at min(#relevant, 10).
+  //          Determinism: the rank-discount weights round(1e6/log2(i+1))
+  //          are micro-quantized per rank (i ≤ 10 — a bounded grid, so
+  //          the one libm log2 is absorbed by the round), DCG/IDCG are
+  //          integer sums over them, and MRR/nDCG are ExactRound
+  //          integer ratios. Scale shape: probe-bounded broadcast
+  //          (16 rows) onto one linear scan, per-probe TakeOrdered-
+  //          style rank, source-bounded rollup.
+  private val RqK = 10
+
+  private def q181(s: SparkSession, dir: String): DataFrame = {
+    val src = docs(s, dir).select(col("doc_id"), col("source"))
+    val e = emb(s, dir).join(src, col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("embedding"), col("source"))
+    val probes = broadcast(e.filter(col("vec_id") < HnProbes)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("source").as("q_source")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val wRank = round(lit(1e6) / log2(col("rnk") + lit(1.0)), 0).cast("long")
+    val topk = e.crossJoin(probes)
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim",
+        VectorFunctions.cosine(col("embedding"), col("q_vec")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= RqK)
+      .select(col("q_id"), col("q_source"),
+        col("rnk").cast("long").as("rnk"),
+        when(col("source") === col("q_source"), 1L).otherwise(0L).as("rel"))
+    val nsrc = e.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    topk
+      .groupBy(col("q_id"), col("q_source"))
+      .agg(sum(col("rel") * wRank).as("dcg_micro"),
+        min(when(col("rel") === 1L, col("rnk"))).as("minrel"))
+      .join(nsrc.select(col("source").as("q_source"), col("n_src")),
+        Seq("q_source"))
+      .withColumn("idcg_micro",
+        when(col("n_src") <= 1L, lit(0L)).otherwise(expr(
+          s"aggregate(sequence(1, int(least(n_src - 1, $RqK))), 0L, " +
+            "(acc, i) -> acc + cast(round(1e6 / log2(i + 1)) as long))")))
+      .select(col("q_id"), col("q_source"),
+        when(col("minrel").isNull, 0L)
+          .otherwise(ExactRound.micro6(lit(1L), col("minrel")))
+          .as("mrr_micro"),
+        when(col("idcg_micro") === 0L, 0L)
+          .otherwise(ExactRound.micro6(col("dcg_micro"), col("idcg_micro")))
+          .as("ndcg_micro"))
+      .groupBy(col("q_source"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(col("mrr_micro")).as("mrs"), sum(col("ndcg_micro")).as("nds"),
+        sum(when(col("mrr_micro") === 0L, 1L).otherwise(0L)).as("n_miss"))
+      .select(col("q_source"), col("n_probes"),
+        ExactRound.microMean6(col("mrs"), col("n_probes")).as("mean_mrr"),
+        ExactRound.microMean6(col("nds"), col("n_probes")).as("mean_ndcg"),
+        col("n_miss"))
+      .orderBy(col("q_source"))
+  }
+
+  private val q181Sql = {
+    val cos = VectorFunctions.sql.cosine("c.embedding", "q.embedding")
+    val ER = ExactRound.sql
+    val wRank = "CAST(round(1e6 / log2(t.rnk + 1)) AS BIGINT)"
+    s"""WITH e AS (
+       |  SELECT e.vec_id, e.embedding, d.source
+       |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+       |sims AS (
+       |  SELECT q.vec_id AS q_id, q.source AS q_source,
+       |    c.vec_id AS vec_id, c.source AS source, $cos AS sim
+       |  FROM e q JOIN e c
+       |    ON q.vec_id < $HnProbes AND c.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT q_id, q_source, source,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk
+       |  FROM sims),
+       |topk AS (
+       |  SELECT q_id, q_source, rnk,
+       |    CASE WHEN source = q_source THEN 1 ELSE 0 END AS rel
+       |  FROM ranked WHERE rnk <= $RqK),
+       |nsrc AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_src
+       |  FROM e GROUP BY 1),
+       |pp AS (
+       |  SELECT t.q_id, t.q_source,
+       |    CAST(sum(t.rel * $wRank) AS BIGINT) AS dcg_micro,
+       |    min(CASE WHEN t.rel = 1 THEN t.rnk END) AS minrel
+       |  FROM topk t GROUP BY 1, 2),
+       |pi AS (
+       |  SELECT p.q_id, p.q_source, p.dcg_micro, p.minrel,
+       |    COALESCE(CAST(list_sum(list_transform(
+       |      range(1, CAST(least(s.n_src - 1, $RqK) AS BIGINT) + 1),
+       |      i -> CAST(round(1e6 / log2(i + 1)) AS BIGINT))) AS BIGINT), 0)
+       |      AS idcg_micro
+       |  FROM pp p JOIN nsrc s ON p.q_source = s.source),
+       |pm AS (
+       |  SELECT q_id, q_source,
+       |    CASE WHEN minrel IS NULL THEN 0
+       |      ELSE ${ER.micro6("1", "minrel")} END AS mrr_micro,
+       |    CASE WHEN idcg_micro = 0 THEN 0
+       |      ELSE ${ER.micro6("dcg_micro", "idcg_micro")} END AS ndcg_micro
+       |  FROM pi)
+       |SELECT q_source, CAST(count(*) AS BIGINT) AS n_probes,
+       |  ${ER.microMean6("sum(mrr_micro)", "count(*)")} AS mean_mrr,
+       |  ${ER.microMean6("sum(ndcg_micro)", "count(*)")} AS mean_ndcg,
+       |  CAST(sum(CASE WHEN mrr_micro = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_miss
+       |FROM pm GROUP BY 1 ORDER BY q_source""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q145_dsir_importance", q145, Some(q145Sql), headline = true),
     Q("q146_bm25_topk", q146, Some(q146Sql)),
@@ -2271,5 +2386,6 @@ object CurationQueries {
     Q("q177_semantic_decontamination", q177, Some(q177Sql)),
     Q("q178_doremi_mixture", q178, Some(q178Sql)),
     Q("q179_silhouette", q179, Some(q179Sql)),
-    Q("q180_ngram_novelty", q180, Some(q180Sql)))
+    Q("q180_ngram_novelty", q180, Some(q180Sql)),
+    Q("q181_retrieval_quality", q181, Some(q181Sql)))
 }

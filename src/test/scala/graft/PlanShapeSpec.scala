@@ -99,7 +99,8 @@ class PlanShapeSpec extends SparkSpec {
     "q175_classifier_eval",   // 1-row bias + 64-row weights (q173 scoring reuse)
     "q177_semantic_decontamination", // k-row centroid broadcast on both sides
     "q178_doremi_mixture",    // 1-row train-vocabulary broadcast (q161 shape)
-    "q179_silhouette")        // k-row centroid broadcast (q149 fit reuse)
+    "q179_silhouette",        // k-row centroid broadcast (q149 fit reuse)
+    "q181_retrieval_quality") // bounded probe frame (16 rows, q148 shape)
 
   // On failure, include a plan excerpt around the first occurrence so a
   // transient/state-dependent failure self-diagnoses from the log alone.
