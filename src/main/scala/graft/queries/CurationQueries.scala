@@ -2353,6 +2353,92 @@ object CurationQueries {
        |FROM pm GROUP BY 1 ORDER BY q_source""".stripMargin
   }
 
+  // -- q182: corpus drift monitor (PSI) — the population-stability
+  //          index every production data pipeline alarms on: the
+  //          newest 20% of doc_ids (the q142 cutoff convention: the
+  //          "latest ingest") is compared to the existing 80% over two
+  //          distributions — document-length buckets (fixed 100-char
+  //          grid, capped at 10) and source mix. PSI = Σ (pₙ−pₒ)·
+  //          ln(pₙ/pₒ) with add-one smoothing over the observed
+  //          buckets; > 0.2 is the standard "significant shift" alarm.
+  //          Complements q155 (JSD between SPLITS) with the
+  //          time-axis monitoring form. Determinism: smoothed shares
+  //          are exact micro-ints (ExactRound.micro6), each bucket
+  //          term quantizes its one ln() immediately, PSI is an
+  //          integer sum — and every frame after the per-bucket
+  //          aggregate is BUCKET-bounded (≤10 / ≤#sources rows).
+  private def q182(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val cut = d.agg(max(col("doc_id")).as("max_id"))
+      .select(expr("(max_id + 1) * 4 div 5").as("cutoff"))
+    val dd = d.crossJoin(broadcast(cut))
+      .select(col("source"), col("n_chars"),
+        (col("doc_id") >= col("cutoff")).as("is_new"))
+    val allW = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def leg(name: String, bucket: Column) =
+      dd.groupBy(bucket.cast("string").as("b"))
+        .agg(sum(when(col("is_new"), 0L).otherwise(1L)).as("co"),
+          sum(when(col("is_new"), 1L).otherwise(0L)).as("cn"))
+        .withColumn("to", sum(col("co")).over(allW))
+        .withColumn("tn", sum(col("cn")).over(allW))
+        .withColumn("nb", count(lit(1)).over(allW))
+        .select(
+          ExactRound.micro6(col("co") + 1L, col("to") + col("nb"))
+            .as("po_m"),
+          ExactRound.micro6(col("cn") + 1L, col("tn") + col("nb"))
+            .as("pn_m"),
+          col("nb"))
+        .select(col("nb"),
+          round((col("pn_m") - col("po_m")) *
+            log(col("pn_m") / col("po_m")), 0).cast("long").as("term"))
+        .agg(first(col("nb")).as("n_buckets"), sum(col("term")).as("psi_m"))
+        .select(lit(name).as("feature"), col("n_buckets"),
+          (col("psi_m") / lit(1e6)).as("psi"),
+          (col("psi_m") > 200000L).as("drifted"))
+    leg("len_bucket", least(floor(col("n_chars") / 100), lit(9)))
+      .unionByName(leg("source", col("source")))
+      .orderBy(col("feature"))
+  }
+
+  private val q182Sql = {
+    val ER = ExactRound.sql
+    def leg(name: String, bucket: String) =
+      s"""SELECT '$name' AS feature, n_buckets, psi_m / 1e6 AS psi,
+         |  psi_m > 200000 AS drifted FROM (
+         |  SELECT CAST(any_value(nb) AS BIGINT) AS n_buckets,
+         |    CAST(sum(term) AS BIGINT) AS psi_m FROM (
+         |    SELECT nb,
+         |      CAST(round((pn_m - po_m) * ln(pn_m * 1.0 / po_m))
+         |        AS BIGINT) AS term
+         |    FROM (
+         |      SELECT ${ER.micro6("co + 1", "xo + nb")} AS po_m,
+         |        ${ER.micro6("cn + 1", "xn + nb")} AS pn_m, nb
+         |      FROM (
+         |        SELECT b,
+         |          CAST(sum(co) AS BIGINT) AS co,
+         |          CAST(sum(cn) AS BIGINT) AS cn,
+         |          CAST(sum(sum(co)) OVER () AS BIGINT) AS xo,
+         |          CAST(sum(sum(cn)) OVER () AS BIGINT) AS xn,
+         |          CAST(count(*) OVER () AS BIGINT) AS nb
+         |        FROM (
+         |          SELECT CAST($bucket AS VARCHAR) AS b,
+         |            CASE WHEN is_new THEN 0 ELSE 1 END AS co,
+         |            CASE WHEN is_new THEN 1 ELSE 0 END AS cn
+         |          FROM dd) src
+         |        GROUP BY b) g) p) t) a""".stripMargin
+    s"""WITH cut AS (
+       |  SELECT (max(doc_id) + 1) * 4 // 5 AS cutoff FROM documents),
+       |dd AS (
+       |  SELECT source, n_chars, doc_id >= cutoff AS is_new
+       |  FROM documents, cut)
+       |SELECT * FROM (
+       |${leg("len_bucket", "least(floor(n_chars / 100), 9)")}
+       |UNION ALL
+       |${leg("source", "source")})
+       |ORDER BY feature""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q145_dsir_importance", q145, Some(q145Sql), headline = true),
     Q("q146_bm25_topk", q146, Some(q146Sql)),
@@ -2387,5 +2473,6 @@ object CurationQueries {
     Q("q178_doremi_mixture", q178, Some(q178Sql)),
     Q("q179_silhouette", q179, Some(q179Sql)),
     Q("q180_ngram_novelty", q180, Some(q180Sql)),
-    Q("q181_retrieval_quality", q181, Some(q181Sql)))
+    Q("q181_retrieval_quality", q181, Some(q181Sql)),
+    Q("q182_drift_psi", q182, Some(q182Sql)))
 }
