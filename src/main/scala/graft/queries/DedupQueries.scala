@@ -735,6 +735,94 @@ object DedupQueries {
        |FROM pm GROUP BY m ORDER BY m""".stripMargin
   }
 
+  // -- q183: near-dup edit-distance audit — the character-level ground
+  //          truth behind the q28 pair graph: Levenshtein distance on a
+  //          deterministic 1-in-64 pair sample, over a fixed 160-char
+  //          document prefix. MinHash estimates TOKEN-SET overlap; two
+  //          docs can share a vocabulary yet read differently, so the
+  //          audit reports, per source, how character-close the flagged
+  //          pairs really are (mean/max edit distance + mean normalized
+  //          similarity). Levenshtein is O(len²) PER PAIR — the prefix
+  //          cap and the pair sample are what make the audit affordable
+  //          at any scale (documented knobs: cells = pairs/64 · 160²,
+  //          independent of full document length); distances are exact
+  //          integers, the normalized similarity is an ExactRound
+  //          integer ratio.
+  private val EdCap = 160
+
+  private def q183(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactRound
+    val d = docs(s, dir)
+    val pairs = Dedup.minhashLsh(d, "doc_id", "text", k = 12, bands = 2,
+        threshold = 0.9)
+      .filter((col("a_id") * 31 + col("b_id")) % 64 === 0L)
+    val tx = d.select(col("doc_id"),
+      substring(col("text"), 1, EdCap).as("tx"), col("source"))
+    pairs
+      .join(tx.select(col("doc_id").as("a_id"), col("tx").as("a_tx"),
+        col("source").as("source")), "a_id")
+      .join(tx.select(col("doc_id").as("b_id"), col("tx").as("b_tx")),
+        "b_id")
+      .select(col("source"),
+        levenshtein(col("a_tx"), col("b_tx")).cast("long").as("d"),
+        greatest(length(col("a_tx")), length(col("b_tx"))).cast("long")
+          .as("ml"))
+      .select(col("source"), col("d"),
+        when(col("ml") === 0L, lit(1000000L))
+          .otherwise(ExactRound.micro6(col("ml") - col("d"), col("ml")))
+          .as("sim_m"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("d")).as("ds"),
+        max(col("d")).as("max_edit"), sum(col("sim_m")).as("sims"))
+      .select(col("source"), col("n_pairs"),
+        ExactRound.ratio6(col("ds"), col("n_pairs")).as("mean_edit"),
+        col("max_edit"),
+        ExactRound.microMean6(col("sims"), col("n_pairs")).as("mean_sim"))
+      .orderBy(col("source"))
+  }
+
+  private val q183Sql = {
+    import graft.functions.{ExactRound => ER}
+    s"""WITH sig AS (
+       |  SELECT doc_id AS id, ${TF.sql.minhashSignature("text", 12)} AS sig
+       |  FROM documents),
+       |banded AS (
+       |  SELECT id, sig,
+       |    b::VARCHAR || '#' || array_to_string(sig[b*6+1:b*6+6], '#') AS bucket
+       |  FROM sig, range(0, 2) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+       |  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.id < b.id),
+       |pairs AS (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT c.a_id, c.b_id,
+       |      len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2]))
+       |        * 1.0 / 12 AS est
+       |    FROM cand c JOIN sig sa ON sa.id = c.a_id
+       |    JOIN sig sb ON sb.id = c.b_id) x
+       |  WHERE est >= 0.9 AND (31 * a_id + b_id) % 64 = 0),
+       |tx AS (
+       |  SELECT doc_id, substr(text, 1, $EdCap) AS tx, source
+       |  FROM documents),
+       |ed AS (
+       |  SELECT a.source,
+       |    CAST(levenshtein(a.tx, b.tx) AS BIGINT) AS d,
+       |    CAST(greatest(length(a.tx), length(b.tx)) AS BIGINT) AS ml
+       |  FROM pairs p
+       |  JOIN tx a ON p.a_id = a.doc_id
+       |  JOIN tx b ON p.b_id = b.doc_id),
+       |em AS (
+       |  SELECT source, d,
+       |    CASE WHEN ml = 0 THEN 1000000
+       |      ELSE ${ER.sql.micro6("ml - d", "ml")} END AS sim_m
+       |  FROM ed)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  ${ER.sql.ratio6("sum(d)", "count(*)")} AS mean_edit,
+       |  CAST(max(d) AS BIGINT) AS max_edit,
+       |  ${ER.sql.microMean6("sum(sim_m)", "count(*)")} AS mean_sim
+       |FROM em GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q27_dedup_exact", q27, Some(q27Sql), headline = true),
     Q("q28_dedup_minhash_lsh", q28, Some(q28Sql), headline = true),
@@ -748,5 +836,6 @@ object DedupQueries {
     Q("q143_effective_tokens", q143, Some(q143Sql)),
     Q("q166_exact_substring_dedup", q166, Some(q166Sql)),
     Q("q171_containment_dedup", q171, Some(q171Sql), headline = true),
-    Q("q176_minhash_fidelity", q176, Some(q176Sql), headline = true))
+    Q("q176_minhash_fidelity", q176, Some(q176Sql), headline = true),
+    Q("q183_neardup_edit_audit", q183, Some(q183Sql)))
 }
