@@ -87,6 +87,33 @@ object SpanDedup {
         col("ext_len"))
   }
 
+  /** Asymmetric covered extents: maximal runs of token positions in
+    * `evalToks` docs covered by k-shingles that also occur anywhere in
+    * `refToks` — the cross-corpus form of [[extents]] (eval-vs-train
+    * split leakage, batch-vs-corpus exact-substring dedup). Same
+    * inverted-index shape with the REF side reduced to a distinct
+    * shingle-type set (vocabulary-bounded) before the join; eval docs
+    * never pair with eval docs. Returns (doc_id, ext_start, ext_end,
+    * ext_len) over eval doc_ids. */
+  def extentsAgainst(evalToks: DataFrame, refToks: DataFrame, k: Int)
+      : DataFrame = {
+    val refSh = shingles(refToks, k).select(col("shingle")).distinct()
+    val covered = shingles(evalToks, k).join(refSh, Seq("shingle"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("tpos"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tpos"))
+    covered
+      .withColumn("grp", col("tpos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("tpos")).as("ext_start"),
+        max(col("tpos")).as("ext_end"),
+        count(lit(1)).as("ext_len"))
+      .select(col("doc_id"), col("ext_start"), col("ext_end"),
+        col("ext_len"))
+  }
+
   /** Per-document duplicated-span statistics: (doc_id, n_tokens,
     * n_shingles, dup_shingles, dup_frac, covered_tokens, covered_frac)
     * — fractions unrounded. */

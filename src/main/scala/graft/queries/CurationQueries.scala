@@ -2439,6 +2439,95 @@ object CurationQueries {
        |ORDER BY feature""".stripMargin
   }
 
+  // -- q184: classifier calibration — the reliability diagram + ECE +
+  //          Brier score that complete the q175 evaluation (AUC ranks;
+  //          calibration says whether the 0.5-and-above scores a
+  //          threshold gate consumes MEAN anything): scores bucketed
+  //          into 10 confidence bins, each bin reporting mean
+  //          confidence vs empirical positive rate and their gap;
+  //          ECE = Σ nᵦ·gapᵦ/N and the Brier mean-squared error are
+  //          repeated as corpus-level columns. Determinism: everything
+  //          is integer arithmetic over micro-unit scores (per-row
+  //          Brier residuals are rounded to milli units BEFORE
+  //          squaring so the squared sum stays in micro units and
+  //          long-range through ~9e12 docs); windows run over the
+  //          10-row bin frame only.
+  private def q184(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.QualityClassifier
+    val d = docs(s, dir)
+    val feats = QualityClassifier.features(
+      d, col("source") === DsirTarget, QcBuckets)
+    val (w, bias) = QualityClassifier.train(feats, QcBuckets, QcIters, QcLr)
+    val allW = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    QualityClassifier.scores(feats, w, bias)
+      .join(d.select(col("doc_id"),
+        when(col("source") === DsirTarget, 1L).otherwise(0L).as("y")),
+        Seq("doc_id"))
+      .withColumn("ad", abs(col("score_micro") - col("y") * lit(1000000L)))
+      .withColumn("dm", ExactRound.meanMicro(col("ad"), lit(1000L)))
+      .withColumn("bin", expr("least(score_micro div 100000, 9)"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("np"),
+        sum(col("score_micro")).as("ss"),
+        sum(col("dm") * col("dm")).as("sq"))
+      .withColumn("mean_conf_m", ExactRound.meanMicro(col("ss"), col("n")))
+      .withColumn("frac_pos_m", ExactRound.micro6(col("np"), col("n")))
+      .withColumn("gap_m", abs(col("mean_conf_m") - col("frac_pos_m")))
+      .withColumn("ntot", sum(col("n")).over(allW))
+      .withColumn("ece_m", ExactRound.meanMicro(
+        sum(col("n") * col("gap_m")).over(allW), col("ntot")))
+      .withColumn("brier_m", ExactRound.meanMicro(
+        sum(col("sq")).over(allW), col("ntot")))
+      .select(col("bin"), col("n"),
+        (col("mean_conf_m") / lit(1e6)).as("mean_conf"),
+        (col("frac_pos_m") / lit(1e6)).as("frac_pos"),
+        (col("gap_m") / lit(1e6)).as("gap"),
+        (col("ece_m") / lit(1e6)).as("ece"),
+        (col("brier_m") / lit(1e6)).as("brier"))
+      .orderBy(col("bin"))
+  }
+
+  private val q184Sql = {
+    val ER = ExactRound.sql
+    s"""WITH ${graft.pipeline.QualityClassifier.sql
+        .trainCtes(DsirTarget, QcBuckets, QcIters, QcLr)},
+       |cal AS (
+       |  SELECT s.score_micro,
+       |    CASE WHEN d.source = '$DsirTarget' THEN 1 ELSE 0 END AS y
+       |  FROM qscore s JOIN documents d USING (doc_id)),
+       |cd AS (
+       |  SELECT score_micro, y,
+       |    abs(score_micro - y * 1000000) AS ad FROM cal),
+       |ce AS (
+       |  SELECT score_micro, y, ${ER.meanMicro("ad", "1000")} AS dm
+       |  FROM cd),
+       |cb AS (
+       |  SELECT least(score_micro // 100000, 9) AS bin,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(y) AS BIGINT) AS np,
+       |    CAST(sum(score_micro) AS BIGINT) AS ss,
+       |    CAST(sum(dm * dm) AS BIGINT) AS sq
+       |  FROM ce GROUP BY 1),
+       |cw AS (
+       |  SELECT bin, n, np, ss, sq,
+       |    ${ER.meanMicro("ss", "n")} AS mean_conf_m,
+       |    ${ER.micro6("np", "n")} AS frac_pos_m,
+       |    CAST(sum(n) OVER () AS BIGINT) AS ntot,
+       |    CAST(sum(sq) OVER () AS BIGINT) AS sqtot
+       |  FROM cb),
+       |cg AS (SELECT *, abs(mean_conf_m - frac_pos_m) AS gap_m FROM cw),
+       |cf AS (
+       |  SELECT *, CAST(sum(n * gap_m) OVER () AS BIGINT) AS wg FROM cg)
+       |SELECT bin, n,
+       |  mean_conf_m / 1e6 AS mean_conf,
+       |  frac_pos_m / 1e6 AS frac_pos,
+       |  gap_m / 1e6 AS gap,
+       |  ${ER.meanMicro("wg", "ntot")} / 1e6 AS ece,
+       |  ${ER.meanMicro("sqtot", "ntot")} / 1e6 AS brier
+       |FROM cf ORDER BY bin""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q145_dsir_importance", q145, Some(q145Sql), headline = true),
     Q("q146_bm25_topk", q146, Some(q146Sql)),
@@ -2474,5 +2563,6 @@ object CurationQueries {
     Q("q179_silhouette", q179, Some(q179Sql)),
     Q("q180_ngram_novelty", q180, Some(q180Sql)),
     Q("q181_retrieval_quality", q181, Some(q181Sql)),
-    Q("q182_drift_psi", q182, Some(q182Sql)))
+    Q("q182_drift_psi", q182, Some(q182Sql)),
+    Q("q184_classifier_calibration", q184, Some(q184Sql)))
 }

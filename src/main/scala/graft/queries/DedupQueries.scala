@@ -823,6 +823,99 @@ object DedupQueries {
        |FROM em GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // -- q185: cross-split substring leakage — the q132 doc-level split
+  //          audit pushed down to exact-substring grain (the Lee et
+  //          al. 2022 extent machinery of q166, asymmetric): maximal
+  //          token extents in VAL/TEST docs that are covered by
+  //          4-shingles also present anywhere in the TRAIN split, at
+  //          ≥ 8 tokens. A val doc sharing a long verbatim span with
+  //          training text inflates eval scores even when no whole
+  //          document leaked (q132 clean) and no n-gram RATE looks
+  //          alarming (q180 reports rates, not extents). Per-split
+  //          report: leaky docs, extents, leaked tokens, leak
+  //          fraction. Scale shape: train side reduced to a DISTINCT
+  //          shingle-type set before the one inverted-index join
+  //          (vocabulary-bounded); eval never pairs with eval;
+  //          gaps-and-islands per eval doc. Exact integers throughout.
+  private val SlWeights = Seq("train" -> 8, "val" -> 1, "test" -> 1)
+
+  private def q185(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.SpanDedup
+    import graft.functions.ExactRound
+    import graft.pipeline.Sampling
+    import graft.text.Repetition
+    val base = docs(s, dir).select(col("doc_id"),
+      Repetition.tokens(col("text")).as("l"),
+      Sampling.splitColumn(col("doc_id"), SlWeights).as("split"))
+    val scoped = base.filter(size(col("l")) >= ExtK)
+    val ext = SpanDedup.extentsAgainst(
+        scoped.filter(col("split") =!= "train")
+          .select(col("doc_id"), col("l")),
+        scoped.filter(col("split") === "train")
+          .select(col("doc_id"), col("l")), ExtK)
+      .filter(col("ext_len") >= MinExtent)
+      .join(base.select(col("doc_id"), col("split")), Seq("doc_id"))
+    base.filter(col("split") =!= "train")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("l")).cast("long")).as("total_tokens"))
+      .join(ext.groupBy(col("split"))
+        .agg(countDistinct(col("doc_id")).as("n_docs_leaky"),
+          count(lit(1)).as("n_extents"),
+          sum(col("ext_len")).as("leaked_tokens")), Seq("split"), "left")
+      .select(col("split"), col("n_docs"), col("total_tokens"),
+        coalesce(col("n_docs_leaky"), lit(0L)).as("n_docs_leaky"),
+        coalesce(col("n_extents"), lit(0L)).as("n_extents"),
+        coalesce(col("leaked_tokens"), lit(0L)).as("leaked_tokens"),
+        ExactRound.ratio6(coalesce(col("leaked_tokens"), lit(0L)),
+          col("total_tokens")).as("leak_frac"))
+      .orderBy(col("split"))
+  }
+
+  private val q185Sql = {
+    import graft.pipeline.Sampling
+    val h = Sampling.sql.hashBucket("doc_id", 10)
+    s"""WITH ltoks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS l,
+       |    CASE WHEN $h < 8 THEN 'train' WHEN $h < 9 THEN 'val'
+       |      ELSE 'test' END AS split
+       |  FROM documents),
+       |lscoped AS (SELECT * FROM ltoks WHERE len(l) >= $ExtK),
+       |lsh AS (
+       |  SELECT doc_id, split, i AS pos,
+       |    list_aggregate(l[i:i+${ExtK - 1}], 'string_agg', ' ') AS shingle
+       |  FROM lscoped, unnest(range(1, len(l) - $ExtK + 2)) r(i)),
+       |ltsh AS (SELECT DISTINCT shingle FROM lsh WHERE split = 'train'),
+       |lcov AS (
+       |  SELECT DISTINCT doc_id, split, pos + off AS tpos
+       |  FROM (SELECT s.* FROM lsh s JOIN ltsh USING (shingle)
+       |        WHERE s.split <> 'train') ds,
+       |    unnest(range(0, $ExtK)) r(off)),
+       |lisl AS (
+       |  SELECT doc_id, split, tpos,
+       |    tpos - row_number() OVER (PARTITION BY doc_id ORDER BY tpos)
+       |      AS grp
+       |  FROM lcov),
+       |lext AS (
+       |  SELECT doc_id, split, count(*) AS ext_len
+       |  FROM lisl GROUP BY doc_id, split, grp
+       |  HAVING count(*) >= $MinExtent),
+       |ltot AS (
+       |  SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(l)) AS BIGINT) AS total_tokens
+       |  FROM ltoks WHERE split <> 'train' GROUP BY 1)
+       |SELECT t.split, t.n_docs, t.total_tokens,
+       |  CAST(count(DISTINCT e.doc_id) AS BIGINT) AS n_docs_leaky,
+       |  CAST(count(e.ext_len) AS BIGINT) AS n_extents,
+       |  CAST(COALESCE(sum(e.ext_len), 0) AS BIGINT) AS leaked_tokens,
+       |  ${graft.functions.ExactRound.sql.ratio6(
+          "COALESCE(sum(e.ext_len), 0)", "t.total_tokens")} AS leak_frac
+       |FROM ltot t LEFT JOIN lext e USING (split)
+       |GROUP BY t.split, t.n_docs, t.total_tokens
+       |ORDER BY t.split""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q27_dedup_exact", q27, Some(q27Sql), headline = true),
     Q("q28_dedup_minhash_lsh", q28, Some(q28Sql), headline = true),
@@ -837,5 +930,6 @@ object DedupQueries {
     Q("q166_exact_substring_dedup", q166, Some(q166Sql)),
     Q("q171_containment_dedup", q171, Some(q171Sql), headline = true),
     Q("q176_minhash_fidelity", q176, Some(q176Sql), headline = true),
-    Q("q183_neardup_edit_audit", q183, Some(q183Sql)))
+    Q("q183_neardup_edit_audit", q183, Some(q183Sql)),
+    Q("q185_substring_split_leakage", q185, Some(q185Sql)))
 }

@@ -101,7 +101,8 @@ class PlanShapeSpec extends SparkSpec {
     "q178_doremi_mixture",    // 1-row train-vocabulary broadcast (q161 shape)
     "q179_silhouette",        // k-row centroid broadcast (q149 fit reuse)
     "q181_retrieval_quality", // bounded probe frame (16 rows, q148 shape)
-    "q182_drift_psi")         // 1-row cutoff broadcast (q142 shape)
+    "q182_drift_psi",         // 1-row cutoff broadcast (q142 shape)
+    "q184_classifier_calibration") // 1-row bias + 64-row weights (q173 reuse)
 
   // On failure, include a plan excerpt around the first occurrence so a
   // transient/state-dependent failure self-diagnoses from the log alone.

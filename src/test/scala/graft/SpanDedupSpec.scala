@@ -67,6 +67,25 @@ class SpanDedupSpec extends SparkSpec {
     assert(out == Seq((1L, 5L, 5L)), s"got $out")
   }
 
+  test("extentsAgainst: only ref-side shingles cover; eval never " +
+      "pairs with eval") {
+    // eval doc 1 shares "p q r s" with the REF side; eval docs 1 and 2
+    // share "u v w x" with EACH OTHER but not with ref — asymmetric
+    // extents must report only the ref-covered run
+    val evalT = toks(1L -> "p q r s a u v w x",
+                     2L -> "m u v w x n o t k")
+    val refT = toks(10L -> "z p q r s y h g f")
+    val out = SpanDedup.extentsAgainst(evalT, refT, 3)
+      .orderBy("doc_id", "ext_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(out == Seq((1L, 1L, 4L, 4L)), s"got $out")
+    // symmetric sanity: the full sweep WOULD flag the eval-eval span
+    val sym = SpanDedup.extents(evalT.unionByName(refT), 3)
+      .filter(col("doc_id") === 2L).collect()
+    assert(sym.nonEmpty, "symmetric extents flag the eval-eval span")
+  }
+
   test("within-document repeats alone are not duplicated spans") {
     // "m n o m n o" repeats internally but no other doc shares it
     val out = SpanDedup.stats(
