@@ -61,14 +61,14 @@ object Bench {
     "q162_dedup_threshold_sweep" -> 4.68,
     // round-8 new-operator promotions (quiet sf0.1 mins, BENCH_NOTES
     // round-8 addendum 2)
-    "q167_semdedup" -> 3.00,
+    "q167_semdedup" -> 2.12, // re-pinned r8 (full-run quiet min)
     "q171_containment_dedup" -> 3.28,
-    "q172_incremental_semdedup" -> 3.11,
+    "q172_incremental_semdedup" -> 2.13, // re-pinned r8 (full-run quiet min)
     "q173_quality_classifier" -> 3.02,
     // round-8 evaluation-family promotions (quiet sf0.1 mins,
     // BENCH_NOTES round-8 addendum 3)
-    "q175_classifier_eval" -> 3.60,
-    "q176_minhash_fidelity" -> 9.03)
+    "q175_classifier_eval" -> 2.33, // re-pinned r8 (full-run quiet min)
+    "q176_minhash_fidelity" -> 8.25) // re-pinned r8 (full-run quiet min)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
