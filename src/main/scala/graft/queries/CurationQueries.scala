@@ -2528,6 +2528,55 @@ object CurationQueries {
        |FROM cf ORDER BY bin""".stripMargin
   }
 
+  // -- q188: Good–Turing unseen-mass estimate — the "is more data from
+  //          this source still teaching new words" statistic (Good
+  //          1953; Gale & Sampson 1995 simple GT): the probability the
+  //          NEXT token drawn from a source is a previously-unseen
+  //          type is estimated by hapax-share V₁/N. Complements q163's
+  //          Heaps fit (growth CURVE) with the missing-mass POINT
+  //          estimate a mixing policy can threshold on, plus V₂ (the
+  //          GT smoothing input) and the type–token ratio. One token
+  //          aggregate + one source rollup — instance-linear, vocab-
+  //          bounded; exact integer counts, ExactRound ratios.
+  private def q188(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{TextFunctions => TF}
+    docs(s, dir)
+      .select(col("source"), explode(TF.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("f"))
+      .groupBy(col("source"))
+      .agg(sum(col("f")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("f") === 1L, 1L).otherwise(0L)).as("v1"),
+        sum(when(col("f") === 2L, 1L).otherwise(0L)).as("v2"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("v1"),
+        col("v2"),
+        ExactRound.ratio6(col("v1"), col("n_tokens")).as("unseen_mass"),
+        ExactRound.ratio6(col("n_types"), col("n_tokens"))
+          .as("type_token_ratio"))
+      .orderBy(col("source"))
+  }
+
+  private val q188Sql = {
+    val ER = ExactRound.sql
+    s"""WITH gi AS (
+       |  SELECT source, word AS w FROM (
+       |    SELECT source, unnest(string_split(text, ' ')) AS word
+       |    FROM documents) t
+       |  WHERE length(word) > 0),
+       |gf AS (
+       |  SELECT source, w, CAST(count(*) AS BIGINT) AS f
+       |  FROM gi GROUP BY 1, 2)
+       |SELECT source,
+       |  CAST(sum(f) AS BIGINT) AS n_tokens,
+       |  CAST(count(*) AS BIGINT) AS n_types,
+       |  CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+       |  CAST(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+       |  ${ER.ratio6("sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)", "sum(f)")}
+       |    AS unseen_mass,
+       |  ${ER.ratio6("count(*)", "sum(f)")} AS type_token_ratio
+       |FROM gf GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q145_dsir_importance", q145, Some(q145Sql), headline = true),
     Q("q146_bm25_topk", q146, Some(q146Sql)),
@@ -2564,5 +2613,6 @@ object CurationQueries {
     Q("q180_ngram_novelty", q180, Some(q180Sql)),
     Q("q181_retrieval_quality", q181, Some(q181Sql)),
     Q("q182_drift_psi", q182, Some(q182Sql)),
-    Q("q184_classifier_calibration", q184, Some(q184Sql)))
+    Q("q184_classifier_calibration", q184, Some(q184Sql)),
+    Q("q188_good_turing", q188, Some(q188Sql)))
 }

@@ -916,6 +916,175 @@ object DedupQueries {
        |ORDER BY t.split""".stripMargin
   }
 
+  // -- q186: dedup cluster-size histogram — the datasheet distribution
+  //          over the q126 connected components: for each cluster size
+  //          (including the singleton mass — docs in no near-dup pair),
+  //          how many clusters, docs, and tokens sit there, and what
+  //          fraction of corpus tokens that size class holds. The
+  //          shape every dedup writeup publishes (how much of the
+  //          corpus is 2-dup vs mega-cluster boilerplate) and the
+  //          input to choosing q143's effective-token discount. Scale
+  //          shape: CC is the two-phase star contraction; the rollup
+  //          is one aggregate keyed by a size that has at most
+  //          O(distinct sizes) values; the singleton leg is one
+  //          anti-join. Exact integer counts; fractions are ExactRound
+  //          ratios of bigint token sums.
+  private def q186(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactRound
+    val d = docs(s, dir)
+    val withTok = d.select(col("doc_id"),
+      TF.tokenCount(col("text")).cast("long").as("n_tok"))
+    val pairs = Dedup.minhashLsh(d, "doc_id", "text", k = 12, bands = 2,
+      threshold = 0.9)
+    val cc = Dedup.clusters(pairs, d, "doc_id", "text")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    val clustered = cc.join(withTok, Seq("doc_id"))
+      .groupBy(col("cluster_size"))
+      .agg(countDistinct(col("cluster_id")).as("n_clusters"),
+        count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val single = withTok.join(cc.select(col("doc_id")), Seq("doc_id"),
+        "left_anti")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"))
+      .select(lit(1L).as("cluster_size"), col("n_docs").as("n_clusters"),
+        col("n_docs"), col("n_tokens"))
+    val W = org.apache.spark.sql.expressions.Window
+    val allW = W.orderBy(col("cluster_size"))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    clustered.unionByName(single)
+      .withColumn("tok_tot", sum(col("n_tokens")).over(allW))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        col("n_tokens"),
+        ExactRound.ratio6(col("n_tokens"), col("tok_tot")).as("token_share"))
+      .orderBy(col("cluster_size"))
+  }
+
+  private val q186Sql =
+    s"""WITH RECURSIVE $componentCtes,
+       |wt AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+       |    AS n_tok
+       |  FROM documents),
+       |csz AS (
+       |  SELECT c.doc_id, c.cluster_id,
+       |    count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+       |  FROM comp c),
+       |cl AS (
+       |  SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       |    CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(w.n_tok) AS BIGINT) AS n_tokens
+       |  FROM csz JOIN wt w USING (doc_id)
+       |  GROUP BY 1),
+       |sg AS (
+       |  SELECT CAST(1 AS BIGINT) AS cluster_size,
+       |    CAST(count(*) AS BIGINT) AS n_clusters,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(COALESCE(sum(n_tok), 0) AS BIGINT) AS n_tokens
+       |  FROM wt WHERE doc_id NOT IN (SELECT doc_id FROM comp)),
+       |u AS (SELECT * FROM cl UNION ALL SELECT * FROM sg),
+       |t AS (
+       |  SELECT *, CAST(sum(n_tokens) OVER () AS BIGINT) AS tok_tot
+       |  FROM u)
+       |SELECT cluster_size, n_clusters, n_docs, n_tokens,
+       |  ${graft.functions.ExactRound.sql.ratio6("n_tokens", "tok_tot")}
+       |    AS token_share
+       |FROM t ORDER BY cluster_size""".stripMargin
+
+  // -- q187: incremental exact-substring dedup — q166's daily-ingest
+  //          twin (completing the incremental trio: q142 exact/LSH,
+  //          q172 semantic, q187 substring): the newest 20% of doc_ids
+  //          arrive as the batch and their duplicated extents are
+  //          computed ONLY against shingles of the existing 80%
+  //          (SpanDedup.extentsAgainst — the corpus shingle-type set is
+  //          the reusable, cacheable index artifact; the corpus never
+  //          re-pairs with itself). Per-source report over the batch:
+  //          docs cut, extents, tokens removed, removal fraction of
+  //          batch token mass. Exact integers throughout.
+  private def q187(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.SpanDedup
+    import graft.functions.ExactRound
+    import graft.text.Repetition
+    val d = docs(s, dir)
+    val cut = d.agg(max(col("doc_id")).as("max_id"))
+      .select(expr("(max_id + 1) * 4 div 5").as("cutoff"))
+    val base = d.crossJoin(broadcast(cut))
+      .select(col("doc_id"), col("source"),
+        Repetition.tokens(col("text")).as("l"),
+        (col("doc_id") >= col("cutoff")).as("is_new"))
+    val scoped = base.filter(size(col("l")) >= ExtK)
+    val ext = SpanDedup.extentsAgainst(
+        scoped.filter(col("is_new")).select(col("doc_id"), col("l")),
+        scoped.filter(!col("is_new")).select(col("doc_id"), col("l")),
+        ExtK)
+      .filter(col("ext_len") >= MinExtent)
+      .join(base.select(col("doc_id"), col("source")), Seq("doc_id"))
+    base.filter(col("is_new"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_batch_docs"),
+        sum(size(col("l")).cast("long")).as("batch_tokens"))
+      .join(ext.groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs_cut"),
+          count(lit(1)).as("n_extents"),
+          sum(col("ext_len")).as("removed_tokens")), Seq("source"), "left")
+      .select(col("source"), col("n_batch_docs"), col("batch_tokens"),
+        coalesce(col("n_docs_cut"), lit(0L)).as("n_docs_cut"),
+        coalesce(col("n_extents"), lit(0L)).as("n_extents"),
+        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
+        ExactRound.ratio6(coalesce(col("removed_tokens"), lit(0L)),
+          col("batch_tokens")).as("removed_frac"))
+      .orderBy(col("source"))
+  }
+
+  private val q187Sql =
+    s"""WITH cut AS (
+       |  SELECT (max(doc_id) + 1) * 4 // 5 AS cutoff FROM documents),
+       |btoks AS (
+       |  SELECT doc_id, source,
+       |    list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS l,
+       |    doc_id >= cutoff AS is_new
+       |  FROM documents, cut),
+       |bscoped AS (SELECT * FROM btoks WHERE len(l) >= $ExtK),
+       |bsh AS (
+       |  SELECT doc_id, is_new, i AS pos,
+       |    list_aggregate(l[i:i+${ExtK - 1}], 'string_agg', ' ') AS shingle
+       |  FROM bscoped, unnest(range(1, len(l) - $ExtK + 2)) r(i)),
+       |bosh AS (SELECT DISTINCT shingle FROM bsh WHERE NOT is_new),
+       |bcov AS (
+       |  SELECT DISTINCT doc_id, pos + off AS tpos
+       |  FROM (SELECT s.* FROM bsh s JOIN bosh USING (shingle)
+       |        WHERE s.is_new) ds,
+       |    unnest(range(0, $ExtK)) r(off)),
+       |bisl AS (
+       |  SELECT doc_id, tpos,
+       |    tpos - row_number() OVER (PARTITION BY doc_id ORDER BY tpos)
+       |      AS grp
+       |  FROM bcov),
+       |bext AS (
+       |  SELECT doc_id, count(*) AS ext_len
+       |  FROM bisl GROUP BY doc_id, grp
+       |  HAVING count(*) >= $MinExtent),
+       |bexts AS (
+       |  SELECT d.source,
+       |    CAST(count(DISTINCT e.doc_id) AS BIGINT) AS n_docs_cut,
+       |    CAST(count(*) AS BIGINT) AS n_extents,
+       |    CAST(sum(e.ext_len) AS BIGINT) AS removed_tokens
+       |  FROM bext e JOIN documents d USING (doc_id)
+       |  GROUP BY 1),
+       |btot AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_batch_docs,
+       |    CAST(sum(len(l)) AS BIGINT) AS batch_tokens
+       |  FROM btoks WHERE is_new GROUP BY 1)
+       |SELECT t.source, t.n_batch_docs, t.batch_tokens,
+       |  COALESCE(x.n_docs_cut, 0) AS n_docs_cut,
+       |  COALESCE(x.n_extents, 0) AS n_extents,
+       |  COALESCE(x.removed_tokens, 0) AS removed_tokens,
+       |  ${graft.functions.ExactRound.sql.ratio6(
+          "COALESCE(x.removed_tokens, 0)", "t.batch_tokens")}
+       |    AS removed_frac
+       |FROM btot t LEFT JOIN bexts x USING (source)
+       |ORDER BY t.source""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q27_dedup_exact", q27, Some(q27Sql), headline = true),
     Q("q28_dedup_minhash_lsh", q28, Some(q28Sql), headline = true),
@@ -931,5 +1100,7 @@ object DedupQueries {
     Q("q171_containment_dedup", q171, Some(q171Sql), headline = true),
     Q("q176_minhash_fidelity", q176, Some(q176Sql), headline = true),
     Q("q183_neardup_edit_audit", q183, Some(q183Sql)),
-    Q("q185_substring_split_leakage", q185, Some(q185Sql)))
+    Q("q185_substring_split_leakage", q185, Some(q185Sql)),
+    Q("q186_cluster_histogram", q186, Some(q186Sql)),
+    Q("q187_incremental_substring", q187, Some(q187Sql)))
 }
