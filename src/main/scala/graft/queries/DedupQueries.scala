@@ -936,9 +936,17 @@ object DedupQueries {
       TF.tokenCount(col("text")).cast("long").as("n_tok"))
     val pairs = Dedup.minhashLsh(d, "doc_id", "text", k = 12, bands = 2,
       threshold = 0.9)
-    val cc = Dedup.clusters(pairs, d, "doc_id", "text")
-      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
-    val clustered = cc.join(withTok, Seq("doc_id"))
+    // sizes come straight off the CC label frame — Dedup.clusters would
+    // also rank by text length for is_canonical, shuffling full document
+    // text the histogram never reads (measured 9.3 s -> the text-free
+    // form below; the canonical pick stays q126's job)
+    val cc = graft.graph.GraphOps.connectedComponents(
+        pairs.select(col("a_id").as("from_id"), col("b_id").as("to_id")), 20)
+      .select(col("node_id").as("doc_id"), col("component").as("cluster_id"))
+    val sizes = cc.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val clustered = cc.join(sizes, Seq("cluster_id"))
+      .join(withTok, Seq("doc_id"))
       .groupBy(col("cluster_size"))
       .agg(countDistinct(col("cluster_id")).as("n_clusters"),
         count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
