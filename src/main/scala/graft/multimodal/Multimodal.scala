@@ -79,6 +79,46 @@ object Multimodal {
     }.toDF("doc_id", "frame_idx", "n_frame_bytes")
   }
 
+  /** 16-bit blockwise perceptual hash (aHash family): the payload is
+    * split into 16 equal byte ranges (floor boundaries) and bit c is
+    * set iff range c's mean byte value exceeds the whole-payload mean.
+    * A real image pipeline would hash downsampled pixel luminance; the
+    * byte-statistics form exercises the identical sketch+compare
+    * machinery on the stub decode. The bit decision is the EXACT
+    * integer cross-compare s_c·n > total·len_c — no float means, so
+    * any engine reproduces the hash bit-for-bit. Returns 0 for
+    * payloads under 16 bytes (no meaningful blocks). */
+  def phash16(payload: Array[Byte]): Int = {
+    val n = payload.length
+    if (n < 16) return 0
+    val bounds = (0 to 16).map(i => (i.toLong * n / 16).toInt)
+    var total = 0L
+    var i = 0
+    while (i < n) { total += payload(i) & 0xff; i += 1 }
+    var h = 0
+    var c = 0
+    while (c < 16) {
+      var s = 0L
+      var j = bounds(c)
+      while (j < bounds(c + 1)) { s += payload(j) & 0xff; j += 1 }
+      val len = bounds(c + 1) - bounds(c)
+      if (s * n > total * len) h |= (1 << c)
+      c += 1
+    }
+    h
+  }
+
+  /** Per-item perceptual hashes: (doc_id, width, ph) — batched
+    * mapPartitions like the other media stages; width rides along as
+    * the natural blocking key for hash comparison (same-resolution
+    * media compare, the standard practice). */
+  def phashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map(r => (r.docId, r.meta.width, phash16(r.payload).toLong))
+    }.toDF("doc_id", "width", "ph")
+  }
+
   /** Attach a synthetic binary payload + metadata struct to the documents
     * table (the test corpus has no real media; payload = UTF-8 bytes). */
   def synthesize(docs: DataFrame): DataFrame =

@@ -291,4 +291,22 @@ class DedupStreamSpec extends SparkSpec {
     assert(f.docId == 7L && f.nBytes == 3)
     assert(math.abs(f.brightness - (97 + 98 + 99) / 3.0 / 255.0) < 1e-12)
   }
+
+  test("phash16: exact integer bit rule, short payloads hash to 0, " +
+      "near-identical payloads land within hamming 3") {
+    // 16 bytes, one per block: blocks above the mean set their bit
+    val asc = Array.tabulate(16)(i => (i * 16).toByte)
+    val h = Multimodal.phash16(asc)
+    // mean = 120; blocks 8..15 (values 128..240) exceed it
+    assert(h == 0xFF00, f"ascending ramp hashes high half: got $h%04x")
+    assert(Multimodal.phash16(Array[Byte](1, 2, 3)) == 0,
+      "payloads under 16 bytes carry no hash")
+    // flipping one block's bytes moves exactly that bit
+    val mut = asc.clone(); mut(15) = 0
+    val hm = Multimodal.phash16(mut)
+    assert(Integer.bitCount(h ^ hm) <= 3,
+      s"single-block edit stays within hamming 3: ${h ^ hm}")
+    // determinism across calls
+    assert(Multimodal.phash16(asc) == h)
+  }
 }
