@@ -119,6 +119,29 @@ object Multimodal {
     }.toDF("doc_id", "width", "ph")
   }
 
+  /** Overlapped fixed-window segmentation — the audio-chunking stage
+    * (frame/window + hop, the STFT/feature-extraction convention; the
+    * byte-range arithmetic is the real pipeline, per-window "energy"
+    * over stub-decoded bytes stands in for a codec's samples). One
+    * output row per (item, window): (doc_id, seg_idx, start_byte,
+    * n_seg_bytes, s = exact byte sum). Windows start every `hop`
+    * bytes while inside the payload; the last window truncates. */
+  def segment(media: Dataset[MediaRow], window: Int, hop: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    require(window >= 1 && hop >= 1, s"window/hop must be >= 1")
+    media.flatMap { r =>
+      val n = r.payload.length
+      Iterator.from(0).takeWhile(i => i * hop < n).map { i =>
+        val st = i * hop
+        val len = math.min(window, n - st)
+        var s = 0L
+        var j = st
+        while (j < st + len) { s += r.payload(j) & 0xff; j += 1 }
+        (r.docId, i.toLong, st.toLong, len.toLong, s)
+      }.toList
+    }.toDF("doc_id", "seg_idx", "start_byte", "n_seg_bytes", "s")
+  }
+
   /** Attach a synthetic binary payload + metadata struct to the documents
     * table (the test corpus has no real media; payload = UTF-8 bytes). */
   def synthesize(docs: DataFrame): DataFrame =
