@@ -1,0 +1,152 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Lineage.LineageOps
+
+/** Whole-graph analytics over undirected edge lists: triangle counting /
+  * local clustering coefficients, synchronous k-core peeling ("onion
+  * layers"), and frequency-based label-propagation communities.
+  *
+  * These are the standard corpus-graph measurements a curation pipeline
+  * runs over its similarity / co-occurrence graphs (dedup-pair graphs,
+  * co-purchase projections, citation graphs) once they exist — density
+  * of near-dup neighborhoods, cohesive cores worth manual review,
+  * community structure for stratified sampling. Public provenance:
+  * triangle enumeration via the ordered-adjacency join (Cohen,
+  * "Graph Twiddling in a MapReduce World", 2009), k-core peeling
+  * (Batagelj & Zaveršnik 2003), label propagation (Raghavan, Albert &
+  * Kumara 2007) — all re-expressed as Catalyst plans.
+  *
+  * Scale shapes (100 TB contract):
+  *  - every per-round step is one shuffle on a node key plus one
+  *    bounded aggregate — no all-pairs, no driver-side graph;
+  *  - triangle enumeration keeps edges canonical (a < b) so each
+  *    triangle is emitted exactly once, and the wedge join streams
+  *    against a hash-partitioned edge list;
+  *  - iterative loops truncate lineage per round (reliable checkpoints
+  *    on a cluster — see graft.engine.Lineage).
+  */
+object GraphAnalytics {
+
+  /** Canonical undirected edge list (a < b, no self-loops, distinct). */
+  def canonical(edges: DataFrame, from: String = "from_id",
+      to: String = "to_id"): DataFrame =
+    edges.select(least(col(from), col(to)).as("a"),
+        greatest(col(from), col(to)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+
+  /** Per-node triangle participation counts over a canonical (a < b)
+    * edge list. One wedge join (e1.b = e2.a keeps a < b < c, so each
+    * triangle is generated once) plus one closing equi-join on the
+    * (a, c) pair — the join-based triangle census; cost is bounded by
+    * the wedge count, not |V|². Returns (node, n_tri). */
+  def triangleCounts(canon: DataFrame): DataFrame = {
+    val e1 = canon.select(col("a").as("x"), col("b").as("y"))
+    val e2 = canon.select(col("a").as("y"), col("b").as("z"))
+    val e3 = canon.select(col("a").as("x"), col("b").as("z"))
+    val tri = e1.join(e2, "y").join(e3, Seq("x", "z"))
+    tri.select(col("x").as("node"))
+      .unionByName(tri.select(col("y").as("node")))
+      .unionByName(tri.select(col("z").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Degrees over a canonical edge list: (node, degree). */
+  def degrees(canon: DataFrame): DataFrame =
+    canon.select(col("a").as("node"))
+      .unionByName(canon.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+
+  /** Local clustering coefficient per node: 2·tri / (deg·(deg−1)),
+    * 0 for degree < 2. Returns (node, degree, n_tri, clustering). */
+  def clustering(canon: DataFrame): DataFrame =
+    degrees(canon)
+      .join(triangleCounts(canon), Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("clustering",
+        when(col("degree") >= 2,
+          round(lit(2.0) * col("n_tri") /
+            (col("degree") * (col("degree") - 1)), 6))
+        .otherwise(lit(0.0)))
+
+  /** Synchronous k-core peeling. Round r removes EVERY node whose
+    * degree in the surviving subgraph is < k (the "onion layer"
+    * decomposition restricted to the k shell). Returns
+    * (node, layer, in_core): layer = the 1-based round the node was
+    * peeled, 0 for k-core members; plus the round count actually run
+    * (the spec hook pinning convergence under the cap).
+    *
+    * Each round is: degrees of the surviving edge list (one aggregate)
+    * + two semi-joins dropping edges with a peeled endpoint. Peel
+    * cascades are graph-diameter-bounded; `maxRounds` caps adversarial
+    * chains and the caller asserts convergence. */
+  def kCorePeel(canon: DataFrame, k: Int, maxRounds: Int = 16)
+      : (DataFrame, Int) = {
+    var alive = canon.truncateLineage()
+    var peeled: DataFrame = null
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      rounds += 1
+      val deg = degrees(alive)
+      val drop = deg.filter(col("degree") < k)
+        .select(col("node"), lit(rounds).as("layer"))
+        .truncateLineage()
+      if (drop.isEmpty) {
+        converged = true
+        rounds -= 1
+      } else {
+        peeled = if (peeled == null) drop else peeled.unionByName(drop)
+        alive = alive
+          .join(drop.select(col("node").as("a")), Seq("a"), "left_anti")
+          .join(drop.select(col("node").as("b")), Seq("b"), "left_anti")
+          .select(col("a"), col("b"))
+          .truncateLineage()
+      }
+    }
+    // isolated survivors of the last drop don't exist: every node in
+    // `alive` has degree >= k by the converged test. Core members are
+    // the endpoints of the surviving edges.
+    val core = alive.select(col("a").as("node"))
+      .unionByName(alive.select(col("b").as("node")))
+      .distinct()
+      .select(col("node"), lit(0).as("layer"))
+    val all =
+      if (peeled == null) core else core.unionByName(peeled)
+    (all.withColumn("in_core", col("layer") === 0), rounds)
+  }
+
+  /** Synchronous label propagation for `rounds` rounds. Every node
+    * starts with its own id as label; each round it adopts the most
+    * frequent label among its NEIGHBORS (tie → smallest label) — the
+    * deterministic synchronous variant of Raghavan et al. 2007.
+    * Returns (node, label) after the final round.
+    *
+    * Per round: one shuffle join (adjacency × labels) + one
+    * (node, label) count + one per-node top-1 window — all keyed on the
+    * node, no global sort. Lineage truncates per round. */
+  def labelPropagation(canon: DataFrame, rounds: Int): DataFrame = {
+    val adj = canon.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(canon.select(col("b").as("u"), col("a").as("v")))
+      .truncateLineage()
+    var labels = adj.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .truncateLineage()
+    val w = Window.partitionBy(col("u"))
+      .orderBy(col("c").desc, col("label"))
+    for (_ <- 1 to rounds) {
+      labels = adj
+        .join(labels.select(col("node").as("v"), col("label")), Seq("v"))
+        .groupBy(col("u"), col("label")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("u").as("node"), col("label"))
+        .truncateLineage()
+    }
+    labels
+  }
+}

@@ -37,7 +37,8 @@ object Catalog {
       MonitoringQueries.qs ++
       SamplingQueries.qs ++
       SecurityQueries.qs ++
-      CurationQueries.qs
+      CurationQueries.qs ++
+      GraphAnalyticsQueries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.graph.{GraphAnalytics, KGraph}
+
+/** Whole-graph analytics (triangles / k-core / communities) over the
+  * knowledge graph and its co-occurrence projections — the graph-shaped
+  * corpus measurements the reference's graph store enables but computes
+  * per-node on demand (memory_core/graph via neighbor scans); here they
+  * are whole-graph Catalyst plans with DuckDB oracle twins (the
+  * iterative ones unrolled round-by-round in SQL).
+  */
+object GraphAnalyticsQueries {
+
+  // -- q191: co-purchase projection triangles + local clustering
+  //          coefficient. Projects lineitem onto a part–part graph
+  //          (edge = two parts share an order), then runs the
+  //          ordered-wedge triangle census. Scale shape: the projection
+  //          shuffles once on orderkey and its fan-out is bounded by
+  //          per-order item count (TPC-H <= 7 -> <= 21 pairs/order);
+  //          triangles stream through two hash joins on the canonical
+  //          edge list — no |V|^2 step anywhere.
+  private def q191(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val canon = li.select(col("ok"), col("pk").as("p1"))
+      .join(li.select(col("ok"), col("pk").as("p2")), "ok")
+      .filter(col("p1") < col("p2"))
+      .select(col("p1").as("a"), col("p2").as("b"))
+      .distinct()
+    GraphAnalytics.clustering(canon)
+      .select(col("node").as("part_id"), col("degree"), col("n_tri"),
+        col("clustering"))
+      .orderBy(col("part_id"))
+  }
+
+  private val q191Sql =
+    """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |            FROM lineitem),
+      |e AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+      |      FROM lp x JOIN lp y ON x.ok = y.ok AND x.pk < y.pk),
+      |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |        FROM e e1 JOIN e e2 ON e1.b = e2.a
+      |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |tn AS (SELECT node, count(*) AS n_tri FROM (
+      |         SELECT x AS node FROM tri
+      |         UNION ALL SELECT y FROM tri
+      |         UNION ALL SELECT z FROM tri) t
+      |       GROUP BY node),
+      |deg AS (SELECT node, count(*) AS degree FROM (
+      |          SELECT a AS node FROM e UNION ALL SELECT b FROM e) d
+      |        GROUP BY node)
+      |SELECT deg.node AS part_id, deg.degree,
+      |  coalesce(tn.n_tri, 0) AS n_tri,
+      |  CASE WHEN deg.degree >= 2
+      |    THEN round(2.0 * CAST(coalesce(tn.n_tri, 0) AS DOUBLE)
+      |           / CAST(deg.degree * (deg.degree - 1) AS DOUBLE), 6)
+      |    ELSE 0.0 END AS clustering
+      |FROM deg LEFT JOIN tn ON deg.node = tn.node
+      |ORDER BY part_id""".stripMargin
+
+  // -- q192: k-core onion layers (k = 3) over the undirected knowledge
+  //          graph. Synchronous peel: round r removes every node whose
+  //          surviving degree < 3; layer = the peel round, 0 = 3-core
+  //          member. The oracle unrolls the SAME synchronous rounds as
+  //          chained CTEs (KCoreRounds of them — rounds past the fixed
+  //          point peel nothing, so a cap above convergence is exact).
+  //          Scale shape: each round is one degree aggregate + two
+  //          anti-joins on the shrinking edge list, lineage truncated
+  //          per round.
+  private[graft] val KCoreK = 3
+  private[graft] val KCoreRounds = 16
+
+  private def q192(s: SparkSession, dir: String): DataFrame = {
+    val canon = GraphAnalytics.canonical(KGraph.materialized(s, dir))
+    val (out, _) = GraphAnalytics.kCorePeel(canon, KCoreK, KCoreRounds)
+    out.select(col("node").as("node_id"), col("layer"), col("in_core"))
+      .orderBy(col("node_id"))
+  }
+
+  private val q192Sql = {
+    // every round CTE is MATERIALIZED: each references the previous one
+    // several times, and DuckDB's default CTE inlining would expand the
+    // 16-round chain exponentially (3^16 re-scans of the edge list)
+    val rounds = (1 to KCoreRounds).map { i =>
+      val prev = s"e${i - 1}"
+      s"""d$i AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+         |  SELECT a AS node FROM $prev UNION ALL SELECT b FROM $prev) t
+         |  GROUP BY node),
+         |p$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg < $KCoreK),
+         |e$i AS MATERIALIZED (SELECT a, b FROM $prev
+         |  WHERE a NOT IN (SELECT node FROM p$i)
+         |    AND b NOT IN (SELECT node FROM p$i))""".stripMargin
+    }.mkString(",\n")
+    val layers = (1 to KCoreRounds)
+      .map(i => s"SELECT node, $i AS layer FROM p$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${KGraph.edgesSql},
+       |e0 AS MATERIALIZED (SELECT DISTINCT least(from_id, to_id) AS a,
+       |         greatest(from_id, to_id) AS b
+       |       FROM edges WHERE from_id <> to_id),
+       |$rounds,
+       |peeled AS (
+       |  $layers),
+       |core AS (
+       |  SELECT DISTINCT node, 0 AS layer FROM (
+       |    SELECT a AS node FROM e$KCoreRounds
+       |    UNION ALL SELECT b FROM e$KCoreRounds) t)
+       |SELECT node AS node_id, CAST(layer AS INT) AS layer,
+       |  layer = 0 AS in_core
+       |FROM (SELECT * FROM core UNION ALL SELECT * FROM peeled) u
+       |ORDER BY node_id""".stripMargin
+  }
+
+  // -- q193: label-propagation communities, 4 synchronous rounds,
+  //          deterministic (most-frequent neighbor label, tie ->
+  //          smallest). The oracle unrolls the identical 4 rounds.
+  //          Scale shape per round: adjacency × labels hash join +
+  //          (node, label) count + per-node top-1 window — everything
+  //          keyed on the node id.
+  private[graft] val LpaRounds = 4
+
+  private def q193(s: SparkSession, dir: String): DataFrame = {
+    val canon = GraphAnalytics.canonical(KGraph.materialized(s, dir))
+    GraphAnalytics.labelPropagation(canon, LpaRounds)
+      .select(col("node").as("node_id"), col("label"))
+      .orderBy(col("node_id"))
+  }
+
+  private val q193Sql = {
+    val rounds = (1 to LpaRounds).map { i =>
+      s"""l$i AS (
+         |  SELECT node_id, label FROM (
+         |    SELECT a.u AS node_id, l.label, count(*) AS c,
+         |      row_number() OVER (PARTITION BY a.u
+         |        ORDER BY count(*) DESC, l.label) AS rn
+         |    FROM adj a JOIN l${i - 1} l ON a.v = l.node_id
+         |    GROUP BY a.u, l.label) t
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${KGraph.edgesSql},
+       |e0 AS (SELECT DISTINCT least(from_id, to_id) AS a,
+       |         greatest(from_id, to_id) AS b
+       |       FROM edges WHERE from_id <> to_id),
+       |adj AS (SELECT a AS u, b AS v FROM e0
+       |        UNION ALL SELECT b, a FROM e0),
+       |l0 AS (SELECT DISTINCT u AS node_id, u AS label FROM adj),
+       |$rounds
+       |SELECT node_id, label FROM l$LpaRounds ORDER BY node_id""".stripMargin
+  }
+
+  val qs: Seq[Q] = Seq(
+    Q("q191_copurchase_clustering", q191, Some(q191Sql)),
+    Q("q192_kcore_layers", q192, Some(q192Sql)),
+    Q("q193_lpa_communities", q193, Some(q193Sql)))
+}

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.security.{AccessControl, AuditAnalytics}
@@ -519,6 +520,65 @@ object SecurityQueries {
        |FROM assigned GROUP BY 1, 2 ORDER BY source, split""".stripMargin
   }
 
+  // -- q194: k-anonymity / l-diversity audit — the release-gating
+  //          check a privacy-aware pipeline runs before publishing a
+  //          record-level extract (Sweeney 2002; Machanavajjhala et
+  //          al. 2006). Quasi-identifier = (nation, market segment,
+  //          account-balance band); sensitive attribute = the
+  //          customer's dominant order priority (most frequent, tie →
+  //          smallest). Reports every QI equivalence class with its
+  //          size k and sensitive-value diversity l, flagged against
+  //          k >= 5 / l >= 2. Scale shape: one keyed aggregate + a
+  //          per-customer top-1 window over orders, one equi-join onto
+  //          the registry, one grouped aggregate — no per-class
+  //          enumeration, classes stream out of the final groupBy.
+  private val KAnonK = 5
+  private val LDivL = 2
+
+  private def q194(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+    val orders = Tables.load(s, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("c").desc, col("o_orderpriority"))
+    val dom = orders.groupBy(col("o_custkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("o_custkey").as("c_custkey"),
+        col("o_orderpriority").as("sensitive"))
+    cust.join(dom, Seq("c_custkey"), "left")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / lit(1000.0)).as("bal_band"),
+        coalesce(col("sensitive"), lit("none")).as("sensitive"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+      .agg(count(lit(1)).as("k_size"),
+        countDistinct(col("sensitive")).as("l_distinct"))
+      .withColumn("k_anonymous", col("k_size") >= KAnonK)
+      .withColumn("l_diverse", col("l_distinct") >= LDivL)
+      .orderBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+  }
+
+  private val q194Sql =
+    s"""WITH dom AS (
+       |  SELECT o_custkey AS c_custkey, o_orderpriority AS sensitive
+       |  FROM (
+       |    SELECT o_custkey, o_orderpriority,
+       |      row_number() OVER (PARTITION BY o_custkey
+       |        ORDER BY count(*) DESC, o_orderpriority) AS rn
+       |    FROM orders GROUP BY o_custkey, o_orderpriority) t
+       |  WHERE rn = 1),
+       |rec AS (
+       |  SELECT c_nationkey, c_mktsegment,
+       |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+       |    coalesce(d.sensitive, 'none') AS sensitive
+       |  FROM customer c LEFT JOIN dom d USING (c_custkey))
+       |SELECT c_nationkey, c_mktsegment, bal_band,
+       |  count(*) AS k_size,
+       |  count(DISTINCT sensitive) AS l_distinct,
+       |  count(*) >= $KAnonK AS k_anonymous,
+       |  count(DISTINCT sensitive) >= $LDivL AS l_diverse
+       |FROM rec GROUP BY 1, 2, 3
+       |ORDER BY c_nationkey, c_mktsegment, bal_band""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q118_access_grants", q118, Some(q118Sql)),
     Q("q119_privacy_stats", q119, Some(q119Sql)),
@@ -526,5 +586,6 @@ object SecurityQueries {
     Q("q121_brute_force", q121, Some(q121Sql)),
     Q("q122_new_ip_anomaly", q122, Some(q122Sql)),
     Q("q123_governed_corpus", q123, Some(q123Sql)),
-    Q("q124_compliance_report", q124, Some(q124Sql)))
+    Q("q124_compliance_report", q124, Some(q124Sql)),
+    Q("q194_k_anonymity", q194, Some(q194Sql)))
 }

@@ -1,0 +1,73 @@
+package graft
+
+import graft.graph.GraphAnalytics
+
+class GraphAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(pairs: (String, String)*) =
+    GraphAnalytics.canonical(pairs.toDF("from_id", "to_id"))
+
+  test("canonical orients, dedupes and drops self-loops") {
+    val got = canon(("b", "a"), ("a", "b"), ("a", "a"), ("b", "c"))
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("a", "b"), ("b", "c")))
+  }
+
+  test("triangleCounts finds each triangle once per member node") {
+    // triangle a-b-c plus pendant c-d: a,b,c in 1 triangle, d in none
+    val c = canon(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"))
+    val got = GraphAnalytics.triangleCounts(c)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("clustering: K4 is 1.0 everywhere, pendant is 0") {
+    // complete graph on {a,b,c,d} + pendant e on d
+    val k4 = for {
+      x <- Seq("a", "b", "c", "d"); y <- Seq("a", "b", "c", "d")
+      if x < y
+    } yield (x, y)
+    val c = canon(k4 :+ (("d", "e")): _*)
+    val got = GraphAnalytics.clustering(c)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("a") == ((3L, 3L, 1.0)))
+    assert(got("d") == ((4L, 3L, 0.5))) // 3 of C(4,2)=6 pairs closed
+    assert(got("e") == ((1L, 0L, 0.0)))
+  }
+
+  test("kCorePeel: chain peels outside-in, cycle survives k=2") {
+    // path a-b-c-d-e attached to triangle e-f-g
+    val c = canon(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+      ("e", "f"), ("f", "g"), ("e", "g"))
+    val (out, rounds) = GraphAnalytics.kCorePeel(c, 2, maxRounds = 16)
+    val got = out.select("node", "layer")
+      .as[(String, Int)].collect().toMap
+    // synchronous peel: a peels round 1, then b exposed -> round 2, ...
+    assert(got == Map("a" -> 1, "b" -> 2, "c" -> 3, "d" -> 4,
+      "e" -> 0, "f" -> 0, "g" -> 0))
+    assert(rounds == 4, s"converged in $rounds rounds")
+  }
+
+  test("kCorePeel converges under the cap (no truncated cascade)") {
+    // 10-node path: layers 1..5 from both ends, nothing in the 2-core
+    val path = (0 until 9).map(i => (s"n$i", s"n${i + 1}"))
+    val (out, rounds) = GraphAnalytics.kCorePeel(canon(path: _*), 2)
+    assert(rounds == 5 && rounds < 16)
+    assert(out.filter("in_core").count() == 0)
+  }
+
+  test("labelPropagation: two cliques bridged keep distinct labels") {
+    val cliqueA = for { x <- Seq("a1", "a2", "a3"); y <- Seq("a1", "a2", "a3") if x < y } yield (x, y)
+    val cliqueB = for { x <- Seq("b1", "b2", "b3"); y <- Seq("b1", "b2", "b3") if x < y } yield (x, y)
+    val c = canon((cliqueA ++ cliqueB :+ (("a3", "b1"))): _*)
+    val got = GraphAnalytics.labelPropagation(c, 4)
+      .as[(String, String)].collect().toMap
+    // min-label tie-breaks drive clique A to its smallest member; the
+    // bridge leaks a3's label into clique B on B's internal ties — the
+    // two communities stay DISTINCT, which is the property that matters
+    assert(Set("a1", "a2", "a3").map(got) == Set("a1"))
+    assert(Set("b1", "b2", "b3").map(got) == Set("a3"))
+  }
+}
