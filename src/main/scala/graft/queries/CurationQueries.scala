@@ -2577,6 +2577,111 @@ object CurationQueries {
        |FROM gf GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // -- q196: CCNet-style head/middle/tail bucketing (Wenzek et al.
+  //          2020) — per-language perplexity terciles under the corpus
+  //          bigram LM (q129's scoring): head = most fluent third,
+  //          tail = most surprising. The standard pre-mixing quality
+  //          banding for web corpora. Scale shape: q129's keyed count
+  //          joins + ONE per-language window (ntile over (ce, doc_id) —
+  //          a total order, so the cut is deterministic); at 100 TB the
+  //          exact per-lang sort becomes approx-quantile cuts
+  //          (percentile_approx on ce) — same bands, no global sort
+  //          (see docs/TUNING.md).
+  private def q196(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{NgramLm, Repetition}
+    val d = docs(s, dir)
+    val toks = d.select(col("doc_id"), Repetition.tokens(col("text")).as("l"))
+      .filter(size(col("l")) >= 2)
+    val scored = NgramLm.score(toks)
+      .join(d.select(col("doc_id"), col("lang")), "doc_id")
+    val w = Window.partitionBy(col("lang")).orderBy(col("ce"), col("doc_id"))
+    scored.withColumn("tercile", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"),
+        round(col("ppl"), 6).as("perplexity"),
+        when(col("tercile") === 1, "head")
+          .when(col("tercile") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q196Sql =
+    s"""WITH ${graft.text.NgramLm.sql.scoreCtes},
+       |scored AS (
+       |  SELECT l.doc_id, d.lang, l.ce
+       |  FROM lmagg l JOIN documents d USING (doc_id)),
+       |b AS (
+       |  SELECT doc_id, lang, ce,
+       |    ntile(3) OVER (PARTITION BY lang ORDER BY ce, doc_id) AS tercile
+       |  FROM scored)
+       |SELECT doc_id, lang, round(exp(ce), 6) AS perplexity,
+       |  CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+       |    ELSE 'tail' END AS bucket
+       |FROM b ORDER BY doc_id""".stripMargin
+
+  // -- q198: truncated-dimension retrieval fidelity — the evaluation a
+  //          pipeline runs before adopting Matryoshka-style dimension
+  //          truncation (Kusupati et al. 2022) for its first-stage
+  //          retriever: exact cosine top-10 on the full 64-dim
+  //          embedding vs the FIRST-16-dims truncation, per-probe
+  //          overlap@10. The q157 protocol with the IVF leg swapped for
+  //          a prefix slice. Scale shape: both legs broadcast the
+  //          16-probe frame onto one linear scan each; per-probe
+  //          rankings are WindowGroupLimit; the comparison is one
+  //          (q_id, vec_id) semi-join.
+  private val MatProbes = 16
+  private val MatK = 10
+  private val MatDims = 16
+
+  private def q198(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val probes = broadcast(e.filter(col("vec_id") < MatProbes)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    def topk(simCol: Column) =
+      e.crossJoin(probes).withColumn("sim", simCol)
+        .withColumn("rn", row_number().over(wq)).filter(col("rn") <= MatK)
+        .select(col("q_id"), col("vec_id"))
+    val full = topk(VectorFunctions.cosine(col("embedding"), col("q_vec")))
+    val trunc = topk(VectorFunctions.cosine(
+      slice(col("embedding"), 1, MatDims), slice(col("q_vec"), 1, MatDims)))
+    full.join(trunc, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+      .select(col("q_id"), col("n_hit"),
+        round(col("n_hit") / lit(MatK.toDouble), 6).as("overlap_at_10"))
+      .orderBy(col("q_id"))
+  }
+
+  private val q198Sql = {
+    val cosFull = VectorFunctions.sql.cosine("e.embedding", "p.q_vec")
+    val cosTrunc = VectorFunctions.sql.cosine(
+      s"e.embedding[1:$MatDims]", s"p.q_vec[1:$MatDims]")
+    s"""WITH probes AS (
+       |  SELECT vec_id AS q_id, embedding AS q_vec
+       |  FROM embeddings WHERE vec_id < $MatProbes),
+       |full_top AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT p.q_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY p.q_id
+       |        ORDER BY $cosFull DESC, e.vec_id) AS rn
+       |    FROM embeddings e CROSS JOIN probes p) x
+       |  WHERE rn <= $MatK),
+       |trunc_top AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT p.q_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY p.q_id
+       |        ORDER BY $cosTrunc DESC, e.vec_id) AS rn
+       |    FROM embeddings e CROSS JOIN probes p) x
+       |  WHERE rn <= $MatK)
+       |SELECT f.q_id, count(*) AS n_hit,
+       |  round(count(*) / $MatK.0, 6) AS overlap_at_10
+       |FROM full_top f
+       |WHERE EXISTS (SELECT 1 FROM trunc_top t
+       |  WHERE t.q_id = f.q_id AND t.vec_id = f.vec_id)
+       |GROUP BY f.q_id
+       |ORDER BY f.q_id""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q145_dsir_importance", q145, Some(q145Sql), headline = true),
     Q("q146_bm25_topk", q146, Some(q146Sql)),
@@ -2614,5 +2719,7 @@ object CurationQueries {
     Q("q181_retrieval_quality", q181, Some(q181Sql)),
     Q("q182_drift_psi", q182, Some(q182Sql)),
     Q("q184_classifier_calibration", q184, Some(q184Sql)),
-    Q("q188_good_turing", q188, Some(q188Sql)))
+    Q("q188_good_turing", q188, Some(q188Sql)),
+    Q("q196_ccnet_buckets", q196, Some(q196Sql)),
+    Q("q198_matryoshka_fidelity", q198, Some(q198Sql)))
 }

@@ -1093,6 +1093,79 @@ object DedupQueries {
        |FROM btot t LEFT JOIN bexts x USING (source)
        |ORDER BY t.source""".stripMargin
 
+  // -- q197: URL canonicalization + URL-level dedup — the cheapest
+  //          dedup tier a web-corpus pipeline runs BEFORE any content
+  //          hashing (Common-Crawl practice: normalize, then collapse
+  //          fetch variants of the same page). The corpus tables carry
+  //          no URL column, so each doc derives a deterministic synthetic
+  //          URL exercising the variant classes the normalizer must
+  //          collapse: host case, tracking (utm_*) params, trailing
+  //          slash, #fragments. Normalization = lowercase + strip
+  //          fragment + strip utm params + strip trailing slash — pure
+  //          scan-local regexp chains, identical RE syntax on both
+  //          engines. Dedup = one groupBy on the canonical URL; report
+  //          every collapsed group (n > 1) with its canonical doc.
+  private def q197(s: SparkSession, dir: String): DataFrame = {
+    val url = concat(
+      lit("https://"),
+      when(col("doc_id") % 4 === 1, upper(col("source"))).otherwise(col("source")),
+      lit(".example.com/page/"),
+      (floor(col("doc_id") / lit(20.0)) % 7).cast("string"),
+      when(col("doc_id") % 3 === 0,
+          concat(lit("?utm_source=feed&utm_medium=rss&id="),
+            (floor(col("doc_id") / lit(20.0)) % 7).cast("string")))
+        .when(col("doc_id") % 3 === 1, lit("/"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit("#section-2")).otherwise(lit("")))
+    val norm =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(lower(url), "#.*$", ""),
+            "utm_[^&]*&?", ""),
+          "[?&]$", ""),
+        "/$", "")
+    docs(s, dir)
+      .select(col("doc_id"), col("source"), norm.as("url_norm"))
+      .groupBy(col("url_norm"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc"),
+        countDistinct(col("source")).as("n_sources"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("url_norm"))
+  }
+
+  private val q197Sql =
+    """WITH u AS (
+      |  SELECT doc_id, source,
+      |    'https://' ||
+      |    CASE WHEN doc_id % 4 = 1 THEN upper(source) ELSE source END ||
+      |    '.example.com/page/' ||
+      |      (CAST(floor(doc_id / 20.0) AS BIGINT) % 7) ||
+      |    CASE WHEN doc_id % 3 = 0
+      |      THEN '?utm_source=feed&utm_medium=rss&id=' ||
+      |        (CAST(floor(doc_id / 20.0) AS BIGINT) % 7)
+      |      WHEN doc_id % 3 = 1 THEN '/'
+      |      ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END AS url
+      |  FROM documents),
+      |n AS (
+      |  -- DuckDB regexp_replace is first-match by default (Spark's is
+      |  -- global): the 'g' option makes the two engines agree on the
+      |  -- multi-param utm strip
+      |  SELECT doc_id, source,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(lower(url), '#.*$', '', 'g'),
+      |        'utm_[^&]*&?', '', 'g'),
+      |      '[?&]$', '', 'g'),
+      |    '/$', '', 'g') AS url_norm
+      |  FROM u)
+      |SELECT url_norm, count(*) AS n_docs, min(doc_id) AS canonical_doc,
+      |  count(DISTINCT source) AS n_sources
+      |FROM n GROUP BY url_norm HAVING count(*) > 1
+      |ORDER BY url_norm""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q27_dedup_exact", q27, Some(q27Sql), headline = true),
     Q("q28_dedup_minhash_lsh", q28, Some(q28Sql), headline = true),
@@ -1110,5 +1183,6 @@ object DedupQueries {
     Q("q183_neardup_edit_audit", q183, Some(q183Sql)),
     Q("q185_substring_split_leakage", q185, Some(q185Sql)),
     Q("q186_cluster_histogram", q186, Some(q186Sql)),
-    Q("q187_incremental_substring", q187, Some(q187Sql)))
+    Q("q187_incremental_substring", q187, Some(q187Sql)),
+    Q("q197_url_dedup", q197, Some(q197Sql)))
 }

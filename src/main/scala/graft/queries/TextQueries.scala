@@ -473,6 +473,53 @@ object TextQueries {
        |JOIN ts tb ON tb.source = p.src_b
        |ORDER BY src_a, src_b""".stripMargin
 
+  // -- q195: readability scoring — Flesch reading ease + Flesch–Kincaid
+  //          grade (Kincaid et al. 1975) with the deterministic
+  //          vowel-group syllable estimate (a syllable ≈ one maximal
+  //          [aeiouy]+ run — the standard heuristic when no dictionary
+  //          is allowed on the scoring path). The quality-filter
+  //          companion to q33/q128: pipelines band corpora by grade
+  //          level before mixing. Scale shape: three regexp counters
+  //          per row, scan-local, no shuffle before the final sort.
+  private def q195(s: SparkSession, dir: String): DataFrame = {
+    val words =
+      size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0)))
+    val syl =
+      size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+    val sent =
+      greatest(lit(1), size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))))
+    docs(s, dir)
+      .select(col("doc_id"), words.as("n_words"), sent.as("n_sentences"),
+        syl.as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .withColumn("wps", col("n_words").cast("double") / col("n_sentences"))
+      .withColumn("spw", col("n_syllables").cast("double") / col("n_words"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        round(lit(206.835) - lit(1.015) * col("wps") - lit(84.6) * col("spw"), 6)
+          .as("flesch"),
+        round(lit(0.39) * col("wps") + lit(11.8) * col("spw") - lit(15.59), 6)
+          .as("fk_grade"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q195Sql =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_words,
+      |    greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences,
+      |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, n_words, n_sentences, n_syllables,
+      |    CAST(n_words AS DOUBLE) / n_sentences AS wps,
+      |    CAST(n_syllables AS DOUBLE) / n_words AS spw
+      |  FROM f WHERE n_words > 0)
+      |SELECT doc_id, n_words, n_sentences, n_syllables,
+      |  round(206.835 - 1.015 * wps - 84.6 * spw, 6) AS flesch,
+      |  round(0.39 * wps + 11.8 * spw - 15.59, 6) AS fk_grade
+      |FROM r ORDER BY doc_id""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q32_text_langid", q32, Some(q32Sql)),
     Q("q33_text_quality", q33, Some(q33Sql)),
@@ -483,5 +530,6 @@ object TextQueries {
     Q("q128_repetition_filters", q128, Some(q128Sql)),
     Q("q129_lm_perplexity", q129, Some(q129Sql)),
     Q("q136_vocab_coverage", q136, Some(q136Sql)),
-    Q("q144_vocab_overlap_matrix", q144, Some(q144Sql)))
+    Q("q144_vocab_overlap_matrix", q144, Some(q144Sql)),
+    Q("q195_readability", q195, Some(q195Sql)))
 }
