@@ -50,6 +50,20 @@ object KGraph {
         .truncateLineage())
   }
 
+  /** Canonical undirected edge list (a < b, deduped, self-loops
+    * dropped), hash-partitioned on `a` and materialized once per
+    * (session, sfDir) — the whole-graph-analytics index artifact
+    * (GraphAnalytics triangles / k-core / LPA all start from it), built
+    * at ingestion time exactly like the oriented traversal indexes
+    * above. */
+  def canonicalMaterialized(spark: SparkSession, dir: String): DataFrame = {
+    val base = materialized(spark, dir)
+    cache.computeIfAbsent(s"${spark.hashCode()}|$dir|canonical",
+      _ => GraphAnalytics.canonical(base)
+        .repartition(col("a"))
+        .truncateLineage())
+  }
+
   /** Typed edges: from_id, to_id, relation_type, confidence. */
   def edges(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.load(spark, dir, "orders")

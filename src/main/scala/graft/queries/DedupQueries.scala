@@ -1166,6 +1166,40 @@ object DedupQueries {
       |FROM n GROUP BY url_norm HAVING count(*) > 1
       |ORDER BY url_norm""".stripMargin
 
+  // -- q201: content-defined chunk dedup — the block-level dedup tier
+  //          (LBFS/rsync heritage) over Cdc.chunks' hash-boundary
+  //          chunking: every chunk (>= CdcMinLen chars, so residual
+  //          2-3-char tails don't collide) fingerprinted and grouped by
+  //          content hash; report every chunk shared across occurrences
+  //          with its spread. Catches SHARED PASSAGES between documents
+  //          that document-level MinHash scores as globally dissimilar.
+  //          Scale shape: one scan-local codegen pass per doc (cuts +
+  //          md5), a ~len/64 chunk fan-out, ONE chunk_hash-keyed
+  //          aggregate — no pairwise anything; the chunk-hash frame is
+  //          the reusable incremental index (join a new batch's chunks
+  //          against it, q142-style).
+  private val CdcMinLen = 20
+
+  private def q201(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Cdc.chunks(docs(s, dir), "doc_id", "text")
+      .filter(col("chunk_len") >= CdcMinLen)
+      .groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("chunk_len")).as("chunk_len"),
+        min(col("doc_id")).as("canonical_doc"))
+      .filter(col("n_occ") > 1)
+      .orderBy(col("chunk_hash"))
+
+  private val q201Sql =
+    s"""WITH ${graft.dedup.Cdc.sql.chunksCtes}
+       |SELECT chunk_hash, count(*) AS n_occ,
+       |  count(DISTINCT doc_id) AS n_docs,
+       |  min(chunk_len) AS chunk_len, min(doc_id) AS canonical_doc
+       |FROM chunks WHERE chunk_len >= $CdcMinLen
+       |GROUP BY chunk_hash HAVING count(*) > 1
+       |ORDER BY chunk_hash""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q27_dedup_exact", q27, Some(q27Sql), headline = true),
     Q("q28_dedup_minhash_lsh", q28, Some(q28Sql), headline = true),
@@ -1184,5 +1218,6 @@ object DedupQueries {
     Q("q185_substring_split_leakage", q185, Some(q185Sql)),
     Q("q186_cluster_histogram", q186, Some(q186Sql)),
     Q("q187_incremental_substring", q187, Some(q187Sql)),
-    Q("q197_url_dedup", q197, Some(q197Sql)))
+    Q("q197_url_dedup", q197, Some(q197Sql)),
+    Q("q201_cdc_chunk_dedup", q201, Some(q201Sql)))
 }

@@ -75,7 +75,7 @@ object GraphAnalyticsQueries {
   private[graft] val KCoreRounds = 16
 
   private def q192(s: SparkSession, dir: String): DataFrame = {
-    val canon = GraphAnalytics.canonical(KGraph.materialized(s, dir))
+    val canon = KGraph.canonicalMaterialized(s, dir)
     val (out, _) = GraphAnalytics.kCorePeel(canon, KCoreK, KCoreRounds)
     out.select(col("node").as("node_id"), col("layer"), col("in_core"))
       .orderBy(col("node_id"))
@@ -124,7 +124,7 @@ object GraphAnalyticsQueries {
   private[graft] val LpaRounds = 4
 
   private def q193(s: SparkSession, dir: String): DataFrame = {
-    val canon = GraphAnalytics.canonical(KGraph.materialized(s, dir))
+    val canon = KGraph.canonicalMaterialized(s, dir)
     GraphAnalytics.labelPropagation(canon, LpaRounds)
       .select(col("node").as("node_id"), col("label"))
       .orderBy(col("node_id"))

@@ -281,6 +281,55 @@ object StatsQueries {
       .map { case (t, k) => skewLegSql(t, k) }
       .mkString("", "\nUNION ALL\n", "\nORDER BY key_col")
 
+  // -- q199: per-source token-mass Gini — how unequally a source's
+  //          token budget is spread over its documents (a skewed source
+  //          means a few giant docs dominate its mixture weight; the
+  //          within-source companion to q140's join-key skew and
+  //          q168's cross-source allocation). Exact rank formula
+  //          G = (2·Σ i·x_i − (n+1)·Σ x) / (n·Σ x) over ascending
+  //          (x, doc_id) ranks — ties carry equal x so the rank
+  //          tiebreak cannot change the sum; every accumulation is a
+  //          bigint, the single division happens once per source.
+  //          Scale shape: one scan-local token count, one per-source
+  //          rank window, one keyed aggregate — the window partitions
+  //          by source, so no global sort.
+  private def q199(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TF.tokenCount(col("text")).cast("long").as("n_toks"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_toks"), col("doc_id"))
+    d.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("i") * col("n_toks")).as("ix"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round((lit(2.0) * col("ix") - (col("n_docs") + 1) * col("n_tokens"))
+          / (col("n_docs") * col("n_tokens")), 6).as("gini"))
+      .orderBy(col("source"))
+  }
+
+  private val q199Sql =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(${TF.sql.tokenCount("text")} AS BIGINT) AS n_toks
+       |  FROM documents),
+       |r AS (
+       |  SELECT source, n_toks,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY n_toks, doc_id) AS BIGINT) AS i
+       |  FROM d),
+       |agg AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |    CAST(sum(i * n_toks) AS BIGINT) AS ix
+       |  FROM r GROUP BY source)
+       |SELECT source, n_docs, n_tokens,
+       |  round((2.0 * CAST(ix AS DOUBLE) - (n_docs + 1) * n_tokens)
+       |    / (n_docs * n_tokens), 6) AS gini
+       |FROM agg ORDER BY source""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q60_growth_rate", q60, Some(q60Sql)),
     Q("q61_decline_periods", q61, Some(q61Sql)),
@@ -289,5 +338,6 @@ object StatsQueries {
     Q("q64_content_scan", q64, Some(q64Sql)),
     Q("q65_structural_anomaly", q65, Some(q65Sql)),
     Q("q66_consensus_levels", q66, Some(q66Sql)),
-    Q("q140_key_skew_report", q140, Some(q140Sql)))
+    Q("q140_key_skew_report", q140, Some(q140Sql)),
+    Q("q199_source_gini", q199, Some(q199Sql)))
 }

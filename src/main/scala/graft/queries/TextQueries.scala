@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.text.{TextFunctions => TF}
@@ -520,6 +521,56 @@ object TextQueries {
       |  round(0.39 * wps + 11.8 * spw - 15.59, 6) AS fk_grade
       |FROM r ORDER BY doc_id""".stripMargin
 
+  // -- q200: per-source TF-IDF keyword extraction — the "what is this
+  //          source about" table a curation dashboard shows next to
+  //          q137's centroid map and q158's divergence map. tf = token
+  //          instances within the source, df = number of sources
+  //          containing the token, idf = ln(S/df); top-10 per source by
+  //          (tfidf desc, token asc). Scale shape: one exploded
+  //          instance scan → (source, token) keyed aggregate (vocab ×
+  //          sources bounded), df is a token-keyed aggregate over THAT
+  //          frame (not the corpus), the 1-row source count broadcasts,
+  //          and the top-10 is a per-source window over the bounded
+  //          frame — the corpus is touched exactly once.
+  private def q200(s: SparkSession, dir: String): DataFrame = {
+    val inst = docs(s, dir).select(col("source"),
+      explode(TF.tokens(col("text"))).as("token"))
+    val st = inst.groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = st.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nSrc = docs(s, dir).agg(countDistinct(col("source")).as("n_src"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("tfidf").desc, col("token"))
+    st.join(df, "token").crossJoin(broadcast(nSrc))
+      .withColumn("tfidf",
+        col("tf") * log(col("n_src").cast("double") / col("df")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("source"), col("rank"), col("token"), col("tf"),
+        col("df"), round(col("tfidf"), 6).as("tfidf"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  private val q200Sql =
+    s"""WITH inst AS (
+       |  SELECT source, unnest(${TF.sql.tokens("text")}) AS token
+       |  FROM documents),
+       |st AS (SELECT source, token, count(*) AS tf
+       |       FROM inst GROUP BY source, token),
+       |dft AS (SELECT token, count(*) AS df FROM st GROUP BY token),
+       |ns AS (SELECT count(DISTINCT source) AS n_src FROM documents),
+       |scored AS (
+       |  SELECT st.source, st.token, st.tf, dft.df,
+       |    st.tf * ln(CAST(n_src AS DOUBLE) / dft.df) AS tfidf
+       |  FROM st JOIN dft USING (token) CROSS JOIN ns),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY source
+       |    ORDER BY tfidf DESC, token) AS rank
+       |  FROM scored)
+       |SELECT source, rank, token, tf, df, round(tfidf, 6) AS tfidf
+       |FROM ranked WHERE rank <= 10
+       |ORDER BY source, rank""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q32_text_langid", q32, Some(q32Sql)),
     Q("q33_text_quality", q33, Some(q33Sql)),
@@ -531,5 +582,6 @@ object TextQueries {
     Q("q129_lm_perplexity", q129, Some(q129Sql)),
     Q("q136_vocab_coverage", q136, Some(q136Sql)),
     Q("q144_vocab_overlap_matrix", q144, Some(q144Sql)),
-    Q("q195_readability", q195, Some(q195Sql)))
+    Q("q195_readability", q195, Some(q195Sql)),
+    Q("q200_tfidf_keywords", q200, Some(q200Sql)))
 }
