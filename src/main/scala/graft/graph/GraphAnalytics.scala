@@ -140,17 +140,22 @@ object GraphAnalytics {
     val adj = canon.select(col("a").as("u"), col("b").as("v"))
       .unionByName(canon.select(col("b").as("u"), col("a").as("v")))
       .truncateLineage()
-    var labels = adj.select(col("u").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
-      .truncateLineage()
-    for (_ <- 1 to rounds) {
+    // round 1 in closed form: every label is its owner, so "most
+    // frequent neighbor label, tie → smallest" is just min(neighbor) —
+    // one aggregate instead of a join + two
+    var labels = adj.groupBy(col("u"))
+      .agg(min(col("v")).as("label"))
+      .select(col("u").as("node"), col("label"))
+    for (r <- 2 to rounds) {
       labels = adj
         .join(labels.select(col("node").as("v"), col("label")), Seq("v"))
         .groupBy(col("u"), col("label")).agg(count(lit(1)).as("c"))
         .groupBy(col("u"))
         .agg(min(struct((-col("c")).as("negc"), col("label"))).as("m"))
         .select(col("u").as("node"), col("m.label").as("label"))
-        .truncateLineage()
+      // bound plan depth on long runs; a handful of rounds chains as
+      // one linear DAG (no intermediate materialization needed)
+      if (r % 6 == 0) labels = labels.truncateLineage()
     }
     labels
   }

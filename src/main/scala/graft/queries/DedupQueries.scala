@@ -1200,6 +1200,68 @@ object DedupQueries {
        |GROUP BY chunk_hash HAVING count(*) > 1
        |ORDER BY chunk_hash""".stripMargin
 
+  // -- q202: incremental CDC chunk dedup — q201's daily-ingest twin,
+  //          completing the incremental quartet (q142 exact/LSH, q172
+  //          semantic, q187 substring, q202 block-level): the newest
+  //          20% of doc_ids arrive as the batch; their chunks are
+  //          tested ONLY against the distinct chunk-hash set of the
+  //          existing 80% (the reusable index artifact — the corpus
+  //          never re-chunks or self-pairs). Per-source batch report:
+  //          chunk count/bytes, duplicated-against-corpus chunk
+  //          count/bytes, duplicated fraction (exact integer rounding).
+  //          Scale shape: one chunking pass over the batch, one
+  //          semi-join against the hash index, one keyed rollup.
+  private def q202(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactRound
+    val d = docs(s, dir)
+    val cut = d.agg(max(col("doc_id")).as("max_id"))
+      .select(expr("(max_id + 1) * 4 div 5").as("cutoff"))
+    val ch = graft.dedup.Cdc.chunks(d, "doc_id", "text")
+      .filter(col("chunk_len") >= CdcMinLen)
+      .join(d.select(col("doc_id"), col("source")), "doc_id")
+      .crossJoin(broadcast(cut))
+      .withColumn("is_new", col("doc_id") >= col("cutoff"))
+    val corpusIdx = ch.filter(!col("is_new"))
+      .select(col("chunk_hash")).distinct()
+    ch.filter(col("is_new"))
+      .join(corpusIdx.withColumn("dup", lit(true)), Seq("chunk_hash"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("chunk_len").cast("long")).as("chunk_bytes"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("dup"), col("chunk_len").cast("long")).otherwise(0L))
+          .as("dup_bytes"))
+      .withColumn("dup_frac",
+        ExactRound.ratio6(col("dup_bytes"), col("chunk_bytes")))
+      .orderBy(col("source"))
+  }
+
+  private val q202Sql =
+    s"""WITH ${graft.dedup.Cdc.sql.chunksCtes},
+       |cut AS (SELECT (max(doc_id) + 1) * 4 // 5 AS cutoff FROM documents),
+       |ch AS (
+       |  SELECT c.doc_id, d.source, c.chunk_len, c.chunk_hash,
+       |    c.doc_id >= cutoff AS is_new
+       |  FROM chunks c JOIN documents d USING (doc_id), cut
+       |  WHERE c.chunk_len >= $CdcMinLen),
+       |idx AS (SELECT DISTINCT chunk_hash FROM ch WHERE NOT is_new),
+       |b AS (
+       |  SELECT source, chunk_len,
+       |    chunk_hash IN (SELECT chunk_hash FROM idx) AS dup
+       |  FROM ch WHERE is_new),
+       |agg AS (
+       |  SELECT source, count(*) AS n_chunks,
+       |    CAST(sum(chunk_len) AS BIGINT) AS chunk_bytes,
+       |    CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_dup_chunks,
+       |    CAST(sum(CASE WHEN dup THEN chunk_len ELSE 0 END) AS BIGINT)
+       |      AS dup_bytes
+       |  FROM b GROUP BY source)
+       |SELECT source, n_chunks, chunk_bytes, n_dup_chunks, dup_bytes,
+       |  ${graft.functions.ExactRound.sql.ratio6("dup_bytes", "chunk_bytes")}
+       |    AS dup_frac
+       |FROM agg ORDER BY source""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q27_dedup_exact", q27, Some(q27Sql), headline = true),
     Q("q28_dedup_minhash_lsh", q28, Some(q28Sql), headline = true),
@@ -1219,5 +1281,6 @@ object DedupQueries {
     Q("q186_cluster_histogram", q186, Some(q186Sql)),
     Q("q187_incremental_substring", q187, Some(q187Sql)),
     Q("q197_url_dedup", q197, Some(q197Sql)),
-    Q("q201_cdc_chunk_dedup", q201, Some(q201Sql)))
+    Q("q201_cdc_chunk_dedup", q201, Some(q201Sql)),
+    Q("q202_incremental_cdc", q202, Some(q202Sql)))
 }

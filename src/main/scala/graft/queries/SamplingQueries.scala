@@ -612,6 +612,91 @@ object SamplingQueries {
        |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin
   }
 
+  // -- q203: packed-sequence manifest — GPT-style concat-stream packing
+  //          (documents laid end-to-end in doc_id order, cut every
+  //          PackLen tokens): for every packed sequence, its token
+  //          fill, how many documents touch it, how many start in it,
+  //          and how many continue past it (the attention-fragmentation
+  //          statistic packing trades against q138's padding waste).
+  //          Two-phase exact cumsum like q134 — phase 1 aggregates
+  //          tokens per 100-doc shard (the only unpartitioned window
+  //          runs over the shard frame, corpus/100 rows), phase 2 is a
+  //          per-shard doc-ordered window; the oracle drives the same
+  //          numbers off a global cumsum, proving the decomposition.
+  //          Each doc then explodes into its [first_seq, last_seq]
+  //          range (fan-out = spans, ≈ n_seqs + n_docs rows) and one
+  //          keyed rollup builds the manifest. Everything integer.
+  private val PackLen = 512L
+
+  private def q203(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{TextFunctions => TF}
+    val W = org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir).select(col("doc_id"),
+        TF.tokenCount(col("text")).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("shard", expr("doc_id div 100"))
+    val perShard = d.groupBy(col("shard"))
+      .agg(sum(col("n_tok")).as("shard_tokens"))
+    val before = W.orderBy(col("shard"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val shardCum = perShard.withColumn("shard_before",
+      coalesce(sum(col("shard_tokens")).over(before), lit(0L)))
+    val within = W.partitionBy(col("shard")).orderBy(col("doc_id"))
+    val spans = d
+      .join(shardCum.select(col("shard"), col("shard_before")), Seq("shard"))
+      .withColumn("cum_before",
+        col("shard_before") + sum(col("n_tok")).over(within) - col("n_tok"))
+      .withColumn("s0", expr(s"cum_before div $PackLen"))
+      .withColumn("s1", expr(s"(cum_before + n_tok - 1) div $PackLen"))
+    spans.select(col("cum_before"), col("n_tok"), col("s0"), col("s1"),
+        explode(sequence(col("s0"), col("s1"))).as("seq_id"))
+      .groupBy(col("seq_id"))
+      .agg(
+        sum(least(col("cum_before") + col("n_tok"),
+            (col("seq_id") + 1) * PackLen) -
+          greatest(col("cum_before"), col("seq_id") * PackLen))
+          .as("n_tokens"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("s0") === col("seq_id"), 1L).otherwise(0L))
+          .as("n_starting"),
+        sum(when(col("s1") > col("seq_id"), 1L).otherwise(0L))
+          .as("n_crossing"))
+      .orderBy(col("seq_id"))
+  }
+
+  private val q203Sql = {
+    import graft.text.{TextFunctions => TF}
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(${TF.sql.tokenCount("text")} AS BIGINT) AS n_tok
+       |  FROM documents
+       |  WHERE ${TF.sql.tokenCount("text")} > 0),
+       |c AS (
+       |  SELECT doc_id, n_tok,
+       |    CAST(sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+       |      AS BIGINT) - n_tok AS cum_before
+       |  FROM d),
+       |spans AS (
+       |  SELECT cum_before, n_tok,
+       |    cum_before // $PackLen AS s0,
+       |    (cum_before + n_tok - 1) // $PackLen AS s1
+       |  FROM c),
+       |x AS (
+       |  SELECT cum_before, n_tok, s0, s1, seq_id
+       |  FROM spans, unnest(range(s0, s1 + 1)) r(seq_id))
+       |SELECT seq_id,
+       |  CAST(sum(least(cum_before + n_tok, (seq_id + 1) * $PackLen)
+       |    - greatest(cum_before, seq_id * $PackLen)) AS BIGINT)
+       |    AS n_tokens,
+       |  count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN s0 = seq_id THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_starting,
+       |  CAST(sum(CASE WHEN s1 > seq_id THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_crossing
+       |FROM x GROUP BY seq_id
+       |ORDER BY seq_id""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q111_split_assign", q111, Some(q111Sql)),
     Q("q112_quota_sample", q112, Some(q112Sql)),
@@ -625,5 +710,6 @@ object SamplingQueries {
     Q("q134_token_budget_select", q134, Some(q134Sql)),
     Q("q138_padding_waste", q138, Some(q138Sql)),
     Q("q139_filter_funnel", q139, Some(q139Sql)),
-    Q("q141_shard_manifest", q141, Some(q141Sql)))
+    Q("q141_shard_manifest", q141, Some(q141Sql)),
+    Q("q203_packing_manifest", q203, Some(q203Sql)))
 }
