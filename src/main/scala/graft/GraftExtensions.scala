@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import graft.functions.expressions.{SetJaccardExpr, VectorSimExpr}
+import graft.functions.expressions.{CdcCutsExpr, SetJaccardExpr, SetOverlapExpr, VectorSimExpr}
 
 /** Session extensions: registers graft's native Catalyst expressions as
   * SQL functions, so `spark.sql("SELECT cosine_sim(a, b) ...")` works in
@@ -20,6 +20,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
   import org.apache.spark.sql.catalyst.expressions.Expression
+
+  private def unary(name: String, mk: Expression => Expression)
+      : Seq[Expression] => Expression = { exprs =>
+    if (exprs.length != 1)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map("functionName" -> name, "expectedNum" -> "1",
+          "actualNum" -> exprs.length.toString, "docroot" -> ""))
+    mk(exprs(0))
+  }
 
   private def binary(name: String, mk: (Expression, Expression) => Expression)
       : Seq[Expression] => Expression = { exprs =>
@@ -40,7 +50,11 @@ object GraftExtensions {
     "vec_l2" -> (classOf[VectorSimExpr].getName,
       binary("vec_l2", VectorSimExpr(_, _, "l2"))),
     "set_jaccard" -> (classOf[SetJaccardExpr].getName,
-      binary("set_jaccard", SetJaccardExpr(_, _))))
+      binary("set_jaccard", SetJaccardExpr(_, _))),
+    "set_overlap" -> (classOf[SetOverlapExpr].getName,
+      binary("set_overlap", SetOverlapExpr(_, _))),
+    "cdc_cuts" -> (classOf[CdcCutsExpr].getName,
+      unary("cdc_cuts", CdcCutsExpr(_))))
 
   /** Register on an already-built session (the `.withExtensions(new
     * GraftExtensions)` builder path covers new sessions). */

@@ -2682,6 +2682,67 @@ object CurationQueries {
        |ORDER BY f.q_id""".stripMargin
   }
 
+  // -- q204: feature-hash collision audit — the capacity check behind
+  //          every hashed-feature consumer in the catalog (q145 DSIR,
+  //          q173 classifier, q184 calibration): for each candidate
+  //          bucket count, how many vocabulary types collide under the
+  //          SAME portable md5 bucket hash those operators use. A type
+  //          is "collided" when it shares its bucket with another type;
+  //          rate = collided/types (exact integer rounding). Scale
+  //          shape: ONE exploded scan builds the distinct-type frame
+  //          (vocab-bounded); each audited width is a keyed aggregate
+  //          over that frame, never over the corpus.
+  private val HashAuditWidths = Seq(64, 256, 1024)
+
+  private def q204(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Sampling
+    import graft.functions.ExactRound
+    val types = docs(s, dir)
+      .select(explode(graft.text.TextFunctions.tokens(col("text"))).as("token"))
+      .distinct()
+    HashAuditWidths.map { bcount =>
+      val perBucket = types
+        .select(Sampling.hashBucket(col("token"), bcount).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("n_types_in_bucket"))
+      perBucket.agg(
+          sum(col("n_types_in_bucket")).as("n_types"),
+          count(lit(1)).as("n_buckets_used"),
+          max(col("n_types_in_bucket")).as("max_bucket_load"),
+          sum(when(col("n_types_in_bucket") === 1, 1L).otherwise(0L))
+            .as("singleton_buckets"))
+        .select(lit(bcount).as("buckets"), col("n_types"),
+          col("n_buckets_used"), col("max_bucket_load"),
+          (col("n_types") - col("singleton_buckets")).as("collided_types"),
+          ExactRound.ratio6(col("n_types") - col("singleton_buckets"),
+            col("n_types")).as("collision_rate"))
+    }.reduce(_ unionByName _).orderBy(col("buckets"))
+  }
+
+  private val q204Sql = {
+    import graft.pipeline.Sampling
+    val legs = HashAuditWidths.map { bcount =>
+      s"""SELECT $bcount AS buckets,
+         |  CAST(sum(n) AS BIGINT) AS n_types,
+         |  count(*) AS n_buckets_used,
+         |  CAST(max(n) AS BIGINT) AS max_bucket_load,
+         |  CAST(sum(n) - sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS collided_types,
+         |  ${graft.functions.ExactRound.sql.ratio6(
+        "sum(n) - sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)", "sum(n)")}
+         |    AS collision_rate
+         |FROM (
+         |  SELECT ${Sampling.sql.hashBucket("token", bcount, "")} AS b,
+         |    count(*) AS n
+         |  FROM types GROUP BY 1) t$bcount""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH types AS (
+       |  SELECT DISTINCT unnest(${graft.text.TextFunctions.sql.tokens("text")})
+       |    AS token
+       |  FROM documents)
+       |$legs
+       |ORDER BY buckets""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q145_dsir_importance", q145, Some(q145Sql), headline = true),
     Q("q146_bm25_topk", q146, Some(q146Sql)),
@@ -2721,5 +2782,6 @@ object CurationQueries {
     Q("q184_classifier_calibration", q184, Some(q184Sql)),
     Q("q188_good_turing", q188, Some(q188Sql)),
     Q("q196_ccnet_buckets", q196, Some(q196Sql)),
-    Q("q198_matryoshka_fidelity", q198, Some(q198Sql)))
+    Q("q198_matryoshka_fidelity", q198, Some(q198Sql)),
+    Q("q204_hash_collision_audit", q204, Some(q204Sql)))
 }

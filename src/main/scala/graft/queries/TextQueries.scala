@@ -571,6 +571,66 @@ object TextQueries {
        |FROM ranked WHERE rank <= 10
        |ORDER BY source, rank""".stripMargin
 
+  // -- q205: PMI collocation extraction (Church & Hanks 1990) — the
+  //          top bigram collocations of the corpus by pointwise mutual
+  //          information over the bigram stream's own marginals:
+  //          pmi = ln(c12·N / (c1·c2)), c12 >= MinPairCount so rare
+  //          accidents don't dominate. The phrase-mining companion to
+  //          q200's unigram keywords (multiword expressions feed
+  //          tokenizer vocab decisions and boilerplate lists). Scale
+  //          shape: one bigram instance scan → three keyed aggregates
+  //          (pair, prefix, suffix marginals — all vocab-bounded), a
+  //          1-row N broadcast, TakeOrdered top-50; all PMI inputs are
+  //          exact integers.
+  private val MinPairCount = 5
+  private val PmiTopK = 50
+
+  private def q205(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{NgramLm, Repetition}
+    val inst = NgramLm.bigramInstances(
+      docs(s, dir).select(col("doc_id"),
+          Repetition.tokens(col("text")).as("l"))
+        .filter(size(col("l")) >= 2))
+    val pair = inst.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= MinPairCount)
+    val pre = inst.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val suf = inst.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
+    val n = inst.agg(count(lit(1)).as("n_bigrams"))
+    pair.join(pre, "w1").join(suf, "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("pmi",
+        log(col("c12").cast("double") * col("n_bigrams") /
+          (col("c1") * col("c2"))))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(PmiTopK)
+      .select(col("w1"), col("w2"), col("c12"),
+        round(col("pmi"), 6).as("pmi"))
+  }
+
+  private val q205Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS l
+       |  FROM documents),
+       |scoped AS (SELECT * FROM toks WHERE len(l) >= 2),
+       |inst AS (
+       |  SELECT doc_id, i AS pos, l[i] AS w1, l[i+1] AS w2
+       |  FROM scoped, unnest(range(1, len(l))) r(i)),
+       |pair AS (
+       |  SELECT w1, w2, count(*) AS c12 FROM inst GROUP BY 1, 2
+       |  HAVING count(*) >= $MinPairCount),
+       |pre AS (SELECT w1, count(*) AS c1 FROM inst GROUP BY 1),
+       |suf AS (SELECT w2, count(*) AS c2 FROM inst GROUP BY 1),
+       |n AS (SELECT count(*) AS n_bigrams FROM inst),
+       |scored AS (
+       |  SELECT w1, w2, c12,
+       |    ln(CAST(c12 AS DOUBLE) * n_bigrams / (c1 * c2)) AS pmi
+       |  FROM pair JOIN pre USING (w1) JOIN suf USING (w2) CROSS JOIN n)
+       |SELECT w1, w2, c12, round(pmi, 6) AS pmi
+       |FROM scored
+       |ORDER BY pmi DESC, w1, w2 LIMIT $PmiTopK""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q32_text_langid", q32, Some(q32Sql)),
     Q("q33_text_quality", q33, Some(q33Sql)),
@@ -583,5 +643,6 @@ object TextQueries {
     Q("q136_vocab_coverage", q136, Some(q136Sql)),
     Q("q144_vocab_overlap_matrix", q144, Some(q144Sql)),
     Q("q195_readability", q195, Some(q195Sql)),
-    Q("q200_tfidf_keywords", q200, Some(q200Sql)))
+    Q("q200_tfidf_keywords", q200, Some(q200Sql)),
+    Q("q205_pmi_collocations", q205, Some(q205Sql)))
 }

@@ -185,4 +185,14 @@ class QueryDslSpec extends SparkSpec {
       .collect()(0)
     assert(got.getDouble(0) == 1.0 && got.getDouble(1) == 1.0)
   }
+
+  test("SQL function registration (set_overlap + cdc_cuts)") {
+    GraftExtensions.register(spark)
+    Seq((Seq("a", "b", "c"), Seq("b", "c", "d"), "abcdefgh"))
+      .toDF("x", "y", "t").createOrReplaceTempView("ov")
+    val got = spark.sql(
+      "SELECT set_overlap(x, y) AS o, size(cdc_cuts(t)) AS nc FROM ov")
+      .collect()(0)
+    assert(got.getLong(0) == 2L && got.getInt(1) >= 0)
+  }
 }
