@@ -68,7 +68,13 @@ object Bench {
     // round-8 evaluation-family promotions (quiet sf0.1 mins,
     // BENCH_NOTES round-8 addendum 3)
     "q175_classifier_eval" -> 2.33, // re-pinned r8 (full-run quiet min)
-    "q176_minhash_fidelity" -> 8.25) // re-pinned r8 (full-run quiet min)
+    "q176_minhash_fidelity" -> 8.25, // re-pinned r8 (full-run quiet min)
+    // round-8 graph-analytics promotions (quiet sf0.1 mins after the
+    // LPA aggregate-top-1 rewrite + cached canonical edge index,
+    // BENCH_NOTES round-8 addendum 6)
+    "q191_copurchase_clustering" -> 2.95,
+    "q192_kcore_layers" -> 4.29,
+    "q193_lpa_communities" -> 4.69)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -153,7 +153,7 @@ object GraphAnalyticsQueries {
   }
 
   val qs: Seq[Q] = Seq(
-    Q("q191_copurchase_clustering", q191, Some(q191Sql)),
-    Q("q192_kcore_layers", q192, Some(q192Sql)),
-    Q("q193_lpa_communities", q193, Some(q193Sql)))
+    Q("q191_copurchase_clustering", q191, Some(q191Sql), headline = true),
+    Q("q192_kcore_layers", q192, Some(q192Sql), headline = true),
+    Q("q193_lpa_communities", q193, Some(q193Sql), headline = true))
 }

@@ -59,6 +59,47 @@ class CdcSpec extends SparkSpec {
     }
   }
 
+  test("streaming incremental chunk index equals the batch dup count") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.col
+    // identity: Σ_batches (occurrences − hashes new to the index)
+    //         = total occurrences − total distinct hashes,
+    // independent of how the stream is micro-batched — the invariant
+    // that makes the q202 chunk-hash index a correct incremental
+    // artifact
+    val corpus = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val srcDir = java.nio.file.Files.createTempDirectory("cdc-src").toString
+    corpus.repartition(4).write.mode("overwrite").parquet(srcDir)
+
+    val index = scala.collection.mutable.Set.empty[String]
+    var dupOcc = 0L
+    var batches = 0
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batches += 1
+        val hs = Cdc.chunks(batch.toDF(), "doc_id", "text")
+          .filter(col("chunk_len") >= 20)
+          .select(col("chunk_hash")).as[String].collect()
+        dupOcc += hs.count(h => !index.add(h))
+        ()
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    val full = Cdc.chunks(corpus, "doc_id", "text")
+      .filter(col("chunk_len") >= 20)
+      .agg(count(lit(1)).as("n"), countDistinct(col("chunk_hash")).as("d"))
+      .as[(Long, Long)].head()
+    assert(batches > 2, s"expected several micro-batches, got $batches")
+    assert(dupOcc == full._1 - full._2)
+    assert(index.size == full._2)
+  }
+
   test("boundaries are edit-local: a prefix insertion preserves tail chunk hashes") {
     val edited = "INSERTED PREFIX >> " + doc
     def hashes(t: String) = Cdc.chunks(Seq((1L, t)).toDF("doc_id", "text"),
