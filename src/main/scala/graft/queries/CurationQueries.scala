@@ -2743,6 +2743,59 @@ object CurationQueries {
        |ORDER BY buckets""".stripMargin
   }
 
+  // -- q207: embedding outlier audit — per label cluster, the vectors
+  //          farthest from their own centroid (top ~2%, min 1, by
+  //          (distance desc, vec_id)) — the "inspect these before they
+  //          poison retrieval" queue next to q41's value-space
+  //          outliers. Rank-based (no moment arithmetic, no float-sum
+  //          determinism contract beyond the q157 centroid machinery).
+  //          Scale shape: k-row centroid broadcast onto one scan,
+  //          per-label top windows (WindowGroupLimit).
+  private def q207(s: SparkSession, dir: String): DataFrame = {
+    import graft.semantic.VectorSearch
+    val e = emb(s, dir)
+    val cents = VectorSearch.centroids(e, "label")
+    val counts = e.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val wl = Window.partitionBy(col("label"))
+      .orderBy(col("dist").desc, col("vec_id"))
+    e.join(broadcast(cents), e("label") === cents("cell"))
+      .withColumn("dist",
+        VectorFunctions.l2Distance(col("embedding"), col("centroid")))
+      .withColumn("rank", row_number().over(wl))
+      .join(broadcast(counts), "label")
+      .filter(col("rank") <= greatest(lit(1L), expr("n div 50")))
+      .select(col("label"), col("rank"), col("vec_id"),
+        round(col("dist"), 6).as("dist"))
+      .orderBy(col("label"), col("rank"))
+  }
+
+  private val q207Sql = {
+    val l2 = "sqrt(list_sum(list_transform(list_zip(%s, %s), " +
+      "z -> (z[1]-z[2])*(z[1]-z[2]))))"
+    s"""WITH el AS (
+       |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+       |         unnest(embedding::DOUBLE[]) AS x
+       |  FROM embeddings),
+       |centl AS (
+       |  SELECT label AS cell, list(cx ORDER BY pos) AS centroid FROM (
+       |    SELECT label, pos, avg(x) AS cx FROM el GROUP BY label, pos) c
+       |  GROUP BY label),
+       |counts AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+       |d AS (
+       |  SELECT e.label, e.vec_id,
+       |    ${l2.format("e.embedding::DOUBLE[]", "c.centroid")} AS dist
+       |  FROM embeddings e JOIN centl c ON c.cell = e.label),
+       |ranked AS (
+       |  SELECT label, vec_id, dist,
+       |    row_number() OVER (PARTITION BY label
+       |      ORDER BY dist DESC, vec_id) AS rank
+       |  FROM d)
+       |SELECT r.label, r.rank, r.vec_id, round(r.dist, 6) AS dist
+       |FROM ranked r JOIN counts n USING (label)
+       |WHERE r.rank <= greatest(1, n.n // 50)
+       |ORDER BY r.label, r.rank""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q145_dsir_importance", q145, Some(q145Sql), headline = true),
     Q("q146_bm25_topk", q146, Some(q146Sql)),
@@ -2783,5 +2836,6 @@ object CurationQueries {
     Q("q188_good_turing", q188, Some(q188Sql)),
     Q("q196_ccnet_buckets", q196, Some(q196Sql)),
     Q("q198_matryoshka_fidelity", q198, Some(q198Sql)),
-    Q("q204_hash_collision_audit", q204, Some(q204Sql)))
+    Q("q204_hash_collision_audit", q204, Some(q204Sql)),
+    Q("q207_embedding_outliers", q207, Some(q207Sql)))
 }

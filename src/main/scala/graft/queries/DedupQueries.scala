@@ -1262,6 +1262,46 @@ object DedupQueries {
        |    AS dup_frac
        |FROM agg ORDER BY source""".stripMargin
 
+  // -- q208: CDC source-flow matrix — which source PAIRS share
+  //          verbatim passages, at chunk grain (the block-level
+  //          counterpart of q135's document-level duplicate-flow
+  //          matrix): for every chunk hash present in ≥2 sources, one
+  //          row per unordered source pair with shared chunk count and
+  //          bytes. Scale shape: the per-hash frame collapses to
+  //          DISTINCT (hash, source) first — pair fan-out is bounded
+  //          by #sources² per hash, never by occurrences — then one
+  //          keyed rollup over ≤ sources² rows.
+  private def q208(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val hs = graft.dedup.Cdc.chunks(d, "doc_id", "text")
+      .filter(col("chunk_len") >= CdcMinLen)
+      .join(d.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("chunk_hash"), col("source"), col("chunk_len"))
+      .distinct()
+    hs.select(col("chunk_hash"), col("source").as("src_a"), col("chunk_len"))
+      .join(hs.select(col("chunk_hash"), col("source").as("src_b")),
+        "chunk_hash")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared_chunks"),
+        sum(col("chunk_len").cast("long")).as("shared_bytes"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  private val q208Sql =
+    s"""WITH ${graft.dedup.Cdc.sql.chunksCtes},
+       |hs AS (
+       |  SELECT DISTINCT c.chunk_hash, d.source, c.chunk_len
+       |  FROM chunks c JOIN documents d USING (doc_id)
+       |  WHERE c.chunk_len >= $CdcMinLen)
+       |SELECT a.source AS src_a, b.source AS src_b,
+       |  count(*) AS n_shared_chunks,
+       |  CAST(sum(a.chunk_len) AS BIGINT) AS shared_bytes
+       |FROM hs a JOIN hs b
+       |  ON a.chunk_hash = b.chunk_hash AND a.source < b.source
+       |GROUP BY 1, 2
+       |ORDER BY src_a, src_b""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q27_dedup_exact", q27, Some(q27Sql), headline = true),
     Q("q28_dedup_minhash_lsh", q28, Some(q28Sql), headline = true),
@@ -1282,5 +1322,6 @@ object DedupQueries {
     Q("q187_incremental_substring", q187, Some(q187Sql)),
     Q("q197_url_dedup", q197, Some(q197Sql)),
     Q("q201_cdc_chunk_dedup", q201, Some(q201Sql)),
-    Q("q202_incremental_cdc", q202, Some(q202Sql)))
+    Q("q202_incremental_cdc", q202, Some(q202Sql)),
+    Q("q208_cdc_flow_matrix", q208, Some(q208Sql)))
 }

@@ -152,8 +152,74 @@ object GraphAnalyticsQueries {
        |SELECT node_id, label FROM l$LpaRounds ORDER BY node_id""".stripMargin
   }
 
+  // -- q206: co-purchase affinity top-k — item-to-item collaborative
+  //          similarity over the q191 projection, WEIGHTED: cosine
+  //          c_ij/√(c_i·c_j) and lift c_ij·N/(c_i·c_j) from co-occur
+  //          counts, top-5 neighbors per part by (cosine desc, nbr).
+  //          The "users who bought X" ranking re-expressed as set
+  //          algebra. Scale shape: directed pair fan-out bounded per
+  //          order, keyed marginals, a 1-row order-count broadcast,
+  //          and a per-item top-5 window over the pair frame.
+  private val AffinityK = 5
+
+  private def q206(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val pairs = li.select(col("ok"), col("pk").as("i"))
+      .join(li.select(col("ok"), col("pk").as("j")), "ok")
+      .filter(col("i") =!= col("j"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("cij"))
+    val marg = li.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+    val n = li.select(col("ok")).distinct().agg(count(lit(1)).as("n_orders"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("i")).orderBy(col("cosine").desc, col("j"))
+    pairs
+      .join(marg.select(col("pk").as("i"), col("c").as("ci")), "i")
+      .join(marg.select(col("pk").as("j"), col("c").as("cj")), "j")
+      .crossJoin(broadcast(n))
+      .withColumn("cosine",
+        col("cij").cast("double") / sqrt((col("ci") * col("cj")).cast("double")))
+      .withColumn("lift",
+        col("cij").cast("double") * col("n_orders") / (col("ci") * col("cj")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= AffinityK)
+      .select(col("i").as("part_id"), col("rank"), col("j").as("nbr_id"),
+        col("cij"), round(col("cosine"), 6).as("cosine"),
+        round(col("lift"), 6).as("lift"))
+      .orderBy(col("part_id"), col("rank"))
+  }
+
+  private val q206Sql =
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |            FROM lineitem),
+       |pairs AS (
+       |  SELECT x.pk AS i, y.pk AS j, count(*) AS cij
+       |  FROM lp x JOIN lp y ON x.ok = y.ok AND x.pk <> y.pk
+       |  GROUP BY 1, 2),
+       |marg AS (SELECT pk, count(*) AS c FROM lp GROUP BY pk),
+       |n AS (SELECT count(DISTINCT ok) AS n_orders FROM lp),
+       |scored AS (
+       |  SELECT p.i, p.j, p.cij,
+       |    CAST(p.cij AS DOUBLE) / sqrt(CAST(mi.c * mj.c AS DOUBLE))
+       |      AS cosine,
+       |    CAST(p.cij AS DOUBLE) * n_orders / (mi.c * mj.c) AS lift
+       |  FROM pairs p
+       |  JOIN marg mi ON mi.pk = p.i
+       |  JOIN marg mj ON mj.pk = p.j
+       |  CROSS JOIN n),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY i
+       |    ORDER BY cosine DESC, j) AS rank
+       |  FROM scored)
+       |SELECT i AS part_id, rank, j AS nbr_id, cij,
+       |  round(cosine, 6) AS cosine, round(lift, 6) AS lift
+       |FROM ranked WHERE rank <= $AffinityK
+       |ORDER BY part_id, rank""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q191_copurchase_clustering", q191, Some(q191Sql), headline = true),
     Q("q192_kcore_layers", q192, Some(q192Sql), headline = true),
-    Q("q193_lpa_communities", q193, Some(q193Sql), headline = true))
+    Q("q193_lpa_communities", q193, Some(q193Sql), headline = true),
+    Q("q206_copurchase_affinity", q206, Some(q206Sql)))
 }

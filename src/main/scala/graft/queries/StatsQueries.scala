@@ -330,6 +330,80 @@ object StatsQueries {
        |    / (n_docs * n_tokens), 6) AS gini
        |FROM agg ORDER BY source""".stripMargin
 
+  // -- q209: Spearman rank correlation between document metrics — do
+  //          the cheap signals (length, token count) agree with the
+  //          quality score? ρ = 1 − 6·Σd²/(n(n²−1)) over
+  //          deterministically tie-broken ranks (metric asc, doc_id) —
+  //          every accumulation is a bigint, ONE double division per
+  //          pair at the end. (With the doc_id tie-break this is the
+  //          classic d²-formula on total-order ranks, not the
+  //          tie-corrected variant — the deterministic choice both
+  //          engines replay; noted, not hidden.) Long-range contract:
+  //          Σd² ≤ n³ must fit a long → n ≤ ~2M; past that, compute on
+  //          a deterministic sample (q111 machinery). The rank windows
+  //          are global sorts by design — this is a corpus AUDIT; at
+  //          100 TB swap ranks for approx-quantile bins.
+  private def q209(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        round(TF.qualityScore(col("text"), col("n_chars")) * 1000)
+          .cast("long").as("quality_milli"),
+        TF.tokenCount(col("text")).cast("long").as("n_toks"),
+        col("n_chars"))
+    def ranked(metric: String) =
+      d.withColumn(s"r_$metric", row_number().over(
+        Window.orderBy(col(metric), col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col(s"r_$metric"))
+    val r = d.select(col("doc_id"))
+      .join(ranked("quality_milli"), "doc_id")
+      .join(ranked("n_toks"), "doc_id")
+      .join(ranked("n_chars"), "doc_id")
+    val pairs = Seq(
+      ("quality_milli", "n_toks"),
+      ("quality_milli", "n_chars"),
+      ("n_toks", "n_chars"))
+    pairs.map { case (a, b) =>
+      r.agg(count(lit(1)).as("n"),
+          sum((col(s"r_$a") - col(s"r_$b")) * (col(s"r_$a") - col(s"r_$b")))
+            .as("sd2"))
+        .select(lit(a).as("metric_a"), lit(b).as("metric_b"), col("n"),
+          round(lit(1.0) - lit(6.0) * col("sd2") /
+            (col("n") * (col("n") * col("n") - 1)), 6).as("rho"))
+    }.reduce(_ unionByName _).orderBy(col("metric_a"), col("metric_b"))
+  }
+
+  private val q209Sql = {
+    val legs = Seq(
+      ("quality_milli", "n_toks"),
+      ("quality_milli", "n_chars"),
+      ("n_toks", "n_chars")).map { case (a, b) =>
+      s"""SELECT '$a' AS metric_a, '$b' AS metric_b,
+         |  count(*) AS n,
+         |  round(1.0 - 6.0 * CAST(sum((r_$a - r_$b) * (r_$a - r_$b))
+         |      AS DOUBLE)
+         |    / (count(*) * (count(*) * count(*) - 1)), 6) AS rho
+         |FROM r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(round(${TF.sql.qualityScore("text", "n_chars")} * 1000)
+       |      AS BIGINT) AS quality_milli,
+       |    CAST(${TF.sql.tokenCount("text")} AS BIGINT) AS n_toks,
+       |    n_chars
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY quality_milli, doc_id)
+       |      AS BIGINT) AS r_quality_milli,
+       |    CAST(row_number() OVER (ORDER BY n_toks, doc_id)
+       |      AS BIGINT) AS r_n_toks,
+       |    CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+       |      AS BIGINT) AS r_n_chars
+       |  FROM d)
+       |$legs
+       |ORDER BY metric_a, metric_b""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q60_growth_rate", q60, Some(q60Sql)),
     Q("q61_decline_periods", q61, Some(q61Sql)),
@@ -339,5 +413,6 @@ object StatsQueries {
     Q("q65_structural_anomaly", q65, Some(q65Sql)),
     Q("q66_consensus_levels", q66, Some(q66Sql)),
     Q("q140_key_skew_report", q140, Some(q140Sql)),
-    Q("q199_source_gini", q199, Some(q199Sql)))
+    Q("q199_source_gini", q199, Some(q199Sql)),
+    Q("q209_metric_spearman", q209, Some(q209Sql)))
 }
