@@ -2796,6 +2796,66 @@ object CurationQueries {
        |ORDER BY r.label, r.rank""".stripMargin
   }
 
+  // -- q212: per-source semantic dispersion — how tight each source's
+  //          embedding cloud is around its own centroid (mean + max
+  //          distance): the source-grain companion to q207's per-label
+  //          outliers and q137's cross-source centroid map; diffuse
+  //          sources are candidates for sub-clustering before mixture
+  //          weighting. Determinism: each distance quantizes to micro
+  //          units per ROW (identical doubles both engines), the mean
+  //          is an exact integer fold (ExactRound.microMean6); max is
+  //          order-free. Scale shape: source-bounded centroid
+  //          broadcast onto one scan, one keyed rollup.
+  private def q212(s: SparkSession, dir: String): DataFrame = {
+    import graft.semantic.VectorSearch
+    import graft.functions.ExactRound
+    val e = emb(s, dir).join(
+      docs(s, dir).select(col("doc_id"), col("source")),
+      col("vec_id") === col("doc_id"))
+    val cents = VectorSearch.centroids(
+      e.select(col("source").as("label"), col("embedding")), "label")
+    e.join(broadcast(cents), col("source") === col("cell"))
+      .withColumn("dist",
+        VectorFunctions.l2Distance(col("embedding"), col("centroid")))
+      .withColumn("dmicro", round(col("dist") * 1e6).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("dmicro")).as("sd"),
+        max(col("dist")).as("mx"))
+      .select(col("source"), col("n_vecs"),
+        ExactRound.microMean6(col("sd"), col("n_vecs")).as("mean_dist"),
+        round(col("mx"), 6).as("max_dist"))
+      .orderBy(col("source"))
+  }
+
+  private val q212Sql = {
+    val l2 = "sqrt(list_sum(list_transform(list_zip(%s, %s), " +
+      "z -> (z[1]-z[2])*(z[1]-z[2]))))"
+    s"""WITH ed AS (
+       |  SELECT e.vec_id, d.source, e.embedding
+       |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+       |el AS (
+       |  SELECT source, generate_subscripts(embedding, 1) AS pos,
+       |         unnest(embedding::DOUBLE[]) AS x
+       |  FROM ed),
+       |centl AS (
+       |  SELECT source, list(cx ORDER BY pos) AS centroid FROM (
+       |    SELECT source, pos, avg(x) AS cx FROM el GROUP BY source, pos) c
+       |  GROUP BY source),
+       |dist AS (
+       |  SELECT ed.source,
+       |    ${l2.format("ed.embedding::DOUBLE[]", "c.centroid")} AS dist
+       |  FROM ed JOIN centl c ON c.source = ed.source),
+       |q AS (
+       |  SELECT source, dist,
+       |    CAST(round(dist * 1e6) AS BIGINT) AS dmicro
+       |  FROM dist)
+       |SELECT source, count(*) AS n_vecs,
+       |  ${graft.functions.ExactRound.sql.microMean6("sum(dmicro)", "count(*)")}
+       |    AS mean_dist,
+       |  round(max(dist), 6) AS max_dist
+       |FROM q GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q145_dsir_importance", q145, Some(q145Sql), headline = true),
     Q("q146_bm25_topk", q146, Some(q146Sql)),
@@ -2837,5 +2897,6 @@ object CurationQueries {
     Q("q196_ccnet_buckets", q196, Some(q196Sql)),
     Q("q198_matryoshka_fidelity", q198, Some(q198Sql)),
     Q("q204_hash_collision_audit", q204, Some(q204Sql)),
-    Q("q207_embedding_outliers", q207, Some(q207Sql)))
+    Q("q207_embedding_outliers", q207, Some(q207Sql)),
+    Q("q212_source_dispersion", q212, Some(q212Sql)))
 }

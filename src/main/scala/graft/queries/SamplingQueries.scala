@@ -697,6 +697,53 @@ object SamplingQueries {
        |ORDER BY seq_id""".stripMargin
   }
 
+  // -- q210: blocklist screening — the lexicon-gate every public
+  //          pipeline runs beside PII scrubbing (q125): token-boundary
+  //          matches against a fixed blocklist, per-document hit counts
+  //          for the quarantine queue plus the distinct terms that
+  //          fired. The lexicon is a bounded constant (real pipelines
+  //          ship lists like LDNOOBW — the demo lexicon here picks
+  //          terms of the synthetic corpus vocabulary, plus one absent
+  //          term exercising the zero path); matching is one scan-local
+  //          regexp per term — cost is lexicon × corpus, linear in
+  //          both, no shuffle before the rollup.
+  private val Blocklist = Seq("slow", "dup", "big", "merge", "vector",
+    "stale")
+
+  private def q210(s: SparkSession, dir: String): DataFrame = {
+    val hits = Blocklist.map { w =>
+      size(regexp_extract_all(lower(col("text")),
+        lit("\\b" + w + "\\b"), lit(0))).cast("long").as(s"h_$w")
+    }
+    val total = Blocklist.map(w => col(s"h_$w")).reduce(_ + _)
+    val terms = concat_ws(",",
+      Blocklist.map(w => when(col(s"h_$w") > 0, lit(w))): _*)
+    docs(s, dir)
+      .select(col("doc_id") +: col("source") +: hits: _*)
+      .withColumn("n_hits", total)
+      .filter(col("n_hits") > 0)
+      .withColumn("terms", terms)
+      .select(col("doc_id"), col("source"), col("n_hits"), col("terms"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q210Sql = {
+    val hitExprs = Blocklist.map(w =>
+      s"len(regexp_extract_all(lower(text), '\\b$w\\b')) AS h_$w")
+      .mkString(",\n    ")
+    val total = Blocklist.map(w => s"h_$w").mkString(" + ")
+    val terms = "concat_ws(','," + Blocklist.map(w =>
+      s" CASE WHEN h_$w > 0 THEN '$w' END").mkString(",") + ")"
+    s"""WITH h AS (
+       |  SELECT doc_id, source,
+       |    $hitExprs
+       |  FROM documents)
+       |SELECT doc_id, source, CAST($total AS BIGINT) AS n_hits,
+       |  $terms AS terms
+       |FROM h WHERE $total > 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q111_split_assign", q111, Some(q111Sql)),
     Q("q112_quota_sample", q112, Some(q112Sql)),
@@ -711,5 +758,6 @@ object SamplingQueries {
     Q("q138_padding_waste", q138, Some(q138Sql)),
     Q("q139_filter_funnel", q139, Some(q139Sql)),
     Q("q141_shard_manifest", q141, Some(q141Sql)),
-    Q("q203_packing_manifest", q203, Some(q203Sql)))
+    Q("q203_packing_manifest", q203, Some(q203Sql)),
+    Q("q210_blocklist_screen", q210, Some(q210Sql)))
 }

@@ -196,6 +196,71 @@ object TemporalQueries {
       |FROM events GROUP BY 1, 2
       |ORDER BY period, event_type""".stripMargin
 
+  // -- q211: ingest coverage gaps — runs of calendar HOURS with zero
+  //          events per event type (the "did the feed stall"
+  //          data-quality audit complementing q61's value declines —
+  //          gaps are absence, not decrease). Expected-hour grid =
+  //          1-row min/max broadcast × the bounded type list; missing
+  //          hours via anti-join; runs via the islands trick
+  //          (hour − row_number is constant within a run — pure
+  //          integers). Gaps of length ≥ MinGapHours reported. Scale
+  //          shape: one scan to hourly counts, the grid is
+  //          (hours × types)-bounded — calendar-sized, never
+  //          event-sized.
+  private val MinGapHours = 2
+
+  private def q211(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val ev = events(s, dir)
+      .select(col("event_type"),
+        expr("unix_timestamp(ts) div 3600").as("h"))
+    val present = ev.distinct()
+    val bounds = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val types = ev.select(col("event_type")).distinct()
+    val grid = types.crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("h"))
+    val missing = grid.join(present, Seq("event_type", "h"), "left_anti")
+    val w = W.partitionBy(col("event_type")).orderBy(col("h"))
+    missing
+      .withColumn("grp", col("h") - row_number().over(w))
+      .groupBy(col("event_type"), col("grp"))
+      .agg(min(col("h")).as("gap_start_h"), max(col("h")).as("gap_end_h"),
+        count(lit(1)).as("gap_hours"))
+      .filter(col("gap_hours") >= MinGapHours)
+      .select(col("event_type"), col("gap_start_h"), col("gap_end_h"),
+        col("gap_hours"))
+      .orderBy(col("event_type"), col("gap_start_h"))
+  }
+
+  private val q211Sql =
+    s"""WITH ev AS (
+       |  -- floor(), NOT '// 3600' + CAST: DuckDB's // on DOUBLE is
+       |  -- plain division and CAST double->int ROUNDS, which shifted
+       |  -- late-hour events into the next hour vs Spark's integer div
+       |  SELECT event_type,
+       |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h
+       |  FROM events),
+       |present AS (SELECT DISTINCT event_type, h FROM ev),
+       |bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+       |types AS (SELECT DISTINCT event_type FROM ev),
+       |grid AS (
+       |  SELECT event_type, CAST(x AS BIGINT) AS h
+       |  FROM types, bounds, unnest(range(h0, h1 + 1)) r(x)),
+       |missing AS (
+       |  SELECT g.event_type, g.h FROM grid g
+       |  WHERE NOT EXISTS (SELECT 1 FROM present p
+       |    WHERE p.event_type = g.event_type AND p.h = g.h)),
+       |runs AS (
+       |  SELECT event_type, h,
+       |    h - row_number() OVER (PARTITION BY event_type ORDER BY h)
+       |      AS grp
+       |  FROM missing)
+       |SELECT event_type, min(h) AS gap_start_h, max(h) AS gap_end_h,
+       |  count(*) AS gap_hours
+       |FROM runs GROUP BY event_type, grp
+       |HAVING count(*) >= $MinGapHours
+       |ORDER BY event_type, gap_start_h""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q36_temporal_filter", q36, Some(q36Sql)),
     Q("q37_daily_cumulative", q37, Some(q37Sql)),
@@ -204,5 +269,6 @@ object TemporalQueries {
     Q("q40_autocorrelation", q40, Some(q40Sql)),
     Q("q41_iqr_outliers", q41, Some(q41Sql)),
     Q("q42_frequent_pairs", q42, Some(q42Sql), headline = true),
-    Q("q43_evolution_periods", q43, Some(q43Sql)))
+    Q("q43_evolution_periods", q43, Some(q43Sql)),
+    Q("q211_coverage_gaps", q211, Some(q211Sql)))
 }
