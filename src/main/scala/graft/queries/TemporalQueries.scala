@@ -261,6 +261,97 @@ object TemporalQueries {
        |HAVING count(*) >= $MinGapHours
        |ORDER BY event_type, gap_start_h""".stripMargin
 
+  // -- q213: ordered event funnel — per user, the earliest
+  //          signup → view → purchase chain (each step strictly after
+  //          the previous one); report per-step user counts and
+  //          exact-integer conversion rates. The classic product
+  //          funnel as three conditional-min aggregates + two
+  //          user-keyed joins — no sessionizing scan, no per-user
+  //          sorting; each step frame is user-bounded.
+  private def q213(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactRound
+    val ev = events(s, dir).select(col("user_id"), col("event_type"),
+      expr("unix_timestamp(ts)").as("sec"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("sec")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "view").join(s1, "user_id")
+      .filter(col("sec") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("sec")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("sec") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("sec")).as("t3"))
+    val counts = s1.agg(count(lit(1)).as("n")).select(lit(1).as("step"),
+        lit("signup").as("event_type"), col("n"))
+      .unionByName(s2.agg(count(lit(1)).as("n")).select(lit(2).as("step"),
+        lit("view_after_signup").as("event_type"), col("n")))
+      .unionByName(s3.agg(count(lit(1)).as("n")).select(lit(3).as("step"),
+        lit("purchase_after_view").as("event_type"), col("n")))
+    val base = s1.agg(count(lit(1)).as("n_base"))
+    counts.crossJoin(broadcast(base))
+      .select(col("step"), col("event_type"), col("n"),
+        ExactRound.ratio6(col("n"), col("n_base")).as("conversion"))
+      .orderBy(col("step"))
+  }
+
+  private val q213Sql =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+       |  FROM events),
+       |s1 AS (SELECT user_id, min(sec) AS t1 FROM ev
+       |       WHERE event_type = 'signup' GROUP BY user_id),
+       |s2 AS (SELECT e.user_id, min(e.sec) AS t2
+       |       FROM ev e JOIN s1 USING (user_id)
+       |       WHERE e.event_type = 'view' AND e.sec > s1.t1
+       |       GROUP BY e.user_id),
+       |s3 AS (SELECT e.user_id, min(e.sec) AS t3
+       |       FROM ev e JOIN s2 USING (user_id)
+       |       WHERE e.event_type = 'purchase' AND e.sec > s2.t2
+       |       GROUP BY e.user_id),
+       |counts AS (
+       |  SELECT 1 AS step, 'signup' AS event_type, count(*) AS n FROM s1
+       |  UNION ALL
+       |  SELECT 2, 'view_after_signup', count(*) FROM s2
+       |  UNION ALL
+       |  SELECT 3, 'purchase_after_view', count(*) FROM s3),
+       |base AS (SELECT count(*) AS n_base FROM s1)
+       |SELECT step, event_type, n,
+       |  ${graft.functions.ExactRound.sql.ratio6("n", "n_base")} AS conversion
+       |FROM counts, base
+       |ORDER BY step""".stripMargin
+
+  // -- q214: retention cohort matrix — users grouped by first-seen day
+  //          (cohort), activity counted per day-offset from that first
+  //          day: the classic retention triangle. Two aggregates (first
+  //          day per user; distinct active (user, day)) + one join —
+  //          the matrix is (days × offsets)-bounded, calendar-sized.
+  private def q214(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"),
+      expr("unix_timestamp(ts) div 86400").as("d"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+    val active = ev.distinct()
+    active.join(first, "user_id")
+      .select(col("user_id"), col("d0"),
+        (col("d") - col("d0")).as("day_offset"))
+      .filter(col("day_offset") <= 7)
+      .groupBy(col("d0"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("d0"), col("day_offset"))
+  }
+
+  private val q214Sql =
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+      |  FROM events),
+      |first AS (SELECT user_id, min(d) AS d0 FROM ev GROUP BY user_id)
+      |SELECT f.d0, e.d - f.d0 AS day_offset,
+      |  count(DISTINCT e.user_id) AS n_users
+      |FROM ev e JOIN first f USING (user_id)
+      |WHERE e.d - f.d0 <= 7
+      |GROUP BY 1, 2
+      |ORDER BY d0, day_offset""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q36_temporal_filter", q36, Some(q36Sql)),
     Q("q37_daily_cumulative", q37, Some(q37Sql)),
@@ -270,5 +361,7 @@ object TemporalQueries {
     Q("q41_iqr_outliers", q41, Some(q41Sql)),
     Q("q42_frequent_pairs", q42, Some(q42Sql), headline = true),
     Q("q43_evolution_periods", q43, Some(q43Sql)),
-    Q("q211_coverage_gaps", q211, Some(q211Sql)))
+    Q("q211_coverage_gaps", q211, Some(q211Sql)),
+    Q("q213_event_funnel", q213, Some(q213Sql)),
+    Q("q214_retention_cohorts", q214, Some(q214Sql)))
 }

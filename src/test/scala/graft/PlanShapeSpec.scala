@@ -110,7 +110,8 @@ class PlanShapeSpec extends SparkSpec {
     "q202_incremental_cdc",   // 1-row cutoff broadcast (q142 shape)
     "q205_pmi_collocations",  // 1-row bigram-total broadcast
     "q206_copurchase_affinity", // 1-row order-count broadcast
-    "q211_coverage_gaps")     // 1-row hour-bounds broadcast x bounded type list
+    "q211_coverage_gaps",     // 1-row hour-bounds broadcast x bounded type list
+    "q213_event_funnel")      // 1-row funnel-base broadcast
 
   // On failure, include a plan excerpt around the first occurrence so a
   // transient/state-dependent failure self-diagnoses from the log alone.
