@@ -352,6 +352,194 @@ object TemporalQueries {
       |GROUP BY 1, 2
       |ORDER BY d0, day_offset""".stripMargin
 
+  // -- q215: event-type Markov transition matrix — per user, each event
+  //          and the NEXT event of the same user (lead over the
+  //          user-scoped (sec, event_id) total order, the q59
+  //          tie-break); transition probability per previous state as
+  //          an exact integer ratio. The first-order behavioral model
+  //          feeding next-action prediction and funnel design (q213
+  //          measures ONE fixed path; this measures all of them at
+  //          depth 1). Scale shape: user-keyed window (partition-local,
+  //          no global sort) → a #types²-bounded aggregate → a
+  //          #types-bounded marginals join. 100 TB-safe by the same
+  //          argument as q59's sessionization window.
+  private def q215(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactRound
+    val W = org.apache.spark.sql.expressions.Window
+    val ev = events(s, dir).select(col("user_id"), col("event_type"),
+      expr("unix_timestamp(ts)").as("sec"), col("event_id"))
+    val w = W.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val cnt = ev
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy(col("prev_type")).agg(sum(col("n")).as("n_prev"))
+    cnt.join(tot, Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        ExactRound.ratio6(col("n"), col("n_prev")).as("p"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  private val q215Sql =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, event_id,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+       |  FROM events),
+       |nxt AS (
+       |  SELECT event_type AS prev_type,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY sec, event_id) AS next_type
+       |  FROM ev),
+       |cnt AS (
+       |  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+       |  FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_prev
+       |  FROM cnt GROUP BY 1)
+       |SELECT c.prev_type, c.next_type, c.n,
+       |  ${graft.functions.ExactRound.sql.ratio6("c.n", "t.n_prev")} AS p
+       |FROM cnt c JOIN tot t USING (prev_type)
+       |ORDER BY prev_type, next_type""".stripMargin
+
+  // -- q216: session path mining — the most frequent within-session
+  //          event-type TRIGRAMS, over the exact session labeling q59
+  //          aggregates (EventStream.sessionLabels, 30-min gap). Two
+  //          leads inside the (user, session) partition build the
+  //          3-step path; paths crossing a session boundary are
+  //          excluded by the partition itself (the leads run out, not
+  //          wrap). The "what do users actually do" companion to
+  //          q215's depth-1 matrix. Scale shape: the same user-keyed
+  //          sessionization window as q59, one more user+session-keyed
+  //          window, then a #types³-bounded aggregate and a top-k that
+  //          plans as TakeOrderedAndProject.
+  private def q216(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val lab = graft.streaming.EventStream
+      .sessionLabels(events(s, dir), 1800L)
+      .select(col("user_id"), col("session_id"), col("sec"),
+        col("event_id"), col("event_type"))
+    val w = W.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("sec"), col("event_id"))
+    lab
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+        .as("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
+  private val q216Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |  FROM events),
+      |b AS (
+      |  SELECT user_id, event_id, event_type, sec,
+      |    CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+      |      THEN 1 ELSE 0 END AS boundary
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+      |lab AS (
+      |  SELECT user_id, event_id, event_type, sec,
+      |    CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY sec, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_id
+      |  FROM b),
+      |tri AS (
+      |  SELECT event_type AS t1,
+      |    lead(event_type, 1) OVER w2 AS t2,
+      |    lead(event_type, 2) OVER w2 AS t3
+      |  FROM lab
+      |  WINDOW w2 AS (PARTITION BY user_id, session_id
+      |    ORDER BY sec, event_id))
+      |SELECT t1 || '>' || t2 || '>' || t3 AS path,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM tri WHERE t3 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
+
+  // -- q218: user-activity concentration — Lorenz deciles over per-user
+  //          event counts: users ranked by activity, cut into ntile(10)
+  //          deciles, each decile's share and cumulative share of all
+  //          events (the "how heavy-tailed is the feed" audit beside
+  //          q199's source Gini — user-grained, so the rank frame is
+  //          NOT bounded and the global rank must not be one window).
+  //          Scale shape: events reduce to one row per user first; the
+  //          global (n, user_id) rank is the q141 TWO-LEVEL
+  //          decomposition — per-range counts cumsum'd over the small
+  //          range frame + a row_number within each range (ranges come
+  //          from n itself, so range order extends the rank order);
+  //          ntile's uneven-bucket rule is then a closed integer form
+  //          of (rank, n_users) — the oracle takes DuckDB's native
+  //          ntile road, proving the decomposition. Downstream frames
+  //          are 10-row bounded.
+  private def q218(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactRound
+    val W = org.apache.spark.sql.expressions.Window
+    val ua = events(s, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rng", expr("n div 8"))
+    val beforeRange = W.orderBy(col("rng"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val rangeCum = ua.groupBy(col("rng"))
+      .agg(count(lit(1)).as("range_users"))
+      .withColumn("range_before",
+        coalesce(sum(col("range_users")).over(beforeRange), lit(0L)))
+    val within = W.partitionBy(col("rng")).orderBy(col("n"), col("user_id"))
+    val ranked = ua
+      .join(rangeCum.select(col("rng"), col("range_before")), Seq("rng"))
+      .withColumn("rnk", col("range_before") + row_number().over(within))
+    val totals = ua.agg(count(lit(1)).as("n_users_total"),
+      sum(col("n")).as("n_events_total"))
+    // ntile(10) closed form: first (U mod 10) buckets hold (U div 10)+1
+    // rows, the rest (U div 10) — pure integer arithmetic on the rank.
+    val dec = ranked.crossJoin(broadcast(totals))
+      .withColumn("base", expr("n_users_total div 10"))
+      .withColumn("rem", expr("n_users_total % 10"))
+      .withColumn("decile",
+        when(col("rnk") <= col("rem") * (col("base") + 1),
+          expr("(rnk - 1) div (base + 1)") + 1)
+          .otherwise(col("rem") +
+            expr("(rnk - rem * (base + 1) - 1) div base") + 1))
+    val byDec = dec.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"),
+        max(col("n_events_total")).as("tot"))
+    byDec
+      .withColumn("cum_events", sum(col("n_events")).over(
+        W.orderBy(col("decile"))
+          .rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .select(col("decile"), col("n_users"), col("n_events"),
+        ExactRound.ratio6(col("n_events"), col("tot")).as("share"),
+        ExactRound.ratio6(col("cum_events"), col("tot")).as("cum_share"))
+      .orderBy(col("decile"))
+  }
+
+  private val q218Sql =
+    s"""WITH ua AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY user_id),
+       |dec AS (
+       |  SELECT n, ntile(10) OVER (ORDER BY n, user_id) AS decile FROM ua),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM ua),
+       |byd AS (
+       |  SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+       |    CAST(sum(n) AS BIGINT) AS n_events
+       |  FROM dec GROUP BY decile),
+       |cum AS (
+       |  SELECT decile, n_users, n_events,
+       |    CAST(sum(n_events) OVER (ORDER BY decile
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_events
+       |  FROM byd)
+       |SELECT decile, n_users, n_events,
+       |  ${graft.functions.ExactRound.sql.ratio6("n_events", "tot")} AS share,
+       |  ${graft.functions.ExactRound.sql.ratio6("cum_events", "tot")}
+       |    AS cum_share
+       |FROM cum, tot
+       |ORDER BY decile""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q36_temporal_filter", q36, Some(q36Sql)),
     Q("q37_daily_cumulative", q37, Some(q37Sql)),
@@ -363,5 +551,8 @@ object TemporalQueries {
     Q("q43_evolution_periods", q43, Some(q43Sql)),
     Q("q211_coverage_gaps", q211, Some(q211Sql)),
     Q("q213_event_funnel", q213, Some(q213Sql)),
-    Q("q214_retention_cohorts", q214, Some(q214Sql)))
+    Q("q214_retention_cohorts", q214, Some(q214Sql)),
+    Q("q215_markov_transitions", q215, Some(q215Sql)),
+    Q("q216_session_paths", q216, Some(q216Sql)),
+    Q("q218_activity_deciles", q218, Some(q218Sql)))
 }

@@ -284,6 +284,73 @@ object VectorQueries {
        |FROM vecs a JOIN vecs b ON a.source < b.source
        |ORDER BY source_a, source_b""".stripMargin
 
+  // -- q217: SQ8 quantization-error audit — per-dimension reconstruction
+  //          error of the q92 codec (encode with VectorSearch.sq8Encode,
+  //          dequantize, compare to the original): dim range, mean and
+  //          max |x − dequant(encode(x))|. The "is 4× compression safe
+  //          for THIS corpus" gate a pipeline runs before switching the
+  //          ANN index to SQ8 — q157 measures recall end-to-end, this
+  //          isolates the codec's contribution per dimension.
+  //          Determinism: every per-row error quantizes to micro units
+  //          (identical doubles both engines — the encode/decode chain
+  //          is the same left-assoc IEEE expression), the mean is an
+  //          exact integer fold, min/max/count are order-free. Scale
+  //          shape: 1-row params broadcast onto one scan (the q92
+  //          shape), then a #dims-bounded aggregate.
+  private def q217(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactRound
+    val e = emb(s, dir)
+    val params = VectorSearch.sq8Params(e)
+    val enc = VectorSearch.sq8Encode(e, params)
+    val dimStats = params.select(posexplode(
+        expr("zip_with(mins, maxs, (a, b) -> struct(a AS mn, b AS mx))"))
+        .as(Seq("pos", "s")))
+      .select(col("pos"), col("s.mn").as("dim_min"), col("s.mx").as("dim_max"))
+    val errs = e.select(col("vec_id"), col("embedding"))
+      .join(enc, Seq("vec_id"))
+      .crossJoin(broadcast(params))
+      .select(posexplode(expr(
+        """zip_with(CAST(embedding AS array<double>),
+                    transform(codes, (c, i) ->
+                      CASE WHEN maxs[i] = mins[i] THEN mins[i]
+                           ELSE mins[i] + CAST(c AS DOUBLE) / 255 *
+                             (maxs[i] - mins[i]) END),
+                    (x, d) -> abs(x - d))""")).as(Seq("pos", "err")))
+      .withColumn("emicro", round(col("err") * 1e6).cast("long"))
+    errs.groupBy(col("pos"))
+      .agg(count(lit(1)).as("n_vals"), sum(col("emicro")).as("se"),
+        max(col("err")).as("mxe"))
+      .join(broadcast(dimStats), Seq("pos"))
+      .select(col("pos"), col("n_vals"), col("dim_min"), col("dim_max"),
+        ExactRound.microMean6(col("se"), col("n_vals")).as("mean_abs_err"),
+        round(col("mxe"), 6).as("max_abs_err"))
+      .orderBy(col("pos"))
+  }
+
+  private val q217Sql =
+    s"""WITH el AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+       |    unnest(embedding::DOUBLE[]) AS x
+       |  FROM embeddings),
+       |st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM el GROUP BY pos),
+       |er AS (
+       |  SELECT el.pos,
+       |    abs(el.x - (CASE WHEN st.mx = st.mn THEN st.mn
+       |      ELSE st.mn + CAST(CAST(floor((el.x - st.mn) / (st.mx - st.mn)
+       |        * 255 + 0.5) AS INT) AS DOUBLE) / 255 * (st.mx - st.mn)
+       |      END)) AS err
+       |  FROM el JOIN st USING (pos)),
+       |q AS (SELECT pos, err,
+       |    CAST(round(err * 1e6) AS BIGINT) AS emicro FROM er)
+       |SELECT q.pos, CAST(count(*) AS BIGINT) AS n_vals,
+       |  st.mn AS dim_min, st.mx AS dim_max,
+       |  ${graft.functions.ExactRound.sql.microMean6("sum(emicro)", "count(*)")}
+       |    AS mean_abs_err,
+       |  round(max(err), 6) AS max_abs_err
+       |FROM q JOIN st USING (pos)
+       |GROUP BY q.pos, st.mn, st.mx
+       |ORDER BY pos""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q17_topk_cosine", q17, Some(q17Sql), headline = true),
     Q("q18_topk_filtered", q18, Some(q18Sql)),
@@ -293,5 +360,6 @@ object VectorQueries {
     Q("q22_ann_ivf", q22, Some(q22Sql)),
     Q("q91_ann_ivf_pq", q91, Some(q91Sql), headline = true),
     Q("q92_ann_ivf_sq8", q92, Some(q92Sql)),
-    Q("q137_source_centroid_sim", q137, Some(q137Sql)))
+    Q("q137_source_centroid_sim", q137, Some(q137Sql)),
+    Q("q217_sq8_error", q217, Some(q217Sql)))
 }

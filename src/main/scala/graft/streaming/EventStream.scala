@@ -49,10 +49,15 @@ object EventStream {
       .agg(count(lit(1)).as("cnt"))
   }
 
-  /** Batch sessionization: session boundary when the gap to the previous
-    * event of the same user exceeds `gapSec`; session id = running count
-    * of boundaries (lag + cumulative sum windows). */
-  def sessionizeBatch(events: DataFrame, gapSec: Long): DataFrame = {
+  /** Per-event session labels — the pre-aggregation frame of
+    * [[sessionizeBatch]]: every input column plus `sec` and the
+    * user-scoped `session_id`. Session boundary when the gap to the
+    * previous event of the same user exceeds `gapSec`; session id =
+    * running count of boundaries (lag + cumulative sum windows, both
+    * user-partitioned — no global sort). Exposed separately so
+    * within-session analytics (path mining, q216) can reuse the exact
+    * labeling the session rollup aggregates over. */
+  def sessionLabels(events: DataFrame, gapSec: Long): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("sec"), col("event_id"))
     events
@@ -63,10 +68,16 @@ object EventStream {
           .otherwise(0))
       .withColumn("session_id", sum(col("boundary")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("prev_sec", "boundary")
+  }
+
+  /** Batch sessionization: one row per (user, session) with event count
+    * and duration — the aggregate over [[sessionLabels]]. */
+  def sessionizeBatch(events: DataFrame, gapSec: Long): DataFrame =
+    sessionLabels(events, gapSec)
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
         (max(col("sec")) - min(col("sec"))).as("duration_sec"))
-  }
 
   /** Priority lanes (event_system.py EventPriority LOW=1…CRITICAL=4 and
     * Event.priority, :79-132): the synthetic feed has no explicit

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.queries.Catalog
+import graft.streaming.EventStream
+
+/** Invariants for the event-behavior analytics (q215/q216/q218) and the
+  * SQ8 codec audit (q217) that the oracle's value-hash alone doesn't
+  * articulate: the ntile closed form, the session-label refactor parity,
+  * the Markov mass-conservation identity, and the quantization error
+  * bound.
+  */
+class ActivityAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q218 ntile closed form matches native ntile on an uneven frame") {
+    // 23 users (U mod 10 = 3): first 3 buckets get 3 rows, the rest 2 —
+    // the uneven-bucket rule the closed integer form must reproduce.
+    val ua = (1 to 23).map(i => (i.toLong, (i * 7 % 11 + 1).toLong))
+      .toDF("user_id", "n")
+    val native = ua.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("n"), col("user_id"))))
+    val u = 23L
+    val base = u / 10
+    val rem = u % 10
+    val closed = ua.withColumn("rnk",
+        row_number().over(Window.orderBy(col("n"), col("user_id"))))
+      .withColumn("decile",
+        when(col("rnk") <= lit(rem * (base + 1)),
+          ((col("rnk") - 1) / lit(base + 1)).cast("long") + 1)
+          .otherwise(lit(rem) +
+            ((col("rnk") - lit(rem * (base + 1)) - 1) / lit(base)).cast("long") + 1))
+    val nat = native.select("user_id", "decile").as[(Long, Long)]
+      .collect().toMap
+    val cls = closed.select("user_id", "decile").as[(Long, Long)]
+      .collect().toMap
+    assert(cls === nat)
+  }
+
+  test("sessionLabels aggregates to exactly sessionizeBatch") {
+    val ev = Tables.load(spark, sf, "events")
+    val viaLabels = EventStream.sessionLabels(ev, 1800L)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("sec")) - min(col("sec"))).as("duration_sec"))
+    val direct = EventStream.sessionizeBatch(ev, 1800L)
+    assert(viaLabels.exceptAll(direct).isEmpty && direct.exceptAll(viaLabels).isEmpty)
+  }
+
+  test("q215 transition mass: total transitions = events - users") {
+    // every user contributes (its event count - 1) transitions, so the
+    // matrix total is N_events - N_users; and each row's counts sum to
+    // that row's marginal (the join key), so probabilities sum to ~1.
+    val ev = Tables.load(spark, sf, "events")
+    val res = Catalog.byName("q215_markov_transitions").run(spark, sf)
+    val totalN = res.agg(sum("n")).head().getLong(0)
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(totalN === nEvents - nUsers)
+    val rowMass = res.groupBy("prev_type").agg(sum("p").as("mass"))
+      .select("mass").as[Double].collect()
+    // per-row quantization error ≤ #types * 0.5e-6
+    assert(rowMass.forall(m => math.abs(m - 1.0) < 1e-4))
+  }
+
+  test("q216 paths stay inside one session") {
+    // trigram count per (user, session) = max(n_events - 2, 0): the sum
+    // over sessions must equal the catalog query's total path count.
+    val ev = Tables.load(spark, sf, "events")
+    val expected = EventStream.sessionizeBatch(ev, 1800L)
+      .select(greatest(col("n_events") - 2, lit(0L)).as("k"))
+      .agg(sum("k")).head().getLong(0)
+    val lab = EventStream.sessionLabels(ev, 1800L)
+    val w = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("sec"), col("event_id"))
+    val total = lab.withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t3").isNotNull).count()
+    assert(total === expected)
+  }
+
+  test("q217 per-dim max error respects the SQ8 half-step bound") {
+    val res = Catalog.byName("q217_sq8_error").run(spark, sf).collect()
+    assert(res.length === 64)
+    res.foreach { r =>
+      val mn = r.getAs[Double]("dim_min")
+      val mx = r.getAs[Double]("dim_max")
+      val halfStep = (mx - mn) / 255.0 / 2.0
+      val maxErr = r.getAs[Double]("max_abs_err")
+      assert(maxErr <= halfStep + 1e-6,
+        s"dim ${r.getAs[Int]("pos")}: $maxErr > $halfStep")
+      val meanErr = r.getAs[Double]("mean_abs_err")
+      assert(meanErr <= maxErr + 1e-9)
+    }
+  }
+}

@@ -111,7 +111,9 @@ class PlanShapeSpec extends SparkSpec {
     "q205_pmi_collocations",  // 1-row bigram-total broadcast
     "q206_copurchase_affinity", // 1-row order-count broadcast
     "q211_coverage_gaps",     // 1-row hour-bounds broadcast x bounded type list
-    "q213_event_funnel")      // 1-row funnel-base broadcast
+    "q213_event_funnel",      // 1-row funnel-base broadcast
+    "q217_sq8_error",         // 1-row quantization-params broadcast (q92 shape)
+    "q218_activity_deciles")  // 1-row user/event-total broadcast
 
   // On failure, include a plan excerpt around the first occurrence so a
   // transient/state-dependent failure self-diagnoses from the log alone.
