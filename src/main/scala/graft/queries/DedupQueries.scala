@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.Dedup
@@ -1302,6 +1302,65 @@ object DedupQueries {
        |GROUP BY 1, 2
        |ORDER BY src_a, src_b""".stripMargin
 
+  // -- q220: LSH band-parameter planner — the analytic s-curve audit
+  //          behind q28's (k=12, b=2, r=6) choice: for every band split
+  //          of the 12-hash signature, the detection probability
+  //          P(s) = 1 − (1 − s^r)^b over a similarity grid, summarized
+  //          as the 50% crossover threshold and the detect rates at
+  //          s = 0.3/0.5/0.7/0.9 (Leskovec–Rajaraman–Ullman, MMDS
+  //          ch. 3 — the standard planning table; q176 then MEASURES
+  //          the same curve empirically on this corpus). Determinism:
+  //          no pow() — s^r and (·)^b are left-assoc multiplication
+  //          chains generated identically for both engines, so every
+  //          probability is the same IEEE double; the crossover
+  //          compares those identical doubles. Scale shape: data-free
+  //          (6 configs × 99 grid points) — a planning constant, not a
+  //          corpus scan.
+  private val LshK = 12
+  private val LshSplits = Seq(1, 2, 3, 4, 6, 12).map(b => (b, LshK / b))
+
+  private def q220(s: SparkSession, dir: String): DataFrame = {
+    def pow(c: Column, n: Int): Column = (2 to n).foldLeft(c)((a, _) => a * c)
+    val legs = LshSplits.map { case (b, r) =>
+      val sv = col("i").cast("double") / lit(100.0)
+      val p = lit(1.0) - pow(lit(1.0) - pow(sv, r), b)
+      s.range(1, 100).toDF("i")
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col("i"), p.as("p"))
+    }
+    legs.reduce(_ unionByName _)
+      .groupBy(col("bands"), col("rows_per_band"))
+      .agg(
+        (min(when(col("p") >= 0.5, col("i"))).cast("double") / lit(100.0))
+          .as("s_half"),
+        max(when(col("i") === 30, col("p"))).as("p_at_30"),
+        max(when(col("i") === 50, col("p"))).as("p_at_50"),
+        max(when(col("i") === 70, col("p"))).as("p_at_70"),
+        max(when(col("i") === 90, col("p"))).as("p_at_90"))
+      .orderBy(col("bands"))
+  }
+
+  private val q220Sql = {
+    def powSql(e: String, n: Int) = Seq.fill(n)(e).mkString(" * ")
+    val legs = LshSplits.map { case (b, r) =>
+      val p = s"1.0 - ${powSql(s"(1.0 - ${powSql("s", r)})", b)}"
+      s"SELECT $b AS bands, $r AS rows_per_band, i, $p AS p FROM grid"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH grid AS (
+       |  SELECT CAST(i AS DOUBLE) / 100.0 AS s, i
+       |  FROM unnest(range(1, 100)) r(i)),
+       |curve AS (
+       |  $legs)
+       |SELECT bands, rows_per_band,
+       |  CAST(min(CASE WHEN p >= 0.5 THEN i END) AS DOUBLE) / 100.0
+       |    AS s_half,
+       |  max(CASE WHEN i = 30 THEN p END) AS p_at_30,
+       |  max(CASE WHEN i = 50 THEN p END) AS p_at_50,
+       |  max(CASE WHEN i = 70 THEN p END) AS p_at_70,
+       |  max(CASE WHEN i = 90 THEN p END) AS p_at_90
+       |FROM curve GROUP BY 1, 2 ORDER BY bands""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q27_dedup_exact", q27, Some(q27Sql), headline = true),
     Q("q28_dedup_minhash_lsh", q28, Some(q28Sql), headline = true),
@@ -1323,5 +1382,6 @@ object DedupQueries {
     Q("q197_url_dedup", q197, Some(q197Sql)),
     Q("q201_cdc_chunk_dedup", q201, Some(q201Sql)),
     Q("q202_incremental_cdc", q202, Some(q202Sql)),
-    Q("q208_cdc_flow_matrix", q208, Some(q208Sql)))
+    Q("q208_cdc_flow_matrix", q208, Some(q208Sql)),
+    Q("q220_lsh_planner", q220, Some(q220Sql)))
 }

@@ -631,6 +631,38 @@ object TextQueries {
        |FROM scored
        |ORDER BY pmi DESC, w1, w2 LIMIT $PmiTopK""".stripMargin
 
+  // -- q219: Kneser–Ney perplexity scoring — the q129 CCNet-style
+  //          filter upgraded to the standard fixed-discount
+  //          interpolated KN smoothing (Kneser & Ney 1995; Chen &
+  //          Goodman 1999): discounted bigram mass backs off to the
+  //          CONTINUATION unigram (distinct-context count), which
+  //          ranks formulaic boilerplate differently from add-one —
+  //          the smoothing actually used by production n-gram filter
+  //          LMs. Same per-doc output shape as q129 so the two filters
+  //          compare row-for-row; same sorted-fold determinism; scale
+  //          shape adds only one vocab-bounded aggregate over the
+  //          bigram TYPE frame.
+  private val KnDiscount = 0.75
+
+  private def q219(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{NgramLm, Repetition}
+    val toks = docs(s, dir)
+      .select(col("doc_id"), Repetition.tokens(col("text")).as("l"))
+      .filter(size(col("l")) >= 2)
+    NgramLm.scoreKneserNey(toks, KnDiscount)
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("ce"), 6).as("cross_entropy_kn"),
+        round(col("ppl"), 6).as("perplexity_kn"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q219Sql =
+    s"""WITH ${graft.text.NgramLm.sql.knCtes(KnDiscount)}
+       |SELECT doc_id, n_bigrams,
+       |  round(ce, 6) AS cross_entropy_kn,
+       |  round(exp(ce), 6) AS perplexity_kn
+       |FROM knagg ORDER BY doc_id""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q32_text_langid", q32, Some(q32Sql)),
     Q("q33_text_quality", q33, Some(q33Sql)),
@@ -644,5 +676,6 @@ object TextQueries {
     Q("q144_vocab_overlap_matrix", q144, Some(q144Sql)),
     Q("q195_readability", q195, Some(q195Sql)),
     Q("q200_tfidf_keywords", q200, Some(q200Sql)),
-    Q("q205_pmi_collocations", q205, Some(q205Sql)))
+    Q("q205_pmi_collocations", q205, Some(q205Sql)),
+    Q("q219_kneser_ney", q219, Some(q219Sql)))
 }

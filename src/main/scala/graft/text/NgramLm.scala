@@ -64,6 +64,46 @@ object NgramLm {
       .withColumn("ppl", exp(col("ce")))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
+    * fixed-discount form of Chen & Goodman 1999): instead of add-one
+    * mass, each seen bigram is discounted by D and the freed mass backs
+    * off to the CONTINUATION unigram — how many distinct contexts a
+    * word follows, not how often it occurs ("Francisco" is frequent but
+    * only ever follows "San", so its continuation probability is tiny).
+    * P(w2|w1) = (c12 − D)/c1 + (D/c1)·N1+(w1,·)·(N1+(·,w2)/N1+(··)).
+    * Self-scoring like [[score]], so every bigram is seen and c12 ≥ 1 >
+    * D — no zero clamp needed. Same position-ordered fold determinism
+    * contract; same scale shape plus one vocab-bounded continuation
+    * aggregate over the bigram TYPE frame (never the instance stream).
+    */
+  def scoreKneserNey(toks: DataFrame, discount: Double = 0.75): DataFrame = {
+    val inst = bigramInstances(toks)
+    val bigramCounts = inst.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val prefixCounts = inst.groupBy(col("w1"))
+      .agg(count(lit(1)).as("c1"), countDistinct(col("w2")).as("n1p"))
+    val contCounts = bigramCounts.groupBy(col("w2"))
+      .agg(count(lit(1)).as("ncont"))
+    val nbig = bigramCounts.agg(count(lit(1)).as("nbig"))
+    val lp = inst
+      .join(bigramCounts, Seq("w1", "w2"))
+      .join(prefixCounts, Seq("w1"))
+      .join(contCounts, Seq("w2"))
+      .crossJoin(broadcast(nbig))
+      .select(col("doc_id"), col("pos"),
+        log((col("c12") - lit(discount)) / col("c1") +
+          lit(discount) / col("c1") * col("n1p") *
+            (col("ncont") / col("nbig"))).as("lp"))
+    lp.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("lp"))))
+        .as("lps"))
+      .select(col("doc_id"),
+        size(col("lps")).cast("long").as("n_bigrams"),
+        (-aggregate(col("lps"), lit(0.0d), (acc, x) => acc + x("lp")) /
+          size(col("lps"))).as("ce"))
+      .withColumn("ppl", exp(col("ce")))
+  }
+
   /** Held-out scoring: the bigram model (counts + vocabulary) comes
     * from `train` ONLY; `eval` documents are scored under it, with
     * unseen prefixes/bigrams handled by the same add-one smoothing
@@ -127,6 +167,32 @@ object NgramLm {
          |  SELECT doc_id, pos, ln((c12 + 1.0) / (c1 + v)) AS lp
          |  FROM inst JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
          |lmagg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    -sum(lp ORDER BY pos) / count(*) AS ce
+         |  FROM lp GROUP BY 1)""".stripMargin
+
+    /** DuckDB twin of [[scoreKneserNey]], ending in
+      * `knagg(doc_id, n_bigrams, ce)`. The probability expression
+      * mirrors the Spark column left-assoc term-for-term so both
+      * engines materialize the identical double before ln. */
+    def knCtes(discount: Double): String =
+      s"""$toksCte,
+         |inst AS (
+         |  SELECT doc_id, i AS pos, l[i] AS w1, l[i+1] AS w2
+         |  FROM scoped, unnest(range(1, len(l))) r(i)),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM inst GROUP BY 1, 2),
+         |pc AS (
+         |  SELECT w1, count(*) AS c1, count(DISTINCT w2) AS n1p
+         |  FROM inst GROUP BY 1),
+         |cc AS (SELECT w2, count(*) AS ncont FROM c12 GROUP BY 1),
+         |nb AS (SELECT count(*) AS nbig FROM c12),
+         |lp AS (
+         |  SELECT doc_id, pos,
+         |    ln((c12 - $discount) / c1 +
+         |       $discount / c1 * n1p * (ncont / nbig)) AS lp
+         |  FROM inst JOIN c12 USING (w1, w2) JOIN pc USING (w1)
+         |    JOIN cc USING (w2) CROSS JOIN nb),
+         |knagg AS (
          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
          |    -sum(lp ORDER BY pos) / count(*) AS ce
          |  FROM lp GROUP BY 1)""".stripMargin

@@ -113,6 +113,7 @@ class PlanShapeSpec extends SparkSpec {
     "q211_coverage_gaps",     // 1-row hour-bounds broadcast x bounded type list
     "q213_event_funnel",      // 1-row funnel-base broadcast
     "q217_sq8_error",         // 1-row quantization-params broadcast (q92 shape)
+    "q219_kneser_ney",        // 1-row bigram-type-count broadcast (q129 shape)
     "q218_activity_deciles")  // 1-row user/event-total broadcast
 
   // On failure, include a plan excerpt around the first occurrence so a
