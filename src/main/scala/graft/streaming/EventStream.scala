@@ -252,4 +252,42 @@ object EventStream {
           }
       }
   }
+
+  final case class TypedEv(user_id: Long, event_id: Long, sec: Long,
+      event_type: String)
+  final case class Transition(user_id: Long, prev_type: String,
+      next_type: String)
+  final case class LastEvent(sec: Long, event_id: Long,
+      event_type: String)
+
+  /** Streaming twin of the q215 Markov transition census: per-user
+    * state is just the LAST event seen; each micro-batch sorts its
+    * group slice by (sec, event_id), chains it onto the stored last
+    * event, and emits one Transition per adjacent pair — so a
+    * transition spanning a batch boundary is produced exactly once,
+    * from state. Same in-order-feed contract as the other incremental
+    * twins (within-batch disorder is fine — the slice is sorted; cross-
+    * batch disorder is not replayed). State is one (sec, id, type)
+    * triple per user — constant per key, never grows with history.
+    * Aggregating the output by (prev_type, next_type) reproduces q215's
+    * count frame exactly (parity pinned in ActivityAnalyticsSpec). */
+  def transitionsStream(events: org.apache.spark.sql.Dataset[TypedEv])
+      : org.apache.spark.sql.Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[TypedEv], state: GroupState[LastEvent]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.sec, e.event_id))
+          val chain = state.getOption
+            .map(s => TypedEv(user, s.event_id, s.sec, s.event_type))
+            .toList ::: sorted.toList
+          val out = chain.iterator.sliding(2).withPartial(false)
+            .map(p => Transition(user, p(0).event_type, p(1).event_type))
+            .toList
+          val last = chain.last
+          state.update(LastEvent(last.sec, last.event_id, last.event_type))
+          out.iterator
+      }
+  }
 }

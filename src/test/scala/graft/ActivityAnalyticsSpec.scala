@@ -79,6 +79,52 @@ class ActivityAnalyticsSpec extends SparkSpec {
     assert(total === expected)
   }
 
+  test("transitionsStream aggregates to exactly the q215 count frame") {
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"), col("event_type"))
+      .as[EventStream.TypedEv]
+    val streamed = EventStream.transitionsStream(ev)
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect().sorted.toSeq
+    val batch = Catalog.byName("q215_markov_transitions").run(spark, sf)
+      .select("prev_type", "next_type", "n")
+      .as[(String, String, Long)].collect().sorted.toSeq
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
+  test("transitionsStream spans micro-batch boundaries through state") {
+    import org.apache.spark.sql.types._
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"), col("event_type"))
+    // two files, one per trigger: every user's history is split across
+    // batches, so boundary transitions only exist if state chains them
+    val dir = java.nio.file.Files.createTempDirectory("trstream").toString
+    val cut = ev.agg(expr("percentile_approx(sec, 0.5)")).head().getLong(0)
+    ev.filter(col("sec") <= cut).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/b0")
+    ev.filter(col("sec") > cut).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/b1")
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("sec", LongType), StructField("event_type", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/b*")
+    val q = EventStream.transitionsStream(stream.as[EventStream.TypedEv])
+      .writeStream.outputMode("append")
+      .format("memory").queryName("trout").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql(
+        "SELECT prev_type, next_type, count(*) AS n FROM trout GROUP BY 1, 2")
+      .as[(String, String, Long)].collect().sorted.toSeq
+    val batch = Catalog.byName("q215_markov_transitions").run(spark, sf)
+      .select("prev_type", "next_type", "n")
+      .as[(String, String, Long)].collect().sorted.toSeq
+    assert(streamed == batch)
+  }
+
   test("q217 per-dim max error respects the SQ8 half-step bound") {
     val res = Catalog.byName("q217_sq8_error").run(spark, sf).collect()
     assert(res.length === 64)
