@@ -744,6 +744,67 @@ object SamplingQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // -- q222: Neyman allocation plan — how to split a fixed quality-audit
+  //          sampling budget across sources: n_h ∝ N_h·σ_h (Neyman 1934,
+  //          the variance-optimal stratified allocation) vs the naive
+  //          proportional n_h ∝ N_h, over doc-length spread as the
+  //          variance proxy. High-variance sources get audited harder —
+  //          the statistically-correct version of "sample more where
+  //          the corpus is weird". Determinism: N·Σx²−(Σx)² is an exact
+  //          integer per source, so N_h·σ_h = sqrt of an exact integer;
+  //          the only cross-source double sum folds in source order
+  //          over the #sources-bounded frame; proportional allocation
+  //          is pure integer round-half-up. Scale shape: one scan to
+  //          per-source integer moments, everything after is
+  //          #sources-row. (Contract: Σ n_chars² per source must fit a
+  //          long — pre-scale to kilochars past ~10¹² docs·chars².)
+  private val AuditBudget = 1000L
+
+  private def q222(s: SparkSession, dir: String): DataFrame = {
+    val st = docs(s, dir).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sx"),
+        sum(col("n_chars") * col("n_chars")).as("sxx"))
+      .withColumn("w",
+        sqrt((col("n_docs") * col("sxx") - col("sx") * col("sx"))
+          .cast("double")))
+    val tot = st
+      .agg(sort_array(collect_list(struct(col("source"), col("w"))))
+          .as("ws"),
+        sum(col("n_docs")).as("n_tot"))
+      .select(aggregate(col("ws"), lit(0.0d), (a, x) => a + x("w"))
+          .as("total_w"),
+        col("n_tot"))
+    st.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        round(col("w") / col("n_docs"), 6).as("sd_len"),
+        floor(lit(AuditBudget.toDouble) * col("w") / col("total_w") +
+          lit(0.5)).cast("long").as("alloc_neyman"),
+        expr(s"(2 * $AuditBudget * n_docs + n_tot) div (2 * n_tot)")
+          .as("alloc_prop"))
+      .orderBy(col("source"))
+  }
+
+  private val q222Sql =
+    s"""WITH st AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_chars) AS BIGINT) AS sx,
+       |    CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+       |  FROM documents GROUP BY source),
+       |w AS (
+       |  SELECT source, n_docs,
+       |    sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)) AS w
+       |  FROM st),
+       |tot AS (
+       |  SELECT sum(w ORDER BY source) AS total_w,
+       |    CAST(sum(n_docs) AS BIGINT) AS n_tot
+       |  FROM w)
+       |SELECT source, n_docs,
+       |  round(w / n_docs, 6) AS sd_len,
+       |  CAST(floor($AuditBudget.0 * w / total_w + 0.5) AS BIGINT)
+       |    AS alloc_neyman,
+       |  (2 * $AuditBudget * n_docs + n_tot) // (2 * n_tot) AS alloc_prop
+       |FROM w, tot ORDER BY source""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q111_split_assign", q111, Some(q111Sql)),
     Q("q112_quota_sample", q112, Some(q112Sql)),
@@ -759,5 +820,6 @@ object SamplingQueries {
     Q("q139_filter_funnel", q139, Some(q139Sql)),
     Q("q141_shard_manifest", q141, Some(q141Sql)),
     Q("q203_packing_manifest", q203, Some(q203Sql)),
-    Q("q210_blocklist_screen", q210, Some(q210Sql)))
+    Q("q210_blocklist_screen", q210, Some(q210Sql)),
+    Q("q222_neyman_allocation", q222, Some(q222Sql)))
 }

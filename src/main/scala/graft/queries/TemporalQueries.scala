@@ -540,6 +540,80 @@ object TemporalQueries {
        |FROM cum, tot
        |ORDER BY decile""".stripMargin
 
+  // -- q223: hour-of-week seasonality — per event type, the 168-cell
+  //          hour-of-week profile's chi-square statistic against a
+  //          uniform feed, plus the peak cell: "is this event type
+  //          seasonal, and when does it spike". Complements q40
+  //          (autocorrelation finds WHICH lag repeats; this tests
+  //          whether the weekly profile deviates at all) and q211
+  //          (gaps are absence; this is shape). Cell = hour-since-epoch
+  //          mod 168 (arbitrary but fixed week phase, same formula
+  //          both engines). Determinism: observed counts are exact
+  //          ints; expected = n/168 is one division; the chi-square
+  //          folds cell-ordered over the ≤168-row frame, then adds the
+  //          zero-cell mass (168−k)·e in one step. Scale shape: one
+  //          scan to (type × 168)-bounded counts; everything after is
+  //          calendar-sized.
+  private def q223(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type"),
+      expr("unix_timestamp(ts) div 3600 % 168").as("cell"))
+    val cells = ev.groupBy(col("event_type"), col("cell"))
+      .agg(count(lit(1)).as("o"))
+    val totals = cells.groupBy(col("event_type"))
+      .agg(sum(col("o")).as("n_events"))
+    val terms = cells.join(totals, Seq("event_type"))
+      .withColumn("e", col("n_events").cast("double") / lit(168.0))
+      .withColumn("term",
+        (col("o") - col("e")) * (col("o") - col("e")) / col("e"))
+    val pk = cells.groupBy(col("event_type")).agg(max(col("o")).as("peak_count"))
+    val peak = cells.join(pk, Seq("event_type"))
+      .filter(col("o") === col("peak_count"))
+      .groupBy(col("event_type"))
+      .agg(min(col("cell")).as("peak_cell"), max(col("o")).as("peak_count"))
+    terms.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("cell"), col("term"))))
+          .as("tl"),
+        max(col("n_events")).as("n_events"),
+        count(lit(1)).as("k"), max(col("e")).as("e"))
+      .select(col("event_type"), col("n_events"),
+        round(aggregate(col("tl"), lit(0.0d), (a, x) => a + x("term")) +
+          (lit(168) - col("k")) * col("e"), 6).as("chi2"))
+      .join(peak, Seq("event_type"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q223Sql =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 168 AS cell
+      |  FROM events),
+      |cells AS (
+      |  SELECT event_type, cell, CAST(count(*) AS BIGINT) AS o
+      |  FROM ev GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT event_type, CAST(sum(o) AS BIGINT) AS n_events
+      |  FROM cells GROUP BY 1),
+      |terms AS (
+      |  SELECT c.event_type, c.cell, c.o, t.n_events,
+      |    CAST(t.n_events AS DOUBLE) / 168.0 AS e
+      |  FROM cells c JOIN tot t USING (event_type)),
+      |agg AS (
+      |  SELECT event_type, CAST(max(n_events) AS BIGINT) AS n_events,
+      |    round(sum((o - e) * (o - e) / e ORDER BY cell) +
+      |      (168 - count(*)) * max(e), 6) AS chi2
+      |  FROM terms GROUP BY 1),
+      |pk AS (SELECT event_type, max(o) AS peak_count FROM cells GROUP BY 1),
+      |peak AS (
+      |  SELECT c.event_type, min(c.cell) AS peak_cell,
+      |    CAST(max(c.o) AS BIGINT) AS peak_count
+      |  FROM cells c JOIN pk p
+      |    ON c.event_type = p.event_type AND c.o = p.peak_count
+      |  GROUP BY 1)
+      |SELECT a.event_type, a.n_events, a.chi2, peak.peak_cell,
+      |  peak.peak_count
+      |FROM agg a JOIN peak USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q36_temporal_filter", q36, Some(q36Sql)),
     Q("q37_daily_cumulative", q37, Some(q37Sql)),
@@ -554,5 +628,6 @@ object TemporalQueries {
     Q("q214_retention_cohorts", q214, Some(q214Sql)),
     Q("q215_markov_transitions", q215, Some(q215Sql)),
     Q("q216_session_paths", q216, Some(q216Sql)),
-    Q("q218_activity_deciles", q218, Some(q218Sql)))
+    Q("q218_activity_deciles", q218, Some(q218Sql)),
+    Q("q223_seasonality_chi2", q223, Some(q223Sql)))
 }

@@ -663,6 +663,44 @@ object TextQueries {
        |  round(exp(ce), 6) AS perplexity_kn
        |FROM knagg ORDER BY doc_id""".stripMargin
 
+  // -- q221: word burstiness — Church & Gale's observation that content
+  //          words CLUMP: a word's mean occurrences per containing
+  //          document (tf/df) far above 1 marks template/spam
+  //          concentration that corpus-WIDE frequency alone hides.
+  //          The corpus-level companion to q128's within-doc repetition
+  //          filters: q128 sees one doc at a time, this sees a term
+  //          stuffed across a handful of docs. Exact integer tf/df
+  //          ratio; top-k plans as TakeOrderedAndProject over the
+  //          vocab-bounded type frame (never the instance stream).
+  private val BurstMinTf = 50L
+
+  private def q221(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactRound
+    val inst = docs(s, dir)
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+    inst.groupBy(col("word"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .filter(col("tf") >= BurstMinTf)
+      .select(col("word"), col("tf"), col("df"),
+        ExactRound.ratio6(col("tf"), col("df")).as("burstiness"))
+      .orderBy(col("burstiness").desc, col("word"))
+      .limit(25)
+  }
+
+  private val q221Sql =
+    s"""WITH inst AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM documents),
+       |ty AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS tf,
+       |    CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |  FROM inst WHERE length(word) > 0 GROUP BY word)
+       |SELECT word, tf, df,
+       |  ${graft.functions.ExactRound.sql.ratio6("tf", "df")} AS burstiness
+       |FROM ty WHERE tf >= $BurstMinTf
+       |ORDER BY burstiness DESC, word LIMIT 25""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q32_text_langid", q32, Some(q32Sql)),
     Q("q33_text_quality", q33, Some(q33Sql)),
@@ -677,5 +715,6 @@ object TextQueries {
     Q("q195_readability", q195, Some(q195Sql)),
     Q("q200_tfidf_keywords", q200, Some(q200Sql)),
     Q("q205_pmi_collocations", q205, Some(q205Sql)),
-    Q("q219_kneser_ney", q219, Some(q219Sql)))
+    Q("q219_kneser_ney", q219, Some(q219Sql)),
+    Q("q221_burstiness", q221, Some(q221Sql)))
 }

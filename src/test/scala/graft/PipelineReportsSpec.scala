@@ -98,4 +98,43 @@ class PipelineReportsSpec extends SparkSpec {
     // every document lands in exactly one bucket
     assert(docs == Tables.load(spark, sf, "documents").count())
   }
+
+  test("q221: burstiness >= 1 and df <= tf for every reported word") {
+    val rows = Catalog.byName("q221_burstiness").run(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    rows.foreach { r =>
+      val tf = r.getAs[Long]("tf"); val df = r.getAs[Long]("df")
+      assert(df >= 1 && df <= tf)
+      assert(r.getAs[Double]("burstiness") >= 1.0)
+    }
+  }
+
+  test("q222: Neyman shifts budget toward high-variance sources") {
+    val rows = Catalog.byName("q222_neyman_allocation").run(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    // both allocations land within rounding of the budget
+    val neyman = rows.map(_.getAs[Long]("alloc_neyman")).sum
+    val prop = rows.map(_.getAs[Long]("alloc_prop")).sum
+    assert(math.abs(neyman - 1000L) <= rows.length)
+    assert(math.abs(prop - 1000L) <= rows.length)
+    // vs proportional, Neyman over-allocates exactly the sources whose
+    // sd exceeds the budget-weighted mean sd — verify the ordering
+    // correlation: the max-sd source never gets less than proportional
+    val bySd = rows.sortBy(-_.getAs[Double]("sd_len"))
+    assert(bySd.head.getAs[Long]("alloc_neyman") >=
+      bySd.head.getAs[Long]("alloc_prop") - 1)
+  }
+
+  test("q223: chi2 nonnegative and peak cell in the hour-of-week range") {
+    val rows = Catalog.byName("q223_seasonality_chi2").run(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("chi2") >= 0.0)
+      val pc = r.getAs[Long]("peak_cell")
+      assert(pc >= 0 && pc < 168)
+      assert(r.getAs[Long]("peak_count") >= 1)
+    }
+  }
 }

@@ -114,6 +114,7 @@ class PlanShapeSpec extends SparkSpec {
     "q213_event_funnel",      // 1-row funnel-base broadcast
     "q217_sq8_error",         // 1-row quantization-params broadcast (q92 shape)
     "q219_kneser_ney",        // 1-row bigram-type-count broadcast (q129 shape)
+    "q222_neyman_allocation", // 1-row fold-total broadcast (#sources frame)
     "q218_activity_deciles")  // 1-row user/event-total broadcast
 
   // On failure, include a plan excerpt around the first occurrence so a
