@@ -404,6 +404,95 @@ object StatsQueries {
        |ORDER BY metric_a, metric_b""".stripMargin
   }
 
+  // -- q225: per-source length-distribution KS drift — the two-sample
+  //          Kolmogorov–Smirnov distance between each source's doc-
+  //          length distribution and the EXACT rest-of-corpus
+  //          complement, over a 64-bucket histogram (the structural
+  //          odd-one-out view beside q158's lexical JSD and q182's
+  //          temporal PSI). EXACT-RATIONAL KS: |F_s(b) − F_r(b)| =
+  //          |cdf_s·n_r − cdf_r·n_s| / (n_s·n_r), so the max runs over
+  //          INTEGERS and the single division happens once at the end —
+  //          no per-bucket double compare can flip cross-engine.
+  //          Scale shape: one scan to (source × 64) counts; cdfs are
+  //          64-row source-partitioned windows; complement = corpus
+  //          totals minus own counts (no self-join). (Contract:
+  //          n_s·n_r must fit a long — sample strata past ~3e9 docs.)
+  private val KsBucketWidth = 32L
+  private val KsBuckets = 64L
+
+  private def q225(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactRound
+    val b = docs(s, dir).select(col("source"),
+      least(expr(s"n_chars div $KsBucketWidth"), lit(KsBuckets - 1))
+        .as("bucket"))
+    val cnt = b.groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val tot = b.groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    // complement counts: corpus per-bucket total minus own; the grid is
+    // (source x observed buckets) — zero own-count cells materialize
+    // via the source list x bucket totals, never a full outer scan
+    val srcN = b.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val allN = b.agg(count(lit(1)).as("n_all"))
+    val grid = srcN.select(col("source"), col("n_s"))
+      .crossJoin(broadcast(tot))
+      .join(cnt, Seq("source", "bucket"), "left")
+      .select(col("source"), col("n_s"), col("bucket"),
+        coalesce(col("c"), lit(0L)).as("c"), col("ct"))
+    val w = Window.partitionBy(col("source")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("cdf_s", sum(col("c")).over(w))
+      .withColumn("cdf_all", sum(col("ct")).over(w))
+      .crossJoin(broadcast(allN))
+      .withColumn("cdf_r", col("cdf_all") - col("cdf_s"))
+      .withColumn("n_r", col("n_all") - col("n_s"))
+      .withColumn("num",
+        abs(col("cdf_s") * col("n_r") - col("cdf_r") * col("n_s")))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_docs"), max(col("num")).as("max_num"),
+        max(col("n_s") * col("n_r")).as("den"))
+      .select(col("source"), col("n_docs"),
+        ExactRound.ratio6(col("max_num"), col("den")).as("ks"))
+      .withColumn("drifted", col("ks") >= 0.1)
+      .orderBy(col("source"))
+  }
+
+  private val q225Sql =
+    s"""WITH b AS (
+       |  SELECT source,
+       |    least(n_chars // $KsBucketWidth, ${KsBuckets - 1}) AS bucket
+       |  FROM documents),
+       |cnt AS (
+       |  SELECT source, bucket, CAST(count(*) AS BIGINT) AS c
+       |  FROM b GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM b GROUP BY 1),
+       |srcn AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM b GROUP BY 1),
+       |alln AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM b),
+       |grid AS (
+       |  SELECT s.source, s.n_s, t.bucket, COALESCE(c.c, 0) AS c, t.ct
+       |  FROM srcn s CROSS JOIN tot t
+       |  LEFT JOIN cnt c ON c.source = s.source AND c.bucket = t.bucket),
+       |cdf AS (
+       |  SELECT source, n_s, bucket,
+       |    CAST(sum(c) OVER w AS BIGINT) AS cdf_s,
+       |    CAST(sum(ct) OVER w AS BIGINT) AS cdf_all
+       |  FROM grid
+       |  WINDOW w AS (PARTITION BY source ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |ks AS (
+       |  SELECT source, max(n_s) AS n_docs,
+       |    max(abs(cdf_s * (n_all - n_s) - (cdf_all - cdf_s) * n_s))
+       |      AS max_num,
+       |    max(n_s * (n_all - n_s)) AS den
+       |  FROM cdf, alln GROUP BY source)
+       |SELECT source, n_docs,
+       |  ${graft.functions.ExactRound.sql.ratio6("max_num", "den")} AS ks,
+       |  ${graft.functions.ExactRound.sql.ratio6("max_num", "den")} >= 0.1
+       |    AS drifted
+       |FROM ks ORDER BY source""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q60_growth_rate", q60, Some(q60Sql)),
     Q("q61_decline_periods", q61, Some(q61Sql)),
@@ -414,5 +503,6 @@ object StatsQueries {
     Q("q66_consensus_levels", q66, Some(q66Sql)),
     Q("q140_key_skew_report", q140, Some(q140Sql)),
     Q("q199_source_gini", q199, Some(q199Sql)),
-    Q("q209_metric_spearman", q209, Some(q209Sql)))
+    Q("q209_metric_spearman", q209, Some(q209Sql)),
+    Q("q225_ks_length_drift", q225, Some(q225Sql)))
 }

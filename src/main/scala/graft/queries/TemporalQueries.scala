@@ -614,6 +614,97 @@ object TemporalQueries {
       |FROM agg a JOIN peak USING (event_type)
       |ORDER BY event_type""".stripMargin
 
+  // -- q224: conversion attribution — for every purchase, credit (a)
+  //          the immediately preceding event of the same user within a
+  //          24 h lookback (LAST-touch) and (b) the first event of the
+  //          purchase's 30-min session (FIRST-touch, over the exact q59
+  //          labeling via EventStream.sessionLabels). 'none' when no
+  //          toucher qualifies: no prior event, lookback exceeded, or
+  //          the purchase opens its own session. The two canonical
+  //          attribution models side by side, with exact-integer
+  //          shares. Scale shape: the q59 user-keyed windows plus one
+  //          session-keyed first_value — all partition-local; the
+  //          report is (#models × #types)-bounded.
+  private val AttrWindowSec = 86400L
+
+  private def q224(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactRound
+    val W = org.apache.spark.sql.expressions.Window
+    val lab = graft.streaming.EventStream
+      .sessionLabels(events(s, dir), 1800L)
+      .select(col("user_id"), col("session_id"), col("sec"),
+        col("event_id"), col("event_type"))
+    val byUser = W.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+    val bySess = W.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("sec"), col("event_id"))
+    val pur = lab
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .withColumn("prev_sec", lag(col("sec"), 1).over(byUser))
+      .withColumn("first_type", first(col("event_type")).over(bySess))
+      .withColumn("first_id", first(col("event_id")).over(bySess))
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(col("prev_sec").isNotNull &&
+            col("sec") - col("prev_sec") <= AttrWindowSec,
+          col("prev_type")).otherwise(lit("none")).as("last_touch"),
+        when(col("first_id") =!= col("event_id"), col("first_type"))
+          .otherwise(lit("none")).as("first_touch"))
+    val lt = pur.groupBy(col("last_touch").as("attributed_type"))
+      .agg(count(lit(1)).as("n")).withColumn("model", lit("last_touch"))
+    val ft = pur.groupBy(col("first_touch").as("attributed_type"))
+      .agg(count(lit(1)).as("n")).withColumn("model", lit("first_touch"))
+    val tot = pur.agg(count(lit(1)).as("n_pur"))
+    lt.unionByName(ft).crossJoin(broadcast(tot))
+      .select(col("model"), col("attributed_type"), col("n"),
+        ExactRound.ratio6(col("n"), col("n_pur")).as("share"))
+      .orderBy(col("model"), col("attributed_type"))
+  }
+
+  private val q224Sql =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+       |  FROM events),
+       |bnd AS (
+       |  SELECT user_id, event_id, event_type, sec,
+       |    CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+       |      THEN 1 ELSE 0 END AS boundary
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+       |lab AS (
+       |  SELECT user_id, event_id, event_type, sec,
+       |    CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY sec, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS session_id
+       |  FROM bnd),
+       |enr AS (
+       |  SELECT user_id, session_id, sec, event_id, event_type,
+       |    lag(event_type) OVER wu AS prev_type,
+       |    lag(sec) OVER wu AS prev_sec,
+       |    first_value(event_type) OVER ws AS first_type,
+       |    first_value(event_id) OVER ws AS first_id
+       |  FROM lab
+       |  WINDOW wu AS (PARTITION BY user_id ORDER BY sec, event_id),
+       |    ws AS (PARTITION BY user_id, session_id ORDER BY sec, event_id)),
+       |pur AS (
+       |  SELECT
+       |    CASE WHEN prev_sec IS NOT NULL AND sec - prev_sec <= $AttrWindowSec
+       |      THEN prev_type ELSE 'none' END AS last_touch,
+       |    CASE WHEN first_id <> event_id THEN first_type
+       |      ELSE 'none' END AS first_touch
+       |  FROM enr WHERE event_type = 'purchase'),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_pur FROM pur),
+       |u AS (
+       |  SELECT 'last_touch' AS model, last_touch AS attributed_type,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM pur GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'first_touch', first_touch, CAST(count(*) AS BIGINT)
+       |  FROM pur GROUP BY 2)
+       |SELECT model, attributed_type, n,
+       |  ${graft.functions.ExactRound.sql.ratio6("n", "n_pur")} AS share
+       |FROM u, tot ORDER BY model, attributed_type""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q36_temporal_filter", q36, Some(q36Sql)),
     Q("q37_daily_cumulative", q37, Some(q37Sql)),
@@ -629,5 +720,6 @@ object TemporalQueries {
     Q("q215_markov_transitions", q215, Some(q215Sql)),
     Q("q216_session_paths", q216, Some(q216Sql)),
     Q("q218_activity_deciles", q218, Some(q218Sql)),
-    Q("q223_seasonality_chi2", q223, Some(q223Sql)))
+    Q("q223_seasonality_chi2", q223, Some(q223Sql)),
+    Q("q224_attribution", q224, Some(q224Sql)))
 }

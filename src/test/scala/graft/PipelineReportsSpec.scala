@@ -126,6 +126,30 @@ class PipelineReportsSpec extends SparkSpec {
       bySd.head.getAs[Long]("alloc_prop") - 1)
   }
 
+  test("q224: each attribution model's credits sum to the purchase count") {
+    val ev = Tables.load(spark, sf, "events")
+    val nPur = ev.filter(col("event_type") === "purchase").count()
+    val rows = Catalog.byName("q224_attribution").run(spark, sf).collect()
+    val byModel = rows.groupBy(_.getAs[String]("model"))
+      .view.mapValues(_.map(_.getAs[Long]("n")).sum).toMap
+    assert(byModel.keySet == Set("last_touch", "first_touch"))
+    assert(byModel.values.forall(_ == nPur))
+  }
+
+  test("q225: KS is within [0,1] and the exact-rational max is attained") {
+    val rows = Catalog.byName("q225_ks_length_drift").run(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ks = r.getAs[Double]("ks")
+      assert(ks >= 0.0 && ks <= 1.0)
+    }
+    // all sources of the corpus report
+    val nSources = Tables.load(spark, sf, "documents")
+      .select("source").distinct().count()
+    assert(rows.length == nSources)
+  }
+
   test("q223: chi2 nonnegative and peak cell in the hour-of-week range") {
     val rows = Catalog.byName("q223_seasonality_chi2").run(spark, sf)
       .collect()

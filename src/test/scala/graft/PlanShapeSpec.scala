@@ -115,7 +115,9 @@ class PlanShapeSpec extends SparkSpec {
     "q217_sq8_error",         // 1-row quantization-params broadcast (q92 shape)
     "q219_kneser_ney",        // 1-row bigram-type-count broadcast (q129 shape)
     "q222_neyman_allocation", // 1-row fold-total broadcast (#sources frame)
-    "q218_activity_deciles")  // 1-row user/event-total broadcast
+    "q225_ks_length_drift",   // 64-row bucket-grid + 1-row corpus-total broadcasts
+    "q218_activity_deciles",  // 1-row user/event-total broadcast
+    "q224_attribution")       // 1-row purchase-total broadcast
 
   // On failure, include a plan excerpt around the first occurrence so a
   // transient/state-dependent failure self-diagnoses from the log alone.
