@@ -1361,6 +1361,90 @@ object DedupQueries {
        |FROM curve GROUP BY 1, 2 ORDER BY bands""".stripMargin
   }
 
+  // -- q226: cluster cohesion audit — per q126 near-dup cluster, the
+  //          TRUE word-set Jaccard of its LSH edges: weakest link, mean
+  //          link, edge density, and a 'chained' flag when the weakest
+  //          true similarity falls under 0.5 — the transitive-closure
+  //          failure mode where A~B~C chains glue genuinely-different
+  //          docs into one cluster through a bridge doc. q176 grades
+  //          the ESTIMATOR globally; this grades each CLUSTER the
+  //          canonicalization will collapse. Scale shape: exact sims
+  //          only on the LSH-surviving pairs (output-bounded, q176's
+  //          argument), cluster labels join on a_id, one keyed rollup.
+  private def q226(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactRound
+    val d = docs(s, dir)
+    val pairs = Dedup.minhashLsh(d, "doc_id", "text", k = 12, bands = 2,
+      threshold = 0.9)
+    val cc = Dedup.clusters(pairs, d, "doc_id", "text")
+    val ts = d.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("ts"))
+    val sim = pairs
+      .join(ts.select(col("doc_id").as("a_id"), col("ts").as("a_ts")), "a_id")
+      .join(ts.select(col("doc_id").as("b_id"), col("ts").as("b_ts")), "b_id")
+      .select(col("a_id"),
+        TF.setOverlap(col("a_ts"), col("b_ts")).as("i"),
+        (size(col("a_ts")) + size(col("b_ts"))).cast("long").as("ab"))
+      .select(col("a_id"), col("i"), (col("ab") - col("i")).as("u"))
+      .select(col("a_id"),
+        when(col("u") === 0L, lit(1000000L))
+          .otherwise(ExactRound.micro6(col("i"), col("u"))).as("sim6"))
+    sim
+      .join(cc.select(col("doc_id").as("a_id"), col("cluster_id"),
+        col("cluster_size")), "a_id")
+      .groupBy(col("cluster_id"))
+      .agg(max(col("cluster_size")).as("cluster_size"),
+        count(lit(1)).as("n_edges"),
+        min(col("sim6")).as("mn6"), sum(col("sim6")).as("sm6"))
+      .select(col("cluster_id"), col("cluster_size"), col("n_edges"),
+        (col("mn6") / lit(1e6)).as("weakest_link"),
+        ExactRound.microMean6(col("sm6"), col("n_edges")).as("mean_link"),
+        ExactRound.ratio6(col("n_edges") * lit(2L),
+          col("cluster_size") * (col("cluster_size") - lit(1L)))
+          .as("density"),
+        (col("mn6") < lit(500000L)).as("chained"))
+      .orderBy(col("cluster_id"))
+  }
+
+  private val q226Sql = {
+    import graft.functions.{ExactRound => ER}
+    s"""WITH RECURSIVE $componentCtes,
+       |tsx AS (
+       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+       |  FROM documents),
+       |iu AS (
+       |  SELECT p.a_id,
+       |    CAST(len(list_filter(a.ts, x -> list_contains(b.ts, x)))
+       |      AS BIGINT) AS i,
+       |    CAST(len(a.ts) + len(b.ts) AS BIGINT) AS ab
+       |  FROM pairs p JOIN tsx a ON a.doc_id = p.a_id
+       |  JOIN tsx b ON b.doc_id = p.b_id),
+       |ex AS (
+       |  SELECT a_id,
+       |    CASE WHEN ab - i = 0 THEN 1000000
+       |      ELSE ${ER.sql.micro6("i", "ab - i")} END AS sim6
+       |  FROM iu),
+       |sz AS (
+       |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM comp GROUP BY 1),
+       |lab AS (
+       |  SELECT c.doc_id, c.cluster_id, s.cluster_size
+       |  FROM comp c JOIN sz s USING (cluster_id)),
+       |agg AS (
+       |  SELECT l.cluster_id, max(l.cluster_size) AS cluster_size,
+       |    CAST(count(*) AS BIGINT) AS n_edges,
+       |    min(e.sim6) AS mn6, CAST(sum(e.sim6) AS BIGINT) AS sm6
+       |  FROM ex e JOIN lab l ON l.doc_id = e.a_id
+       |  GROUP BY 1)
+       |SELECT cluster_id, cluster_size, n_edges,
+       |  mn6 / 1e6 AS weakest_link,
+       |  ${ER.sql.microMean6("sm6", "n_edges")} AS mean_link,
+       |  ${ER.sql.ratio6("n_edges * 2", "cluster_size * (cluster_size - 1)")}
+       |    AS density,
+       |  mn6 < 500000 AS chained
+       |FROM agg ORDER BY cluster_id""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q27_dedup_exact", q27, Some(q27Sql), headline = true),
     Q("q28_dedup_minhash_lsh", q28, Some(q28Sql), headline = true),
@@ -1383,5 +1467,6 @@ object DedupQueries {
     Q("q201_cdc_chunk_dedup", q201, Some(q201Sql)),
     Q("q202_incremental_cdc", q202, Some(q202Sql)),
     Q("q208_cdc_flow_matrix", q208, Some(q208Sql)),
-    Q("q220_lsh_planner", q220, Some(q220Sql)))
+    Q("q220_lsh_planner", q220, Some(q220Sql)),
+    Q("q226_cluster_cohesion", q226, Some(q226Sql)))
 }

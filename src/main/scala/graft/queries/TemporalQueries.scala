@@ -705,6 +705,67 @@ object TemporalQueries {
        |  ${graft.functions.ExactRound.sql.ratio6("n", "n_pur")} AS share
        |FROM u, tot ORDER BY model, attributed_type""".stripMargin
 
+  // -- q227: RFM segmentation — classic recency/frequency/monetary user
+  //          segments over the event feed: recency anchored to the
+  //          corpus max timestamp, frequency = event count, monetary =
+  //          exact micro-quantized value sum (per-row quantization →
+  //          integer fold, the q212 determinism pattern — a plain
+  //          double sum would be shuffle-order-dependent). Fixed
+  //          documented thresholds (7 days / median frequency / median
+  //          spend) rather than data-dependent quantiles, so segments
+  //          are stable release-to-release; q218 holds the
+  //          distributional view. Scale shape: one scan to per-user
+  //          aggregates, one 1-row anchor broadcast, 8-row output.
+  private def q227(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactRound
+    val ev = events(s, dir).select(col("user_id"),
+      expr("unix_timestamp(ts)").as("sec"),
+      expr("CAST(round(value * 1e6) AS LONG)").as("vmicro"))
+    val anchor = ev.agg(max(col("sec")).as("now_sec"))
+    val rfm = ev.groupBy(col("user_id"))
+      .agg(max(col("sec")).as("last_sec"), count(lit(1)).as("f"),
+        sum(col("vmicro")).as("m6"))
+      .crossJoin(broadcast(anchor))
+      .select(
+        when(expr("(now_sec - last_sec) div 86400") <= 7, "active")
+          .otherwise("lapsed").as("r_seg"),
+        when(col("f") >= 67, "frequent").otherwise("occasional")
+          .as("f_seg"),
+        when(col("m6") >= 3300L * 1000000L, "high_value")
+          .otherwise("low_value").as("m_seg"))
+    val tot = rfm.agg(count(lit(1)).as("n_total"))
+    rfm.groupBy(col("r_seg"), col("f_seg"), col("m_seg"))
+      .agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(tot))
+      .select(col("r_seg"), col("f_seg"), col("m_seg"), col("n_users"),
+        ExactRound.ratio6(col("n_users"), col("n_total")).as("share"))
+      .orderBy(col("r_seg"), col("f_seg"), col("m_seg"))
+  }
+
+  private val q227Sql =
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+       |    CAST(round(value * 1e6) AS BIGINT) AS vmicro
+       |  FROM events),
+       |anchor AS (SELECT max(sec) AS now_sec FROM ev),
+       |rfm AS (
+       |  SELECT
+       |    CASE WHEN (a.now_sec - max(e.sec)) // 86400 <= 7 THEN 'active'
+       |      ELSE 'lapsed' END AS r_seg,
+       |    CASE WHEN count(*) >= 67 THEN 'frequent'
+       |      ELSE 'occasional' END AS f_seg,
+       |    CASE WHEN sum(e.vmicro) >= 3300000000 THEN 'high_value'
+       |      ELSE 'low_value' END AS m_seg
+       |  FROM ev e, anchor a
+       |  GROUP BY e.user_id, a.now_sec),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM rfm)
+       |SELECT r_seg, f_seg, m_seg, CAST(count(*) AS BIGINT) AS n_users,
+       |  ${graft.functions.ExactRound.sql.ratio6("count(*)", "n_total")}
+       |    AS share
+       |FROM rfm, tot
+       |GROUP BY r_seg, f_seg, m_seg, n_total
+       |ORDER BY r_seg, f_seg, m_seg""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q36_temporal_filter", q36, Some(q36Sql)),
     Q("q37_daily_cumulative", q37, Some(q37Sql)),
@@ -721,5 +782,6 @@ object TemporalQueries {
     Q("q216_session_paths", q216, Some(q216Sql)),
     Q("q218_activity_deciles", q218, Some(q218Sql)),
     Q("q223_seasonality_chi2", q223, Some(q223Sql)),
-    Q("q224_attribution", q224, Some(q224Sql)))
+    Q("q224_attribution", q224, Some(q224Sql)),
+    Q("q227_rfm_segments", q227, Some(q227Sql)))
 }

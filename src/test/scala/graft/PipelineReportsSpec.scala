@@ -150,6 +150,33 @@ class PipelineReportsSpec extends SparkSpec {
     assert(rows.length == nSources)
   }
 
+  test("q226: cohesion invariants — connectivity bound, ordered links") {
+    val rows = Catalog.byName("q226_cluster_cohesion").run(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val size = r.getAs[Long]("cluster_size")
+      val edges = r.getAs[Long]("n_edges")
+      assert(size >= 2)
+      // a connected component of n nodes needs at least n-1 edges, and
+      // at most n(n-1)/2 survive the (a_id < b_id) dedup
+      assert(edges >= size - 1 && edges <= size * (size - 1) / 2)
+      val d = r.getAs[Double]("density")
+      assert(d > 0.0 && d <= 1.0)
+      assert(r.getAs[Double]("weakest_link") <=
+        r.getAs[Double]("mean_link") + 1e-6)
+    }
+  }
+
+  test("q227: RFM segments partition the user base") {
+    val nUsers = Tables.load(spark, sf, "events")
+      .select("user_id").distinct().count()
+    val rows = Catalog.byName("q227_rfm_segments").run(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == nUsers)
+    val shares = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shares - 1.0) < 1e-4)
+  }
+
   test("q223: chi2 nonnegative and peak cell in the hour-of-week range") {
     val rows = Catalog.byName("q223_seasonality_chi2").run(spark, sf)
       .collect()

@@ -117,7 +117,8 @@ class PlanShapeSpec extends SparkSpec {
     "q222_neyman_allocation", // 1-row fold-total broadcast (#sources frame)
     "q225_ks_length_drift",   // 64-row bucket-grid + 1-row corpus-total broadcasts
     "q218_activity_deciles",  // 1-row user/event-total broadcast
-    "q224_attribution")       // 1-row purchase-total broadcast
+    "q224_attribution",       // 1-row purchase-total broadcast
+    "q227_rfm_segments")      // 1-row anchor + 1-row user-total broadcasts
 
   // On failure, include a plan excerpt around the first occurrence so a
   // transient/state-dependent failure self-diagnoses from the log alone.
