@@ -74,7 +74,10 @@ object Bench {
     // BENCH_NOTES round-8 addendum 6)
     "q191_copurchase_clustering" -> 2.95,
     "q192_kcore_layers" -> 4.29,
-    "q193_lpa_communities" -> 4.69)
+    "q193_lpa_communities" -> 4.69,
+    // round-8 cohesion-audit promotion (quiet sf0.1 min, BENCH_NOTES
+    // round-8 addendum 13): q126's cluster pass + the edge-sim legs
+    "q226_cluster_cohesion" -> 10.85)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

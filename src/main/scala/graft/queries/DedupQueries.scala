@@ -1468,5 +1468,5 @@ object DedupQueries {
     Q("q202_incremental_cdc", q202, Some(q202Sql)),
     Q("q208_cdc_flow_matrix", q208, Some(q208Sql)),
     Q("q220_lsh_planner", q220, Some(q220Sql)),
-    Q("q226_cluster_cohesion", q226, Some(q226Sql)))
+    Q("q226_cluster_cohesion", q226, Some(q226Sql), headline = true))
 }
