@@ -1445,6 +1445,36 @@ object DedupQueries {
        |FROM agg ORDER BY cluster_id""".stripMargin
   }
 
+  // -- q228: normalized-text exact dedup — the standard FIRST dedup
+  //          stage of a web pipeline: lowercase, strip non-alphanumerics,
+  //          collapse whitespace, hash. Catches case/punctuation/
+  //          spacing mutants that q27's token-SET key intentionally
+  //          ignores order for (q27 conflates permutations; this
+  //          preserves order, so it is strictly finer on word-order
+  //          edits and strictly coarser on punctuation edits — the two
+  //          stages compose, neither subsumes the other). Scale shape:
+  //          scan-local key expression + one hash aggregate, q27's
+  //          exact shape.
+  private def q228(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(TF.normKey(col("text")).as("norm_key"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("group_size"),
+        countDistinct(col("source")).as("n_sources"))
+      .filter(col("group_size") > 1)
+      .orderBy(col("norm_key"))
+
+  private val q228Sql =
+    """SELECT
+      |  md5(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_key,
+      |  min(doc_id) AS keep_id,
+      |  CAST(count(*) AS BIGINT) AS group_size,
+      |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      |FROM documents
+      |GROUP BY 1 HAVING count(*) > 1
+      |ORDER BY norm_key""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q27_dedup_exact", q27, Some(q27Sql), headline = true),
     Q("q28_dedup_minhash_lsh", q28, Some(q28Sql), headline = true),
@@ -1468,5 +1498,6 @@ object DedupQueries {
     Q("q202_incremental_cdc", q202, Some(q202Sql)),
     Q("q208_cdc_flow_matrix", q208, Some(q208Sql)),
     Q("q220_lsh_planner", q220, Some(q220Sql)),
-    Q("q226_cluster_cohesion", q226, Some(q226Sql), headline = true))
+    Q("q226_cluster_cohesion", q226, Some(q226Sql), headline = true),
+    Q("q228_normalized_dedup", q228, Some(q228Sql)))
 }

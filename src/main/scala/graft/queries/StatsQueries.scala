@@ -493,6 +493,94 @@ object StatsQueries {
        |    AS drifted
        |FROM ks ORDER BY source""".stripMargin
 
+  // -- q230: robust length outliers (median/MAD) — per source, the
+  //          doc-length median, the median absolute deviation, and how
+  //          many docs exceed the modified-z cutoff |x − med| >
+  //          3·1.4826·MAD (Iglewicz–Hoaglin). q41's IQR bounds break
+  //          when a source is >25% contaminated; MAD holds to 50% —
+  //          the robust sibling for corpus-hygiene sweeps. EXACT order
+  //          statistics, no percentile_approx: median = mean of the
+  //          middle one/two ranks via a source-partitioned row_number
+  //          (same rank arithmetic both engines, so even-n .5 medians
+  //          are bit-identical); MAD repeats the same rank pass on
+  //          |x − med|. Scale shape: two source-partitioned window
+  //          passes + keyed rollups — partition-local, no global sort.
+  private def q230(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactRound
+    def median(df: DataFrame, valCol: String, tieCol: String): DataFrame = {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col(valCol), col(tieCol))
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("nn", count(lit(1)).over(Window.partitionBy(col("source"))))
+        .filter(col("rn") === expr("(nn + 1) div 2") ||
+          col("rn") === expr("(nn + 2) div 2"))
+        .groupBy(col("source"))
+        .agg((sum(col(valCol)) / count(lit(1))).as("med"),
+          max(col("nn")).as("n_docs"))
+    }
+    val d = docs(s, dir).select(col("source"), col("doc_id"),
+      col("n_chars").cast("double").as("len"))
+    val med = median(d, "len", "doc_id")
+    val dev = d.join(med, Seq("source"))
+      .withColumn("dev", abs(col("len") - col("med")))
+    val mad = median(dev.select(col("source"), col("doc_id"),
+      col("dev").as("len")), "len", "doc_id")
+      .select(col("source"), col("med").as("mad"))
+    dev.join(mad, Seq("source"))
+      .groupBy(col("source"))
+      .agg(max(col("n_docs")).as("n_docs"), max(col("med")).as("median_len"),
+        max(col("mad")).as("mad"),
+        sum(when(col("dev") > lit(4.4478) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("source"), col("n_docs"), col("median_len"), col("mad"),
+        col("n_outliers"),
+        ExactRound.ratio6(col("n_outliers"), col("n_docs"))
+          .as("outlier_rate"))
+      .orderBy(col("source"))
+  }
+
+  private val q230Sql =
+    s"""WITH d AS (
+       |  SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS len
+       |  FROM documents),
+       |r1 AS (
+       |  SELECT source, doc_id, len,
+       |    row_number() OVER (PARTITION BY source ORDER BY len, doc_id)
+       |      AS rn,
+       |    count(*) OVER (PARTITION BY source) AS nn
+       |  FROM d),
+       |med AS (
+       |  SELECT source, sum(len) / count(*) AS med,
+       |    CAST(max(nn) AS BIGINT) AS n_docs
+       |  FROM r1
+       |  WHERE rn = (nn + 1) // 2 OR rn = (nn + 2) // 2
+       |  GROUP BY source),
+       |dev AS (
+       |  SELECT d.source, d.doc_id, abs(d.len - m.med) AS dev,
+       |    m.med, m.n_docs
+       |  FROM d JOIN med m USING (source)),
+       |r2 AS (
+       |  SELECT source, dev,
+       |    row_number() OVER (PARTITION BY source ORDER BY dev, doc_id)
+       |      AS rn,
+       |    count(*) OVER (PARTITION BY source) AS nn
+       |  FROM dev),
+       |mad AS (
+       |  SELECT source, sum(dev) / count(*) AS mad
+       |  FROM r2
+       |  WHERE rn = (nn + 1) // 2 OR rn = (nn + 2) // 2
+       |  GROUP BY source)
+       |SELECT v.source, CAST(max(v.n_docs) AS BIGINT) AS n_docs,
+       |  max(v.med) AS median_len, max(a.mad) AS mad,
+       |  CAST(sum(CASE WHEN v.dev > 4.4478 * a.mad THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_outliers,
+       |  ${graft.functions.ExactRound.sql.ratio6(
+      "sum(CASE WHEN v.dev > 4.4478 * a.mad THEN 1 ELSE 0 END)",
+      "max(v.n_docs)")} AS outlier_rate
+       |FROM dev v JOIN mad a USING (source)
+       |GROUP BY v.source
+       |ORDER BY source""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q60_growth_rate", q60, Some(q60Sql)),
     Q("q61_decline_periods", q61, Some(q61Sql)),
@@ -504,5 +592,6 @@ object StatsQueries {
     Q("q140_key_skew_report", q140, Some(q140Sql)),
     Q("q199_source_gini", q199, Some(q199Sql)),
     Q("q209_metric_spearman", q209, Some(q209Sql)),
-    Q("q225_ks_length_drift", q225, Some(q225Sql)))
+    Q("q225_ks_length_drift", q225, Some(q225Sql)),
+    Q("q230_mad_outliers", q230, Some(q230Sql)))
 }

@@ -351,6 +351,79 @@ object VectorQueries {
        |GROUP BY q.pos, st.mn, st.mx
        |ORDER BY pos""".stripMargin
 
+  // -- q229: label separability (Fisher-style) — per label, the
+  //          within-class scatter (mean squared distance to own
+  //          centroid) vs the between-class distance (squared distance
+  //          of the class centroid to the global centroid), and their
+  //          ratio: "are these labels actually separable in embedding
+  //          space" — the audit run before trusting `label` as a
+  //          classifier target or stratification key. q179's
+  //          silhouette grades DISCOVERED k-means clusters; this
+  //          grades the PROVIDED labels. Determinism: q212's pattern —
+  //          per-row squared distances micro-quantize before the
+  //          integer mean; the between leg runs on the #labels-bounded
+  //          centroid frame. Scale shape: label-bounded centroid
+  //          broadcast onto one scan, one keyed rollup.
+  private def q229(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{ExactRound, VectorFunctions}
+    val e = emb(s, dir)
+    val cl = VectorSearch.centroids(
+      e.select(col("label"), col("embedding")), "label")
+    val g = VectorSearch.centroids(
+        e.select(lit(0).as("all"), col("embedding")), "all")
+      .select(col("centroid").as("gcent"))
+    val within = e.join(broadcast(cl), col("label") === col("cell"))
+      .withColumn("d2", VectorFunctions.squaredL2(
+        col("embedding").cast("array<double>"), col("centroid")))
+      .withColumn("d2m", round(col("d2") * 1e6).cast("long"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("d2m")).as("w6"))
+      .withColumn("within_d2",
+        ExactRound.microMean6(col("w6"), col("n_vecs")))
+    cl.crossJoin(broadcast(g))
+      .select(col("cell").as("label"),
+        round(VectorFunctions.squaredL2(col("centroid"), col("gcent")), 6)
+          .as("between_d2"))
+      .join(within, Seq("label"))
+      .select(col("label"), col("n_vecs"), col("within_d2"),
+        col("between_d2"),
+        round(col("between_d2") / (col("within_d2") + lit(1e-9)), 6)
+          .as("separability"))
+      .orderBy(col("label"))
+  }
+
+  private val q229Sql = {
+    val sq = "list_sum(list_transform(list_zip(%s, %s), " +
+      "z -> (z[1] - z[2]) * (z[1] - z[2])))"
+    val mm = graft.functions.ExactRound.sql.microMean6("w6", "n_vecs")
+    s"""WITH el AS (
+       |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+       |    unnest(embedding::DOUBLE[]) AS x
+       |  FROM embeddings),
+       |cl AS (SELECT label, pos, avg(x) AS cx FROM el GROUP BY 1, 2),
+       |clv AS (
+       |  SELECT label, list(cx ORDER BY pos) AS centroid
+       |  FROM cl GROUP BY 1),
+       |gl AS (SELECT pos, avg(x) AS gx FROM el GROUP BY 1),
+       |glv AS (SELECT list(gx ORDER BY pos) AS gcent FROM gl),
+       |wd AS (
+       |  SELECT e.label,
+       |    ${sq.format("e.embedding::DOUBLE[]", "c.centroid")} AS d2
+       |  FROM embeddings e JOIN clv c USING (label)),
+       |w AS (
+       |  SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       |    CAST(sum(CAST(round(d2 * 1e6) AS BIGINT)) AS BIGINT) AS w6
+       |  FROM wd GROUP BY 1),
+       |b AS (
+       |  SELECT c.label,
+       |    round(${sq.format("c.centroid", "g.gcent")}, 6) AS between_d2
+       |  FROM clv c, glv g)
+       |SELECT w.label, w.n_vecs, $mm AS within_d2, b.between_d2,
+       |  round(b.between_d2 / ($mm + 1e-9), 6) AS separability
+       |FROM w JOIN b USING (label)
+       |ORDER BY label""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q17_topk_cosine", q17, Some(q17Sql), headline = true),
     Q("q18_topk_filtered", q18, Some(q18Sql)),
@@ -361,5 +434,6 @@ object VectorQueries {
     Q("q91_ann_ivf_pq", q91, Some(q91Sql), headline = true),
     Q("q92_ann_ivf_sq8", q92, Some(q92Sql)),
     Q("q137_source_centroid_sim", q137, Some(q137Sql)),
-    Q("q217_sq8_error", q217, Some(q217Sql)))
+    Q("q217_sq8_error", q217, Some(q217Sql)),
+    Q("q229_label_separability", q229, Some(q229Sql)))
 }

@@ -10,6 +10,7 @@ import graft.queries.Catalog
   * oracle (both sides are generated from the same SQL-twin helpers).
   */
 class PipelineReportsSpec extends SparkSpec {
+  import spark.implicits._
 
   private def run(name: String) = Catalog.byName(name).run(spark, sf)
 
@@ -175,6 +176,62 @@ class PipelineReportsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_users")).sum == nUsers)
     val shares = rows.map(_.getAs[Double]("share")).sum
     assert(math.abs(shares - 1.0) < 1e-4)
+  }
+
+  test("q228 normKey: case/punct/spacing mutants collide, reorders don't") {
+    import graft.text.{TextFunctions => TF}
+    val keys = Seq("Hello,  World!", "hello world", "HELLO WORLD.",
+      "world hello", "helloworld")
+      .toDF("t").select(TF.normKey(col("t")).as("k"))
+      .as[String].collect()
+    assert(keys(0) == keys(1) && keys(1) == keys(2)) // mutants collide
+    assert(keys(3) != keys(0)) // word order preserved (unlike q27)
+    assert(keys(4) != keys(0)) // spacing is significant post-collapse
+  }
+
+  test("q229: separability invariants over the label centroids") {
+    val rows = Catalog.byName("q229_label_separability").run(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("within_d2") >= 0.0)
+      assert(r.getAs[Double]("between_d2") >= 0.0)
+      assert(r.getAs[Double]("separability") >= 0.0)
+    }
+    // every label of the table reports
+    val nLabels = Tables.load(spark, sf, "embeddings")
+      .select("label").distinct().count()
+    assert(rows.length == nLabels)
+  }
+
+  test("q230: MAD median arithmetic matches a hand-computed fixture") {
+    // source 'a': lengths 1,3,5,7,100 -> med 5, dev 4,2,0,2,95 -> MAD 2
+    // outlier cutoff 4.4478*2 = 8.8956 -> only 95 exceeds -> 1 outlier
+    // source 'b': lengths 10,20 -> med 15.0, dev 5,5 -> MAD 5, none out
+    import org.apache.spark.sql.expressions.Window
+    val fix = Seq(("a", 1L, 1L), ("a", 2L, 3L), ("a", 3L, 5L),
+      ("a", 4L, 7L), ("a", 5L, 100L), ("b", 6L, 10L), ("b", 7L, 20L))
+      .toDF("source", "doc_id", "n_chars")
+    // replicate the q230 rank-median inline on the fixture
+    def med(df: org.apache.spark.sql.DataFrame, v: String) = {
+      val w = Window.partitionBy(col("source")).orderBy(col(v), col("doc_id"))
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("nn", count(lit(1)).over(
+          Window.partitionBy(col("source"))))
+        .filter(col("rn") === expr("(nn + 1) div 2") ||
+          col("rn") === expr("(nn + 2) div 2"))
+        .groupBy(col("source")).agg((sum(col(v)) / count(lit(1))).as("med"))
+    }
+    val m = med(fix.withColumn("len", col("n_chars").cast("double")), "len")
+      .as[(String, Double)].collect().toMap
+    assert(m("a") == 5.0 && m("b") == 15.0)
+    val dev = fix.withColumn("len", col("n_chars").cast("double"))
+      .join(med(fix.withColumn("len", col("n_chars").cast("double")), "len")
+        .withColumnRenamed("med", "m0"), "source")
+      .withColumn("dev", abs(col("len") - col("m0")))
+    val mad = med(dev.select(col("source"), col("doc_id"),
+      col("dev").as("len")), "len").as[(String, Double)].collect().toMap
+    assert(mad("a") == 2.0 && mad("b") == 5.0)
   }
 
   test("q223: chi2 nonnegative and peak cell in the hour-of-week range") {

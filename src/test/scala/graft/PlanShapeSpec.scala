@@ -116,6 +116,7 @@ class PlanShapeSpec extends SparkSpec {
     "q219_kneser_ney",        // 1-row bigram-type-count broadcast (q129 shape)
     "q222_neyman_allocation", // 1-row fold-total broadcast (#sources frame)
     "q225_ks_length_drift",   // 64-row bucket-grid + 1-row corpus-total broadcasts
+    "q229_label_separability", // #labels-row centroid + 1-row global-centroid broadcasts
     "q218_activity_deciles",  // 1-row user/event-total broadcast
     "q224_attribution",       // 1-row purchase-total broadcast
     "q227_rfm_segments")      // 1-row anchor + 1-row user-total broadcasts
