@@ -217,9 +217,101 @@ object GraphAnalyticsQueries {
        |FROM ranked WHERE rank <= $AffinityK
        |ORDER BY part_id, rank""".stripMargin
 
+  // -- q231: graph mixing report — degree assortativity (Newman 2002:
+  //          do hubs attach to hubs?) over the undirected canonical
+  //          knowledge-graph edge list, plus reciprocity over the
+  //          directed typed edges. Assortativity = Pearson r over the
+  //          2·E symmetric edge stubs; with symmetric stubs Σx = Σy, so
+  //          r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²) — EVERY sum is an
+  //          exact integer fold over degrees, and only the final
+  //          three-term expression runs in doubles (identical operands
+  //          both engines). A hub-dominated KG (everything attaches to
+  //          nations) should read strongly negative — the structural
+  //          fingerprint traversal planners care about. Scale shape:
+  //          one degree aggregate + two hash joins back onto edges;
+  //          reciprocity is one self-join on the reversed key.
+  //          (Contract: Σ deg² over stubs must fit a long — ~4e17 at
+  //          sf1.0; sample stubs past ~10⁹ edges.)
+  private def q231(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactRound
+    val canon = KGraph.canonicalMaterialized(s, dir)
+    val deg = canon.select(col("a").as("node"))
+      .unionByName(canon.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val stubs = canon
+      .join(deg.select(col("node").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("d").as("db")), "b")
+      .select(col("da"), col("db"))
+    val sums = stubs.agg(
+      (count(lit(1)) * 2L).as("m"),
+      (sum(col("da")) + sum(col("db"))).as("sx"),
+      (sum(col("da") * col("da")) + sum(col("db") * col("db"))).as("sxx"),
+      (sum(col("da") * col("db")) * 2L).as("sxy"))
+    val assort = sums.select(
+      expr("m div 2").as("n_edges"),
+      round((col("m").cast("double") * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")) /
+        (col("m").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")), 6)
+        .as("assortativity"))
+    val dir0 = KGraph.edges(s, dir)
+      .select(col("from_id"), col("to_id")).distinct()
+    val mutual = dir0.join(
+        dir0.select(col("to_id").as("from_id"), col("from_id").as("to_id")),
+        Seq("from_id", "to_id"), "left_semi")
+      .agg(count(lit(1)).as("n_mutual"))
+    val nDir = dir0.agg(count(lit(1)).as("n_directed"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    assort.crossJoin(broadcast(nNodes))
+      .crossJoin(broadcast(nDir)).crossJoin(broadcast(mutual))
+      .select(col("n_nodes"), col("n_edges"), col("assortativity"),
+        col("n_directed"), col("n_mutual"),
+        ExactRound.ratio6(col("n_mutual"), col("n_directed"))
+          .as("reciprocity"))
+  }
+
+  private val q231Sql =
+    s"""WITH ${graft.graph.KGraph.edgesSql},
+       |canon AS (
+       |  SELECT DISTINCT least(from_id, to_id) AS a,
+       |    greatest(from_id, to_id) AS b
+       |  FROM edges WHERE from_id <> to_id),
+       |deg AS (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+       |    SELECT a AS node FROM canon UNION ALL SELECT b FROM canon) t
+       |  GROUP BY node),
+       |st AS (
+       |  SELECT da.d AS da, db.d AS db
+       |  FROM canon c JOIN deg da ON da.node = c.a
+       |  JOIN deg db ON db.node = c.b),
+       |sums AS (
+       |  SELECT CAST(count(*) * 2 AS BIGINT) AS m,
+       |    CAST(sum(da) + sum(db) AS BIGINT) AS sx,
+       |    CAST(sum(da * da) + sum(db * db) AS BIGINT) AS sxx,
+       |    CAST(sum(da * db) * 2 AS BIGINT) AS sxy
+       |  FROM st),
+       |dir0 AS (SELECT DISTINCT from_id, to_id FROM edges),
+       |mut AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_mutual FROM dir0 d
+       |  WHERE EXISTS (SELECT 1 FROM dir0 r
+       |    WHERE r.from_id = d.to_id AND r.to_id = d.from_id)),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_directed FROM dir0),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+       |SELECT nn.n_nodes, m // 2 AS n_edges,
+       |  round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) -
+       |    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+       |    (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) -
+       |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+       |    AS assortativity,
+       |  nd.n_directed, mut.n_mutual,
+       |  ${graft.functions.ExactRound.sql.ratio6("mut.n_mutual", "nd.n_directed")}
+       |    AS reciprocity
+       |FROM sums, nn, nd, mut""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q191_copurchase_clustering", q191, Some(q191Sql), headline = true),
     Q("q192_kcore_layers", q192, Some(q192Sql), headline = true),
     Q("q193_lpa_communities", q193, Some(q193Sql), headline = true),
-    Q("q206_copurchase_affinity", q206, Some(q206Sql)))
+    Q("q206_copurchase_affinity", q206, Some(q206Sql)),
+    Q("q231_graph_mixing", q231, Some(q231Sql)))
 }

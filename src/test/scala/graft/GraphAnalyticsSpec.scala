@@ -58,6 +58,35 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(out.filter("in_core").count() == 0)
   }
 
+  test("q231: star graph reads assortativity -1; KG report is bounded") {
+    import org.apache.spark.sql.functions._
+    // a perfect star is maximally disassortative: every edge joins the
+    // hub (degree n) to a leaf (degree 1) -> r = -1 exactly. Replicate
+    // the q231 stub sums on the fixture.
+    val star = canon(("h", "l1"), ("h", "l2"), ("h", "l3"), ("h", "l4"))
+    val deg = star.select(col("a").as("node"))
+      .unionByName(star.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val st = star
+      .join(deg.select(col("node").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("d").as("db")), "b")
+    val r = st.agg((count(lit(1)) * 2L).as("m"),
+        (sum("da") + sum(col("db"))).as("sx"),
+        (sum(col("da") * col("da")) + sum(col("db") * col("db"))).as("sxx"),
+        (sum(col("da") * col("db")) * 2L).as("sxy"))
+      .select(((col("m").cast("double") * col("sxy") - col("sx").cast("double") * col("sx")) /
+        (col("m").cast("double") * col("sxx") - col("sx").cast("double") * col("sx"))).as("r"))
+      .head().getDouble(0)
+    assert(math.abs(r - (-1.0)) < 1e-12)
+    // catalog run: bounded stats, zero reciprocity on the DAG-shaped KG
+    val row = graft.queries.Catalog.byName("q231_graph_mixing")
+      .run(spark, sf).head()
+    val a = row.getAs[Double]("assortativity")
+    assert(a >= -1.0 && a <= 1.0)
+    assert(row.getAs[Long]("n_mutual") == 0L)
+    assert(row.getAs[Double]("reciprocity") == 0.0)
+  }
+
   test("labelPropagation: two cliques bridged keep distinct labels") {
     val cliqueA = for { x <- Seq("a1", "a2", "a3"); y <- Seq("a1", "a2", "a3") if x < y } yield (x, y)
     val cliqueB = for { x <- Seq("b1", "b2", "b3"); y <- Seq("b1", "b2", "b3") if x < y } yield (x, y)
