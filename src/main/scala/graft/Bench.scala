@@ -77,7 +77,9 @@ object Bench {
     "q193_lpa_communities" -> 4.69,
     // round-8 cohesion-audit promotion (quiet sf0.1 min, BENCH_NOTES
     // round-8 addendum 13): q126's cluster pass + the edge-sim legs
-    "q226_cluster_cohesion" -> 10.85)
+    "q226_cluster_cohesion" -> 10.85,
+    // round-8 graph-mixing promotion (quiet sf0.1 min, addendum 15)
+    "q231_graph_mixing" -> 5.02)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -313,5 +313,5 @@ object GraphAnalyticsQueries {
     Q("q192_kcore_layers", q192, Some(q192Sql), headline = true),
     Q("q193_lpa_communities", q193, Some(q193Sql), headline = true),
     Q("q206_copurchase_affinity", q206, Some(q206Sql)),
-    Q("q231_graph_mixing", q231, Some(q231Sql)))
+    Q("q231_graph_mixing", q231, Some(q231Sql), headline = true))
 }
