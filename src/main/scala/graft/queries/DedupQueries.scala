@@ -1475,6 +1475,67 @@ object DedupQueries {
       |GROUP BY 1 HAVING count(*) > 1
       |ORDER BY norm_key""".stripMargin
 
+  // -- q232: boilerplate template detection — groups of documents
+  //          sharing the same normalized 64-char PREFIX or SUFFIX: the
+  //          shared-header/footer signature of templated scrapes
+  //          (nav bars, cookie banners, license footers) that q166's
+  //          substring dedup only sees pairwise and q27/q228 only see
+  //          when the WHOLE doc matches. A template group is a strip
+  //          candidate, not a dedup candidate — the report feeds a
+  //          boilerplate-removal stage. Both engines take the same
+  //          explicit length arithmetic (docs shorter than TmplLen
+  //          normalized chars are out of scope), so the keys are
+  //          bit-identical. TmplLen is a dial: 64+ on real web scrapes
+  //          (a cookie banner is long); 8 here because the synthetic
+  //          corpus has no long shared affixes and the oracle should
+  //          exercise the nonzero path. Scale shape: scan-local key
+  //          expressions + one hash aggregate per leg, q27's shape.
+  private val TmplLen = 8
+  private val TmplMinDocs = 5L
+
+  private def q232(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        TF.normText(col("text")).as("nt"))
+      .filter(length(col("nt")) >= TmplLen)
+    def leg(kind: String, key: org.apache.spark.sql.Column) =
+      base.groupBy(md5(key).as("tmpl_key"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          min(col("doc_id")).as("sample_doc"))
+        .filter(col("n_docs") >= TmplMinDocs)
+        .withColumn("kind", lit(kind))
+    leg("prefix", substring(col("nt"), 1, TmplLen))
+      .unionByName(leg("suffix",
+        expr(s"substring(nt, length(nt) - ${TmplLen - 1}, $TmplLen)")))
+      .select(col("kind"), col("tmpl_key"), col("n_docs"),
+        col("n_sources"), col("sample_doc"))
+      .orderBy(col("kind"), col("tmpl_key"))
+  }
+
+  private val q232Sql =
+    s"""WITH base AS (
+       |  SELECT doc_id, source,
+       |    trim(regexp_replace(regexp_replace(lower(text),
+       |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS nt
+       |  FROM documents),
+       |scoped AS (SELECT * FROM base WHERE length(nt) >= $TmplLen),
+       |legs AS (
+       |  SELECT 'prefix' AS kind, md5(substring(nt, 1, $TmplLen)) AS tmpl_key,
+       |    doc_id, source
+       |  FROM scoped
+       |  UNION ALL
+       |  SELECT 'suffix',
+       |    md5(substring(nt, length(nt) - ${TmplLen - 1}, $TmplLen)),
+       |    doc_id, source
+       |  FROM scoped)
+       |SELECT kind, tmpl_key, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       |  min(doc_id) AS sample_doc
+       |FROM legs
+       |GROUP BY kind, tmpl_key HAVING count(*) >= $TmplMinDocs
+       |ORDER BY kind, tmpl_key""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q27_dedup_exact", q27, Some(q27Sql), headline = true),
     Q("q28_dedup_minhash_lsh", q28, Some(q28Sql), headline = true),
@@ -1499,5 +1560,6 @@ object DedupQueries {
     Q("q208_cdc_flow_matrix", q208, Some(q208Sql)),
     Q("q220_lsh_planner", q220, Some(q220Sql)),
     Q("q226_cluster_cohesion", q226, Some(q226Sql), headline = true),
-    Q("q228_normalized_dedup", q228, Some(q228Sql)))
+    Q("q228_normalized_dedup", q228, Some(q228Sql)),
+    Q("q232_boilerplate_templates", q232, Some(q232Sql)))
 }

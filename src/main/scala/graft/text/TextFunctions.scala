@@ -26,12 +26,16 @@ object TextFunctions {
   val bpeishPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
   def regexTokenCount(text: Column): Column = regexp_count(text, lit(bpeishPattern))
 
-  /** Normalized dedup key (q228): lowercase, strip non-alphanumerics,
-    * collapse runs of spaces, trim, md5. Order-preserving — the
-    * word-order-sensitive sibling of q27's token-set key. */
-  def normKey(text: Column): Column =
-    md5(trim(regexp_replace(
-      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " ")))
+  /** Canonical text normalization (q228/q232): lowercase, strip
+    * non-alphanumerics, collapse runs of spaces, trim. */
+  def normText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Normalized dedup key (q228): [[normText]] then md5. Order-
+    * preserving — the word-order-sensitive sibling of q27's token-set
+    * key. */
+  def normKey(text: Column): Column = md5(normText(text))
 
   /** Portable 32-bit token hash: first 8 hex chars of md5, as a long.
     * Chosen over xxhash64/murmur because DuckDB can compute the exact

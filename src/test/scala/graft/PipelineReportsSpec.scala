@@ -234,6 +234,26 @@ class PipelineReportsSpec extends SparkSpec {
     assert(mad("a") == 2.0 && mad("b") == 5.0)
   }
 
+  test("q232: template groups meet the floor and stay within one kind") {
+    val rows = Catalog.byName("q232_boilerplate_templates").run(spark, sf)
+      .collect()
+    rows.foreach { r =>
+      assert(Set("prefix", "suffix")(r.getAs[String]("kind")))
+      assert(r.getAs[Long]("n_docs") >= 5L)
+      assert(r.getAs[Long]("n_sources") >= 1L &&
+        r.getAs[Long]("n_sources") <= r.getAs[Long]("n_docs"))
+    }
+    // identical texts always share both affix templates: inject a
+    // 5-doc clone set through the same key expressions
+    import graft.text.{TextFunctions => TF}
+    val clones = (1 to 5).map(i =>
+        (i.toLong, "Exactly The Same Boilerplate Header! body " + i))
+      .toDF("doc_id", "t")
+      .select(md5(substring(TF.normText(col("t")), 1, 8)).as("k"))
+      .distinct().count()
+    assert(clones == 1L)
+  }
+
   test("q223: chi2 nonnegative and peak cell in the hour-of-week range") {
     val rows = Catalog.byName("q223_seasonality_chi2").run(spark, sf)
       .collect()
