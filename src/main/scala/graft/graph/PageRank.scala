@@ -77,6 +77,41 @@ object PageRank {
     r
   }
 
+  /** Confidence-WEIGHTED ranks: contributions split proportionally to
+    * edge weight instead of uniformly — rank flows along trusted edges
+    * (the domain-weighting variant used when links carry extraction
+    * confidence). `edges` must carry a `confidence` column whose values
+    * are exact two-decimal literals; they quantize to MICRO-unit
+    * integers up front, so W(u) = Σ w_micro is an exact integer and the
+    * per-edge share r·w/W quantizes to nano-units exactly like the
+    * uniform path. Same one-join-one-sum iteration shape and the same
+    * determinism contract as [[ranks]]. */
+  def weightedRanks(edges: DataFrame, iterations: Int = 3): DataFrame = {
+    val w = edges.select(col("from_id"), col("to_id"),
+      round(col("confidence") * lit(1e6), 0).cast("long").as("w"))
+    val outw = w.groupBy(col("from_id")).agg(sum(col("w")).as("ww"))
+    val e = w.join(outw, Seq("from_id"))
+      .repartition(col("from_id"))
+      .truncateLineage()
+    val all = nodes(edges).repartition(col("node_id")).truncateLineage()
+    var r = all.withColumn("rank", lit(1.0))
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(r.withColumnRenamed("node_id", "from_id"), Seq("from_id"))
+        .select(col("to_id").as("node_id"),
+          round(col("rank") * col("w") / col("ww") * lit(Nano), 0)
+            .cast("long").as("c"))
+        .groupBy(col("node_id"))
+        .agg(sum(col("c")).as("s"))
+      r = all.join(contrib, Seq("node_id"), "left")
+        .select(col("node_id"),
+          (lit(1.0 - Damping) + lit(Damping) *
+            (coalesce(col("s"), lit(0L)) / lit(Nano))).as("rank"))
+        .truncateLineage()
+    }
+    r
+  }
+
   /** DuckDB oracle fragments. */
   object sql {
     /** CTE chain (appended after an `edges` CTE) ending in
@@ -102,6 +137,37 @@ object PageRank {
            |  SELECT n.node_id,
            |    ${1.0 - Damping} + $Damping * (coalesce(c.s, 0) / 1e9) AS rank
            |  FROM nodes n LEFT JOIN c$i c USING (node_id))""".stripMargin
+      }
+      (base +: iters).mkString(",\n")
+    }
+
+    /** CTE chain ending in `wpr$iterations(node_id, rank)` — the twin
+      * of [[weightedRanks]] (expects `edges` with `confidence`). */
+    def weightedRanksCtes(iterations: Int = 3): String = {
+      val base =
+        """we AS (
+          |  SELECT from_id, to_id,
+          |    CAST(round(confidence * 1e6, 0) AS BIGINT) AS w
+          |  FROM edges),
+          |outw AS (SELECT from_id, CAST(sum(w) AS BIGINT) AS ww
+          |         FROM we GROUP BY 1),
+          |nodes AS (
+          |  SELECT from_id AS node_id FROM edges
+          |  UNION SELECT to_id FROM edges),
+          |wpr0 AS (SELECT node_id, 1.0 AS rank FROM nodes)""".stripMargin
+      val iters = (1 to iterations).map { i =>
+        s"""wc$i AS (
+           |  SELECT e.to_id AS node_id,
+           |    CAST(sum(CAST(round(p.rank * e.w / o.ww * 1e9, 0) AS BIGINT))
+           |      AS BIGINT) AS s
+           |  FROM we e
+           |  JOIN outw o USING (from_id)
+           |  JOIN wpr${i - 1} p ON p.node_id = e.from_id
+           |  GROUP BY 1),
+           |wpr$i AS (
+           |  SELECT n.node_id,
+           |    ${1.0 - Damping} + $Damping * (coalesce(c.s, 0) / 1e9) AS rank
+           |  FROM nodes n LEFT JOIN wc$i c USING (node_id))""".stripMargin
       }
       (base +: iters).mkString(",\n")
     }

@@ -152,6 +152,33 @@ object CurationQueries {
        |ORDER BY pr$PrIters.rank DESC, node_id
        |LIMIT $PrTop""".stripMargin
 
+  // -- q233: confidence-weighted PageRank — q147 with rank flowing
+  //          proportionally to edge confidence instead of uniformly:
+  //          the domain-weighting form used when links carry extraction
+  //          confidence (a 0.7 supplied_by edge passes less authority
+  //          than a 1.0 placed_by edge). Same one-hash-join +
+  //          one-keyed-integer-sum iteration and nano-unit determinism
+  //          contract as q147; the weight normalizer W(u) is an exact
+  //          MICRO-unit integer sum (confidences are two-decimal
+  //          literals), so every per-edge share quantizes identically
+  //          cross-engine.
+  private def q233(s: SparkSession, dir: String): DataFrame =
+    PageRank.weightedRanks(KGraph.materialized(s, dir), PrIters)
+      .orderBy(col("rank").desc, col("node_id"))
+      .limit(PrTop)
+      .select(col("node_id"),
+        substring(col("node_id"), 1, 1).as("node_type"),
+        round(col("rank"), 6).as("rank"))
+
+  private val q233Sql =
+    s"""WITH ${KGraph.edgesSql},
+       |${PageRank.sql.weightedRanksCtes(PrIters)}
+       |SELECT node_id, substr(node_id, 1, 1) AS node_type,
+       |  round(rank, 6) AS rank
+       |FROM wpr$PrIters
+       |ORDER BY wpr$PrIters.rank DESC, node_id
+       |LIMIT $PrTop""".stripMargin
+
   // -- q148: hard-negative mining — for each of 16 probe embeddings,
   //          the 5 most cosine-similar vectors whose DOCUMENT comes
   //          from a DIFFERENT source (the contrastive-training
@@ -2898,5 +2925,6 @@ object CurationQueries {
     Q("q198_matryoshka_fidelity", q198, Some(q198Sql)),
     Q("q204_hash_collision_audit", q204, Some(q204Sql)),
     Q("q207_embedding_outliers", q207, Some(q207Sql)),
-    Q("q212_source_dispersion", q212, Some(q212Sql)))
+    Q("q212_source_dispersion", q212, Some(q212Sql)),
+    Q("q233_weighted_pagerank", q233, Some(q233Sql)))
 }

@@ -344,6 +344,26 @@ class CurationSpec extends SparkSpec {
       s"silhouette means must be in [0,1], borders <= size: ${rows.toSeq}")
   }
 
+  test("weighted pagerank: uniform confidence reduces to the uniform path") {
+    import org.apache.spark.sql.functions.lit
+    val edges = Seq(("a", "b"), ("a", "c"), ("c", "b"))
+      .toDF("from_id", "to_id")
+    val uni = PageRank.ranks(edges, 3).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val wUni = PageRank.weightedRanks(
+        edges.withColumn("confidence", lit(0.8)), 3).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // equal weights cancel in w/W — identical quantized ranks
+    assert(wUni == uni, s"$wUni vs $uni")
+    // unequal weights shift mass toward the heavy edge: a splits 0.9/0.1
+    // between b and c, so b must outrank the uniform run's b
+    val skew = Seq(("a", "b", 0.9), ("a", "c", 0.1), ("c", "b", 0.5))
+      .toDF("from_id", "to_id", "confidence")
+    val w = PageRank.weightedRanks(skew, 3).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(w("b") > uni("b") && w("c") < uni("c"), s"$w vs $uni")
+  }
+
   test("pagerank: rank mass concentrates along the edge direction") {
     // the KGraph points orders→customers→nations→regions: downstream
     // node types must accumulate more rank on average, and the single
