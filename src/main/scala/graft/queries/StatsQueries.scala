@@ -581,6 +581,145 @@ object StatsQueries {
        |GROUP BY v.source
        |ORDER BY source""".stripMargin
 
+  // -- q234: schema profile — the Deequ-style column profiler a
+  //          pipeline runs before trusting a new drop: per (table,
+  //          column) row count, distinct count, null count. One agg
+  //          pass per table computes every column's statistics in a
+  //          single scan (13 tiny aggregate slots), then explodes to
+  //          the long form — never 13 separate scans. Exact integers
+  //          throughout. At 100 TB the countDistinct slots swap for
+  //          approx_count_distinct (documented dial; the oracle pins
+  //          the exact form).
+  private val ProfileCols: Seq[(String, Seq[String])] = Seq(
+    "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+    "events" -> Seq("event_id", "ts", "user_id", "event_type", "value",
+      "props"),
+    "embeddings" -> Seq("vec_id", "label"))
+
+  private def q234(s: SparkSession, dir: String): DataFrame = {
+    def profile(table: String, cols: Seq[String]): DataFrame = {
+      val t = Tables.load(s, dir, table)
+      val aggs = cols.flatMap(c => Seq(
+        countDistinct(col(c)).as(s"d_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"z_$c")))
+      t.agg(count(lit(1)).as("rows"), aggs: _*)
+        .select(explode(array(cols.map(c => struct(
+          lit(table).as("tbl"), lit(c).as("col_name"),
+          col("rows").as("n_rows"), col(s"d_$c").as("n_distinct"),
+          col(s"z_$c").as("n_null"))): _*)).as("r"))
+        .select(col("r.tbl").as("tbl"), col("r.col_name").as("col_name"),
+          col("r.n_rows").as("n_rows"),
+          col("r.n_distinct").as("n_distinct"),
+          col("r.n_null").as("n_null"))
+    }
+    ProfileCols.map { case (t, cs) => profile(t, cs) }
+      .reduce(_ unionByName _)
+      .orderBy(col("tbl"), col("col_name"))
+  }
+
+  private val q234Sql = {
+    val legs = ProfileCols.flatMap { case (t, cs) =>
+      cs.map(c =>
+        s"""SELECT '$t' AS tbl, '$c' AS col_name,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_null
+           |FROM $t""".stripMargin)
+    }.mkString("\nUNION ALL\n")
+    s"$legs\nORDER BY tbl, col_name"
+  }
+
+  // -- q235: expectation suite — declarative data-contract checks
+  //          (Deequ/Great-Expectations shape) evaluated in one agg
+  //          pass per table: key uniqueness, derived-column
+  //          consistency (n_chars = length(text)), domain bounds, and
+  //          dimensionality. Output one row per check with the
+  //          violation count and a pass flag — the gate a pipeline
+  //          wires before q116/q174 builds. Exact integers; each
+  //          table contributes one scan.
+  private def q235(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).agg(
+      count(lit(1)).as("n"),
+      (count(lit(1)) - countDistinct(col("doc_id"))).as("dup_ids"),
+      sum(when(col("n_chars") <= 0, 1L).otherwise(0L)).as("bad_len"),
+      sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
+        .as("len_mismatch"),
+      sum(when(col("lang").isNull || length(col("lang")) < 2, 1L)
+        .otherwise(0L)).as("bad_lang"))
+    val ev = events(s, dir).agg(
+      count(lit(1)).as("n"),
+      (count(lit(1)) - countDistinct(col("event_id"))).as("dup_ids"),
+      sum(when(col("ts") < lit("2024-01-01").cast("timestamp") ||
+        col("ts") >= lit("2025-01-01").cast("timestamp"), 1L)
+        .otherwise(0L)).as("ts_out"),
+      sum(when(col("value") < 0, 1L).otherwise(0L)).as("neg_value"))
+    val em = Tables.load(s, dir, "embeddings").agg(
+      count(lit(1)).as("n"),
+      sum(when(size(col("embedding")) =!= 64, 1L).otherwise(0L))
+        .as("bad_dim"))
+    def row(frame: DataFrame, check: String, nCol: String, vCol: String) =
+      frame.select(lit(check).as("check"), col(nCol).as("n_checked"),
+        col(vCol).as("n_violations"),
+        (col(vCol) === 0L).as("pass"))
+    Seq(
+      row(d, "documents.doc_id unique", "n", "dup_ids"),
+      row(d, "documents.n_chars positive", "n", "bad_len"),
+      row(d, "documents.n_chars = length(text)", "n", "len_mismatch"),
+      row(d, "documents.lang well-formed", "n", "bad_lang"),
+      row(ev, "events.event_id unique", "n", "dup_ids"),
+      row(ev, "events.ts within 2024", "n", "ts_out"),
+      row(ev, "events.value nonnegative", "n", "neg_value"),
+      row(em, "embeddings.dim = 64", "n", "bad_dim"))
+      .reduce(_ unionByName _)
+      .orderBy(col("check"))
+  }
+
+  private val q235Sql =
+    """WITH d AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS dup_ids,
+      |    CAST(sum(CASE WHEN n_chars <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS bad_len,
+      |    CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS len_mismatch,
+      |    CAST(sum(CASE WHEN lang IS NULL OR length(lang) < 2
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS bad_lang
+      |  FROM documents),
+      |ev AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS dup_ids,
+      |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-01'
+      |      OR ts >= TIMESTAMP '2025-01-01' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS ts_out,
+      |    CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS neg_value
+      |  FROM events),
+      |em AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN len(embedding) <> 64 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS bad_dim
+      |  FROM embeddings)
+      |SELECT * FROM (
+      |  SELECT 'documents.doc_id unique' AS check, n AS n_checked,
+      |    dup_ids AS n_violations, dup_ids = 0 AS pass FROM d
+      |  UNION ALL
+      |  SELECT 'documents.n_chars positive', n, bad_len, bad_len = 0 FROM d
+      |  UNION ALL
+      |  SELECT 'documents.n_chars = length(text)', n, len_mismatch,
+      |    len_mismatch = 0 FROM d
+      |  UNION ALL
+      |  SELECT 'documents.lang well-formed', n, bad_lang, bad_lang = 0 FROM d
+      |  UNION ALL
+      |  SELECT 'events.event_id unique', n, dup_ids, dup_ids = 0 FROM ev
+      |  UNION ALL
+      |  SELECT 'events.ts within 2024', n, ts_out, ts_out = 0 FROM ev
+      |  UNION ALL
+      |  SELECT 'events.value nonnegative', n, neg_value, neg_value = 0 FROM ev
+      |  UNION ALL
+      |  SELECT 'embeddings.dim = 64', n, bad_dim, bad_dim = 0 FROM em)
+      |ORDER BY "check"""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q60_growth_rate", q60, Some(q60Sql)),
     Q("q61_decline_periods", q61, Some(q61Sql)),
@@ -593,5 +732,7 @@ object StatsQueries {
     Q("q199_source_gini", q199, Some(q199Sql)),
     Q("q209_metric_spearman", q209, Some(q209Sql)),
     Q("q225_ks_length_drift", q225, Some(q225Sql)),
-    Q("q230_mad_outliers", q230, Some(q230Sql)))
+    Q("q230_mad_outliers", q230, Some(q230Sql)),
+    Q("q234_schema_profile", q234, Some(q234Sql)),
+    Q("q235_expectations", q235, Some(q235Sql)))
 }

@@ -254,6 +254,35 @@ class PipelineReportsSpec extends SparkSpec {
     assert(clones == 1L)
   }
 
+  test("q234: profile rows cover the declared columns with sane bounds") {
+    val rows = Catalog.byName("q234_schema_profile").run(spark, sf)
+      .collect()
+    assert(rows.length == 13)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_rows")
+      assert(r.getAs[Long]("n_distinct") <= n)
+      assert(r.getAs[Long]("n_null") <= n)
+    }
+    // key columns are unique on the synthetic tables
+    val byCol = rows.map(r => (r.getAs[String]("tbl"),
+      r.getAs[String]("col_name")) -> r).toMap
+    Seq(("documents", "doc_id"), ("events", "event_id"),
+      ("embeddings", "vec_id")).foreach { k =>
+      val r = byCol(k)
+      assert(r.getAs[Long]("n_distinct") == r.getAs[Long]("n_rows"), s"$k")
+    }
+  }
+
+  test("q235: every expectation passes on the pristine synthetic drop") {
+    val rows = Catalog.byName("q235_expectations").run(spark, sf).collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("pass"),
+        s"${r.getAs[String]("check")}: ${r.getAs[Long]("n_violations")}")
+      assert(r.getAs[Long]("n_checked") > 0)
+    }
+  }
+
   test("q223: chi2 nonnegative and peak cell in the hour-of-week range") {
     val rows = Catalog.byName("q223_seasonality_chi2").run(spark, sf)
       .collect()
