@@ -97,9 +97,71 @@ object StreamingQueries {
       |FROM b GROUP BY 1, 2, 3
       |ORDER BY priority DESC, interval_bucket, batch_seq""".stripMargin
 
+  // -- q236: bot-rate session screen — users with machine-speed
+  //          sessions: a session is "fast" when its mean inter-event
+  //          gap is ≤ 60 s (duration ≤ 60·(n−1), pure integer compare —
+  //          no division), over the exact q59 sessionization. Bot
+  //          traffic poisons behavioral training data; this is the
+  //          feed-hygiene screen run before q213/q214/q224 analytics.
+  //          Scale shape: the q59 user-keyed windows + one per-user
+  //          rollup; output bounded by flagged users.
+  private val FastGapSec = 60L
+
+  private def q236(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactRound
+    val fast = col("n_events") >= 2 &&
+      col("duration_sec") <= (col("n_events") - 1) * FastGapSec
+    EventStream.sessionizeBatch(events(s, dir), 1800L)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(fast, 1L).otherwise(0L)).as("n_fast"),
+        sum(when(fast, col("n_events")).otherwise(0L)).as("n_fast_events"))
+      .filter(col("n_fast") > 0)
+      .select(col("user_id"), col("n_sessions"), col("n_fast"),
+        col("n_fast_events"),
+        ExactRound.ratio6(col("n_fast"), col("n_sessions"))
+          .as("fast_share"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q236Sql =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+       |  FROM events),
+       |b AS (
+       |  SELECT user_id, event_id, sec,
+       |    CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+       |      THEN 1 ELSE 0 END AS boundary
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+       |sess AS (
+       |  SELECT user_id, sec,
+       |    CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY sec, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS session_id
+       |  FROM b),
+       |g AS (
+       |  SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+       |    CAST(max(sec) - min(sec) AS BIGINT) AS duration_sec
+       |  FROM sess GROUP BY 1, 2),
+       |u AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+       |    CAST(sum(CASE WHEN n_events >= 2
+       |      AND duration_sec <= (n_events - 1) * $FastGapSec
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_fast,
+       |    CAST(sum(CASE WHEN n_events >= 2
+       |      AND duration_sec <= (n_events - 1) * $FastGapSec
+       |      THEN n_events ELSE 0 END) AS BIGINT) AS n_fast_events
+       |  FROM g GROUP BY 1)
+       |SELECT user_id, n_sessions, n_fast, n_fast_events,
+       |  ${graft.functions.ExactRound.sql.ratio6("n_fast", "n_sessions")}
+       |    AS fast_share
+       |FROM u WHERE n_fast > 0
+       |ORDER BY user_id""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q57_window_tumbling", q57, Some(q57Sql), headline = true),
     Q("q58_window_sliding", q58, Some(q58Sql)),
     Q("q59_sessionize", q59, Some(q59Sql)),
-    Q("q90_event_bus_batches", q90, Some(q90Sql), headline = true))
+    Q("q90_event_bus_batches", q90, Some(q90Sql), headline = true),
+    Q("q236_bot_sessions", q236, Some(q236Sql)))
 }

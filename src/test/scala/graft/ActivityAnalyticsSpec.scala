@@ -125,6 +125,28 @@ class ActivityAnalyticsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("q236: fast-session screen fires only on machine-speed fixtures") {
+    // replicate the flag on sessionizeBatch output: a 3-event burst in
+    // 30 s is fast; the same 3 events spread 10 min apart are not
+    val burst = Seq((1L, 1L, 0L), (1L, 2L, 10L), (1L, 3L, 30L),
+      (2L, 4L, 0L), (2L, 5L, 600L), (2L, 6L, 1200L))
+      .toDF("user_id", "event_id", "sec")
+      .select(col("user_id"), col("event_id"),
+        expr("timestamp_seconds(sec)").as("ts"))
+    val sess = EventStream.sessionizeBatch(burst, 1800L)
+      .withColumn("fast", col("n_events") >= 2 &&
+        col("duration_sec") <= (col("n_events") - 1) * 60L)
+      .select("user_id", "fast").as[(Long, Boolean)].collect().toMap
+    assert(sess(1L) && !sess(2L))
+    // catalog run: flagged users report consistent bounds
+    Catalog.byName("q236_bot_sessions").run(spark, sf).collect()
+      .foreach { r =>
+        assert(r.getAs[Long]("n_fast") >= 1L)
+        assert(r.getAs[Long]("n_fast") <= r.getAs[Long]("n_sessions"))
+        assert(r.getAs[Long]("n_fast_events") >= 2 * r.getAs[Long]("n_fast"))
+      }
+  }
+
   test("q217 per-dim max error respects the SQ8 half-step bound") {
     val res = Catalog.byName("q217_sq8_error").run(spark, sf).collect()
     assert(res.length === 64)
