@@ -179,6 +179,85 @@ object CurationQueries {
        |ORDER BY wpr$PrIters.rank DESC, node_id
        |LIMIT $PrTop""".stripMargin
 
+  // -- q237: feature correlation matrix — pairwise Pearson r between
+  //          the document features the q173 classifier consumes (chars,
+  //          tokens, distinct tokens, micro-quantized quality): the
+  //          redundancy audit run before adding a feature to a model —
+  //          a 0.98-correlated pair is one feature, not two. EXACT
+  //          integers end-to-end: all four features are (or quantize
+  //          to) longs, so Σx/Σx²/Σxy are exact folds, and the q231
+  //          pattern applies — only the final r expression runs in
+  //          doubles over those exact operands. ONE agg scan computes
+  //          all 14 sum slots; the matrix explodes from the 1-row
+  //          frame. (Contract: Σ qmicro² ≈ n·10¹² must fit a long —
+  //          sample past ~9e6 docs per partition-free exact run.)
+  private val FcFeatures = Seq("len", "toks", "types", "qmicro")
+
+  private def q237(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{TextFunctions => TF}
+    val f = docs(s, dir).select(
+      col("n_chars").as("len"),
+      TF.tokenCount(col("text")).cast("long").as("toks"),
+      size(TF.distinctTokens(col("text"))).cast("long").as("types"),
+      round(TF.qualityScore(col("text"), col("n_chars")) * lit(1e6), 0)
+        .cast("long").as("qmicro"))
+    val pairs = for {
+      i <- FcFeatures.indices; j <- i + 1 until FcFeatures.size
+    } yield (FcFeatures(i), FcFeatures(j))
+    val aggs = FcFeatures.flatMap(c => Seq(
+      sum(col(c)).as(s"s_$c"), sum(col(c) * col(c)).as(s"ss_$c"))) ++
+      pairs.map { case (a, b) => sum(col(a) * col(b)).as(s"sp_${a}_$b") }
+    def d(c: String) = col(c).cast("double")
+    val cells = pairs.map { case (a, b) =>
+      val num = d("n") * d(s"sp_${a}_$b") - d(s"s_$a") * d(s"s_$b")
+      val den = sqrt(d("n") * d(s"ss_$a") - d(s"s_$a") * d(s"s_$a")) *
+        sqrt(d("n") * d(s"ss_$b") - d(s"s_$b") * d(s"s_$b"))
+      struct(lit(a).as("feat_a"), lit(b).as("feat_b"),
+        col("n").as("n"), round(num / den, 6).as("r"))
+    }
+    f.agg(count(lit(1)).as("n"), aggs: _*)
+      .select(explode(array(cells: _*)).as("p"))
+      .select(col("p.feat_a").as("feat_a"), col("p.feat_b").as("feat_b"),
+        col("p.n").as("n"), col("p.r").as("r"))
+      .orderBy(col("feat_a"), col("feat_b"))
+  }
+
+  private val q237Sql = {
+    import graft.text.{TextFunctions => TF}
+    val pairs = for {
+      i <- FcFeatures.indices; j <- i + 1 until FcFeatures.size
+    } yield (FcFeatures(i), FcFeatures(j))
+    val sumCols = (FcFeatures.flatMap(c => Seq(
+      s"CAST(sum($c) AS BIGINT) AS s_$c",
+      s"CAST(sum($c * $c) AS BIGINT) AS ss_$c")) ++
+      pairs.map { case (a, b) =>
+        s"CAST(sum($a * $b) AS BIGINT) AS sp_${a}_$b" }).mkString(",\n    ")
+    val legs = pairs.map { case (a, b) =>
+      val num = s"CAST(n AS DOUBLE) * CAST(sp_${a}_$b AS DOUBLE) - " +
+        s"CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE)"
+      val den = s"sqrt(CAST(n AS DOUBLE) * CAST(ss_$a AS DOUBLE) - " +
+        s"CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE)) * " +
+        s"sqrt(CAST(n AS DOUBLE) * CAST(ss_$b AS DOUBLE) - " +
+        s"CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))"
+      s"SELECT '$a' AS feat_a, '$b' AS feat_b, n, " +
+        s"round(($num) / ($den), 6) AS r FROM sums"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH f AS (
+       |  SELECT n_chars AS len,
+       |    CAST(${TF.sql.tokenCount("text")} AS BIGINT) AS toks,
+       |    CAST(len(${TF.sql.distinctTokens("text")}) AS BIGINT) AS types,
+       |    CAST(round(${TF.sql.qualityScore("text", "n_chars")} * 1e6, 0)
+       |      AS BIGINT) AS qmicro
+       |  FROM documents),
+       |sums AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    $sumCols
+       |  FROM f)
+       |SELECT * FROM (
+       |  $legs)
+       |ORDER BY feat_a, feat_b""".stripMargin
+  }
+
   // -- q148: hard-negative mining — for each of 16 probe embeddings,
   //          the 5 most cosine-similar vectors whose DOCUMENT comes
   //          from a DIFFERENT source (the contrastive-training
@@ -2926,5 +3005,6 @@ object CurationQueries {
     Q("q204_hash_collision_audit", q204, Some(q204Sql)),
     Q("q207_embedding_outliers", q207, Some(q207Sql)),
     Q("q212_source_dispersion", q212, Some(q212Sql)),
-    Q("q233_weighted_pagerank", q233, Some(q233Sql)))
+    Q("q233_weighted_pagerank", q233, Some(q233Sql)),
+    Q("q237_feature_correlation", q237, Some(q237Sql)))
 }

@@ -364,6 +364,22 @@ class CurationSpec extends SparkSpec {
     assert(w("b") > uni("b") && w("c") < uni("c"), s"$w vs $uni")
   }
 
+  test("q237: correlations bounded; len-toks strongly positive") {
+    val rows = graft.queries.Catalog.byName("q237_feature_correlation")
+      .run(spark, sf).collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      val v = r.getAs[Double]("r")
+      assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9,
+        s"${r.getAs[String]("feat_a")}-${r.getAs[String]("feat_b")}: $v")
+    }
+    // char count and whitespace token count are near-duplicates of the
+    // same length signal — the audit MUST flag them as redundant
+    val lt = rows.find(r => r.getAs[String]("feat_a") == "len" &&
+      r.getAs[String]("feat_b") == "toks").get.getAs[Double]("r")
+    assert(lt > 0.9, s"len-toks r=$lt")
+  }
+
   test("pagerank: rank mass concentrates along the edge direction") {
     // the KGraph points orders→customers→nations→regions: downstream
     // node types must accumulate more rank on average, and the single
