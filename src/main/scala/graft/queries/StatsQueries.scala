@@ -720,6 +720,78 @@ object StatsQueries {
       |  SELECT 'embeddings.dim = 64', n, bad_dim, bad_dim = 0 FROM em)
       |ORDER BY "check"""".stripMargin
 
+  // -- q238: field-association audit — mutual information between the
+  //          `source` and `lang` columns of documents (does source
+  //          predict language?), with marginal entropies and normalized
+  //          MI. The categorical companion to q237's numeric Pearson
+  //          matrix and q223's chi²: chi² answers "independent or
+  //          not?", MI answers "HOW MANY bits does one field carry
+  //          about the other?" — the metadata-leakage screen run before
+  //          stratifying or splitting on a field. Determinism: ONE
+  //          scan + one (source × lang)-bounded cell aggregate; the
+  //          margins are exact long sums OVER THE CELL GRID (not extra
+  //          scans), and every double fold is cell-/margin-ordered
+  //          (the q158 sorted-fold contract), so both engines add the
+  //          same terms in the same order. Scale shape: the only
+  //          data-sized step is the first groupBy; everything after is
+  //          #sources×#langs-bounded.
+  private def q238(s: SparkSession, dir: String): DataFrame = {
+    val cells = docs(s, dir).groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+    val sx = cells.groupBy(col("source")).agg(sum(col("c")).as("nx"))
+    val sy = cells.groupBy(col("lang")).agg(sum(col("c")).as("ny"))
+    val nt = cells.agg(sum(col("c")).as("n"), count(lit(1)).as("n_cells"))
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    val miTerms = cells.join(broadcast(sx), "source")
+      .join(broadcast(sy), "lang").crossJoin(broadcast(nt))
+      .select(struct(col("source"), col("lang")).as("k"),
+        ((dd(col("c")) / col("n")) *
+          log(dd(col("c")) * col("n") / (dd(col("nx")) * col("ny"))))
+          .as("t"))
+      .agg(sort_array(collect_list(struct(col("k"), col("t")))).as("ts"))
+      .select(aggregate(col("ts"), lit(0.0d), (a, x) => a + x("t")).as("mi"))
+    def hFold(m: DataFrame, key: String, cnt: String) =
+      m.crossJoin(broadcast(nt.select(col("n"))))
+        .select(col(key).as("k"),
+          (-(dd(col(cnt)) / col("n")) * log(dd(col(cnt)) / col("n"))).as("t"))
+        .agg(sort_array(collect_list(struct(col("k"), col("t")))).as("ts"))
+        .select(aggregate(col("ts"), lit(0.0d), (a, x) => a + x("t")).as("h"))
+    val hx = hFold(sx, "source", "nx")
+    val hy = hFold(sy, "lang", "ny")
+    nt.crossJoin(broadcast(miTerms)).crossJoin(broadcast(hx.select(col("h").as("hx"))))
+      .crossJoin(broadcast(hy.select(col("h").as("hy"))))
+      .select(col("n").as("n_rows"), col("n_cells"),
+        round(col("mi"), 6).as("mi"),
+        round(col("hx"), 6).as("h_source"),
+        round(col("hy"), 6).as("h_lang"),
+        round(col("mi") / sqrt(col("hx") * col("hy")), 6).as("nmi"))
+  }
+
+  private val q238Sql =
+    """WITH cells AS (
+      |  SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+      |sx AS (SELECT source, sum(c) AS nx FROM cells GROUP BY 1),
+      |sy AS (SELECT lang, sum(c) AS ny FROM cells GROUP BY 1),
+      |nt AS (SELECT sum(c) AS n, CAST(count(*) AS BIGINT) AS n_cells
+      |       FROM cells),
+      |mi AS (
+      |  SELECT sum((CAST(c AS DOUBLE) / n) *
+      |    ln(CAST(c AS DOUBLE) * n / (CAST(nx AS DOUBLE) * ny))
+      |    ORDER BY source, lang) AS mi
+      |  FROM cells JOIN sx USING (source) JOIN sy USING (lang)
+      |  CROSS JOIN nt),
+      |hx AS (SELECT sum(-(CAST(nx AS DOUBLE) / n) *
+      |         ln(CAST(nx AS DOUBLE) / n) ORDER BY source) AS hx
+      |       FROM sx CROSS JOIN nt),
+      |hy AS (SELECT sum(-(CAST(ny AS DOUBLE) / n) *
+      |         ln(CAST(ny AS DOUBLE) / n) ORDER BY lang) AS hy
+      |       FROM sy CROSS JOIN nt)
+      |SELECT CAST(n AS BIGINT) AS n_rows, n_cells,
+      |  round(mi, 6) AS mi, round(hx, 6) AS h_source,
+      |  round(hy, 6) AS h_lang,
+      |  round(mi / sqrt(hx * hy), 6) AS nmi
+      |FROM nt CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q60_growth_rate", q60, Some(q60Sql)),
     Q("q61_decline_periods", q61, Some(q61Sql)),
@@ -734,5 +806,6 @@ object StatsQueries {
     Q("q225_ks_length_drift", q225, Some(q225Sql)),
     Q("q230_mad_outliers", q230, Some(q230Sql)),
     Q("q234_schema_profile", q234, Some(q234Sql)),
-    Q("q235_expectations", q235, Some(q235Sql)))
+    Q("q235_expectations", q235, Some(q235Sql)),
+    Q("q238_field_mi", q238, Some(q238Sql)))
 }

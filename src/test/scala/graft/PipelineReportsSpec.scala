@@ -283,6 +283,19 @@ class PipelineReportsSpec extends SparkSpec {
     }
   }
 
+  test("q238: information-theoretic bounds hold (0 <= MI <= min marginal entropy; NMI in [0,1])") {
+    val r = Catalog.byName("q238_field_mi").run(spark, sf).collect().head
+    val mi = r.getAs[Double]("mi")
+    val hx = r.getAs[Double]("h_source")
+    val hy = r.getAs[Double]("h_lang")
+    val nmi = r.getAs[Double]("nmi")
+    assert(hx > 0.0 && hy > 0.0) // both fields have >1 level in testdata
+    assert(mi >= -1e-9, s"mi=$mi")
+    assert(mi <= math.min(hx, hy) + 1e-6, s"mi=$mi hx=$hx hy=$hy")
+    assert(nmi >= -1e-9 && nmi <= 1.0 + 1e-9, s"nmi=$nmi")
+    assert(r.getAs[Long]("n_rows") > 0 && r.getAs[Long]("n_cells") > 0)
+  }
+
   test("q223: chi2 nonnegative and peak cell in the hour-of-week range") {
     val rows = Catalog.byName("q223_seasonality_chi2").run(spark, sf)
       .collect()
