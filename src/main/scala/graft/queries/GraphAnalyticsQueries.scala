@@ -308,10 +308,82 @@ object GraphAnalyticsQueries {
        |    AS reciprocity
        |FROM sums, nn, nd, mut""".stripMargin
 
+  // -- q239: partition modularity — Newman–Girvan modularity Q of the
+  //          BRAND partition over the co-purchase part graph (q191's
+  //          projection): Q = Σ_c (e_c/m − (d_c/2m)²), reported as one
+  //          row per community so the audit shows WHICH brands form
+  //          real purchase communities (contrib > 0 ⇔ denser inside
+  //          than the configuration-model expectation). Complements
+  //          q193 (LPA FINDS communities; this SCORES a given
+  //          partition) and q231 (assortativity is modularity's scalar
+  //          cousin over a numeric attribute). Exactness: e_c, d_c, m
+  //          are exact longs; each row's contrib is one double
+  //          expression over those exact operands — no cross-row
+  //          double accumulation anywhere. Scale shape: the projection
+  //          shuffles once on orderkey (fan-out bounded by per-order
+  //          item count), the rest is one brand join + two
+  //          #brands-bounded aggregates; the 1-row m frame is the only
+  //          broadcast cross.
+  private def q239(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val e = li.select(col("ok"), col("pk").as("p1"))
+      .join(li.select(col("ok"), col("pk").as("p2")), "ok")
+      .filter(col("p1") < col("p2"))
+      .select(col("p1").as("a"), col("p2").as("b"))
+      .distinct()
+    val pb = Tables.load(s, dir, "part")
+      .select(col("p_partkey").as("pk"), col("p_brand").as("brand"))
+    val m = e.agg(count(lit(1)).as("m"))
+    val ends = e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+    val nb = ends.join(pb, col("node") === col("pk"))
+      .groupBy(col("brand"))
+      .agg(count(lit(1)).as("d_sum"), countDistinct(col("node")).as("n_nodes"))
+    val inner = e
+      .join(pb.select(col("pk"), col("brand").as("ba")), col("a") === col("pk"))
+      .drop("pk")
+      .join(pb.select(col("pk"), col("brand").as("bb")), col("b") === col("pk"))
+      .filter(col("ba") === col("bb"))
+      .groupBy(col("ba").as("brand")).agg(count(lit(1)).as("e_in"))
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    nb.join(inner, Seq("brand"), "left").crossJoin(broadcast(m))
+      .select(col("brand"), col("n_nodes"), col("d_sum"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"),
+        round(dd(coalesce(col("e_in"), lit(0L))) / col("m") -
+          (dd(col("d_sum")) / (lit(2) * col("m"))) *
+          (dd(col("d_sum")) / (lit(2) * col("m"))), 6).as("q_contrib"))
+      .orderBy(col("brand"))
+  }
+
+  private val q239Sql =
+    """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |            FROM lineitem),
+      |e AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+      |      FROM lp x JOIN lp y ON x.ok = y.ok AND x.pk < y.pk),
+      |pb AS (SELECT p_partkey AS pk, p_brand AS brand FROM part),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+      |ends AS (SELECT a AS node FROM e UNION ALL SELECT b FROM e),
+      |nb AS (SELECT brand, CAST(count(*) AS BIGINT) AS d_sum,
+      |         CAST(count(DISTINCT node) AS BIGINT) AS n_nodes
+      |       FROM ends JOIN pb ON node = pb.pk GROUP BY 1),
+      |inn AS (SELECT pa.brand, CAST(count(*) AS BIGINT) AS e_in
+      |        FROM e JOIN pb pa ON e.a = pa.pk JOIN pb pc ON e.b = pc.pk
+      |        WHERE pa.brand = pc.brand GROUP BY 1)
+      |SELECT nb.brand, n_nodes, d_sum,
+      |  coalesce(e_in, 0) AS e_in,
+      |  round(CAST(coalesce(e_in, 0) AS DOUBLE) / m -
+      |    (CAST(d_sum AS DOUBLE) / (2 * m)) *
+      |    (CAST(d_sum AS DOUBLE) / (2 * m)), 6) AS q_contrib
+      |FROM nb LEFT JOIN inn USING (brand) CROSS JOIN m
+      |ORDER BY brand""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q191_copurchase_clustering", q191, Some(q191Sql), headline = true),
     Q("q192_kcore_layers", q192, Some(q192Sql), headline = true),
     Q("q193_lpa_communities", q193, Some(q193Sql), headline = true),
     Q("q206_copurchase_affinity", q206, Some(q206Sql)),
-    Q("q231_graph_mixing", q231, Some(q231Sql), headline = true))
+    Q("q231_graph_mixing", q231, Some(q231Sql), headline = true),
+    Q("q239_partition_modularity", q239, Some(q239Sql)))
 }

@@ -87,6 +87,21 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(row.getAs[Double]("reciprocity") == 0.0)
   }
 
+  test("q239: modularity identities — sum(d_sum)=2m, sum(e_in)<=m, Q in [-1,1]") {
+    val rows = graft.queries.Catalog.byName("q239_partition_modularity")
+      .run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val dSum = rows.map(_.getAs[Long]("d_sum")).sum
+    val eIn = rows.map(_.getAs[Long]("e_in")).sum
+    val q = rows.map(_.getAs[Double]("q_contrib")).sum
+    // 2m = sum of degrees; recover m from the identity and cross-check
+    assert(dSum % 2 == 0, s"odd degree sum $dSum")
+    val m = dSum / 2
+    assert(eIn >= 0 && eIn <= m, s"e_in=$eIn m=$m")
+    assert(q >= -1.0 - 1e-6 && q <= 1.0 + 1e-6, s"Q=$q")
+    rows.foreach(r => assert(r.getAs[Long]("n_nodes") > 0))
+  }
+
   test("labelPropagation: two cliques bridged keep distinct labels") {
     val cliqueA = for { x <- Seq("a1", "a2", "a3"); y <- Seq("a1", "a2", "a3") if x < y } yield (x, y)
     val cliqueB = for { x <- Seq("b1", "b2", "b3"); y <- Seq("b1", "b2", "b3") if x < y } yield (x, y)

@@ -121,7 +121,8 @@ class PlanShapeSpec extends SparkSpec {
     "q224_attribution",       // 1-row purchase-total broadcast
     "q227_rfm_segments",      // 1-row anchor + 1-row user-total broadcasts
     "q231_graph_mixing",      // 1-row stat frames (nodes/edges/mutual) crossed
-    "q238_field_mi")          // 1-row n/mi/h folds crossed into the output row
+    "q238_field_mi",          // 1-row n/mi/h folds crossed into the output row
+    "q239_partition_modularity") // 1-row edge-count frame crossed per brand
 
   // On failure, include a plan excerpt around the first occurrence so a
   // transient/state-dependent failure self-diagnoses from the log alone.
