@@ -766,6 +766,103 @@ object TemporalQueries {
        |GROUP BY r_seg, f_seg, m_seg, n_total
        |ORDER BY r_seg, f_seg, m_seg""".stripMargin
 
+  // -- q240: Kaplan–Meier session-duration survival curve — S(t) =
+  //          P(session lasts ≥ t minutes), estimated over the exact
+  //          q59 sessionization with RIGHT-CENSORING: each user's LAST
+  //          session is truncated by the corpus end (we never observe
+  //          the gap that would have closed it), so it counts as
+  //          at-risk up to its observed length but never as an ending
+  //          — the estimator a naive duration histogram gets wrong.
+  //          S(t) = Π_{t'≤t} (1 − d/n) at complete-session durations
+  //          t'. Determinism: n_risk/d are exact longs (n_risk via a
+  //          reverse cumulative window, no total-frame broadcast);
+  //          S(t) = exp(running sum of ln((n−d)/n)) over the
+  //          duration-ORDERED window — both engines fold identical
+  //          doubles in identical order; a saturated step (n = d) pins
+  //          survival to exactly 0.0 from there on rather than relying
+  //          on ln(0). Scale shape: q59's user-keyed windows + one
+  //          per-session aggregate; after that everything is bounded
+  //          by #distinct minute-durations (session-length range, not
+  //          data-sized) — the only unpartitioned windows run over
+  //          that bounded frame.
+  private def q240(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val sess = graft.streaming.EventStream
+      .sessionizeBatch(events(s, dir), 1800L)
+    val byT = sess
+      .withColumn("last_sid",
+        max(col("session_id")).over(W.partitionBy(col("user_id"))))
+      .select(expr("duration_sec div 60").as("t"),
+        when(col("session_id") < col("last_sid"), 1L).otherwise(0L)
+          .as("complete"))
+      .groupBy(col("t"))
+      .agg(sum(col("complete")).as("d"), count(lit(1)).as("ends"))
+    val wRisk = W.orderBy(col("t"))
+      .rowsBetween(W.currentRow, W.unboundedFollowing)
+    val wCum = W.orderBy(col("t"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    byT.withColumn("n_risk", sum(col("ends")).over(wRisk))
+      .filter(col("d") > 0)
+      .withColumn("ln_t", when(col("n_risk") > col("d"),
+        log((col("n_risk") - col("d")).cast("double") / col("n_risk"))))
+      .withColumn("z", when(col("n_risk") === col("d"), 1).otherwise(0))
+      .select(col("t").as("duration_min"), col("n_risk"),
+        col("d").as("n_ended"),
+        when(max(col("z")).over(wCum) === 1, lit(0.0))
+          .otherwise(round(exp(sum(col("ln_t")).over(wCum)), 6))
+          .as("survival"))
+      .orderBy(col("duration_min"))
+  }
+
+  private val q240Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |  FROM events),
+      |b AS (
+      |  SELECT user_id, event_id, sec,
+      |    CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+      |      THEN 1 ELSE 0 END AS boundary
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+      |sess AS (
+      |  SELECT user_id, sec,
+      |    CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY sec, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_id
+      |  FROM b),
+      |g AS (
+      |  SELECT user_id, session_id,
+      |    CAST(max(sec) - min(sec) AS BIGINT) AS duration_sec
+      |  FROM sess GROUP BY 1, 2),
+      |gl AS (
+      |  SELECT duration_sec, session_id,
+      |    max(session_id) OVER (PARTITION BY user_id) AS last_sid
+      |  FROM g),
+      |byt AS (
+      |  SELECT duration_sec // 60 AS t,
+      |    CAST(sum(CASE WHEN session_id < last_sid
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS d,
+      |    CAST(count(*) AS BIGINT) AS ends
+      |  FROM gl GROUP BY 1),
+      |risk AS (
+      |  SELECT t, d,
+      |    CAST(sum(ends) OVER (ORDER BY t
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+      |      AS n_risk
+      |  FROM byt),
+      |steps AS (
+      |  SELECT t, n_risk, d,
+      |    CASE WHEN n_risk > d
+      |      THEN ln(CAST(n_risk - d AS DOUBLE) / n_risk) END AS ln_t,
+      |    CASE WHEN n_risk = d THEN 1 ELSE 0 END AS z
+      |  FROM risk WHERE d > 0)
+      |SELECT t AS duration_min, n_risk, d AS n_ended,
+      |  CASE WHEN max(z) OVER w = 1 THEN 0.0
+      |       ELSE round(exp(sum(ln_t) OVER w), 6) END AS survival
+      |FROM steps
+      |WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+      |  AND CURRENT ROW)
+      |ORDER BY duration_min""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q36_temporal_filter", q36, Some(q36Sql)),
     Q("q37_daily_cumulative", q37, Some(q37Sql)),
@@ -783,5 +880,6 @@ object TemporalQueries {
     Q("q218_activity_deciles", q218, Some(q218Sql)),
     Q("q223_seasonality_chi2", q223, Some(q223Sql)),
     Q("q224_attribution", q224, Some(q224Sql)),
-    Q("q227_rfm_segments", q227, Some(q227Sql)))
+    Q("q227_rfm_segments", q227, Some(q227Sql)),
+    Q("q240_km_retention", q240, Some(q240Sql)))
 }

@@ -296,6 +296,26 @@ class PipelineReportsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_rows") > 0 && r.getAs[Long]("n_cells") > 0)
   }
 
+  test("q240: KM curve is a proper survival function") {
+    val rows = Catalog.byName("q240_km_retention").run(spark, sf)
+      .orderBy(col("duration_min")).collect()
+    assert(rows.nonEmpty)
+    var prevS = 1.0
+    var prevRisk = Long.MaxValue
+    rows.foreach { r =>
+      val s = r.getAs[Double]("survival")
+      val n = r.getAs[Long]("n_risk")
+      val d = r.getAs[Long]("n_ended")
+      assert(d >= 1 && d <= n)
+      assert(s >= -1e-9 && s <= prevS + 1e-9, s"not monotone: $s after $prevS")
+      assert(n <= prevRisk, s"n_risk grew: $n after $prevRisk")
+      // each step multiplies by exactly (n-d)/n
+      val expect = prevS * (n - d).toDouble / n
+      assert(math.abs(s - expect) < 5e-6, s"step mismatch: $s vs $expect")
+      prevS = s; prevRisk = n
+    }
+  }
+
   test("q223: chi2 nonnegative and peak cell in the hour-of-week range") {
     val rows = Catalog.byName("q223_seasonality_chi2").run(spark, sf)
       .collect()
