@@ -863,6 +863,59 @@ object TemporalQueries {
       |  AND CURRENT ROW)
       |ORDER BY duration_min""".stripMargin
 
+  // -- q241: backward as-of join — each purchase aligned to the user's
+  //          most recent view at-or-before it, within a 1-hour
+  //          tolerance: the point-in-time lookup behind attribution
+  //          (q224 counts ANY prior view in a window; this binds THE
+  //          latest one and its exact gap) and behind feature-store
+  //          "state as of event time" reads. Runs the AsOfJoin
+  //          merge-scan operator (union + ONE user-keyed window — no
+  //          range explode); views are pre-aggregated unique per
+  //          (user, sec) with max_by on the unique event id, so the
+  //          match is deterministic on both engines. The oracle is
+  //          DuckDB's NATIVE ASOF JOIN — an independent implementation
+  //          of the operator's semantics, not a transliteration of its
+  //          plan.
+  private def q241(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"), col("event_id"),
+      expr("unix_timestamp(ts)").as("sec"), col("event_type"), col("value"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("sec"), col("event_id").as("p_eid"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("sec"))
+      .agg(max(col("event_id")).as("v_eid"),
+        max_by(col("value"), col("event_id")).as("v_value"))
+    graft.operators.AsOfJoin
+      .backward(p, v, Seq("user_id"), "sec", Some(3600L))
+      .select(col("user_id"), col("p_eid"), col("sec").as("p_sec"),
+        col("v_eid"), col("asof_ord").as("v_sec"),
+        col("asof_gap").as("gap_sec"), col("v_value"))
+      .orderBy(col("p_eid"))
+  }
+
+  private val q241Sql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      |    event_type, value
+      |  FROM events),
+      |p AS (SELECT user_id, sec, event_id AS p_eid FROM ev
+      |      WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, sec, max(event_id) AS v_eid,
+      |        max_by(value, event_id) AS v_value
+      |      FROM ev WHERE event_type = 'view' GROUP BY 1, 2)
+      |SELECT p.user_id, p_eid, p.sec AS p_sec,
+      |  CASE WHEN v.sec IS NOT NULL AND p.sec - v.sec <= 3600
+      |    THEN v_eid END AS v_eid,
+      |  CASE WHEN v.sec IS NOT NULL AND p.sec - v.sec <= 3600
+      |    THEN v.sec END AS v_sec,
+      |  CASE WHEN v.sec IS NOT NULL AND p.sec - v.sec <= 3600
+      |    THEN p.sec - v.sec END AS gap_sec,
+      |  CASE WHEN v.sec IS NOT NULL AND p.sec - v.sec <= 3600
+      |    THEN v_value END AS v_value
+      |FROM p ASOF LEFT JOIN v
+      |  ON p.user_id = v.user_id AND v.sec <= p.sec
+      |ORDER BY p_eid""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q36_temporal_filter", q36, Some(q36Sql)),
     Q("q37_daily_cumulative", q37, Some(q37Sql)),
@@ -881,5 +934,6 @@ object TemporalQueries {
     Q("q223_seasonality_chi2", q223, Some(q223Sql)),
     Q("q224_attribution", q224, Some(q224Sql)),
     Q("q227_rfm_segments", q227, Some(q227Sql)),
-    Q("q240_km_retention", q240, Some(q240Sql)))
+    Q("q240_km_retention", q240, Some(q240Sql)),
+    Q("q241_asof_join", q241, Some(q241Sql)))
 }
