@@ -38,7 +38,8 @@ object Catalog {
       SamplingQueries.qs ++
       SecurityQueries.qs ++
       CurationQueries.qs ++
-      GraphAnalyticsQueries.qs
+      GraphAnalyticsQueries.qs ++
+      LayoutQueries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

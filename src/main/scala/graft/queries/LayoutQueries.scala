@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.ExactRound
+
+/** Data-layout advisors — the write-time physical-design measurements a
+  * 100 TB table needs before anyone queries it: how well each column's
+  * values cluster under the current write order (min/max pruning
+  * effectiveness, the Snowflake `clustering_information` analog) and
+  * what a sort-key or Z-order rewrite would buy. Pure measurements over
+  * chunk metadata: the only data-sized steps are single scans; every
+  * audit frame after that is #chunks- or #buckets-bounded.
+  */
+object LayoutQueries {
+
+  private def events(s: SparkSession, dir: String) =
+    Tables.load(s, dir, "events")
+
+  // -- q242: clustering-depth audit — simulate the current write order
+  //          (event_id ranges) chunked into 100-id row groups; per
+  //          candidate column, per chunk, [min,max]; the DEPTH at a
+  //          chunk's lower bound = how many chunk intervals cover it
+  //          (opens_le − closes_lt, two RANGE-frame cumulative counts
+  //          — exact longs, tie-safe because RANGE frames include all
+  //          equal keys regardless of row order). Depth ≈ 1 ⇒ min/max
+  //          pruning works (a point predicate touches ~1 chunk);
+  //          depth ≈ n_chunks ⇒ the column is scattered and every scan
+  //          reads everything — the signal that picks a sort key.
+  //          Scale shape: ONE scan + one chunk-keyed aggregate; the
+  //          sweep windows run over 2·n_chunks metadata rows (row
+  //          groups, not rows — the same metadata-scale window class
+  //          as q141's shard manifest).
+  private val ChunkIds = 100L
+
+  private def q242(s: SparkSession, dir: String): DataFrame = {
+    val chunks = events(s, dir)
+      .select(expr(s"event_id div $ChunkIds").as("chunk"),
+        expr("unix_timestamp(ts)").as("sec"), col("user_id"))
+      .groupBy(col("chunk"))
+      .agg(min(col("sec")).as("sec_min"), max(col("sec")).as("sec_max"),
+        min(col("user_id")).as("uid_min"), max(col("user_id")).as("uid_max"))
+
+    def depth(minC: String, maxC: String, name: String): DataFrame = {
+      val evs = chunks
+        .select(col(minC).as("v"), lit(1L).as("op"), lit(0L).as("cl"),
+          lit(true).as("is_min"))
+        .unionByName(chunks.select(col(maxC).as("v"), lit(0L).as("op"),
+          lit(1L).as("cl"), lit(false).as("is_min")))
+      val wLe = Window.orderBy(col("v"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val wLt = Window.orderBy(col("v"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      evs
+        .withColumn("opens_le", sum(col("op")).over(wLe))
+        .withColumn("closes_lt",
+          coalesce(sum(col("cl")).over(wLt), lit(0L)))
+        .filter(col("is_min"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("opens_le") - col("closes_lt")).as("depth_sum"),
+          max(col("opens_le") - col("closes_lt")).as("max_depth"))
+        .select(lit(name).as("col_name"), col("n_chunks"),
+          ExactRound.ratio6(col("depth_sum"), col("n_chunks"))
+            .as("avg_depth"),
+          col("max_depth"))
+    }
+
+    depth("sec_min", "sec_max", "sec")
+      .unionByName(depth("uid_min", "uid_max", "user_id"))
+      .orderBy(col("col_name"))
+  }
+
+  private val q242Sql = {
+    def leg(minC: String, maxC: String, name: String) =
+      s"""SELECT '$name' AS col_name, n_chunks,
+         |  ${ExactRound.sql.ratio6("depth_sum", "n_chunks")} AS avg_depth,
+         |  max_depth
+         |FROM (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+         |    CAST(sum(opens_le - closes_lt) AS BIGINT) AS depth_sum,
+         |    CAST(max(opens_le - closes_lt) AS BIGINT) AS max_depth
+         |  FROM (
+         |    SELECT is_min,
+         |      CAST(sum(op) OVER (ORDER BY v RANGE BETWEEN UNBOUNDED
+         |        PRECEDING AND CURRENT ROW) AS BIGINT) AS opens_le,
+         |      CAST(coalesce(sum(cl) OVER (ORDER BY v RANGE BETWEEN
+         |        UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |        AS closes_lt
+         |    FROM (
+         |      SELECT $minC AS v, 1 AS op, 0 AS cl, TRUE AS is_min
+         |      FROM chunks
+         |      UNION ALL
+         |      SELECT $maxC, 0, 1, FALSE FROM chunks) sweep) d
+         |  WHERE is_min) agg""".stripMargin
+    s"""WITH chunks AS (
+       |  SELECT event_id // $ChunkIds AS chunk,
+       |    min(CAST(floor(epoch(ts)) AS BIGINT)) AS sec_min,
+       |    max(CAST(floor(epoch(ts)) AS BIGINT)) AS sec_max,
+       |    min(user_id) AS uid_min, max(user_id) AS uid_max
+       |  FROM events GROUP BY 1)
+       |SELECT * FROM (
+       |  ${leg("sec_min", "sec_max", "sec")}
+       |  UNION ALL
+       |  ${leg("uid_min", "uid_max", "user_id")})
+       |ORDER BY col_name""".stripMargin
+  }
+
+  // -- q243: Z-order layout comparison — what a layout rewrite buys for
+  //          two-dimensional pruning. Three candidate layouts of the
+  //          events table, each bucketed into 256 equal-width key
+  //          ranges: `natural` (event_id, ≈ arrival), `by_user`
+  //          (user_id sort), `zorder` (4+4-bit interleave of the
+  //          normalized user_id and sec coordinates — Morton order).
+  //          Per layout the score is the average per-bucket [min,max]
+  //          span of EACH dimension as a fraction of its global range —
+  //          exact integer span sums over bucket metadata, one ratio6
+  //          at the end: a dimension with a small fraction prunes under
+  //          min/max stats in that layout. Sorting by one key wins its
+  //          own dimension and forfeits the other; Z-order pays a
+  //          little on both to win on both — measured here, not argued.
+  //          Scale shape: ONE scan computes all three bucket ids (the
+  //          1-row global-range frame is the only broadcast cross);
+  //          three 256-bounded aggregates follow. A real rewrite would
+  //          range-partition on the same keys — this audit is the
+  //          decision input, not the shuffle itself.
+  private val ZBits = 4 // per dimension -> 256 Morton buckets
+  private val Buckets = 256L
+
+  /** Morton interleave of two ZBits-bit coordinates (u odd bits, t even
+    * bits) as a column expression — codegen'd shifts/masks, no UDF. */
+  private def morton(zu: Column, zt: Column): Column =
+    (0 until ZBits).map { i =>
+      (shiftleft(shiftright(zu, i).bitwiseAND(1), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(zt, i).bitwiseAND(1), 2 * i)))
+    }.reduce(_.bitwiseOR(_))
+
+  private def mortonSql(zu: String, zt: String): String =
+    (0 until ZBits).map { i =>
+      s"((($zu >> $i) & 1) << ${2 * i + 1}) | ((($zt >> $i) & 1) << ${2 * i})"
+    }.mkString("(", ") | (", ")")
+
+  private def q243(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_id").as("e"),
+      expr("unix_timestamp(ts)").as("t"), col("user_id").as("u"))
+    val rng = ev.agg(
+      min(col("e")).as("e0"), max(col("e")).as("e1"),
+      min(col("u")).as("u0"), max(col("u")).as("u1"),
+      min(col("t")).as("t0"), max(col("t")).as("t1"))
+    def width(lo: Column, hi: Column) = hi - lo + lit(1L)
+    val b = ev.crossJoin(broadcast(rng)).select(
+      col("u"), col("t"),
+      expr(s"(e - e0) * $Buckets div (e1 - e0 + 1)").as("b_nat"),
+      expr(s"(u - u0) * $Buckets div (u1 - u0 + 1)").as("b_user"),
+      morton(expr(s"(u - u0) * ${1L << ZBits} div (u1 - u0 + 1)"),
+        expr(s"(t - t0) * ${1L << ZBits} div (t1 - t0 + 1)")).as("b_z"),
+      width(col("u0"), col("u1")).as("u_range"),
+      width(col("t0"), col("t1")).as("t_range"))
+    def layout(bucket: String, name: String): DataFrame =
+      b.groupBy(col(bucket))
+        .agg((max(col("u")) - min(col("u")) + lit(1L)).as("u_span"),
+          (max(col("t")) - min(col("t")) + lit(1L)).as("t_span"),
+          max(col("u_range")).as("u_range"), max(col("t_range")).as("t_range"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(col("u_span")).as("us"), sum(col("t_span")).as("ts"),
+          max(col("u_range")).as("ur"), max(col("t_range")).as("tr"))
+        .select(lit(name).as("layout"), col("n_buckets"),
+          ExactRound.ratio6(col("us"), col("n_buckets") * col("ur"))
+            .as("avg_user_span"),
+          ExactRound.ratio6(col("ts"), col("n_buckets") * col("tr"))
+            .as("avg_sec_span"))
+    layout("b_nat", "natural")
+      .unionByName(layout("b_user", "by_user"))
+      .unionByName(layout("b_z", "zorder"))
+      .orderBy(col("layout"))
+  }
+
+  private val q243Sql = {
+    val zb = 1L << ZBits
+    def leg(bucket: String, name: String) =
+      s"""SELECT '$name' AS layout, n_buckets,
+         |  ${ExactRound.sql.ratio6("us", "n_buckets * ur")} AS avg_user_span,
+         |  ${ExactRound.sql.ratio6("ts", "n_buckets * tr")} AS avg_sec_span
+         |FROM (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+         |    CAST(sum(u_span) AS BIGINT) AS us,
+         |    CAST(sum(t_span) AS BIGINT) AS ts,
+         |    max(u_range) AS ur, max(t_range) AS tr
+         |  FROM (
+         |    SELECT $bucket,
+         |      max(u) - min(u) + 1 AS u_span, max(t) - min(t) + 1 AS t_span,
+         |      max(u_range) AS u_range, max(t_range) AS t_range
+         |    FROM b GROUP BY 1) g) a""".stripMargin
+    s"""WITH ev AS (
+       |  SELECT event_id AS e, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+       |    user_id AS u
+       |  FROM events),
+       |rng AS (
+       |  SELECT min(e) AS e0, max(e) AS e1, min(u) AS u0, max(u) AS u1,
+       |    min(t) AS t0, max(t) AS t1
+       |  FROM ev),
+       |b AS (
+       |  SELECT u, t,
+       |    (e - e0) * $Buckets // (e1 - e0 + 1) AS b_nat,
+       |    (u - u0) * $Buckets // (u1 - u0 + 1) AS b_user,
+       |    ${mortonSql(s"((u - u0) * $zb // (u1 - u0 + 1))",
+           s"((t - t0) * $zb // (t1 - t0 + 1))")} AS b_z,
+       |    u1 - u0 + 1 AS u_range, t1 - t0 + 1 AS t_range
+       |  FROM ev CROSS JOIN rng)
+       |SELECT * FROM (
+       |  ${leg("b_nat", "natural")}
+       |  UNION ALL
+       |  ${leg("b_user", "by_user")}
+       |  UNION ALL
+       |  ${leg("b_z", "zorder")})
+       |ORDER BY layout""".stripMargin
+  }
+
+  val qs: Seq[Q] = Seq(
+    Q("q242_clustering_depth", q242, Some(q242Sql)),
+    Q("q243_zorder_layout", q243, Some(q243Sql)))
+}
