@@ -217,7 +217,118 @@ object LayoutQueries {
        |ORDER BY layout""".stripMargin
   }
 
+  // -- q244: Bloom runtime-filter audit — size the join pre-filter a
+  //          1000-executor shuffle join would ship: build an m-bit,
+  //          k-hash Bloom filter over the orders-side join keys
+  //          (distinct o_custkey of orders over the high-value
+  //          threshold — the filtered-dim case where Spark actually
+  //          injects one), probe it with every customer key,
+  //          and report the MEASURED false-pass rate on true
+  //          non-matches next to the fill-based estimate
+  //          (bits_set/m)^k. The decision input for Spark's
+  //          bloom-pushdown: if measured FPR at this m is high, the
+  //          filter ships bytes without pruning rows. Fully
+  //          declarative — the "bitset" is a distinct-position frame,
+  //          probes pass when all k hash-join lookups hit; exact longs
+  //          end-to-end, the two rates are single ratio6/multiply
+  //          expressions (no pow, no cross-engine libm). Scale shape:
+  //          build explode is k·|build| rows hash-joined on position
+  //          (m-bounded build side); probe explode is k·|probe| rows —
+  //          both plain equi-joins that partition like any shuffle
+  //          join; output is ONE row.
+  private val BloomBits = 4096L
+  private val BloomK = 3
+  private val HighValue = 400000.0 // dim-side filter: the case where Spark injects a runtime filter
+
+  private def q244(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Sampling
+    val build = Tables.load(s, dir, "orders")
+      .filter(col("o_totalprice") > HighValue)
+      .select(col("o_custkey").as("key")).distinct()
+    val probe = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("key"))
+    def positions(df: DataFrame) = (0 until BloomK).map(i =>
+      df.select(col("key"),
+        Sampling.hashBucket(col("key"), BloomBits.toInt, s"bloom$i")
+          .as("pos"))).reduce(_ unionByName _)
+    val bits = positions(build).select(col("pos")).distinct()
+    val probeHits = positions(probe)
+      .join(bits.withColumn("hit", lit(1L)), Seq("pos"), "left")
+      .groupBy(col("key"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .join(build.withColumn("is_match", lit(1L)), Seq("key"), "left")
+      .select(col("key"), (col("hits") === BloomK).cast("long").as("pass"),
+        coalesce(col("is_match"), lit(0L)).as("is_match"))
+    val stats = probeHits.agg(
+      count(lit(1)).as("n_probe"),
+      sum(lit(1L) - col("is_match")).as("n_nonmatch"),
+      sum(when(col("is_match") === 0L, col("pass")).otherwise(lit(0L)))
+        .as("n_false_pass"))
+    val buildStats = build.agg(count(lit(1)).as("n_build"))
+    val bitStats = bits.agg(count(lit(1)).as("bits_set"))
+    def dd(c: Column) = c.cast("double")
+    stats.crossJoin(broadcast(buildStats)).crossJoin(broadcast(bitStats))
+      .select(col("n_build"), lit(BloomBits).as("m_bits"),
+        lit(BloomK.toLong).as("k_hashes"), col("bits_set"),
+        ExactRound.ratio6(col("bits_set"), lit(BloomBits)).as("fill_ratio"),
+        col("n_probe"), col("n_nonmatch"), col("n_false_pass"),
+        when(col("n_nonmatch") > 0,
+          ExactRound.ratio6(col("n_false_pass"), col("n_nonmatch")))
+          .as("measured_fpr"),
+        round((dd(col("bits_set")) / BloomBits) *
+          (dd(col("bits_set")) / BloomBits) *
+          (dd(col("bits_set")) / BloomBits), 6).as("est_fpr"))
+  }
+
+  private val q244Sql = {
+    import graft.pipeline.Sampling
+    def posLeg(src: String, i: Int) =
+      s"SELECT key, ${Sampling.sql.hashBucket("key", BloomBits.toInt, s"bloom$i")} AS pos FROM $src"
+    val buildPos = (0 until BloomK).map(posLeg("build", _))
+      .mkString("\n  UNION ALL\n  ")
+    val probePos = (0 until BloomK).map(posLeg("probe", _))
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH build AS (SELECT DISTINCT o_custkey AS key FROM orders
+       |  WHERE o_totalprice > 400000.0),
+       |probe AS (SELECT c_custkey AS key FROM customer),
+       |bits AS (SELECT DISTINCT pos FROM (
+       |  $buildPos)),
+       |ph AS (
+       |  SELECT pp.key,
+       |    CAST(sum(CASE WHEN bits.pos IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS hits
+       |  FROM (
+       |  $probePos) pp
+       |  LEFT JOIN bits ON pp.pos = bits.pos
+       |  GROUP BY 1),
+       |pm AS (
+       |  SELECT ph.key,
+       |    CASE WHEN hits = $BloomK THEN 1 ELSE 0 END AS pass,
+       |    CASE WHEN build.key IS NOT NULL THEN 1 ELSE 0 END AS is_match
+       |  FROM ph LEFT JOIN build ON ph.key = build.key),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_probe,
+       |    CAST(sum(1 - is_match) AS BIGINT) AS n_nonmatch,
+       |    CAST(sum(CASE WHEN is_match = 0 THEN pass ELSE 0 END)
+       |      AS BIGINT) AS n_false_pass
+       |  FROM pm),
+       |bs AS (SELECT CAST(count(*) AS BIGINT) AS n_build FROM build),
+       |bb AS (SELECT CAST(count(*) AS BIGINT) AS bits_set FROM bits)
+       |SELECT n_build, CAST($BloomBits AS BIGINT) AS m_bits,
+       |  CAST($BloomK AS BIGINT) AS k_hashes, bits_set,
+       |  ${ExactRound.sql.ratio6("bits_set", s"$BloomBits")} AS fill_ratio,
+       |  n_probe, n_nonmatch, n_false_pass,
+       |  CASE WHEN n_nonmatch > 0 THEN
+       |    ${ExactRound.sql.ratio6("n_false_pass", "n_nonmatch")}
+       |    END AS measured_fpr,
+       |  round((CAST(bits_set AS DOUBLE) / $BloomBits) *
+       |    (CAST(bits_set AS DOUBLE) / $BloomBits) *
+       |    (CAST(bits_set AS DOUBLE) / $BloomBits), 6) AS est_fpr
+       |FROM stats CROSS JOIN bs CROSS JOIN bb""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q242_clustering_depth", q242, Some(q242Sql)),
-    Q("q243_zorder_layout", q243, Some(q243Sql)))
+    Q("q243_zorder_layout", q243, Some(q243Sql)),
+    Q("q244_bloom_filter_audit", q244, Some(q244Sql)))
 }

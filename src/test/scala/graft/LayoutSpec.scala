@@ -58,6 +58,27 @@ class LayoutSpec extends SparkSpec {
       s"zorder worst $zWorst vs natural $natWorst / by_user $userWorst")
   }
 
+  test("q244: bloom accounting closes and the filter actually filters") {
+    val r = Catalog.byName("q244_bloom_filter_audit").run(spark, sf)
+      .collect().head
+    val m = r.getAs[Long]("m_bits")
+    val bits = r.getAs[Long]("bits_set")
+    val nBuild = r.getAs[Long]("n_build")
+    val k = r.getAs[Long]("k_hashes")
+    assert(bits > 0 && bits <= math.min(m, nBuild * k))
+    val nProbe = r.getAs[Long]("n_probe")
+    val nNon = r.getAs[Long]("n_nonmatch")
+    val fp = r.getAs[Long]("n_false_pass")
+    assert(nNon <= nProbe && fp <= nNon)
+    val fpr = r.getAs[Double]("measured_fpr")
+    val est = r.getAs[Double]("est_fpr")
+    assert(fpr >= 0.0 && fpr <= 1.0 && est >= 0.0 && est <= 1.0)
+    // the filter must beat "pass everything" on non-matching keys and
+    // the fill-based estimate should be in the measured ballpark
+    assert(fpr < 0.9, s"useless filter: fpr=$fpr")
+    assert(math.abs(fpr - est) < 0.2, s"measured $fpr vs estimated $est")
+  }
+
   test("morton interleave: hand-checked bit patterns") {
     import spark.implicits._
     // via the catalog path is indirect; check the bit math directly with

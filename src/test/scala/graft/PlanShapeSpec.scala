@@ -123,7 +123,8 @@ class PlanShapeSpec extends SparkSpec {
     "q231_graph_mixing",      // 1-row stat frames (nodes/edges/mutual) crossed
     "q238_field_mi",          // 1-row n/mi/h folds crossed into the output row
     "q239_partition_modularity", // 1-row edge-count frame crossed per brand
-    "q243_zorder_layout")     // 1-row global-range frame crossed per event
+    "q243_zorder_layout",     // 1-row global-range frame crossed per event
+    "q244_bloom_filter_audit") // three 1-row stat frames crossed into one row
 
   // On failure, include a plan excerpt around the first occurrence so a
   // transient/state-dependent failure self-diagnoses from the log alone.
