@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import graft.functions.expressions.{CdcCutsExpr, SetJaccardExpr, SetOverlapExpr, VectorSimExpr}
+import graft.functions.expressions.{CdcCutsExpr, JaroWinklerExpr, SetJaccardExpr, SetOverlapExpr, VectorSimExpr}
 
 /** Session extensions: registers graft's native Catalyst expressions as
   * SQL functions, so `spark.sql("SELECT cosine_sim(a, b) ...")` works in
@@ -54,7 +54,9 @@ object GraftExtensions {
     "set_overlap" -> (classOf[SetOverlapExpr].getName,
       binary("set_overlap", SetOverlapExpr(_, _))),
     "cdc_cuts" -> (classOf[CdcCutsExpr].getName,
-      unary("cdc_cuts", CdcCutsExpr(_))))
+      unary("cdc_cuts", CdcCutsExpr(_))),
+    "jaro_winkler" -> (classOf[JaroWinklerExpr].getName,
+      binary("jaro_winkler", JaroWinklerExpr(_, _))))
 
   /** Register on an already-built session (the `.withExtensions(new
     * GraftExtensions)` builder path covers new sessions). */

@@ -100,9 +100,48 @@ object SimilarityQueries {
       |  AND abs(a.sec - b.sec) < 300
       |ORDER BY a.user_id, a_id, b_id""".stripMargin
 
+  // -- q245: fuzzy name matching — record-linkage pass over part names:
+  //          within each brand block, every pair whose Jaro–Winkler
+  //          similarity clears 0.9 (the near-duplicate-entity screen a
+  //          catalog runs before assigning canonical ids). Scoring is
+  //          the native-codegen JaroWinklerExpr (`functions/expressions/
+  //          JaroWinklerExpr.scala`, registered in SQL as
+  //          `jaro_winkler`); the oracle is DuckDB's INDEPENDENT
+  //          jaro_winkler_similarity — the semantics are cross-checked
+  //          implementation-against-implementation, not against a twin
+  //          of our own code. Scale shape: blocked self-join — pairs
+  //          are bounded per block, never |P|²; the brand block is the
+  //          catalog-sized demo dial, at 100 TB the block key tightens
+  //          (brand × name-token prefix) exactly like q28's LSH bands.
+  private val JwThreshold = 0.9
+
+  private def q245(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(s, dir, "part")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+    val a = p.select(col("p_brand").as("brand"), col("p_partkey").as("a"),
+      col("p_name").as("name_a"))
+    val b = p.select(col("p_brand").as("brand"), col("p_partkey").as("b"),
+      col("p_name").as("name_b"))
+    a.join(b, Seq("brand")).filter(col("a") < col("b"))
+      .withColumn("jw", TF.jaroWinkler(col("name_a"), col("name_b")))
+      .filter(col("jw") >= JwThreshold)
+      .select(col("brand"), col("a"), col("b"), round(col("jw"), 6).as("jw"))
+      .orderBy(col("brand"), col("a"), col("b"))
+  }
+
+  private val q245Sql =
+    s"""WITH p AS (SELECT p_partkey, p_name, p_brand FROM part)
+       |SELECT a.p_brand AS brand, a.p_partkey AS a, b.p_partkey AS b,
+       |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+       |FROM p a JOIN p b
+       |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+       |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= $JwThreshold
+       |ORDER BY brand, a, b""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q23_same_source_pairs", q23, Some(q23Sql)),
     Q("q24_tag_jaccard_join", q24, Some(q24Sql), headline = true),
     Q("q25_content_jaccard_sw", q25, Some(q25Sql)),
-    Q("q26_temporal_proximity", q26, Some(q26Sql), headline = true))
+    Q("q26_temporal_proximity", q26, Some(q26Sql), headline = true),
+    Q("q245_name_matching", q245, Some(q245Sql)))
 }

@@ -67,6 +67,14 @@ object TextFunctions {
         org.apache.spark.sql.GraftBridge.expression(a),
         org.apache.spark.sql.GraftBridge.expression(b)))
 
+  /** Jaro–Winkler string similarity — codegen record-linkage scorer
+    * (see JaroWinklerExpr; rapidfuzz/DuckDB-pinned semantics). */
+  def jaroWinkler(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.expressions.JaroWinklerExpr(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
+
   /** Character n-gram shingles (for n-gram Jaccard near-dup). */
   def charShingles(text: Column, n: Int): Column =
     transform(

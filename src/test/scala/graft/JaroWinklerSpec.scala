@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.expressions.JaroWinklerImpl
+import graft.text.{TextFunctions => TF}
+
+/** Pins JaroWinklerExpr to the de-facto standard semantics (values
+  * produced by DuckDB's independent jaro_winkler_similarity, which the
+  * q245 oracle compares wholesale): match window, transposition
+  * halving, the 0.7 boost threshold, the 4-char prefix cap, and the
+  * empty/equal edge cases — on BOTH the interpreted (nullSafeEval) and
+  * codegen paths.
+  */
+class JaroWinklerSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (a, b, expected) — expected values are DuckDB outputs, not ours
+  private val cases = Seq(
+    ("martha", "marhta", 0.9611111111111111), // transpositions + boost
+    ("dixon", "dicksonx", 0.8133333333333332), // window matching + boost
+    ("dwayne", "duane", 0.8400000000000001),
+    ("crate", "trace", 0.7333333333333334),   // jaro > .7 but prefix 0
+    ("aaaaab", "aaaaac", 0.9333333333333333), // prefix capped at 4
+    ("ab", "abcdefghijklmnop", 0.7666666666666667), // just over threshold
+    ("abcdef", "abzzzz", 0.5555555555555555), // under .7: NO boost
+    ("ab", "ba", 0.0),                        // window 0 -> no matches
+    ("a", "a", 1.0),
+    ("", "x", 0.0),
+    ("", "", 0.0))                            // DuckDB: empty-empty is 0
+
+  test("interpreted path matches the DuckDB-pinned values") {
+    cases.foreach { case (a, b, want) =>
+      val got = JaroWinklerImpl.jw(a, b)
+      assert(math.abs(got - want) < 1e-12, s"jw('$a','$b') = $got, want $want")
+      val sym = JaroWinklerImpl.jw(b, a)
+      assert(math.abs(sym - want) < 1e-12, s"asymmetric on ('$a','$b')")
+    }
+  }
+
+  test("codegen path agrees with the interpreted path") {
+    val df = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+    val got = df.select(TF.jaroWinkler(col("a"), col("b"))).as[Double]
+      .collect().toSeq
+    got.zip(cases).foreach { case (g, (a, b, want)) =>
+      assert(math.abs(g - want) < 1e-12, s"codegen jw('$a','$b') = $g")
+    }
+  }
+
+  test("registered SQL function resolves") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql("SELECT jaro_winkler('martha', 'marhta') AS jw")
+      .as[Double].head()
+    assert(math.abs(r - 0.9611111111111111) < 1e-12)
+  }
+}
