@@ -109,33 +109,63 @@ object SimilarityQueries {
   //          `jaro_winkler`); the oracle is DuckDB's INDEPENDENT
   //          jaro_winkler_similarity — the semantics are cross-checked
   //          implementation-against-implementation, not against a twin
-  //          of our own code. Scale shape: blocked self-join — pairs
-  //          are bounded per block, never |P|²; the brand block is the
-  //          catalog-sized demo dial, at 100 TB the block key tightens
-  //          (brand × name-token prefix) exactly like q28's LSH bands.
+  //          of our own code. Scale shape: MULTI-PASS blocking (the
+  //          standard record-linkage move) — candidates are pairs
+  //          sharing (brand, FIRST name token) OR (brand, LAST name
+  //          token), two equi-joins unioned and deduped, never a
+  //          brand-wide |P|² (brand-only blocking benched 15× at 10×
+  //          data; this key is ~linear because block sizes are bounded
+  //          by brand × name-vocabulary). Recall vs the brand-wide
+  //          sweep measured 100% on this corpus at two scales (a
+  //          JW ≥ 0.9 pair of 5-word names virtually always agrees on
+  //          the first or last word — the prefix boost rewards exactly
+  //          that).
   private val JwThreshold = 0.9
 
   private def q245(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.load(s, dir, "part")
-      .select(col("p_partkey"), col("p_name"), col("p_brand"))
-    val a = p.select(col("p_brand").as("brand"), col("p_partkey").as("a"),
-      col("p_name").as("name_a"))
-    val b = p.select(col("p_brand").as("brand"), col("p_partkey").as("b"),
-      col("p_name").as("name_b"))
-    a.join(b, Seq("brand")).filter(col("a") < col("b"))
-      .withColumn("jw", TF.jaroWinkler(col("name_a"), col("name_b")))
-      .filter(col("jw") >= JwThreshold)
-      .select(col("brand"), col("a"), col("b"), round(col("jw"), 6).as("jw"))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        element_at(split(col("p_name"), " "), 1).as("t1"),
+        element_at(split(col("p_name"), " "), -1).as("tl"))
+    def legOn(t: String) = {
+      val a = p.select(col("p_brand").as("brand"), col(t).as("tok"),
+        col("p_partkey").as("a"), col("p_name").as("name_a"))
+      val b = p.select(col("p_brand").as("brand"), col(t).as("tok"),
+        col("p_partkey").as("b"), col("p_name").as("name_b"))
+      // score and threshold INSIDE the leg: the jw filter kills ~99.99%
+      // of candidates map-side, so the cross-leg distinct shuffles only
+      // survivors instead of every candidate pair (benched 2.4x at sf1.0)
+      a.join(b, Seq("brand", "tok")).filter(col("a") < col("b"))
+        .withColumn("jw", TF.jaroWinkler(col("name_a"), col("name_b")))
+        .filter(col("jw") >= JwThreshold)
+        .select(col("brand"), col("a"), col("b"), round(col("jw"), 6).as("jw"))
+    }
+    legOn("t1").unionByName(legOn("tl")).distinct()
       .orderBy(col("brand"), col("a"), col("b"))
   }
 
   private val q245Sql =
-    s"""WITH p AS (SELECT p_partkey, p_name, p_brand FROM part)
-       |SELECT a.p_brand AS brand, a.p_partkey AS a, b.p_partkey AS b,
-       |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
-       |FROM p a JOIN p b
-       |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-       |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= $JwThreshold
+    s"""WITH p AS (
+       |  SELECT p_partkey, p_name, p_brand,
+       |    string_split(p_name, ' ')[1] AS t1,
+       |    string_split(p_name, ' ')[len(string_split(p_name, ' '))] AS tl
+       |  FROM part),
+       |leg1 AS (
+       |  SELECT a.p_brand AS brand, a.p_partkey AS a, b.p_partkey AS b,
+       |    round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+       |  FROM p a JOIN p b
+       |    ON a.p_brand = b.p_brand AND a.t1 = b.t1
+       |    AND a.p_partkey < b.p_partkey
+       |  WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= $JwThreshold),
+       |leg2 AS (
+       |  SELECT a.p_brand AS brand, a.p_partkey AS a, b.p_partkey AS b,
+       |    round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+       |  FROM p a JOIN p b
+       |    ON a.p_brand = b.p_brand AND a.tl = b.tl
+       |    AND a.p_partkey < b.p_partkey
+       |  WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= $JwThreshold)
+       |SELECT DISTINCT brand, a, b, jw FROM (
+       |  SELECT * FROM leg1 UNION ALL SELECT * FROM leg2)
        |ORDER BY brand, a, b""".stripMargin
 
   val qs: Seq[Q] = Seq(
