@@ -2683,6 +2683,86 @@ object CurationQueries {
        |FROM gf GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // -- q246: vocabulary-richness estimators — Chao1 (Chao 1984,
+  //          bias-corrected form V + f1(f1−1)/(2(f2+1)), defined even
+  //          at f2=0) and ACE (Chao & Lee 1992, rare cutoff 10) per
+  //          source: the "how many word types does this source REALLY
+  //          have" lower bounds that close the richness toolkit —
+  //          q163 fits the growth CURVE, q188 the unseen MASS, these
+  //          estimate the asymptote a crawl of this source would reach.
+  //          Exactness: everything derives from the per-source
+  //          frequency-of-frequencies (exact longs from one token
+  //          census); each estimator is one double expression per
+  //          source row, identical operand order on both engines; ACE
+  //          degenerates (all rare types are hapax ⇒ coverage 0) to
+  //          NULL on both. Scale shape: q188's instance-linear census,
+  //          then everything is vocab- then source-bounded.
+  private def q246(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{TextFunctions => TF}
+    val f = docs(s, dir)
+      .select(col("source"), explode(TF.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("f"))
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    val agg = f.groupBy(col("source")).agg(
+      count(lit(1)).as("n_types"),
+      sum(when(col("f") === 1L, 1L).otherwise(0L)).as("f1"),
+      sum(when(col("f") === 2L, 1L).otherwise(0L)).as("f2"),
+      sum(when(col("f") <= 10L, 1L).otherwise(0L)).as("s_rare"),
+      sum(when(col("f") > 10L, 1L).otherwise(0L)).as("s_abund"),
+      sum(when(col("f") <= 10L, col("f")).otherwise(0L)).as("n_rare"),
+      sum(when(col("f") <= 10L, col("f") * (col("f") - 1L)).otherwise(0L))
+        .as("kk1"))
+    agg.select(col("source"), col("n_types"), col("f1"), col("f2"),
+      col("s_rare"), col("s_abund"), col("n_rare"),
+      round(dd(col("n_types")) + dd(col("f1")) * (col("f1") - lit(1L)) /
+        (lit(2.0) * (col("f2") + lit(1L))), 6).as("chao1"),
+      when(col("n_rare") > 0L && col("n_rare") > col("f1"), {
+        val cAce = lit(1.0) - dd(col("f1")) / col("n_rare")
+        val g2 = greatest(
+          (dd(col("s_rare")) / cAce) * dd(col("kk1")) /
+            (dd(col("n_rare")) * (col("n_rare") - lit(1L))) - lit(1.0),
+          lit(0.0))
+        round(dd(col("s_abund")) + dd(col("s_rare")) / cAce +
+          (dd(col("f1")) / cAce) * g2, 6)
+      }).as("ace"))
+      .orderBy(col("source"))
+  }
+
+  private val q246Sql =
+    """WITH gi AS (
+      |  SELECT source, word AS w FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS word
+      |    FROM documents) t
+      |  WHERE length(word) > 0),
+      |gf AS (
+      |  SELECT source, w, CAST(count(*) AS BIGINT) AS f
+      |  FROM gi GROUP BY 1, 2),
+      |a AS (
+      |  SELECT source,
+      |    CAST(count(*) AS BIGINT) AS n_types,
+      |    CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+      |    CAST(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+      |    CAST(sum(CASE WHEN f <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS s_rare,
+      |    CAST(sum(CASE WHEN f > 10 THEN 1 ELSE 0 END) AS BIGINT) AS s_abund,
+      |    CAST(sum(CASE WHEN f <= 10 THEN f ELSE 0 END) AS BIGINT) AS n_rare,
+      |    CAST(sum(CASE WHEN f <= 10 THEN f * (f - 1) ELSE 0 END)
+      |      AS BIGINT) AS kk1
+      |  FROM gf GROUP BY source)
+      |SELECT source, n_types, f1, f2, s_rare, s_abund, n_rare,
+      |  round(CAST(n_types AS DOUBLE) + CAST(f1 AS DOUBLE) * (f1 - 1) /
+      |    (2.0 * (f2 + 1)), 6) AS chao1,
+      |  CASE WHEN n_rare > 0 AND n_rare > f1 THEN
+      |    round(CAST(s_abund AS DOUBLE) +
+      |      CAST(s_rare AS DOUBLE) / (1.0 - CAST(f1 AS DOUBLE) / n_rare) +
+      |      (CAST(f1 AS DOUBLE) / (1.0 - CAST(f1 AS DOUBLE) / n_rare)) *
+      |      greatest((CAST(s_rare AS DOUBLE) /
+      |          (1.0 - CAST(f1 AS DOUBLE) / n_rare)) *
+      |        CAST(kk1 AS DOUBLE) /
+      |          (CAST(n_rare AS DOUBLE) * (n_rare - 1)) - 1.0, 0.0)
+      |    , 6) END AS ace
+      |FROM a ORDER BY source""".stripMargin
+
   // -- q196: CCNet-style head/middle/tail bucketing (Wenzek et al.
   //          2020) — per-language perplexity terciles under the corpus
   //          bigram LM (q129's scoring): head = most fluent third,
@@ -3006,5 +3086,6 @@ object CurationQueries {
     Q("q207_embedding_outliers", q207, Some(q207Sql)),
     Q("q212_source_dispersion", q212, Some(q212Sql)),
     Q("q233_weighted_pagerank", q233, Some(q233Sql)),
-    Q("q237_feature_correlation", q237, Some(q237Sql)))
+    Q("q237_feature_correlation", q237, Some(q237Sql)),
+    Q("q246_vocab_richness", q246, Some(q246Sql)))
 }

@@ -380,6 +380,23 @@ class CurationSpec extends SparkSpec {
     assert(lt > 0.9, s"len-toks r=$lt")
   }
 
+  test("q246: richness estimators bound observed richness from above") {
+    val rows = graft.queries.Catalog.byName("q246_vocab_richness")
+      .run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getAs[Long]("n_types")
+      assert(r.getAs[Long]("s_rare") + r.getAs[Long]("s_abund") == v)
+      val chao1 = r.getAs[Double]("chao1")
+      assert(chao1 >= v - 1e-6, s"chao1 $chao1 < V $v")
+      // ACE >= S_abund + S_rare / C >= V whenever the coverage is defined
+      Option(r.getAs[java.lang.Double]("ace")).foreach { ace =>
+        assert(ace >= v - 1e-6, s"ace $ace < V $v")
+        assert(!ace.isNaN && !ace.isInfinite)
+      }
+    }
+  }
+
   test("pagerank: rank mass concentrates along the edge direction") {
     // the KGraph points orders→customers→nations→regions: downstream
     // node types must accumulate more rank on average, and the single
