@@ -8,6 +8,7 @@ import graft.graph.{GraphOps, KGraph}
 import graft.temporal.TemporalOps
 import graft.text.{TextFunctions => TF}
 import graft.engine.Lineage.LineageOps
+import graft.functions.ExactRound
 
 /** Second statistics/insight family (SURVEY.md §2.7 remainder +
   * §2.1 content scan): growth rate, decline runs, group similarity,
@@ -792,6 +793,65 @@ object StatsQueries {
       |  round(mi / sqrt(hx * hy), 6) AS nmi
       |FROM nt CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy""".stripMargin
 
+  // -- q247: partition-sizing advisor — the config numbers a 100 TB job
+  //          actually needs before it runs: per data-sized table, the
+  //          exact in-memory row width under a declared byte model
+  //          (fixed 8/4 for long/ts/double/int, payload length for
+  //          strings, 4·len for float vectors), total bytes, and the
+  //          partition counts that hit the two standard targets —
+  //          128 MiB scan splits (spark.sql.files.maxPartitionBytes)
+  //          and 64 MiB shuffle partitions (the
+  //          spark.sql.shuffle.partitions sizing rule). Everything is
+  //          an exact integer sum + ceiling divisions; the width MODEL
+  //          is declared, not sampled, so the oracle pins it. One agg
+  //          scan per table.
+  private val AdvisorWidths: Seq[(String, String)] = Seq(
+    "documents" ->
+      "8 + length(text) + length(lang) + length(source) + 8",
+    "events" ->
+      "8 + 8 + 8 + length(event_type) + 8 + length(props)",
+    "embeddings" -> "8 + 4 * size(embedding) + 4",
+    "lineitem" ->
+      ("8 + 8 + 8 + 4 + 8 + 8 + 8 + 8 + length(l_returnflag) + " +
+        "length(l_linestatus) + 8"))
+  private val ScanTarget = 128L * 1024 * 1024
+  private val ShuffleTarget = 64L * 1024 * 1024
+
+  private def q247(s: SparkSession, dir: String): DataFrame = {
+    def leg(table: String, widthExpr: String): DataFrame =
+      Tables.load(s, dir, table)
+        .select(expr(widthExpr).cast("long").as("w"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("w")).as("total_bytes"))
+        .select(lit(table).as("tbl"), col("n_rows"), col("total_bytes"),
+          ExactRound.ratio6(col("total_bytes"), col("n_rows"))
+            .as("avg_row_bytes"),
+          expr(s"(total_bytes + ${ScanTarget - 1}) div $ScanTarget")
+            .as("scan_partitions"),
+          expr(s"(total_bytes + ${ShuffleTarget - 1}) div $ShuffleTarget")
+            .as("shuffle_partitions"))
+    AdvisorWidths.map { case (t, w) => leg(t, w) }
+      .reduce(_ unionByName _)
+      .orderBy(col("tbl"))
+  }
+
+  private val q247Sql = {
+    val legs = AdvisorWidths.map { case (t, w) =>
+      val dw = w.replace("size(embedding)", "len(embedding)")
+      s"""SELECT '$t' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum($dw) AS BIGINT) AS total_bytes,
+         |  ${ExactRound.sql.ratio6(s"sum($dw)", "count(*)")}
+         |    AS avg_row_bytes,
+         |  CAST((sum($dw) + $ScanTarget - 1) // $ScanTarget AS BIGINT)
+         |    AS scan_partitions,
+         |  CAST((sum($dw) + $ShuffleTarget - 1) // $ShuffleTarget AS BIGINT)
+         |    AS shuffle_partitions
+         |FROM $t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT * FROM (
+       |$legs)
+       |ORDER BY tbl""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q60_growth_rate", q60, Some(q60Sql)),
     Q("q61_decline_periods", q61, Some(q61Sql)),
@@ -807,5 +867,6 @@ object StatsQueries {
     Q("q230_mad_outliers", q230, Some(q230Sql)),
     Q("q234_schema_profile", q234, Some(q234Sql)),
     Q("q235_expectations", q235, Some(q235Sql)),
-    Q("q238_field_mi", q238, Some(q238Sql)))
+    Q("q238_field_mi", q238, Some(q238Sql)),
+    Q("q247_partition_advisor", q247, Some(q247Sql)))
 }

@@ -79,6 +79,25 @@ class LayoutSpec extends SparkSpec {
     assert(math.abs(fpr - est) < 0.2, s"measured $fpr vs estimated $est")
   }
 
+  test("q247: advisor identities — widths positive, ceilings consistent") {
+    val rows = Catalog.byName("q247_partition_advisor").run(spark, sf)
+      .collect()
+    assert(rows.map(_.getAs[String]("tbl")).toSet ==
+      Set("documents", "events", "embeddings", "lineitem"))
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_rows")
+      val b = r.getAs[Long]("total_bytes")
+      val scanP = r.getAs[Long]("scan_partitions")
+      val shufP = r.getAs[Long]("shuffle_partitions")
+      assert(n > 0 && b > n, s"${r.getAs[String]("tbl")}: b=$b n=$n")
+      assert(scanP == (b + 128L * 1024 * 1024 - 1) / (128L * 1024 * 1024))
+      assert(shufP == (b + 64L * 1024 * 1024 - 1) / (64L * 1024 * 1024))
+      assert(shufP >= scanP) // smaller target can't need fewer partitions
+      val avg = r.getAs[Double]("avg_row_bytes")
+      assert(math.abs(avg - b.toDouble / n) < 5e-6)
+    }
+  }
+
   test("morton interleave: hand-checked bit patterns") {
     import spark.implicits._
     // via the catalog path is indirect; check the bit math directly with
