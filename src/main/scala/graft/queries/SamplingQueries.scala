@@ -805,6 +805,89 @@ object SamplingQueries {
        |  (2 * $AuditBudget * n_docs + n_tot) // (2 * n_tot) AS alloc_prop
        |FROM w, tot ORDER BY source""".stripMargin
 
+  // -- q248: Poisson-bootstrap confidence intervals — the resampling
+  //          that works at 100 TB (Chamandy et al., "Estimating
+  //          uncertainty for massive data streams", 2012): instead of
+  //          drawing B full resamples, each row gets an independent
+  //          Poisson(1) weight per replicate, so one pass computes all
+  //          B replicate means. Here: 95% CI for mean document length
+  //          per source, B = 64. Determinism: the Poisson draw is the
+  //          inverse CDF applied to the portable integer hash
+  //          (hashBucket(doc_id, 10^6, salt=b) against FIXED integer
+  //          thresholds — pure integer compares, no float RNG);
+  //          replicate means are exact-integer Σw·x / Σw; the CI
+  //          bounds are exact order statistics (2nd / 63rd of the 64
+  //          sorted replicate means) — no interpolation, both engines
+  //          index the same sorted list. Scale shape: the ×64 explode
+  //          feeds a (source, replicate)-keyed aggregate with map-side
+  //          partial combine, so the shuffle carries #sources×64 rows
+  //          per partition, not ×64 the data; the sort/index runs on
+  //          64-element arrays.
+  private val BootB = 64
+  // P(Poisson(1) <= k) * 1e6, k = 0..6: u >= threshold[k] => w > k
+  private val PoisCdf = Seq(367879L, 735759L, 919699L, 981012L,
+    996340L, 999406L, 999917L)
+
+  private def q248(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("source"),
+      col("n_chars"))
+    val rep = base.withColumn("b",
+      explode(sequence(lit(0), lit(BootB - 1))))
+      .withColumn("u",
+        Sampling.hashBucket(concat(col("doc_id"), lit(":"), col("b")),
+          1000000, "boot"))
+      .withColumn("w", PoisCdf.map(t =>
+        when(col("u") >= t, 1L).otherwise(0L)).reduce(_ + _))
+    val repMeans = rep.groupBy(col("source"), col("b"))
+      .agg(sum(col("w")).as("ws"), sum(col("w") * col("n_chars")).as("wx"))
+      .filter(col("ws") > 0)
+      .select(col("source"),
+        (col("wx").cast("double") / col("ws")).as("m"))
+    val ci = repMeans.groupBy(col("source"))
+      .agg(sort_array(collect_list(col("m"))).as("ms"))
+      .select(col("source"), size(col("ms")).cast("long").as("n_replicates"),
+        round(element_at(col("ms"), 2), 6).as("ci_lo"),
+        round(element_at(col("ms"), BootB - 1), 6).as("ci_hi"))
+    val point = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sx"))
+      .select(col("source"), col("n_docs"),
+        graft.functions.ExactRound.ratio6(col("sx"), col("n_docs"))
+          .as("mean_len"))
+    point.join(ci, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_replicates"),
+        col("mean_len"), col("ci_lo"), col("ci_hi"))
+      .orderBy(col("source"))
+  }
+
+  private val q248Sql = {
+    val u = bucketSql("(CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR))",
+      1000000, "boot")
+    val w = PoisCdf.map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH rep AS (
+       |  SELECT source, n_chars, b, $u AS u
+       |  FROM documents, unnest(range(0, $BootB)) r(b)),
+       |rw AS (SELECT source, n_chars, b, $w AS w FROM rep),
+       |rm AS (
+       |  SELECT source, b,
+       |    CAST(sum(w * n_chars) AS DOUBLE) / CAST(sum(w) AS BIGINT) AS m
+       |  FROM rw GROUP BY 1, 2
+       |  HAVING sum(w) > 0),
+       |ci AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_replicates,
+       |    round(list_sort(list(m))[2], 6) AS ci_lo,
+       |    round(list_sort(list(m))[${BootB - 1}], 6) AS ci_hi
+       |  FROM rm GROUP BY source),
+       |pt AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    ${graft.functions.ExactRound.sql.ratio6("sum(n_chars)", "count(*)")}
+       |      AS mean_len
+       |  FROM documents GROUP BY source)
+       |SELECT pt.source, n_docs, n_replicates, mean_len, ci_lo, ci_hi
+       |FROM pt JOIN ci USING (source)
+       |ORDER BY source""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q111_split_assign", q111, Some(q111Sql)),
     Q("q112_quota_sample", q112, Some(q112Sql)),
@@ -821,5 +904,6 @@ object SamplingQueries {
     Q("q141_shard_manifest", q141, Some(q141Sql)),
     Q("q203_packing_manifest", q203, Some(q203Sql)),
     Q("q210_blocklist_screen", q210, Some(q210Sql)),
-    Q("q222_neyman_allocation", q222, Some(q222Sql)))
+    Q("q222_neyman_allocation", q222, Some(q222Sql)),
+    Q("q248_poisson_bootstrap", q248, Some(q248Sql)))
 }

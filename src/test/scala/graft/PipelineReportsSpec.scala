@@ -316,6 +316,22 @@ class PipelineReportsSpec extends SparkSpec {
     }
   }
 
+  test("q248: bootstrap CI brackets the point estimate per source") {
+    val rows = Catalog.byName("q248_poisson_bootstrap").run(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val m = r.getAs[Double]("mean_len")
+      val lo = r.getAs[Double]("ci_lo")
+      val hi = r.getAs[Double]("ci_hi")
+      assert(r.getAs[Long]("n_replicates") == 64L)
+      assert(lo <= hi, s"${r.getAs[String]("source")}: lo=$lo hi=$hi")
+      assert(lo <= m && m <= hi,
+        s"${r.getAs[String]("source")}: CI [$lo,$hi] misses point $m")
+      assert(hi - lo > 0.0, "degenerate interval")
+    }
+  }
+
   test("q223: chi2 nonnegative and peak cell in the hour-of-week range") {
     val rows = Catalog.byName("q223_seasonality_chi2").run(spark, sf)
       .collect()
