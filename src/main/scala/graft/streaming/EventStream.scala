@@ -290,4 +290,50 @@ object EventStream {
           out.iterator
       }
   }
+
+  /** Tagged input row for [[asOfStream]]: `side` 0 = right (reference
+    * stream, e.g. views), 1 = left (lookup stream, e.g. purchases). */
+  final case class AsOfEv(user_id: Long, sec: Long, event_id: Long,
+      side: Int, value: Double)
+  final case class AsOfMatch(user_id: Long, p_eid: Long, p_sec: Long,
+      v_eid: Option[Long], v_sec: Option[Long], gap_sec: Option[Long],
+      v_value: Option[Double])
+  final case class LastRight(sec: Long, eid: Long, value: Double)
+
+  /** Streaming twin of the q241 backward as-of join — point-in-time
+    * enrichment on a live feed. Per-key state is ONE row: the latest
+    * right-side event seen (constant per key, never grows with
+    * history — the streaming advantage over a stream-stream interval
+    * join, whose state must buffer the whole tolerance window). Each
+    * micro-batch sorts its group slice by (sec, side, event_id) —
+    * right before left at equal timestamps, so equal-ts matches work
+    * exactly like the batch operator — walks it once, and emits one
+    * AsOfMatch per left row from whatever right state was current.
+    * Same in-order-feed contract as the other incremental twins.
+    * Parity vs the batch AsOfJoin is pinned in AsOfStreamSpec. */
+  def asOfStream(in: org.apache.spark.sql.Dataset[AsOfEv],
+      tolerance: Option[Long] = None)
+      : org.apache.spark.sql.Dataset[AsOfMatch] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastRight, AsOfMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[AsOfEv], state: GroupState[LastRight]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.sec, e.side, e.event_id))
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsOfMatch]
+          sorted.foreach { e =>
+            if (e.side == 0) cur = Some(LastRight(e.sec, e.event_id, e.value))
+            else {
+              val hit = cur.filter(r =>
+                tolerance.forall(t => e.sec - r.sec <= t))
+              out += AsOfMatch(user, e.event_id, e.sec,
+                hit.map(_.eid), hit.map(_.sec), hit.map(e.sec - _.sec),
+                hit.map(_.value))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
 }
