@@ -379,11 +379,76 @@ object GraphAnalyticsQueries {
       |FROM nb LEFT JOIN inn USING (brand) CROSS JOIN m
       |ORDER BY brand""".stripMargin
 
+  // -- q249: harmonic centrality — the closeness-family centrality that
+  //          handles disconnected graphs (Boldi & Vigna 2014): H(v) =
+  //          Σ_s 1/d(s→v) over a deterministic 32-seed pivot set
+  //          (Eppstein–Wang style sampled centrality — exact per seed,
+  //          sampled over sources — the form that scales where
+  //          all-pairs BFS cannot), hops ≤ 4 on the directed KG.
+  //          Exactness: d ∈ {1..4} all divide 12, so the score is the
+  //          exact INTEGER Σ 12/d and the normalized value is one
+  //          ratio6 — no 1/3 float folds. Scale shape: 4 rounds of
+  //          frontier-hash-join + per-seed anti-join dedup against the
+  //          oriented edge index; frontier rows are (seed × node)-
+  //          bounded; the rollup is one aggregate.
+  private val HcSeeds = 32
+  private val HcHops = 4
+
+  private def q249(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactRound
+    val e = KGraph.materialized(s, dir)
+      .select(col("from_id"), col("to_id")).distinct()
+    val seeds = s.range(1, HcSeeds + 1)
+      .select(concat(lit("c:"), col("id")).as("s"))
+    var visited = seeds.select(col("s"), col("s").as("node_id"),
+      lit(0).as("hop"))
+    var frontier = visited
+    for (h <- 1 to HcHops) {
+      val next = frontier.alias("f")
+        .join(e.alias("e"), col("f.node_id") === col("e.from_id"))
+        .select(col("f.s").as("s"), col("e.to_id").as("node_id"),
+          lit(h).as("hop"))
+        .distinct()
+      val fresh = next.join(visited.select(col("s"), col("node_id")),
+        Seq("s", "node_id"), "left_anti")
+      visited = visited.unionByName(fresh)
+      frontier = fresh
+    }
+    visited.filter(col("hop") > 0)
+      .groupBy(col("node_id"))
+      .agg(count(lit(1)).as("n_seeds"),
+        sum(expr("12 div hop")).cast("long").as("h12"))
+      .select(col("node_id"), col("n_seeds"), col("h12"),
+        ExactRound.ratio6(col("h12"), lit(12L * HcSeeds)).as("harmonic"))
+      .orderBy(col("node_id"))
+  }
+
+  private val q249Sql =
+    s"""WITH RECURSIVE ${graft.graph.KGraph.edgesSql},
+       |e AS (SELECT DISTINCT from_id, to_id FROM edges),
+       |seeds AS (SELECT 'c:' || x AS s FROM range(1, ${HcSeeds + 1}) t(x)),
+       |walk(s, node_id, hop) AS (
+       |  SELECT s, s, 0 FROM seeds
+       |  UNION ALL
+       |  SELECT w.s, e.to_id, w.hop + 1 FROM walk w
+       |  JOIN e ON e.from_id = w.node_id
+       |  WHERE w.hop < $HcHops),
+       |d AS (
+       |  SELECT s, node_id, min(hop) AS d FROM walk
+       |  GROUP BY 1, 2
+       |  HAVING min(hop) > 0)
+       |SELECT node_id, CAST(count(*) AS BIGINT) AS n_seeds,
+       |  CAST(sum(12 // d) AS BIGINT) AS h12,
+       |  ${graft.functions.ExactRound.sql.ratio6("sum(12 // d)",
+          s"${12L * HcSeeds}")} AS harmonic
+       |FROM d GROUP BY node_id ORDER BY node_id""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q191_copurchase_clustering", q191, Some(q191Sql), headline = true),
     Q("q192_kcore_layers", q192, Some(q192Sql), headline = true),
     Q("q193_lpa_communities", q193, Some(q193Sql), headline = true),
     Q("q206_copurchase_affinity", q206, Some(q206Sql)),
     Q("q231_graph_mixing", q231, Some(q231Sql), headline = true),
-    Q("q239_partition_modularity", q239, Some(q239Sql)))
+    Q("q239_partition_modularity", q239, Some(q239Sql)),
+    Q("q249_harmonic_centrality", q249, Some(q249Sql)))
 }

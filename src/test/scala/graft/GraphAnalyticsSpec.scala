@@ -102,6 +102,24 @@ class GraphAnalyticsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("n_nodes") > 0))
   }
 
+  test("q249: harmonic scores bounded and consistent with seed counts") {
+    val rows = graft.queries.Catalog.byName("q249_harmonic_centrality")
+      .run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_seeds")
+      val h12 = r.getAs[Long]("h12")
+      assert(n >= 1 && n <= 32)
+      // each seed contributes 12/d with d in 1..4: between 3 and 12
+      assert(h12 >= 3 * n && h12 <= 12 * n, s"h12=$h12 n=$n")
+      val h = r.getAs[Double]("harmonic")
+      assert(h > 0.0 && h <= 1.0 + 1e-9)
+    }
+    // customers point at nations: the KG must put some node (a nation
+    // or region hub) in reach of several seeds at once
+    assert(rows.map(_.getAs[Long]("n_seeds")).max >= 4)
+  }
+
   test("labelPropagation: two cliques bridged keep distinct labels") {
     val cliqueA = for { x <- Seq("a1", "a2", "a3"); y <- Seq("a1", "a2", "a3") if x < y } yield (x, y)
     val cliqueB = for { x <- Seq("b1", "b2", "b3"); y <- Seq("b1", "b2", "b3") if x < y } yield (x, y)
