@@ -388,28 +388,38 @@ object GraphAnalyticsQueries {
   //          Exactness: d ∈ {1..4} all divide 12, so the score is the
   //          exact INTEGER Σ 12/d and the normalized value is one
   //          ratio6 — no 1/3 float folds. Scale shape: 4 rounds of
-  //          frontier-hash-join + per-seed anti-join dedup against the
-  //          oriented edge index; frontier rows are (seed × node)-
-  //          bounded; the rollup is one aggregate.
+  //          broadcast-hash-join of the frontier against the prebuilt
+  //          node_id-partitioned oriented edge index (the edge side
+  //          never shuffles); frontier rows are (seed × reached-node)-
+  //          bounded; the rollup is one aggregate. Scale contract: the
+  //          broadcast hint assumes the sampled frontier fits the
+  //          broadcast cap — HcSeeds is the dial (halve it, or drop
+  //          the hint to fall back to a shuffled hash join, for graphs
+  //          whose 4-hop reach × seeds outgrows executor memory); the
+  //          Eppstein–Wang estimate degrades gracefully with seeds.
   private val HcSeeds = 32
   private val HcHops = 4
 
   private def q249(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.ExactRound
-    val e = KGraph.materialized(s, dir)
-      .select(col("from_id"), col("to_id")).distinct()
+    // the prebuilt outgoing index (node_id-partitioned, cached); the
+    // frontier side is (seed × node)-bounded, so it broadcasts — each
+    // hop is a broadcast hash join against the index, no edge shuffle
+    // no edge-wide distinct: parallel edges only duplicate frontier
+    // rows, and the (seed × node)-bounded next.distinct() absorbs them
+    val e = KGraph.orientedMaterialized(s, dir, graft.graph.GraphOps.Outgoing)
+      .select(col("node_id"), col("next_id"))
     val seeds = s.range(1, HcSeeds + 1)
       .select(concat(lit("c:"), col("id")).as("s"))
     var visited = seeds.select(col("s"), col("s").as("node_id"),
       lit(0).as("hop"))
     var frontier = visited
     for (h <- 1 to HcHops) {
-      val next = frontier.alias("f")
-        .join(e.alias("e"), col("f.node_id") === col("e.from_id"))
-        .select(col("f.s").as("s"), col("e.to_id").as("node_id"),
-          lit(h).as("hop"))
+      val next = broadcast(frontier.select(col("s"), col("node_id")))
+        .join(e, Seq("node_id"))
+        .select(col("s"), col("next_id").as("node_id"), lit(h).as("hop"))
         .distinct()
-      val fresh = next.join(visited.select(col("s"), col("node_id")),
+      val fresh = next.join(broadcast(visited.select(col("s"), col("node_id"))),
         Seq("s", "node_id"), "left_anti")
       visited = visited.unionByName(fresh)
       frontier = fresh
