@@ -39,7 +39,8 @@ object Catalog {
       SecurityQueries.qs ++
       CurationQueries.qs ++
       GraphAnalyticsQueries.qs ++
-      LayoutQueries.qs
+      LayoutQueries.qs ++
+      SketchQueries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.text.{TextFunctions => TF}
+
+/** Mergeable-sketch audits — the cardinality / frequency summaries a
+  * 100 TB pipeline keeps INSTEAD of exact state, next to their exact
+  * answers at audit scale so the error is a measured number, not a
+  * paper claim. Both sketches here are chosen for the property that
+  * matters on a cluster: they are commutative monoids (register-max /
+  * counter-sum), so per-partition partials combine map-side and
+  * per-day partials union across time without re-reading history —
+  * q250 proves that merge identity inside the query itself.
+  *
+  * Determinism contract (both engines bit-equal): the portable 32-bit
+  * md5 hash; register indexes / ranks by integer div-mod; 2^-M terms
+  * are exact powers of two whose 256-term sum spans < 53 mantissa bits,
+  * so the double sum is exact in ANY accumulation order; the bias
+  * constant alpha_256 * m^2 is one Scala-computed double literal
+  * embedded in both texts. No libm beyond exact power-of-two division.
+  */
+object SketchQueries {
+
+  private def events(s: SparkSession, dir: String) =
+    Tables.load(s, dir, "events")
+  private def documents(s: SparkSession, dir: String) =
+    Tables.load(s, dir, "documents")
+
+  // -- q250: HyperLogLog distinct-user sketch per event_type (Flajolet
+  //          et al. 2007) — m = 256 registers from the portable hash's
+  //          low 8 bits, rho = leading-zero rank of the remaining 24
+  //          bits (25 - bitlength, 25 at zero). The query computes the
+  //          registers TWICE: directly, and as a max-merge of per-day
+  //          register snapshots — `merge_consistent` pins the monoid
+  //          identity that lets 1000 executors (or 365 daily jobs)
+  //          sketch independently and combine loss-free. Raw HLL
+  //          estimate only (no small-range linear-counting branch — it
+  //          needs ln; zero-register count is reported so the regime
+  //          is visible). Scale shape: one scan, (type × day × 256)-
+  //          bounded register frames, map-side max combine everywhere.
+  private val HllM = 256
+  /** alpha_256 * 256^2 — same IEEE literal on both engines. */
+  private val HllAlphaM2: Double = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+
+  private def q250(s: SparkSession, dir: String): DataFrame = {
+    val base = events(s, dir)
+      .select(col("event_type"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .withColumn("h", TF.md5Long(col("user_id").cast("string")))
+      .select(col("event_type"), col("day"), col("user_id"),
+        pmod(col("h"), lit(HllM.toLong)).as("j"),
+        when(expr(s"h div $HllM") === 0L, lit(25))
+          .otherwise(lit(25) - length(expr(s"bin(h div $HllM)")))
+          .cast("int").as("rho"))
+    val direct = base.groupBy(col("event_type"), col("j"))
+      .agg(max(col("rho")).as("m_direct"))
+    val merged = base.groupBy(col("event_type"), col("day"), col("j"))
+      .agg(max(col("rho")).as("rho_d"))
+      .groupBy(col("event_type"), col("j"))
+      .agg(max(col("rho_d")).as("m_merged"))
+    val agg = direct.join(merged, Seq("event_type", "j"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("active_registers"),
+        sum(expr("cast(1.0 as double) / shiftleft(cast(1 as bigint), m_direct)"))
+          .as("ssum"),
+        sum(when(col("m_direct") =!= col("m_merged"), 1L).otherwise(0L))
+          .as("mism"))
+    val exact = base.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    val raw = lit(HllAlphaM2) /
+      (col("ssum") + (lit(HllM.toLong) - col("active_registers")))
+    val zeroR = lit(HllM.toLong) - col("active_registers")
+    // small-range branch: linear counting m·ln(m/V), its ln quantized
+    // to micro-units on both engines (the lnlnFit pattern)
+    val lc = lit(HllM.toDouble) *
+      round(log(lit(HllM.toDouble) / zeroR.cast("double")) * lit(1000000), 0)
+        .cast("long") / lit(1000000.0)
+    val combined = when(raw <= lit(2.5 * HllM) && zeroR > 0L, lc)
+      .otherwise(raw)
+    exact.join(agg, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"), col("active_registers"),
+        zeroR.as("zero_registers"),
+        round(raw, 6).as("hll_raw"),
+        round(combined, 6).as("hll_estimate"),
+        round((combined - col("n_exact")) / col("n_exact"), 6).as("rel_err"),
+        (col("mism") === 0L).as("merge_consistent"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q250Sql = {
+    val h = TF.sql.md5Long("user_id::VARCHAR")
+    s"""WITH base AS (
+       |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, user_id,
+       |    h % $HllM AS j,
+       |    CASE WHEN h // $HllM = 0 THEN 25
+       |         ELSE 25 - length(bin(h // $HllM)) END AS rho
+       |  FROM (SELECT event_type, ts, user_id, $h AS h FROM events)),
+       |direct AS (SELECT event_type, j, max(rho) AS m_direct
+       |           FROM base GROUP BY 1, 2),
+       |merged AS (SELECT event_type, j, max(rho_d) AS m_merged FROM (
+       |             SELECT event_type, day, j, max(rho) AS rho_d
+       |             FROM base GROUP BY 1, 2, 3) GROUP BY 1, 2),
+       |agg AS (SELECT event_type,
+       |          CAST(count(*) AS BIGINT) AS active_registers,
+       |          sum(CAST(1.0 AS DOUBLE) / (1::BIGINT << m_direct)) AS ssum,
+       |          sum(CASE WHEN m_direct <> m_merged THEN 1 ELSE 0 END) AS mism
+       |        FROM direct JOIN merged USING (event_type, j) GROUP BY 1),
+       |exact AS (SELECT event_type,
+       |            CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+       |          FROM base GROUP BY 1)
+       |SELECT event_type, n_exact, active_registers, zero_registers,
+       |  round(raw, 6) AS hll_raw,
+       |  round(combined, 6) AS hll_estimate,
+       |  round((combined - n_exact) / n_exact, 6) AS rel_err,
+       |  (mism = 0) AS merge_consistent
+       |FROM (
+       |  SELECT event_type, n_exact, active_registers, mism,
+       |    $HllM - active_registers AS zero_registers,
+       |    raw,
+       |    CASE WHEN raw <= ${2.5 * HllM} AND $HllM - active_registers > 0
+       |         THEN $HllM.0 * CAST(round(ln($HllM.0 /
+       |           CAST($HllM - active_registers AS DOUBLE)) * 1000000)
+       |           AS BIGINT) / 1000000.0
+       |         ELSE raw END AS combined
+       |  FROM (
+       |    SELECT event_type, n_exact, active_registers, mism,
+       |      $HllAlphaM2 / (ssum + ($HllM - active_registers)) AS raw
+       |    FROM exact JOIN agg USING (event_type)))
+       |ORDER BY event_type""".stripMargin
+  }
+
+  // -- q251: count-min heavy hitters over the document token stream
+  //          (Cormode & Muthukrishnan 2005) — d = 4 salted hash rows ×
+  //          w = 1024 counters; a token's estimate is the MIN of its 4
+  //          counters, which can only OVER-count (collisions add).
+  //          Candidates are the true heavy hitters (count ≥ total /
+  //          2000, integer compare), each reported with its exact
+  //          count, sketch estimate, overcount, and whether it lands
+  //          inside the standard 2/w·N bound. Scale shape: the only
+  //          data-sized step is the token census (explode + map-side
+  //          combine); the 4-salt replication runs over the VOCAB-
+  //          bounded census, the counter table is a fixed 4096 rows
+  //          (broadcast side of the probe join), and the 1-row total
+  //          frame is a broadcast stats cross.
+  private val CmsW = 1024
+  private val CmsSalts = 4
+
+  private def q251(s: SparkSession, dir: String): DataFrame = {
+    val census = documents(s, dir)
+      .select(explode(TF.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = census.agg(sum(col("cnt")).as("total"))
+    val salted = census.select(col("tok"), col("cnt"),
+        explode(expr(s"sequence(0, ${CmsSalts - 1})")).as("salt"))
+      .withColumn("bucket",
+        pmod(TF.md5Long(concat(col("tok"), lit("#"),
+          col("salt").cast("string"))), lit(CmsW.toLong)))
+    val counters = salted.groupBy(col("salt"), col("bucket"))
+      .agg(sum(col("cnt")).as("bsum"))
+    val cands = census.join(broadcast(total))
+      .filter(col("cnt") * 2000 >= col("total"))
+    cands.select(col("tok"), col("cnt"), col("total"))
+      .join(salted.select(col("tok"), col("salt"), col("bucket")),
+        Seq("tok"))
+      .join(broadcast(counters), Seq("salt", "bucket"))
+      .groupBy(col("tok"), col("cnt"), col("total"))
+      .agg(min(col("bsum")).as("cms_est"))
+      .select(col("tok").as("token"), col("cnt").as("true_cnt"),
+        col("cms_est"),
+        (col("cms_est") - col("cnt")).as("overcount"),
+        ((col("cms_est") - col("cnt")) * CmsW <= col("total") * 2)
+          .as("within_bound"))
+      .orderBy(col("token"))
+  }
+
+  private val q251Sql = {
+    val hs = TF.sql.md5Long("tok || '#' || s::VARCHAR")
+    s"""WITH census AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(${TF.sql.tokens("text")}) AS tok
+       |        FROM documents) GROUP BY 1),
+       |tot AS (SELECT sum(cnt) AS total FROM census),
+       |salted AS (
+       |  SELECT tok, cnt, s AS salt, $hs % $CmsW AS bucket
+       |  FROM census, range(0, $CmsSalts) t(s)),
+       |counters AS (SELECT salt, bucket, CAST(sum(cnt) AS BIGINT) AS bsum
+       |             FROM salted GROUP BY 1, 2),
+       |cands AS (SELECT tok, cnt, total FROM census, tot
+       |          WHERE cnt * 2000 >= total)
+       |SELECT c.tok AS token, c.cnt AS true_cnt,
+       |  min(k.bsum) AS cms_est,
+       |  min(k.bsum) - c.cnt AS overcount,
+       |  ((min(k.bsum) - c.cnt) * $CmsW <= c.total * 2) AS within_bound
+       |FROM cands c
+       |JOIN salted sl ON sl.tok = c.tok
+       |JOIN counters k ON k.salt = sl.salt AND k.bucket = sl.bucket
+       |GROUP BY c.tok, c.cnt, c.total
+       |ORDER BY token""".stripMargin
+  }
+
+  val qs: Seq[Q] = Seq(
+    Q("q250_hll_distinct", q250, Some(q250Sql)),
+    Q("q251_cms_heavy_hitters", q251, Some(q251Sql)))
+}
