@@ -916,6 +916,159 @@ object TemporalQueries {
       |  ON p.user_id = v.user_id AND v.sec <= p.sec
       |ORDER BY p_eid""".stripMargin
 
+  // -- q252: CUSUM control chart over the daily event-count series per
+  //          event_type (Page 1954) — the sequential shift detector a
+  //          pipeline health monitor runs on ingest volumes. Exactness:
+  //          the series is mean-centered WITHOUT division by scaling
+  //          each count by n_days (s_t = cnt·D − total, integer), and
+  //          the one-sided CUSUMs use the prefix-sum decomposition
+  //          CUSUM+_t = S_t − min_{0≤j≤t} S_j (resp. max − S_t, with
+  //          S_0 = 0 folded in via least/greatest), so the
+  //          recurrence max(0, prev + x) becomes two window functions —
+  //          no fold at all. Threshold h = 8·MAD of the centered
+  //          series, MAD as exact lower-median order statistics.
+  //          Scale shape: one scan → (type × day)-bounded daily frame;
+  //          windows partition by event_type over ≤ #days rows.
+  private def q252(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = daily(s, dir)
+    val sized = d.groupBy(col("k"))
+      .agg(count(lit(1)).as("nd"), sum(col("cnt")).as("total"),
+        sort_array(collect_list(col("cnt"))).as("sorted"))
+      .select(col("k"), col("nd"), col("total"),
+        element_at(col("sorted"), ((col("nd") + 1) / 2).cast("int"))
+          .as("med"))
+    val cent = d.join(sized, Seq("k"))
+      .withColumn("s_t", col("cnt") * col("nd") - col("total"))
+      .withColumn("adev", abs(col("cnt") - col("med")) * col("nd"))
+    val mad = cent.groupBy(col("k"))
+      .agg(sort_array(collect_list(col("adev"))).as("sa"),
+        count(lit(1)).as("n2"))
+      .select(col("k"),
+        element_at(col("sa"), ((col("n2") + 1) / 2).cast("int")).as("mad"))
+    val wCum = Window.partitionBy(col("k")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = cent.join(mad, Seq("k"))
+      .withColumn("ps", sum(col("s_t")).over(wCum))
+      // S_0 = 0 joins the running extrema (the recurrence's 0-floor)
+      .withColumn("cpos",
+        col("ps") - least(min(col("ps")).over(wCum), lit(0L)))
+      .withColumn("cneg",
+        greatest(max(col("ps")).over(wCum), lit(0L)) - col("ps"))
+      .withColumn("alarm",
+        col("cpos") > col("mad") * 8 || col("cneg") > col("mad") * 8)
+    marked.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_days"),
+        max(col("cpos")).as("max_cusum_pos"),
+        max(col("cneg")).as("max_cusum_neg"),
+        first(col("mad")).as("mad"),
+        sum(when(col("alarm"), 1L).otherwise(0L)).as("n_alarms"),
+        min(when(col("alarm"), col("day"))).as("first_alarm_day"))
+      .orderBy(col("k"))
+  }
+
+  private val q252Sql =
+    s"""WITH $dailySql,
+       |sized AS (
+       |  SELECT k, CAST(count(*) AS BIGINT) AS nd,
+       |    CAST(sum(cnt) AS BIGINT) AS total,
+       |    (list_sort(list(cnt)))[CAST((count(*) + 1) // 2 AS INT)] AS med
+       |  FROM daily GROUP BY 1),
+       |cent AS (
+       |  SELECT d.k, d.day, d.cnt * s.nd - s.total AS s_t,
+       |    abs(d.cnt - s.med) * s.nd AS adev
+       |  FROM daily d JOIN sized s USING (k)),
+       |mad AS (
+       |  SELECT k,
+       |    (list_sort(list(adev)))[CAST((count(*) + 1) // 2 AS INT)] AS mad
+       |  FROM cent GROUP BY 1),
+       |marked AS (
+       |  SELECT c.k, c.day, m.mad,
+       |    ps - least(min(ps) OVER w, 0) AS cpos,
+       |    greatest(max(ps) OVER w, 0) - ps AS cneg
+       |  FROM (
+       |    SELECT k, day,
+       |      CAST(sum(s_t) OVER (PARTITION BY k ORDER BY day
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |        AS BIGINT) AS ps
+       |    FROM cent) c JOIN mad m USING (k)
+       |  WINDOW w AS (PARTITION BY c.k ORDER BY c.day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT k, CAST(count(*) AS BIGINT) AS n_days,
+       |  CAST(max(cpos) AS BIGINT) AS max_cusum_pos,
+       |  CAST(max(cneg) AS BIGINT) AS max_cusum_neg,
+       |  CAST(min(mad) AS BIGINT) AS mad,
+       |  CAST(sum(CASE WHEN cpos > mad * 8 OR cneg > mad * 8
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+       |  min(CASE WHEN cpos > mad * 8 OR cneg > mad * 8 THEN day END)
+       |    AS first_alarm_day
+       |FROM marked GROUP BY k ORDER BY k""".stripMargin
+
+  // -- q253: EWMA control chart (Roberts 1959) with α = 1/2, the one
+  //          smoothing constant whose fold stays engine-portable: each
+  //          step is (E + x) / 2 — add then halve, both exact IEEE ops
+  //          applied in the SAME sorted-day order on both engines (the
+  //          ordered-fold determinism contract of the JS-divergence
+  //          family). A day alarms when today's count deviates from
+  //          yesterday's smoothed level by more than 50% of it. Scale
+  //          shape: the per-type series is #days-bounded (documented
+  //          like q51/q62's bounded-k contract), so the O(days²)
+  //          prefix-fold enumeration is metadata-scale; everything
+  //          before it is one scan + one keyed aggregate.
+  private def q253(s: SparkSession, dir: String): DataFrame =
+    daily(s, dir).groupBy(col("k"))
+      .agg(sort_array(collect_list(struct(col("day"), col("cnt"))))
+        .as("sd"))
+      .select(col("k"),
+        expr("transform(sd, p -> cast(p.cnt as double))").as("xs"))
+      .withColumn("es", expr(
+        """transform(sequence(1, size(xs)), t ->
+          |  aggregate(slice(xs, 1, t), cast(-1.0 as double),
+          |    (acc, x) -> case when acc < cast(0.0 as double) then x
+          |                else (acc + x) / cast(2.0 as double) end))"""
+          .stripMargin))
+      // sequence(2, 1) would run DESCENDING in Spark — guard 1-day series
+      .withColumn("ts", expr(
+        "case when size(xs) > 1 then sequence(2, size(xs)) " +
+          "else array() end"))
+      .withColumn("devs", expr(
+        """transform(ts, t ->
+          |  abs(element_at(xs, t) - element_at(es, t - 1)))"""
+          .stripMargin))
+      .select(col("k"), size(col("xs")).cast("long").as("n_days"),
+        round(element_at(col("es"), size(col("xs"))), 6).as("ewma_final"),
+        round(coalesce(array_max(col("devs")), lit(0.0).cast("double")), 6)
+          .as("max_dev"),
+        expr("""cast(size(filter(ts, t ->
+          |  abs(element_at(xs, t) - element_at(es, t - 1)) *
+          |    cast(2.0 as double) > element_at(es, t - 1))) as bigint)"""
+          .stripMargin).as("n_alarms"))
+      .orderBy(col("k"))
+
+  private val q253Sql =
+    s"""WITH $dailySql,
+       |ser AS (
+       |  SELECT k, list_transform(list(cnt ORDER BY day),
+       |    c -> CAST(c AS DOUBLE)) AS xs
+       |  FROM daily GROUP BY 1),
+       |folded AS (
+       |  SELECT k, xs,
+       |    list_transform(range(1, len(xs) + 1), t ->
+       |      list_reduce(xs[1:t], (acc, x) -> (acc + x) / 2.0)) AS es
+       |  FROM ser),
+       |devs AS (
+       |  SELECT k, xs, es,
+       |    list_transform(range(2, len(xs) + 1), t ->
+       |      abs(xs[t] - es[t - 1])) AS dv
+       |  FROM folded)
+       |SELECT k, CAST(len(xs) AS BIGINT) AS n_days,
+       |  round(es[len(xs)], 6) AS ewma_final,
+       |  round(coalesce(list_max(dv), 0.0), 6) AS max_dev,
+       |  CAST(len(list_filter(range(2, len(xs) + 1), t ->
+       |    abs(xs[t] - es[t - 1]) * 2.0 > es[t - 1])) AS BIGINT)
+       |    AS n_alarms
+       |FROM devs ORDER BY k""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q36_temporal_filter", q36, Some(q36Sql)),
     Q("q37_daily_cumulative", q37, Some(q37Sql)),
@@ -935,5 +1088,7 @@ object TemporalQueries {
     Q("q224_attribution", q224, Some(q224Sql)),
     Q("q227_rfm_segments", q227, Some(q227Sql)),
     Q("q240_km_retention", q240, Some(q240Sql)),
-    Q("q241_asof_join", q241, Some(q241Sql)))
+    Q("q241_asof_join", q241, Some(q241Sql)),
+    Q("q252_cusum_chart", q252, Some(q252Sql)),
+    Q("q253_ewma_chart", q253, Some(q253Sql)))
 }
