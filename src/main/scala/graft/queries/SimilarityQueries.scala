@@ -122,7 +122,9 @@ object SimilarityQueries {
   //          that).
   private val JwThreshold = 0.9
 
-  private def q245(s: SparkSession, dir: String): DataFrame = {
+  /** The blocked JW ≥ 0.9 pair sweep shared by q245 (the pair report)
+    * and q254 (entity resolution over its transitive closure). */
+  private def jwPairs(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.load(s, dir, "part")
       .select(col("p_partkey"), col("p_name"), col("p_brand"),
         element_at(split(col("p_name"), " "), 1).as("t1"),
@@ -141,11 +143,14 @@ object SimilarityQueries {
         .select(col("brand"), col("a"), col("b"), round(col("jw"), 6).as("jw"))
     }
     legOn("t1").unionByName(legOn("tl")).distinct()
-      .orderBy(col("brand"), col("a"), col("b"))
   }
 
-  private val q245Sql =
-    s"""WITH p AS (
+  private def q245(s: SparkSession, dir: String): DataFrame =
+    jwPairs(s, dir).orderBy(col("brand"), col("a"), col("b"))
+
+  /** DuckDB CTEs for [[jwPairs]] — defines `pairs(brand, a, b, jw)`. */
+  private val jwPairCtes =
+    s"""p AS (
        |  SELECT p_partkey, p_name, p_brand,
        |    string_split(p_name, ' ')[1] AS t1,
        |    string_split(p_name, ' ')[len(string_split(p_name, ' '))] AS tl
@@ -163,15 +168,69 @@ object SimilarityQueries {
        |  FROM p a JOIN p b
        |    ON a.p_brand = b.p_brand AND a.tl = b.tl
        |    AND a.p_partkey < b.p_partkey
-       |  WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= $JwThreshold)
-       |SELECT DISTINCT brand, a, b, jw FROM (
-       |  SELECT * FROM leg1 UNION ALL SELECT * FROM leg2)
+       |  WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= $JwThreshold),
+       |pairs AS (
+       |  SELECT DISTINCT brand, a, b, jw FROM (
+       |    SELECT * FROM leg1 UNION ALL SELECT * FROM leg2))""".stripMargin
+
+  private val q245Sql =
+    s"""WITH $jwPairCtes
+       |SELECT brand, a, b, jw FROM pairs
        |ORDER BY brand, a, b""".stripMargin
+
+  // -- q254: entity resolution — the canonical-id assignment a catalog
+  //          runs AFTER the q245 screen: transitive closure of the
+  //          blocked JW pairs (two-phase star-contraction CC, O(log n)
+  //          rounds), one entity per component labeled by its smallest
+  //          member key, reported with membership and value spread.
+  //          Composition is the point: pair generation never leaves
+  //          the blocked equi-join legs, closure never touches names
+  //          again (id-pair edges only), and the report aggregates are
+  //          cluster-bounded. Singleton parts are already canonical and
+  //          stay out of the report (n_members ≥ 2 by construction).
+  private def q254(s: SparkSession, dir: String): DataFrame = {
+    val edges = jwPairs(s, dir)
+      .select(col("a").as("from_id"), col("b").as("to_id"))
+    val cc = graft.graph.GraphOps.connectedComponents(edges)
+    val p = Tables.load(s, dir, "part")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        col("p_retailprice"))
+    cc.join(p, cc("node_id") === p("p_partkey"))
+      .groupBy(col("component").as("entity_id"))
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct(col("p_brand")).as("n_brands"),
+        min_by(col("p_name"), col("p_partkey")).as("canonical_name"),
+        min(col("p_retailprice")).as("price_min"),
+        max(col("p_retailprice")).as("price_max"))
+      .orderBy(col("entity_id"))
+  }
+
+  private val q254Sql =
+    s"""WITH RECURSIVE $jwPairCtes,
+       |und AS (
+       |  SELECT a AS s, b AS t FROM pairs
+       |  UNION SELECT b AS s, a AS t FROM pairs),
+       |reach AS (
+       |  SELECT s, t FROM und
+       |  UNION
+       |  SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s
+       |  WHERE u.t <> r.s),
+       |comp AS (
+       |  SELECT s AS pk, least(s, min(t)) AS entity_id
+       |  FROM reach GROUP BY s)
+       |SELECT c.entity_id, CAST(count(*) AS BIGINT) AS n_members,
+       |  CAST(count(DISTINCT p.p_brand) AS BIGINT) AS n_brands,
+       |  arg_min(p.p_name, p.p_partkey) AS canonical_name,
+       |  min(p.p_retailprice) AS price_min,
+       |  max(p.p_retailprice) AS price_max
+       |FROM comp c JOIN part p ON p.p_partkey = c.pk
+       |GROUP BY c.entity_id ORDER BY c.entity_id""".stripMargin
 
   val qs: Seq[Q] = Seq(
     Q("q23_same_source_pairs", q23, Some(q23Sql)),
     Q("q24_tag_jaccard_join", q24, Some(q24Sql), headline = true),
     Q("q25_content_jaccard_sw", q25, Some(q25Sql)),
     Q("q26_temporal_proximity", q26, Some(q26Sql), headline = true),
-    Q("q245_name_matching", q245, Some(q245Sql)))
+    Q("q245_name_matching", q245, Some(q245Sql)),
+    Q("q254_entity_resolution", q254, Some(q254Sql)))
 }

@@ -52,4 +52,27 @@ class JaroWinklerSpec extends SparkSpec {
       .as[Double].head()
     assert(math.abs(r - 0.9611111111111111) < 1e-12)
   }
+
+  test("q254: entities are >=2-member closures labeled by their min key") {
+    val rows = graft.queries.Catalog.byName("q254_entity_resolution")
+      .run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val pairRows = graft.queries.Catalog.byName("q245_name_matching")
+      .run(spark, sf).collect()
+    val paired = pairRows.flatMap(r =>
+      Seq(r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    var members = 0L
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_members")
+      assert(n >= 2L)
+      members += n
+      assert(r.getAs[Double]("price_max") >= r.getAs[Double]("price_min"))
+      // the entity label is itself a matched part
+      assert(paired.contains(r.getAs[Long]("entity_id")))
+    }
+    // closures partition exactly the matched-node set
+    assert(members == paired.size.toLong)
+    val ids = rows.map(_.getAs[Long]("entity_id"))
+    assert(ids.distinct.length == ids.length)
+  }
 }
