@@ -424,6 +424,118 @@ object VectorQueries {
        |ORDER BY label""".stripMargin
   }
 
+
+  // -- q255: Johnson–Lindenstrauss distortion audit — measures what the
+  //          JL lemma promises for a k = 16 signed (±1) random
+  //          projection of the 64-d embeddings (Achlioptas 2003's
+  //          database-friendly projections): for sampled pairs,
+  //          distortion = ‖Pu−Pv‖² / (k·‖u−v‖²), bucketed in 0.125
+  //          steps. Exactness: embeddings quantize to MILLI-unit longs
+  //          (so every distance, projection, and ratio is exact 64-bit
+  //          integer arithmetic — worst-case ‖Pu−Pv‖²·2e6 stays under
+  //          2^63); the sign matrix is the parity of the portable md5
+  //          hash of "j#i", computed driver-side ONCE into a plan
+  //          literal (1024 entries) and recomputed inline by the
+  //          oracle. Pair sampling is the q176 integer scheme made
+  //          LINEAR: each vector pairs with its next 4 ids (ring
+  //          offsets — N·4 pairs, an equi-join, no quadratic block).
+  //          Scale shape: projection is scan-local (16×64 multiply-
+  //          adds per row); the audit output is 16 bucket rows.
+  private val JlK = 16
+  private val JlDim = 64
+  private val JlOffsets = 4
+
+  /** ±1 sign matrix: parity of the portable 32-bit md5 hash of "j#i" —
+    * the Scala twin of TextFunctions.md5Long's definition. */
+  private lazy val jlSigns: Seq[Seq[Long]] =
+    (0 until JlK).map { j =>
+      (0 until JlDim).map { i =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"$j#$i".getBytes("UTF-8"))
+          .take(4).map(b => f"$b%02x").mkString
+        1L - 2L * (java.lang.Long.parseLong(hex, 16) % 2L)
+      }
+    }
+
+  private def q255(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactRound
+    val e = emb(s, dir)
+      .withColumn("qv", expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000.0, 0) as bigint))"))
+      .withColumn("sgn", typedLit(jlSigns))
+      .withColumn("pv", expr(
+        s"""transform(sequence(0, ${JlK - 1}), j ->
+           |  aggregate(sequence(0, ${JlDim - 1}), cast(0 as bigint),
+           |    (acc, i) -> acc + element_at(element_at(sgn, j + 1), i + 1)
+           |      * element_at(qv, i + 1)))""".stripMargin))
+      .select(col("vec_id"), col("qv"), col("pv"))
+    val a = e.select(col("vec_id").as("a_id"), col("qv").as("qa"),
+        col("pv").as("pa"),
+        explode(expr(s"sequence(1, $JlOffsets)")).as("r"))
+      .withColumn("b_id", col("a_id") + col("r"))
+    val pairs = a.join(
+      e.select(col("vec_id").as("b_id"), col("qv").as("qb"),
+        col("pv").as("pb")), Seq("b_id"))
+      .withColumn("d2o", expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)), " +
+          "cast(0 as bigint), (acc, v) -> acc + v)"))
+      .withColumn("d2p", expr(
+        "aggregate(zip_with(pa, pb, (x, y) -> (x - y) * (x - y)), " +
+          "cast(0 as bigint), (acc, v) -> acc + v)"))
+      .filter(col("d2o") > 0L)
+      .withColumn("bucket",
+        least(lit(15L), expr(s"(d2p * 8) div (d2o * $JlK)")))
+      .withColumn("micro",
+        ExactRound.micro6(col("d2p"), col("d2o") * JlK))
+    pairs.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("micro")).as("ms"),
+        min(col("micro")).as("mn"), max(col("micro")).as("mx"))
+      .select(col("bucket"),
+        ExactRound.ratio6(col("bucket"), lit(8L)).as("bucket_lo"),
+        col("n_pairs"),
+        ExactRound.microMean6(col("ms"), col("n_pairs"))
+          .as("mean_distortion"),
+        (col("mn") / lit(1e6)).as("min_distortion"),
+        (col("mx") / lit(1e6)).as("max_distortion"))
+      .orderBy(col("bucket"))
+  }
+
+  private lazy val q255Sql = {
+    import graft.functions.{ExactRound => ER}
+    val mdji = graft.text.TextFunctions.sql
+      .md5Long("j::VARCHAR || '#' || i::VARCHAR")
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |pe AS (
+       |  SELECT vec_id, qv,
+       |    list_transform(range(0, $JlK), j ->
+       |      CAST(list_sum(list_transform(range(0, $JlDim), i ->
+       |        (1 - 2 * ($mdji % 2)) * qv[i + 1])) AS BIGINT)) AS pv
+       |  FROM e),
+       |pairs AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    CAST(list_sum(list_transform(range(0, $JlDim),
+       |      i -> (a.qv[i + 1] - b.qv[i + 1]) * (a.qv[i + 1] - b.qv[i + 1])))
+       |      AS BIGINT) AS d2o,
+       |    CAST(list_sum(list_transform(range(0, $JlK),
+       |      i -> (a.pv[i + 1] - b.pv[i + 1]) * (a.pv[i + 1] - b.pv[i + 1])))
+       |      AS BIGINT) AS d2p
+       |  FROM pe a JOIN pe b
+       |    ON b.vec_id BETWEEN a.vec_id + 1 AND a.vec_id + $JlOffsets),
+       |scored AS (
+       |  SELECT least(15, (d2p * 8) // (d2o * $JlK)) AS bucket,
+       |    ${ER.sql.micro6("d2p", s"d2o * $JlK")} AS micro
+       |  FROM pairs WHERE d2o > 0)
+       |SELECT bucket, ${ER.sql.ratio6("bucket", "8")} AS bucket_lo,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  ${ER.sql.microMean6("sum(micro)", "count(*)")} AS mean_distortion,
+       |  min(micro) / 1e6 AS min_distortion,
+       |  max(micro) / 1e6 AS max_distortion
+       |FROM scored GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
   val qs: Seq[Q] = Seq(
     Q("q17_topk_cosine", q17, Some(q17Sql), headline = true),
     Q("q18_topk_filtered", q18, Some(q18Sql)),
@@ -435,5 +547,6 @@ object VectorQueries {
     Q("q92_ann_ivf_sq8", q92, Some(q92Sql)),
     Q("q137_source_centroid_sim", q137, Some(q137Sql)),
     Q("q217_sq8_error", q217, Some(q217Sql)),
-    Q("q229_label_separability", q229, Some(q229Sql)))
+    Q("q229_label_separability", q229, Some(q229Sql)),
+    Q("q255_jl_distortion", q255, Some(q255Sql)))
 }

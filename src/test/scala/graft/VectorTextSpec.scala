@@ -89,4 +89,36 @@ class VectorTextSpec extends SparkSpec {
     val sets = Seq(Set("a", "b", "c"), Set("a", "b", "c", "d"), Set("x", "y"))
     assert(Ranking.greedyDiversityKeep(sets, 0.7) == Seq(1, 3))
   }
+
+  test("q255: JL distortion concentrates around 1 and buckets are sane") {
+    val rows = graft.queries.Catalog.byName("q255_jl_distortion")
+      .run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var n = 0L; var weighted = 0.0
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0L && b <= 15L)
+      val np = r.getAs[Long]("n_pairs")
+      assert(np > 0L)
+      val mean = r.getAs[Double]("mean_distortion")
+      assert(r.getAs[Double]("min_distortion") <= mean)
+      assert(mean <= r.getAs[Double]("max_distortion"))
+      n += np; weighted += mean * np
+    }
+    // E[distortion] = 1 for +-1 projections; k=16 keeps the corpus mean
+    // well inside [0.6, 1.4] even though single pairs stray
+    val overall = weighted / n
+    assert(overall > 0.6 && overall < 1.4, s"mean distortion $overall")
+  }
+
+  test("q255 sign matrix: Scala md5 twin matches the engine hash parity") {
+    val got = spark.sql(
+      "SELECT conv(substr(md5('3#17'), 1, 8), 16, 10) % 2 AS p").collect()
+      .head.get(0).toString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("3#17".getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+    val want = java.lang.Long.parseLong(hex, 16) % 2L
+    assert(got == want.toString)
+  }
 }
