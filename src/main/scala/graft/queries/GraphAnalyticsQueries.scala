@@ -453,6 +453,130 @@ object GraphAnalyticsQueries {
           s"${12L * HcSeeds}")} AS harmonic
        |FROM d GROUP BY node_id ORDER BY node_id""".stripMargin
 
+  // -- q256: sampled betweenness centrality (Brandes 2001, source-
+  //          sampled per Brandes–Pich 2007) over the directed KG from
+  //          the $BcSeeds smallest order nodes, hops ≤ $BcHops. Forward
+  //          pass: BFS levels with exact integer path counts σ (each
+  //          level = one broadcast-hash-join of the (seed × node)-
+  //          bounded frontier against the node_id-partitioned oriented
+  //          index + a keyed integer sum — σ sums are exact longs).
+  //          Backward pass (the dependency accumulation δ(v) =
+  //          Σ_w σ(v)/σ(w)·(1+δ(w))): fractions are quantized PER EDGE
+  //          TERM to micro-units with round-half-up integral division,
+  //          then integer-summed — shuffle-order-proof, and the oracle
+  //          applies the identical per-level quantization in unrolled
+  //          level CTEs (generated by the same Scala loop). Scale
+  //          contract: frontier broadcasts assume the sampled reach
+  //          fits the broadcast cap — BcSeeds is the dial, estimates
+  //          degrade gracefully with fewer sources (Brandes–Pich).
+  //          Each level is lineage-truncated once and reused by the
+  //          next level and two backward joins. Overflow bounds: σ ≤
+  //          deg^4, δ_micro ≤ 1e6·paths; terms stay < 2^63 for
+  //          deg ≤ ~300 at these hop caps (documented, data-checked).
+  private val BcSeeds = 16
+  private val BcHops = 4
+
+  private def q256(s: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Lineage._
+    val e = KGraph
+      .orientedMaterialized(s, dir, graft.graph.GraphOps.Outgoing)
+      .select(col("node_id"), col("next_id")).distinct()
+    val seeds = Tables.load(s, dir, "orders")
+      .orderBy(col("o_orderkey")).limit(BcSeeds)
+      .select(concat(lit("o:"), col("o_orderkey")).as("src"))
+    val lvl0 = seeds
+      .select(col("src"), col("src").as("node_id"), lit(1L).as("sigma"))
+    var levels = Vector(lvl0)
+    var visited = lvl0.select(col("src"), col("node_id"))
+    for (_ <- 1 to BcHops) {
+      val sums = broadcast(levels.last).join(e, Seq("node_id"))
+        .groupBy(col("src"), col("next_id"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .select(col("src"), col("next_id").as("node_id"), col("sigma"))
+      val fresh = sums
+        .join(broadcast(visited), Seq("src", "node_id"), "left_anti")
+        .truncateLineage()
+      levels :+= fresh
+      visited = visited.unionByName(fresh.select(col("src"), col("node_id")))
+    }
+    var deltas = Vector(levels(BcHops)
+      .withColumn("delta", lit(0L)))
+    for (h <- BcHops - 1 to 0 by -1) {
+      val w = deltas.head
+      val terms = broadcast(levels(h)).join(e, Seq("node_id"))
+        .join(broadcast(w.select(col("src"),
+          col("node_id").as("next_id"), col("sigma").as("sigma_w"),
+          col("delta").as("delta_w"))), Seq("src", "next_id"))
+        .select(col("src"), col("node_id"), expr(
+          "(2 * sigma * (1000000 + delta_w) + sigma_w) div (2 * sigma_w)")
+          .as("term"))
+      val dsum = terms.groupBy(col("src"), col("node_id"))
+        .agg(sum(col("term")).as("ds"))
+      deltas = levels(h)
+        .join(dsum, Seq("src", "node_id"), "left")
+        .select(col("src"), col("node_id"), col("sigma"),
+          coalesce(col("ds"), lit(0L)).as("delta"))
+        .truncateLineage() +: deltas
+    }
+    // deltas(h) is level h's frame; sources (level 0) don't accumulate
+    (1 to BcHops).map(h => deltas(h).select(col("src"), col("node_id"),
+        col("delta")))
+      .reduce(_ unionByName _)
+      .groupBy(col("node_id"))
+      .agg(count(lit(1)).as("n_sources"), sum(col("delta")).as("bc_micro"))
+      .filter(col("bc_micro") > 0L)
+      .select(col("node_id"), col("n_sources"),
+        (col("bc_micro") / lit(1e6)).as("betweenness"))
+      .orderBy(col("node_id"))
+  }
+
+  private lazy val q256Sql = {
+    val fwd = (1 to BcHops).map { h =>
+      val excl = (0 until h).map(j =>
+        s"NOT EXISTS (SELECT 1 FROM lvl$j x WHERE x.src = r.src AND x.node = r.node)")
+        .mkString("\n    AND ")
+      s"""r$h AS (
+         |  SELECT l.src, e.to_id AS node, CAST(sum(l.sigma) AS BIGINT) AS sigma
+         |  FROM lvl${h - 1} l JOIN e ON e.from_id = l.node GROUP BY 1, 2),
+         |lvl$h AS (
+         |  SELECT r.src, r.node, r.sigma FROM r$h r
+         |  WHERE $excl)""".stripMargin
+    }.mkString(",\n")
+    val bwd = (BcHops - 1 to 0 by -1).map { h =>
+      s"""t$h AS (
+         |  SELECT v.src, v.node,
+         |    (2 * v.sigma * (1000000 + w.delta) + w.sigma) // (2 * w.sigma)
+         |      AS term
+         |  FROM lvl$h v JOIN e ON e.from_id = v.node
+         |  JOIN d${h + 1} w ON w.src = v.src AND w.node = e.to_id),
+         |d$h AS (
+         |  SELECT l.src, l.node, l.sigma,
+         |    CAST(coalesce(t.ds, 0) AS BIGINT) AS delta
+         |  FROM lvl$h l LEFT JOIN (
+         |    SELECT src, node, CAST(sum(term) AS BIGINT) AS ds
+         |    FROM t$h GROUP BY 1, 2) t
+         |    ON t.src = l.src AND t.node = l.node)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to BcHops)
+      .map(h => s"SELECT src, node, delta FROM d$h")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${KGraph.edgesSql},
+       |e AS (SELECT DISTINCT from_id, to_id FROM edges),
+       |seeds AS (SELECT 'o:'||o_orderkey AS src FROM orders
+       |          ORDER BY o_orderkey LIMIT $BcSeeds),
+       |lvl0 AS (SELECT src, src AS node, 1::BIGINT AS sigma FROM seeds),
+       |$fwd,
+       |d$BcHops AS (SELECT src, node, sigma, 0::BIGINT AS delta
+       |             FROM lvl$BcHops),
+       |$bwd,
+       |alln AS (
+       |  $unions)
+       |SELECT node AS node_id, CAST(count(*) AS BIGINT) AS n_sources,
+       |  CAST(sum(delta) AS BIGINT) / 1e6 AS betweenness
+       |FROM alln GROUP BY node HAVING sum(delta) > 0
+       |ORDER BY node_id""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q191_copurchase_clustering", q191, Some(q191Sql), headline = true),
     Q("q192_kcore_layers", q192, Some(q192Sql), headline = true),
@@ -460,5 +584,6 @@ object GraphAnalyticsQueries {
     Q("q206_copurchase_affinity", q206, Some(q206Sql)),
     Q("q231_graph_mixing", q231, Some(q231Sql), headline = true),
     Q("q239_partition_modularity", q239, Some(q239Sql)),
-    Q("q249_harmonic_centrality", q249, Some(q249Sql)))
+    Q("q249_harmonic_centrality", q249, Some(q249Sql)),
+    Q("q256_betweenness", q256, Some(q256Sql)))
 }

@@ -132,4 +132,29 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(Set("a1", "a2", "a3").map(got) == Set("a1"))
     assert(Set("b1", "b2", "b3").map(got) == Set("a3"))
   }
+
+  test("q256: betweenness output is positive, seed-bounded, hub-shaped") {
+    val rows = graft.queries.Catalog.byName("q256_betweenness")
+      .run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("betweenness") > 0.0)
+      val ns = r.getAs[Long]("n_sources")
+      assert(ns >= 1L && ns <= 16L)
+    }
+    // order seeds route o -> c/p -> n/s -> r: intermediate node kinds
+    // (customers, parts, suppliers, nations) must appear, and no order
+    // node can lie strictly between two other nodes (orders are roots)
+    val kinds = rows.map(_.getAs[String]("node_id").split(":").head).toSet
+    assert(!kinds.contains("o"))
+    assert(kinds.intersect(Set("c", "p", "s", "n")).nonEmpty)
+  }
+
+  test("q256 micro-term: diamond dependency quantizes to exactly 0.5") {
+    // s->a, s->b, a->t, b->t: sigma(a)=1, sigma(t)=2, delta(t)=0
+    // per-edge term = round-half-up(1e6 * 1 * (1 + 0) / 2) = 500000
+    val sigmaV = 1L; val sigmaW = 2L; val deltaW = 0L
+    val term = (2 * sigmaV * (1000000L + deltaW) + sigmaW) / (2 * sigmaW)
+    assert(term == 500000L)
+  }
 }
