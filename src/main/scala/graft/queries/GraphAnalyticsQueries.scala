@@ -478,9 +478,15 @@ object GraphAnalyticsQueries {
 
   private def q256(s: SparkSession, dir: String): DataFrame = {
     import graft.engine.Lineage._
+    // no distinct: the KG's six union arms are each key-unique and
+    // pairwise type-disjoint (o->c, c->n, s->n, n->r, o->p, p->s), so
+    // the oriented index is already duplicate-free — a distinct here
+    // would re-shuffle the full edge set for nothing (and parallel
+    // edges would corrupt sigma counts, so this invariant is the
+    // correctness contract, pinned in GraphAnalyticsSpec)
     val e = KGraph
       .orientedMaterialized(s, dir, graft.graph.GraphOps.Outgoing)
-      .select(col("node_id"), col("next_id")).distinct()
+      .select(col("node_id"), col("next_id"))
     val seeds = Tables.load(s, dir, "orders")
       .orderBy(col("o_orderkey")).limit(BcSeeds)
       .select(concat(lit("o:"), col("o_orderkey")).as("src"))
@@ -499,11 +505,15 @@ object GraphAnalyticsQueries {
       levels :+= fresh
       visited = visited.unionByName(fresh.select(col("src"), col("node_id")))
     }
+    // the backward pass only walks edges out of reached nodes: restrict
+    // the index ONCE (one scan) instead of re-scanning it per level
+    val eSub = e.join(broadcast(visited.select(col("node_id")).distinct()),
+      Seq("node_id")).truncateLineage()
     var deltas = Vector(levels(BcHops)
       .withColumn("delta", lit(0L)))
     for (h <- BcHops - 1 to 0 by -1) {
       val w = deltas.head
-      val terms = broadcast(levels(h)).join(e, Seq("node_id"))
+      val terms = broadcast(levels(h)).join(eSub, Seq("node_id"))
         .join(broadcast(w.select(col("src"),
           col("node_id").as("next_id"), col("sigma").as("sigma_w"),
           col("delta").as("delta_w"))), Seq("src", "next_id"))
@@ -561,7 +571,7 @@ object GraphAnalyticsQueries {
       .map(h => s"SELECT src, node, delta FROM d$h")
       .mkString("\n  UNION ALL ")
     s"""WITH ${KGraph.edgesSql},
-       |e AS (SELECT DISTINCT from_id, to_id FROM edges),
+       |e AS (SELECT from_id, to_id FROM edges),
        |seeds AS (SELECT 'o:'||o_orderkey AS src FROM orders
        |          ORDER BY o_orderkey LIMIT $BcSeeds),
        |lvl0 AS (SELECT src, src AS node, 1::BIGINT AS sigma FROM seeds),

@@ -150,6 +150,13 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(kinds.intersect(Set("c", "p", "s", "n")).nonEmpty)
   }
 
+  test("KG oriented index is duplicate-free (q256's sigma contract)") {
+    val e = graft.graph.KGraph
+      .orientedMaterialized(spark, sf, graft.graph.GraphOps.Outgoing)
+      .select("node_id", "next_id")
+    assert(e.count() == e.distinct().count())
+  }
+
   test("q256 micro-term: diamond dependency quantizes to exactly 0.5") {
     // s->a, s->b, a->t, b->t: sigma(a)=1, sigma(t)=2, delta(t)=0
     // per-edge term = round-half-up(1e6 * 1 * (1 + 0) / 2) = 500000
