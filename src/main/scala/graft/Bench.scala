@@ -79,7 +79,11 @@ object Bench {
     // round-8 addendum 13): q126's cluster pass + the edge-sim legs
     "q226_cluster_cohesion" -> 10.85,
     // round-8 graph-mixing promotion (quiet sf0.1 min, addendum 15)
-    "q231_graph_mixing" -> 5.02)
+    "q231_graph_mixing" -> 5.02,
+    // round-8 late promotions: entity resolution (q245 sweep + closure)
+    // and sampled betweenness (quiet sf0.1 mins, addenda 32/34)
+    "q254_entity_resolution" -> 2.92,
+    "q256_betweenness" -> 5.23)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

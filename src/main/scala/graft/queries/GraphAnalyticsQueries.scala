@@ -595,5 +595,5 @@ object GraphAnalyticsQueries {
     Q("q231_graph_mixing", q231, Some(q231Sql), headline = true),
     Q("q239_partition_modularity", q239, Some(q239Sql)),
     Q("q249_harmonic_centrality", q249, Some(q249Sql)),
-    Q("q256_betweenness", q256, Some(q256Sql)))
+    Q("q256_betweenness", q256, Some(q256Sql), headline = true))
 }

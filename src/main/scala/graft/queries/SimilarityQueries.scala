@@ -232,5 +232,5 @@ object SimilarityQueries {
     Q("q25_content_jaccard_sw", q25, Some(q25Sql)),
     Q("q26_temporal_proximity", q26, Some(q26Sql), headline = true),
     Q("q245_name_matching", q245, Some(q245Sql)),
-    Q("q254_entity_resolution", q254, Some(q254Sql)))
+    Q("q254_entity_resolution", q254, Some(q254Sql), headline = true))
 }
