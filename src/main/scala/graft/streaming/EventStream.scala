@@ -336,4 +336,37 @@ object EventStream {
           out.iterator
       }
   }
+
+  final case class CusumIn(k: String, day: String, s_t: Long)
+  final case class CusumPoint(k: String, day: String, cpos: Long, cneg: Long)
+  final case class CusumSt(ps: Long, mn: Long, mx: Long)
+
+  /** Streaming twin of q252's CUSUM decomposition — the online form the
+    * chart was invented for. Per-key state is the (prefix sum, running
+    * min, running max) triple, with S_0 = 0 covered by the zero initial
+    * state — three longs per key, never grows with history. Input rows
+    * carry the mean-centered series s_t (centering parameters come from
+    * a reference window, as in any production control chart); each
+    * micro-batch sorts its slice by day and folds it onto the stored
+    * triple, so a chart spanning batch boundaries continues exactly.
+    * Same in-order-feed contract as the other incremental twins.
+    * Parity vs q252's window form is pinned in ControlChartSpec. */
+  def cusumStream(in: org.apache.spark.sql.Dataset[CusumIn])
+      : org.apache.spark.sql.Dataset[CusumPoint] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.k)
+      .flatMapGroupsWithState[CusumSt, CusumPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: String, rows: Iterator[CusumIn], state: GroupState[CusumSt]) =>
+          val sorted = rows.toSeq.sortBy(_.day)
+          var st = state.getOption.getOrElse(CusumSt(0L, 0L, 0L))
+          val out = sorted.map { r =>
+            val ps = st.ps + r.s_t
+            st = CusumSt(ps, math.min(st.mn, ps), math.max(st.mx, ps))
+            CusumPoint(k, r.day, ps - st.mn, st.mx - ps)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

@@ -47,4 +47,57 @@ class ControlChartSpec extends SparkSpec {
     val es = xs.tail.scanLeft(xs.head)((e, x) => (e + x) / 2.0)
     assert(es == Seq(4.0, 6.0, 4.0))
   }
+
+  /** The q252 centered daily series (cnt·D − total per event_type). */
+  private def centered = {
+    import org.apache.spark.sql.functions._
+    val daily = graft.Tables.load(spark, sf, "events")
+      .groupBy(col("event_type").as("k"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val sized = daily.groupBy(col("k"))
+      .agg(count(lit(1)).as("nd"), sum(col("cnt")).as("total"))
+    daily.join(sized, Seq("k"))
+      .select(col("k"), col("day"),
+        (col("cnt") * col("nd") - col("total")).as("s_t"))
+  }
+
+  test("cusumStream: stream across batch cuts equals the window form") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val cent = centered
+    // batch form: the q252 decomposition windows
+    val wCum = Window.partitionBy(col("k")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val batch = cent
+      .withColumn("ps", sum(col("s_t")).over(wCum))
+      .select(col("k"), col("day"),
+        (col("ps") - least(min(col("ps")).over(wCum), lit(0L))).as("cpos"),
+        (greatest(max(col("ps")).over(wCum), lit(0L)) - col("ps"))
+          .as("cneg"))
+      .as[(String, String, Long, Long)].collect().sorted.toSeq
+    // stream form: split the series mid-way so every key's chart spans
+    // the batch boundary and only state can continue it
+    val dir = java.nio.file.Files.createTempDirectory("cusumstream").toString
+    val cut = cent.agg(expr("percentile_approx(unix_timestamp(" +
+      "to_date(day)), 0.5)")).head().getLong(0)
+    cent.filter(unix_timestamp(to_date(col("day"))) <= cut)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/b0")
+    cent.filter(unix_timestamp(to_date(col("day"))) > cut)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/b1")
+    val schema = StructType(Seq(StructField("k", StringType),
+      StructField("day", StringType), StructField("s_t", LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/b*")
+    val q = graft.streaming.EventStream
+      .cusumStream(stream.as[graft.streaming.EventStream.CusumIn])
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cusumout").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT k, day, cpos, cneg FROM cusumout")
+      .as[(String, String, Long, Long)].collect().sorted.toSeq
+    assert(batch.nonEmpty && streamed == batch)
+  }
 }
