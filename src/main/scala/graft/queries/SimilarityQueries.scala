@@ -226,11 +226,114 @@ object SimilarityQueries {
        |FROM comp c JOIN part p ON p.p_partkey = c.pk
        |GROUP BY c.entity_id ORDER BY c.entity_id""".stripMargin
 
+  // -- q257: Fellegi–Sunter linkage weights (Fellegi & Sunter 1969) —
+  //          the probabilistic-record-linkage calibration that turns
+  //          q245's single JW screen into per-field evidence weights:
+  //          over a deterministic 1-in-4 sample of the (brand, first-
+  //          token) candidate block (the q176 integer pair-sampling
+  //          scheme), pairs are labeled match/unmatch by the JW ≥ 0.9
+  //          screen, and each comparison field f ∈ {type, size} gets
+  //          m_f = P(agree|M), u_f = P(agree|U) and the log2 m/u
+  //          agreement / disagreement weights. Exactness: m and u are
+  //          micro6 rationals of exact counts; weights are the
+  //          established micro-unit log quantization (round(log2·1e6))
+  //          over EXACT integer cross-products, so both engines
+  //          quantize the same real number; zero cells yield NULL
+  //          (infinite evidence) on both. Scale shape: ONE sampled
+  //          equi-join leg streamed into a 2-field × 4-cell aggregate —
+  //          estimation needs a candidate sample, not the exhaustive
+  //          pair union (the dial q245's notes document).
+  private def q257(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactRound
+    val p = Tables.load(s, dir, "part")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        col("p_type"), col("p_size"),
+        element_at(split(col("p_name"), " "), 1).as("t1"))
+    val a = p.select(col("p_brand").as("brand"), col("t1").as("tok"),
+      col("p_partkey").as("a"), col("p_name").as("name_a"),
+      col("p_type").as("type_a"), col("p_size").as("size_a"))
+    val b = p.select(col("p_brand").as("brand"), col("t1").as("tok"),
+      col("p_partkey").as("b"), col("p_name").as("name_b"),
+      col("p_type").as("type_b"), col("p_size").as("size_b"))
+    val cand = a.join(b, Seq("brand", "tok")).filter(col("a") < col("b"))
+      .filter((col("a") * 31 + col("b")) % 4 === 0L)
+      .withColumn("is_match",
+        TF.jaroWinkler(col("name_a"), col("name_b")) >= JwThreshold)
+    val fields = cand.select(col("is_match"),
+        (col("type_a") === col("type_b")).as("agree"),
+        lit("type").as("field"))
+      .unionByName(cand.select(col("is_match"),
+        (col("size_a") === col("size_b")).as("agree"),
+        lit("size").as("field")))
+    val counts = fields.groupBy(col("field"))
+      .agg(sum(when(col("is_match"), 1L).otherwise(0L)).as("nm"),
+        sum(when(!col("is_match"), 1L).otherwise(0L)).as("nu"),
+        sum(when(col("is_match") && col("agree"), 1L).otherwise(0L))
+          .as("ma"),
+        sum(when(!col("is_match") && col("agree"), 1L).otherwise(0L))
+          .as("ua"))
+    def w2(num: org.apache.spark.sql.Column,
+        den: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(num > 0L && den > 0L,
+        round(log2(num.cast("double") / den.cast("double")) *
+          lit(1000000), 0).cast("long") / lit(1e6))
+    counts.select(col("field"), col("nm").as("n_match"),
+        col("nu").as("n_unmatch"),
+        ExactRound.ratio6(col("ma"), col("nm")).as("m_prob"),
+        ExactRound.ratio6(col("ua"), col("nu")).as("u_prob"),
+        w2(col("ma") * col("nu"), col("ua") * col("nm")).as("w_agree"),
+        w2((col("nm") - col("ma")) * col("nu"),
+          (col("nu") - col("ua")) * col("nm")).as("w_disagree"))
+      .orderBy(col("field"))
+  }
+
+  private val q257Sql = {
+    import graft.functions.{ExactRound => ER}
+    def w2(num: String, den: String) =
+      s"""CASE WHEN ($num) > 0 AND ($den) > 0
+         |  THEN CAST(round(log2(CAST($num AS DOUBLE) / CAST($den AS DOUBLE))
+         |    * 1000000) AS BIGINT) / 1e6 END""".stripMargin
+    s"""WITH p AS (
+       |  SELECT p_partkey, p_name, p_brand, p_type, p_size,
+       |    string_split(p_name, ' ')[1] AS t1
+       |  FROM part),
+       |cand AS (
+       |  SELECT jaro_winkler_similarity(a.p_name, b.p_name) >= $JwThreshold
+       |      AS is_match,
+       |    a.p_type = b.p_type AS type_agree,
+       |    a.p_size = b.p_size AS size_agree
+       |  FROM p a JOIN p b
+       |    ON a.p_brand = b.p_brand AND a.t1 = b.t1
+       |    AND a.p_partkey < b.p_partkey
+       |  WHERE (a.p_partkey * 31 + b.p_partkey) % 4 = 0),
+       |fields AS (
+       |  SELECT is_match, type_agree AS agree, 'type' AS field FROM cand
+       |  UNION ALL
+       |  SELECT is_match, size_agree, 'size' FROM cand),
+       |counts AS (
+       |  SELECT field,
+       |    CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+       |    CAST(sum(CASE WHEN NOT is_match THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS nu,
+       |    CAST(sum(CASE WHEN is_match AND agree THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS ma,
+       |    CAST(sum(CASE WHEN NOT is_match AND agree THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS ua
+       |  FROM fields GROUP BY field)
+       |SELECT field, nm AS n_match, nu AS n_unmatch,
+       |  ${ER.sql.ratio6("ma", "nm")} AS m_prob,
+       |  ${ER.sql.ratio6("ua", "nu")} AS u_prob,
+       |  ${w2("ma * nu", "ua * nm")} AS w_agree,
+       |  ${w2("(nm - ma) * nu", "(nu - ua) * nm")} AS w_disagree
+       |FROM counts ORDER BY field""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q23_same_source_pairs", q23, Some(q23Sql)),
     Q("q24_tag_jaccard_join", q24, Some(q24Sql), headline = true),
     Q("q25_content_jaccard_sw", q25, Some(q25Sql)),
     Q("q26_temporal_proximity", q26, Some(q26Sql), headline = true),
     Q("q245_name_matching", q245, Some(q245Sql)),
-    Q("q254_entity_resolution", q254, Some(q254Sql), headline = true))
+    Q("q254_entity_resolution", q254, Some(q254Sql), headline = true),
+    Q("q257_fellegi_sunter", q257, Some(q257Sql)))
 }

@@ -75,4 +75,27 @@ class JaroWinklerSpec extends SparkSpec {
     val ids = rows.map(_.getAs[Long]("entity_id"))
     assert(ids.distinct.length == ids.length)
   }
+
+  test("q257: matches carry more field agreement than unmatches") {
+    val rows = graft.queries.Catalog.byName("q257_fellegi_sunter")
+      .run(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("field")).sorted.toSeq ==
+      Seq("size", "type"))
+    rows.foreach { r =>
+      val m = r.getAs[Double]("m_prob"); val u = r.getAs[Double]("u_prob")
+      assert(m >= 0.0 && m <= 1.0 && u >= 0.0 && u <= 1.0)
+      // near-duplicate names should never agree LESS than random pairs
+      // (equality allowed: sf0.001's sampled match set is tiny)
+      assert(m >= u, s"${r.getAs[String]("field")}: m=$m u=$u")
+      // non-negative evidence on agreement, non-positive on disagreement
+      // (zero when the tiny-sf sample has m = u)
+      Option(r.getAs[java.lang.Double]("w_agree"))
+        .foreach(w => assert(w >= 0.0))
+      Option(r.getAs[java.lang.Double]("w_disagree"))
+        .foreach(w => assert(w <= 0.0))
+    }
+    // the name-derived type field must separate at every scale
+    val t = rows.find(_.getAs[String]("field") == "type").get
+    assert(t.getAs[Double]("m_prob") > t.getAs[Double]("u_prob"))
+  }
 }
