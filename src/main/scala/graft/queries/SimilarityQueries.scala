@@ -232,7 +232,11 @@ object SimilarityQueries {
   //          over a deterministic 1-in-4 sample of the (brand, first-
   //          token) candidate block (the q176 integer pair-sampling
   //          scheme), pairs are labeled match/unmatch by the JW ≥ 0.9
-  //          screen, and each comparison field f ∈ {type, size} gets
+  //          screen, and each comparison field — last name token, and
+  //          a ±1 char length band (the components an address/name
+  //          linkage would compare; TPC-H's type/size columns are
+  //          independent of the name by construction, so they carry no
+  //          linkage signal on this corpus) — gets
   //          m_f = P(agree|M), u_f = P(agree|U) and the log2 m/u
   //          agreement / disagreement weights. Exactness: m and u are
   //          micro6 rationals of exact counts; weights are the
@@ -247,24 +251,25 @@ object SimilarityQueries {
     import graft.functions.ExactRound
     val p = Tables.load(s, dir, "part")
       .select(col("p_partkey"), col("p_name"), col("p_brand"),
-        col("p_type"), col("p_size"),
-        element_at(split(col("p_name"), " "), 1).as("t1"))
+        element_at(split(col("p_name"), " "), 1).as("t1"),
+        element_at(split(col("p_name"), " "), -1).as("tl"))
     val a = p.select(col("p_brand").as("brand"), col("t1").as("tok"),
       col("p_partkey").as("a"), col("p_name").as("name_a"),
-      col("p_type").as("type_a"), col("p_size").as("size_a"))
+      col("tl").as("tl_a"))
     val b = p.select(col("p_brand").as("brand"), col("t1").as("tok"),
       col("p_partkey").as("b"), col("p_name").as("name_b"),
-      col("p_type").as("type_b"), col("p_size").as("size_b"))
+      col("tl").as("tl_b"))
     val cand = a.join(b, Seq("brand", "tok")).filter(col("a") < col("b"))
       .filter((col("a") * 31 + col("b")) % 4 === 0L)
       .withColumn("is_match",
         TF.jaroWinkler(col("name_a"), col("name_b")) >= JwThreshold)
     val fields = cand.select(col("is_match"),
-        (col("type_a") === col("type_b")).as("agree"),
-        lit("type").as("field"))
+        (col("tl_a") === col("tl_b")).as("agree"),
+        lit("last_tok").as("field"))
       .unionByName(cand.select(col("is_match"),
-        (col("size_a") === col("size_b")).as("agree"),
-        lit("size").as("field")))
+        (abs(length(col("name_a")) - length(col("name_b"))) <= 1)
+          .as("agree"),
+        lit("len_band").as("field")))
     val counts = fields.groupBy(col("field"))
       .agg(sum(when(col("is_match"), 1L).otherwise(0L)).as("nm"),
         sum(when(!col("is_match"), 1L).otherwise(0L)).as("nu"),
@@ -294,22 +299,23 @@ object SimilarityQueries {
          |  THEN CAST(round(log2(CAST($num AS DOUBLE) / CAST($den AS DOUBLE))
          |    * 1000000) AS BIGINT) / 1e6 END""".stripMargin
     s"""WITH p AS (
-       |  SELECT p_partkey, p_name, p_brand, p_type, p_size,
-       |    string_split(p_name, ' ')[1] AS t1
+       |  SELECT p_partkey, p_name, p_brand,
+       |    string_split(p_name, ' ')[1] AS t1,
+       |    string_split(p_name, ' ')[len(string_split(p_name, ' '))] AS tl
        |  FROM part),
        |cand AS (
        |  SELECT jaro_winkler_similarity(a.p_name, b.p_name) >= $JwThreshold
        |      AS is_match,
-       |    a.p_type = b.p_type AS type_agree,
-       |    a.p_size = b.p_size AS size_agree
+       |    a.tl = b.tl AS tl_agree,
+       |    abs(length(a.p_name) - length(b.p_name)) <= 1 AS len_agree
        |  FROM p a JOIN p b
        |    ON a.p_brand = b.p_brand AND a.t1 = b.t1
        |    AND a.p_partkey < b.p_partkey
        |  WHERE (a.p_partkey * 31 + b.p_partkey) % 4 = 0),
        |fields AS (
-       |  SELECT is_match, type_agree AS agree, 'type' AS field FROM cand
+       |  SELECT is_match, tl_agree AS agree, 'last_tok' AS field FROM cand
        |  UNION ALL
-       |  SELECT is_match, size_agree, 'size' FROM cand),
+       |  SELECT is_match, len_agree, 'len_band' FROM cand),
        |counts AS (
        |  SELECT field,
        |    CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS nm,

@@ -80,7 +80,7 @@ class JaroWinklerSpec extends SparkSpec {
     val rows = graft.queries.Catalog.byName("q257_fellegi_sunter")
       .run(spark, sf).collect()
     assert(rows.map(_.getAs[String]("field")).sorted.toSeq ==
-      Seq("size", "type"))
+      Seq("last_tok", "len_band"))
     rows.foreach { r =>
       val m = r.getAs[Double]("m_prob"); val u = r.getAs[Double]("u_prob")
       assert(m >= 0.0 && m <= 1.0 && u >= 0.0 && u <= 1.0)
@@ -94,8 +94,9 @@ class JaroWinklerSpec extends SparkSpec {
       Option(r.getAs[java.lang.Double]("w_disagree"))
         .foreach(w => assert(w <= 0.0))
     }
-    // the name-derived type field must separate at every scale
-    val t = rows.find(_.getAs[String]("field") == "type").get
+    // JW >= 0.9 names are near-identical strings: the length band must
+    // separate matches from the block's random co-candidates
+    val t = rows.find(_.getAs[String]("field") == "len_band").get
     assert(t.getAs[Double]("m_prob") > t.getAs[Double]("u_prob"))
   }
 }
