@@ -400,21 +400,21 @@ object GraphAnalyticsQueries {
   private val HcSeeds = 32
   private val HcHops = 4
 
-  private def q249(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.ExactRound
-    // the prebuilt outgoing index (node_id-partitioned, cached); the
-    // frontier side is (seed × node)-bounded, so it broadcasts — each
-    // hop is a broadcast hash join against the index, no edge shuffle
-    // no edge-wide distinct: parallel edges only duplicate frontier
-    // rows, and the (seed × node)-bounded next.distinct() absorbs them
+  /** Sampled BFS over the outgoing KG index: min-hop distances from
+    * `seeds` (column `s`), hops ≤ `maxHops`. The prebuilt node_id-
+    * partitioned index never shuffles — each hop is a broadcast hash
+    * join of the (seed × reached-node)-bounded frontier; no edge-wide
+    * distinct (parallel edges only duplicate frontier rows, absorbed
+    * by the bounded `next.distinct()`). Shared by q249 (harmonic
+    * centrality) and q258 (hop plot / effective diameter). */
+  private def bfsVisited(s: SparkSession, dir: String,
+      seeds: DataFrame, maxHops: Int): DataFrame = {
     val e = KGraph.orientedMaterialized(s, dir, graft.graph.GraphOps.Outgoing)
       .select(col("node_id"), col("next_id"))
-    val seeds = s.range(1, HcSeeds + 1)
-      .select(concat(lit("c:"), col("id")).as("s"))
     var visited = seeds.select(col("s"), col("s").as("node_id"),
       lit(0).as("hop"))
     var frontier = visited
-    for (h <- 1 to HcHops) {
+    for (h <- 1 to maxHops) {
       val next = broadcast(frontier.select(col("s"), col("node_id")))
         .join(e, Seq("node_id"))
         .select(col("s"), col("next_id").as("node_id"), lit(h).as("hop"))
@@ -424,7 +424,14 @@ object GraphAnalyticsQueries {
       visited = visited.unionByName(fresh)
       frontier = fresh
     }
-    visited.filter(col("hop") > 0)
+    visited
+  }
+
+  private def q249(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactRound
+    val seeds = s.range(1, HcSeeds + 1)
+      .select(concat(lit("c:"), col("id")).as("s"))
+    bfsVisited(s, dir, seeds, HcHops).filter(col("hop") > 0)
       .groupBy(col("node_id"))
       .agg(count(lit(1)).as("n_seeds"),
         sum(expr("12 div hop")).cast("long").as("h12"))
@@ -587,6 +594,83 @@ object GraphAnalyticsQueries {
        |ORDER BY node_id""".stripMargin
   }
 
+  // -- q258: hop plot + effective diameter (the Leskovec–Faloutsos
+  //          graph-over-time measurement) from sampled sources: the
+  //          per-hop reach histogram of the q256 seed set (16 smallest
+  //          orders, outgoing, ≤ 4 hops) with cumulative shares, the
+  //          integer 90%-effective diameter (smallest h with
+  //          10·cum ≥ 9·total) and its standard linear interpolation —
+  //          an exact rational of counts, ratio6-rounded. Scale shape:
+  //          the shared broadcast-frontier BFS; everything after is a
+  //          4-row histogram.
+  private def q258(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactRound
+    import org.apache.spark.sql.expressions.Window
+    val seeds = Tables.load(s, dir, "orders")
+      .orderBy(col("o_orderkey")).limit(BcSeeds)
+      .select(concat(lit("o:"), col("o_orderkey")).as("s"))
+    val hist = bfsVisited(s, dir, seeds, BcHops).filter(col("hop") > 0)
+      .groupBy(col("hop")).agg(count(lit(1)).as("n_pairs"))
+    // ≤ 4 rows from here on: the unpartitioned windows are metadata-scale
+    val wCum = Window.orderBy(col("hop"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val cum = hist
+      .withColumn("cum_pairs", sum(col("n_pairs")).over(wCum))
+      .withColumn("total", sum(col("n_pairs")).over(wAll))
+    val eff = cum.filter(col("cum_pairs") * 10 >= col("total") * 9)
+      .groupBy().agg(min(col("hop")).as("eff_diameter"))
+    cum.join(broadcast(eff))
+      .withColumn("prev_cum", col("cum_pairs") - col("n_pairs"))
+      .select(col("hop"), col("n_pairs"), col("cum_pairs"),
+        ExactRound.ratio6(col("cum_pairs"), col("total")).as("cum_share"),
+        col("eff_diameter"),
+        when(col("hop") === col("eff_diameter"),
+          ExactRound.ratio6(
+            (col("eff_diameter") - 1) * lit(10L) * col("n_pairs") +
+              col("total") * 9 - col("prev_cum") * 10,
+            col("n_pairs") * 10))
+          .as("eff_interp"))
+      .orderBy(col("hop"))
+  }
+
+  private lazy val q258Sql =
+    s"""WITH RECURSIVE ${KGraph.edgesSql},
+       |e AS (SELECT from_id, to_id FROM edges),
+       |seeds AS (SELECT 'o:'||o_orderkey AS s FROM orders
+       |          ORDER BY o_orderkey LIMIT $BcSeeds),
+       |walk(s, node_id, hop) AS (
+       |  SELECT s, s, 0 FROM seeds
+       |  UNION ALL
+       |  SELECT w.s, e.to_id, w.hop + 1 FROM walk w
+       |  JOIN e ON e.from_id = w.node_id
+       |  WHERE w.hop < $BcHops),
+       |d AS (SELECT s, node_id, min(hop) AS hop FROM walk
+       |      GROUP BY 1, 2 HAVING min(hop) > 0),
+       |hist AS (SELECT hop, CAST(count(*) AS BIGINT) AS n_pairs
+       |         FROM d GROUP BY hop),
+       |cum AS (
+       |  SELECT hop, n_pairs,
+       |    CAST(sum(n_pairs) OVER (ORDER BY hop
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_pairs,
+       |    CAST(sum(n_pairs) OVER () AS BIGINT) AS total
+       |  FROM hist),
+       |eff AS (SELECT min(hop) AS eff_diameter FROM cum
+       |        WHERE cum_pairs * 10 >= total * 9)
+       |SELECT hop, n_pairs, cum_pairs,
+       |  ${graft.functions.ExactRound.sql.ratio6("cum_pairs", "total")}
+       |    AS cum_share,
+       |  eff_diameter,
+       |  CASE WHEN hop = eff_diameter THEN
+       |    ${graft.functions.ExactRound.sql.ratio6(
+      "(eff_diameter - 1) * 10 * n_pairs + total * 9 - (cum_pairs - n_pairs) * 10",
+      "n_pairs * 10")}
+       |  END AS eff_interp
+       |FROM cum, eff
+       |ORDER BY hop""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q191_copurchase_clustering", q191, Some(q191Sql), headline = true),
     Q("q192_kcore_layers", q192, Some(q192Sql), headline = true),
@@ -595,5 +679,6 @@ object GraphAnalyticsQueries {
     Q("q231_graph_mixing", q231, Some(q231Sql), headline = true),
     Q("q239_partition_modularity", q239, Some(q239Sql)),
     Q("q249_harmonic_centrality", q249, Some(q249Sql)),
-    Q("q256_betweenness", q256, Some(q256Sql), headline = true))
+    Q("q256_betweenness", q256, Some(q256Sql), headline = true),
+    Q("q258_hop_plot", q258, Some(q258Sql)))
 }

@@ -157,6 +157,23 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(e.count() == e.distinct().count())
   }
 
+  test("q258: hop plot is cumulative and the diameter row interpolates") {
+    val rows = graft.queries.Catalog.byName("q258_hop_plot")
+      .run(spark, sf).collect().sortBy(_.getAs[Int]("hop"))
+    assert(rows.nonEmpty)
+    val shares = rows.map(_.getAs[Double]("cum_share"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+    assert(math.abs(shares.last - 1.0) < 1e-9)
+    val eff = rows.head.getAs[Int]("eff_diameter")
+    assert(rows.forall(_.getAs[Int]("eff_diameter") == eff))
+    val interps = rows.flatMap(r =>
+      Option(r.getAs[java.lang.Double]("eff_interp")).map(
+        (r.getAs[Int]("hop"), _)))
+    assert(interps.length == 1)
+    val (h, i) = interps.head
+    assert(h == eff && i > eff - 1 - 1e-9 && i <= eff + 1e-9)
+  }
+
   test("q256 micro-term: diamond dependency quantizes to exactly 0.5") {
     // s->a, s->b, a->t, b->t: sigma(a)=1, sigma(t)=2, delta(t)=0
     // per-edge term = round-half-up(1e6 * 1 * (1 + 0) / 2) = 500000
