@@ -200,7 +200,136 @@ object SketchQueries {
        |ORDER BY token""".stripMargin
   }
 
+  // -- q259: equi-width histogram quantile sketch — the third monoid
+  //          (counter-vector under +, after q250's register-max and
+  //          q251's counter-sum): 64 FIXED-width bins (64 chars each,
+  //          top bin open) over document length per source, quantile
+  //          estimates read off the cumulative histogram with linear
+  //          interpolation as EXACT rationals of counts, next to the
+  //          exact order-statistic answer and the signed error. Fixed
+  //          widths are the mergeability condition (data-dependent bin
+  //          edges don't add across batches); the lang-partitioned
+  //          partial histograms are summed and pinned equal to the
+  //          direct ones in `merge_consistent`, the same in-result
+  //          monoid proof as q250. Scale shape: one scan into
+  //          (source × 64)-bounded histograms; the exact twin collects
+  //          per-source sorted arrays — the audit-scale path only, the
+  //          sketch is the 100 TB path (documented like q51/q62).
+  private val HgBins = 64
+  private val HgWidth = 64L
+  private val HgQs = Seq(50L, 90L, 99L)
+
+  private def q259(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactRound
+    val d = documents(s, dir)
+      .select(col("source"), col("lang"), col("n_chars"),
+        least(lit(HgBins - 1L), expr(s"n_chars div $HgWidth")).as("bin"))
+    val direct = d.groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_direct"))
+    val merged = d.groupBy(col("source"), col("lang"), col("bin"))
+      .agg(count(lit(1)).as("nl"))
+      .groupBy(col("source"), col("bin"))
+      .agg(sum(col("nl")).as("n_merged"))
+    val consistent = direct.join(merged, Seq("source", "bin"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("n_direct") =!= col("n_merged"), 1L).otherwise(0L))
+        .as("mism"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = direct
+      .withColumn("cum", sum(col("n_direct")).over(wCum))
+    val totals = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("total"),
+        sort_array(collect_list(col("n_chars"))).as("sorted"))
+    // target rank r = ceil(q/100 * total) (1-indexed); pick the first
+    // bin with cum*100 >= q*total, interpolate inside it
+    val qrows = totals
+      .select(col("source"), col("total"), col("sorted"),
+        explode(typedLit(HgQs)).as("q_pct"))
+      .select(col("source"), col("total"), col("q_pct"),
+        element_at(col("sorted"),
+          expr("cast((q_pct * total + 99) div 100 as int)"))
+          .as("exact_value"))
+    val est = qrows.join(cum, Seq("source"))
+      .filter(col("cum") * 100 >= col("q_pct") * col("total"))
+      .groupBy(col("source"), col("q_pct"), col("total"),
+        col("exact_value"))
+      .agg(min(col("bin")).as("qbin"))
+      .join(cum.select(col("source"), col("bin").as("qbin"),
+        col("n_direct").as("bn"), col("cum").as("bcum")),
+        Seq("source", "qbin"))
+    est.select(col("source"), col("q_pct"),
+        ExactRound.ratio6(
+          col("qbin") * HgWidth * lit(100L) * col("bn") +
+            lit(HgWidth) * (col("q_pct") * col("total") -
+              (col("bcum") - col("bn")) * 100),
+          col("bn") * lit(100L)).as("hist_estimate"),
+        col("exact_value"))
+      .join(consistent, Seq("source"))
+      .select(col("source"), col("q_pct"), col("hist_estimate"),
+        col("exact_value"),
+        round(col("hist_estimate") - col("exact_value"), 6).as("err_chars"),
+        (col("mism") === 0L).as("merge_consistent"))
+      .orderBy(col("source"), col("q_pct"))
+  }
+
+  private lazy val q259Sql = {
+    import graft.functions.{ExactRound => ER}
+    s"""WITH d AS (
+       |  SELECT source, lang, n_chars,
+       |    least(${HgBins - 1}, n_chars // $HgWidth) AS bin
+       |  FROM documents),
+       |direct AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS n_direct
+       |           FROM d GROUP BY 1, 2),
+       |merged AS (SELECT source, bin, CAST(sum(nl) AS BIGINT) AS n_merged
+       |           FROM (SELECT source, lang, bin,
+       |                   CAST(count(*) AS BIGINT) AS nl
+       |                 FROM d GROUP BY 1, 2, 3) GROUP BY 1, 2),
+       |consistent AS (
+       |  SELECT source,
+       |    sum(CASE WHEN n_direct <> n_merged THEN 1 ELSE 0 END) AS mism
+       |  FROM direct JOIN merged USING (source, bin) GROUP BY 1),
+       |cum AS (
+       |  SELECT source, bin, n_direct,
+       |    CAST(sum(n_direct) OVER (PARTITION BY source ORDER BY bin
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum
+       |  FROM direct),
+       |totals AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS total,
+       |    list_sort(list(n_chars)) AS sorted
+       |  FROM d GROUP BY 1),
+       |qrows AS (
+       |  SELECT source, total, q_pct,
+       |    sorted[CAST((q_pct * total + 99) // 100 AS INT)] AS exact_value
+       |  FROM totals, (VALUES (50::BIGINT), (90::BIGINT), (99::BIGINT))
+       |    t(q_pct)),
+       |qbins AS (
+       |  SELECT q.source, q.q_pct, q.total, q.exact_value,
+       |    min(c.bin) AS qbin
+       |  FROM qrows q JOIN cum c ON c.source = q.source
+       |  WHERE c.cum * 100 >= q.q_pct * q.total
+       |  GROUP BY 1, 2, 3, 4),
+       |est AS (
+       |  SELECT b.source, b.q_pct,
+       |    ${ER.sql.ratio6(
+      s"b.qbin * $HgWidth * 100 * c.n_direct + $HgWidth * " +
+        "(b.q_pct * b.total - (c.cum - c.n_direct) * 100)",
+      "c.n_direct * 100")} AS hist_estimate,
+       |    b.exact_value
+       |  FROM qbins b JOIN cum c
+       |    ON c.source = b.source AND c.bin = b.qbin)
+       |SELECT e.source AS source, e.q_pct, e.hist_estimate, e.exact_value,
+       |  round(e.hist_estimate - e.exact_value, 6) AS err_chars,
+       |  (k.mism = 0) AS merge_consistent
+       |FROM est e JOIN consistent k ON k.source = e.source
+       |ORDER BY e.source, e.q_pct""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q250_hll_distinct", q250, Some(q250Sql)),
-    Q("q251_cms_heavy_hitters", q251, Some(q251Sql)))
+    Q("q251_cms_heavy_hitters", q251, Some(q251Sql)),
+    Q("q259_histogram_quantiles", q259, Some(q259Sql)))
 }

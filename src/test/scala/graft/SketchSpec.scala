@@ -39,4 +39,29 @@ class SketchSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Boolean]("within_bound")))
   }
 
+  test("q259: histogram quantiles bracket the exact order statistics") {
+    val rows = Catalog.byName("q259_histogram_quantiles").run(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // partial histograms summed == direct (the monoid law)
+      assert(r.getAs[Boolean]("merge_consistent"))
+      val est = r.getAs[Double]("hist_estimate")
+      val exact = r.getAs[Long]("exact_value")
+      // the exact value lives inside the estimate's bin: the estimate
+      // can miss by at most one 64-char bin width on either side —
+      // except in the OPEN top bin (values >= 4032), where the sketch
+      // only promises the bin floor
+      if (exact < 64L * 63L)
+        assert(math.abs(est - exact) <= 64.0 + 1e-9,
+          s"${r.getAs[String]("source")} q${r.getAs[Long]("q_pct")}: " +
+            s"est=$est exact=$exact")
+    }
+    // quantile estimates are monotone in q within a source
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val byQ = rs.sortBy(_.getAs[Long]("q_pct"))
+        .map(_.getAs[Double]("hist_estimate"))
+      assert(byQ.zip(byQ.tail).forall { case (a, b) => a <= b })
+    }
+  }
 }
