@@ -3042,6 +3042,172 @@ object CurationQueries {
        |FROM q GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // -- q260: leave-one-source-out LM influence — data valuation without
+  //          retraining: because bigram counts form a group under
+  //          subtraction, the model "trained without source S" is the
+  //          global count tables minus S's per-source counts (exact
+  //          integers), and every LOO model scores the SAME held-out
+  //          val split in one pass. influence_S = ce_loo(S) − ce_full:
+  //          positive means S's data was helping (removing it hurts) —
+  //          the Shapley-lite attribution a mixture tuner reads next to
+  //          q178's DoReMi weights. Exactness: per-bigram-type log
+  //          probabilities are micro-quantized (the q163 ln pattern)
+  //          and multiplied by exact type counts into integer sums, so
+  //          the fold is shuffle-order-proof; LOO vocabulary sizes are
+  //          exact source-exclusive word counts. Scale shape: count
+  //          tables are vocab-bounded; the scoring join runs over
+  //          val-bigram TYPES × #sources (vocab × 10, not corpus-
+  //          sized); the sources frame is a bounded broadcast.
+  private def q260(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Sampling
+    import graft.text.Repetition
+    import graft.functions.ExactRound
+    val base = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        Repetition.tokens(col("text")).as("l"),
+        Sampling.splitColumn(col("doc_id"), CsWeights).as("split"))
+      .filter(size(col("l")) >= 2)
+    val train = base.filter(col("split") === "train")
+    val inst = train
+      .select(col("source"), explode(expr(
+        """transform(sequence(1, size(l) - 1),
+          |  i -> struct(element_at(l, i) as w1,
+          |    element_at(l, i + 1) as w2))""".stripMargin)).as("bg"))
+      .select(col("source"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = inst.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val c1 = inst.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val c12s = inst.groupBy(col("source"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12s"))
+    val c1s = inst.groupBy(col("source"), col("w1"))
+      .agg(count(lit(1)).as("c1s"))
+    // vocabulary + per-source exclusive word counts (words whose train
+    // occurrences all live in one source)
+    val words = train.select(col("source"), explode(col("l")).as("w"))
+    val wordSrc = words.groupBy(col("w"))
+      .agg(countDistinct(col("source")).as("ns"),
+        min(col("source")).as("only_src"))
+    val vTotal = wordSrc.agg(count(lit(1)).as("v"))
+    val excl = wordSrc.filter(col("ns") === 1)
+      .groupBy(col("only_src").as("source"))
+      .agg(count(lit(1)).as("n_excl"))
+    val sources = base.select(col("source")).distinct()
+      .join(excl, Seq("source"), "left")
+      .select(col("source"), coalesce(col("n_excl"), lit(0L)).as("n_excl"))
+    // held-out bigram TYPES with multiplicities
+    val valTypes = base.filter(col("split") === "val")
+      .select(explode(expr(
+        """transform(sequence(1, size(l) - 1),
+          |  i -> struct(element_at(l, i) as w1,
+          |    element_at(l, i + 1) as w2))""".stripMargin)).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("m"))
+    val scoredBase = valTypes
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vTotal))
+      .select(col("w1"), col("w2"), col("m"),
+        coalesce(col("c12"), lit(0L)).as("c12"),
+        coalesce(col("c1"), lit(0L)).as("c1"), col("v"))
+    val perSource = scoredBase
+      .crossJoin(broadcast(sources))
+      .join(c12s, Seq("source", "w1", "w2"), "left")
+      .join(c1s, Seq("source", "w1"), "left")
+      .select(col("source"), col("m"), col("v"), col("n_excl"),
+        (col("c12") - coalesce(col("c12s"), lit(0L))).as("d12"),
+        (col("c1") - coalesce(col("c1s"), lit(0L))).as("d1"))
+      .select(col("source"), col("m"),
+        round(log((col("d12") + lit(1.0)) /
+          (col("d1") + col("v") - col("n_excl"))) * lit(1000000), 0)
+          .cast("long").as("lpq"))
+    val full = scoredBase
+      .select(col("m"),
+        round(log((col("c12") + lit(1.0)) / (col("c1") + col("v"))) *
+          lit(1000000), 0).cast("long").as("lpq"))
+      .agg(sum(col("m")).as("n"), sum(col("m") * col("lpq")).as("lsum"))
+    perSource.groupBy(col("source"))
+      .agg(sum(col("m") * col("lpq")).as("lsum_loo"))
+      .crossJoin(broadcast(full))
+      .select(col("source"), col("n").as("n_val_bigrams"),
+        (ExactRound.microMean6(-col("lsum"), col("n"))).as("ce_full"),
+        (ExactRound.microMean6(-col("lsum_loo"), col("n"))).as("ce_loo"),
+        round(ExactRound.microMean6(-col("lsum_loo"), col("n")) -
+          ExactRound.microMean6(-col("lsum"), col("n")), 6)
+          .as("influence"))
+      .orderBy(col("source"))
+  }
+
+  private lazy val q260Sql = {
+    import graft.pipeline.Sampling
+    import graft.functions.{ExactRound => ER}
+    val h = Sampling.sql.hashBucket("doc_id", 10)
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |    list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS l,
+       |    CASE WHEN $h < 8 THEN 'train' WHEN $h < 9 THEN 'val'
+       |      ELSE 'test' END AS split
+       |  FROM documents),
+       |scoped AS (SELECT * FROM toks WHERE len(l) >= 2),
+       |ti AS (
+       |  SELECT source, l[i] AS w1, l[i+1] AS w2
+       |  FROM scoped, unnest(range(1, len(l))) r(i)
+       |  WHERE split = 'train'),
+       |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+       |        FROM ti GROUP BY 1, 2),
+       |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+       |       FROM ti GROUP BY 1),
+       |c12s AS (SELECT source, w1, w2, CAST(count(*) AS BIGINT) AS c12s
+       |         FROM ti GROUP BY 1, 2, 3),
+       |c1s AS (SELECT source, w1, CAST(count(*) AS BIGINT) AS c1s
+       |        FROM ti GROUP BY 1, 2),
+       |ws AS (
+       |  SELECT w, count(DISTINCT source) AS ns, min(source) AS only_src
+       |  FROM (SELECT source, unnest(l) AS w FROM scoped
+       |        WHERE split = 'train') GROUP BY w),
+       |vt AS (SELECT CAST(count(*) AS BIGINT) AS v FROM ws),
+       |excl AS (SELECT only_src AS source, CAST(count(*) AS BIGINT)
+       |           AS n_excl
+       |         FROM ws WHERE ns = 1 GROUP BY 1),
+       |srcs AS (
+       |  SELECT s.source, coalesce(e.n_excl, 0) AS n_excl
+       |  FROM (SELECT DISTINCT source FROM scoped) s
+       |  LEFT JOIN excl e ON e.source = s.source),
+       |vtypes AS (
+       |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS m FROM (
+       |    SELECT l[i] AS w1, l[i+1] AS w2
+       |    FROM scoped, unnest(range(1, len(l))) r(i)
+       |    WHERE split = 'val') GROUP BY 1, 2),
+       |sb AS (
+       |  SELECT t.w1, t.w2, t.m,
+       |    coalesce(c12.c12, 0) AS c12, coalesce(c1.c1, 0) AS c1, vt.v
+       |  FROM vtypes t
+       |  LEFT JOIN c12 USING (w1, w2)
+       |  LEFT JOIN c1 USING (w1)
+       |  CROSS JOIN vt),
+       |ps AS (
+       |  SELECT s.source, sb.m,
+       |    CAST(round(ln((sb.c12 - coalesce(c12s.c12s, 0) + 1.0) /
+       |      (sb.c1 - coalesce(c1s.c1s, 0) + sb.v - s.n_excl)) * 1000000)
+       |      AS BIGINT) AS lpq
+       |  FROM sb CROSS JOIN srcs s
+       |  LEFT JOIN c12s ON c12s.source = s.source
+       |    AND c12s.w1 = sb.w1 AND c12s.w2 = sb.w2
+       |  LEFT JOIN c1s ON c1s.source = s.source AND c1s.w1 = sb.w1),
+       |fm AS (
+       |  SELECT CAST(sum(m) AS BIGINT) AS n,
+       |    CAST(sum(m * CAST(round(ln((c12 + 1.0) / (c1 + v)) * 1000000)
+       |      AS BIGINT)) AS BIGINT) AS lsum
+       |  FROM sb)
+       |SELECT ps.source, f.n AS n_val_bigrams,
+       |  ${ER.sql.microMean6("-f.lsum", "f.n")} AS ce_full,
+       |  ${ER.sql.microMean6("-sum(ps.m * ps.lpq)", "f.n")} AS ce_loo,
+       |  round(${ER.sql.microMean6("-sum(ps.m * ps.lpq)", "f.n")} -
+       |    ${ER.sql.microMean6("-f.lsum", "f.n")}, 6) AS influence
+       |FROM ps CROSS JOIN fm f
+       |GROUP BY ps.source, f.n, f.lsum
+       |ORDER BY ps.source""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q145_dsir_importance", q145, Some(q145Sql), headline = true),
     Q("q146_bm25_topk", q146, Some(q146Sql)),
@@ -3087,5 +3253,6 @@ object CurationQueries {
     Q("q212_source_dispersion", q212, Some(q212Sql)),
     Q("q233_weighted_pagerank", q233, Some(q233Sql)),
     Q("q237_feature_correlation", q237, Some(q237Sql)),
-    Q("q246_vocab_richness", q246, Some(q246Sql)))
+    Q("q246_vocab_richness", q246, Some(q246Sql)),
+    Q("q260_loo_influence", q260, Some(q260Sql)))
 }

@@ -411,4 +411,20 @@ class CurationSpec extends SparkSpec {
     assert(byType("r")._2 == byType.values.map(_._2).max,
       "a region sink must hold the global maximum")
   }
+
+  test("q260: influence is the exact ce delta and sources move the model") {
+    val rows = graft.queries.Catalog.byName("q260_loo_influence")
+      .run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ns = rows.map(_.getAs[Long]("n_val_bigrams")).distinct
+    assert(ns.length == 1 && ns.head > 0)
+    rows.foreach { r =>
+      val ceF = r.getAs[Double]("ce_full")
+      val ceL = r.getAs[Double]("ce_loo")
+      assert(ceF > 0 && ceL > 0)
+      assert(math.abs(r.getAs[Double]("influence") - (ceL - ceF)) < 1e-6)
+    }
+    // removing a source must move cross-entropy somewhere
+    assert(rows.exists(r => math.abs(r.getAs[Double]("influence")) > 0))
+  }
 }

@@ -75,6 +75,7 @@ class PlanShapeSpec extends SparkSpec {
     "q129_lm_perplexity",     // 1-row vocabulary-size broadcast
     "q251_cms_heavy_hitters", // 1-row token-total stats cross
     "q258_hop_plot",          // 4-row histogram x 1-row diameter cross
+    "q260_loo_influence",     // 1-row vocab + bounded sources + 1-row full-model crosses
     "q133_curriculum_buckets", // same 1-row vocab broadcast via NgramLm.score
     "q139_filter_funnel",     // same 1-row vocab broadcast via NgramLm.score
     "q142_incremental_dedup", // 1-row cutoff broadcast (max doc_id split)
