@@ -328,8 +328,110 @@ object SketchQueries {
        |ORDER BY e.source, e.q_pct""".stripMargin
   }
 
+  // -- q261: bottom-k (KMV) sketch — the fourth monoid (sorted-set
+  //          merge-and-truncate): the k = 32 smallest DISTINCT user
+  //          hashes per event_type are simultaneously a mergeable
+  //          uniform sample and a distinct-count estimator (Bar-Yossef
+  //          et al. 2002): N̂ = (k−1)·2³² / h_(k), pure integer
+  //          division on the portable hash. Registers built twice —
+  //          direct, and per-day bottom-k unioned then re-truncated —
+  //          with set equality pinned in `merge_consistent` (the law
+  //          that lets daily jobs keep 32 longs each and still answer
+  //          month-distinct). Below k distinct values the sketch IS the
+  //          exact answer (est = n_exact). Scale shape: one scan into
+  //          (type × hash)-keyed distincts, per-type top-k windows over
+  //          k-bounded frames, everything downstream ≤ k rows per key.
+  private val BkK = 32
+  private val BkDom = 4294967296L // 2^32: the portable hash's range
+
+  private def q261(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = events(s, dir)
+      .select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        TF.md5Long(col("user_id").cast("string")).as("h"))
+    val distinctH = base.select(col("event_type"), col("h")).distinct()
+    val wk = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val direct = distinctH
+      .withColumn("rn", row_number().over(wk)).filter(col("rn") <= BkK)
+    val daily = base.select(col("event_type"), col("day"), col("h"))
+      .distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type"), col("day")).orderBy(col("h"))))
+      .filter(col("rn") <= BkK)
+      .select(col("event_type"), col("h")).distinct()
+      .withColumn("rn", row_number().over(wk)).filter(col("rn") <= BkK)
+    val mism = direct.select(col("event_type"), col("h"))
+      .unionByName(daily.select(col("event_type"), col("h")))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("c") =!= 2L, 1L).otherwise(0L)).as("mism"))
+    val perType = direct.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("hk"))
+    val exact = distinctH.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_exact"))
+    exact.join(perType, Seq("event_type")).join(mism, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"), col("n_kept"),
+        col("hk").as("kth_hash"),
+        when(col("n_exact") < BkK, col("n_exact"))
+          .otherwise(expr(s"(${BkK - 1} * $BkDom) div hk")).as("kmv_estimate"),
+        round((when(col("n_exact") < BkK, col("n_exact"))
+          .otherwise(expr(s"(${BkK - 1} * $BkDom) div hk")) -
+          col("n_exact")).cast("double") / col("n_exact"), 6).as("rel_err"),
+        (col("mism") === 0L).as("merge_consistent"))
+      .orderBy(col("event_type"))
+  }
+
+  private lazy val q261Sql = {
+    val h = TF.sql.md5Long("user_id::VARCHAR")
+    s"""WITH base AS (
+       |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, $h AS h
+       |  FROM events),
+       |dh AS (SELECT DISTINCT event_type, h FROM base),
+       |direct AS (
+       |  SELECT event_type, h FROM (
+       |    SELECT event_type, h,
+       |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |    FROM dh) x WHERE rn <= $BkK),
+       |daily AS (
+       |  SELECT event_type, h FROM (
+       |    SELECT event_type, h, row_number() OVER (
+       |      PARTITION BY event_type ORDER BY h) AS rn
+       |    FROM (
+       |      SELECT DISTINCT event_type, h FROM (
+       |        SELECT event_type, day, h, row_number() OVER (
+       |          PARTITION BY event_type, day ORDER BY h) AS rnd
+       |        FROM (SELECT DISTINCT event_type, day, h FROM base))
+       |      WHERE rnd <= $BkK)) x
+       |  WHERE rn <= $BkK),
+       |mism AS (
+       |  SELECT event_type,
+       |    sum(CASE WHEN c <> 2 THEN 1 ELSE 0 END) AS mism
+       |  FROM (
+       |    SELECT event_type, h, count(*) AS c FROM (
+       |      SELECT * FROM direct UNION ALL SELECT * FROM daily)
+       |    GROUP BY 1, 2)
+       |  GROUP BY 1),
+       |pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+       |         max(h) AS hk
+       |       FROM direct GROUP BY 1),
+       |ex AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+       |       FROM dh GROUP BY 1)
+       |SELECT event_type, n_exact, n_kept, hk AS kth_hash,
+       |  CASE WHEN n_exact < $BkK THEN n_exact
+       |       ELSE (${BkK - 1} * $BkDom) // hk END AS kmv_estimate,
+       |  round(CAST((CASE WHEN n_exact < $BkK THEN n_exact
+       |       ELSE (${BkK - 1} * $BkDom) // hk END) - n_exact AS DOUBLE)
+       |    / n_exact, 6) AS rel_err,
+       |  (mism = 0) AS merge_consistent
+       |FROM ex JOIN pt USING (event_type) JOIN mism USING (event_type)
+       |ORDER BY event_type""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q250_hll_distinct", q250, Some(q250Sql)),
     Q("q251_cms_heavy_hitters", q251, Some(q251Sql)),
-    Q("q259_histogram_quantiles", q259, Some(q259Sql)))
+    Q("q259_histogram_quantiles", q259, Some(q259Sql)),
+    Q("q261_bottomk_kmv", q261, Some(q261Sql)))
 }

@@ -351,6 +351,44 @@ object EventStream {
     * triple, so a chart spanning batch boundaries continues exactly.
     * Same in-order-feed contract as the other incremental twins.
     * Parity vs q252's window form is pinned in ControlChartSpec. */
+  final case class EwmaIn(k: String, day: String, cnt: Long)
+  final case class EwmaPoint(k: String, day: String, ewma: Double,
+      dev: Option[Double], alarm: Boolean)
+  final case class EwmaSt(e: Double, seeded: Boolean)
+
+  /** Streaming twin of q253's α = 1/2 EWMA fold — per-key state is ONE
+    * double (the smoothed level). Each step is the same exact IEEE
+    * add-then-halve as the batch fold, applied in day order, so stream
+    * and batch produce bit-identical levels; the first observation
+    * seeds the level and emits no deviation. Alarm fires when today's
+    * count strays more than 50% from yesterday's level (q253's rule).
+    * Parity vs the batch fold is pinned in ControlChartSpec. */
+  def ewmaStream(in: org.apache.spark.sql.Dataset[EwmaIn])
+      : org.apache.spark.sql.Dataset[EwmaPoint] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.k)
+      .flatMapGroupsWithState[EwmaSt, EwmaPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: String, rows: Iterator[EwmaIn], state: GroupState[EwmaSt]) =>
+          val sorted = rows.toSeq.sortBy(_.day)
+          var st = state.getOption.getOrElse(EwmaSt(0.0, seeded = false))
+          val out = sorted.map { r =>
+            val x = r.cnt.toDouble
+            if (!st.seeded) {
+              st = EwmaSt(x, seeded = true)
+              EwmaPoint(k, r.day, x, None, alarm = false)
+            } else {
+              val dev = math.abs(x - st.e)
+              val alarm = dev * 2.0 > st.e
+              st = EwmaSt((st.e + x) / 2.0, seeded = true)
+              EwmaPoint(k, r.day, st.e, Some(dev), alarm)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   def cusumStream(in: org.apache.spark.sql.Dataset[CusumIn])
       : org.apache.spark.sql.Dataset[CusumPoint] = {
     import in.sparkSession.implicits._

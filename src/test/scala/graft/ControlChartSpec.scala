@@ -100,4 +100,45 @@ class ControlChartSpec extends SparkSpec {
       .as[(String, String, Long, Long)].collect().sorted.toSeq
     assert(batch.nonEmpty && streamed == batch)
   }
+
+  test("ewmaStream: levels across batch cuts are bit-identical to the fold") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val daily = graft.Tables.load(spark, sf, "events")
+      .groupBy(col("event_type").as("k"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    // batch: the exact scala fold per key in day order
+    val batch = daily.as[(String, String, Long)].collect()
+      .groupBy(_._1).toSeq.flatMap { case (k, rows) =>
+        val sorted = rows.sortBy(_._2)
+        var e = 0.0; var seeded = false
+        sorted.toSeq.map { case (_, day, cnt) =>
+          val x = cnt.toDouble
+          if (!seeded) { e = x; seeded = true; (k, day, e) }
+          else { e = (e + x) / 2.0; (k, day, e) }
+        }
+      }.sorted
+    val dir = java.nio.file.Files.createTempDirectory("ewmastream").toString
+    val cut = daily.agg(expr(
+      "percentile_approx(unix_timestamp(to_date(day)), 0.5)"))
+      .head().getLong(0)
+    daily.filter(unix_timestamp(to_date(col("day"))) <= cut)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/b0")
+    daily.filter(unix_timestamp(to_date(col("day"))) > cut)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/b1")
+    val schema = StructType(Seq(StructField("k", StringType),
+      StructField("day", StringType), StructField("cnt", LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/b*")
+    val q = graft.streaming.EventStream
+      .ewmaStream(stream.as[graft.streaming.EventStream.EwmaIn])
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ewmaout").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT k, day, ewma FROM ewmaout")
+      .as[(String, String, Double)].collect().toSeq.sorted
+    assert(batch.nonEmpty && streamed == batch)
+  }
 }

@@ -39,6 +39,24 @@ class SketchSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Boolean]("within_bound")))
   }
 
+  test("q261: bottom-k merge law holds and KMV stays in its envelope") {
+    val rows = Catalog.byName("q261_bottomk_kmv").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // per-day bottom-k unioned and re-truncated == direct bottom-k
+      assert(r.getAs[Boolean]("merge_consistent"))
+      val n = r.getAs[Long]("n_exact")
+      val est = r.getAs[Long]("kmv_estimate")
+      if (n < 32L) assert(est == n) // sketch holds everything: exact
+      else {
+        assert(r.getAs[Long]("n_kept") == 32L)
+        // 1/sqrt(k-1) ~ 18% std error; allow ~3 sigma
+        assert(math.abs(r.getAs[Double]("rel_err")) < 0.6,
+          s"${r.getAs[String]("event_type")}: est=$est n=$n")
+      }
+    }
+  }
+
   test("q259: histogram quantiles bracket the exact order statistics") {
     val rows = Catalog.byName("q259_histogram_quantiles").run(spark, sf)
       .collect()
