@@ -158,10 +158,87 @@ object StreamingQueries {
        |FROM u WHERE n_fast > 0
        |ORDER BY user_id""".stripMargin
 
+  // -- q262: watermark-lateness audit — the measurement that SIZES
+  //          `withWatermark` before anyone runs the stream: replaying
+  //          the event log in arrival order (event_id), an event's
+  //          lateness is how far its event-time sits behind the
+  //          high-water mark seen so far; for each candidate watermark
+  //          {0 s, 60 s, 300 s, 3600 s} the audit counts the events a
+  //          stream with that delay threshold would drop. Exactness:
+  //          all integer seconds. Scale shape: the running max uses the
+  //          two-level decomposition (q141's pattern) — per-1000-id
+  //          bucket maxima, a prefix-max over the BUCKET frame (row
+  //          count = ids/1000, metadata-scale), and a bucket-local
+  //          running max — never a global unpartitioned window over
+  //          data rows; the oracle uses the direct global window,
+  //          proving the decomposition equal.
+  private val LateWm = Seq(0L, 60L, 300L, 3600L)
+  private val LateBucket = 1000L
+
+  private def q262(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.ExactRound
+    val e = events(s, dir)
+      .select(col("event_id"), expr("unix_timestamp(ts)").as("sec"),
+        expr(s"event_id div $LateBucket").as("bk"))
+    val bmax = e.groupBy(col("bk")).agg(max(col("sec")).as("bmax"))
+      .withColumn("prior",
+        max(col("bmax")).over(Window.orderBy(col("bk"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+    val wIn = Window.partitionBy(col("bk")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = e.join(bmax.select(col("bk"), col("prior")), Seq("bk"))
+      .withColumn("hwm", greatest(
+        coalesce(max(col("sec")).over(wIn), lit(Long.MinValue / 4)),
+        coalesce(col("prior"), lit(Long.MinValue / 4))))
+      .withColumn("lateness", greatest(lit(0L), col("hwm") - col("sec")))
+    val tot = late.agg(count(lit(1)).as("total"))
+    late.select(explode(typedLit(LateWm)).as("watermark_sec"),
+        col("lateness"))
+      .groupBy(col("watermark_sec"))
+      .agg(sum(when(col("lateness") > col("watermark_sec"), 1L)
+        .otherwise(0L)).as("n_dropped"),
+        max(col("lateness")).as("max_lateness_sec"))
+      .crossJoin(broadcast(tot))
+      .select(col("watermark_sec"), col("n_dropped"),
+        ExactRound.ratio6(col("n_dropped"), col("total")).as("drop_share"),
+        col("max_lateness_sec"))
+      .orderBy(col("watermark_sec"))
+  }
+
+  private lazy val q262Sql = {
+    import graft.functions.{ExactRound => ER}
+    s"""WITH e AS (
+       |  SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+       |  FROM events),
+       |hw AS (
+       |  SELECT event_id, sec,
+       |    max(sec) OVER (ORDER BY event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+       |  FROM e),
+       |late AS (
+       |  SELECT greatest(0, coalesce(hwm - sec, 0)) AS lateness FROM hw),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM late)
+       |SELECT w.watermark_sec,
+       |  CAST(sum(CASE WHEN l.lateness > w.watermark_sec THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_dropped,
+       |  ${ER.sql.ratio6(
+      "sum(CASE WHEN l.lateness > w.watermark_sec THEN 1 ELSE 0 END)",
+      "max(t.total)")} AS drop_share,
+       |  max(l.lateness) AS max_lateness_sec
+       |FROM late l
+       |CROSS JOIN (VALUES (0::BIGINT), (60::BIGINT), (300::BIGINT),
+       |  (3600::BIGINT)) w(watermark_sec)
+       |CROSS JOIN tot t
+       |GROUP BY w.watermark_sec
+       |ORDER BY w.watermark_sec""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q57_window_tumbling", q57, Some(q57Sql), headline = true),
     Q("q58_window_sliding", q58, Some(q58Sql)),
     Q("q59_sessionize", q59, Some(q59Sql)),
     Q("q90_event_bus_batches", q90, Some(q90Sql), headline = true),
-    Q("q236_bot_sessions", q236, Some(q236Sql)))
+    Q("q236_bot_sessions", q236, Some(q236Sql)),
+    Q("q262_lateness_audit", q262, Some(q262Sql)))
 }

@@ -48,6 +48,20 @@ class ControlChartSpec extends SparkSpec {
     assert(es == Seq(4.0, 6.0, 4.0))
   }
 
+  test("q262: drops shrink as the watermark grows; shares bounded") {
+    val rows = graft.queries.Catalog.byName("q262_lateness_audit")
+      .run(spark, sf).collect().sortBy(_.getAs[Long]("watermark_sec"))
+    assert(rows.map(_.getAs[Long]("watermark_sec")).toSeq ==
+      Seq(0L, 60L, 300L, 3600L))
+    val drops = rows.map(_.getAs[Long]("n_dropped"))
+    assert(drops.zip(drops.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      val s = r.getAs[Double]("drop_share")
+      assert(s >= 0.0 && s <= 1.0)
+      assert(r.getAs[Long]("max_lateness_sec") >= 0L)
+    }
+  }
+
   /** The q252 centered daily series (cnt·D − total per event_type). */
   private def centered = {
     import org.apache.spark.sql.functions._
