@@ -852,6 +852,74 @@ object StatsQueries {
        |ORDER BY tbl""".stripMargin
   }
 
+  // -- q263: join-cardinality estimator audit — the System-R /
+  //          Selinger formula every cost-based optimizer runs on
+  //          (|A|·|B| / max(ndv_A, ndv_B), Selinger et al. 1979)
+  //          evaluated against the TRUE join sizes of the three
+  //          canonical KG joins, with the FK-side NDV and the
+  //          containment assumption made visible. The audit a stats
+  //          pipeline runs to decide whether ANALYZE-collected NDVs
+  //          are good enough for plan choice. Exactness: counts and
+  //          NDVs are exact longs; the estimate is one integral
+  //          divide; err_ratio is a micro6 rational. The n_l·n_r
+  //          product stays under 2^63 through sf10 on these tables
+  //          (document the ratio form past that). Scale shape: per
+  //          join, two single-table aggregates + the actual join
+  //          count (hash equi-joins) — no new shapes.
+  private def q263(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactRound
+    def audit(name: String, left: DataFrame, lk: String,
+        right: DataFrame, rk: String): DataFrame = {
+      val ls = left.agg(count(lit(1)).as("n_l"),
+        countDistinct(col(lk)).as("d_l"))
+      val rs = right.agg(count(lit(1)).as("n_r"),
+        countDistinct(col(rk)).as("d_r"))
+      val actual = left.select(col(lk).as("k"))
+        .join(right.select(col(rk).as("k")), Seq("k"))
+        .agg(count(lit(1)).as("actual"))
+      ls.crossJoin(rs).crossJoin(actual)
+        .select(lit(name).as("join_name"), col("n_l"), col("n_r"),
+          col("d_l"), col("d_r"),
+          expr("(n_l * n_r) div greatest(d_l, d_r)").as("estimated"),
+          col("actual"),
+          ExactRound.ratio6(expr("(n_l * n_r) div greatest(d_l, d_r)"),
+            col("actual")).as("est_over_actual"))
+    }
+    val orders = Tables.load(s, dir, "orders")
+    val customer = Tables.load(s, dir, "customer")
+    val lineitem = Tables.load(s, dir, "lineitem")
+    val part = Tables.load(s, dir, "part")
+    audit("orders_customer", orders, "o_custkey", customer, "c_custkey")
+      .unionByName(audit("lineitem_orders", lineitem, "l_orderkey",
+        orders, "o_orderkey"))
+      .unionByName(audit("lineitem_part", lineitem, "l_partkey",
+        part, "p_partkey"))
+      .orderBy(col("join_name"))
+  }
+
+  private lazy val q263Sql = {
+    import graft.functions.{ExactRound => ER}
+    def leg(name: String, lt: String, lk: String, rt: String, rk: String) =
+      s"""SELECT '$name' AS join_name, n_l, n_r, d_l, d_r,
+         |  (n_l * n_r) // greatest(d_l, d_r) AS estimated, actual,
+         |  ${ER.sql.ratio6("(n_l * n_r) // greatest(d_l, d_r)", "actual")}
+         |    AS est_over_actual
+         |FROM
+         |  (SELECT CAST(count(*) AS BIGINT) AS n_l,
+         |     CAST(count(DISTINCT $lk) AS BIGINT) AS d_l FROM $lt),
+         |  (SELECT CAST(count(*) AS BIGINT) AS n_r,
+         |     CAST(count(DISTINCT $rk) AS BIGINT) AS d_r FROM $rt),
+         |  (SELECT CAST(count(*) AS BIGINT) AS actual
+         |   FROM $lt l JOIN $rt r ON l.$lk = r.$rk)""".stripMargin
+    s"""SELECT * FROM (
+       |${leg("orders_customer", "orders", "o_custkey", "customer", "c_custkey")}
+       |UNION ALL
+       |${leg("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey")}
+       |UNION ALL
+       |${leg("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey")})
+       |ORDER BY join_name""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q60_growth_rate", q60, Some(q60Sql)),
     Q("q61_decline_periods", q61, Some(q61Sql)),
@@ -868,5 +936,6 @@ object StatsQueries {
     Q("q234_schema_profile", q234, Some(q234Sql)),
     Q("q235_expectations", q235, Some(q235Sql)),
     Q("q238_field_mi", q238, Some(q238Sql)),
-    Q("q247_partition_advisor", q247, Some(q247Sql)))
+    Q("q247_partition_advisor", q247, Some(q247Sql)),
+    Q("q263_join_cardinality", q263, Some(q263Sql)))
 }

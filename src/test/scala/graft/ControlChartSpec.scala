@@ -62,6 +62,20 @@ class ControlChartSpec extends SparkSpec {
     }
   }
 
+  test("q263: Selinger estimate is exact on PK-FK joins with containment") {
+    val rows = graft.queries.Catalog.byName("q263_join_cardinality")
+      .run(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      // FK NDV <= PK count and referential integrity hold on TPC-H, so
+      // |A||B|/max(d_A,d_B) collapses to the exact join size
+      assert(r.getAs[Long]("estimated") == r.getAs[Long]("actual"),
+        r.getAs[String]("join_name"))
+      assert(r.getAs[Double]("est_over_actual") == 1.0)
+      assert(r.getAs[Long]("d_l") <= r.getAs[Long]("d_r"))
+    }
+  }
+
   /** The q252 centered daily series (cnt·D − total per event_type). */
   private def centered = {
     import org.apache.spark.sql.functions._
