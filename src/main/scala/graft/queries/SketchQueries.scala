@@ -73,12 +73,9 @@ object SketchQueries {
       (col("ssum") + (lit(HllM.toLong) - col("active_registers")))
     val zeroR = lit(HllM.toLong) - col("active_registers")
     // small-range branch: linear counting m·ln(m/V), its ln quantized
-    // to micro-units on both engines (the lnlnFit pattern)
-    val lc = lit(HllM.toDouble) *
-      round(log(lit(HllM.toDouble) / zeroR.cast("double")) * lit(1000000), 0)
-        .cast("long") / lit(1000000.0)
-    val combined = when(raw <= lit(2.5 * HllM) && zeroR > 0L, lc)
-      .otherwise(raw)
+    // to micro-units on both engines (the lnlnFit pattern) — the
+    // combined estimator is shared with q264's set algebra via hllEst
+    val combined = hllEst(col("ssum"), col("active_registers"))
     exact.join(agg, Seq("event_type"))
       .select(col("event_type"), col("n_exact"), col("active_registers"),
         zeroR.as("zero_registers"),
@@ -429,9 +426,144 @@ object SketchQueries {
        |ORDER BY event_type""".stripMargin
   }
 
+  // -- q264: HLL set algebra — the register-union trick that answers
+  //          cross-segment overlap questions from sketches alone:
+  //          |A∩B| ≈ est(A) + est(B) − est(A∪B), where the union
+  //          sketch is just the element-wise register MAX (exact, not
+  //          an approximation of the union — the same monoid q250
+  //          proves). Audited against the exact pairwise user overlap
+  //          for every event_type pair. Estimator (incl. the linear-
+  //          counting branch) is shared with q250 via [[hllEst]] /
+  //          [[hllEstSql]]. Scale shape: one scan into per-type
+  //          registers; pair expansion joins the 256-row register
+  //          frames against a broadcast ≤(T²)-row pair frame; the
+  //          exact twin is one distinct-pair self-join (audit-scale).
+  private def hllEst(ssum: org.apache.spark.sql.Column,
+      active: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val zeroR = lit(HllM.toLong) - active
+    val raw = lit(HllAlphaM2) / (ssum + zeroR)
+    val lc = lit(HllM.toDouble) *
+      round(log(lit(HllM.toDouble) / zeroR.cast("double")) * lit(1000000), 0)
+        .cast("long") / lit(1000000.0)
+    when(raw <= lit(2.5 * HllM) && zeroR > 0L, lc).otherwise(raw)
+  }
+
+  private def hllEstSql(ssum: String, active: String): String =
+    s"""(CASE WHEN $HllAlphaM2 / (($ssum) + ($HllM - ($active)))
+       |      <= ${2.5 * HllM} AND $HllM - ($active) > 0
+       | THEN $HllM.0 * CAST(round(ln($HllM.0 /
+       |   CAST($HllM - ($active) AS DOUBLE)) * 1000000) AS BIGINT)
+       |   / 1000000.0
+       | ELSE $HllAlphaM2 / (($ssum) + ($HllM - ($active))) END)"""
+      .stripMargin.replace("\n", " ")
+
+  private def q264(s: SparkSession, dir: String): DataFrame = {
+    val base = events(s, dir)
+      .select(col("event_type"), col("user_id"))
+      .withColumn("h", TF.md5Long(col("user_id").cast("string")))
+      .select(col("event_type"), col("user_id"),
+        pmod(col("h"), lit(HllM.toLong)).as("j"),
+        when(expr(s"h div $HllM") === 0L, lit(25))
+          .otherwise(lit(25) - length(expr(s"bin(h div $HllM)")))
+          .cast("int").as("rho"))
+    val regs = base.groupBy(col("event_type"), col("j"))
+      .agg(max(col("rho")).as("rho"))
+    def estOf(r: DataFrame, keys: Seq[String]) = r
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("active"),
+        sum(expr("cast(1.0 as double) / shiftleft(cast(1 as bigint), rho)"))
+          .as("ssum"))
+      .withColumn("est", hllEst(col("ssum"), col("active")))
+    val single = estOf(regs, Seq("event_type"))
+    val pairs = single.select(col("event_type").as("ta"))
+      .join(single.select(col("event_type").as("tb")),
+        col("ta") < col("tb"))
+    val unionRegs = regs
+      .join(broadcast(pairs), col("event_type") === col("ta"))
+      .select(col("ta"), col("tb"), col("j"), col("rho"))
+      .unionByName(regs
+        .join(broadcast(pairs), col("event_type") === col("tb"))
+        .select(col("ta"), col("tb"), col("j"), col("rho")))
+      .groupBy(col("ta"), col("tb"), col("j"))
+      .agg(max(col("rho")).as("rho"))
+    val unionEst = estOf(unionRegs, Seq("ta", "tb"))
+      .select(col("ta"), col("tb"), col("est").as("est_ab"))
+    val du = base.select(col("event_type"), col("user_id")).distinct()
+    val exact = du.select(col("event_type").as("ta"), col("user_id"))
+      .join(du.select(col("event_type").as("tb"), col("user_id")),
+        Seq("user_id"))
+      .filter(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("n_exact_overlap"))
+    unionEst
+      .join(single.select(col("event_type").as("ta"),
+        col("est").as("est_a")), Seq("ta"))
+      .join(single.select(col("event_type").as("tb"),
+        col("est").as("est_b")), Seq("tb"))
+      .join(exact, Seq("ta", "tb"), "left")
+      .select(col("ta"), col("tb"),
+        coalesce(col("n_exact_overlap"), lit(0L)).as("n_exact_overlap"),
+        round(col("est_a") + col("est_b") - col("est_ab"), 6)
+          .as("hll_overlap_est"),
+        round(col("est_a") + col("est_b") - col("est_ab") -
+          coalesce(col("n_exact_overlap"), lit(0L)), 6).as("err"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
+  private lazy val q264Sql = {
+    val h = TF.sql.md5Long("user_id::VARCHAR")
+    val est = hllEstSql("ssum", "active")
+    s"""WITH base AS (
+       |  SELECT event_type, user_id,
+       |    h % $HllM AS j,
+       |    CASE WHEN h // $HllM = 0 THEN 25
+       |         ELSE 25 - length(bin(h // $HllM)) END AS rho
+       |  FROM (SELECT event_type, user_id, $h AS h FROM events)),
+       |regs AS (SELECT event_type, j, max(rho) AS rho
+       |         FROM base GROUP BY 1, 2),
+       |single AS (
+       |  SELECT event_type, $est AS est FROM (
+       |    SELECT event_type, CAST(count(*) AS BIGINT) AS active,
+       |      sum(CAST(1.0 AS DOUBLE) / (1::BIGINT << rho)) AS ssum
+       |    FROM regs GROUP BY 1)),
+       |prs AS (SELECT a.event_type AS ta, b.event_type AS tb
+       |        FROM single a JOIN single b ON a.event_type < b.event_type),
+       |uregs AS (
+       |  SELECT ta, tb, j, max(rho) AS rho FROM (
+       |    SELECT p.ta, p.tb, r.j, r.rho
+       |    FROM regs r JOIN prs p ON r.event_type = p.ta
+       |    UNION ALL
+       |    SELECT p.ta, p.tb, r.j, r.rho
+       |    FROM regs r JOIN prs p ON r.event_type = p.tb)
+       |  GROUP BY 1, 2, 3),
+       |uest AS (
+       |  SELECT ta, tb, $est AS est_ab FROM (
+       |    SELECT ta, tb, CAST(count(*) AS BIGINT) AS active,
+       |      sum(CAST(1.0 AS DOUBLE) / (1::BIGINT << rho)) AS ssum
+       |    FROM uregs GROUP BY 1, 2)),
+       |du AS (SELECT DISTINCT event_type, user_id FROM base),
+       |exact AS (
+       |  SELECT a.event_type AS ta, b.event_type AS tb,
+       |    CAST(count(*) AS BIGINT) AS n_exact_overlap
+       |  FROM du a JOIN du b
+       |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+       |  GROUP BY 1, 2)
+       |SELECT u.ta, u.tb,
+       |  coalesce(e.n_exact_overlap, 0) AS n_exact_overlap,
+       |  round(sa.est + sb.est - u.est_ab, 6) AS hll_overlap_est,
+       |  round(sa.est + sb.est - u.est_ab -
+       |    coalesce(e.n_exact_overlap, 0), 6) AS err
+       |FROM uest u
+       |JOIN single sa ON sa.event_type = u.ta
+       |JOIN single sb ON sb.event_type = u.tb
+       |LEFT JOIN exact e ON e.ta = u.ta AND e.tb = u.tb
+       |ORDER BY u.ta, u.tb""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q250_hll_distinct", q250, Some(q250Sql)),
     Q("q251_cms_heavy_hitters", q251, Some(q251Sql)),
     Q("q259_histogram_quantiles", q259, Some(q259Sql)),
-    Q("q261_bottomk_kmv", q261, Some(q261Sql)))
+    Q("q261_bottomk_kmv", q261, Some(q261Sql)),
+    Q("q264_hll_overlap", q264, Some(q264Sql)))
 }

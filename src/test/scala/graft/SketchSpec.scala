@@ -39,6 +39,23 @@ class SketchSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Boolean]("within_bound")))
   }
 
+  test("q264: inclusion-exclusion overlap tracks the exact intersection") {
+    val rows = Catalog.byName("q264_hll_overlap").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var exTot = 0L; var errAbs = 0.0
+    rows.foreach { r =>
+      val ex = r.getAs[Long]("n_exact_overlap")
+      exTot += ex
+      errAbs += math.abs(r.getAs[Double]("err"))
+      assert(math.abs(r.getAs[Double]("err") -
+        (r.getAs[Double]("hll_overlap_est") - ex)) < 1e-6)
+    }
+    assert(exTot > 0, "event types should share users")
+    // inclusion-exclusion inherits ~3x single-sketch error; demand the
+    // aggregate estimate lands within 60% of the aggregate truth
+    assert(errAbs / exTot < 0.6, s"aggregate err $errAbs vs $exTot")
+  }
+
   test("q261: bottom-k merge law holds and KMV stays in its envelope") {
     val rows = Catalog.byName("q261_bottomk_kmv").run(spark, sf).collect()
     assert(rows.nonEmpty)
