@@ -1069,6 +1069,95 @@ object TemporalQueries {
        |    AS n_alarms
        |FROM devs ORDER BY k""".stripMargin
 
+  // -- q265: STL-lite decomposition — the classical additive
+  //          trend + weekly-seasonal + residual split (the hand
+  //          computation inside STL/X-11 before loess smoothing):
+  //          trend = centered 7-day moving average over a RANGE(idx)
+  //          frame (only days with the full ±3 neighborhood), seasonal
+  //          = per-weekday mean of the detrended series, residual =
+  //          the rest. Exactness: detrended values are ×7-scaled
+  //          integers (cnt·7 − sum7), seasonal/residual are micro6
+  //          rationals of those integers — no float folds anywhere.
+  //          Scale shape: one scan → (type × day)-bounded daily frame;
+  //          the MA window ranges over idx per type; weekday means are
+  //          a (type × 7)-bounded aggregate.
+  private def q265(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.ExactRound
+    val d = daily(s, dir)
+      .withColumn("dow", weekday(to_date(col("day"))))
+    val wMa = Window.partitionBy(col("k")).orderBy(col("idx"))
+      .rangeBetween(-3, 3)
+    val withTrend = d
+      .withColumn("n7", count(lit(1)).over(wMa))
+      .withColumn("sum7", sum(col("cnt")).over(wMa))
+      .filter(col("n7") === 7)
+      .withColumn("detr7", col("cnt") * 7 - col("sum7"))
+    // sdetr can be negative and integral-divide semantics differ on
+    // negatives across engines (truncate vs floor): shift by C = 1e7
+    // per unit, round in positive territory, shift back exactly
+    val seasonal = withTrend.groupBy(col("k"), col("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("detr7")).as("sdetr"))
+      .withColumn("seas_micro",
+        ExactRound.micro6(
+          col("sdetr") + lit(10000000L) * lit(7L) * col("n_days"),
+          lit(7L) * col("n_days")) - lit(10000000L * 1000000L))
+    // residual per day in micro units: cnt·1e6 − trend − seasonal
+    val resid = withTrend.join(
+        seasonal.select(col("k"), col("dow"), col("seas_micro")),
+        Seq("k", "dow"))
+      .withColumn("resid_micro",
+        col("cnt") * 1000000L -
+          ExactRound.micro6(col("sum7"), lit(7L)) - col("seas_micro"))
+    val residStats = resid.groupBy(col("k"))
+      .agg(sum(abs(col("resid_micro"))).as("sabs"),
+        count(lit(1)).as("nr"), max(abs(col("resid_micro"))).as("mabs"))
+    seasonal.join(residStats, Seq("k"))
+      .select(col("k"), col("dow"), col("n_days"),
+        (col("seas_micro") / lit(1e6)).as("seasonal"),
+        ExactRound.microMean6(col("sabs"), col("nr"))
+          .as("residual_abs_mean"),
+        (col("mabs") / lit(1e6)).as("residual_abs_max"))
+      .orderBy(col("k"), col("dow"))
+  }
+
+  private lazy val q265Sql = {
+    import graft.functions.{ExactRound => ER}
+    s"""WITH $dailySql,
+       |dd AS (SELECT k, day, cnt, idx,
+       |         isodow(CAST(day AS DATE)) - 1 AS dow
+       |       FROM daily),
+       |ma AS (
+       |  SELECT *, count(*) OVER w AS n7,
+       |    CAST(sum(cnt) OVER w AS BIGINT) AS sum7
+       |  FROM dd
+       |  WINDOW w AS (PARTITION BY k ORDER BY idx
+       |    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       |wt AS (SELECT *, cnt * 7 - sum7 AS detr7 FROM ma WHERE n7 = 7),
+       |seasonal AS (
+       |  SELECT k, dow, CAST(count(*) AS BIGINT) AS n_days,
+       |    CAST(sum(detr7) AS BIGINT) AS sdetr,
+       |    ${ER.sql.micro6("sum(detr7) + 10000000 * 7 * count(*)",
+      "7 * count(*)")} - 10000000000000 AS seas_micro
+       |  FROM wt GROUP BY 1, 2),
+       |resid AS (
+       |  SELECT w.k,
+       |    w.cnt * 1000000 - ${ER.sql.micro6("w.sum7", "7")}
+       |      - s.seas_micro AS resid_micro
+       |  FROM wt w JOIN seasonal s ON s.k = w.k AND s.dow = w.dow),
+       |rs AS (
+       |  SELECT k, CAST(sum(abs(resid_micro)) AS BIGINT) AS sabs,
+       |    CAST(count(*) AS BIGINT) AS nr,
+       |    CAST(max(abs(resid_micro)) AS BIGINT) AS mabs
+       |  FROM resid GROUP BY 1)
+       |SELECT s.k, s.dow, s.n_days,
+       |  s.seas_micro / 1e6 AS seasonal,
+       |  ${ER.sql.microMean6("r.sabs", "r.nr")} AS residual_abs_mean,
+       |  r.mabs / 1e6 AS residual_abs_max
+       |FROM seasonal s JOIN rs r ON r.k = s.k
+       |ORDER BY s.k, s.dow""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q36_temporal_filter", q36, Some(q36Sql)),
     Q("q37_daily_cumulative", q37, Some(q37Sql)),
@@ -1090,5 +1179,6 @@ object TemporalQueries {
     Q("q240_km_retention", q240, Some(q240Sql)),
     Q("q241_asof_join", q241, Some(q241Sql)),
     Q("q252_cusum_chart", q252, Some(q252Sql)),
-    Q("q253_ewma_chart", q253, Some(q253Sql)))
+    Q("q253_ewma_chart", q253, Some(q253Sql)),
+    Q("q265_stl_decomposition", q265, Some(q265Sql)))
 }

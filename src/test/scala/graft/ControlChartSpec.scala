@@ -76,6 +76,19 @@ class ControlChartSpec extends SparkSpec {
     }
   }
 
+  test("q265: weekly profile is complete and residuals are coherent") {
+    val rows = graft.queries.Catalog.byName("q265_stl_decomposition")
+      .run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("k")).foreach { case (k, rs) =>
+      assert(rs.map(_.getAs[Int]("dow")).sorted.toSeq == (0 to 6),
+        s"$k weekday profile incomplete")
+      val mean = rs.head.getAs[Double]("residual_abs_mean")
+      val mx = rs.head.getAs[Double]("residual_abs_max")
+      assert(mean >= 0.0 && mx >= mean)
+    }
+  }
+
   /** The q252 centered daily series (cnt·D − total per event_type). */
   private def centered = {
     import org.apache.spark.sql.functions._
