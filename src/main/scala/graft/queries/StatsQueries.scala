@@ -920,6 +920,75 @@ object StatsQueries {
        |ORDER BY join_name""".stripMargin
   }
 
+  // -- q266: Benford first-digit audit (Benford 1938; the Nigrini
+  //          fraud/data-quality screen) over order totals: observed
+  //          first-significant-digit shares vs the Benford expectation
+  //          P(d) = log10(1 + 1/d), with the chi-square contribution
+  //          per digit. Exactness: first digits are string surgery on
+  //          the integer cent representation (no float log to GET the
+  //          digit); the nine Benford probabilities are micro-unit
+  //          integer CONSTANTS precomputed in Scala and embedded in
+  //          both texts; chi² terms are exact rationals of counts and
+  //          MILLI-unit constants (the squared difference n_d·10³ −
+  //          n·p‰ stays under 2^63 through ~3·10⁹ rows — unit-rescale
+  //          the difference past that). Scale shape: one scan, one
+  //          9-row aggregate.
+  private val BenfordMicro: Seq[(Int, Long)] = (1 to 9).map(d =>
+    d -> math.round(math.log10(1.0 + 1.0 / d) * 1000000.0))
+  private val BenfordMilli: Seq[(Int, Long)] = (1 to 9).map(d =>
+    d -> math.round(math.log10(1.0 + 1.0 / d) * 1000.0))
+
+  private def q266(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select(substring(
+        abs(round(col("o_totalprice") * 100, 0)).cast("long").cast("string"),
+        1, 1).cast("int").as("digit"))
+      .filter(col("digit") >= 1)
+    val counts = o.groupBy(col("digit")).agg(count(lit(1)).as("n_d"))
+    val tot = counts.agg(sum(col("n_d")).as("n"))
+    val bmap = typedLit(BenfordMicro.toMap)
+    val bmilli = typedLit(BenfordMilli.toMap)
+    counts.crossJoin(broadcast(tot))
+      .withColumn("exp_micro", element_at(bmap, col("digit")))
+      .withColumn("pm", element_at(bmilli, col("digit")))
+      .select(col("digit"), col("n_d"),
+        ExactRound.ratio6(col("n_d"), col("n")).as("obs_share"),
+        (col("exp_micro") / lit(1e6)).as("benford_share"),
+        // chi2 term = (n_d - n*p)^2/(n*p) with p in milli units:
+        // (n_d*1000 - n*pm)^2 / (1000 * n * pm), all exact longs
+        ExactRound.ratio6(
+          (col("n_d") * 1000L - col("n") * col("pm")) *
+            (col("n_d") * 1000L - col("n") * col("pm")),
+          col("n") * col("pm") * 1000L).as("chi2_term"))
+      .orderBy(col("digit"))
+  }
+
+  private lazy val q266Sql = {
+    import graft.functions.{ExactRound => ER}
+    val vals = BenfordMicro.zip(BenfordMilli).map {
+      case ((d, m), (_, ml)) => s"($d, $m::BIGINT, $ml::BIGINT)" }
+      .mkString(", ")
+    s"""WITH digits AS (
+       |  SELECT CAST(substr(CAST(CAST(abs(round(o_totalprice * 100))
+       |    AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+       |  FROM orders),
+       |counts AS (
+       |  SELECT digit, CAST(count(*) AS BIGINT) AS n_d
+       |  FROM digits WHERE digit >= 1 GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_d) AS BIGINT) AS n FROM counts),
+       |b(digit, exp_micro, pm) AS (VALUES $vals)
+       |SELECT c.digit, c.n_d,
+       |  ${ER.sql.ratio6("c.n_d", "t.n")} AS obs_share,
+       |  b.exp_micro / 1e6 AS benford_share,
+       |  ${ER.sql.ratio6(
+      "(c.n_d * 1000 - t.n * b.pm) * (c.n_d * 1000 - t.n * b.pm)",
+      "t.n * b.pm * 1000")} AS chi2_term
+       |FROM counts c
+       |JOIN b ON b.digit = c.digit
+       |CROSS JOIN tot t
+       |ORDER BY c.digit""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q60_growth_rate", q60, Some(q60Sql)),
     Q("q61_decline_periods", q61, Some(q61Sql)),
@@ -937,5 +1006,6 @@ object StatsQueries {
     Q("q235_expectations", q235, Some(q235Sql)),
     Q("q238_field_mi", q238, Some(q238Sql)),
     Q("q247_partition_advisor", q247, Some(q247Sql)),
-    Q("q263_join_cardinality", q263, Some(q263Sql)))
+    Q("q263_join_cardinality", q263, Some(q263Sql)),
+    Q("q266_benford_audit", q266, Some(q266Sql)))
 }

@@ -89,6 +89,21 @@ class ControlChartSpec extends SparkSpec {
     }
   }
 
+  test("q266: digit ledger is complete and pinned to log10(1+1/d)") {
+    val rows = graft.queries.Catalog.byName("q266_benford_audit")
+      .run(spark, sf).collect().sortBy(_.getAs[Int]("digit"))
+    assert(rows.map(_.getAs[Int]("digit")).toSeq == (1 to 9))
+    var share = 0.0
+    rows.foreach { r =>
+      val d = r.getAs[Int]("digit")
+      val want = math.log10(1.0 + 1.0 / d)
+      assert(math.abs(r.getAs[Double]("benford_share") - want) < 1e-6)
+      assert(r.getAs[Double]("chi2_term") >= 0.0)
+      share += r.getAs[Double]("obs_share")
+    }
+    assert(math.abs(share - 1.0) < 1e-4)
+  }
+
   /** The q252 centered daily series (cnt·D − total per event_type). */
   private def centered = {
     import org.apache.spark.sql.functions._
