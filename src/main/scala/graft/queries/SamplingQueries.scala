@@ -888,6 +888,96 @@ object SamplingQueries {
        |ORDER BY source""".stripMargin
   }
 
+  // -- q267: A/B conversion test — the two-proportion experiment
+  //          readout (pooled z-test + per-arm Wilson 1927 score
+  //          intervals) with a deterministic hash-split assignment
+  //          (the q111 splitColumn machinery as the bucketing layer an
+  //          experimentation platform runs). Determinism: arms and
+  //          conversions are exact integer counts; every float step
+  //          (divisions, sqrt) is written as the IDENTICAL expression
+  //          text on both engines over those exact integers — sqrt is
+  //          correctly rounded per IEEE-754, so unlike ln it needs no
+  //          quantization. Scale shape: one scan → per-user flag →
+  //          2-row arm aggregate; the pooled 1-row frame is a
+  //          broadcast stats cross.
+  private val AbZ = "CAST(1.96 AS DOUBLE)"
+
+  // Shared expression text: both engines evaluate the IDENTICAL string
+  // over exact integer (na, ka, nb, kb) / (n_users, n_conv) inputs.
+  // nullif guards the degenerate pooled-rate-0-or-1 regeneration: both
+  // engines then yield NULL rather than Spark throwing under ANSI mode.
+  private val abZExpr =
+    s"""((CAST(ka AS DOUBLE) / na - CAST(kb AS DOUBLE) / nb) /
+       | nullif(sqrt((CAST(ka + kb AS DOUBLE) / (na + nb)) *
+       |   (1 - CAST(ka + kb AS DOUBLE) / (na + nb)) *
+       |   (CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb)), 0))"""
+      .stripMargin.replace("\n", " ")
+
+  private def abWilson(sign: String): String =
+    s"""((CAST(n_conv AS DOUBLE) / n_users +
+       |  $AbZ * $AbZ / (2 * n_users) $sign
+       |  $AbZ * sqrt(CAST(n_conv AS DOUBLE) / n_users *
+       |    (1 - CAST(n_conv AS DOUBLE) / n_users) / n_users +
+       |    $AbZ * $AbZ / (CAST(4 AS DOUBLE) * n_users * n_users))) /
+       | (1 + $AbZ * $AbZ / n_users))""".stripMargin.replace("\n", " ")
+
+  private def q267(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Sampling
+    val users = Tables.load(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 95,
+        1L).otherwise(0L)).as("conv"))
+      .withColumn("variant",
+        when(Sampling.hashBucket(col("user_id"), 2, "ab") === 0L, "A")
+          .otherwise("B"))
+    val arms = users.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+    val pooled = arms.agg(
+      max(when(col("variant") === "A", col("n_users"))).as("na"),
+      max(when(col("variant") === "A", col("n_conv"))).as("ka"),
+      max(when(col("variant") === "B", col("n_users"))).as("nb"),
+      max(when(col("variant") === "B", col("n_conv"))).as("kb"))
+    arms.crossJoin(broadcast(pooled))
+      .select(col("variant"), col("n_users"), col("n_conv"),
+        graft.functions.ExactRound.ratio6(col("n_conv"), col("n_users"))
+          .as("conv_rate"),
+        expr(s"round(${abWilson("-")}, 6)").as("wilson_lo"),
+        expr(s"round(${abWilson("+")}, 6)").as("wilson_hi"),
+        expr(s"round($abZExpr, 6)").as("z_score"),
+        expr(s"abs($abZExpr) > $AbZ").as("significant"))
+      .orderBy(col("variant"))
+  }
+
+  private lazy val q267Sql = {
+    import graft.functions.{ExactRound => ER}
+    import graft.pipeline.Sampling
+    val h = Sampling.sql.hashBucket("user_id", 2, "ab")
+    s"""WITH users AS (
+       |  SELECT user_id,
+       |    max(CASE WHEN event_type = 'purchase' AND value > 95
+       |        THEN 1 ELSE 0 END) AS conv,
+       |    CASE WHEN $h = 0 THEN 'A' ELSE 'B' END AS variant
+       |  FROM events GROUP BY user_id),
+       |arms AS (
+       |  SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+       |    CAST(sum(conv) AS BIGINT) AS n_conv
+       |  FROM users GROUP BY 1),
+       |pooled AS (
+       |  SELECT max(CASE WHEN variant = 'A' THEN n_users END) AS na,
+       |    max(CASE WHEN variant = 'A' THEN n_conv END) AS ka,
+       |    max(CASE WHEN variant = 'B' THEN n_users END) AS nb,
+       |    max(CASE WHEN variant = 'B' THEN n_conv END) AS kb
+       |  FROM arms)
+       |SELECT variant, n_users, n_conv,
+       |  ${ER.sql.ratio6("n_conv", "n_users")} AS conv_rate,
+       |  round(${abWilson("-")}, 6) AS wilson_lo,
+       |  round(${abWilson("+")}, 6) AS wilson_hi,
+       |  round($abZExpr, 6) AS z_score,
+       |  abs($abZExpr) > $AbZ AS significant
+       |FROM arms CROSS JOIN pooled
+       |ORDER BY variant""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q111_split_assign", q111, Some(q111Sql)),
     Q("q112_quota_sample", q112, Some(q112Sql)),
@@ -905,5 +995,6 @@ object SamplingQueries {
     Q("q203_packing_manifest", q203, Some(q203Sql)),
     Q("q210_blocklist_screen", q210, Some(q210Sql)),
     Q("q222_neyman_allocation", q222, Some(q222Sql)),
-    Q("q248_poisson_bootstrap", q248, Some(q248Sql)))
+    Q("q248_poisson_bootstrap", q248, Some(q248Sql)),
+    Q("q267_ab_test", q267, Some(q267Sql)))
 }

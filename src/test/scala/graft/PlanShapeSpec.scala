@@ -80,6 +80,7 @@ class PlanShapeSpec extends SparkSpec {
     "q263_join_cardinality",  // three 1-row stats crosses per audited join
     "q264_hll_overlap",       // #event_types^2 bounded pair frame
     "q266_benford_audit",     // 9-row digit counts x 1-row total cross
+    "q267_ab_test",           // 2-row arms x 1-row pooled stats cross
     "q133_curriculum_buckets", // same 1-row vocab broadcast via NgramLm.score
     "q139_filter_funnel",     // same 1-row vocab broadcast via NgramLm.score
     "q142_incremental_dedup", // 1-row cutoff broadcast (max doc_id split)
