@@ -1,0 +1,68 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.engine.Lineage.LineageOps
+
+/** Materialized near-dup index over the `documents` table — the dedup
+  * analog of KGraph's oriented edge indexes: the LSH pair graph and its
+  * connected-component cluster table are ingestion-time artifacts a
+  * curation pipeline builds ONCE and every downstream consumer reads
+  * (canonicalization q126, duplicate-flow q135, soft-dedup weighting
+  * q143, cluster-safe split q156, threshold sweep q162, edit-distance
+  * audit q183, cluster histogram q186, cohesion grading q226 — the
+  * round-8 finding was each of them recomputing the identical pair
+  * graph, ~20 s of the 41-headliner bench).
+  *
+  * The pair frame is materialized at the SWEEP FLOOR threshold (0.7,
+  * q162's lowest operating point): `minhashLsh`'s banding and estimate
+  * are threshold-independent — the threshold is only the final filter —
+  * so every consumer at a tighter threshold is an exact filter of this
+  * one frame (pairs(0.9) == pairs(0.7) WHERE est >= 0.9, bit-for-bit).
+  * Storing the index at the loosest threshold an operator might query
+  * is exactly how the production artifact would be laid out.
+  *
+  * At 100 TB this is a bucketed parquet table written by the ingestion
+  * job; here it is a lineage-truncated frame cached per (session, sf).
+  */
+object DedupIndex {
+
+  val K = 12
+  val Bands = 2
+  /** Loosest threshold any catalog consumer sweeps (q162). */
+  val FloorThreshold = 0.7
+  /** The operating near-dup threshold (q28 and every cluster consumer). */
+  val Threshold = 0.9
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def docs(spark: SparkSession, dir: String) =
+    Tables.load(spark, dir, "documents")
+
+  /** Candidate pair frame (a_id, b_id, est_jaccard) at the sweep floor,
+    * built once per (session, sfDir). */
+  def candidatePairs(spark: SparkSession, dir: String): DataFrame =
+    cache.computeIfAbsent(s"${spark.hashCode()}|$dir|pairs",
+      _ => Dedup.minhashLsh(docs(spark, dir), "doc_id", "text",
+        K, Bands, FloorThreshold).truncateLineage())
+
+  /** The operating pair graph: exact filter of [[candidatePairs]] to
+    * the q28 threshold — identical to running minhashLsh at 0.9. */
+  def pairs(spark: SparkSession, dir: String): DataFrame =
+    candidatePairs(spark, dir).filter(col("est_jaccard") >= Threshold)
+
+  /** Duplicate-cluster table (doc_id, cluster_id, cluster_size,
+    * is_canonical) over [[pairs]] — Dedup.clusters materialized once.
+    * Only docs participating in a near-dup pair appear. */
+  def clusters(spark: SparkSession, dir: String): DataFrame = {
+    // resolve dependencies BEFORE computeIfAbsent: a nested
+    // computeIfAbsent on the same map throws "Recursive update" when
+    // the keys share a hash bin (the KGraph.orientedMaterialized bug)
+    val p = pairs(spark, dir)
+    val d = docs(spark, dir)
+    cache.computeIfAbsent(s"${spark.hashCode()}|$dir|clusters",
+      _ => Dedup.clusters(p, d, "doc_id", "text").truncateLineage())
+  }
+}

@@ -112,8 +112,12 @@ object QueryExplainer {
       val out = node.metrics.get("numOutputRows").map(_.value)
       val in = node.children.headOption.flatMap(c =>
         finalPlan(c).metrics.get("numOutputRows").map(_.value))
+      // timing metrics come in TWO units: metricType "timing" is ms,
+      // "nsTiming" (shuffle write/fetch-wait on Exchange nodes) is ns —
+      // normalize to ms or an Exchange reads a million-x bottleneck
       val time = node.metrics.collect {
-        case (name, m) if name.toLowerCase.contains("time") => m.value
+        case (name, m) if name.toLowerCase.contains("time") =>
+          if (m.metricType == "nsTiming") m.value / 1000000L else m.value
       }.foldLeft(0L)(math.max)
       Step(node.nodeName, operationOf(node), time.toDouble, in, out,
         optimizationsOf(node))

@@ -10,22 +10,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * `graft.functions.expressions.JaroWinklerImpl.sim(a, b)` directly.
   *
   * Semantics pinned to the de-facto standard (Winkler 1990 as
-  * implemented by rapidfuzz / DuckDB's `jaro_winkler_similarity`, which
-  * q245's oracle cross-checks): empty input → 0.0 (including both
-  * empty), match window ⌊max(|s|,|t|)/2⌋−1, transpositions halved,
-  * prefix boost 0.1·p·(1−jaro) with p ≤ 4 applied only when
-  * jaro > 0.7.
+  * implemented by DuckDB 1.0's `jaro_winkler_similarity`, which q245's
+  * oracle cross-checks): empty input → 0.0 (including both empty),
+  * match window ⌊max(|s|,|t|)/2⌋−1, transpositions halved, prefix
+  * boost 0.1·p·(1−jaro) with p ≤ 4 applied only when jaro > 0.7 — and,
+  * crucially, the DP runs over UTF-8 BYTES, not codepoints. That is
+  * what the oracle actually does (verified against DuckDB 1.0:
+  * 'café'/'cafe' = 0.8483…, 'éa'/'ea' = 0.0 — a codepoint DP reads
+  * 0.8833…/0.667 there), it makes string length mean the same thing on
+  * both engines, and byte-wise matching is also rapidfuzz's behavior
+  * on bytes input. JaroWinklerSpec pins the non-ASCII cases.
   */
 object JaroWinklerImpl {
 
   def sim(a: UTF8String, b: UTF8String): Double =
-    // ASCII fast path (numChars == numBytes): run the DP over raw bytes,
-    // skipping the UTF-16 decode — identical result, ~2x per pair. The
-    // general path decodes to String so multi-byte codepoints compare as
-    // chars, matching the oracle's codepoint semantics.
-    if (a.numBytes == a.numChars && b.numBytes == b.numChars)
-      jwBytes(a.getBytes, b.getBytes)
-    else jw(a.toString, b.toString)
+    // UTF8String already holds UTF-8 bytes — no decode on any path
+    jwBytes(a.getBytes, b.getBytes)
 
   private def jwBytes(s: Array[Byte], t: Array[Byte]): Double = {
     val ls = s.length; val lt = t.length
@@ -68,46 +68,11 @@ object JaroWinklerImpl {
     } else jaro
   }
 
-  def jw(s: String, t: String): Double = {
-    val ls = s.length; val lt = t.length
-    if (ls == 0 || lt == 0) return 0.0
-    if (s == t) return 1.0
-    val window = math.max(math.max(ls, lt) / 2 - 1, 0)
-    val sM = new Array[Boolean](ls); val tM = new Array[Boolean](lt)
-    var m = 0
-    var i = 0
-    while (i < ls) {
-      val hi = math.min(lt - 1, i + window)
-      var j = math.max(0, i - window)
-      var found = false
-      while (j <= hi && !found) {
-        if (!tM(j) && t.charAt(j) == s.charAt(i)) {
-          sM(i) = true; tM(j) = true; m += 1; found = true
-        }
-        j += 1
-      }
-      i += 1
-    }
-    if (m == 0) return 0.0
-    var k = 0; var trans = 0
-    i = 0
-    while (i < ls) {
-      if (sM(i)) {
-        while (!tM(k)) k += 1
-        if (s.charAt(i) != t.charAt(k)) trans += 1
-        k += 1
-      }
-      i += 1
-    }
-    val jaro = (m.toDouble / ls + m.toDouble / lt +
-      (m - trans / 2).toDouble / m) / 3.0
-    if (jaro > 0.7) {
-      val maxP = math.min(4, math.min(ls, lt))
-      var p = 0
-      while (p < maxP && s.charAt(p) == t.charAt(p)) p += 1
-      jaro + 0.1 * p * (1.0 - jaro)
-    } else jaro
-  }
+  /** String-argument convenience (specs, driver-side use): same
+    * byte-wise DP over the UTF-8 encoding. */
+  def jw(s: String, t: String): Double =
+    jwBytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 }
 
 /** Jaro–Winkler string similarity as a native codegen expression — the

@@ -72,6 +72,23 @@ object GraphAnalytics {
             (col("degree") * (col("degree") - 1)), 6))
         .otherwise(lit(0.0)))
 
+  /** One peel round's edge removal: drop every edge with an endpoint
+    * in `drop`. Two anti-joins on the node key with NO join-strategy
+    * hint — the drop set's size is wildly round-dependent (round 1
+    * removes EVERY node of degree < k, which on a power-law graph with
+    * k above the modal degree is O(n) nodes; later cascade rounds
+    * remove only neighbors of the previous drop), so the strategy must
+    * be a runtime decision. Both inputs are lineage-truncated by the
+    * caller, so AQE sees real sizes and broadcasts small drop sets
+    * while shuffling the O(n) first-round peel — a forced broadcast
+    * here is a driver-memory / 8 GB-cap failure at 100×.
+    * Package-visible so IterationShapeSpec can pin the unhinted plan. */
+  private[graft] def dropEdges(alive: DataFrame, drop: DataFrame): DataFrame =
+    alive
+      .join(drop.select(col("node").as("a")), Seq("a"), "left_anti")
+      .join(drop.select(col("node").as("b")), Seq("b"), "left_anti")
+      .select(col("a"), col("b"))
+
   /** Synchronous k-core peeling. Round r removes EVERY node whose
     * degree in the surviving subgraph is < k (the "onion layer"
     * decomposition restricted to the k shell). Returns
@@ -80,9 +97,10 @@ object GraphAnalytics {
     * (the spec hook pinning convergence under the cap).
     *
     * Each round is: degrees of the surviving edge list (one aggregate)
-    * + two semi-joins dropping edges with a peeled endpoint. Peel
-    * cascades are graph-diameter-bounded; `maxRounds` caps adversarial
-    * chains and the caller asserts convergence. */
+    * + two anti-joins dropping edges with a peeled endpoint
+    * ([[dropEdges]] — strategy left to AQE, see there). Peel cascades
+    * are graph-diameter-bounded; `maxRounds` caps adversarial chains
+    * and the caller asserts convergence. */
   def kCorePeel(canon: DataFrame, k: Int, maxRounds: Int = 16)
       : (DataFrame, Int) = {
     var alive = canon.truncateLineage()
@@ -100,14 +118,7 @@ object GraphAnalytics {
         rounds -= 1
       } else {
         peeled = if (peeled == null) drop else peeled.unionByName(drop)
-        // the peel set is cascade-bounded (a small fraction of nodes
-        // per round) — broadcast it so the surviving edge list never
-        // shuffles for the removal
-        alive = alive
-          .join(broadcast(drop.select(col("node").as("a"))), Seq("a"), "left_anti")
-          .join(broadcast(drop.select(col("node").as("b"))), Seq("b"), "left_anti")
-          .select(col("a"), col("b"))
-          .truncateLineage()
+        alive = dropEdges(alive, drop).truncateLineage()
       }
     }
     // isolated survivors of the last drop don't exist: every node in

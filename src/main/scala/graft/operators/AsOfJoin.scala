@@ -21,9 +21,15 @@ import org.apache.spark.sql.functions._
   * Contract: `right` must be unique per (`by`, `ord`) — pre-aggregate
   * ties (e.g. max_by on a unique id) so the "latest right row" is
   * well-defined; equal ordinates MATCH (right sorts before left at the
-  * same ordinate). Output: all left columns, then each right payload
+  * same ordinate). Matching and gap arithmetic run on `ord` CAST TO
+  * LONG — i.e. the ordinate is coerced to integral units (epoch
+  * seconds for a timestamp; a double ordinate truncates), and
+  * `tolerance`, `asof_ord`, `asof_gap` are all in those units. The
+  * left's ord column itself is passed through UNCHANGED (original type
+  * and value). Output: all left columns, then each right payload
   * column (null when no match in tolerance), then `asof_ord` (the
-  * matched right ordinate) and `asof_gap` (left ord − matched ord).
+  * matched right ordinate, long) and `asof_gap` (left ord − matched
+  * ord, long).
   */
 object AsOfJoin {
 
@@ -33,13 +39,18 @@ object AsOfJoin {
     val rPay = right.columns.filterNot(by.contains).filterNot(_ == ord).toSeq
     require(lPay.intersect(rPay).isEmpty,
       s"payload collision: ${lPay.intersect(rPay).mkString(",")}")
+    require(!lPay.contains("__ord0"), "reserved column name: __ord0")
     val rStruct = struct(rPay.map(col): _*)
     val rType = right.select(rStruct.as("s")).schema("s").dataType
-    val lType = left.select(struct(lPay.map(col): _*).as("s")).schema("s").dataType
+    // the left payload struct carries the ORIGINAL ord value (__ord0)
+    // so the output's ord column keeps its type — the long __ord is
+    // only the merge-scan sort/gap key
+    def lStruct = struct(lPay.map(col) :+ col(ord).as("__ord0"): _*)
+    val lType = left.select(lStruct.as("s")).schema("s").dataType
 
     val lu = left.select(by.map(col) ++ Seq(
       col(ord).cast("long").as("__ord"), lit(1).as("__side"),
-      struct(lPay.map(col): _*).as("__l"),
+      lStruct.as("__l"),
       lit(null).cast(rType).as("__r")): _*)
     val ru = right.select(by.map(col) ++ Seq(
       col(ord).cast("long").as("__ord"), lit(0).as("__side"),
@@ -60,7 +71,7 @@ object AsOfJoin {
       case None => col("__mord").isNotNull
     }
     matched.select(
-      by.map(col) ++ Seq(col("__ord").as(ord)) ++
+      by.map(col) ++ Seq(col("__l")("__ord0").as(ord)) ++
         lPay.map(c => col("__l")(c).as(c)) ++
         rPay.map(c => when(inTol, col("__m")(c)).as(c)) ++ Seq(
           when(inTol, col("__mord")).as("asof_ord"),

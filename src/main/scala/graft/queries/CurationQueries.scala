@@ -586,9 +586,7 @@ object CurationQueries {
   //          VOCAB-bounded (pair census + 1-row argmax + per-word merge
   //          fold), so training cost is sub-linear in corpus size. All
   //          integer arithmetic with lexicographic tie-breaks — fully
-  //          deterministic (CurationSpec pins the canonical fixture) —
-  //          but iterative merge application is not SQL-expressible, so
-  //          this entry takes the driver's rows-only check.
+  //          deterministic (CurationSpec pins the canonical fixture).
   private val BpeMerges = 12
 
   private def q154(s: SparkSession, dir: String): DataFrame = {
@@ -596,6 +594,55 @@ object CurationQueries {
     graft.text.BpeTrainer.train(docs(s, dir), "text", BpeMerges)
       .toDF("rank", "left", "right", "cnt")
       .orderBy(col("rank"))
+  }
+
+  /** DuckDB twin of the trainer, in SEQUENTIAL form: the batch-selection
+    * proof (BpeTrainer.selectBatch) guarantees batched training is
+    * bit-identical to one-merge-at-a-time BPE, so the oracle unrolls the
+    * `BpeMerges` rounds into generated CTEs — the same generated-CTE
+    * trick as q256's level unroll. Words ride as chr(1)-delimited symbol
+    * strings (the q165 encode representation): one merge application is
+    * a single literal leftmost-first `replace`, and each round's pair
+    * census splits the delimited string back into its symbol list.
+    * Every w/m CTE is referenced twice (census + merge, merge + final
+    * union), and DuckDB 1.0 INLINES CTEs by default — unmarked, the
+    * unrolled plan doubles per round (2^12 scans); MATERIALIZED keeps
+    * the oracle linear in rounds, exactly like the Spark side's
+    * per-batch lineage truncation. */
+  private val q154Sql = {
+    val eow = graft.text.BpeTrainer.EndOfWord
+    // round r: census over w{r-1} -> 1-row argmax m{r} -> merged w{r}
+    val rounds = (1 to BpeMerges).map { r =>
+      val p = r - 1
+      s"""c$r AS (
+         |  SELECT s[i] AS l, s[i+1] AS r2, CAST(sum(n) AS BIGINT) AS cnt
+         |  FROM (SELECT string_split(trim(str, chr(1)), chr(1)||chr(1))
+         |          AS s, n FROM w$p) t,
+         |    unnest(range(1, len(s))) u(i)
+         |  GROUP BY 1, 2),
+         |m$r AS MATERIALIZED (
+         |  SELECT $r AS rk, l, r2, cnt FROM c$r
+         |  ORDER BY cnt DESC, l, r2 LIMIT 1),
+         |w$r AS MATERIALIZED (
+         |  SELECT replace(str, chr(1)||l||chr(1)||chr(1)||r2||chr(1),
+         |    chr(1)||l||r2||chr(1)) AS str, n
+         |  FROM w$p CROSS JOIN m$r)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to BpeMerges).map(r => s"SELECT * FROM m$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT regexp_replace(word, '(.)', chr(1)||'\\1'||chr(1), 'g')
+       |      || chr(1)||'$eow'||chr(1) AS str,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+       |        FROM documents) t
+       |  WHERE length(word) > 0
+       |  GROUP BY 1),
+       |$rounds
+       |SELECT CAST(rk AS INTEGER) AS "rank", l AS "left", r2 AS "right",
+       |  cnt
+       |FROM ($union)
+       |ORDER BY rk""".stripMargin
   }
 
   // -- q155: train/eval distribution-drift report — after the q111
@@ -691,14 +738,11 @@ object CurationQueries {
   private val CsWeights = Seq("train" -> 8, "val" -> 1, "test" -> 1)
 
   private def q156(s: SparkSession, dir: String): DataFrame = {
-    import graft.dedup.Dedup
     import graft.pipeline.Sampling
     val d = docs(s, dir)
-    val pairs = Dedup.minhashLsh(d, "doc_id", "text", k = 12, bands = 2,
-      threshold = 0.9)
-    val cc = graft.graph.GraphOps.connectedComponents(
-        pairs.select(col("a_id").as("from_id"), col("b_id").as("to_id")))
-      .select(col("node_id").as("doc_id"), col("component").as("cluster_id"))
+    val pairs = graft.dedup.DedupIndex.pairs(s, dir)
+    val cc = graft.dedup.DedupIndex.clusters(s, dir)
+      .select(col("doc_id"), col("cluster_id"))
     val spl = d.select(col("doc_id"))
       .join(cc, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
@@ -1195,9 +1239,9 @@ object CurationQueries {
   private val ThSweep = Seq(0.7, 0.8, 0.9)
 
   private def q162(s: SparkSession, dir: String): DataFrame = {
-    import graft.dedup.Dedup
-    val pairs = Dedup.minhashLsh(docs(s, dir), "doc_id", "text",
-      k = 12, bands = 2, threshold = ThSweep.min)
+    // the materialized index is stored AT the sweep floor, so the
+    // sweep reads it unfiltered
+    val pairs = graft.dedup.DedupIndex.candidatePairs(s, dir)
     // single pass over the pair frame: one conditional aggregate per
     // threshold (no per-threshold replication); docs-touched at t =
     // docs whose best pair estimate reaches t, from a per-doc max frame
@@ -3218,7 +3262,7 @@ object CurationQueries {
     Q("q151_rrf_fusion", q151, Some(q151Sql)),
     Q("q152_weighted_sample", q152, Some(q152Sql)),
     Q("q153_ivf_cell_balance", q153, Some(q153Sql)),
-    Q("q154_bpe_merges", q154, None),
+    Q("q154_bpe_merges", q154, Some(q154Sql)),
     Q("q155_split_drift", q155, Some(q155Sql)),
     Q("q156_cluster_safe_split", q156, Some(q156Sql), headline = true),
     Q("q157_ann_recall_eval", q157, Some(q157Sql)),

@@ -35,8 +35,7 @@ object DedupQueries {
   //         on this adversarially self-similar corpus: bucket collision
   //         probability is jaccard^6 per band.
   private def q28(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLsh(docs(s, dir), "doc_id", "text", k = 12, bands = 2,
-        threshold = 0.9)
+    graft.dedup.DedupIndex.pairs(s, dir)
       .select(col("a_id"), col("b_id"), round(col("est_jaccard"), 6).as("est_jaccard"))
       .orderBy(col("a_id"), col("b_id"))
 
@@ -63,12 +62,8 @@ object DedupQueries {
   //          per cluster (longest text, tie to smallest id). The oracle
   //          replays the LSH pair generation, then closes the graph with
   //          a recursive CTE: min reachable id == the propagated label.
-  private def q126(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val pairs = Dedup.minhashLsh(d, "doc_id", "text", k = 12, bands = 2,
-      threshold = 0.9)
-    Dedup.clusters(pairs, d, "doc_id", "text").orderBy(col("doc_id"))
-  }
+  private def q126(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.DedupIndex.clusters(s, dir).orderBy(col("doc_id"))
 
   /** Shared recursive CTE chain: q28's LSH pair graph → undirected
     * closure → `comp(doc_id, cluster_id)` (docs in no pair absent).
@@ -347,8 +342,7 @@ object DedupQueries {
   //          shuffle-order safe.
   private def q135(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val pairs = Dedup.minhashLsh(d, "doc_id", "text", k = 12, bands = 2,
-      threshold = 0.9)
+    val pairs = graft.dedup.DedupIndex.pairs(s, dir)
     val src = d.select(col("doc_id"), col("source"))
     pairs
       .join(src.select(col("doc_id").as("a_id"), col("source").as("src_a")),
@@ -508,9 +502,7 @@ object DedupQueries {
   //          cluster-size equi-join back.
   private def q143(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val pairs = Dedup.minhashLsh(d, "doc_id", "text", k = 12, bands = 2,
-      threshold = 0.9)
-    val sizes = Dedup.clusters(pairs, d, "doc_id", "text")
+    val sizes = graft.dedup.DedupIndex.clusters(s, dir)
       .select(col("doc_id"), col("cluster_size"))
     d.select(col("doc_id"), col("source"),
         TF.tokenCount(col("text")).cast("long").as("n_tok"))
@@ -753,8 +745,7 @@ object DedupQueries {
   private def q183(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.ExactRound
     val d = docs(s, dir)
-    val pairs = Dedup.minhashLsh(d, "doc_id", "text", k = 12, bands = 2,
-        threshold = 0.9)
+    val pairs = graft.dedup.DedupIndex.pairs(s, dir)
       .filter((col("a_id") * 31 + col("b_id")) % 64 === 0L)
     val tx = d.select(col("doc_id"),
       substring(col("text"), 1, EdCap).as("tx"), col("source"))
@@ -934,15 +925,11 @@ object DedupQueries {
     val d = docs(s, dir)
     val withTok = d.select(col("doc_id"),
       TF.tokenCount(col("text")).cast("long").as("n_tok"))
-    val pairs = Dedup.minhashLsh(d, "doc_id", "text", k = 12, bands = 2,
-      threshold = 0.9)
-    // sizes come straight off the CC label frame — Dedup.clusters would
-    // also rank by text length for is_canonical, shuffling full document
-    // text the histogram never reads (measured 9.3 s -> the text-free
-    // form below; the canonical pick stays q126's job)
-    val cc = graft.graph.GraphOps.connectedComponents(
-        pairs.select(col("a_id").as("from_id"), col("b_id").as("to_id")), 20)
-      .select(col("node_id").as("doc_id"), col("component").as("cluster_id"))
+    // cluster labels come off the materialized index (DedupIndex) —
+    // the round-8 text-free CC rebuild is obsolete now that the
+    // canonicalization table is built once per session
+    val cc = graft.dedup.DedupIndex.clusters(s, dir)
+      .select(col("doc_id"), col("cluster_id"))
     val sizes = cc.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
     val clustered = cc.join(sizes, Seq("cluster_id"))
@@ -1374,9 +1361,8 @@ object DedupQueries {
   private def q226(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.ExactRound
     val d = docs(s, dir)
-    val pairs = Dedup.minhashLsh(d, "doc_id", "text", k = 12, bands = 2,
-      threshold = 0.9)
-    val cc = Dedup.clusters(pairs, d, "doc_id", "text")
+    val pairs = graft.dedup.DedupIndex.pairs(s, dir)
+    val cc = graft.dedup.DedupIndex.clusters(s, dir)
     val ts = d.select(col("doc_id"),
       array_distinct(split(col("text"), " ")).as("ts"))
     val sim = pairs

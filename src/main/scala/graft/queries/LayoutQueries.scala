@@ -275,9 +275,11 @@ object LayoutQueries {
         when(col("n_nonmatch") > 0,
           ExactRound.ratio6(col("n_false_pass"), col("n_nonmatch")))
           .as("measured_fpr"),
-        round((dd(col("bits_set")) / BloomBits) *
-          (dd(col("bits_set")) / BloomBits) *
-          (dd(col("bits_set")) / BloomBits), 6).as("est_fpr"))
+        // fill^k generated from BloomK so the estimate tracks the k
+        // actually used for hashing (a hardcoded cube desynchronizes
+        // silently when k changes)
+        round(Seq.fill(BloomK)(dd(col("bits_set")) / BloomBits)
+          .reduce(_ * _), 6).as("est_fpr"))
   }
 
   private val q244Sql = {
@@ -321,9 +323,8 @@ object LayoutQueries {
        |  CASE WHEN n_nonmatch > 0 THEN
        |    ${ExactRound.sql.ratio6("n_false_pass", "n_nonmatch")}
        |    END AS measured_fpr,
-       |  round((CAST(bits_set AS DOUBLE) / $BloomBits) *
-       |    (CAST(bits_set AS DOUBLE) / $BloomBits) *
-       |    (CAST(bits_set AS DOUBLE) / $BloomBits), 6) AS est_fpr
+       |  round(${Seq.fill(BloomK)(s"(CAST(bits_set AS DOUBLE) / $BloomBits)")
+                  .mkString(" * ")}, 6) AS est_fpr
        |FROM stats CROSS JOIN bs CROSS JOIN bb""".stripMargin
   }
 

@@ -35,10 +35,12 @@ object SketchQueries {
   //          registers TWICE: directly, and as a max-merge of per-day
   //          register snapshots — `merge_consistent` pins the monoid
   //          identity that lets 1000 executors (or 365 daily jobs)
-  //          sketch independently and combine loss-free. Raw HLL
-  //          estimate only (no small-range linear-counting branch — it
-  //          needs ln; zero-register count is reported so the regime
-  //          is visible). Scale shape: one scan, (type × day × 256)-
+  //          sketch independently and combine loss-free. The reported
+  //          hll_estimate is the COMBINED estimator: the small-range
+  //          linear-counting branch (m·ln(m/V) when the raw estimate is
+  //          under 2.5m and empty registers exist) via hllEst, with the
+  //          zero-register count also reported so the regime is
+  //          visible. Scale shape: one scan, (type × day × 256)-
   //          bounded register frames, map-side max combine everywhere.
   private val HllM = 256
   /** alpha_256 * 256^2 — same IEEE literal on both engines. */

@@ -92,6 +92,82 @@ class IterationShapeSpec extends SparkSpec {
       s"per-GD-step stage delta drifted: $delta (3-iter $s3, 4-iter $s4)")
   }
 
+  test("q192 kCorePeel: drop-set join strategy is AQE's, not a forced broadcast") {
+    import graft.graph.GraphAnalytics
+    // The round-8 scale hazard: a broadcast() hint on the per-round
+    // drop set bypasses AQE's size check, and round 1 drops EVERY node
+    // with degree < k — O(n) on a power-law graph. The fix leaves the
+    // strategy to the planner, so under a tiny broadcast threshold the
+    // anti-joins must NOT plan as broadcast joins (a forced hint would
+    // broadcast regardless of the threshold — exactly this assertion
+    // failing).
+    val alive = (0 until 2000).map(i => (f"n$i%04d", f"n${(i + 1) % 2000}%04d"))
+      .toDF("a", "b").localCheckpoint()
+    val drop = (0 until 1500).map(i => f"n$i%04d").toDF("node")
+      .localCheckpoint()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64")
+      val qe = GraphAnalytics.dropEdges(alive, drop)
+      qe.count() // finalize the adaptive plan
+      val plan = qe.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"large first-round peel must not broadcast the drop set:\n$plan")
+      assert(!qe.queryExecution.analyzed.toString.contains("ResolvedHint"),
+        "dropEdges must carry no join-strategy hint (AQE decides per round)")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q192 kCorePeel: stage count grows by a pinned per-round delta") {
+    import graft.graph.GraphAnalytics
+    // k=2 on an n-node path peels in ceil((n-1)/2) rounds; 9 vs 13
+    // nodes = 4 vs 6 rounds, so half the run difference is the honest
+    // per-round stage cost (degree aggregate + two anti-joins + the
+    // checkpoint materializations).
+    def path(n: Int) = GraphAnalytics.canonical(
+      (0 until n - 1).map(i => (f"n$i%02d", f"n${i + 1}%02d"))
+        .toDF("from_id", "to_id")).localCheckpoint()
+    val (p4, p6) = (path(9), path(13))
+    GraphAnalytics.kCorePeel(p4, 2)._1.count() // warm
+    val s4 = submittedStages {
+      val (out, r) = GraphAnalytics.kCorePeel(p4, 2); out.count()
+      assert(r == 4, s"9-node path should peel in 4 rounds, got $r")
+    }
+    val s6 = submittedStages {
+      val (out, r) = GraphAnalytics.kCorePeel(p6, 2); out.count()
+      assert(r == 6, s"13-node path should peel in 6 rounds, got $r")
+    }
+    val delta = (s6 - s4) / 2.0
+    info(s"stages: 4 rounds=$s4, 6 rounds=$s6, per-round delta=$delta")
+    // one degree aggregate + the isEmpty probe + two anti-joins + the
+    // two checkpoints land well under 12 stages/round; a lineage edit
+    // that re-runs prior rounds (the failure this guards) is quadratic
+    // in rounds and blows through the pin immediately
+    assert(delta >= 1 && delta <= 12,
+      s"per-round stage delta drifted: $delta (4-round $s4, 6-round $s6)")
+  }
+
+  test("q193 labelPropagation: stage count grows by a pinned per-round delta") {
+    import graft.graph.GraphAnalytics
+    val canon = GraphAnalytics.canonical(
+      (0 until 40).flatMap(i => Seq(
+        (f"n$i%02d", f"n${(i + 1) % 40}%02d"),
+        (f"n$i%02d", f"n${(i + 9) % 40}%02d")))
+        .toDF("from_id", "to_id")).localCheckpoint()
+    GraphAnalytics.labelPropagation(canon, 2).count() // warm
+    val s3 = submittedStages {
+      GraphAnalytics.labelPropagation(canon, 3).count() }
+    val s4 = submittedStages {
+      GraphAnalytics.labelPropagation(canon, 4).count() }
+    val delta = s4 - s3
+    info(s"stages: 3 rounds=$s3, 4 rounds=$s4, per-round delta=$delta")
+    // one adjacency join + the (node, label) count + the keyed top-1
+    // per round; doubling the per-round shuffles would land at >= 2x
+    assert(delta >= 1 && delta <= 8,
+      s"per-round stage delta drifted: $delta (3-round $s3, 4-round $s4)")
+  }
+
   test("q149 kmeans: exactly one centroid broadcast join per Lloyd round") {
     // KMeans.fit chains iterations without lineage truncation, so the
     // final plan is the full DAG: each of the KmIters update rounds and

@@ -26,7 +26,13 @@ class JaroWinklerSpec extends SparkSpec {
     ("ab", "ba", 0.0),                        // window 0 -> no matches
     ("a", "a", 1.0),
     ("", "x", 0.0),
-    ("", "", 0.0))                            // DuckDB: empty-empty is 0
+    ("", "", 0.0),                            // DuckDB: empty-empty is 0
+    // non-ASCII: DuckDB 1.0 runs the DP over UTF-8 BYTES, and so do we
+    // (a codepoint DP would read 0.8833/0.6667 on the first two)
+    ("café", "cafe", 0.8483333333333334),
+    ("éa", "ea", 0.0),
+    ("naïve", "naive", 0.8577777777777779),
+    ("日本語", "日本", 0.9333333333333333))
 
   test("interpreted path matches the DuckDB-pinned values") {
     cases.foreach { case (a, b, want) =>

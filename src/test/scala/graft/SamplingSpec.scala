@@ -58,4 +58,25 @@ class SamplingSpec extends SparkSpec {
       .filter(col("source") === "src1").collect().map(_.getLong(0)).sorted.toSeq
     assert(src1Before == src1After)
   }
+
+  test("q267: arms partition users; Wilson brackets the rate; z sign/significance cohere") {
+    val rows = graft.queries.Catalog.byName("q267_ab_test")
+      .run(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("variant")).sorted.toSeq == Seq("A", "B"))
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("conv_rate")
+      val lo = r.getAs[Double]("wilson_lo")
+      val hi = r.getAs[Double]("wilson_hi")
+      // the Wilson score interval always contains the point estimate
+      // (its center is pulled toward 1/2 but never past the MLE bracket)
+      assert(lo <= rate + 1e-9 && rate <= hi + 1e-9, s"$lo !<= $rate !<= $hi")
+      assert(lo >= 0.0 && hi <= 1.0)
+    }
+    // both arms carry the SAME pooled z statistic; significance is its
+    // |z| > 1.96 readout on each row
+    val zs = rows.map(_.getAs[Double]("z_score")).distinct
+    assert(zs.length == 1)
+    rows.foreach(r => assert(
+      r.getAs[Boolean]("significant") == (math.abs(zs.head) > 1.96)))
+  }
 }
