@@ -1,0 +1,121 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+import graft.engine.Lineage.LineageOps
+
+/** Fixed-iteration HITS (Kleinberg 1999, "Authoritative sources in a
+  * hyperlinked environment") over a directed edge list: authority(v) =
+  * Σ hub(u) over in-edges, hub(u) = Σ authority(v) over out-edges,
+  * re-normalized each half-step. PageRank (graph/PageRank.scala) ranks
+  * by global link mass; HITS separates CITED-BY-GOOD-HUBS from
+  * POINTS-AT-GOOD-AUTHORITIES — the complementary pair a curation
+  * pipeline uses to pick seed domains (hubs) vs trusted content
+  * (authorities). Reference analog: the same degree-centrality leg as
+  * PageRank (quality_assessment.py's structural metrics).
+  *
+  * Scale shape: each half-step is ONE equi-join of the score frame onto
+  * the edge list plus ONE keyed integer sum — identical to the PageRank
+  * iteration plan — and the normalizer is a 1-row max frame broadcast
+  * onto the scores. Lineage truncates per iteration.
+  *
+  * Determinism contract: scores live as MICRO-unit integers (start 1e6;
+  * after each sum, max-normalize via `(raw · 1e6) div max_raw`, pure
+  * integral arithmetic, both operands non-negative so Spark's `div`
+  * (truncate) and DuckDB's `//` (floor) agree). No floats anywhere in
+  * the iteration, so scores are bit-identical cross-engine and
+  * shuffle-order-proof. Bound: raw sums are ≤ 1e6 · max-degree, and the
+  * normalization multiplies by 1e6 — overflow-safe to max-degree ~9.2e6;
+  * beyond that drop scores to milli-units (one constant).
+  */
+object Hits {
+
+  private def intDiv(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column) =
+    GraftBridge.column(IntegralDivide(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** (node_id, auth_micro, hub_micro) after `iterations` full rounds
+    * over the DISTINCT (from_id, to_id) edge set. Nodes with no
+    * in-edges carry authority 0; no out-edges, hub 0. */
+  def scores(edges: DataFrame, iterations: Int): DataFrame = {
+    val e = edges.select(col("from_id"), col("to_id")).distinct()
+      .repartition(col("from_id"))
+      .truncateLineage()
+    val all = PageRank.nodes(e).repartition(col("node_id")).truncateLineage()
+    var hub = all.withColumn("h", lit(1000000L))
+    var auth: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val aRaw = e.join(hub.select(col("node_id").as("from_id"), col("h")),
+          Seq("from_id"))
+        .groupBy(col("to_id")).agg(sum(col("h")).as("raw"))
+      val aMax = aRaw.agg(max(col("raw")).as("mx"))
+      auth = all
+        .join(aRaw.select(col("to_id").as("node_id"), col("raw")),
+          Seq("node_id"), "left")
+        .crossJoin(broadcast(aMax))
+        .select(col("node_id"),
+          coalesce(intDiv(col("raw") * lit(1000000L), col("mx")), lit(0L))
+            .as("a"))
+        .truncateLineage()
+      val hRaw = e.join(auth.select(col("node_id").as("to_id"), col("a")),
+          Seq("to_id"))
+        .groupBy(col("from_id")).agg(sum(col("a")).as("raw"))
+      val hMax = hRaw.agg(max(col("raw")).as("mx"))
+      hub = all
+        .join(hRaw.select(col("from_id").as("node_id"), col("raw")),
+          Seq("node_id"), "left")
+        .crossJoin(broadcast(hMax))
+        .select(col("node_id"),
+          coalesce(intDiv(col("raw") * lit(1000000L), col("mx")), lit(0L))
+            .as("h"))
+        .truncateLineage()
+    }
+    auth.join(hub, Seq("node_id"))
+      .select(col("node_id"), col("a").as("auth_micro"),
+        col("h").as("hub_micro"))
+  }
+
+  /** DuckDB oracle fragment: CTE chain (appended after an `edges` CTE)
+    * ending in `hits$iterations(node_id, auth_micro, hub_micro)` —
+    * the same unrolled-round trick as PageRank.sql.ranksCtes. */
+  object sql {
+    def scoresCtes(iterations: Int): String = {
+      val base =
+        """de AS (SELECT DISTINCT from_id, to_id FROM edges),
+          |nodes AS (
+          |  SELECT from_id AS node_id FROM de
+          |  UNION SELECT to_id FROM de),
+          |hub0 AS (SELECT node_id, CAST(1000000 AS BIGINT) AS h FROM nodes)"""
+          .stripMargin
+      val iters = (1 to iterations).map { i =>
+        s"""araw$i AS (
+           |  SELECT e.to_id AS node_id, CAST(sum(p.h) AS BIGINT) AS raw
+           |  FROM de e JOIN hub${i - 1} p ON p.node_id = e.from_id
+           |  GROUP BY 1),
+           |auth$i AS (
+           |  SELECT n.node_id,
+           |    coalesce((r.raw * 1000000) //
+           |      (SELECT max(raw) FROM araw$i), 0) AS a
+           |  FROM nodes n LEFT JOIN araw$i r USING (node_id)),
+           |hraw$i AS (
+           |  SELECT e.from_id AS node_id, CAST(sum(p.a) AS BIGINT) AS raw
+           |  FROM de e JOIN auth$i p ON p.node_id = e.to_id
+           |  GROUP BY 1),
+           |hub$i AS (
+           |  SELECT n.node_id,
+           |    coalesce((r.raw * 1000000) //
+           |      (SELECT max(raw) FROM hraw$i), 0) AS h
+           |  FROM nodes n LEFT JOIN hraw$i r USING (node_id))""".stripMargin
+      }
+      val fin =
+        s"""hits$iterations AS (
+           |  SELECT a.node_id, a.a AS auth_micro, h.h AS hub_micro
+           |  FROM auth$iterations a JOIN hub$iterations h USING (node_id))"""
+          .stripMargin
+      (base +: iters :+ fin).mkString(",\n")
+    }
+  }
+}

@@ -671,6 +671,238 @@ object GraphAnalyticsQueries {
        |FROM cum, eff
        |ORDER BY hop""".stripMargin
 
+  // -- q268: Adamic–Adar link prediction (Liben-Nowell & Kleinberg
+  //          2003): for node pairs NOT yet connected, score Σ_y
+  //          1/ln(deg(y)) over shared neighbors y — the classic
+  //          common-neighbor predictor with hub discounting; top-50
+  //          predicted edges over the knowledge graph. Scale shape:
+  //          candidates come from a WEDGE equi-join on the shared
+  //          neighbor (never an all-pairs product), and wedge centers
+  //          with degree > 64 are excluded up front — the standard
+  //          super-hub cut (their AA term is ~0 anyway), which bounds
+  //          wedge fan-out to 64·|E| rows; the existing-edge removal
+  //          is one anti-join on the canonical pair. Determinism:
+  //          1/ln(deg) quantizes to a micro-unit integer via the
+  //          micro-quantized-ln pattern (q257), so pair scores are
+  //          exact integer sums; the final ORDER BY runs on the
+  //          integer score with a full tiebreak.
+  private val AaMaxHubDeg = 64
+  private val AaTop = 50
+
+  private def q268(s: SparkSession, dir: String): DataFrame = {
+    val canon = KGraph.canonicalMaterialized(s, dir)
+    val deg = GraphAnalytics.degrees(canon)
+    val adj = canon.select(col("a").as("y"), col("b").as("x"))
+      .unionByName(canon.select(col("b").as("y"), col("a").as("x")))
+    // deg >= 2: a degree-1 center forms no wedge (and ln(1) = 0 would
+    // divide by zero); term = round-half-up-free integral 1e12 div lnq
+    // (both operands positive, so Spark div == DuckDB //)
+    val centers = deg
+      .filter(col("degree") >= 2 && col("degree") <= AaMaxHubDeg)
+      .select(col("node").as("y"),
+        round(log(col("degree").cast("double")) * lit(1e6), 0)
+          .cast("long").as("lnq"))
+      .withColumn("term", expr("1000000000000 div lnq"))
+    val wadj = adj.join(centers, Seq("y"))
+    val pairs = wadj.select(col("y"), col("x").as("na"), col("term"))
+      .join(wadj.select(col("y"), col("x").as("nb")), Seq("y"))
+      .filter(col("na") < col("nb"))
+      .groupBy(col("na"), col("nb"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(col("term")).as("aa_micro"))
+    pairs
+      .join(canon.select(col("a").as("na"), col("b").as("nb")),
+        Seq("na", "nb"), "left_anti")
+      .orderBy(col("aa_micro").desc, col("na"), col("nb"))
+      .limit(AaTop)
+      .select(col("na").as("node_a"), col("nb").as("node_b"),
+        col("common_neighbors"),
+        (col("aa_micro") / lit(1e6)).as("aa_score"))
+  }
+
+  private val q268Sql =
+    s"""WITH ${KGraph.edgesSql},
+       |canon AS (
+       |  SELECT DISTINCT least(from_id, to_id) AS a,
+       |    greatest(from_id, to_id) AS b
+       |  FROM edges WHERE from_id <> to_id),
+       |deg AS (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+       |    SELECT a AS node FROM canon UNION ALL SELECT b FROM canon) t
+       |  GROUP BY 1),
+       |centers AS (
+       |  SELECT node AS y,
+       |    1000000000000 // CAST(round(ln(degree) * 1e6, 0) AS BIGINT)
+       |      AS term
+       |  FROM deg WHERE degree BETWEEN 2 AND $AaMaxHubDeg),
+       |adj AS (
+       |  SELECT a AS y, b AS x FROM canon
+       |  UNION ALL SELECT b, a FROM canon),
+       |wadj AS (SELECT adj.y, adj.x, c.term FROM adj JOIN centers c USING (y)),
+       |pairs AS (
+       |  SELECT w1.x AS na, w2.x AS nb,
+       |    CAST(count(*) AS BIGINT) AS common_neighbors,
+       |    CAST(sum(w1.term) AS BIGINT) AS aa_micro
+       |  FROM wadj w1 JOIN wadj w2 ON w1.y = w2.y AND w1.x < w2.x
+       |  GROUP BY 1, 2)
+       |SELECT na AS node_a, nb AS node_b, common_neighbors,
+       |  aa_micro / 1e6 AS aa_score
+       |FROM pairs p
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM canon c WHERE c.a = p.na AND c.b = p.nb)
+       |ORDER BY aa_micro DESC, na, nb
+       |LIMIT $AaTop""".stripMargin
+
+  // -- q269: HITS hubs & authorities (Kleinberg 1999) — the
+  //          complementary centrality to q147's PageRank: authorities
+  //          are nodes cited by good hubs, hubs cite good authorities.
+  //          Two full mutual-reinforcement rounds with max-norm after
+  //          each half-step, all in micro-unit integer arithmetic
+  //          (graph/Hits.scala carries the determinism contract and
+  //          the 100 TB shape: one hash join + one keyed integer sum
+  //          per half-step, the PageRank iteration plan). The oracle
+  //          unrolls the rounds into generated CTEs exactly like
+  //          q147's.
+  private val HitsIters = 2
+  private val HitsTop = 25
+
+  private def q269(s: SparkSession, dir: String): DataFrame =
+    graft.graph.Hits.scores(KGraph.materialized(s, dir), HitsIters)
+      .orderBy(col("auth_micro").desc, col("node_id"))
+      .limit(HitsTop)
+      .select(col("node_id"),
+        substring(col("node_id"), 1, 1).as("node_type"),
+        (col("auth_micro") / lit(1e6)).as("authority"),
+        (col("hub_micro") / lit(1e6)).as("hub"))
+
+  private val q269Sql =
+    s"""WITH ${KGraph.edgesSql},
+       |${graft.graph.Hits.sql.scoresCtes(HitsIters)}
+       |SELECT node_id, substr(node_id, 1, 1) AS node_type,
+       |  auth_micro / 1e6 AS authority, hub_micro / 1e6 AS hub
+       |FROM hits$HitsIters
+       |ORDER BY auth_micro DESC, node_id
+       |LIMIT $HitsTop""".stripMargin
+
+  // -- q273: global graph census across the repo's three graph
+  //          projections — directed edge count, reciprocity (share of
+  //          edges whose reverse edge exists: Garlaschelli & Loffredo
+  //          2004), wedge count, triangle count, and global
+  //          transitivity 3·T/W (Newman 2003) for (a) the knowledge
+  //          graph (a typed FK hierarchy: reciprocity and transitivity
+  //          are STRUCTURAL ZEROS — the census proves the DAG shape),
+  //          (b) the co-purchase projection (dense, triangle-rich),
+  //          (c) the user event-type transition graph (genuinely
+  //          bidirectional). The one-page topology datasheet read
+  //          before any per-node analytics. Scale shape: reciprocity
+  //          is one self-equi-join on the reversed key; wedges are a
+  //          degree aggregate; triangles reuse the q191 wedge-join
+  //          census; everything reduces to one row per graph.
+  private def q273(s: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Lineage.LineageOps
+    val W = org.apache.spark.sql.expressions.Window
+    def census(name: String, directed: DataFrame): DataFrame = {
+      val e = directed.select(col("from_id"), col("to_id"))
+        .filter(col("from_id") =!= col("to_id")).distinct()
+        .truncateLineage()
+      val recip = e.join(
+        e.select(col("to_id").as("from_id"), col("from_id").as("to_id")),
+        Seq("from_id", "to_id"), "left_semi")
+      val canon = GraphAnalytics.canonical(e)
+      val wedges = GraphAnalytics.degrees(canon)
+        .agg(sum(expr("(degree * (degree - 1)) div 2")).as("n_wedges"))
+      val tri = GraphAnalytics.triangleCounts(canon)
+        .agg(coalesce(sum(col("n_tri")), lit(0L)).as("tri3"))
+      e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(broadcast(recip.agg(count(lit(1)).as("n_reciprocal"))))
+        .crossJoin(broadcast(wedges))
+        .crossJoin(broadcast(tri))
+        .select(lit(name).as("graph"), col("n_edges"), col("n_reciprocal"),
+          graft.functions.ExactRound.ratio6(col("n_reciprocal"), col("n_edges"))
+            .as("reciprocity"),
+          col("n_wedges"), expr("tri3 div 3").as("n_triangles"),
+          when(col("n_wedges") > 0,
+            graft.functions.ExactRound.ratio6(col("tri3"), col("n_wedges")))
+            .otherwise(lit(0.0)).as("transitivity"))
+    }
+    val kg = KGraph.materialized(s, dir)
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val copurchase = li.select(col("ok"), col("pk").as("from_id"))
+      .join(li.select(col("ok"), col("pk").as("to_id")), "ok")
+      .filter(col("from_id") < col("to_id"))
+      .select(col("from_id").cast("string").as("from_id"),
+        col("to_id").cast("string").as("to_id"))
+    val ev = Tables.load(s, dir, "events").select(col("user_id"),
+      col("event_type"), expr("unix_timestamp(ts)").as("sec"),
+      col("event_id"))
+    val w = W.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val transitions = ev
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .select(col("event_type").as("from_id"), col("next_type").as("to_id"))
+    census("copurchase", copurchase)
+      .unionByName(census("event_transitions", transitions))
+      .unionByName(census("knowledge_graph", kg))
+      .orderBy(col("graph"))
+  }
+
+  private val q273Sql = {
+    val er = graft.functions.ExactRound.sql
+    def census(name: String, directedSql: String) =
+      s"""SELECT '$name' AS graph, n_edges, n_reciprocal,
+         |  ${er.ratio6("n_reciprocal", "n_edges")} AS reciprocity,
+         |  n_wedges, tri3 // 3 AS n_triangles,
+         |  CASE WHEN n_wedges > 0 THEN ${er.ratio6("tri3", "n_wedges")}
+         |    ELSE 0.0 END AS transitivity
+         |FROM (
+         |  WITH de AS (
+         |    SELECT DISTINCT from_id, to_id FROM ($directedSql) d0
+         |    WHERE from_id <> to_id),
+         |  cn AS (
+         |    SELECT DISTINCT least(from_id, to_id) AS a,
+         |      greatest(from_id, to_id) AS b FROM de),
+         |  dg AS (
+         |    SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+         |      SELECT a AS node FROM cn UNION ALL SELECT b FROM cn) t
+         |    GROUP BY 1),
+         |  tr AS (
+         |    SELECT CAST(count(*) AS BIGINT) AS n_t
+         |    FROM cn e1 JOIN cn e2 ON e1.b = e2.a
+         |      JOIN cn e3 ON e3.a = e1.a AND e3.b = e2.b)
+         |  SELECT
+         |    (SELECT CAST(count(*) AS BIGINT) FROM de) AS n_edges,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM de x
+         |     WHERE EXISTS (SELECT 1 FROM de r
+         |       WHERE r.from_id = x.to_id AND r.to_id = x.from_id))
+         |      AS n_reciprocal,
+         |    (SELECT CAST(coalesce(sum((degree * (degree - 1)) // 2), 0)
+         |       AS BIGINT) FROM dg) AS n_wedges,
+         |    (SELECT n_t * 3 FROM tr) AS tri3) s"""
+        .stripMargin
+    val kgSql = "SELECT from_id, to_id FROM edges"
+    val cpSql =
+      """SELECT CAST(l1.l_partkey AS VARCHAR) AS from_id,
+        |  CAST(l2.l_partkey AS VARCHAR) AS to_id
+        |FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) l1
+        |JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) l2
+        |  ON l1.l_orderkey = l2.l_orderkey
+        |  AND l1.l_partkey < l2.l_partkey""".stripMargin
+    val trSql =
+      """SELECT event_type AS from_id,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS to_id
+        |FROM events QUALIFY to_id IS NOT NULL""".stripMargin
+    s"""WITH ${KGraph.edgesSql}
+       |${census("copurchase", cpSql)}
+       |UNION ALL
+       |${census("event_transitions", trSql)}
+       |UNION ALL
+       |${census("knowledge_graph", kgSql)}
+       |ORDER BY graph""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q191_copurchase_clustering", q191, Some(q191Sql), headline = true),
     Q("q192_kcore_layers", q192, Some(q192Sql), headline = true),
@@ -680,5 +912,8 @@ object GraphAnalyticsQueries {
     Q("q239_partition_modularity", q239, Some(q239Sql)),
     Q("q249_harmonic_centrality", q249, Some(q249Sql)),
     Q("q256_betweenness", q256, Some(q256Sql), headline = true),
-    Q("q258_hop_plot", q258, Some(q258Sql)))
+    Q("q258_hop_plot", q258, Some(q258Sql)),
+    Q("q268_link_prediction", q268, Some(q268Sql)),
+    Q("q269_hits", q269, Some(q269Sql)),
+    Q("q273_graph_census", q273, Some(q273Sql)))
 }

@@ -978,6 +978,169 @@ object SamplingQueries {
        |ORDER BY variant""".stripMargin
   }
 
+  // -- q270: Welch's unequal-variance t-test (Welch 1947) + Cohen's d
+  //          per source — "does this source's quality distribution
+  //          differ from the rest of the corpus, and by how much?":
+  //          the statistical screen behind q127's mixing decisions.
+  //          Determinism: per-doc quality quantizes to micro-unit longs
+  //          (the q237 feature), so every per-source (n, Σq, Σq²) and
+  //          the global triple are exact integers; the t/d formulas
+  //          run as the IDENTICAL expression text on both engines over
+  //          those integers (the q267 contract — means/variances/sqrt
+  //          are correctly-rounded IEEE ops on exact operands). t and
+  //          d are scale-invariant, so micro units cancel. Bound:
+  //          Σq² ≤ n·10¹² must fit a long — exact to ~9e6 docs per
+  //          run; sample beyond. Scale shape: one scan → 4-row source
+  //          aggregate × broadcast 1-row corpus totals.
+  private val WtZ = 1.96
+
+  private def q270(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactRound
+    import graft.text.{TextFunctions => TF}
+    val q = docs(s, dir).select(col("source"),
+      round(TF.qualityScore(col("text"), col("n_chars")) * lit(1e6), 0)
+        .cast("long").as("qm"))
+    val per = q.groupBy(col("source")).agg(count(lit(1)).as("n1"),
+      sum(col("qm")).as("s1"), sum(col("qm") * col("qm")).as("ss1"))
+    val tot = per.agg(sum(col("n1")).as("nn"), sum(col("s1")).as("ts"),
+      sum(col("ss1")).as("tss"))
+    val m1 = "(CAST(s1 AS DOUBLE) / n1)"
+    val m2 = "(CAST(ts - s1 AS DOUBLE) / (nn - n1))"
+    val v1 = s"((CAST(ss1 AS DOUBLE) - $m1 * s1) / (n1 - 1))"
+    val v2 = s"((CAST(tss - ss1 AS DOUBLE) - $m2 * (ts - s1)) / (nn - n1 - 1))"
+    val t = s"(($m1 - $m2) / sqrt($v1 / n1 + $v2 / (nn - n1)))"
+    val dP = s"(((n1 - 1) * $v1 + (nn - n1 - 1) * $v2) / (nn - 2))"
+    val cohen = s"(($m1 - $m2) / sqrt($dP))"
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n1").as("n_docs"),
+        ExactRound.microMean6(col("s1"), col("n1")).as("mean_quality"),
+        expr(s"round($t, 6)").as("t_welch"),
+        expr(s"round($cohen, 6)").as("cohens_d"),
+        expr(s"abs($t) > $WtZ").as("significant"))
+      .orderBy(col("source"))
+  }
+
+  private val q270Sql = {
+    import graft.functions.{ExactRound => ER}
+    import graft.text.{TextFunctions => TF}
+    val m1 = "(CAST(s1 AS DOUBLE) / n1)"
+    val m2 = "(CAST(ts - s1 AS DOUBLE) / (nn - n1))"
+    val v1 = s"((CAST(ss1 AS DOUBLE) - $m1 * s1) / (n1 - 1))"
+    val v2 = s"((CAST(tss - ss1 AS DOUBLE) - $m2 * (ts - s1)) / (nn - n1 - 1))"
+    val t = s"(($m1 - $m2) / sqrt($v1 / n1 + $v2 / (nn - n1)))"
+    val dP = s"(((n1 - 1) * $v1 + (nn - n1 - 1) * $v2) / (nn - 2))"
+    val cohen = s"(($m1 - $m2) / sqrt($dP))"
+    s"""WITH q AS (
+       |  SELECT source,
+       |    CAST(round(${TF.sql.qualityScore("text", "n_chars")} * 1e6, 0)
+       |      AS BIGINT) AS qm
+       |  FROM documents),
+       |per AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n1,
+       |    CAST(sum(qm) AS BIGINT) AS s1,
+       |    CAST(sum(qm * qm) AS BIGINT) AS ss1
+       |  FROM q GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(sum(n1) AS BIGINT) AS nn, CAST(sum(s1) AS BIGINT) AS ts,
+       |    CAST(sum(ss1) AS BIGINT) AS tss
+       |  FROM per)
+       |SELECT source, n1 AS n_docs,
+       |  ${ER.sql.microMean6("s1", "n1")} AS mean_quality,
+       |  round($t, 6) AS t_welch,
+       |  round($cohen, 6) AS cohens_d,
+       |  abs($t) > $WtZ AS significant
+       |FROM per CROSS JOIN tot
+       |ORDER BY source""".stripMargin
+  }
+
+  // -- q271: CUPED variance reduction (Deng et al. 2013, "Improving
+  //          the sensitivity of online controlled experiments by
+  //          utilizing pre-experiment data") on the q267 experiment:
+  //          the covariate is each user's PRE-period activity count
+  //          (first half of the observed time range, integer midpoint
+  //          split), the metric is the POST-period count; θ =
+  //          cov(x,y)/var(x) from corpus-wide exact integer sums, and
+  //          each arm reports its raw vs CUPED-adjusted mean plus the
+  //          achieved variance reduction ρ². Determinism: per-user x/y
+  //          are integer counts; all moment sums are exact longs (the
+  //          cross-moment bound n·Σxy fits a long to ~1e9 user-events
+  //          — beyond, pre-scale the counts); θ/ρ²/adjusted means are
+  //          identical expression text over integer differences on
+  //          both engines. Scale shape: one scan → user aggregate →
+  //          2-row arm rollup × broadcast 1-row moments.
+  private def q271(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactRound
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), expr("unix_timestamp(ts)").as("sec"))
+    val mid = ev.agg(expr("(min(sec) + max(sec)) div 2").as("mid"))
+    val users = ev.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("sec") <= col("mid"), 1L).otherwise(0L)).as("x"),
+        sum(when(col("sec") > col("mid"), 1L).otherwise(0L)).as("y"))
+      .withColumn("variant",
+        when(Sampling.hashBucket(col("user_id"), 2, "ab") === 0L, "A")
+          .otherwise("B"))
+    val mom = users.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+    val arms = users.groupBy(col("variant"))
+      .agg(count(lit(1)).as("na"), sum(col("x")).as("sxa"),
+        sum(col("y")).as("sya"))
+    val theta = "(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx))"
+    val rho2 = "((CAST(n * sxy - sx * sy AS DOUBLE) * (n * sxy - sx * sy)) / " +
+      "(CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)))"
+    val meanx = "(CAST(sx AS DOUBLE) / n)"
+    val madj = s"(CAST(sya AS DOUBLE) / na - $theta * " +
+      s"(CAST(sxa AS DOUBLE) / na - $meanx))"
+    arms.crossJoin(broadcast(mom))
+      .select(col("variant"), col("na").as("n_users"),
+        ExactRound.ratio6(col("sxa"), col("na")).as("mean_pre"),
+        ExactRound.ratio6(col("sya"), col("na")).as("mean_post"),
+        expr(s"round($madj, 6)").as("mean_post_adj"),
+        expr(s"round($theta, 6)").as("theta"),
+        expr(s"round($rho2, 6)").as("var_reduction"))
+      .orderBy(col("variant"))
+  }
+
+  private val q271Sql = {
+    import graft.functions.{ExactRound => ER}
+    val h = Sampling.sql.hashBucket("user_id", 2, "ab")
+    val theta = "(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx))"
+    val rho2 = "((CAST(n * sxy - sx * sy AS DOUBLE) * (n * sxy - sx * sy)) / " +
+      "(CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)))"
+    val meanx = "(CAST(sx AS DOUBLE) / n)"
+    val madj = s"(CAST(sya AS DOUBLE) / na - $theta * " +
+      s"(CAST(sxa AS DOUBLE) / na - $meanx))"
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+       |  FROM events),
+       |mid AS (SELECT (min(sec) + max(sec)) // 2 AS mid FROM ev),
+       |users AS (
+       |  SELECT user_id,
+       |    CAST(sum(CASE WHEN sec <= mid THEN 1 ELSE 0 END) AS BIGINT) AS x,
+       |    CAST(sum(CASE WHEN sec > mid THEN 1 ELSE 0 END) AS BIGINT) AS y,
+       |    CASE WHEN $h = 0 THEN 'A' ELSE 'B' END AS variant
+       |  FROM ev CROSS JOIN mid GROUP BY user_id),
+       |mom AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+       |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(y * y) AS BIGINT) AS syy
+       |  FROM users),
+       |arms AS (
+       |  SELECT variant, CAST(count(*) AS BIGINT) AS na,
+       |    CAST(sum(x) AS BIGINT) AS sxa, CAST(sum(y) AS BIGINT) AS sya
+       |  FROM users GROUP BY 1)
+       |SELECT variant, na AS n_users,
+       |  ${ER.sql.ratio6("sxa", "na")} AS mean_pre,
+       |  ${ER.sql.ratio6("sya", "na")} AS mean_post,
+       |  round($madj, 6) AS mean_post_adj,
+       |  round($theta, 6) AS theta,
+       |  round($rho2, 6) AS var_reduction
+       |FROM arms CROSS JOIN mom
+       |ORDER BY variant""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q111_split_assign", q111, Some(q111Sql)),
     Q("q112_quota_sample", q112, Some(q112Sql)),
@@ -996,5 +1159,7 @@ object SamplingQueries {
     Q("q210_blocklist_screen", q210, Some(q210Sql)),
     Q("q222_neyman_allocation", q222, Some(q222Sql)),
     Q("q248_poisson_bootstrap", q248, Some(q248Sql)),
-    Q("q267_ab_test", q267, Some(q267Sql)))
+    Q("q267_ab_test", q267, Some(q267Sql)),
+    Q("q270_welch_ttest", q270, Some(q270Sql)),
+    Q("q271_cuped", q271, Some(q271Sql)))
 }

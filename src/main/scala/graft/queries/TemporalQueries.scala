@@ -1158,6 +1158,67 @@ object TemporalQueries {
        |ORDER BY s.k, s.dow""".stripMargin
   }
 
+  // -- q272: forecast backtest — seasonal-naive (lag-7) vs naive
+  //          (lag-1) one-step-ahead forecasts of the per-type daily
+  //          count series, graded by MASE (Hyndman & Koehler 2006: the
+  //          seasonal model's MAE over the naive benchmark's — MASE
+  //          < 1 means weekly structure is real and a forecaster
+  //          should use it). The go/no-go check run before wiring any
+  //          seasonal model into capacity planning. Lags are over
+  //          OBSERVED days in day order (calendar gaps are rare in
+  //          this series and identically treated on both engines).
+  //          Determinism: absolute errors are exact integer sums;
+  //          MAEs are ExactRound ratios and MASE is the cross-product
+  //          ratio6(s7·n1, s1·n7) — pure integer arithmetic, no
+  //          float-on-float division. Scale shape: the series frame
+  //          is (type × day)-bounded metadata; two lags in one window
+  //          pass, one keyed rollup.
+  private def q272(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactRound
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("k")).orderBy(col("day"))
+    val lagged = daily(s, dir)
+      .withColumn("l1", lag(col("cnt"), 1).over(w))
+      .withColumn("l7", lag(col("cnt"), 7).over(w))
+    lagged.groupBy(col("k").as("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        count(col("l1")).as("n1"),
+        sum(abs(col("cnt") - col("l1"))).as("s1"),
+        count(col("l7")).as("n7"),
+        sum(abs(col("cnt") - col("l7"))).as("s7"))
+      .select(col("event_type"), col("n_days"),
+        ExactRound.ratio6(col("s1"), col("n1")).as("mae_naive"),
+        ExactRound.ratio6(col("s7"), col("n7")).as("mae_seasonal"),
+        when(col("s1") > 0 && col("n7") > 0,
+          ExactRound.ratio6(col("s7") * col("n1"), col("s1") * col("n7")))
+          .as("mase"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q272Sql = {
+    val er = graft.functions.ExactRound.sql
+    s"""WITH $dailySql,
+       |lagged AS (
+       |  SELECT k, cnt,
+       |    lag(cnt, 1) OVER (PARTITION BY k ORDER BY day) AS l1,
+       |    lag(cnt, 7) OVER (PARTITION BY k ORDER BY day) AS l7
+       |  FROM daily),
+       |agg AS (
+       |  SELECT k AS event_type,
+       |    CAST(count(*) AS BIGINT) AS n_days,
+       |    CAST(count(l1) AS BIGINT) AS n1,
+       |    CAST(sum(abs(cnt - l1)) AS BIGINT) AS s1,
+       |    CAST(count(l7) AS BIGINT) AS n7,
+       |    CAST(sum(abs(cnt - l7)) AS BIGINT) AS s7
+       |  FROM lagged GROUP BY 1)
+       |SELECT event_type, n_days,
+       |  ${er.ratio6("s1", "n1")} AS mae_naive,
+       |  ${er.ratio6("s7", "n7")} AS mae_seasonal,
+       |  CASE WHEN s1 > 0 AND n7 > 0
+       |    THEN ${er.ratio6("s7 * n1", "s1 * n7")} END AS mase
+       |FROM agg ORDER BY event_type""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q36_temporal_filter", q36, Some(q36Sql)),
     Q("q37_daily_cumulative", q37, Some(q37Sql)),
@@ -1180,5 +1241,6 @@ object TemporalQueries {
     Q("q241_asof_join", q241, Some(q241Sql)),
     Q("q252_cusum_chart", q252, Some(q252Sql)),
     Q("q253_ewma_chart", q253, Some(q253Sql)),
-    Q("q265_stl_decomposition", q265, Some(q265Sql)))
+    Q("q265_stl_decomposition", q265, Some(q265Sql)),
+    Q("q272_forecast_backtest", q272, Some(q272Sql)))
 }

@@ -197,4 +197,22 @@ class ControlChartSpec extends SparkSpec {
       .as[(String, String, Double)].collect().toSeq.sorted
     assert(batch.nonEmpty && streamed == batch)
   }
+
+  test("q272: MASE is the exact MAE cross-ratio; errors are non-negative") {
+    val rows = Catalog.byName("q272_forecast_backtest")
+      .run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val m1 = r.getAs[Double]("mae_naive")
+      val m7 = r.getAs[Double]("mae_seasonal")
+      assert(m1 >= 0.0 && m7 >= 0.0)
+      Option(r.getAs[java.lang.Double]("mase")).foreach { mase =>
+        assert(mase >= 0.0)
+        // the reported MASE must agree with the two reported MAEs up
+        // to their 1e-6 roundings
+        if (m1 > 0) assert(math.abs(mase - m7 / m1) < 1e-3,
+          s"mase=$mase vs ratio=${m7 / m1}")
+      }
+    }
+  }
 }

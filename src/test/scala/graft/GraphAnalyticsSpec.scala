@@ -174,6 +174,55 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(h == eff && i > eff - 1 - 1e-9 && i <= eff + 1e-9)
   }
 
+  test("q269 hits: star authorities/hubs max-normalize to exactly 1") {
+    import org.apache.spark.sql.functions._
+    // all leaves point at the center: center is the sole authority
+    // (auth = 1e6), every leaf the equal-best hub (hub = 1e6)
+    val e = Seq(("l1", "c"), ("l2", "c"), ("l3", "c"))
+      .toDF("from_id", "to_id")
+    val got = graft.graph.Hits.scores(e, 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("auth_micro"), r.getAs[Long]("hub_micro")))).toMap
+    assert(got("c") == ((1000000L, 0L)))
+    Seq("l1", "l2", "l3").foreach(l => assert(got(l) == ((0L, 1000000L))))
+  }
+
+  test("q268: predictions are non-edges ranked by shared-neighbor evidence") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.Catalog.byName("q268_link_prediction")
+      .run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val existing = graft.graph.KGraph
+      .canonicalMaterialized(spark, sf)
+      .as[(String, String)].collect().toSet
+    var prev = Double.MaxValue
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("node_a"), r.getAs[String]("node_b"))
+      assert(a < b && !existing((a, b)), s"predicted pair ($a,$b) exists")
+      assert(r.getAs[Long]("common_neighbors") >= 1L)
+      val s = r.getAs[Double]("aa_score")
+      assert(s > 0 && s <= prev); prev = s
+    }
+  }
+
+  test("q273: census proves the KG hierarchy and the projections' shapes") {
+    val rows = graft.queries.Catalog.byName("q273_graph_census")
+      .run(spark, sf).collect()
+      .map(r => r.getAs[String]("graph") -> r).toMap
+    // the knowledge graph is a typed FK hierarchy: no 2-cycles, no
+    // triangles — structural zeros the census must read exactly
+    val kg = rows("knowledge_graph")
+    assert(kg.getAs[Double]("reciprocity") == 0.0)
+    assert(kg.getAs[Long]("n_triangles") == 0L)
+    // co-purchase is canonical (single direction) but triangle-rich
+    val cp = rows("copurchase")
+    assert(cp.getAs[Double]("reciprocity") == 0.0)
+    assert(cp.getAs[Long]("n_triangles") > 0L)
+    assert(cp.getAs[Double]("transitivity") > 0.0)
+    // event-type transitions genuinely run both ways
+    assert(rows("event_transitions").getAs[Double]("reciprocity") > 0.5)
+  }
+
   test("q256 micro-term: diamond dependency quantizes to exactly 0.5") {
     // s->a, s->b, a->t, b->t: sigma(a)=1, sigma(t)=2, delta(t)=0
     // per-edge term = round-half-up(1e6 * 1 * (1 + 0) / 2) = 500000

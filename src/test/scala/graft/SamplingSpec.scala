@@ -59,6 +59,41 @@ class SamplingSpec extends SparkSpec {
     assert(src1Before == src1After)
   }
 
+  test("q270: Welch readout coheres (bounded means, significance = |t| gate)") {
+    val rows = graft.queries.Catalog.byName("q270_welch_ttest")
+      .run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val m = r.getAs[Double]("mean_quality")
+      assert(m >= 0.0 && m <= 1.0)
+      val t = r.getAs[Double]("t_welch")
+      val d = r.getAs[Double]("cohens_d")
+      assert(!t.isNaN && !d.isNaN)
+      // t and d always share a sign (same mean difference numerator)
+      assert(t == 0.0 || math.signum(t) == math.signum(d))
+      assert(r.getAs[Boolean]("significant") == (math.abs(t) > 1.96))
+    }
+  }
+
+  test("q271: CUPED shares one theta; adjustment preserves the global mean") {
+    val rows = graft.queries.Catalog.byName("q271_cuped")
+      .run(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("variant")).sorted.toSeq == Seq("A", "B"))
+    val thetas = rows.map(_.getAs[Double]("theta")).distinct
+    assert(thetas.length == 1)
+    rows.foreach { r =>
+      val vr = r.getAs[Double]("var_reduction")
+      assert(vr >= 0.0 && vr <= 1.0, s"rho^2 out of range: $vr")
+    }
+    // CUPED shifts each arm by theta*(arm pre-mean - global pre-mean):
+    // the user-weighted adjustment across arms cancels (~0 up to the
+    // reported 1e-6 rounding)
+    val shift = rows.map(r => r.getAs[Long]("n_users") *
+      (r.getAs[Double]("mean_post_adj") - r.getAs[Double]("mean_post"))).sum
+    val total = rows.map(_.getAs[Long]("n_users")).sum
+    assert(math.abs(shift / total) < 1e-4, s"weighted shift $shift")
+  }
+
   test("q267: arms partition users; Wilson brackets the rate; z sign/significance cohere") {
     val rows = graft.queries.Catalog.byName("q267_ab_test")
       .run(spark, sf).collect()
