@@ -153,6 +153,11 @@ object Bench {
     // query's recorded floor, take up to two extra samples and keep the
     // min; the retried set is reported in the JSON so a record that
     // needed healing is self-diagnosing.
+    // floors are QUIET-HOST sf0.1 pins: at any other scale factor
+    // (ScaleGen sf1.0 scale-proof runs) every reading legitimately
+    // exceeds them, so the retry loop and the ratio report would fire
+    // on every query — both are sf0.1-only by construction
+    val floorsApply = sfDir.endsWith("sf0.1")
     val retried = scala.collection.mutable.ListBuffer[String]()
     val extraSamples = scala.collection.mutable.Map[String, List[Double]]()
     val results = headline.map { q =>
@@ -160,7 +165,7 @@ object Bench {
       if (good.isEmpty) (q.name, -1.0, false)
       else {
         var best = good.map(_._2).min
-        floors.get(q.name).foreach { floor =>
+        floors.filter(_ => floorsApply).get(q.name).foreach { floor =>
           var tries = 0
           while (best > 2.0 * floor && tries < 2) {
             if (tries == 0) retried += q.name
@@ -216,7 +221,7 @@ object Bench {
     // keeps using every floor — a retry is cheap, a misread isn't.
     val floorRatios = results.collect {
       case (name, best, true)
-          if floors.get(name).exists(_ >= 0.5) && best > 0 =>
+          if floorsApply && floors.get(name).exists(_ >= 0.5) && best > 0 =>
         "\"" + name + "\":" + f"${best / floors(name)}%.2f"
     }.mkString("{", ",", "}")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$samples,"failed":$failed,"retried":$retriedJson,"floor_ratio":$floorRatios,"sf":"$sfDir"}""")
@@ -226,11 +231,14 @@ object Bench {
     // time) and writes the per-query step/bottleneck digest the tuning
     // docs reference. Failures here must never poison the bench record
     // — the JSON line above is already printed.
-    try explainReport(spark, sfDir,
-      results.collect { case (n, best, true) if best >= 2.0 => n })
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] explain report failed: ${e.getMessage}")
-    }
+    // sf0.1-only (like the floors): the scale-proof sf1.0 sweeps don't
+    // need a second execution of every heavy query
+    if (floorsApply)
+      try explainReport(spark, sfDir,
+        results.collect { case (n, best, true) if best >= 2.0 => n })
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] explain report failed: ${e.getMessage}")
+      }
     spark.stop()
   }
 
@@ -243,7 +251,10 @@ object Bench {
     md ++= "# Bench explain report (generated by graft.Bench)\n\n"
     md ++= s"Per heavy headliner (best >= 2 s) at `$sfDir`: top plan steps\n"
     md ++= "by operator time and QueryExplainer bottleneck-rule hits read\n"
-    md ++= "off the executed plan's SQLMetrics.\n"
+    md ++= "off the executed plan's SQLMetrics. Operator times are\n"
+    md ++= "task-SUMMED across parallel cores while the executed total is\n"
+    md ++= "wall time, so step shares above 100% mean \"this operator\n"
+    md ++= "dominated every core\", not a bookkeeping error.\n"
     names.foreach { name =>
       val df = Catalog.byName(name).run(spark, sfDir)
       val (steps, totalMs) = QueryExplainer.execute(df)

@@ -15,13 +15,17 @@ import graft.engine.Lineage.LineageOps
   * round-8 finding was each of them recomputing the identical pair
   * graph, ~20 s of the 41-headliner bench).
   *
-  * The pair frame is materialized at the SWEEP FLOOR threshold (0.7,
-  * q162's lowest operating point): `minhashLsh`'s banding and estimate
-  * are threshold-independent — the threshold is only the final filter —
-  * so every consumer at a tighter threshold is an exact filter of this
-  * one frame (pairs(0.9) == pairs(0.7) WHERE est >= 0.9, bit-for-bit).
-  * Storing the index at the loosest threshold an operator might query
-  * is exactly how the production artifact would be laid out.
+  * The pair frame is materialized at the FLOOR threshold (0.5, the
+  * q176 calibration sweep's operating point — the loosest any catalog
+  * consumer queries): `minhashLsh`'s banding and estimate are
+  * threshold-independent — the threshold is only the final filter — so
+  * every consumer at a tighter threshold is an exact filter of this
+  * one frame (pairs(0.9) == pairs(0.5) WHERE est >= 0.9, bit-for-bit),
+  * and the candidate-generation + scoring work (the actual cost) is
+  * identical at any floor. Storing the index at the loosest threshold
+  * an operator might query is exactly how the production artifact
+  * would be laid out; the floor only sizes the RETAINED frame (~3.5M
+  * rows at sf0.1 — narrow, checkpoint-cheap).
   *
   * At 100 TB this is a bucketed parquet table written by the ingestion
   * job; here it is a lineage-truncated frame cached per (session, sf).
@@ -30,8 +34,9 @@ object DedupIndex {
 
   val K = 12
   val Bands = 2
-  /** Loosest threshold any catalog consumer sweeps (q162). */
-  val FloorThreshold = 0.7
+  /** Loosest threshold any catalog consumer queries (q176's
+    * calibration sample; q162 sweeps from 0.7). */
+  val FloorThreshold = 0.5
   /** The operating near-dup threshold (q28 and every cluster consumer). */
   val Threshold = 0.9
 

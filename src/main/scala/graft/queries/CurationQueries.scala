@@ -1239,9 +1239,10 @@ object CurationQueries {
   private val ThSweep = Seq(0.7, 0.8, 0.9)
 
   private def q162(s: SparkSession, dir: String): DataFrame = {
-    // the materialized index is stored AT the sweep floor, so the
-    // sweep reads it unfiltered
+    // the materialized index is stored at the catalog-wide floor
+    // (0.5); the sweep filters to its own floor exactly
     val pairs = graft.dedup.DedupIndex.candidatePairs(s, dir)
+      .filter(col("est_jaccard") >= ThSweep.min)
     // single pass over the pair frame: one conditional aggregate per
     // threshold (no per-threshold replication); docs-touched at t =
     // docs whose best pair estimate reaches t, from a per-doc max frame

@@ -129,6 +129,110 @@ object DedupQueries {
        |ORDER BY a.blk, a_id, b_id""".stripMargin
   }
 
+  // -- q277: dedup recall estimate by capture–recapture (Chapman 1951
+  //          estimator over Lincoln–Petersen) — how many near-dup
+  //          pairs does the corpus REALLY contain, given two
+  //          independent catchers? LSH (q28, restricted to same-source
+  //          pairs so both methods sample the same population) and
+  //          source-blocked SimHash (q29) each catch a subset; the
+  //          overlap m sizes the unseen remainder:
+  //          N̂ = (n1+1)(n2+1)/(m+1) − 1 and each method's estimated
+  //          recall = n/N̂. The audit that turns "we ran two dedup
+  //          passes" into "we believe we caught ~X% of near-dups" —
+  //          the independence assumption is the usual caveat and is
+  //          stated in the output's own terms (recalls near 1 mean
+  //          the catchers agree, not that the estimator is exact).
+  //          Determinism: three exact pair counts; Chapman is pure
+  //          integral arithmetic; recalls are ExactRound ratios.
+  //          Scale shape: both catchers are the existing bounded-key
+  //          equi-join plans; the overlap is one (a_id, b_id) join.
+  private def q277(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactRound
+    val d = docs(s, dir)
+    val src = d.select(col("doc_id"), col("source"))
+    val lsh = graft.dedup.DedupIndex.pairs(s, dir)
+      .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")),
+        Seq("a_id"))
+      .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")),
+        Seq("b_id"))
+      .filter(col("sa") === col("sb"))
+      .select(col("a_id"), col("b_id"))
+    val sim = Dedup.simhashPairs(d, "doc_id", "text", "source", maxDist = 3)
+      .select(col("a_id"), col("b_id"))
+    val mBoth = lsh.join(sim, Seq("a_id", "b_id"), "left_semi")
+    val est = "((n_lsh + 1) * (n_simhash + 1) div (n_both + 1) - 1)"
+    lsh.agg(count(lit(1)).as("n_lsh"))
+      .crossJoin(broadcast(sim.agg(count(lit(1)).as("n_simhash"))))
+      .crossJoin(broadcast(mBoth.agg(count(lit(1)).as("n_both"))))
+      .withColumn("est_total", expr(est))
+      .select(col("n_lsh"), col("n_simhash"), col("n_both"),
+        col("est_total"),
+        when(col("est_total") > 0,
+          ExactRound.ratio6(col("n_lsh"), col("est_total")))
+          .as("recall_lsh"),
+        when(col("est_total") > 0,
+          ExactRound.ratio6(col("n_simhash"), col("est_total")))
+          .as("recall_simhash"))
+  }
+
+  private val q277Sql = {
+    import graft.functions.{ExactRound => ER}
+    val sums = (0 until 16).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(", ")
+    val bits = (0 until 16).map(j =>
+      s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""WITH sig AS (
+       |  SELECT doc_id AS id, source,
+       |    ${TF.sql.minhashSignature("text", 12)} AS sig
+       |  FROM documents),
+       |banded AS (
+       |  SELECT id, sig, source,
+       |    b::VARCHAR || '#' || array_to_string(sig[b*6+1:b*6+6], '#')
+       |      AS bucket
+       |  FROM sig, range(0, 2) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+       |  FROM banded a JOIN banded b
+       |    ON a.bucket = b.bucket AND a.id < b.id AND a.source = b.source),
+       |lsh AS (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT c.a_id, c.b_id,
+       |      len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2]))
+       |        * 1.0 / 12 AS est
+       |    FROM cand c JOIN sig sa ON sa.id = c.a_id
+       |    JOIN sig sb ON sb.id = c.b_id) x
+       |  WHERE est >= 0.9),
+       |toks AS (
+       |  SELECT doc_id AS id, source AS blk, ${TF.sql.md5Long("t.tok")} AS h
+       |  FROM documents, unnest(string_split(text, ' ')) AS t(tok)),
+       |sums AS (SELECT id, blk, $sums FROM toks GROUP BY id, blk),
+       |sh AS (SELECT id, blk, CAST($bits AS BIGINT) AS simhash FROM sums),
+       |sim AS (
+       |  SELECT a.id AS a_id, b.id AS b_id
+       |  FROM sh a JOIN sh b ON a.blk = b.blk AND a.id < b.id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |cnt AS (
+       |  SELECT
+       |    (SELECT CAST(count(*) AS BIGINT) FROM lsh) AS n_lsh,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM sim) AS n_simhash,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM lsh
+       |     WHERE EXISTS (SELECT 1 FROM sim
+       |       WHERE sim.a_id = lsh.a_id AND sim.b_id = lsh.b_id))
+       |      AS n_both)
+       |SELECT n_lsh, n_simhash, n_both,
+       |  (n_lsh + 1) * (n_simhash + 1) // (n_both + 1) - 1 AS est_total,
+       |  CASE WHEN (n_lsh + 1) * (n_simhash + 1) // (n_both + 1) - 1 > 0
+       |    THEN ${ER.sql.ratio6("n_lsh",
+                "(n_lsh + 1) * (n_simhash + 1) // (n_both + 1) - 1")} END
+       |    AS recall_lsh,
+       |  CASE WHEN (n_lsh + 1) * (n_simhash + 1) // (n_both + 1) - 1 > 0
+       |    THEN ${ER.sql.ratio6("n_simhash",
+                "(n_lsh + 1) * (n_simhash + 1) // (n_both + 1) - 1")} END
+       |    AS recall_simhash
+       |FROM cnt""".stripMargin
+  }
+
   // -- q30: character 3-gram Jaccard near-dup within source blocks
   private def q30(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(docs(s, dir), "doc_id", "text", "source", n = 3,
@@ -650,8 +754,9 @@ object DedupQueries {
   private def q176(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.ExactRound
     val d = docs(s, dir)
-    val pairs = Dedup.minhashLsh(d, "doc_id", "text", k = 12, bands = 2,
-        threshold = 0.5)
+    // the index floor IS this query's threshold (0.5), so the
+    // calibration stream reads the materialized frame unfiltered
+    val pairs = graft.dedup.DedupIndex.candidatePairs(s, dir)
       .filter((col("a_id") * 31 + col("b_id")) % 4 === 0L)
     val ts = d.select(col("doc_id"),
       array_distinct(split(col("text"), " ")).as("ts"))
@@ -1547,5 +1652,6 @@ object DedupQueries {
     Q("q220_lsh_planner", q220, Some(q220Sql)),
     Q("q226_cluster_cohesion", q226, Some(q226Sql), headline = true),
     Q("q228_normalized_dedup", q228, Some(q228Sql)),
-    Q("q232_boilerplate_templates", q232, Some(q232Sql)))
+    Q("q232_boilerplate_templates", q232, Some(q232Sql)),
+    Q("q277_dedup_recall_estimate", q277, Some(q277Sql)))
 }

@@ -1141,6 +1141,143 @@ object SamplingQueries {
        |ORDER BY variant""".stripMargin
   }
 
+  // -- q274: inter-labeler agreement (Cohen 1960 kappa) between two
+  //          independent rule-based quality labelers, per source — the
+  //          label-noise screen run before trusting any single
+  //          heuristic to train the q173 classifier: raw agreement po
+  //          overstates consensus when both labelers mostly say "keep",
+  //          kappa discounts the chance-agreement floor pe. Labeler A:
+  //          composite quality score > 0.5; labeler B: lexical
+  //          diversity > 0.5 with ≥ 100 chars. Determinism: the 2×2
+  //          confusion cells are exact integer counts (label compares
+  //          are IEEE-identical divisions of integers); po/pe/kappa
+  //          run as identical expression text over those longs, with
+  //          nullif guarding the degenerate pe = 1 corpus. Scale:
+  //          one scan → 4 conditional sums per source.
+  private def q274(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{TextFunctions => TF}
+    val lab = docs(s, dir).select(col("source"),
+      (TF.qualityScore(col("text"), col("n_chars")) > lit(0.5)).as("la"),
+      (TF.tokenDiversity(col("text")) > lit(0.5) &&
+        col("n_chars") >= 100).as("lb"))
+    val cells = lab.groupBy(col("source")).agg(
+      sum(when(col("la") && col("lb"), 1L).otherwise(0L)).as("ka"),
+      sum(when(col("la") && !col("lb"), 1L).otherwise(0L)).as("kb"),
+      sum(when(!col("la") && col("lb"), 1L).otherwise(0L)).as("kc"),
+      sum(when(!col("la") && !col("lb"), 1L).otherwise(0L)).as("kd"))
+    val n = "(ka + kb + kc + kd)"
+    val po = s"(CAST(ka + kd AS DOUBLE) / $n)"
+    val pe = s"(CAST((ka + kb) * (ka + kc) + (kc + kd) * (kb + kd) " +
+      s"AS DOUBLE) / ($n * $n))"
+    val kappa = s"(($po - $pe) / nullif(1 - $pe, 0))"
+    cells.select(col("source"),
+      expr(s"$n").as("n_docs"),
+      col("ka").as("both_pos"), col("kd").as("both_neg"),
+      (col("kb") + col("kc")).as("disagree"),
+      expr(s"round($po, 6)").as("po"),
+      expr(s"round($pe, 6)").as("pe"),
+      expr(s"round($kappa, 6)").as("kappa"))
+      .orderBy(col("source"))
+  }
+
+  private val q274Sql = {
+    import graft.text.{TextFunctions => TF}
+    val la = s"(${TF.sql.qualityScore("text", "n_chars")} > 0.5)"
+    val lb = s"(${TF.sql.tokenDiversity("text")} > 0.5 AND n_chars >= 100)"
+    val n = "(ka + kb + kc + kd)"
+    val po = s"(CAST(ka + kd AS DOUBLE) / $n)"
+    val pe = s"(CAST((ka + kb) * (ka + kc) + (kc + kd) * (kb + kd) " +
+      s"AS DOUBLE) / ($n * $n))"
+    val kappa = s"(($po - $pe) / nullif(1 - $pe, 0))"
+    s"""WITH lab AS (
+       |  SELECT source, $la AS la, $lb AS lb FROM documents),
+       |cells AS (
+       |  SELECT source,
+       |    CAST(sum(CASE WHEN la AND lb THEN 1 ELSE 0 END) AS BIGINT) AS ka,
+       |    CAST(sum(CASE WHEN la AND NOT lb THEN 1 ELSE 0 END) AS BIGINT) AS kb,
+       |    CAST(sum(CASE WHEN NOT la AND lb THEN 1 ELSE 0 END) AS BIGINT) AS kc,
+       |    CAST(sum(CASE WHEN NOT la AND NOT lb THEN 1 ELSE 0 END) AS BIGINT) AS kd
+       |  FROM lab GROUP BY 1)
+       |SELECT source, $n AS n_docs, ka AS both_pos, kd AS both_neg,
+       |  kb + kc AS disagree,
+       |  round($po, 6) AS po, round($pe, 6) AS pe, round($kappa, 6) AS kappa
+       |FROM cells ORDER BY source""".stripMargin
+  }
+
+  // -- q278: robust per-source quality location — 10% two-sided
+  //          TRIMMED mean and WINSORIZED mean (Tukey; Huber 1981)
+  //          next to the raw mean: the outlier-proof location a
+  //          mixing decision should read when a source ships a few
+  //          boilerplate or garbage extremes. Determinism: micro-unit
+  //          integer scores ranked under the TOTAL order (qm, doc_id);
+  //          k = n div 10 rows cut per side; winsorized sum =
+  //          trimmed_sum + k·(lo + hi) with lo/hi the exact boundary
+  //          order statistics — all integer arithmetic, means via
+  //          microMean6. Scale shape: one per-source sort (the same
+  //          shape as every quantile query) + one keyed rollup.
+  private def q278(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactRound
+    import graft.text.{TextFunctions => TF}
+    val W = org.apache.spark.sql.expressions.Window
+    val q = docs(s, dir).select(col("source"), col("doc_id"),
+      round(TF.qualityScore(col("text"), col("n_chars")) * lit(1e6), 0)
+        .cast("long").as("qm"))
+    val w = W.partitionBy(col("source")).orderBy(col("qm"), col("doc_id"))
+    val ranked = q
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(W.partitionBy(col("source"))))
+      .withColumn("k", expr("n div 10"))
+    ranked.groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"), max(col("k")).as("k"),
+        sum(col("qm")).as("sall"),
+        sum(when(col("rn") > col("k") && col("rn") <= col("n") - col("k"),
+          col("qm")).otherwise(0L)).as("strim"),
+        max(when(col("rn") === col("k") + 1, col("qm"))).as("lo"),
+        max(when(col("rn") === col("n") - col("k"), col("qm"))).as("hi"))
+      .select(col("source"), col("n_docs"),
+        ExactRound.microMean6(col("sall"), col("n_docs")).as("mean_q"),
+        ExactRound.microMean6(col("strim"),
+          col("n_docs") - lit(2L) * col("k")).as("trimmed_mean"),
+        ExactRound.microMean6(
+          col("strim") + col("k") * (col("lo") + col("hi")),
+          col("n_docs")).as("winsorized_mean"),
+        (col("lo") / lit(1e6)).as("q_lo"),
+        (col("hi") / lit(1e6)).as("q_hi"))
+      .orderBy(col("source"))
+  }
+
+  private val q278Sql = {
+    import graft.functions.{ExactRound => ER}
+    import graft.text.{TextFunctions => TF}
+    s"""WITH q AS (
+       |  SELECT source, doc_id,
+       |    CAST(round(${TF.sql.qualityScore("text", "n_chars")} * 1e6, 0)
+       |      AS BIGINT) AS qm
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT source, qm,
+       |    row_number() OVER (PARTITION BY source ORDER BY qm, doc_id)
+       |      AS rn,
+       |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n,
+       |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) // 10 AS k
+       |  FROM q),
+       |agg AS (
+       |  SELECT source, max(n) AS n_docs, max(k) AS k,
+       |    CAST(sum(qm) AS BIGINT) AS sall,
+       |    CAST(sum(CASE WHEN rn > k AND rn <= n - k THEN qm ELSE 0 END)
+       |      AS BIGINT) AS strim,
+       |    max(CASE WHEN rn = k + 1 THEN qm END) AS lo,
+       |    max(CASE WHEN rn = n - k THEN qm END) AS hi
+       |  FROM ranked GROUP BY 1)
+       |SELECT source, n_docs,
+       |  ${ER.sql.microMean6("sall", "n_docs")} AS mean_q,
+       |  ${ER.sql.microMean6("strim", "n_docs - 2 * k")} AS trimmed_mean,
+       |  ${ER.sql.microMean6("strim + k * (lo + hi)", "n_docs")}
+       |    AS winsorized_mean,
+       |  lo / 1e6 AS q_lo, hi / 1e6 AS q_hi
+       |FROM agg ORDER BY source""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q111_split_assign", q111, Some(q111Sql)),
     Q("q112_quota_sample", q112, Some(q112Sql)),
@@ -1161,5 +1298,7 @@ object SamplingQueries {
     Q("q248_poisson_bootstrap", q248, Some(q248Sql)),
     Q("q267_ab_test", q267, Some(q267Sql)),
     Q("q270_welch_ttest", q270, Some(q270Sql)),
-    Q("q271_cuped", q271, Some(q271Sql)))
+    Q("q271_cuped", q271, Some(q271Sql)),
+    Q("q274_labeler_kappa", q274, Some(q274Sql)),
+    Q("q278_trimmed_quality", q278, Some(q278Sql)))
 }

@@ -1219,6 +1219,132 @@ object TemporalQueries {
        |FROM agg ORDER BY event_type""".stripMargin
   }
 
+  // -- q275: Mann–Kendall trend test (Mann 1945, Kendall 1975) per
+  //          event type — the NONPARAMETRIC companion to q38's OLS
+  //          slope: S = Σ_{i<j} sign(c_j − c_i) over the daily series,
+  //          variance with the exact tie correction, z with continuity
+  //          correction. The monotone-trend gate that doesn't care
+  //          about outliers or the noise distribution. Scale shape:
+  //          the series is (type × day)-bounded METADATA (≤ a few
+  //          hundred rows per type), so the pairwise self-join is
+  //          n²-per-type over tiny n — never corpus-scale rows.
+  //          Determinism: S and 18·Var(S) are exact integer sums
+  //          (sign() of integer differences; tie groups from a keyed
+  //          count); z is identical expression text over those longs.
+  private val MkZ = 1.96
+
+  private def q275(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactRound
+    val d = daily(s, dir).select(col("k"), col("idx"), col("cnt"))
+      .localCheckpoint()
+    val pairs = d.select(col("k"), col("idx").as("i"), col("cnt").as("ci"))
+      .join(d.select(col("k"), col("idx").as("j"), col("cnt").as("cj")),
+        Seq("k"))
+      .filter(col("i") < col("j"))
+      .groupBy(col("k"))
+      .agg(sum(signum(col("cj") - col("ci")).cast("long")).as("s_stat"))
+    val base = d.groupBy(col("k")).agg(count(lit(1)).as("n"))
+    val ties = d.groupBy(col("k"), col("cnt")).agg(count(lit(1)).as("t"))
+      .groupBy(col("k"))
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+        .as("tie18"))
+    val z = "(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var18 / 18.0) " +
+      "WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var18 / 18.0) " +
+      "ELSE 0.0 END)"
+    base.join(pairs, Seq("k")).join(ties, Seq("k"))
+      .withColumn("var18",
+        col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("tie18"))
+      .select(col("k").as("event_type"), col("n").as("n_days"),
+        col("s_stat"),
+        ExactRound.ratio6(col("var18"), lit(18L)).as("var_s"),
+        expr(s"round($z, 6)").as("z"),
+        expr(s"CASE WHEN $z > $MkZ THEN 'increasing' " +
+          s"WHEN $z < -$MkZ THEN 'decreasing' ELSE 'no_trend' END")
+          .as("trend"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q275Sql = {
+    val er = graft.functions.ExactRound.sql
+    val z = "(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var18 / 18.0) " +
+      "WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var18 / 18.0) " +
+      "ELSE 0.0 END)"
+    s"""WITH $dailySql,
+       |pr AS (
+       |  SELECT a.k, CAST(sum(sign(b.cnt - a.cnt)) AS BIGINT) AS s_stat
+       |  FROM daily a JOIN daily b ON a.k = b.k AND a.idx < b.idx
+       |  GROUP BY 1),
+       |base AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM daily
+       |         GROUP BY 1),
+       |ties AS (
+       |  SELECT k, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+       |  FROM (SELECT k, cnt, CAST(count(*) AS BIGINT) AS t
+       |        FROM daily GROUP BY 1, 2) g
+       |  GROUP BY 1),
+       |st AS (
+       |  SELECT base.k, n, s_stat,
+       |    n * (n - 1) * (2 * n + 5) - tie18 AS var18
+       |  FROM base JOIN pr USING (k) JOIN ties USING (k))
+       |SELECT k AS event_type, n AS n_days, s_stat,
+       |  ${er.ratio6("var18", "18")} AS var_s,
+       |  round($z, 6) AS z,
+       |  CASE WHEN $z > $MkZ THEN 'increasing'
+       |    WHEN $z < -$MkZ THEN 'decreasing' ELSE 'no_trend' END AS trend
+       |FROM st ORDER BY event_type""".stripMargin
+  }
+
+  // -- q276: Theil–Sen slope (Theil 1950 / Sen 1968) per event type —
+  //          the robust regression companion to q38 (median of all
+  //          pairwise slopes shrugs off the spike days that drag OLS).
+  //          Same metadata-scale pairwise frame as q275; the median is
+  //          the mean of the two middle ranks under a TOTAL order
+  //          (slope, i, j), so ties cannot make engines pick different
+  //          rows. Slopes are integer-ratio doubles (identical IEEE
+  //          division on both engines).
+  private def q276(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val d = daily(s, dir).select(col("k"), col("idx"), col("cnt"))
+      .localCheckpoint()
+    val slopes = d.select(col("k"), col("idx").as("i"), col("cnt").as("ci"))
+      .join(d.select(col("k"), col("idx").as("j"), col("cnt").as("cj")),
+        Seq("k"))
+      .filter(col("i") < col("j"))
+      .select(col("k"), col("i"), col("j"),
+        ((col("cj") - col("ci")).cast("double") /
+          (col("j") - col("i"))).as("slope"))
+    val w = W.partitionBy(col("k")).orderBy(col("slope"), col("i"), col("j"))
+    val ranked = slopes
+      .withColumn("rn", row_number().over(w))
+      .withColumn("np", count(lit(1)).over(W.partitionBy(col("k"))))
+    ranked
+      .filter(col("rn") === expr("(np + 1) div 2") ||
+        col("rn") === expr("(np + 2) div 2"))
+      .groupBy(col("k"))
+      .agg(max(col("np")).as("n_pairs"),
+        (sum(col("slope")) / count(lit(1))).as("m"))
+      .select(col("k").as("event_type"), col("n_pairs"),
+        round(col("m"), 6).as("theil_sen_slope"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q276Sql =
+    s"""WITH $dailySql,
+       |slopes AS (
+       |  SELECT a.k, a.idx AS i, b.idx AS j,
+       |    CAST(b.cnt - a.cnt AS DOUBLE) / (b.idx - a.idx) AS slope
+       |  FROM daily a JOIN daily b ON a.k = b.k AND a.idx < b.idx),
+       |ranked AS (
+       |  SELECT k, slope,
+       |    row_number() OVER (PARTITION BY k ORDER BY slope, i, j) AS rn,
+       |    CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS np
+       |  FROM slopes)
+       |SELECT k AS event_type, max(np) AS n_pairs,
+       |  round(sum(slope) / count(*), 6) AS theil_sen_slope
+       |FROM ranked
+       |WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2
+       |GROUP BY k
+       |ORDER BY event_type""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q36_temporal_filter", q36, Some(q36Sql)),
     Q("q37_daily_cumulative", q37, Some(q37Sql)),
@@ -1242,5 +1368,7 @@ object TemporalQueries {
     Q("q252_cusum_chart", q252, Some(q252Sql)),
     Q("q253_ewma_chart", q253, Some(q253Sql)),
     Q("q265_stl_decomposition", q265, Some(q265Sql)),
-    Q("q272_forecast_backtest", q272, Some(q272Sql)))
+    Q("q272_forecast_backtest", q272, Some(q272Sql)),
+    Q("q275_mann_kendall", q275, Some(q275Sql)),
+    Q("q276_theil_sen", q276, Some(q276Sql)))
 }

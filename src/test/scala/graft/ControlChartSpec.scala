@@ -198,6 +198,33 @@ class ControlChartSpec extends SparkSpec {
     assert(batch.nonEmpty && streamed == batch)
   }
 
+  test("q275/q276: robust trend stats cohere with the series size") {
+    val mk = Catalog.byName("q275_mann_kendall").run(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val ts = Catalog.byName("q276_theil_sen").run(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(mk.nonEmpty && mk.keySet == ts.keySet)
+    mk.foreach { case (k, r) =>
+      val n = r.getAs[Long]("n_days")
+      val s = r.getAs[Long]("s_stat")
+      // |S| is bounded by the pair count, and Theil-Sen saw exactly
+      // that many pairwise slopes
+      val pairs = n * (n - 1) / 2
+      assert(math.abs(s) <= pairs)
+      assert(ts(k).getAs[Long]("n_pairs") == pairs)
+      assert(r.getAs[Double]("var_s") > 0.0)
+      val z = r.getAs[Double]("z")
+      val trend = r.getAs[String]("trend")
+      assert(trend == (if (z > 1.96) "increasing"
+        else if (z < -1.96) "decreasing" else "no_trend"))
+      // a strong positive z must come with a non-negative robust slope
+      // (and vice versa) — the two trend readings cannot contradict
+      val slope = ts(k).getAs[Double]("theil_sen_slope")
+      if (z > 1.96) assert(slope >= 0.0)
+      if (z < -1.96) assert(slope <= 0.0)
+    }
+  }
+
   test("q272: MASE is the exact MAE cross-ratio; errors are non-negative") {
     val rows = Catalog.byName("q272_forecast_backtest")
       .run(spark, sf).collect()

@@ -46,4 +46,20 @@ class DedupClustersSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(2L, 4L, 6L))
   }
+
+  test("q277: Chapman estimate dominates both catches; overlap bounded") {
+    val r = graft.queries.Catalog.byName("q277_dedup_recall_estimate")
+      .run(spark, sf).collect().head
+    val n1 = r.getAs[Long]("n_lsh")
+    val n2 = r.getAs[Long]("n_simhash")
+    val m = r.getAs[Long]("n_both")
+    val est = r.getAs[Long]("est_total")
+    assert(m <= math.min(n1, n2))
+    // (n1+1)(n2+1)/(m+1) - 1 >= max(n1, n2) whenever m <= min (up to
+    // the integral-division floor)
+    assert(est >= math.max(n1, n2) - 1)
+    Seq("recall_lsh", "recall_simhash").foreach(c =>
+      Option(r.getAs[java.lang.Double](c)).foreach(v =>
+        assert(v > 0.0 && v <= 1.0)))
+  }
 }

@@ -94,6 +94,43 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(shift / total) < 1e-4, s"weighted shift $shift")
   }
 
+  test("q274: kappa is bounded and the confusion ledger is complete") {
+    val rows = graft.queries.Catalog.byName("q274_labeler_kappa")
+      .run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      assert(n == r.getAs[Long]("both_pos") + r.getAs[Long]("both_neg") +
+        r.getAs[Long]("disagree"))
+      val po = r.getAs[Double]("po"); val pe = r.getAs[Double]("pe")
+      assert(po >= 0.0 && po <= 1.0 && pe >= 0.0 && pe <= 1.0)
+      Option(r.getAs[java.lang.Double]("kappa")).foreach { k =>
+        assert(k >= -1.0 && k <= 1.0)
+        // kappa and (po - pe) always share a sign
+        assert(k == 0.0 || math.signum(k) == math.signum(po - pe))
+      }
+    }
+  }
+
+  test("q278: robust means live inside the winsorization bounds") {
+    val rows = graft.queries.Catalog.byName("q278_trimmed_quality")
+      .run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val m = r.getAs[Double]("mean_q")
+      val t = r.getAs[Double]("trimmed_mean")
+      val wz = r.getAs[Double]("winsorized_mean")
+      val lo = r.getAs[Double]("q_lo"); val hi = r.getAs[Double]("q_hi")
+      Seq(m, t, wz, lo, hi).foreach(v => assert(v >= 0.0 && v <= 1.0, s"$v"))
+      assert(lo <= hi)
+      // the trimmed mean averages exactly the ranks whose min/max are
+      // the reported bounds, and the winsorized mean is its convex
+      // combination with those bounds — both must land inside them
+      assert(t >= lo - 1e-6 && t <= hi + 1e-6, s"trimmed $t outside [$lo,$hi]")
+      assert(wz >= lo - 1e-6 && wz <= hi + 1e-6, s"winsorized $wz outside")
+    }
+  }
+
   test("q267: arms partition users; Wilson brackets the rate; z sign/significance cohere") {
     val rows = graft.queries.Catalog.byName("q267_ab_test")
       .run(spark, sf).collect()
