@@ -3253,6 +3253,143 @@ object CurationQueries {
        |ORDER BY ps.source""".stripMargin
   }
 
+  // -- q279: ROC operating points — the q175 scalar AUC unrolled into
+  //          the actual (FPR, TPR, precision) table at nine candidate
+  //          thresholds, plus Youden's J (TPR − FPR): what a pipeline
+  //          owner reads to PICK the filter threshold, not just to
+  //          grade the model. Determinism: one conditional-aggregate
+  //          pass over the (score_micro, y) frame — every TP/FP cell
+  //          is an exact integer, rates are ExactRound ratios, and J
+  //          is a difference of two already-rounded doubles.
+  //          Scale shape: one scan → 1 wide row → 9-row explode.
+  private val RocThresholds: Seq[Long] = (1 to 9).map(_ * 100000L)
+
+  private def qcScored(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.QualityClassifier
+    val d = docs(s, dir)
+    val feats = QualityClassifier.features(
+      d, col("source") === DsirTarget, QcBuckets)
+    val (w, bias) = QualityClassifier.train(feats, QcBuckets, QcIters, QcLr)
+    QualityClassifier.scores(feats, w, bias)
+      .join(d.select(col("doc_id"),
+        when(col("source") === DsirTarget, 1L).otherwise(0L).as("y")),
+        Seq("doc_id"))
+  }
+
+  private def q279(s: SparkSession, dir: String): DataFrame = {
+    val scored = qcScored(s, dir)
+    val cells = RocThresholds.zipWithIndex.flatMap { case (t, i) =>
+      Seq(sum(when(col("score_micro") >= t, col("y")).otherwise(0L))
+          .as(s"tp_$i"),
+        sum(when(col("score_micro") >= t, lit(1L) - col("y")).otherwise(0L))
+          .as(s"fp_$i"))
+    }
+    val aggCols = Seq(sum(col("y")).as("np"),
+      sum(lit(1L) - col("y")).as("nn")) ++ cells
+    val wide = scored.agg(aggCols.head, aggCols.tail: _*)
+    val rows = RocThresholds.zipWithIndex.map { case (t, i) =>
+      struct(lit(t / 1e6).as("threshold"),
+        col(s"tp_$i").as("tp"), col(s"fp_$i").as("fp"),
+        ExactRound.ratio6(col(s"tp_$i"), col("np")).as("tpr"),
+        ExactRound.ratio6(col(s"fp_$i"), col("nn")).as("fpr"),
+        when(col(s"tp_$i") + col(s"fp_$i") > 0,
+          ExactRound.ratio6(col(s"tp_$i"), col(s"tp_$i") + col(s"fp_$i")))
+          .as("precision"))
+    }
+    wide.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.threshold"), col("r.tp"), col("r.fp"), col("r.tpr"),
+        col("r.fpr"), round(col("r.tpr") - col("r.fpr"), 6).as("youden_j"),
+        col("r.precision"))
+      .orderBy(col("threshold"))
+  }
+
+  private val q279Sql = {
+    val cells = RocThresholds.zipWithIndex.flatMap { case (t, i) => Seq(
+      s"CAST(sum(CASE WHEN score_micro >= $t THEN y ELSE 0 END) AS BIGINT) AS tp_$i",
+      s"CAST(sum(CASE WHEN score_micro >= $t THEN 1 - y ELSE 0 END) AS BIGINT) AS fp_$i")
+    }.mkString(",\n    ")
+    val rows = RocThresholds.zipWithIndex.map { case (t, i) =>
+      val tpr = ExactRound.sql.ratio6(s"tp_$i", "np")
+      val fpr = ExactRound.sql.ratio6(s"fp_$i", "nn")
+      s"""SELECT ${t / 1e6} AS threshold, tp_$i AS tp, fp_$i AS fp,
+         |  $tpr AS tpr, $fpr AS fpr,
+         |  round($tpr - $fpr, 6) AS youden_j,
+         |  CASE WHEN tp_$i + fp_$i > 0
+         |    THEN ${ExactRound.sql.ratio6(s"tp_$i", s"tp_$i + fp_$i")}
+         |    END AS precision
+         |FROM wide""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${graft.pipeline.QualityClassifier.sql
+        .trainCtes(DsirTarget, QcBuckets, QcIters, QcLr)},
+       |qsl AS (
+       |  SELECT s.score_micro, s.doc_id,
+       |    CASE WHEN d.source = '$DsirTarget' THEN 1 ELSE 0 END AS y
+       |  FROM qscore s JOIN documents d USING (doc_id)),
+       |wide AS (
+       |  SELECT CAST(sum(y) AS BIGINT) AS np,
+       |    CAST(sum(1 - y) AS BIGINT) AS nn,
+       |    $cells
+       |  FROM qsl)
+       |SELECT * FROM ($rows) ORDER BY threshold""".stripMargin
+  }
+
+  // -- q280: average precision (area under the precision–recall
+  //          curve, the rank-based "AP" of retrieval evaluation) for
+  //          the q173 classifier — the metric that matters when
+  //          positives are rare and ROC-AUC flatters (Davis & Goadrich
+  //          2006). AP = mean over positives of precision@rank, under
+  //          the TOTAL order (score desc, doc_id) so both engines rank
+  //          identically through score ties. Determinism: per-positive
+  //          precision@k quantizes to micro units (mean-of-rounded,
+  //          the documented q176-style contract), then one exact
+  //          integer mean. Scale note: the final ranking is a global
+  //          sort — fine for the doc-bounded eval frame this grades;
+  //          at corpus scale grade with the histogram AUC (q175),
+  //          which needs no total order.
+  private def q280(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("score_micro").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = qcScored(s, dir)
+      .withColumn("k", count(lit(1)).over(w))
+      .withColumn("cp", sum(col("y")).over(w))
+    ranked.agg(
+        sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"),
+        sum(when(col("y") === 1L, ExactRound.micro6(col("cp"), col("k")))
+          .otherwise(0L)).as("ap_micro_sum"))
+      .select(col("np").as("n_pos"), col("nn").as("n_neg"),
+        ExactRound.microMean6(col("ap_micro_sum"), col("np"))
+          .as("average_precision"),
+        ExactRound.ratio6(col("np"), col("np") + col("nn"))
+          .as("random_baseline"))
+  }
+
+  private val q280Sql =
+    s"""WITH ${graft.pipeline.QualityClassifier.sql
+        .trainCtes(DsirTarget, QcBuckets, QcIters, QcLr)},
+       |qsl AS (
+       |  SELECT s.score_micro, s.doc_id,
+       |    CASE WHEN d.source = '$DsirTarget' THEN 1 ELSE 0 END AS y
+       |  FROM qscore s JOIN documents d USING (doc_id)),
+       |ranked AS (
+       |  SELECT y,
+       |    CAST(count(*) OVER wo AS BIGINT) AS k,
+       |    CAST(sum(y) OVER wo AS BIGINT) AS cp
+       |  FROM qsl
+       |  WINDOW wo AS (ORDER BY score_micro DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |agg AS (
+       |  SELECT CAST(sum(y) AS BIGINT) AS np,
+       |    CAST(sum(1 - y) AS BIGINT) AS nn,
+       |    CAST(sum(CASE WHEN y = 1
+       |      THEN ${ExactRound.sql.micro6("cp", "k")} ELSE 0 END)
+       |      AS BIGINT) AS ap_micro_sum
+       |  FROM ranked)
+       |SELECT np AS n_pos, nn AS n_neg,
+       |  ${ExactRound.sql.microMean6("ap_micro_sum", "np")}
+       |    AS average_precision,
+       |  ${ExactRound.sql.ratio6("np", "np + nn")} AS random_baseline
+       |FROM agg""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q145_dsir_importance", q145, Some(q145Sql), headline = true),
     Q("q146_bm25_topk", q146, Some(q146Sql)),
@@ -3299,5 +3436,7 @@ object CurationQueries {
     Q("q233_weighted_pagerank", q233, Some(q233Sql)),
     Q("q237_feature_correlation", q237, Some(q237Sql)),
     Q("q246_vocab_richness", q246, Some(q246Sql)),
-    Q("q260_loo_influence", q260, Some(q260Sql)))
+    Q("q260_loo_influence", q260, Some(q260Sql)),
+    Q("q279_roc_points", q279, Some(q279Sql)),
+    Q("q280_average_precision", q280, Some(q280Sql)))
 }

@@ -427,4 +427,32 @@ class CurationSpec extends SparkSpec {
     // removing a source must move cross-entropy somewhere
     assert(rows.exists(r => math.abs(r.getAs[Double]("influence")) > 0))
   }
+
+  test("q279: ROC cells are monotone in the threshold; J = TPR - FPR") {
+    val rows = graft.queries.Catalog.byName("q279_roc_points")
+      .run(spark, sf).collect()
+      .sortBy(_.getAs[Double]("threshold"))
+    assert(rows.length == 9)
+    var prevTp = Long.MaxValue; var prevFp = Long.MaxValue
+    rows.foreach { r =>
+      val tp = r.getAs[Long]("tp"); val fp = r.getAs[Long]("fp")
+      // raising the threshold can only shrink the predicted-positive set
+      assert(tp <= prevTp && fp <= prevFp); prevTp = tp; prevFp = fp
+      val tpr = r.getAs[Double]("tpr"); val fpr = r.getAs[Double]("fpr")
+      assert(tpr >= 0 && tpr <= 1 && fpr >= 0 && fpr <= 1)
+      assert(math.abs(r.getAs[Double]("youden_j") - (tpr - fpr)) < 2e-6)
+    }
+  }
+
+  test("q280: AP is bounded, and the trained ranking beats random") {
+    val r = graft.queries.Catalog.byName("q280_average_precision")
+      .run(spark, sf).collect().head
+    val ap = r.getAs[Double]("average_precision")
+    val base = r.getAs[Double]("random_baseline")
+    assert(r.getAs[Long]("n_pos") > 0 && r.getAs[Long]("n_neg") > 0)
+    assert(ap > 0.0 && ap <= 1.0 && base > 0.0 && base < 1.0)
+    // the q173 classifier separates src0 clearly at this sf; a ranking
+    // no better than random here would mean the scorer broke
+    assert(ap > base, s"AP $ap should beat the random baseline $base")
+  }
 }
