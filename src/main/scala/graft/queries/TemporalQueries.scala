@@ -1345,6 +1345,201 @@ object TemporalQueries {
        |GROUP BY k
        |ORDER BY event_type""".stripMargin
 
+  /** Shared sessionization CTE chain (the q240 labeling, ending in
+    * `gl(user_id, session_id, duration_sec, last_sid)`). Declared
+    * before its consumers: object vals initialize in order, and a
+    * forward reference would interpolate null into the SQL. */
+  private val SessionSqlCtes =
+    """e AS (
+      |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |  FROM events),
+      |b AS (
+      |  SELECT user_id, event_id, sec,
+      |    CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+      |      THEN 1 ELSE 0 END AS boundary
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+      |sess AS (
+      |  SELECT user_id, sec,
+      |    CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY sec, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_id
+      |  FROM b),
+      |g AS (
+      |  SELECT user_id, session_id,
+      |    CAST(max(sec) - min(sec) AS BIGINT) AS duration_sec
+      |  FROM sess GROUP BY 1, 2),
+      |gl AS (
+      |  SELECT user_id, duration_sec, session_id,
+      |    max(session_id) OVER (PARTITION BY user_id) AS last_sid
+      |  FROM g)""".stripMargin
+
+  // -- q281: Nelson–Aalen cumulative hazard (Nelson 1972, Aalen 1978)
+  //          over session durations — the estimator-of-choice
+  //          companion to q240's Kaplan–Meier: H(t) = Σ_{ti≤t} d_i/n_i
+  //          is a SUM (mergeable, variance-friendly) where KM is a
+  //          product, and exp(−H) is the Fleming–Harrington survival
+  //          curve reported next to it. Same risk-set frame as q240
+  //          (last session per user censored). Determinism: per-time
+  //          hazard increments quantize to micro units (exact d/n
+  //          rationals), the cumulative sum is integer, and exp runs
+  //          over the exact micro total on both engines. Scale shape:
+  //          the same (duration-minute)-bounded metadata frame as
+  //          q240 — two window passes.
+  private def q281(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactRound
+    val W = org.apache.spark.sql.expressions.Window
+    val sess = graft.streaming.EventStream
+      .sessionizeBatch(events(s, dir), 1800L)
+    val byT = sess
+      .withColumn("last_sid",
+        max(col("session_id")).over(W.partitionBy(col("user_id"))))
+      .select(expr("duration_sec div 60").as("t"),
+        when(col("session_id") < col("last_sid"), 1L).otherwise(0L)
+          .as("complete"))
+      .groupBy(col("t"))
+      .agg(sum(col("complete")).as("d"), count(lit(1)).as("ends"))
+    val wRisk = W.orderBy(col("t"))
+      .rowsBetween(W.currentRow, W.unboundedFollowing)
+    val wCum = W.orderBy(col("t"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    byT.withColumn("n_risk", sum(col("ends")).over(wRisk))
+      .filter(col("d") > 0)
+      .withColumn("h_micro", ExactRound.micro6(col("d"), col("n_risk")))
+      .withColumn("ch_micro", sum(col("h_micro")).over(wCum))
+      .select(col("t").as("duration_min"), col("n_risk"),
+        col("d").as("n_ended"),
+        (col("ch_micro") / lit(1e6)).as("cum_hazard"),
+        round(exp(-col("ch_micro") / lit(1e6)), 6).as("fh_survival"))
+      .orderBy(col("duration_min"))
+  }
+
+  private val q281Sql = {
+    val er = graft.functions.ExactRound.sql
+    s"""WITH ${SessionSqlCtes},
+       |byt AS (
+       |  SELECT duration_sec // 60 AS t,
+       |    CAST(sum(CASE WHEN session_id < last_sid
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS d,
+       |    CAST(count(*) AS BIGINT) AS ends
+       |  FROM gl GROUP BY 1),
+       |risk AS (
+       |  SELECT t, d,
+       |    CAST(sum(ends) OVER (ORDER BY t
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+       |      AS n_risk
+       |  FROM byt),
+       |haz AS (
+       |  SELECT t, d, n_risk, ${er.micro6("d", "n_risk")} AS h_micro
+       |  FROM risk WHERE d > 0)
+       |SELECT t AS duration_min, n_risk, d AS n_ended,
+       |  CAST(sum(h_micro) OVER wc AS BIGINT) / 1e6 AS cum_hazard,
+       |  round(exp(-(CAST(sum(h_micro) OVER wc AS BIGINT) / 1e6)), 6)
+       |    AS fh_survival
+       |FROM haz
+       |WINDOW wc AS (ORDER BY t
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |ORDER BY duration_min""".stripMargin
+  }
+
+  // -- q282: log-rank test (Mantel 1966) — do the q267 experiment's
+  //          two arms have the SAME session-duration survival curve?
+  //          The standard two-sample censored-data test: at each
+  //          pooled event time, arm A's observed events vs its
+  //          hypergeometric expectation and variance, summed, then
+  //          z = (O − E)/√V. Determinism: O is an exact integer; the
+  //          per-time E and V terms are IEEE doubles of exact integer
+  //          risk counts, summed IN TIME ORDER on both engines via
+  //          the q155 sorted-fold ↔ ordered-aggregate equivalence
+  //          (the time frame is duration-minute-bounded metadata).
+  private val LrZ = 1.96
+
+  private def q282(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Sampling
+    val W = org.apache.spark.sql.expressions.Window
+    val sess = graft.streaming.EventStream
+      .sessionizeBatch(events(s, dir), 1800L)
+      .withColumn("last_sid",
+        max(col("session_id")).over(W.partitionBy(col("user_id"))))
+      .select(expr("duration_sec div 60").as("t"),
+        when(col("session_id") < col("last_sid"), 1L).otherwise(0L)
+          .as("complete"),
+        when(Sampling.hashBucket(col("user_id"), 2, "ab") === 0L, 1L)
+          .otherwise(0L).as("in_a"))
+    val byT = sess.groupBy(col("t")).agg(
+      sum(col("complete") * col("in_a")).as("da"),
+      sum(col("complete")).as("d"),
+      sum(col("in_a")).as("ends_a"),
+      count(lit(1)).as("ends"))
+    val wRisk = W.orderBy(col("t"))
+      .rowsBetween(W.currentRow, W.unboundedFollowing)
+    val terms = byT
+      .withColumn("na", sum(col("ends_a")).over(wRisk))
+      .withColumn("n", sum(col("ends")).over(wRisk))
+      .filter(col("d") > 0)
+      .select(col("t"), col("da"), col("d"), col("na"), col("n"),
+        (col("d").cast("double") * col("na") / col("n")).as("e_t"),
+        when(col("n") > 1,
+          col("d").cast("double") * col("na") / col("n") *
+            (col("n") - col("na")) / col("n") *
+            (col("n") - col("d")) / (col("n") - 1))
+          .otherwise(lit(0.0)).as("v_t"))
+    val z = "(CASE WHEN v > 0 THEN (o_a - e_a) / sqrt(v) ELSE 0.0 END)"
+    terms.agg(
+        count(lit(1)).as("n_times"),
+        sum(col("da")).as("o_a"),
+        sort_array(collect_list(struct(col("t"), col("e_t")))).as("es"),
+        sort_array(collect_list(struct(col("t"), col("v_t")))).as("vs"))
+      .select(col("n_times"), col("o_a"),
+        aggregate(col("es"), lit(0.0d), (acc, x) => acc + x("e_t"))
+          .as("e_a"),
+        aggregate(col("vs"), lit(0.0d), (acc, x) => acc + x("v_t"))
+          .as("v"))
+      .select(col("n_times"), col("o_a"), round(col("e_a"), 6).as("e_a"),
+        round(col("v"), 6).as("variance"),
+        expr(s"round($z, 6)").as("z"),
+        expr(s"abs($z) > $LrZ").as("significant"))
+  }
+
+  private val q282Sql = {
+    import graft.pipeline.Sampling
+    val h = Sampling.sql.hashBucket("user_id", 2, "ab")
+    val z = "(CASE WHEN v > 0 THEN (o_a - e_a) / sqrt(v) ELSE 0.0 END)"
+    s"""WITH ${SessionSqlCtes},
+       |sa AS (
+       |  SELECT duration_sec // 60 AS t,
+       |    CASE WHEN session_id < last_sid THEN 1 ELSE 0 END AS complete,
+       |    CASE WHEN $h = 0 THEN 1 ELSE 0 END AS in_a
+       |  FROM gl),
+       |byt AS (
+       |  SELECT t, CAST(sum(complete * in_a) AS BIGINT) AS da,
+       |    CAST(sum(complete) AS BIGINT) AS d,
+       |    CAST(sum(in_a) AS BIGINT) AS ends_a,
+       |    CAST(count(*) AS BIGINT) AS ends
+       |  FROM sa GROUP BY 1),
+       |terms AS (
+       |  SELECT t, da, d,
+       |    CAST(sum(ends_a) OVER wr AS BIGINT) AS na,
+       |    CAST(sum(ends) OVER wr AS BIGINT) AS n
+       |  FROM byt
+       |  WINDOW wr AS (ORDER BY t
+       |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+       |ft AS (
+       |  SELECT t, da, d, na, n,
+       |    CAST(d AS DOUBLE) * na / n AS e_t,
+       |    CASE WHEN n > 1 THEN CAST(d AS DOUBLE) * na / n *
+       |      (n - na) / n * (n - d) / (n - 1) ELSE 0.0 END AS v_t
+       |  FROM terms WHERE d > 0),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_times,
+       |    CAST(sum(da) AS BIGINT) AS o_a,
+       |    sum(e_t ORDER BY t) AS e_a,
+       |    sum(v_t ORDER BY t) AS v
+       |  FROM ft)
+       |SELECT n_times, o_a, round(e_a, 6) AS e_a, round(v, 6) AS variance,
+       |  round($z, 6) AS z, abs($z) > $LrZ AS significant
+       |FROM agg""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q36_temporal_filter", q36, Some(q36Sql)),
     Q("q37_daily_cumulative", q37, Some(q37Sql)),
@@ -1370,5 +1565,7 @@ object TemporalQueries {
     Q("q265_stl_decomposition", q265, Some(q265Sql)),
     Q("q272_forecast_backtest", q272, Some(q272Sql)),
     Q("q275_mann_kendall", q275, Some(q275Sql)),
-    Q("q276_theil_sen", q276, Some(q276Sql)))
+    Q("q276_theil_sen", q276, Some(q276Sql)),
+    Q("q281_nelson_aalen", q281, Some(q281Sql)),
+    Q("q282_logrank_test", q282, Some(q282Sql)))
 }

@@ -225,6 +225,43 @@ class ControlChartSpec extends SparkSpec {
     }
   }
 
+  test("q281: cumulative hazard is monotone and exp(-H) dominates KM") {
+    val na = Catalog.byName("q281_nelson_aalen").run(spark, sf).collect()
+      .map(r => r.getAs[Long]("duration_min") -> r).toMap
+    assert(na.nonEmpty)
+    var prev = 0.0
+    na.toSeq.sortBy(_._1).foreach { case (_, r) =>
+      val h = r.getAs[Double]("cum_hazard")
+      assert(h >= prev, "hazard must be cumulative"); prev = h
+      val s = r.getAs[Double]("fh_survival")
+      assert(s > 0.0 && s <= 1.0)
+    }
+    // 1 - x <= e^-x termwise, so the Fleming-Harrington curve sits ON
+    // OR ABOVE Kaplan-Meier at every event time (2e-6 rounding slack)
+    val km = Catalog.byName("q240_km_retention").run(spark, sf).collect()
+      .map(r => r.getAs[Long]("duration_min") -> r.getAs[Double]("survival"))
+      .toMap
+    assert(km.keySet == na.keySet)
+    km.foreach { case (t, s) =>
+      assert(na(t).getAs[Double]("fh_survival") >= s - 2e-6,
+        s"FH below KM at t=$t")
+    }
+  }
+
+  test("q282: log-rank bookkeeping coheres") {
+    val r = Catalog.byName("q282_logrank_test").run(spark, sf)
+      .collect().head
+    assert(r.getAs[Long]("n_times") > 0)
+    val o = r.getAs[Long]("o_a"); val e = r.getAs[Double]("e_a")
+    val v = r.getAs[Double]("variance"); val z = r.getAs[Double]("z")
+    assert(o >= 0 && e > 0.0 && v > 0.0)
+    assert(math.abs(z - (o - e) / math.sqrt(v)) < 1e-3)
+    assert(r.getAs[Boolean]("significant") == (math.abs(z) > 1.96))
+    // the hash split carries no causal signal: a huge |z| here would
+    // mean the arithmetic broke, not that arm A behaves differently
+    assert(math.abs(z) < 6.0, s"implausible log-rank z=$z on a null split")
+  }
+
   test("q272: MASE is the exact MAE cross-ratio; errors are non-negative") {
     val rows = Catalog.byName("q272_forecast_backtest")
       .run(spark, sf).collect()

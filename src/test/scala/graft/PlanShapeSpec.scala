@@ -132,7 +132,13 @@ class PlanShapeSpec extends SparkSpec {
     "q238_field_mi",          // 1-row n/mi/h folds crossed into the output row
     "q239_partition_modularity", // 1-row edge-count frame crossed per brand
     "q243_zorder_layout",     // 1-row global-range frame crossed per event
-    "q244_bloom_filter_audit") // three 1-row stat frames crossed into one row
+    "q244_bloom_filter_audit", // three 1-row stat frames crossed into one row
+    "q270_welch_ttest",       // #sources-row aggregate x 1-row corpus totals
+    "q273_graph_census",      // four 1-row stat frames crossed per graph
+    "q271_cuped",             // 1-row midpoint + 2-row arms x 1-row moments
+    "q277_dedup_recall_estimate", // three 1-row catch-count stats crossed
+    "q279_roc_points",        // 1-row wide threshold-cell frame exploded
+    "q280_average_precision") // 1-row AP aggregate (rank fold)
 
   // On failure, include a plan excerpt around the first occurrence so a
   // transient/state-dependent failure self-diagnoses from the log alone.
