@@ -41,5 +41,21 @@ object Lineage {
           spark.sparkContext.getCheckpointDir.isDefined
       if (reliable) df.checkpoint() else df.localCheckpoint()
     }
+
+    /** LAZY variant: materializes on FIRST USE instead of at plan
+      * construction. For frames that a caller's plan may legitimately
+      * PRUNE AWAY entirely (e.g. the triangle side of clustering()
+      * under a count() that join-eliminates the unique-key left join):
+      * an eager cut would execute the subtree even when the optimizer
+      * proves it dead, a lazy one costs nothing unless referenced —
+      * while still deduplicating multi-reference consumers. */
+    def truncateLineageLazy(): DataFrame = {
+      val spark = df.sparkSession
+      val reliable =
+        spark.conf.get(ReliableKey, "false").toBoolean &&
+          spark.sparkContext.getCheckpointDir.isDefined
+      if (reliable) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
+    }
   }
 }

@@ -48,9 +48,12 @@ object Hits {
     var hub = all.withColumn("h", lit(1000000L))
     var auth: DataFrame = null
     for (_ <- 1 to iterations) {
+      // truncate the raw frame: it feeds BOTH the 1-row max and the
+      // normalization join — unchecked, each half-step runs twice
       val aRaw = e.join(hub.select(col("node_id").as("from_id"), col("h")),
           Seq("from_id"))
         .groupBy(col("to_id")).agg(sum(col("h")).as("raw"))
+        .truncateLineage()
       val aMax = aRaw.agg(max(col("raw")).as("mx"))
       auth = all
         .join(aRaw.select(col("to_id").as("node_id"), col("raw")),
@@ -63,6 +66,7 @@ object Hits {
       val hRaw = e.join(auth.select(col("node_id").as("to_id"), col("a")),
           Seq("to_id"))
         .groupBy(col("from_id")).agg(sum(col("a")).as("raw"))
+        .truncateLineage()
       val hMax = hRaw.agg(max(col("raw")).as("mx"))
       hub = all
         .join(hRaw.select(col("from_id").as("node_id"), col("raw")),

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.engine.Lineage.LineageOps
 import graft.pipeline.Sampling
 
 /** Deterministic sampling / split family (training-pipeline mandate):
@@ -1278,6 +1279,181 @@ object SamplingQueries {
        |FROM agg ORDER BY source""".stripMargin
   }
 
+  // -- q283: shard mixing audit — is the q141 doc-order sharding an
+  //          unbiased sample of the corpus, or does doc_id correlate
+  //          with source? Per shard: its source distribution's
+  //          Jensen–Shannon divergence against the corpus distribution
+  //          (the q155 drift machinery pointed at the SHARD axis) plus
+  //          the dominant-source share. A training loader reading
+  //          shards sequentially sees exactly this mixing quality.
+  //          Determinism: counts are exact; per-source JS terms are
+  //          IEEE doubles of exact count ratios summed in source order
+  //          (sorted-fold ↔ ordered-aggregate, the q155 equivalence).
+  //          Scale shape: the q141 two-phase cumsum assigns shards;
+  //          the JS grid is (#shards × #sources) — metadata-bounded.
+  private def q283(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactRound
+    import graft.text.{TextFunctions => TF}
+    val W = org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+        TF.tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("rng", expr(s"doc_id div $RangeWidth"))
+    val beforeRange = W.orderBy(col("rng"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val rangeCum = d.groupBy(col("rng"))
+      .agg(sum(col("n_tok")).as("range_tokens"))
+      .withColumn("range_before",
+        coalesce(sum(col("range_tokens")).over(beforeRange), lit(0L)))
+    val within = W.partitionBy(col("rng")).orderBy(col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val sharded = d.join(rangeCum.select(col("rng"), col("range_before")),
+        Seq("rng"))
+      .withColumn("tokens_before",
+        col("range_before") + coalesce(sum(col("n_tok")).over(within), lit(0L)))
+      .withColumn("shard_id", expr(s"tokens_before div $ShardTokens"))
+    val sc = sharded.groupBy(col("shard_id"), col("source"))
+      .agg(count(lit(1)).as("c"))
+    val st = sc.groupBy(col("shard_id")).agg(sum(col("c")).as("t"),
+      count(lit(1)).as("n_sources_present"), max(col("c")).as("cmax"))
+    val corp = d.groupBy(col("source")).agg(count(lit(1)).as("cs"))
+    val ct = corp.agg(sum(col("cs")).as("ctot"))
+    val grid = st.select(col("shard_id"), col("t"))
+      .crossJoin(broadcast(corp)).crossJoin(broadcast(ct))
+      .join(sc, Seq("shard_id", "source"), "left")
+      .withColumn("c0", coalesce(col("c"), lit(0L)))
+    val p = "(CAST(c0 AS DOUBLE) / t)"
+    val q = "(CAST(cs AS DOUBLE) / ctot)"
+    val m = s"(($p + $q) / 2)"
+    val jsT = s"(0.5 * (CASE WHEN c0 > 0 THEN $p * ln($p / $m) ELSE 0.0 END)" +
+      s" + 0.5 * ($q * ln($q / $m)))"
+    grid
+      .withColumn("js_t", expr(jsT))
+      .groupBy(col("shard_id"))
+      .agg(max(col("t")).as("n_docs"),
+        sort_array(collect_list(struct(col("source"), col("js_t"))))
+          .as("js"))
+      .join(st.select(col("shard_id"), col("n_sources_present"),
+        col("cmax"), col("t")), Seq("shard_id"))
+      .select(col("shard_id"), col("n_docs"), col("n_sources_present"),
+        round(aggregate(col("js"), lit(0.0d), (acc, x) => acc + x("js_t")), 6)
+          .as("js_vs_corpus"),
+        ExactRound.ratio6(col("cmax"), col("t")).as("top_share"))
+      .orderBy(col("shard_id"))
+  }
+
+  private val q283Sql = {
+    import graft.functions.{ExactRound => ER}
+    import graft.text.{TextFunctions => TF}
+    val p = "(CAST(c0 AS DOUBLE) / t)"
+    val q = "(CAST(cs AS DOUBLE) / ctot)"
+    val m = s"(($p + $q) / 2)"
+    val jsT = s"(0.5 * (CASE WHEN c0 > 0 THEN $p * ln($p / $m) ELSE 0.0 END)" +
+      s" + 0.5 * ($q * ln($q / $m)))"
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(${TF.sql.tokenCount("text")} AS BIGINT) AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source, n_tok,
+       |    CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS tokens_before
+       |  FROM d),
+       |sh AS (SELECT tokens_before // $ShardTokens AS shard_id, source
+       |       FROM c),
+       |sc AS (SELECT shard_id, source, CAST(count(*) AS BIGINT) AS c
+       |       FROM sh GROUP BY 1, 2),
+       |st AS (SELECT shard_id, CAST(sum(c) AS BIGINT) AS t,
+       |         CAST(count(*) AS BIGINT) AS n_sources_present,
+       |         CAST(max(c) AS BIGINT) AS cmax
+       |       FROM sc GROUP BY 1),
+       |corp AS (SELECT source, CAST(count(*) AS BIGINT) AS cs
+       |         FROM d GROUP BY 1),
+       |ct AS (SELECT CAST(sum(cs) AS BIGINT) AS ctot FROM corp),
+       |grid AS (
+       |  SELECT st.shard_id, st.t, corp.source, corp.cs, ct.ctot,
+       |    coalesce(sc.c, 0) AS c0
+       |  FROM st CROSS JOIN corp CROSS JOIN ct
+       |  LEFT JOIN sc ON sc.shard_id = st.shard_id
+       |    AND sc.source = corp.source)
+       |SELECT g.shard_id, max(st.t) AS n_docs,
+       |  max(st.n_sources_present) AS n_sources_present,
+       |  round(sum($jsT ORDER BY g.source), 6) AS js_vs_corpus,
+       |  ${ER.sql.ratio6("max(st.cmax)", "max(st.t)")} AS top_share
+       |FROM (SELECT shard_id, source, cs, ctot, c0 FROM grid) g
+       |JOIN st ON st.shard_id = g.shard_id
+       |GROUP BY g.shard_id
+       |ORDER BY g.shard_id""".stripMargin
+  }
+
+  // -- q284: source n-gram overlap matrix — corpus diversity between
+  //          sources (the self-BLEU idea, Zhu et al. 2018, in exact
+  //          set form): distinct word-4-gram sets per source, pairwise
+  //          shared counts, Jaccard and containment per unordered
+  //          source pair. Reads as "which dumps tell the same
+  //          stories" — the cross-source complement to q135's
+  //          duplicate-flow matrix (doc-level) at the n-gram level.
+  //          Scale shape: the shingle inverted index is per-source
+  //          DISTINCT, so every posting list is bounded by #sources;
+  //          pair work is Σ df² ≤ #sources²·|vocab| — never
+  //          corpus-quadratic. Exact integer counts; ratios are
+  //          ExactRound.
+  private val SoN = 4
+
+  private def q284(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactRound
+    import graft.text.{TextFunctions => TF}
+    val sh = docs(s, dir).select(col("source"),
+        explode(array_distinct(transform(
+          graft.pipeline.Decontaminate.wordShingles(
+            TF.tokens(col("text")), SoN),
+          g => TF.md5Long(g)))).as("g_id"))
+      .distinct()
+      .truncateLineage()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val shared = sh.select(col("g_id"), col("source").as("source_lo"))
+      .join(sh.select(col("g_id"), col("source").as("source_hi")), Seq("g_id"))
+      .filter(col("source_lo") < col("source_hi"))
+      .groupBy(col("source_lo"), col("source_hi"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("source").as("source_lo"), col("n").as("n_lo")),
+        Seq("source_lo"))
+      .join(sizes.select(col("source").as("source_hi"), col("n").as("n_hi")),
+        Seq("source_hi"))
+      .select(col("source_lo"), col("source_hi"), col("n_lo"), col("n_hi"),
+        col("shared"),
+        ExactRound.ratio6(col("shared"),
+          col("n_lo") + col("n_hi") - col("shared")).as("jaccard"),
+        ExactRound.ratio6(col("shared"), least(col("n_lo"), col("n_hi")))
+          .as("containment"))
+      .orderBy(col("source_lo"), col("source_hi"))
+  }
+
+  private val q284Sql = {
+    import graft.functions.{ExactRound => ER}
+    import graft.text.{TextFunctions => TF}
+    val grams = graft.pipeline.Decontaminate.sql
+      .shingleHashes(TF.sql.tokens("text"), SoN)
+    s"""WITH sh AS (
+       |  SELECT DISTINCT source, g_id
+       |  FROM (SELECT source, unnest($grams) AS g_id FROM documents) t),
+       |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+       |          FROM sh GROUP BY 1),
+       |shared AS (
+       |  SELECT a.source AS source_lo, b.source AS source_hi,
+       |    CAST(count(*) AS BIGINT) AS shared
+       |  FROM sh a JOIN sh b ON a.g_id = b.g_id AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT source_lo, source_hi, lo.n AS n_lo, hi.n AS n_hi, shared,
+       |  ${ER.sql.ratio6("shared", "lo.n + hi.n - shared")} AS jaccard,
+       |  ${ER.sql.ratio6("shared", "least(lo.n, hi.n)")} AS containment
+       |FROM shared
+       |JOIN sizes lo ON lo.source = source_lo
+       |JOIN sizes hi ON hi.source = source_hi
+       |ORDER BY source_lo, source_hi""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q111_split_assign", q111, Some(q111Sql)),
     Q("q112_quota_sample", q112, Some(q112Sql)),
@@ -1300,5 +1476,7 @@ object SamplingQueries {
     Q("q270_welch_ttest", q270, Some(q270Sql)),
     Q("q271_cuped", q271, Some(q271Sql)),
     Q("q274_labeler_kappa", q274, Some(q274Sql)),
-    Q("q278_trimmed_quality", q278, Some(q278Sql)))
+    Q("q278_trimmed_quality", q278, Some(q278Sql)),
+    Q("q283_shard_mixing", q283, Some(q283Sql)),
+    Q("q284_source_overlap", q284, Some(q284Sql)))
 }

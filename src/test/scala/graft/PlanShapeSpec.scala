@@ -138,7 +138,8 @@ class PlanShapeSpec extends SparkSpec {
     "q271_cuped",             // 1-row midpoint + 2-row arms x 1-row moments
     "q277_dedup_recall_estimate", // three 1-row catch-count stats crossed
     "q279_roc_points",        // 1-row wide threshold-cell frame exploded
-    "q280_average_precision") // 1-row AP aggregate (rank fold)
+    "q280_average_precision", // 1-row AP aggregate (rank fold)
+    "q283_shard_mixing")      // #sources-row corpus dist x 1-row total cross
 
   // On failure, include a plan excerpt around the first occurrence so a
   // transient/state-dependent failure self-diagnoses from the log alone.

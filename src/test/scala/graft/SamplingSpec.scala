@@ -131,6 +131,42 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("q283: shard JS is bounded by ln 2 and the ledger coheres") {
+    val rows = graft.queries.Catalog.byName("q283_shard_mixing")
+      .run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val corpus = graft.Tables.load(spark, sf, "documents").count()
+    assert(total == corpus, s"shards must partition the corpus: $total != $corpus")
+    rows.foreach { r =>
+      val js = r.getAs[Double]("js_vs_corpus")
+      // natural-log JSD is bounded by ln 2
+      assert(js >= -1e-9 && js <= math.log(2) + 1e-9, s"js=$js")
+      val ts = r.getAs[Double]("top_share")
+      assert(ts > 0.0 && ts <= 1.0)
+      assert(r.getAs[Long]("n_sources_present") >= 1)
+    }
+  }
+
+  test("q284: overlap cells are consistent set arithmetic") {
+    val rows = graft.queries.Catalog.byName("q284_source_overlap")
+      .run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val srcs = rows.flatMap(r => Seq(r.getAs[String]("source_lo"),
+      r.getAs[String]("source_hi"))).distinct.length
+    assert(rows.length <= srcs.toLong * (srcs - 1) / 2)
+    rows.foreach { r =>
+      val s = r.getAs[Long]("shared")
+      val lo = r.getAs[Long]("n_lo"); val hi = r.getAs[Long]("n_hi")
+      assert(s >= 1 && s <= math.min(lo, hi))
+      val j = r.getAs[Double]("jaccard")
+      val c = r.getAs[Double]("containment")
+      assert(j > 0.0 && j <= 1.0 && c > 0.0 && c <= 1.0)
+      // containment normalizes by the smaller set, so it dominates
+      assert(c >= j - 1e-9)
+    }
+  }
+
   test("q267: arms partition users; Wilson brackets the rate; z sign/significance cohere") {
     val rows = graft.queries.Catalog.byName("q267_ab_test")
       .run(spark, sf).collect()
