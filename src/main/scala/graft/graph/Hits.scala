@@ -39,13 +39,22 @@ object Hits {
 
   /** (node_id, auth_micro, hub_micro) after `iterations` full rounds
     * over the DISTINCT (from_id, to_id) edge set. Nodes with no
-    * in-edges carry authority 0; no out-edges, hub 0. */
+    * in-edges carry authority 0; no out-edges, hub 0.
+    *
+    * The score frames inside the loop hold ONLY nodes with a nonzero
+    * score (absent = 0 contributes nothing to the next half-step's
+    * sums and never holds the max, so dropping them is exact) — the
+    * full node set joins back once at the END for the zero rows. That
+    * removes two |V|-row left joins per round and keeps the iterated
+    * frames as small as the live frontier. */
   def scores(edges: DataFrame, iterations: Int): DataFrame = {
     val e = edges.select(col("from_id"), col("to_id")).distinct()
       .repartition(col("from_id"))
       .truncateLineage()
-    val all = PageRank.nodes(e).repartition(col("node_id")).truncateLineage()
-    var hub = all.withColumn("h", lit(1000000L))
+    // round 1's hub side is uniform 1e6, so seed from the edge tails
+    var hub = e.select(col("from_id").as("node_id")).distinct()
+      .withColumn("h", lit(1000000L))
+      .truncateLineage()
     var auth: DataFrame = null
     for (_ <- 1 to iterations) {
       // truncate the raw frame: it feeds BOTH the 1-row max and the
@@ -55,31 +64,24 @@ object Hits {
         .groupBy(col("to_id")).agg(sum(col("h")).as("raw"))
         .truncateLineage()
       val aMax = aRaw.agg(max(col("raw")).as("mx"))
-      auth = all
-        .join(aRaw.select(col("to_id").as("node_id"), col("raw")),
-          Seq("node_id"), "left")
-        .crossJoin(broadcast(aMax))
-        .select(col("node_id"),
-          coalesce(intDiv(col("raw") * lit(1000000L), col("mx")), lit(0L))
-            .as("a"))
-        .truncateLineage()
+      auth = aRaw.crossJoin(broadcast(aMax))
+        .select(col("to_id").as("node_id"),
+          intDiv(col("raw") * lit(1000000L), col("mx")).as("a"))
       val hRaw = e.join(auth.select(col("node_id").as("to_id"), col("a")),
           Seq("to_id"))
         .groupBy(col("from_id")).agg(sum(col("a")).as("raw"))
         .truncateLineage()
       val hMax = hRaw.agg(max(col("raw")).as("mx"))
-      hub = all
-        .join(hRaw.select(col("from_id").as("node_id"), col("raw")),
-          Seq("node_id"), "left")
-        .crossJoin(broadcast(hMax))
-        .select(col("node_id"),
-          coalesce(intDiv(col("raw") * lit(1000000L), col("mx")), lit(0L))
-            .as("h"))
-        .truncateLineage()
+      hub = hRaw.crossJoin(broadcast(hMax))
+        .select(col("from_id").as("node_id"),
+          intDiv(col("raw") * lit(1000000L), col("mx")).as("h"))
     }
-    auth.join(hub, Seq("node_id"))
-      .select(col("node_id"), col("a").as("auth_micro"),
-        col("h").as("hub_micro"))
+    PageRank.nodes(e)
+      .join(auth, Seq("node_id"), "left")
+      .join(hub, Seq("node_id"), "left")
+      .select(col("node_id"),
+        coalesce(col("a"), lit(0L)).as("auth_micro"),
+        coalesce(col("h"), lit(0L)).as("hub_micro"))
   }
 
   /** DuckDB oracle fragment: CTE chain (appended after an `edges` CTE)
