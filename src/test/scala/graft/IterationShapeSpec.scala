@@ -168,6 +168,25 @@ class IterationShapeSpec extends SparkSpec {
       s"per-round stage delta drifted: $delta (3-round $s3, 4-round $s4)")
   }
 
+  test("q269 hits: stage count grows by a pinned per-round delta") {
+    import graft.graph.Hits
+    val edges = (0 until 40).flatMap(i => Seq(
+      (f"n$i%02d", f"n${(i + 1) % 40}%02d"),
+      (f"n$i%02d", f"n${(i + 13) % 40}%02d")))
+      .toDF("from_id", "to_id")
+      .localCheckpoint()
+    Hits.scores(edges, 1).count() // warm
+    val s2 = submittedStages { Hits.scores(edges, 2).count() }
+    val s3 = submittedStages { Hits.scores(edges, 3).count() }
+    val delta = s3 - s2
+    info(s"stages: 2 rounds=$s2, 3 rounds=$s3, per-round delta=$delta")
+    // two half-steps per round, each one hash join + one keyed integer
+    // sum + a 1-row max + the checkpoint materialization; doubling the
+    // per-round passes (the failure this guards) lands at >= 2x
+    assert(delta >= 2 && delta <= 14,
+      s"per-round stage delta drifted: $delta (2-round $s2, 3-round $s3)")
+  }
+
   test("q149 kmeans: exactly one centroid broadcast join per Lloyd round") {
     // KMeans.fit chains iterations without lineage truncation, so the
     // final plan is the full DAG: each of the KmIters update rounds and
