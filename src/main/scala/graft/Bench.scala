@@ -67,7 +67,14 @@ object Bench {
     "q226_cluster_cohesion" -> 0.59, // post-DedupIndex (was 10.85)
     "q231_graph_mixing" -> 5.02,
     "q254_entity_resolution" -> 2.92,
-    "q256_betweenness" -> 5.23)
+    "q256_betweenness" -> 5.23,
+    // round-9 headline promotions (quiet sf0.1 mins, BENCH_NOTES
+    // round-9 addendum): the new heavy graph operators join the
+    // official record — link prediction (wedge-bound under the hub
+    // cut), HITS (frontier-only rounds), and the 3-graph census
+    "q268_link_prediction" -> 7.83,
+    "q269_hits" -> 4.65,
+    "q273_graph_census" -> 14.80)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -97,6 +104,9 @@ object Bench {
     // q28/q126/q135/q143/q156/q162/q183/q186/q226. clusters() resolves
     // candidatePairs first, so one call warms both.
     graft.dedup.DedupIndex.clusters(spark, sfDir).count()
+    // the co-purchase projection is the third graph index artifact
+    // (q191/q273 read it)
+    graft.queries.GraphAnalyticsQueries.copurchaseCanon(spark, sfDir).count()
     Catalog.byName("q01_pricing_summary").run(spark, sfDir).count()
 
     // SPARK_GRAFT_BENCH_ONLY=qA,qB,... narrows the set (scale-proof

@@ -25,7 +25,7 @@ object GraphAnalyticsQueries {
     new java.util.concurrent.ConcurrentHashMap[String,
       org.apache.spark.sql.DataFrame]()
 
-  private[queries] def copurchaseCanon(s: SparkSession, dir: String)
+  private[graft] def copurchaseCanon(s: SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
     import graft.engine.Lineage.LineageOps
     val li = Tables.load(s, dir, "lineitem")
@@ -947,7 +947,7 @@ object GraphAnalyticsQueries {
     Q("q249_harmonic_centrality", q249, Some(q249Sql)),
     Q("q256_betweenness", q256, Some(q256Sql), headline = true),
     Q("q258_hop_plot", q258, Some(q258Sql)),
-    Q("q268_link_prediction", q268, Some(q268Sql)),
-    Q("q269_hits", q269, Some(q269Sql)),
-    Q("q273_graph_census", q273, Some(q273Sql)))
+    Q("q268_link_prediction", q268, Some(q268Sql), headline = true),
+    Q("q269_hits", q269, Some(q269Sql), headline = true),
+    Q("q273_graph_census", q273, Some(q273Sql), headline = true))
 }
