@@ -39,9 +39,8 @@ object DedupIndex {
   val FloorThreshold = 0.5
   /** The operating near-dup threshold (q28 and every cluster consumer). */
   val Threshold = 0.9
-
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  /** The SimHash catcher's hamming radius (q29/q277's operating point). */
+  val SimhashMaxDist = 3
 
   private def docs(spark: SparkSession, dir: String) =
     Tables.load(spark, dir, "documents")
@@ -49,8 +48,8 @@ object DedupIndex {
   /** Candidate pair frame (a_id, b_id, est_jaccard) at the sweep floor,
     * built once per (session, sfDir). */
   def candidatePairs(spark: SparkSession, dir: String): DataFrame =
-    cache.computeIfAbsent(s"${spark.hashCode()}|$dir|pairs",
-      _ => Dedup.minhashLsh(docs(spark, dir), "doc_id", "text",
+    graft.engine.SessionCache.getOrBuild(spark, s"dedup|$dir|pairs")(
+      Dedup.minhashLsh(docs(spark, dir), "doc_id", "text",
         K, Bands, FloorThreshold).truncateLineage())
 
   /** The operating pair graph: exact filter of [[candidatePairs]] to
@@ -62,12 +61,23 @@ object DedupIndex {
     * is_canonical) over [[pairs]] — Dedup.clusters materialized once.
     * Only docs participating in a near-dup pair appear. */
   def clusters(spark: SparkSession, dir: String): DataFrame = {
-    // resolve dependencies BEFORE computeIfAbsent: a nested
-    // computeIfAbsent on the same map throws "Recursive update" when
-    // the keys share a hash bin (the KGraph.orientedMaterialized bug)
+    // resolve dependencies BEFORE getOrBuild: a nested getOrBuild on
+    // the shared map throws "Recursive update" when the keys share a
+    // hash bin (the KGraph.orientedMaterialized bug; see SessionCache)
     val p = pairs(spark, dir)
     val d = docs(spark, dir)
-    cache.computeIfAbsent(s"${spark.hashCode()}|$dir|clusters",
-      _ => Dedup.clusters(p, d, "doc_id", "text").truncateLineage())
+    graft.engine.SessionCache.getOrBuild(spark, s"dedup|$dir|clusters")(
+      Dedup.clusters(p, d, "doc_id", "text").truncateLineage())
   }
+
+  /** The SECOND catcher table: source-blocked SimHash pairs
+    * (blk, a_id, b_id, hamming) at hamming ≤ [[SimhashMaxDist]] —
+    * same build-once contract as the LSH pair graph. q29 reads it
+    * directly and q277's capture–recapture probes it; before round 10
+    * the recall estimate re-ran the full SimHash candidate join per
+    * call while its LSH side read this index (4.7× at 10× data). */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.engine.SessionCache.getOrBuild(spark, s"dedup|$dir|simhash")(
+      Dedup.simhashPairs(docs(spark, dir), "doc_id", "text", "source",
+        maxDist = SimhashMaxDist).truncateLineage())
 }

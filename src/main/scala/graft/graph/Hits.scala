@@ -47,10 +47,38 @@ object Hits {
     * full node set joins back once at the END for the zero rows. That
     * removes two |V|-row left joins per round and keeps the iterated
     * frames as small as the live frontier. */
+  /** Largest node degree the micro-unit iteration can hold exactly:
+    * raw half-step sums are ≤ 1e6 · degree and the max-normalization
+    * multiplies by 1e6, so Long (9.22e18) is exact while max degree
+    * ≤ Long.MaxValue / 1e12 = 9 223 372. Beyond that, drop the score
+    * unit to millis (1e3) — one constant — which raises the ceiling to
+    * ~9.2e12 at 3 fewer digits of score resolution. */
+  val MaxSafeDegree: Long = Long.MaxValue / 1000000L / 1000000L
+
+  private[graft] def requireDegreeBound(maxDeg: Long): Unit =
+    require(maxDeg <= MaxSafeDegree,
+      s"max node degree $maxDeg exceeds the micro-unit overflow ceiling " +
+        s"$MaxSafeDegree — rerun HITS in milli-units (scores' unit " +
+        "constant 1e6 -> 1e3) for graphs this dense")
+
   def scores(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1,
+      s"HITS needs at least one full round (got $iterations): with 0 " +
+        "rounds no authority frame ever exists")
     val e = edges.select(col("from_id"), col("to_id")).distinct()
       .repartition(col("from_id"))
       .truncateLineage()
+    // overflow guard (one degree census over the checkpointed edge
+    // list — cheap next to the 2·iterations join rounds): the
+    // micro-unit determinism contract silently wraps past
+    // [[MaxSafeDegree]], so refuse loudly instead
+    val maxDeg = e.select(col("to_id").as("n"))
+      .union(e.select(col("from_id").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .agg(max(col("d")).as("mx")).collect()
+      .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+      .getOrElse(0L)
+    requireDegreeBound(maxDeg)
     // round 1's hub side is uniform 1e6, so seed from the edge tails
     var hub = e.select(col("from_id").as("node_id")).distinct()
       .withColumn("h", lit(1000000L))
@@ -89,6 +117,9 @@ object Hits {
     * the same unrolled-round trick as PageRank.sql.ranksCtes. */
   object sql {
     def scoresCtes(iterations: Int): String = {
+      require(iterations >= 1,
+        s"HITS oracle needs at least one round (got $iterations): the " +
+          "final CTE would reference nonexistent auth0/hub0")
       val base =
         """de AS (SELECT DISTINCT from_id, to_id FROM edges),
           |nodes AS (

@@ -24,12 +24,11 @@ object KGraph {
     * analog of the reference's persisted graph store (queries traverse a
     * prebuilt graph; they don't re-derive it from raw tables). On a
     * cluster this is the ingestion pipeline's index-build output, stored
-    * bucketed by from_id. */
-  private val cache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
+    * bucketed by from_id. Cached via the shared session-keyed artifact
+    * cache (graft.engine.SessionCache). */
   def materialized(spark: SparkSession, dir: String): DataFrame =
-    cache.computeIfAbsent(s"${spark.hashCode()}|$dir",
-      _ => edges(spark, dir).truncateLineage())
+    graft.engine.SessionCache.getOrBuild(spark, s"kgraph|$dir")(
+      edges(spark, dir).truncateLineage())
 
   /** Direction-oriented edge tables, hash-partitioned on the traversal
     * key and materialized once per (session, sfDir, direction) — the
@@ -38,14 +37,12 @@ object KGraph {
     * BFS hops against these only shuffle the frontier side. */
   def orientedMaterialized(spark: SparkSession, dir: String,
       direction: GraphOps.Direction): DataFrame = {
-    // resolve the base table BEFORE computeIfAbsent: a nested
-    // computeIfAbsent on the same map throws IllegalStateException
-    // ("Recursive update") whenever the two keys land in the same hash
-    // bin — which depends on the session's hashCode, so it surfaced as
-    // an intermittent failure, not a deterministic one
+    // resolve the base table BEFORE getOrBuild: a nested getOrBuild on
+    // the shared map throws "Recursive update" whenever the two keys
+    // land in the same hash bin (see SessionCache's caller contract)
     val base = materialized(spark, dir)
-    cache.computeIfAbsent(s"${spark.hashCode()}|$dir|$direction",
-      _ => GraphOps.oriented(base, direction)
+    graft.engine.SessionCache.getOrBuild(spark, s"kgraph|$dir|$direction")(
+      GraphOps.oriented(base, direction)
         .repartition(col("node_id"))
         .truncateLineage())
   }
@@ -58,8 +55,8 @@ object KGraph {
     * above. */
   def canonicalMaterialized(spark: SparkSession, dir: String): DataFrame = {
     val base = materialized(spark, dir)
-    cache.computeIfAbsent(s"${spark.hashCode()}|$dir|canonical",
-      _ => GraphAnalytics.canonical(base)
+    graft.engine.SessionCache.getOrBuild(spark, s"kgraph|$dir|canonical")(
+      GraphAnalytics.canonical(base)
         .repartition(col("a"))
         .truncateLineage())
   }

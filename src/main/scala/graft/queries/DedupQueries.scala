@@ -109,7 +109,7 @@ object DedupQueries {
 
   // -- q29: SimHash (16-bit, frequency-weighted) hamming ≤ 3 within source
   private def q29(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(docs(s, dir), "doc_id", "text", "source", maxDist = 3)
+    graft.dedup.DedupIndex.simhashPairs(s, dir)
       .orderBy(col("blk"), col("a_id"), col("b_id"))
 
   private val q29Sql = {
@@ -144,8 +144,8 @@ object DedupQueries {
   //          the catchers agree, not that the estimator is exact).
   //          Determinism: three exact pair counts; Chapman is pure
   //          integral arithmetic; recalls are ExactRound ratios.
-  //          Scale shape: both catchers are the existing bounded-key
-  //          equi-join plans; the overlap is one (a_id, b_id) join.
+  //          Scale shape: both catchers read build-once DedupIndex
+  //          tables; the overlap is one (a_id, b_id) join.
   private def q277(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.ExactRound
     val d = docs(s, dir)
@@ -157,7 +157,7 @@ object DedupQueries {
         Seq("b_id"))
       .filter(col("sa") === col("sb"))
       .select(col("a_id"), col("b_id"))
-    val sim = Dedup.simhashPairs(d, "doc_id", "text", "source", maxDist = 3)
+    val sim = graft.dedup.DedupIndex.simhashPairs(s, dir)
       .select(col("a_id"), col("b_id"))
     val mBoth = lsh.join(sim, Seq("a_id", "b_id"), "left_semi")
     val est = "((n_lsh + 1) * (n_simhash + 1) div (n_both + 1) - 1)"

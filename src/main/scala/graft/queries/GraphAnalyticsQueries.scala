@@ -21,18 +21,14 @@ object GraphAnalyticsQueries {
     * triangle census's wedge shuffles are ~3× narrower and compare
     * ~5× faster than on stringified part ids (measured 20 s → 3 s on
     * the sf0.1 census when q273 first stringified the keys). */
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String,
-      org.apache.spark.sql.DataFrame]()
-
   private[graft] def copurchaseCanon(s: SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
     import graft.engine.Lineage.LineageOps
     val li = Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-    cache.computeIfAbsent(s"${s.hashCode()}|$dir|copurchase",
-      _ => li.select(col("ok"), col("pk").as("p1"))
+    graft.engine.SessionCache.getOrBuild(s, s"copurchase|$dir")(
+      li.select(col("ok"), col("pk").as("p1"))
         .join(li.select(col("ok"), col("pk").as("p2")), "ok")
         .filter(col("p1") < col("p2"))
         .select(col("p1").as("a"), col("p2").as("b"))

@@ -45,7 +45,14 @@ object CmsSketch {
       .agg(sum(col("bsum")).as("bsum"))
 
   /** Point estimate (min over the d counters) for each probe token —
-    * `counters` is the fixed 4096-row table (broadcast side). */
+    * `counters` is the fixed 4096-row table (broadcast side).
+    *
+    * LEFT join + coalesce-to-0: a (salt, bucket) cell no token hashed
+    * into has no counter row, and correct CMS semantics read that
+    * missing counter as count 0 — an inner join would silently drop the
+    * empty cell, inflating the min for a probe whose other cells are
+    * occupied and ERASING a probe all of whose cells are empty (its
+    * true estimate is 0, the one case the sketch answers exactly). */
   def estimates(counters: DataFrame, tokens: DataFrame,
       tokCol: String): DataFrame =
     tokens.select(col(tokCol).as("tok"),
@@ -53,7 +60,7 @@ object CmsSketch {
       .withColumn("bucket",
         pmod(TextFunctions.md5Long(concat(col("tok"), lit("#"),
           col("salt").cast("string"))), lit(W.toLong)))
-      .join(broadcast(counters), Seq("salt", "bucket"))
+      .join(broadcast(counters), Seq("salt", "bucket"), "left")
       .groupBy(col("tok"))
-      .agg(min(col("bsum")).as("cms_est"))
+      .agg(min(coalesce(col("bsum"), lit(0L))).as("cms_est"))
 }

@@ -9,4 +9,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** The classic session's `private[sql]` UUID — a collision-free
+    * session identity for graft's per-session artifact caches (the
+    * identity hashCode previously used can collide across sessions;
+    * round-9 ADVICE). None for non-classic sessions. */
+  def sessionUUID(s: SparkSession): Option[String] = s match {
+    case c: classic.SparkSession => Some(c.sessionUUID)
+    case _ => None
+  }
 }

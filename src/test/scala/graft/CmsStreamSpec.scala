@@ -49,4 +49,29 @@ class CmsStreamSpec extends SparkSpec {
       .join(census, Seq("tok"))
     assert(est.filter(col("cms_est") < col("cnt")).count() == 0)
   }
+
+  test("a probe hitting empty cells reads them as 0 and is never dropped") {
+    import spark.implicits._
+    // tiny corpus -> almost every (salt, bucket) cell has NO counter
+    // row; correct CMS semantics read a missing counter as count 0.
+    // Before round 10 the estimate inner-joined the counter table, so
+    // an out-of-vocab probe either vanished (all cells empty) or read
+    // an inflated min over only its occupied cells (round-9 ADVICE).
+    val corpus = Seq(("d1", "alpha beta alpha")).toDF("doc_id", "text")
+    val counters = CmsSketch.tokenCounters(corpus, "text")
+    val probes = (1 to 20).map(i => s"unseen_token_$i").toDF("tok")
+    val est = CmsSketch.estimates(counters, probes, "tok").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.size == 20, "every probe must appear in the output")
+    // ≤2 occupied buckets per salt row out of 1024: each unseen probe
+    // has ≥1 empty cell (fixed deterministic hashes), so min = 0
+    assert(est.values.forall(_ == 0L),
+      s"unseen probes must estimate 0, got $est")
+    // in-vocab probes still read their exact counts in this
+    // collision-free table
+    val inv = CmsSketch.estimates(counters,
+        Seq("alpha", "beta").toDF("tok"), "tok").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(inv == Map("alpha" -> 2L, "beta" -> 1L))
+  }
 }

@@ -187,6 +187,25 @@ class GraphAnalyticsSpec extends SparkSpec {
     Seq("l1", "l2", "l3").foreach(l => assert(got(l) == ((0L, 1000000L))))
   }
 
+  test("hits: contract guards — zero rounds refused, overflow ceiling enforced") {
+    import graft.graph.Hits
+    import org.apache.spark.sql.functions._
+    val e = Seq(("a", "b")).toDF("from_id", "to_id")
+    // 0 rounds: no authority frame would ever exist (NPE before r10)
+    assertThrows[IllegalArgumentException](Hits.scores(e, 0))
+    assertThrows[IllegalArgumentException](Hits.sql.scoresCtes(0))
+    // the micro-unit determinism contract wraps past MaxSafeDegree:
+    // the guard must refuse, not silently produce garbage scores
+    Hits.requireDegreeBound(Hits.MaxSafeDegree)
+    assertThrows[IllegalArgumentException](
+      Hits.requireDegreeBound(Hits.MaxSafeDegree + 1))
+    // end-to-end: a synthetic hub one past the ceiling is refused by
+    // scores() itself (the degree census runs before any iteration)
+    val hub = spark.range(Hits.MaxSafeDegree + 1)
+      .select(col("id").as("from_id"), lit(-1L).as("to_id"))
+    assertThrows[IllegalArgumentException](Hits.scores(hub, 1))
+  }
+
   test("q268: predictions are non-edges ranked by shared-neighbor evidence") {
     import org.apache.spark.sql.functions._
     val rows = graft.queries.Catalog.byName("q268_link_prediction")
