@@ -88,26 +88,55 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // round-9 lesson: WindowExec WARN spam displaced the one-line result
+    // JSON from the driver's tail buffer — the sites are all audited
+    // metadata-bounded frames, so the warning is noise here
+    GraftSession.quietAuditedWarnings()
 
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
     // Warmup: touch every table + exercise codegen/shuffle machinery once.
     // The knowledge-graph edge table is the ingestion pipeline's persisted
     // index-build output (see KGraph.materialized) — building it is not
-    // part of any query's cost, so it warms here too.
+    // part of any query's cost, so it warms here too. Each artifact
+    // build IS timed (non-floored `ingest_*` rows in the result JSON):
+    // moving construction out of the per-query timings must not make a
+    // regression in the builders themselves invisible (round-9 verdict).
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
-    graft.graph.KGraph.materialized(spark, sfDir).count()
-    // oriented edge "indexes" (the reference's from/to edge indexes)
-    Seq(graft.graph.GraphOps.Incoming, graft.graph.GraphOps.Outgoing,
-      graft.graph.GraphOps.Both).foreach(d =>
-      graft.graph.KGraph.orientedMaterialized(spark, sfDir, d).count())
+    val ingestKgraph = timed {
+      graft.graph.KGraph.materialized(spark, sfDir).count()
+      // oriented edge "indexes" (the reference's from/to edge indexes)
+      Seq(graft.graph.GraphOps.Incoming, graft.graph.GraphOps.Outgoing,
+        graft.graph.GraphOps.Both).foreach(d =>
+        graft.graph.KGraph.orientedMaterialized(spark, sfDir, d).count())
+      // the canonical undirected list is the whole-graph-analytics
+      // artifact (q268 etc.); it MUST be in the keep-set snapshot or
+      // the between-queries hygiene sweep would release it mid-bench
+      graft.graph.KGraph.canonicalMaterialized(spark, sfDir).count()
+    }
     // the near-dup pair/cluster index is the same kind of ingestion-time
     // artifact (see DedupIndex): built once, read by
     // q28/q126/q135/q143/q156/q162/q183/q186/q226. clusters() resolves
-    // candidatePairs first, so one call warms both.
-    graft.dedup.DedupIndex.clusters(spark, sfDir).count()
+    // candidatePairs first, so one call warms both; the SimHash catcher
+    // (q29/q277) is the index's second table.
+    val ingestDedup = timed {
+      graft.dedup.DedupIndex.clusters(spark, sfDir).count()
+      graft.dedup.DedupIndex.simhashPairs(spark, sfDir).count()
+    }
     // the co-purchase projection is the third graph index artifact
     // (q191/q273 read it)
-    graft.queries.GraphAnalyticsQueries.copurchaseCanon(spark, sfDir).count()
+    val ingestCopurchase = timed {
+      graft.queries.GraphAnalyticsQueries.copurchaseCanon(spark, sfDir).count()
+    }
+    // keep-set for checkpoint hygiene: everything persisted so far is a
+    // session-lifetime artifact; every block persisted AFTER this point
+    // is some query's transient (per-hop localCheckpoints) and is
+    // released between queries — round 9's q273 died twice in the
+    // interleaved sf1.0 sweep under ~40 queries' accumulated blocks.
+    val keepIds = graft.engine.Lineage.persistentIds(spark)
     Catalog.byName("q01_pricing_summary").run(spark, sfDir).count()
+    graft.engine.Lineage.releaseTransient(spark, keepIds): Unit
 
     // SPARK_GRAFT_BENCH_ONLY=qA,qB,... narrows the set (scale-proof
     // runs bench non-headline families, e.g. the quality module); the
@@ -136,7 +165,11 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}"); false
         }
-        (q.name, (System.nanoTime() - t0) / 1e9, ok)
+        val t = (System.nanoTime() - t0) / 1e9
+        // release the query's transient checkpoint blocks OUTSIDE its
+        // timed window (unpersist is async); shared artifacts survive
+        graft.engine.Lineage.releaseTransient(spark, keepIds): Unit
+        (q.name, t, ok)
       }
     }
     // Self-healing retry: interleaving protects against a short
@@ -151,7 +184,10 @@ object Bench {
     // (ScaleGen sf1.0 scale-proof runs) every reading legitimately
     // exceeds them, so the retry loop and the ratio report would fire
     // on every query — both are sf0.1-only by construction
-    val floorsApply = sfDir.endsWith("sf0.1")
+    // basename compare, not endsWith: a trailing slash or an sf0.12
+    // dataset must not silently flip the floor/retry machinery (ADVICE r9)
+    val floorsApply = java.nio.file.Paths.get(sfDir)
+      .normalize().getFileName.toString == "sf0.1"
     val retried = scala.collection.mutable.ListBuffer[String]()
     val extraSamples = scala.collection.mutable.Map[String, List[Double]]()
     val results = headline.map { q =>
@@ -179,6 +215,7 @@ object Bench {
               System.err.println(s"[bench] ${q.name} retry FAILED: ${e.getMessage}")
               tries = 2 // stop retrying on error; keep the good samples
             }
+            graft.engine.Lineage.releaseTransient(spark, keepIds): Unit
           }
         }
         (q.name, best, true)
@@ -218,13 +255,29 @@ object Bench {
           if floorsApply && floors.get(name).exists(_ >= 0.5) && best > 0 =>
         "\"" + name + "\":" + f"${best / floors(name)}%.2f"
     }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$samples,"failed":$failed,"retried":$retriedJson,"floor_ratio":$floorRatios,"sf":"$sfDir"}""")
+    // the ingestion-artifact builds, timed but non-floored (they run
+    // once in warmup; a regression in the builders must stay visible)
+    val ingest = f""""ingest_kgraph_index":$ingestKgraph%.3f,""" +
+      f""""ingest_dedup_index":$ingestDedup%.3f,""" +
+      f""""ingest_copurchase":$ingestCopurchase%.3f"""
+    val resultJson =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$samples,"failed":$failed,"retried":$retriedJson,"floor_ratio":$floorRatios,"ingest":{$ingest},"sf":"$sfDir"}"""
+    // Persist the record to a file FIRST (round 9: the stdout line was
+    // scrolled out of the driver's tail buffer and the round recorded
+    // as unparseable), then run the explain report, then print the JSON
+    // as the FINAL stdout line.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_RESULT.json"), resultJson + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not persist BENCH_RESULT.json: " +
+        e.getMessage)
+    }
     // Explain report over the heavy headliners (>= 2 s best reading):
     // QueryExplainer's bottleneck rules read the EXECUTED plan's
     // SQLMetrics, so this re-runs each target once (~+1x its best
     // time) and writes the per-query step/bottleneck digest the tuning
     // docs reference. Failures here must never poison the bench record
-    // — the JSON line above is already printed.
+    // — the JSON is already persisted.
     // sf0.1-only (like the floors): the scale-proof sf1.0 sweeps don't
     // need a second execution of every heavy query
     if (floorsApply)
@@ -233,6 +286,7 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] explain report failed: ${e.getMessage}")
       }
+    println(resultJson)
     spark.stop()
   }
 

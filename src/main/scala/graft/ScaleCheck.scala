@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.Catalog
+
+/** sf1.0 correctness spot-gate: the DuckDB oracle gate runs at sf0.01,
+  * so scale runs validated only wall time — this main makes the heavy
+  * headliners validate RESULTS at scale too. Each query runs twice in
+  * two independently-configured sibling sessions (different shuffle
+  * partition counts, separately-built session artifacts), so physical
+  * parallelism, shuffle placement and artifact construction all differ
+  * between the runs; the two result fingerprints must match exactly.
+  * A query whose output depended on execution order (an un-tiebroken
+  * top-k cut, a float reduction order, a nondeterministic hash seed)
+  * fails here at the scale where it matters.
+  *
+  * The fingerprint is order-independent and duplicate-sensitive:
+  * per-row xxhash64 over the name-sorted stringified columns, then
+  * (count, decimal-sum, bit-xor) over the row hashes — no driver-side
+  * collect of data-sized results.
+  *
+  * Usage: runMain graft.ScaleCheck [sfDir] [names...]; writes
+  * SCALECHECK.json and prints the result JSON as the final line.
+  */
+object ScaleCheck {
+
+  /** The 10 heaviest headliners by round-9 sf1.0 sweep cost. */
+  val DefaultHeavy: Seq[String] = Seq(
+    "q268_link_prediction", "q269_hits", "q273_graph_census",
+    "q147_pagerank", "q256_betweenness", "q231_graph_mixing",
+    "q193_lpa_communities", "q192_kcore_layers",
+    "q191_copurchase_clustering", "q254_entity_resolution")
+
+  /** (row count, decimal sum of row hashes, xor of row hashes). */
+  def fingerprint(df: DataFrame): (Long, String, Long) = {
+    val cols = df.columns.sorted.map(c => col(c).cast("string"))
+    // control-char separator + sentinel for nulls: concat_ws silently
+    // DROPS null args, which would make (null, "x") collide with ("x")
+    val hashed = df.select(
+      xxhash64(concat_ws("\u0001",
+        cols.map(coalesce(_, lit("\u0002"))): _*)).as("h"))
+    val r = hashed.agg(
+      count(lit(1)).as("n"),
+      sum(col("h").cast("decimal(38,0)")).as("s"),
+      expr("bit_xor(h)").as("x")).head()
+    (r.getLong(0),
+      Option(r.getDecimal(1)).map(_.toBigInteger.toString).getOrElse("0"),
+      if (r.isNullAt(2)) 0L else r.getLong(2))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/repo/testdata_sf1")
+    val names = if (args.length > 1) args.drop(1).toSeq else DefaultHeavy
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val root = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scalecheck")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    root.sparkContext.setLogLevel("WARN")
+    GraftSession.quietAuditedWarnings()
+
+    // trial sessions: same data, different physical parallelism; each
+    // builds its own session artifacts (SessionCache keys per session).
+    // ALL ingestion artifacts warm up front so the keep-set snapshot
+    // covers them — an artifact built mid-sweep would be swept as a
+    // transient and its next consumer would hit missing checkpoint
+    // blocks.
+    val parts = Seq(cpus, "17")
+    val trials = parts.map { p =>
+      val s = root.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", p)
+      graft.graph.KGraph.materialized(s, sfDir).count()
+      Seq(graft.graph.GraphOps.Incoming, graft.graph.GraphOps.Outgoing,
+        graft.graph.GraphOps.Both).foreach(d =>
+        graft.graph.KGraph.orientedMaterialized(s, sfDir, d).count())
+      graft.graph.KGraph.canonicalMaterialized(s, sfDir).count()
+      graft.queries.GraphAnalyticsQueries.copurchaseCanon(s, sfDir).count()
+      graft.dedup.DedupIndex.clusters(s, sfDir).count()
+      graft.dedup.DedupIndex.simhashPairs(s, sfDir).count()
+      s
+    }
+    val keep = graft.engine.Lineage.persistentIds(root)
+    val results = names.map { name =>
+      val q = Catalog.byName(name)
+      val fps = trials.map { s =>
+        val t0 = System.nanoTime()
+        val fp = fingerprint(q.run(s, sfDir))
+        val secs = (System.nanoTime() - t0) / 1e9
+        // per-query transient checkpoint blocks must not accumulate
+        // across the sweep (the round-9 q273 failure mode); the
+        // persistent-RDD map is context-wide, so one keep-set covers
+        // both trial sessions' artifacts
+        graft.engine.Lineage.releaseTransient(s, keep): Unit
+        (fp, secs)
+      }
+      val ok = fps.map(_._1).distinct.size == 1
+      System.err.println(s"[scalecheck] $name " +
+        (if (ok) "MATCH" else s"MISMATCH ${fps.map(_._1)}") +
+        f" (${fps.map(_._2).map(t => f"$t%.1f").mkString("/")} s)")
+      (name, ok, fps)
+    }
+    val json = results.map { case (name, ok, fps) =>
+      val (n, s, x) = fps.head._1
+      s""""$name":{"match":$ok,"rows":$n,"sum":"$s","xor":$x,""" +
+        s""""secs":[${fps.map(f => f"${f._2}%.2f").mkString(",")}]}"""
+    }.mkString("{", ",", "}")
+    val allOk = results.forall(_._2)
+    val line = s"""{"metric":"scalecheck","sf":"$sfDir","all_match":$allOk,"queries":$json}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("SCALECHECK.json"), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[scalecheck] persist failed: ${e.getMessage}")
+    }
+    println(line)
+    root.stop()
+    if (!allOk) sys.exit(1)
+  }
+}

@@ -21,6 +21,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the partitionless-window WARN spam is audited noise here (see
+    // GraftSession.quietAuditedWarnings + PlanShapeSpec's allowlist)
+    GraftSession.quietAuditedWarnings()
     new java.io.File(outDir).mkdirs()
     // Queries are independent — run them on a small pool so Spark's
     // scheduler overlaps their jobs (I/O + planning gaps fill in).

@@ -33,6 +33,34 @@ object Lineage {
     * checkpoints (default false = localCheckpoint). */
   val ReliableKey = "spark.graft.reliableCheckpoints"
 
+  /** Ids of the RDD blocks currently persisted on `spark`'s context —
+    * snapshot this AFTER building the session's long-lived artifacts
+    * (KGraph indexes, DedupIndex, the co-purchase projection) to get
+    * the keep-set for [[releaseTransient]]. */
+  def persistentIds(spark: org.apache.spark.sql.SparkSession): Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  /** Checkpoint-block hygiene for long-lived sessions: unpersists every
+    * persisted RDD whose id is not in `keep`, returning how many were
+    * dropped. Local checkpoints are persisted blocks that NOTHING ever
+    * unpersists — a session that runs many queries back-to-back (a
+    * bench sweep, a notebook, a query service) accumulates every
+    * query's per-hop blocks until the block manager crowds out live
+    * work (round 9: q273 completed solo in 162 s but died twice in the
+    * interleaved sf1.0 sweep under ~40 queries' accumulated blocks).
+    * Call between queries with the post-ingestion [[persistentIds]]
+    * snapshot as `keep`; a released frame is gone for good (lineage is
+    * truncated), which is exactly right for per-query transients and
+    * exactly wrong for shared artifacts — hence the explicit keep-set
+    * rather than a blanket clear. */
+  def releaseTransient(spark: org.apache.spark.sql.SparkSession,
+      keep: Set[Int]): Int = {
+    val drop = spark.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => !keep(id) }
+    drop.values.foreach(_.unpersist(blocking = false))
+    drop.size
+  }
+
   implicit final class LineageOps(private val df: DataFrame) extends AnyVal {
     def truncateLineage(): DataFrame = {
       val spark = df.sparkSession

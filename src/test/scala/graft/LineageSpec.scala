@@ -43,6 +43,24 @@ class LineageSpec extends SparkSpec {
     }
   }
 
+  test("releaseTransient frees per-query blocks but keeps pinned artifacts") {
+    // the bench/sweep hygiene contract (round 9: q273 died under ~40
+    // queries' accumulated localCheckpoint blocks): snapshot the
+    // keep-set after the session artifacts exist, then releasing drops
+    // exactly the blocks persisted since — and the artifact still reads
+    val artifact = Lineage.LineageOps(Seq(1, 2, 3).toDF("x")).truncateLineage()
+    val keep = Lineage.persistentIds(spark)
+    val transientDf = Lineage.LineageOps(Seq(4, 5).toDF("x")).truncateLineage()
+    assert(transientDf.count() == 2)
+    assert(Lineage.persistentIds(spark) != keep)
+    val dropped = Lineage.releaseTransient(spark, keep)
+    assert(dropped >= 1)
+    assert(Lineage.persistentIds(spark) == keep,
+      "released ids must leave the persistent-RDD map")
+    assert(artifact.as[Int].collect().sorted.toSeq == Seq(1, 2, 3),
+      "pinned artifact must survive the sweep")
+  }
+
   test("without the opt-in conf the local path is used even with a dir set") {
     // conf reset in the previous test's finally; dir may still be set —
     // truncateLineage must NOT go reliable on the dir alone

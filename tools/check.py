@@ -136,12 +136,14 @@ def main():
 
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     ok = fail = 0
+    statuses = {}
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
         pdir = f"{outdir}/{name}"
         if not os.path.isdir(pdir):
-            print(f"MISSING  {name} (no parquet output)"); fail += 1; continue
+            print(f"MISSING  {name} (no parquet output)"); fail += 1
+            statuses[name] = "missing"; continue
         try:
             scols, sfams, srows = arrow_cols_rows(pq.read_table(pdir))
             # fetch_arrow_table (NOT fetchall): keeps DuckDB's types visible —
@@ -150,19 +152,23 @@ def main():
             dcols, dfams, drows = arrow_cols_rows(
                 con.sql(sql).fetch_arrow_table())
         except Exception as e:
-            print(f"ERROR    {name}: {e}"); fail += 1; continue
+            print(f"ERROR    {name}: {e}"); fail += 1
+            statuses[name] = f"error: {str(e)[:200]}"; continue
         sc, sr = canon(scols, srows)
         dc, dr = canon(dcols, drows)
         sfam = [f for _, f in sorted(zip(scols, sfams))]
         dfam = [f for _, f in sorted(zip(dcols, dfams))]
         if sc != dc:
             print(f"SCHEMA   {name}: spark={sc} duck={dc}"); fail += 1
+            statuses[name] = "schema"
         elif sfam != dfam:
             diffs = [f"{c}: spark={a} duck={b}"
                      for c, a, b in zip(sc, sfam, dfam) if a != b]
             print(f"TYPE     {name}: " + "; ".join(diffs)); fail += 1
+            statuses[name] = "type"
         elif len(sr) != len(dr):
             print(f"ROWCOUNT {name}: spark={len(sr)} duck={len(dr)}"); fail += 1
+            statuses[name] = "rowcount"
         elif sr != dr:
             bad = next(i for i, (a, b) in enumerate(zip(sr, dr)) if a != b) \
                 if sr and dr else 0
@@ -171,9 +177,20 @@ def main():
             print(f"  spark: {sr[bad] if bad < len(sr) else '<none>'}")
             print(f"  duck : {dr[bad] if bad < len(dr) else '<none>'}")
             fail += 1
+            statuses[name] = "values"
         else:
             print(f"OK       {name} ({len(sr)} rows)"); ok += 1
+            statuses[name] = "ok"
     print(f"\n{ok} ok, {fail} failed")
+    # Persist the board (round 9: the driver's own capture came back as
+    # an empty {} despite a fully-green engine — the repo now carries
+    # its own committed record of every run). Full runs only: a
+    # filtered dev run would otherwise overwrite the full board.
+    if not only:
+        with open("/root/repo/CORRECTNESS_SELF.json", "w") as f:
+            json.dump({"sf": sfdir, "ok": ok, "failed": fail,
+                       "queries": statuses}, f, indent=0, sort_keys=True)
+            f.write("\n")
     sys.exit(1 if fail else 0)
 
 
