@@ -140,7 +140,64 @@ class PlanShapeSpec extends SparkSpec {
     "q277_dedup_recall_estimate", // three 1-row catch-count stats crossed
     "q279_roc_points",        // 1-row wide threshold-cell frame exploded
     "q280_average_precision", // 1-row AP aggregate (rank fold)
-    "q283_shard_mixing")      // #sources-row corpus dist x 1-row total cross
+    "q283_shard_mixing",      // #sources-row corpus dist x 1-row total cross
+    "q285_mannwhitney_u")     // 1-row (N, tie-term) totals cross
+
+  /** Catalog queries that window WITHOUT a partition spec — every row
+    * audited (round-9 verdict): the windowed frame is metadata-/eval-
+    * bounded (bucket grids, per-source rollups, threshold cells,
+    * doc-bounded classifier eval), never data-sized, and the operator's
+    * scaladoc documents the 100 TB alternative where one exists (e.g.
+    * q209's grid rank, q280's histogram-AUC). A NEW unpartitioned
+    * window is the canonical move-everything-to-one-partition sort
+    * bottleneck and fails here until audited + listed. */
+  private val unpartitionedWindowAllowed: Set[String] = Set(
+    // reference pagination/ranking contract: globally ordered result
+    // with a result cap (top-k heap or k<=50 driver re-rank bounds the
+    // sorted frame; keyset pagination is the 100 TB alternative)
+    "q06_sort_pagination", "q50_ranking_scores", "q51_diversity_rerank",
+    "q105_quality_ranking",
+    // two-phase exact cumsum: the partitionless window runs over
+    // per-partition boundary totals (#partitions rows), never the data
+    "q134_token_budget_select", "q141_shard_manifest",
+    "q203_packing_manifest", "q218_activity_deciles",
+    // k-bounded centroid/cluster frames (k-means family)
+    "q149_kmeans_corpus_map", "q167_semdedup", "q169_prototype_prune",
+    "q172_incremental_semdedup", "q174_curation_build_v2",
+    "q177_semantic_decontamination", "q179_silhouette",
+    // bounded rank-fusion / probe frames (top-k lists, 16-probe evals)
+    "q151_rrf_fusion", "q160_abtt_retrieval",
+    // eval-frame-bounded classifier readouts (documented alternative:
+    // histogram AUC — see q280's scaladoc)
+    "q175_classifier_eval", "q184_classifier_calibration",
+    "q280_average_precision",
+    // metadata-sized grids: buckets, vocab ranks, metric/value
+    // censuses, hop/depth/lateness histograms, per-source rollups
+    "q164_zipf_fit", "q168_unimax_alloc", "q178_doremi_mixture",
+    "q182_drift_psi", "q186_cluster_histogram", "q209_metric_spearman",
+    "q242_clustering_depth", "q258_hop_plot", "q262_lateness_audit",
+    "q283_shard_mixing", "q285_mannwhitney_u",
+    // event-time grids (distinct event times bound the survival /
+    // retention frames)
+    "q240_km_retention", "q281_nelson_aalen", "q282_logrank_test")
+
+  test("unpartitioned windows only over audited metadata-bounded frames") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val withWin = Catalog.all.map(_.name).filter { n =>
+      Catalog.byName(n).run(planSession, sf).queryExecution.optimizedPlan
+        .collectWithSubqueries {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }.nonEmpty
+    }.toSet
+    val unexpected = withWin -- unpartitionedWindowAllowed
+    val stale = unpartitionedWindowAllowed -- withWin
+    assert(unexpected.isEmpty,
+      "NEW unpartitioned window (audit the frame bound, then allowlist) " +
+        s"in: ${unexpected.toSeq.sorted.mkString(", ")}")
+    assert(stale.isEmpty,
+      "allowlist rows no longer window unpartitioned — tighten the list: " +
+        stale.toSeq.sorted.mkString(", "))
+  }
 
   // On failure, include a plan excerpt around the first occurrence so a
   // transient/state-dependent failure self-diagnoses from the log alone.
