@@ -1454,6 +1454,142 @@ object SamplingQueries {
        |ORDER BY source_lo, source_hi""".stripMargin
   }
 
+  // -- q285: Mann–Whitney U rank-sum test (Mann & Whitney 1947) per
+  //          source vs the rest of the corpus over doc length — the
+  //          nonparametric complement to q270's Welch t: detects a
+  //          source whose length DISTRIBUTION shifted even when means
+  //          agree, with no normality assumption. Because every
+  //          source-vs-rest comparison shares the same combined
+  //          population (the corpus), the rank table is computed ONCE
+  //          on the value census and every source reads its rank-sum
+  //          off it — #sources passes over one bounded grid, not
+  //          #sources re-rankings. Tie-corrected normal z.
+  //          Determinism: doubled average ranks (2·cumb + cnt + 1) are
+  //          exact integers, so rank-sums/U/tie terms are integer
+  //          arithmetic; z/auc are single-row double formulas over
+  //          those integers, round6. Scale shape: one scan → value
+  //          census (bounded by the n_chars domain, not |docs|); the
+  //          rank window runs on that metadata-sized grid (audited
+  //          partitionless-window site); per-source rollup is one
+  //          keyed agg + a 1-row totals broadcast. Long arithmetic
+  //          holds to N ~ 2e6 (the N³ tie-variance term); above that
+  //          promote the totals to decimal.
+  private def q285(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir).select(col("source"), col("n_chars").as("v"))
+    val glob = d.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cumb", coalesce(
+        sum(col("cnt")).over(Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val bySrc = d.groupBy(col("source"), col("v"))
+      .agg(count(lit(1)).as("c_sv"))
+    val r = bySrc.join(glob, "v")
+      .groupBy(col("source")).agg(
+        sum(col("c_sv") * (lit(2L) * col("cumb") + col("cnt") + lit(1L)))
+          .as("r2"),
+        sum(col("c_sv")).as("n1"))
+    val tot = glob.agg(sum(col("cnt")).as("nn"),
+      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tt"))
+    r.crossJoin(broadcast(tot))
+      .select(col("source"), col("n1"),
+        (col("r2") - col("n1") * (col("n1") + lit(1L))).as("u2"),
+        expr("round(CAST(r2 - n1*(n1+1) AS DOUBLE) / (2.0*n1*(nn-n1)), 6)")
+          .as("auc"),
+        expr("round((CAST(r2 - n1*(n1+1) AS DOUBLE) - CAST(n1*(nn-n1) AS DOUBLE)) / " +
+          "nullif(2.0*sqrt(n1*(nn-n1) * ((nn+1.0)*nn*(nn-1.0) - tt) / " +
+          "(12.0*nn*(nn-1.0))), 0), 6)").as("z"))
+      .orderBy(col("source"))
+  }
+
+  private val q285Sql =
+    """WITH d AS (SELECT source, n_chars AS v FROM documents),
+      |gv AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY v),
+      |g2 AS (SELECT v, cnt, CAST(coalesce(sum(cnt) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |    AS cumb FROM gv),
+      |bysrc AS (SELECT source, v, CAST(count(*) AS BIGINT) AS c_sv
+      |  FROM d GROUP BY 1, 2),
+      |r AS (SELECT source,
+      |    CAST(sum(c_sv * (2*cumb + cnt + 1)) AS BIGINT) AS r2,
+      |    CAST(sum(c_sv) AS BIGINT) AS n1
+      |  FROM bysrc JOIN g2 USING (v) GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS nn,
+      |    CAST(sum(cnt*cnt*cnt - cnt) AS BIGINT) AS tt FROM gv)
+      |SELECT source, n1, CAST(r2 - n1*(n1+1) AS BIGINT) AS u2,
+      |  round(CAST(r2 - n1*(n1+1) AS DOUBLE) / (2.0*n1*(nn-n1)), 6) AS auc,
+      |  round((CAST(r2 - n1*(n1+1) AS DOUBLE) - CAST(n1*(nn-n1) AS DOUBLE)) /
+      |    nullif(2.0*sqrt(n1*(nn-n1) * ((nn+1.0)*nn*(nn-1.0) - tt) /
+      |    (12.0*nn*(nn-1.0))), 0), 6) AS z
+      |FROM r, tot ORDER BY source""".stripMargin
+
+  // -- q286: Fleiss' kappa (Fleiss 1971) across THREE independent
+  //          rule-based labelers, per source — q274's pairwise Cohen
+  //          kappa generalized to a rater panel: the screen a labeling
+  //          pipeline runs before trusting majority-vote labels. With
+  //          binary categories and 3 raters, an item's agreement
+  //          P_i depends only on k = #raters saying "keep"
+  //          (P_i = (k² + (3−k)² − 3) / 6), so the whole statistic
+  //          reduces to a per-source census of k ∈ {0..3} — one scan,
+  //          four conditional sums, no per-pair work. Labelers: A =
+  //          composite quality > 0.5; B = lexical diversity > 0.5 with
+  //          ≥ 100 chars; C = ≥ 20 whitespace tokens. Determinism:
+  //          exact integer census; P̄/pe/kappa are single-row double
+  //          formulas over the counts, round6, nullif-guarded.
+  private def q286(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{TextFunctions => TF}
+    val k = docs(s, dir).select(col("source"),
+      ((TF.qualityScore(col("text"), col("n_chars")) > lit(0.5)).cast("int") +
+        (TF.tokenDiversity(col("text")) > lit(0.5) &&
+          col("n_chars") >= 100).cast("int") +
+        (size(TF.tokens(col("text"))) >= 20).cast("int")).as("k"))
+    val cells = k.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("k")).as("sumk"),
+      sum(col("k") * col("k") + (lit(3) - col("k")) * (lit(3) - col("k")))
+        .as("sumsq"))
+    // P̄ = Σ(k² + (3−k)² − 3) / (6N) = (sumsq − 3N) / (6N);
+    // p = sumk/(3N); pe = p² + (1−p)²
+    cells.select(col("source"), col("n_docs"),
+        expr("round(CAST(sumsq - 3*n_docs AS DOUBLE) / (6.0*n_docs), 6)")
+          .as("p_bar"),
+        expr("round(CAST(sumk AS DOUBLE) / (3.0*n_docs), 6)").as("p_keep"),
+        expr("round(((CAST(sumsq - 3*n_docs AS DOUBLE) / (6.0*n_docs)) - " +
+          "(pow(CAST(sumk AS DOUBLE) / (3.0*n_docs), 2) + " +
+          "pow(1 - CAST(sumk AS DOUBLE) / (3.0*n_docs), 2))) / " +
+          "nullif(1 - (pow(CAST(sumk AS DOUBLE) / (3.0*n_docs), 2) + " +
+          "pow(1 - CAST(sumk AS DOUBLE) / (3.0*n_docs), 2)), 0), 6)")
+          .as("fleiss_kappa"))
+      .orderBy(col("source"))
+  }
+
+  private val q286Sql = {
+    import graft.text.{TextFunctions => TF}
+    val la = s"(${TF.sql.qualityScore("text", "n_chars")} > 0.5)"
+    val lb = s"(${TF.sql.tokenDiversity("text")} > 0.5 AND n_chars >= 100)"
+    val lc = s"(len(${TF.sql.tokens("text")}) >= 20)"
+    s"""WITH kk AS (
+       |  SELECT source,
+       |    (CASE WHEN $la THEN 1 ELSE 0 END +
+       |     CASE WHEN $lb THEN 1 ELSE 0 END +
+       |     CASE WHEN $lc THEN 1 ELSE 0 END) AS k
+       |  FROM documents),
+       |cells AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(k) AS BIGINT) AS sumk,
+       |    CAST(sum(k*k + (3-k)*(3-k)) AS BIGINT) AS sumsq
+       |  FROM kk GROUP BY 1)
+       |SELECT source, n_docs,
+       |  round(CAST(sumsq - 3*n_docs AS DOUBLE) / (6.0*n_docs), 6) AS p_bar,
+       |  round(CAST(sumk AS DOUBLE) / (3.0*n_docs), 6) AS p_keep,
+       |  round(((CAST(sumsq - 3*n_docs AS DOUBLE) / (6.0*n_docs)) -
+       |    (pow(CAST(sumk AS DOUBLE) / (3.0*n_docs), 2) +
+       |    pow(1 - CAST(sumk AS DOUBLE) / (3.0*n_docs), 2))) /
+       |    nullif(1 - (pow(CAST(sumk AS DOUBLE) / (3.0*n_docs), 2) +
+       |    pow(1 - CAST(sumk AS DOUBLE) / (3.0*n_docs), 2)), 0), 6)
+       |    AS fleiss_kappa
+       |FROM cells ORDER BY source""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q111_split_assign", q111, Some(q111Sql)),
     Q("q112_quota_sample", q112, Some(q112Sql)),
@@ -1478,5 +1614,7 @@ object SamplingQueries {
     Q("q274_labeler_kappa", q274, Some(q274Sql)),
     Q("q278_trimmed_quality", q278, Some(q278Sql)),
     Q("q283_shard_mixing", q283, Some(q283Sql)),
-    Q("q284_source_overlap", q284, Some(q284Sql)))
+    Q("q284_source_overlap", q284, Some(q284Sql)),
+    Q("q285_mannwhitney_u", q285, Some(q285Sql)),
+    Q("q286_fleiss_kappa", q286, Some(q286Sql)))
 }

