@@ -50,6 +50,33 @@ object GraphAnalytics {
     * contributes 36M wedges; at 10× data, 3.6G — the round-9 q273
     * sf1.0 failure). Returns (node, n_tri); absent nodes have none. */
   def triangleCounts(canon: DataFrame): DataFrame = {
+    val closed = closedTriangles(canon)
+    closed.select(col("u").as("node"))
+      .unionByName(closed.select(col("v").as("node")))
+      .unionByName(closed.select(col("w").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Per-EDGE triangle support over a canonical list: (a, b, support);
+    * only edges participating in ≥ 1 triangle appear (absent = 0).
+    * Same degree-ordered enumeration as [[triangleCounts]] — each
+    * closed triangle charges its three edges in canonical (min, max)
+    * form. This is the k-truss peel's inner step. */
+  def edgeSupport(canon: DataFrame): DataFrame = {
+    val closed = closedTriangles(canon)
+    closed.select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .unionByName(closed.select(least(col("v"), col("w")).as("a"),
+        greatest(col("v"), col("w")).as("b")))
+      .unionByName(closed.select(least(col("u"), col("w")).as("a"),
+        greatest(col("u"), col("w")).as("b")))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+  }
+
+  /** Every triangle exactly once as (u, v, w) ranked low→high under
+    * the (degree, id) total order — the shared core of the node and
+    * edge census forms above. */
+  private def closedTriangles(canon: DataFrame): DataFrame = {
     val deg = degrees(canon)
     val withDeg = canon
       .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
@@ -78,16 +105,67 @@ object GraphAnalytics {
     // LAZY cut: the per-corner union below reads this frame three
     // times, and exchange reuse does not always cover the whole join
     // (measured 14.1 s -> 8.1 s on the 41M-wedge co-purchase census)
-    val closed = w1.join(w2, Seq("u"))
+    w1.join(w2, Seq("u"))
       .filter(col("dv") < col("dw") ||
         (col("dv") === col("dw") && col("v") < col("w")))
       .join(oriented.select(col("u").as("v"), col("v").as("w")),
         Seq("v", "w"), "left_semi")
+      .select(col("u"), col("v"), col("w"))
       .truncateLineageLazy()
-    closed.select(col("u").as("node"))
-      .unionByName(closed.select(col("v").as("node")))
-      .unionByName(closed.select(col("w").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Degree assortativity (Newman 2002): one row (n_edges, sum_deg,
+    * sum_prod, sum_sq, assortativity) — symmetric Pearson estimator
+    * r = (4M·Σdadb − (Σda+db)²) / (2M·Σ(da²+db²) − (Σda+db)²) over
+    * the edge-endpoint degree pairs. The three sums are exact
+    * integers; the squaring happens in the double domain (Σ² exceeds
+    * long range), round6. r = −1 on a star, > 0 when hubs prefer
+    * hubs. */
+  def assortativity(canon: DataFrame): DataFrame = {
+    val deg = degrees(canon)
+    canon
+      .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")
+      .agg(count(lit(1)).as("m"),
+        sum(col("da") + col("db")).as("sj"),
+        sum(col("da") * col("db")).as("sjk"),
+        sum(col("da") * col("da") + col("db") * col("db")).as("sj2"))
+      .select(col("m").as("n_edges"), col("sj").as("sum_deg"),
+        col("sjk").as("sum_prod"), col("sj2").as("sum_sq"),
+        expr("round((4.0*m*sjk - CAST(sj AS DOUBLE)*sj) / " +
+          "nullif(2.0*m*sj2 - CAST(sj AS DOUBLE)*sj, 0), 6)")
+          .as("assortativity"))
+  }
+
+  /** Rich-club coefficients (Colizza et al. 2006) over a degree grid:
+    * (k, n_rich, e_rich, phi) with φ(k) = 2·E_k / (N_k·(N_k−1)) —
+    * N_k the nodes of degree > k, E_k the edges internal to them.
+    * Exact integer counts from one degree pass and one degree-joined
+    * edge pass (two 1-row wide frames crossed, fixed-grid explode). */
+  def richClub(canon: DataFrame, grid: Seq[Int]): DataFrame = {
+    import graft.functions.ExactRound
+    val deg = degrees(canon)
+    val nodeCells = grid.zipWithIndex.map { case (k, i) =>
+      sum(when(col("degree") > k, 1L).otherwise(0L)).as(s"nk_$i")
+    }
+    val nWide = deg.agg(nodeCells.head, nodeCells.tail: _*)
+    val edgeCells = grid.zipWithIndex.map { case (k, i) =>
+      sum(when(col("da") > k && col("db") > k, 1L).otherwise(0L)).as(s"ek_$i")
+    }
+    val eWide = canon
+      .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")
+      .agg(edgeCells.head, edgeCells.tail: _*)
+    val rows = grid.zipWithIndex.map { case (k, i) =>
+      struct(lit(k).as("k"), col(s"nk_$i").as("n_rich"),
+        col(s"ek_$i").as("e_rich"),
+        when(col(s"nk_$i") >= 2,
+          ExactRound.ratio6(lit(2L) * col(s"ek_$i"),
+            col(s"nk_$i") * (col(s"nk_$i") - 1L))).as("phi"))
+    }
+    nWide.crossJoin(broadcast(eWide))
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.k"), col("r.n_rich"), col("r.e_rich"), col("r.phi"))
   }
 
   /** Degrees over a canonical edge list: (node, degree). */
@@ -168,6 +246,50 @@ object GraphAnalytics {
     val all =
       if (peeled == null) core else core.unionByName(peeled)
     (all.withColumn("in_core", col("layer") === 0), rounds)
+  }
+
+  /** Synchronous k-truss peel (Cohen 2008, "Trusses: cohesive
+    * subgraphs for social network analysis"): round r removes every
+    * surviving edge in fewer than k−2 triangles; what remains at the
+    * fixed point is the k-truss — the edge-analog of k-core, and the
+    * stricter one (every k-truss edge sits in a (k−1)-core, not
+    * conversely). Returns ((a, b, layer, in_truss), rounds) with
+    * layer = the peel round (0 = truss member), like [[kCorePeel]]'s
+    * onion layers.
+    *
+    * Scale shape: each round is one degree-ordered edge-support
+    * census over the SHRINKING edge list (Σ outdeg² = O(m^1.5) by
+    * arboricity, the q191/q273 triangle plan) + one left join + one
+    * anti-join; lineage truncates per round. Rounds past the fixed
+    * point peel nothing, so a cap above convergence is exact — the
+    * same unroll contract the oracle mirrors. */
+  def kTrussPeel(canon: DataFrame, k: Int, maxRounds: Int = 8)
+      : (DataFrame, Int) = {
+    require(k >= 3, s"k-truss needs k >= 3 (got $k)")
+    var alive = canon.truncateLineage()
+    var peeled: DataFrame = null
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      rounds += 1
+      val sup = edgeSupport(alive)
+      val drop = alive.join(sup, Seq("a", "b"), "left")
+        .filter(coalesce(col("support"), lit(0L)) < k - 2)
+        .select(col("a"), col("b"), lit(rounds).as("layer"))
+        .truncateLineage()
+      if (drop.isEmpty) {
+        converged = true
+        rounds -= 1
+      } else {
+        peeled = if (peeled == null) drop else peeled.unionByName(drop)
+        alive = alive.join(drop.select(col("a"), col("b")),
+          Seq("a", "b"), "left_anti").truncateLineage()
+      }
+    }
+    val live = alive.select(col("a"), col("b"), lit(0).as("layer"))
+    val all =
+      if (peeled == null) live else live.unionByName(peeled)
+    (all.withColumn("in_truss", col("layer") === 0), rounds)
   }
 
   /** Synchronous label propagation for `rounds` rounds. Every node

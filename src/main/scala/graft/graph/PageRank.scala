@@ -112,6 +112,52 @@ object PageRank {
     r
   }
 
+  /** PERSONALIZED ranks (Haveliwala 2002, topic-sensitive PageRank):
+    * the restart mass returns to a SEED SET instead of every node —
+    * r(v) = 0.15·s(v) + 0.85·Σ r(u)/outdeg(u), with s(v) = 1 on seeds
+    * and 0 elsewhere (unnormalized seed mass: identical ranking to the
+    * 1/|S| form, and it keeps the restart term an exact constant).
+    * The curation use: score entities by proximity to a trusted seed
+    * domain set, the standard seed-expansion primitive.
+    *
+    * Same one-join-one-sum iteration, the same nano-unit quantized
+    * contribution contract as [[ranks]], and the same lineage
+    * truncation; non-seed nodes start at 0 so round 1's rank frame is
+    * already seed-proximity mass, not uniform noise. */
+  def personalizedRanks(edges: DataFrame, seeds: DataFrame,
+      iterations: Int = 3): DataFrame = {
+    val outdeg = edges.groupBy(col("from_id")).agg(count(lit(1)).as("outdeg"))
+    val e = edges.select(col("from_id"), col("to_id"))
+      .join(outdeg, Seq("from_id"))
+      .repartition(col("from_id"))
+      .truncateLineage()
+    val all = nodes(edges).repartition(col("node_id")).truncateLineage()
+    val seeded = all.join(seeds.select(col("node_id")).distinct(),
+        Seq("node_id"), "left_semi")
+      .withColumn("seed", lit(1.0))
+    val withSeed = all.join(seeded.select(col("node_id"), col("seed")),
+        Seq("node_id"), "left")
+      .select(col("node_id"), coalesce(col("seed"), lit(0.0)).as("seed"))
+      .truncateLineage()
+    var r = withSeed.withColumn("rank", col("seed") * lit(1.0 - Damping))
+      .select(col("node_id"), col("rank"))
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(r.withColumnRenamed("node_id", "from_id"), Seq("from_id"))
+        .select(col("to_id").as("node_id"),
+          round(col("rank") / col("outdeg") * lit(Nano), 0)
+            .cast("long").as("c"))
+        .groupBy(col("node_id"))
+        .agg(sum(col("c")).as("s"))
+      r = withSeed.join(contrib, Seq("node_id"), "left")
+        .select(col("node_id"),
+          (lit(1.0 - Damping) * col("seed") + lit(Damping) *
+            (coalesce(col("s"), lit(0L)) / lit(Nano))).as("rank"))
+        .truncateLineage()
+    }
+    r
+  }
+
   /** DuckDB oracle fragments. */
   object sql {
     /** CTE chain (appended after an `edges` CTE) ending in
@@ -137,6 +183,41 @@ object PageRank {
            |  SELECT n.node_id,
            |    ${1.0 - Damping} + $Damping * (coalesce(c.s, 0) / 1e9) AS rank
            |  FROM nodes n LEFT JOIN c$i c USING (node_id))""".stripMargin
+      }
+      (base +: iters).mkString(",\n")
+    }
+
+    /** CTE chain ending in `ppr$iterations(node_id, rank)` — the twin
+      * of [[personalizedRanks]]; `seedPredicate` is a SQL boolean over
+      * `node_id` selecting the seed set. */
+    def personalizedCtes(seedPredicate: String,
+        iterations: Int = 3): String = {
+      val base =
+        s"""outdeg AS (
+           |  SELECT from_id, count(*) AS outdeg FROM edges GROUP BY 1),
+           |nodes AS (
+           |  SELECT from_id AS node_id FROM edges
+           |  UNION SELECT to_id FROM edges),
+           |seeded AS (
+           |  SELECT node_id,
+           |    CASE WHEN $seedPredicate THEN 1.0 ELSE 0.0 END AS seed
+           |  FROM nodes),
+           |ppr0 AS (SELECT node_id, seed * ${1.0 - Damping} AS rank
+           |         FROM seeded)""".stripMargin
+      val iters = (1 to iterations).map { i =>
+        s"""pc$i AS (
+           |  SELECT e.to_id AS node_id,
+           |    CAST(sum(CAST(round(p.rank / o.outdeg * 1e9, 0) AS BIGINT))
+           |      AS BIGINT) AS s
+           |  FROM edges e
+           |  JOIN outdeg o USING (from_id)
+           |  JOIN ppr${i - 1} p ON p.node_id = e.from_id
+           |  GROUP BY 1),
+           |ppr$i AS (
+           |  SELECT n.node_id,
+           |    ${1.0 - Damping} * n.seed + $Damping * (coalesce(c.s, 0) / 1e9)
+           |      AS rank
+           |  FROM seeded n LEFT JOIN pc$i c USING (node_id))""".stripMargin
       }
       (base +: iters).mkString(",\n")
     }

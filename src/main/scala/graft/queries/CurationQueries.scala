@@ -3390,6 +3390,166 @@ object CurationQueries {
        |  ${ExactRound.sql.ratio6("np", "np + nn")} AS random_baseline
        |FROM agg""".stripMargin
 
+  // -- q287: Brier score decomposition (Murphy 1973) for the q173
+  //          classifier — brier = reliability − resolution +
+  //          uncertainty over 10 probability bins: the readout that
+  //          says WHERE a bad Brier comes from (miscalibrated bins vs
+  //          no discrimination), complementing q184's per-bin table
+  //          with the three scalar components a model card reports.
+  //          Determinism: per-bin stats are exact integer sums; the
+  //          bin means are micro-quantized by integral division
+  //          (non-negative operands, the q176-style mean-of-rounded
+  //          contract), so the component numerators are integer
+  //          arithmetic; final ratios are single-row double formulas,
+  //          round6. Scale shape: one scan → 10-bin frame → 1-row
+  //          totals cross → one row out.
+  private def q287(s: SparkSession, dir: String): DataFrame = {
+    val b = qcScored(s, dir).select(
+      expr("least(score_micro div 100000, 9)").as("bin"),
+      col("score_micro"), col("y"))
+    val per = b.groupBy(col("bin")).agg(
+      count(lit(1)).as("nb"),
+      sum(col("score_micro")).as("sp"),
+      sum(col("y")).as("sy"),
+      sum((col("score_micro") - col("y") * lit(1000000L)) *
+        (col("score_micro") - col("y") * lit(1000000L))).as("se"))
+    val tot = per.agg(sum(col("nb")).as("n"), sum(col("sy")).as("sytot"),
+      sum(col("se")).as("setot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("nb"), col("n"), col("sytot"), col("setot"),
+        expr("sp div nb").as("pmu"),
+        expr("(sy * 1000000) div nb").as("ymu"),
+        expr("(sytot * 1000000) div n").as("gmu"))
+      .agg(max(col("n")).as("n"), max(col("sytot")).as("sy"),
+        max(col("setot")).as("se"),
+        sum(expr("nb * (pmu - ymu) * (pmu - ymu)")).as("rel"),
+        sum(expr("nb * (ymu - gmu) * (ymu - gmu)")).as("res"))
+      .select(col("n").as("n_docs"),
+        expr("round(CAST(se AS DOUBLE) / (1e12 * n), 6)").as("brier"),
+        expr("round(CAST(rel AS DOUBLE) / (1e12 * n), 6)")
+          .as("reliability"),
+        expr("round(CAST(res AS DOUBLE) / (1e12 * n), 6)")
+          .as("resolution"),
+        expr("round(CAST(sy AS DOUBLE) * (n - sy) / " +
+          "(CAST(n AS DOUBLE) * n), 6)").as("uncertainty"))
+  }
+
+  private val q287Sql =
+    s"""WITH ${graft.pipeline.QualityClassifier.sql
+        .trainCtes(DsirTarget, QcBuckets, QcIters, QcLr)},
+       |qsl AS (
+       |  SELECT s.score_micro,
+       |    CASE WHEN d.source = '$DsirTarget' THEN 1 ELSE 0 END AS y
+       |  FROM qscore s JOIN documents d USING (doc_id)),
+       |per AS (
+       |  SELECT least(score_micro // 100000, 9) AS bin,
+       |    CAST(count(*) AS BIGINT) AS nb,
+       |    CAST(sum(score_micro) AS BIGINT) AS sp,
+       |    CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum((score_micro - y*1000000) * (score_micro - y*1000000))
+       |      AS BIGINT) AS se
+       |  FROM qsl GROUP BY 1),
+       |tot AS (SELECT CAST(sum(nb) AS BIGINT) AS n,
+       |    CAST(sum(sy) AS BIGINT) AS sytot,
+       |    CAST(sum(se) AS BIGINT) AS setot FROM per),
+       |terms AS (
+       |  SELECT nb, n, sytot, setot,
+       |    sp // nb AS pmu,
+       |    (sy * 1000000) // nb AS ymu,
+       |    (sytot * 1000000) // n AS gmu
+       |  FROM per, tot),
+       |agg AS (
+       |  SELECT CAST(max(n) AS BIGINT) AS n,
+       |    CAST(max(sytot) AS BIGINT) AS sy,
+       |    CAST(max(setot) AS BIGINT) AS se,
+       |    CAST(sum(nb * (pmu - ymu) * (pmu - ymu)) AS BIGINT) AS rel,
+       |    CAST(sum(nb * (ymu - gmu) * (ymu - gmu)) AS BIGINT) AS res
+       |  FROM terms)
+       |SELECT n AS n_docs,
+       |  round(CAST(se AS DOUBLE) / (1e12 * n), 6) AS brier,
+       |  round(CAST(rel AS DOUBLE) / (1e12 * n), 6) AS reliability,
+       |  round(CAST(res AS DOUBLE) / (1e12 * n), 6) AS resolution,
+       |  round(CAST(sy AS DOUBLE) * (n - sy) /
+       |    (CAST(n AS DOUBLE) * n), 6) AS uncertainty
+       |FROM agg""".stripMargin
+
+  // -- q288: nDCG@10 per source (Järvelin & Kekäläinen 2002) for the
+  //          q173 classifier's within-source ranking — grades whether
+  //          the score ORDERS each source's docs by graded relevance
+  //          (rel = target-label + lexical-diversity bit ∈ {0,1,2}),
+  //          the metric a curation pipeline reads when it keeps the
+  //          top slice of every source rather than a global cut.
+  //          Determinism: ranking under the total order (score desc,
+  //          doc_id); each DCG term (2^rel − 1)·1e6 / log2(rank+1) is
+  //          a pointwise double floored to micro units before the
+  //          ≤10-term integer sum; ideal ranking orders by rel desc
+  //          (ties share a term value, so the cut is value-stable).
+  //          Scale shape: per-source windows — partitioned, never
+  //          global; ≤10 scored rows per source survive the rank cut.
+  private def q288(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{TextFunctions => TF}
+    val d = docs(s, dir)
+    val scored = qcScored(s, dir)
+      .join(d.select(col("doc_id"), col("source"),
+        (TF.tokenDiversity(col("text")) > lit(0.5)).cast("long").as("dv")),
+        Seq("doc_id"))
+      .withColumn("rel", col("y") + col("dv"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    val wi = Window.partitionBy(col("source"))
+      .orderBy(col("rel").desc, col("doc_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("irnk", row_number().over(wi))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("rnk") <= 10, expr(
+          "CAST(floor((pow(2, rel) - 1) * 1000000 / log2(rnk + 1)) AS BIGINT)"))
+          .otherwise(0L)).as("dcg_micro"),
+        sum(when(col("irnk") <= 10, expr(
+          "CAST(floor((pow(2, rel) - 1) * 1000000 / log2(irnk + 1)) AS BIGINT)"))
+          .otherwise(0L)).as("idcg_micro"))
+      .select(col("source"), col("n_docs"), col("dcg_micro"),
+        col("idcg_micro"),
+        when(col("idcg_micro") > 0,
+          ExactRound.ratio6(col("dcg_micro"), col("idcg_micro")))
+          .as("ndcg"))
+      .orderBy(col("source"))
+  }
+
+  private val q288Sql = {
+    import graft.text.{TextFunctions => TF}
+    s"""WITH ${graft.pipeline.QualityClassifier.sql
+        .trainCtes(DsirTarget, QcBuckets, QcIters, QcLr)},
+       |qsl AS (
+       |  SELECT s.score_micro, s.doc_id, d.source,
+       |    CASE WHEN d.source = '$DsirTarget' THEN 1 ELSE 0 END
+       |      + CASE WHEN ${TF.sql.tokenDiversity("d.text")} > 0.5
+       |        THEN 1 ELSE 0 END AS rel
+       |  FROM qscore s JOIN documents d USING (doc_id)),
+       |ranked AS (
+       |  SELECT source, rel,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY score_micro DESC, doc_id) AS rnk,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY rel DESC, doc_id) AS irnk
+       |  FROM qsl),
+       |agg AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN rnk <= 10 THEN
+       |      CAST(floor((pow(2, rel) - 1) * 1000000 / log2(rnk + 1))
+       |        AS BIGINT) ELSE 0 END) AS BIGINT) AS dcg_micro,
+       |    CAST(sum(CASE WHEN irnk <= 10 THEN
+       |      CAST(floor((pow(2, rel) - 1) * 1000000 / log2(irnk + 1))
+       |        AS BIGINT) ELSE 0 END) AS BIGINT) AS idcg_micro
+       |  FROM ranked GROUP BY 1)
+       |SELECT source, n_docs, dcg_micro, idcg_micro,
+       |  CASE WHEN idcg_micro > 0
+       |    THEN ${ExactRound.sql.ratio6("dcg_micro", "idcg_micro")}
+       |    END AS ndcg
+       |FROM agg ORDER BY source""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q145_dsir_importance", q145, Some(q145Sql), headline = true),
     Q("q146_bm25_topk", q146, Some(q146Sql)),
@@ -3438,5 +3598,7 @@ object CurationQueries {
     Q("q246_vocab_richness", q246, Some(q246Sql)),
     Q("q260_loo_influence", q260, Some(q260Sql)),
     Q("q279_roc_points", q279, Some(q279Sql)),
-    Q("q280_average_precision", q280, Some(q280Sql)))
+    Q("q280_average_precision", q280, Some(q280Sql)),
+    Q("q287_brier_decomposition", q287, Some(q287Sql)),
+    Q("q288_ndcg_eval", q288, Some(q288Sql)))
 }

@@ -933,6 +933,176 @@ object GraphAnalyticsQueries {
        |ORDER BY graph""".stripMargin
   }
 
+  // -- q291: degree assortativity (Newman 2002, "Assortative mixing in
+  //          networks") over the undirected knowledge graph — one
+  //          number saying whether hubs attach to hubs (r > 0, social
+  //          shape) or to leaves (r < 0, infrastructure shape); the
+  //          property that decides whether hub-cut optimizations like
+  //          q268's will shear off real structure. Pearson r over the
+  //          edge-endpoint degree pairs, symmetric estimator:
+  //          r = (4M·Σdadb − (Σda+db)²) / (2M·Σ(da²+db²) − (Σda+db)²).
+  //          Determinism: the three sums are exact integers off the
+  //          cached canonical list + its degree table; r is one
+  //          single-row double formula (Σ² exceeds long range, so the
+  //          squaring happens in the double domain), round6.
+  //          Scale shape: two hash joins edge⋈degree + one global agg.
+  private def q291(s: SparkSession, dir: String): DataFrame =
+    GraphAnalytics.assortativity(KGraph.canonicalMaterialized(s, dir))
+
+  private val q291Sql =
+    s"""WITH ${KGraph.edgesSql},
+       |e0 AS (SELECT DISTINCT least(from_id, to_id) AS a,
+       |         greatest(from_id, to_id) AS b
+       |       FROM edges WHERE from_id <> to_id),
+       |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+       |          SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) d
+       |        GROUP BY node),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS m,
+       |    CAST(sum(x.degree + y.degree) AS BIGINT) AS sj,
+       |    CAST(sum(x.degree * y.degree) AS BIGINT) AS sjk,
+       |    CAST(sum(x.degree * x.degree + y.degree * y.degree) AS BIGINT)
+       |      AS sj2
+       |  FROM e0 JOIN deg x ON x.node = e0.a JOIN deg y ON y.node = e0.b)
+       |SELECT m AS n_edges, sj AS sum_deg, sjk AS sum_prod, sj2 AS sum_sq,
+       |  round((4.0*m*sjk - CAST(sj AS DOUBLE)*sj) /
+       |    nullif(2.0*m*sj2 - CAST(sj AS DOUBLE)*sj, 0), 6) AS assortativity
+       |FROM agg""".stripMargin
+
+  // -- q292: rich-club coefficient φ(k) (Colizza et al. 2006) on the
+  //          degree grid k ∈ {1,2,4,8,16,32} — do the graph's
+  //          highest-degree nodes form a denser club among themselves
+  //          than chance? φ(k) = 2·E_k / (N_k·(N_k−1)) with N_k the
+  //          nodes of degree > k and E_k the edges internal to them.
+  //          The audit a seed-expansion crawler reads before trusting
+  //          hub-to-hub propagation. Determinism: exact integer counts
+  //          per grid row (one wide conditional aggregate each over
+  //          the degree table and the degree-joined edge list),
+  //          ExactRound ratio. Scale shape: same two hash joins as
+  //          q291 → two 1-row wide frames → fixed 6-row explode.
+  private val RichClubGrid = Seq(1, 2, 4, 8, 16, 32)
+
+  private def q292(s: SparkSession, dir: String): DataFrame =
+    GraphAnalytics.richClub(KGraph.canonicalMaterialized(s, dir),
+        RichClubGrid)
+      .orderBy(col("k"))
+
+  private val q292Sql = {
+    val er = graft.functions.ExactRound.sql
+    val nodeCells = RichClubGrid.zipWithIndex.map { case (k, i) =>
+      s"CAST(sum(CASE WHEN degree > $k THEN 1 ELSE 0 END) AS BIGINT) AS nk_$i"
+    }.mkString(",\n    ")
+    val edgeCells = RichClubGrid.zipWithIndex.map { case (k, i) =>
+      s"CAST(sum(CASE WHEN x.degree > $k AND y.degree > $k THEN 1 ELSE 0 END) AS BIGINT) AS ek_$i"
+    }.mkString(",\n    ")
+    val rows = RichClubGrid.zipWithIndex.map { case (k, i) =>
+      s"""SELECT $k AS k, nk_$i AS n_rich, ek_$i AS e_rich,
+         |  CASE WHEN nk_$i >= 2
+         |    THEN ${er.ratio6(s"2 * ek_$i", s"nk_$i * (nk_$i - 1)")}
+         |    END AS phi
+         |FROM wide""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${KGraph.edgesSql},
+       |e0 AS (SELECT DISTINCT least(from_id, to_id) AS a,
+       |         greatest(from_id, to_id) AS b
+       |       FROM edges WHERE from_id <> to_id),
+       |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+       |          SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) d
+       |        GROUP BY node),
+       |nw AS (SELECT $nodeCells FROM deg),
+       |ew AS (SELECT $edgeCells
+       |  FROM e0 JOIN deg x ON x.node = e0.a JOIN deg y ON y.node = e0.b),
+       |wide AS (SELECT * FROM nw, ew)
+       |SELECT * FROM ($rows) ORDER BY k""".stripMargin
+  }
+
+  // -- q293: k-truss onion layers (k = 4) over the co-purchase
+  //          projection — the edge-level cohesion decomposition: a
+  //          4-truss edge sits in ≥ 2 triangles among SURVIVING edges,
+  //          so the truss strips bridge/spoke edges that k-core keeps
+  //          (core is a node bound, truss an edge bound). layer = the
+  //          synchronous peel round that removed the edge, 0 = truss
+  //          member. The oracle unrolls the same rounds as MATERIALIZED
+  //          CTEs (rounds past the fixed point peel nothing, so the
+  //          shared cap is exact — the q192 contract). Scale shape:
+  //          each round is one degree-ordered edge-support census
+  //          (O(m^1.5) wedges) + two joins on the shrinking edge list.
+  private[graft] val TrussK = 4
+  private[graft] val TrussRounds = 6
+
+  private def q293(s: SparkSession, dir: String): DataFrame = {
+    val canon = copurchaseCanon(s, dir)
+    val (out, _) = GraphAnalytics.kTrussPeel(canon, TrussK, TrussRounds)
+    out.select(col("a").as("part_a"), col("b").as("part_b"),
+        col("layer"), col("in_truss"))
+      .orderBy(col("part_a"), col("part_b"))
+  }
+
+  private val q293Sql = {
+    val thr = TrussK - 2
+    val rounds = (1 to TrussRounds).map { i =>
+      val prev = s"e${i - 1}"
+      s"""tri$i AS MATERIALIZED (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM $prev e1 JOIN $prev e2 ON e1.b = e2.a
+         |  JOIN $prev e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |sup$i AS MATERIALIZED (
+         |  SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+         |    SELECT x AS a, y AS b FROM tri$i
+         |    UNION ALL SELECT y, z FROM tri$i
+         |    UNION ALL SELECT x, z FROM tri$i) t
+         |  GROUP BY a, b),
+         |p$i AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM $prev e LEFT JOIN sup$i s USING (a, b)
+         |  WHERE coalesce(s.support, 0) < $thr),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM $prev e LEFT JOIN sup$i s USING (a, b)
+         |  WHERE coalesce(s.support, 0) >= $thr)""".stripMargin
+    }.mkString(",\n")
+    val layers = (1 to TrussRounds)
+      .map(i => s"SELECT a, b, $i AS layer FROM p$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |            FROM lineitem),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT x.pk AS a, y.pk AS b
+       |  FROM lp x JOIN lp y ON x.ok = y.ok AND x.pk < y.pk),
+       |$rounds,
+       |peeled AS ($layers),
+       |live AS (SELECT a, b, 0 AS layer FROM e$TrussRounds)
+       |SELECT a AS part_a, b AS part_b, CAST(layer AS INT) AS layer,
+       |  layer = 0 AS in_truss
+       |FROM (SELECT * FROM live UNION ALL SELECT * FROM peeled) u
+       |ORDER BY part_a, part_b""".stripMargin
+  }
+
+  // -- q294: personalized PageRank from the supplier seed set
+  //          (Haveliwala 2002) over the knowledge graph — proximity
+  //          to a trusted seed domain, the seed-expansion primitive a
+  //          curation pipeline uses to grow an allowlist. Restart mass
+  //          returns only to "s:*" nodes; 3 nano-quantized rounds
+  //          (the q147 determinism contract); top-100 under the total
+  //          order (rank desc, node_id) plans as TakeOrderedAndProject.
+  private def q294(s: SparkSession, dir: String): DataFrame = {
+    val edges = KGraph.materialized(s, dir)
+    val seeds = graft.graph.PageRank.nodes(edges)
+      .filter(col("node_id").startsWith("s:"))
+    graft.graph.PageRank.personalizedRanks(edges, seeds, iterations = 3)
+      .select(col("node_id"), round(col("rank"), 6).as("ppr"),
+        col("node_id").startsWith("s:").as("is_seed"))
+      .orderBy(col("ppr").desc, col("node_id"))
+      .limit(100)
+  }
+
+  private val q294Sql =
+    s"""WITH ${KGraph.edgesSql},
+       |${graft.graph.PageRank.sql.personalizedCtes(
+          "node_id LIKE 's:%'", iterations = 3)}
+       |SELECT node_id, round(rank, 6) AS ppr,
+       |  node_id LIKE 's:%' AS is_seed
+       |FROM ppr3
+       |ORDER BY round(rank, 6) DESC, node_id LIMIT 100""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q191_copurchase_clustering", q191, Some(q191Sql), headline = true),
     Q("q192_kcore_layers", q192, Some(q192Sql), headline = true),
@@ -945,5 +1115,9 @@ object GraphAnalyticsQueries {
     Q("q258_hop_plot", q258, Some(q258Sql)),
     Q("q268_link_prediction", q268, Some(q268Sql), headline = true),
     Q("q269_hits", q269, Some(q269Sql), headline = true),
-    Q("q273_graph_census", q273, Some(q273Sql), headline = true))
+    Q("q273_graph_census", q273, Some(q273Sql), headline = true),
+    Q("q291_assortativity", q291, Some(q291Sql)),
+    Q("q292_rich_club", q292, Some(q292Sql)),
+    Q("q293_ktruss_layers", q293, Some(q293Sql)),
+    Q("q294_personalized_pagerank", q294, Some(q294Sql)))
 }

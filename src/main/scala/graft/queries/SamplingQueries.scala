@@ -1590,6 +1590,78 @@ object SamplingQueries {
        |FROM cells ORDER BY source""".stripMargin
   }
 
+  // -- q289: 1-D Wasserstein-1 (earth mover's) distance between each
+  //          source's length distribution and the corpus — the drift
+  //          metric with UNITS (expected chars moved per doc), where
+  //          q182's PSI and q225's KS are bin-relative: a source
+  //          whose docs run 40 chars longer reads as ~40 here. EMD₁ =
+  //          ∫|F_s − F|dx, integrated exactly over the merged value
+  //          grid: per consecutive distinct value, |F_s − F| × gap.
+  //          Determinism: with F_s = cum_s/n_s and F = cum/N, each
+  //          term is |cum_s·N − cum·n_s| · Δv — pure integer
+  //          arithmetic summed exactly; the final divide by n_s·N is
+  //          one double, round6. Long headroom: terms ≤ n_s·N·Δv ~
+  //          3e14 at sf1.0 (ANSI would fail loudly, not wrap); promote
+  //          to decimal beyond ~10⁷ docs. Scale shape: one scan →
+  //          value census (domain-bounded, the audited partitionless
+  //          grid) → #sources × #values grid with per-source
+  //          partitioned cumsums — never a per-doc pair.
+  private def q289(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir).select(col("source"), col("n_chars").as("v"))
+    val wv = Window.orderBy(col("v"))
+    val gv = d.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("gap", coalesce(lead(col("v"), 1).over(wv) - col("v"),
+        lit(0L)))
+    val srcs = d.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val bySrc = d.groupBy(col("source"), col("v"))
+      .agg(count(lit(1)).as("c_sv"))
+    val tot = gv.agg(max(col("cum")).as("n_total"))
+    val ws = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    srcs.crossJoin(broadcast(gv)).crossJoin(broadcast(tot))
+      .join(bySrc, Seq("source", "v"), "left")
+      .withColumn("cum_s",
+        sum(coalesce(col("c_sv"), lit(0L))).over(ws))
+      .groupBy(col("source")).agg(
+        max(col("n_src")).as("n_docs"),
+        max(col("n_total")).as("n_total"),
+        sum(expr("abs(cum_s * n_total - cum * n_src) * gap")).as("num"))
+      .select(col("source"), col("n_docs"),
+        expr("round(CAST(num AS DOUBLE) / " +
+          "(CAST(n_docs AS DOUBLE) * n_total), 6)").as("emd_chars"))
+      .orderBy(col("source"))
+  }
+
+  private val q289Sql =
+    """WITH d AS (SELECT source, n_chars AS v FROM documents),
+      |gv AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY v),
+      |g2 AS (SELECT v, cnt,
+      |    CAST(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(coalesce(lead(v, 1) OVER (ORDER BY v) - v, 0) AS BIGINT)
+      |      AS gap
+      |  FROM gv),
+      |srcs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src
+      |  FROM d GROUP BY 1),
+      |bysrc AS (SELECT source, v, CAST(count(*) AS BIGINT) AS c_sv
+      |  FROM d GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT s.source, s.n_src, g.v, g.cum, g.gap,
+      |    CAST(sum(coalesce(b.c_sv, 0)) OVER (PARTITION BY s.source
+      |      ORDER BY g.v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cum_s
+      |  FROM srcs s CROSS JOIN g2 g
+      |  LEFT JOIN bysrc b ON b.source = s.source AND b.v = g.v)
+      |SELECT source, max(n_src) AS n_docs,
+      |  round(CAST(sum(abs(cum_s * (SELECT max(cum) FROM g2)
+      |      - cum * n_src) * gap) AS DOUBLE) /
+      |    (CAST(max(n_src) AS DOUBLE) * (SELECT max(cum) FROM g2)), 6)
+      |    AS emd_chars
+      |FROM grid GROUP BY source ORDER BY source""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q111_split_assign", q111, Some(q111Sql)),
     Q("q112_quota_sample", q112, Some(q112Sql)),
@@ -1616,5 +1688,6 @@ object SamplingQueries {
     Q("q283_shard_mixing", q283, Some(q283Sql)),
     Q("q284_source_overlap", q284, Some(q284Sql)),
     Q("q285_mannwhitney_u", q285, Some(q285Sql)),
-    Q("q286_fleiss_kappa", q286, Some(q286Sql)))
+    Q("q286_fleiss_kappa", q286, Some(q286Sql)),
+    Q("q289_wasserstein_drift", q289, Some(q289Sql)))
 }

@@ -701,6 +701,70 @@ object TextQueries {
        |FROM ty WHERE tf >= $BurstMinTf
        |ORDER BY burstiness DESC, word LIMIT 25""".stripMargin
 
+  // -- q290: encoding-health audit per source — the scan a corpus runs
+  //          before training to find broken ingestion: U+FFFD
+  //          replacement chars (decode failures), C0 control chars
+  //          (binary bleed; tab/newline/CR excepted), zero-width
+  //          characters (invisible-text spam / watermarks), and the
+  //          classic UTF-8-as-Latin-1 double-encode markers ("â€…",
+  //          "Ã" + high byte). Patterns are LITERAL-CHARACTER classes
+  //          shared verbatim between engines (Java regex and RE2 spell
+  //          \u-escapes differently, so the pattern strings carry the
+  //          raw characters instead). One scan, four rlike flags,
+  //          exact counts + an affected ratio.
+  // regex-level \x{...} escapes — the one escape syntax Java regex
+  // (Spark rlike) and RE2 (DuckDB regexp_matches) BOTH interpret, so
+  // the identical ASCII-only pattern string ships to both engines
+  // (raw control chars would break the SQL literal; engine-side
+  // \uXXXX string escapes differ between the two)
+  private[graft] val ReplPat = "\\x{fffd}"
+  private[graft] val CtrlPat = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+  private[graft] val ZeroWidthPat = "[\\x{200b}-\\x{200d}\\x{feff}]"
+  private[graft] val MojibakePat = "\\x{e2}\\x{20ac}|\\x{c3}[\\x{80}-\\x{ff}]"
+
+  private def q290(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactRound
+    docs(s, dir).groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("text").rlike(ReplPat), 1L).otherwise(0L))
+          .as("repl_docs"),
+        sum(when(col("text").rlike(CtrlPat), 1L).otherwise(0L))
+          .as("ctrl_docs"),
+        sum(when(col("text").rlike(ZeroWidthPat), 1L).otherwise(0L))
+          .as("zw_docs"),
+        sum(when(col("text").rlike(MojibakePat), 1L).otherwise(0L))
+          .as("moji_docs"),
+        sum(when(col("text").rlike(ReplPat) || col("text").rlike(CtrlPat) ||
+          col("text").rlike(ZeroWidthPat) || col("text").rlike(MojibakePat),
+          1L).otherwise(0L)).as("affected"))
+      .withColumn("affected_ratio",
+        ExactRound.ratio6(col("affected"), col("n_docs")))
+      .orderBy(col("source"))
+  }
+
+  private val q290Sql = {
+    import graft.functions.{ExactRound => ER}
+    // plain string literal: DuckDB passes backslashes through, RE2
+    // decodes the \x{...} escapes itself (identical to the Spark side)
+    def m(p: String) = s"regexp_matches(text, '$p')"
+    val any = s"(${m(ReplPat)} OR ${m(CtrlPat)} OR ${m(ZeroWidthPat)} " +
+      s"OR ${m(MojibakePat)})"
+    s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN ${m(ReplPat)} THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS repl_docs,
+       |  CAST(sum(CASE WHEN ${m(CtrlPat)} THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS ctrl_docs,
+       |  CAST(sum(CASE WHEN ${m(ZeroWidthPat)} THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS zw_docs,
+       |  CAST(sum(CASE WHEN ${m(MojibakePat)} THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS moji_docs,
+       |  CAST(sum(CASE WHEN $any THEN 1 ELSE 0 END) AS BIGINT) AS affected,
+       |  ${ER.sql.ratio6(
+          s"CAST(sum(CASE WHEN $any THEN 1 ELSE 0 END) AS BIGINT)",
+          "count(*)")} AS affected_ratio
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q32_text_langid", q32, Some(q32Sql)),
     Q("q33_text_quality", q33, Some(q33Sql)),
@@ -716,5 +780,6 @@ object TextQueries {
     Q("q200_tfidf_keywords", q200, Some(q200Sql)),
     Q("q205_pmi_collocations", q205, Some(q205Sql)),
     Q("q219_kneser_ney", q219, Some(q219Sql)),
-    Q("q221_burstiness", q221, Some(q221Sql)))
+    Q("q221_burstiness", q221, Some(q221Sql)),
+    Q("q290_encoding_audit", q290, Some(q290Sql)))
 }

@@ -187,6 +187,87 @@ class GraphAnalyticsSpec extends SparkSpec {
     Seq("l1", "l2", "l3").foreach(l => assert(got(l) == ((0L, 1000000L))))
   }
 
+  test("q291 assortativity: star reads exactly -1; catalog r within [-1, 1]") {
+    import graft.graph.GraphAnalytics
+    import org.apache.spark.sql.functions._
+    // star K1,4: every edge pairs the hub (deg 4) with a leaf (deg 1)
+    // — perfect disassortativity, the textbook r = -1 case
+    val star = Seq(("h", "l1"), ("h", "l2"), ("h", "l3"), ("h", "l4"))
+      .toDF("from_id", "to_id")
+    val r = GraphAnalytics.assortativity(GraphAnalytics.canonical(star))
+      .collect().head
+    assert(r.getAs[Double]("assortativity") == -1.0)
+    val cat = graft.queries.Catalog.byName("q291_assortativity")
+      .run(spark, sf).collect().head
+    val rc = cat.getAs[Double]("assortativity")
+    assert(rc >= -1.0 - 1e-9 && rc <= 1.0 + 1e-9, s"r out of range: $rc")
+  }
+
+  test("q292 rich club: clique phi = 1 at every feasible k") {
+    import graft.graph.GraphAnalytics
+    import org.apache.spark.sql.functions._
+    // K5: all degrees 4; for k < 4 the club is the whole clique
+    // (phi = 1); at k >= 4 the club is empty (phi null)
+    val k5 = (for {
+      i <- 1 to 5; j <- (i + 1) to 5
+    } yield (s"n$i", s"n$j")).toDF("from_id", "to_id")
+    val rows = GraphAnalytics.richClub(GraphAnalytics.canonical(k5),
+        Seq(1, 2, 3, 4)).collect()
+      .map(r => r.getAs[Int]("k") ->
+        ((r.getAs[Long]("n_rich"), Option(r.getAs[java.lang.Double]("phi")))))
+      .toMap
+    Seq(1, 2, 3).foreach { k =>
+      assert(rows(k) == ((5L, Some(1.0))), s"k=$k: ${rows(k)}")
+    }
+    assert(rows(4)._1 == 0L && rows(4)._2.isEmpty)
+  }
+
+  test("q293 k-truss: pendant peels in round 1, the K4 core survives") {
+    import graft.graph.GraphAnalytics
+    import org.apache.spark.sql.functions._
+    // K4 (every edge in 2 triangles) + a pendant edge (support 0):
+    // the 4-truss keeps exactly the K4, pendant peels round 1, and
+    // the peel converges in 1 round (round 2 drops nothing)
+    val edges = ((for {
+      i <- 1 to 4; j <- (i + 1) to 4
+    } yield (s"n$i", s"n$j")) :+ (("n4", "n9")))
+      .toDF("from_id", "to_id")
+    val (out, rounds) = GraphAnalytics.kTrussPeel(
+      GraphAnalytics.canonical(edges), k = 4, maxRounds = 8)
+    val got = out.collect().map(r => (r.getString(0), r.getString(1)) ->
+      ((r.getAs[Int]("layer"), r.getAs[Boolean]("in_truss")))).toMap
+    assert(rounds == 1, s"expected 1 peel round, got $rounds")
+    assert(got(("n4", "n9")) == ((1, false)))
+    for { i <- 1 to 4; j <- (i + 1) to 4 }
+      assert(got((s"n$i", s"n$j")) == ((0, true)))
+    // edge bound implies node bound: every truss member's endpoints
+    // sit in the (k-1)-core
+    val (core, _) = GraphAnalytics.kCorePeel(
+      GraphAnalytics.canonical(edges), k = 3)
+    val coreNodes = core.filter(col("in_core")).select(col("node"))
+      .as[String].collect().toSet
+    out.filter(col("in_truss")).collect().foreach { r =>
+      assert(coreNodes(r.getString(0)) && coreNodes(r.getString(1)))
+    }
+  }
+
+  test("q294 ppr: mass reaches only seed-reachable nodes; seeds dominate") {
+    import graft.graph.PageRank
+    import org.apache.spark.sql.functions._
+    // seed s feeds a chain s -> a -> b; the disconnected edge x -> y
+    // must hold exactly zero mass
+    val edges = Seq(("s", "a"), ("a", "b"), ("x", "y"))
+      .toDF("from_id", "to_id")
+    val seeds = Seq("s").toDF("node_id")
+    val got = PageRank.personalizedRanks(edges, seeds, iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("rank")).toMap
+    // the restart constant is literally (1.0 - Damping) in BOTH
+    // engines — 0.15000000000000002 in IEEE doubles, by design
+    assert(got("s") == 1.0 - 0.85)
+    assert(got("a") > 0 && got("b") > 0 && got("a") > got("b"))
+    assert(got("x") == 0.0 && got("y") == 0.0)
+  }
+
   test("hits: contract guards — zero rounds refused, overflow ceiling enforced") {
     import graft.graph.Hits
     import org.apache.spark.sql.functions._

@@ -141,7 +141,11 @@ class PlanShapeSpec extends SparkSpec {
     "q279_roc_points",        // 1-row wide threshold-cell frame exploded
     "q280_average_precision", // 1-row AP aggregate (rank fold)
     "q283_shard_mixing",      // #sources-row corpus dist x 1-row total cross
-    "q285_mannwhitney_u")     // 1-row (N, tie-term) totals cross
+    "q285_mannwhitney_u",     // 1-row (N, tie-term) totals cross
+    "q287_brier_decomposition", // 1-row bias + totals crosses (q173 scoring reuse)
+    "q288_ndcg_eval",         // 1-row bias + 64-row weights (q173 scoring reuse)
+    "q289_wasserstein_drift", // #sources x value-census grid broadcast
+    "q292_rich_club")         // two 1-row wide grid frames crossed
 
   /** Catalog queries that window WITHOUT a partition spec — every row
     * audited (round-9 verdict): the windowed frame is metadata-/eval-
@@ -176,7 +180,7 @@ class PlanShapeSpec extends SparkSpec {
     "q164_zipf_fit", "q168_unimax_alloc", "q178_doremi_mixture",
     "q182_drift_psi", "q186_cluster_histogram", "q209_metric_spearman",
     "q242_clustering_depth", "q258_hop_plot", "q262_lateness_audit",
-    "q283_shard_mixing", "q285_mannwhitney_u",
+    "q283_shard_mixing", "q285_mannwhitney_u", "q289_wasserstein_drift",
     // event-time grids (distinct event times bound the survival /
     // retention frames)
     "q240_km_retention", "q281_nelson_aalen", "q282_logrank_test")

@@ -111,6 +111,33 @@ class VectorTextSpec extends SparkSpec {
     assert(overall > 0.6 && overall < 1.4, s"mean distortion $overall")
   }
 
+  test("q290 encoding-audit patterns detect each dirt class, pass clean text") {
+    // the synthetic corpus is clean (catalog run reads all-zero counts),
+    // so the detection power needs its own pin: one dirty doc per class
+    import graft.queries.TextQueries
+    import spark.implicits._
+    val rows = Seq(
+      ("clean", "hello world, nothing wrong here"),
+      ("repl", "decode � failure"),
+      ("ctrl", "binarybleed"),
+      ("zw", "sneaky​zero-width"),
+      ("moji", "donâ€™t double-encode"))
+      .toDF("kind", "text")
+    val got = rows.select(col("kind"),
+        col("text").rlike(TextQueries.ReplPat).as("r"),
+        col("text").rlike(TextQueries.CtrlPat).as("c"),
+        col("text").rlike(TextQueries.ZeroWidthPat).as("z"),
+        col("text").rlike(TextQueries.MojibakePat).as("m"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))))
+      .toMap
+    assert(got("clean") == ((false, false, false, false)))
+    assert(got("repl") == ((true, false, false, false)))
+    assert(got("ctrl") == ((false, true, false, false)))
+    assert(got("zw") == ((false, false, true, false)))
+    assert(got("moji") == ((false, false, false, true)))
+  }
+
   test("q255 sign matrix: Scala md5 twin matches the engine hash parity") {
     val got = spark.sql(
       "SELECT conv(substr(md5('3#17'), 1, 8), 16, 10) % 2 AS p").collect()
