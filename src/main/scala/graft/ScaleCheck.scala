@@ -50,7 +50,7 @@ object ScaleCheck {
   }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/repo/testdata_sf1")
+    val sfDir = args.headOption.getOrElse("/root/repo/testdata_sf1/sf1.0")
     val names = if (args.length > 1) args.drop(1).toSeq else DefaultHeavy
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val root = SparkSession.builder()

@@ -19,7 +19,8 @@ import graft.engine.Lineage.LineageOps
   * Scale shape: each half-step is ONE equi-join of the score frame onto
   * the edge list plus ONE keyed integer sum — identical to the PageRank
   * iteration plan — and the normalizer is a 1-row max frame broadcast
-  * onto the scores. Lineage truncates per iteration.
+  * onto the scores, carrying the fused executor-side overflow guard
+  * (see [[MaxSafeRaw]]). Lineage truncates per iteration.
   *
   * Determinism contract: scores live as MICRO-unit integers (start 1e6;
   * after each sum, max-normalize via `(raw · 1e6) div max_raw`, pure
@@ -47,19 +48,31 @@ object Hits {
     * full node set joins back once at the END for the zero rows. That
     * removes two |V|-row left joins per round and keeps the iterated
     * frames as small as the live frontier. */
-  /** Largest node degree the micro-unit iteration can hold exactly:
-    * raw half-step sums are ≤ 1e6 · degree and the max-normalization
-    * multiplies by 1e6, so Long (9.22e18) is exact while max degree
-    * ≤ Long.MaxValue / 1e12 = 9 223 372. Beyond that, drop the score
-    * unit to millis (1e3) — one constant — which raises the ceiling to
-    * ~9.2e12 at 3 fewer digits of score resolution. */
-  val MaxSafeDegree: Long = Long.MaxValue / 1000000L / 1000000L
+  /** Largest raw half-step sum the micro-unit normalization can hold
+    * exactly: the normalizer multiplies raw by 1e6, so Long (9.22e18)
+    * is exact while raw ≤ Long.MaxValue / 1e6 ≈ 9.2e12 — equivalently
+    * max degree ≤ ~9.2e6 (raw sums are ≤ 1e6 · degree; round 1's
+    * authority raw is EXACTLY 1e6 · in-degree). Beyond that, drop the
+    * score unit to millis (1e3) — one constant — which raises the
+    * ceiling 1000× at 3 fewer digits of score resolution. */
+  val MaxSafeRaw: Long = Long.MaxValue / 1000000L
+  /** The equivalent degree ceiling (round-1 raw = 1e6 · degree). */
+  val MaxSafeDegree: Long = MaxSafeRaw / 1000000L
 
-  private[graft] def requireDegreeBound(maxDeg: Long): Unit =
-    require(maxDeg <= MaxSafeDegree,
-      s"max node degree $maxDeg exceeds the micro-unit overflow ceiling " +
-        s"$MaxSafeDegree — rerun HITS in milli-units (scores' unit " +
-        "constant 1e6 -> 1e3) for graphs this dense")
+  /** Executor-side overflow guard, fused into the normalization
+    * select: the 1-row broadcast max rides next to every row anyway,
+    * so a lazy CaseWhen branch checks it BEFORE the ×1e6 multiply
+    * could wrap — zero extra jobs, every round and both half-steps
+    * guarded, with a named error instead of a wrapped ANSI overflow
+    * (or, with ANSI off, silently garbage scores). */
+  private def checkedNorm(raw: org.apache.spark.sql.Column,
+      mx: org.apache.spark.sql.Column) =
+    when(mx > lit(MaxSafeRaw),
+      expr("raise_error('HITS micro-unit overflow: half-step raw max " +
+        s"exceeds $MaxSafeRaw (max degree ~$MaxSafeDegree) - rerun in " +
+        "milli-units (unit constant 1e6 -> 1e3) for graphs this dense')")
+        .cast("long"))
+      .otherwise(intDiv(raw * lit(1000000L), mx))
 
   def scores(edges: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1,
@@ -68,17 +81,6 @@ object Hits {
     val e = edges.select(col("from_id"), col("to_id")).distinct()
       .repartition(col("from_id"))
       .truncateLineage()
-    // overflow guard (one degree census over the checkpointed edge
-    // list — cheap next to the 2·iterations join rounds): the
-    // micro-unit determinism contract silently wraps past
-    // [[MaxSafeDegree]], so refuse loudly instead
-    val maxDeg = e.select(col("to_id").as("n"))
-      .union(e.select(col("from_id").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("d"))
-      .agg(max(col("d")).as("mx")).collect()
-      .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
-      .getOrElse(0L)
-    requireDegreeBound(maxDeg)
     // round 1's hub side is uniform 1e6, so seed from the edge tails
     var hub = e.select(col("from_id").as("node_id")).distinct()
       .withColumn("h", lit(1000000L))
@@ -94,7 +96,7 @@ object Hits {
       val aMax = aRaw.agg(max(col("raw")).as("mx"))
       auth = aRaw.crossJoin(broadcast(aMax))
         .select(col("to_id").as("node_id"),
-          intDiv(col("raw") * lit(1000000L), col("mx")).as("a"))
+          checkedNorm(col("raw"), col("mx")).as("a"))
       val hRaw = e.join(auth.select(col("node_id").as("to_id"), col("a")),
           Seq("to_id"))
         .groupBy(col("from_id")).agg(sum(col("a")).as("raw"))
@@ -102,7 +104,7 @@ object Hits {
       val hMax = hRaw.agg(max(col("raw")).as("mx"))
       hub = hRaw.crossJoin(broadcast(hMax))
         .select(col("from_id").as("node_id"),
-          intDiv(col("raw") * lit(1000000L), col("mx")).as("h"))
+          checkedNorm(col("raw"), col("mx")).as("h"))
     }
     PageRank.nodes(e)
       .join(auth, Seq("node_id"), "left")

@@ -275,16 +275,18 @@ class GraphAnalyticsSpec extends SparkSpec {
     // 0 rounds: no authority frame would ever exist (NPE before r10)
     assertThrows[IllegalArgumentException](Hits.scores(e, 0))
     assertThrows[IllegalArgumentException](Hits.sql.scoresCtes(0))
-    // the micro-unit determinism contract wraps past MaxSafeDegree:
-    // the guard must refuse, not silently produce garbage scores
-    Hits.requireDegreeBound(Hits.MaxSafeDegree)
-    assertThrows[IllegalArgumentException](
-      Hits.requireDegreeBound(Hits.MaxSafeDegree + 1))
-    // end-to-end: a synthetic hub one past the ceiling is refused by
-    // scores() itself (the degree census runs before any iteration)
+    // the micro-unit determinism contract wraps past MaxSafeRaw: the
+    // fused executor-side guard must refuse with its named error, not
+    // silently produce garbage scores — a synthetic hub one degree
+    // past the ceiling (round 1's raw = 1e6 · in-degree) trips it
     val hub = spark.range(Hits.MaxSafeDegree + 1)
       .select(col("id").as("from_id"), lit(-1L).as("to_id"))
-    assertThrows[IllegalArgumentException](Hits.scores(hub, 1))
+    val err = intercept[Throwable](Hits.scores(hub, 1).count())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        String.valueOf(e.getMessage) +: messages(e.getCause))
+    assert(messages(err).exists(_.contains("HITS micro-unit overflow")),
+      s"expected the named overflow error, got: $err")
   }
 
   test("q268: predictions are non-edges ranked by shared-neighbor evidence") {

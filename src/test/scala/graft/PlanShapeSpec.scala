@@ -81,6 +81,7 @@ class PlanShapeSpec extends SparkSpec {
     "q264_hll_overlap",       // #event_types^2 bounded pair frame
     "q266_benford_audit",     // 9-row digit counts x 1-row total cross
     "q267_ab_test",           // 2-row arms x 1-row pooled stats cross
+    "q269_hits",              // 1-row max-normalizer cross per half-step
     "q133_curriculum_buckets", // same 1-row vocab broadcast via NgramLm.score
     "q139_filter_funnel",     // same 1-row vocab broadcast via NgramLm.score
     "q142_incremental_dedup", // 1-row cutoff broadcast (max doc_id split)
@@ -133,7 +134,6 @@ class PlanShapeSpec extends SparkSpec {
     "q239_partition_modularity", // 1-row edge-count frame crossed per brand
     "q243_zorder_layout",     // 1-row global-range frame crossed per event
     "q244_bloom_filter_audit", // three 1-row stat frames crossed into one row
-    "q269_hits",              // 1-row max-normalizer cross per half-step
     "q270_welch_ttest",       // #sources-row aggregate x 1-row corpus totals
     "q273_graph_census",      // four 1-row stat frames crossed per graph
     "q271_cuped",             // 1-row midpoint + 2-row arms x 1-row moments
