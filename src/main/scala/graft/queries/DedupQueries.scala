@@ -1627,6 +1627,59 @@ object DedupQueries {
        |GROUP BY kind, tmpl_key HAVING count(*) >= $TmplMinDocs
        |ORDER BY kind, tmpl_key""".stripMargin
 
+  // -- q296: power-law exponent MLE (Clauset, Shalizi & Newman 2009,
+  //          discrete approximation α = 1 + n/Σln(x/(xmin−½))) fitted
+  //          to TWO pipeline distributions: the knowledge graph's
+  //          degree distribution (xmin = 1) and the near-dup CLUSTER
+  //          SIZE distribution off DedupIndex (xmin = 2) — the cluster
+  //          tail exponent says whether duplication is a few mega-
+  //          clusters (α small: boilerplate storms, dedup is urgent)
+  //          or a long thin tail. Complements q164's Zipf rank fit
+  //          (token frequencies) with the dedup-topology fit.
+  //          Determinism: per-row ln terms floored to micro units
+  //          before the integer sum (mean-of-rounded contract); α is
+  //          a single-row double formula, round6.
+  private def q296(s: SparkSession, dir: String): DataFrame = {
+    def leg(name: String, xs: DataFrame, shift: String) =
+      xs.select(expr(s"CAST(floor(ln(x / $shift) * 1000000) AS BIGINT)")
+          .as("lt"))
+        .agg(count(lit(1)).as("n"), sum(col("lt")).as("sl"))
+        .select(lit(name).as("dist"), col("n"),
+          expr("round(1 + n * 1000000.0 / nullif(sl, 0), 6)").as("alpha"))
+    val deg = graft.graph.GraphAnalytics.degrees(
+        graft.graph.KGraph.canonicalMaterialized(s, dir))
+      .select(col("degree").as("x"))
+    val sizes = graft.dedup.DedupIndex.clusters(s, dir)
+      .select(col("cluster_id"), col("cluster_size")).distinct()
+      .select(col("cluster_size").as("x"))
+    leg("degree_dist", deg, "0.5")
+      .unionByName(leg("dup_cluster_size", sizes, "1.5"))
+      .orderBy(col("dist"))
+  }
+
+  private val q296Sql =
+    s"""WITH RECURSIVE $componentCtes,
+       |${graft.graph.KGraph.edgesSql},
+       |e0 AS (SELECT DISTINCT least(from_id, to_id) AS a,
+       |         greatest(from_id, to_id) AS b
+       |       FROM edges WHERE from_id <> to_id),
+       |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS x FROM (
+       |          SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) d
+       |        GROUP BY node),
+       |sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS x
+       |  FROM comp GROUP BY 1),
+       |l1 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST(floor(ln(x / 0.5) * 1000000) AS BIGINT))
+       |      AS BIGINT) AS sl FROM deg),
+       |l2 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST(floor(ln(x / 1.5) * 1000000) AS BIGINT))
+       |      AS BIGINT) AS sl FROM sizes)
+       |SELECT dist, n, round(1 + n * 1000000.0 / nullif(sl, 0), 6) AS alpha
+       |FROM (
+       |  SELECT 'degree_dist' AS dist, n, sl FROM l1
+       |  UNION ALL SELECT 'dup_cluster_size', n, sl FROM l2) u
+       |ORDER BY dist""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q27_dedup_exact", q27, Some(q27Sql), headline = true),
     Q("q28_dedup_minhash_lsh", q28, Some(q28Sql), headline = true),
@@ -1653,5 +1706,6 @@ object DedupQueries {
     Q("q226_cluster_cohesion", q226, Some(q226Sql), headline = true),
     Q("q228_normalized_dedup", q228, Some(q228Sql)),
     Q("q232_boilerplate_templates", q232, Some(q232Sql)),
-    Q("q277_dedup_recall_estimate", q277, Some(q277Sql)))
+    Q("q277_dedup_recall_estimate", q277, Some(q277Sql)),
+    Q("q296_powerlaw_alpha", q296, Some(q296Sql)))
 }

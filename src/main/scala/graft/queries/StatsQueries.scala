@@ -989,6 +989,77 @@ object StatsQueries {
        |ORDER BY c.digit""".stripMargin
   }
 
+  // -- q295: chi-square test of independence (source × lang) with
+  //          Cramér's V — IS a doc's language independent of its
+  //          source? The categorical complement to q238's field MI:
+  //          chi2 carries the classical test statistic + dof, V the
+  //          [0,1] effect size a mixing report prints. The full grid
+  //          (observed AND zero cells — a missing cell still
+  //          contributes its expectation) is the #sources × #langs
+  //          cross of two tiny marginal frames. Determinism: each
+  //          cell's term (n·N − r·c)²/(N·r·c) is a pointwise double
+  //          over exact integer marginals, floored to micro units
+  //          before the grid sum (the mean-of-rounded contract);
+  //          chi2/V are single-row formulas, round6.
+  private def q295(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val joint = d.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+    val rws = joint.groupBy(col("source")).agg(sum(col("n")).as("r"))
+    val cls = joint.groupBy(col("lang")).agg(sum(col("n")).as("c"))
+    val tot = joint.agg(sum(col("n")).as("nn"),
+      countDistinct(col("source")).as("nr"),
+      countDistinct(col("lang")).as("nc"))
+    rws.crossJoin(broadcast(cls))
+      .join(joint, Seq("source", "lang"), "left")
+      .crossJoin(broadcast(tot))
+      .select(expr("CAST(floor(pow(coalesce(n, 0) * nn - r * c, 2) / " +
+        "(CAST(nn AS DOUBLE) * r * c) * 1000000) AS BIGINT)").as("tm"),
+        col("nn"), col("nr"), col("nc"))
+      .groupBy().agg(sum(col("tm")).as("chi2_micro"),
+        max(col("nn")).as("nn"), max(col("nr")).as("nr"),
+        max(col("nc")).as("nc"))
+      .select(col("nn").as("n_docs"), col("nr").as("n_sources"),
+        col("nc").as("n_langs"),
+        ((col("nr") - 1L) * (col("nc") - 1L)).as("dof"),
+        expr("round(chi2_micro / 1e6, 6)").as("chi2"),
+        expr("round(sqrt((chi2_micro / 1e6) / " +
+          "(CAST(nn AS DOUBLE) * least(nr - 1, nc - 1))), 6)")
+          .as("cramers_v"))
+  }
+
+  private val q295Sql =
+    """WITH joint AS (
+      |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY 1, 2),
+      |rws AS (SELECT source, CAST(sum(n) AS BIGINT) AS r
+      |  FROM joint GROUP BY 1),
+      |cls AS (SELECT lang, CAST(sum(n) AS BIGINT) AS c
+      |  FROM joint GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+      |    CAST(count(DISTINCT source) AS BIGINT) AS nr,
+      |    CAST(count(DISTINCT lang) AS BIGINT) AS nc
+      |  FROM joint),
+      |grid AS (
+      |  SELECT CAST(floor(pow(coalesce(j.n, 0) * t.nn - rw.r * cl.c, 2) /
+      |      (CAST(t.nn AS DOUBLE) * rw.r * cl.c) * 1000000) AS BIGINT)
+      |      AS tm,
+      |    t.nn, t.nr, t.nc
+      |  FROM rws rw CROSS JOIN cls cl
+      |  LEFT JOIN joint j ON j.source = rw.source AND j.lang = cl.lang
+      |  CROSS JOIN tot t),
+      |agg AS (
+      |  SELECT CAST(sum(tm) AS BIGINT) AS chi2_micro,
+      |    CAST(max(nn) AS BIGINT) AS nn, CAST(max(nr) AS BIGINT) AS nr,
+      |    CAST(max(nc) AS BIGINT) AS nc
+      |  FROM grid)
+      |SELECT nn AS n_docs, nr AS n_sources, nc AS n_langs,
+      |  CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+      |  round(chi2_micro / 1e6, 6) AS chi2,
+      |  round(sqrt((chi2_micro / 1e6) /
+      |    (CAST(nn AS DOUBLE) * least(nr - 1, nc - 1))), 6) AS cramers_v
+      |FROM agg""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q60_growth_rate", q60, Some(q60Sql)),
     Q("q61_decline_periods", q61, Some(q61Sql)),
@@ -1001,6 +1072,7 @@ object StatsQueries {
     Q("q199_source_gini", q199, Some(q199Sql)),
     Q("q209_metric_spearman", q209, Some(q209Sql)),
     Q("q225_ks_length_drift", q225, Some(q225Sql)),
+    Q("q295_chi2_independence", q295, Some(q295Sql)),
     Q("q230_mad_outliers", q230, Some(q230Sql)),
     Q("q234_schema_profile", q234, Some(q234Sql)),
     Q("q235_expectations", q235, Some(q235Sql)),

@@ -145,7 +145,8 @@ class PlanShapeSpec extends SparkSpec {
     "q287_brier_decomposition", // 1-row bias + totals crosses (q173 scoring reuse)
     "q288_ndcg_eval",         // 1-row bias + 64-row weights (q173 scoring reuse)
     "q289_wasserstein_drift", // #sources x value-census grid broadcast
-    "q292_rich_club")         // two 1-row wide grid frames crossed
+    "q292_rich_club",         // two 1-row wide grid frames crossed
+    "q295_chi2_independence") // #sources x #langs marginal grid + 1-row totals
 
   /** Catalog queries that window WITHOUT a partition spec — every row
     * audited (round-9 verdict): the windowed frame is metadata-/eval-
