@@ -1103,6 +1103,75 @@ object GraphAnalyticsQueries {
        |FROM ppr3
        |ORDER BY round(rank, 6) DESC, node_id LIMIT 100""".stripMargin
 
+  // -- q299: bridge-edge audit ×2 graphs — edges in NO triangle
+  //          (support 0), the local-bridge notion of Easley &
+  //          Kleinberg 2010 ch.3: a bridge is the only local path
+  //          between its endpoints, so bridge RATIO says how much of
+  //          the graph's connectivity has no redundancy (where dedup
+  //          transitivity and community detection are fragile).
+  //          Reads the same degree-ordered edge-support census the
+  //          k-truss peel uses (one pass per graph, exact counts).
+  private def q299(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactRound
+    def leg(name: String, canon: DataFrame) = {
+      val sup = GraphAnalytics.edgeSupport(canon)
+        .agg(count(lit(1)).as("tri_edges"),
+          coalesce(max(col("support")), lit(0L)).as("max_support"))
+      canon.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(broadcast(sup))
+        .select(lit(name).as("graph"), col("n_edges"),
+          (col("n_edges") - col("tri_edges")).as("n_bridge"),
+          ExactRound.ratio6(col("n_edges") - col("tri_edges"),
+            col("n_edges")).as("bridge_ratio"),
+          col("max_support"))
+    }
+    leg("copurchase", copurchaseCanon(s, dir)
+        .select(col("a"), col("b")))
+      .unionByName(leg("knowledge_graph",
+        KGraph.canonicalMaterialized(s, dir)))
+      .orderBy(col("graph"))
+  }
+
+  private val q299Sql = {
+    val er = graft.functions.ExactRound.sql
+    def leg(name: String, e: String) =
+      s"""SELECT '$name' AS graph,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM $e) AS n_edges,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM $e) -
+         |    (SELECT CAST(count(*) AS BIGINT) FROM sup_$name) AS n_bridge,
+         |  ${er.ratio6(
+            s"(SELECT count(*) FROM $e) - (SELECT count(*) FROM sup_$name)",
+            s"(SELECT count(*) FROM $e)")} AS bridge_ratio,
+         |  (SELECT CAST(coalesce(max(sup), 0) AS BIGINT) FROM sup_$name)
+         |    AS max_support""".stripMargin
+    def supCte(name: String, e: String) =
+      s"""tri_$name AS (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM $e e1 JOIN $e e2 ON e1.b = e2.a
+         |  JOIN $e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |sup_$name AS (
+         |  SELECT a, b, CAST(count(*) AS BIGINT) AS sup FROM (
+         |    SELECT x AS a, y AS b FROM tri_$name
+         |    UNION ALL SELECT y, z FROM tri_$name
+         |    UNION ALL SELECT x, z FROM tri_$name) t
+         |  GROUP BY a, b)""".stripMargin
+    s"""WITH ${KGraph.edgesSql},
+       |lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |       FROM lineitem),
+       |cp AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+       |       FROM lp x JOIN lp y ON x.ok = y.ok AND x.pk < y.pk),
+       |kg AS (SELECT DISTINCT least(from_id, to_id) AS a,
+       |         greatest(from_id, to_id) AS b
+       |       FROM edges WHERE from_id <> to_id),
+       |${supCte("copurchase", "cp")},
+       |${supCte("knowledge_graph", "kg")}
+       |SELECT * FROM (
+       |${leg("copurchase", "cp")}
+       |UNION ALL
+       |${leg("knowledge_graph", "kg")}) u
+       |ORDER BY graph""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q191_copurchase_clustering", q191, Some(q191Sql), headline = true),
     Q("q192_kcore_layers", q192, Some(q192Sql), headline = true),
@@ -1119,5 +1188,6 @@ object GraphAnalyticsQueries {
     Q("q291_assortativity", q291, Some(q291Sql)),
     Q("q292_rich_club", q292, Some(q292Sql)),
     Q("q293_ktruss_layers", q293, Some(q293Sql)),
-    Q("q294_personalized_pagerank", q294, Some(q294Sql)))
+    Q("q294_personalized_pagerank", q294, Some(q294Sql)),
+    Q("q299_bridge_audit", q299, Some(q299Sql)))
 }

@@ -989,6 +989,80 @@ object StatsQueries {
        |ORDER BY c.digit""".stripMargin
   }
 
+  // -- q297: Kendall tau-b between doc length and composite quality,
+  //          GRID-EXACT (Kendall 1945 tie-corrected form): both
+  //          variables bucketize (length /100 capped 19, quality
+  //          decile), and over grouped data tau-b is exactly
+  //          computable from the 2-D cell census — concordant /
+  //          discordant pair counts are Σ n_ab·n_cd over ordered cell
+  //          pairs, tie terms come off the marginals. The rank
+  //          correlation that complements q209's Spearman (which
+  //          needs a global rank); here the census is ≤ 200 cells, so
+  //          the pair fold is a bounded self-cross, never a data-sized
+  //          rank. Determinism: all counts exact integers; tau-b is a
+  //          single-row double formula, round6.
+  private def q297(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val cells = d.select(
+        expr("least(n_chars div 100, 19)").as("bx"),
+        least(floor(TF.qualityScore(col("text"), col("n_chars")) * 10)
+          .cast("long"), lit(9L)).as("by"))
+      .groupBy(col("bx"), col("by")).agg(count(lit(1)).as("n"))
+      .truncateLineage()
+    val pairs = cells.select(col("bx").as("ax"), col("by").as("ay"),
+        col("n").as("an"))
+      .crossJoin(broadcast(cells.select(col("bx").as("cx"),
+        col("by").as("cy"), col("n").as("cn"))))
+      .filter(col("cx") > col("ax"))
+      .agg(
+        sum(when(col("cy") > col("ay"), col("an") * col("cn"))
+          .otherwise(0L)).as("conc"),
+        sum(when(col("cy") < col("ay"), col("an") * col("cn"))
+          .otherwise(0L)).as("disc"))
+    val tx = cells.groupBy(col("bx")).agg(sum(col("n")).as("t"))
+      .agg(sum(expr("t * (t - 1) div 2")).as("n1"),
+        sum(col("t")).as("nn"))
+    val ty = cells.groupBy(col("by")).agg(sum(col("n")).as("t"))
+      .agg(sum(expr("t * (t - 1) div 2")).as("n2"))
+    pairs.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+      .select(col("nn").as("n_docs"),
+        coalesce(col("conc"), lit(0L)).as("concordant"),
+        coalesce(col("disc"), lit(0L)).as("discordant"),
+        expr("round((coalesce(conc, 0) - coalesce(disc, 0)) / " +
+          "nullif(sqrt((CAST(nn AS DOUBLE) * (nn - 1) / 2 - n1) * " +
+          "(CAST(nn AS DOUBLE) * (nn - 1) / 2 - n2)), 0), 6)")
+          .as("tau_b"))
+  }
+
+  private val q297Sql = {
+    val by = s"least(CAST(floor(${TF.sql.qualityScore("text", "n_chars")}" +
+      " * 10) AS BIGINT), 9)"
+    s"""WITH cells AS (
+       |  SELECT least(n_chars // 100, 19) AS bx, $by AS by,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM documents GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN c.by > a.by THEN a.n * c.n ELSE 0 END)
+       |      AS BIGINT) AS conc,
+       |    CAST(sum(CASE WHEN c.by < a.by THEN a.n * c.n ELSE 0 END)
+       |      AS BIGINT) AS disc
+       |  FROM cells a CROSS JOIN cells c WHERE c.bx > a.bx),
+       |tx AS (
+       |  SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n1,
+       |    CAST(sum(t) AS BIGINT) AS nn
+       |  FROM (SELECT CAST(sum(n) AS BIGINT) AS t FROM cells GROUP BY bx)),
+       |ty AS (
+       |  SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n2
+       |  FROM (SELECT CAST(sum(n) AS BIGINT) AS t FROM cells GROUP BY by))
+       |SELECT nn AS n_docs,
+       |  coalesce(conc, 0) AS concordant, coalesce(disc, 0) AS discordant,
+       |  round((coalesce(conc, 0) - coalesce(disc, 0)) /
+       |    nullif(sqrt((CAST(nn AS DOUBLE) * (nn - 1) / 2 - n1) *
+       |    (CAST(nn AS DOUBLE) * (nn - 1) / 2 - n2)), 0), 6) AS tau_b
+       |FROM pairs, tx, ty""".stripMargin
+  }
+
   // -- q295: chi-square test of independence (source × lang) with
   //          Cramér's V — IS a doc's language independent of its
   //          source? The categorical complement to q238's field MI:
@@ -1073,6 +1147,7 @@ object StatsQueries {
     Q("q209_metric_spearman", q209, Some(q209Sql)),
     Q("q225_ks_length_drift", q225, Some(q225Sql)),
     Q("q295_chi2_independence", q295, Some(q295Sql)),
+    Q("q297_kendall_tau_grid", q297, Some(q297Sql)),
     Q("q230_mad_outliers", q230, Some(q230Sql)),
     Q("q234_schema_profile", q234, Some(q234Sql)),
     Q("q235_expectations", q235, Some(q235Sql)),

@@ -1540,6 +1540,74 @@ object TemporalQueries {
        |FROM agg""".stripMargin
   }
 
+  // -- q298: inter-arrival burstiness per event type (Goh & Barabási
+  //          2008, "Burstiness and memory in complex systems"):
+  //          B = (σ−μ)/(σ+μ) over the inter-arrival gaps — B → −1 a
+  //          metronome, 0 Poisson, → 1 heavy-tailed bursts. The
+  //          event-TIMING complement to q221's word burstiness
+  //          (tf/df) and q223's seasonality χ²; a data pipeline reads
+  //          it to size ingestion buffers and spot scraper storms.
+  //          Determinism: gaps are integer seconds off a per-type
+  //          ordered lag (tie order can permute equal timestamps but
+  //          the gap MULTISET is invariant); Σg is a long, Σg² sums
+  //          in decimal (a 1e7-second gap squares past long headroom
+  //          at sf1.0); μ/σ/B/CV are per-type single-row double
+  //          formulas over the exact sums, round6.
+  private def q298(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("sec"), col("event_id"))
+    val gaps = events(s, dir)
+      .select(col("event_type"), expr("unix_timestamp(ts)").as("sec"),
+        col("event_id"))
+      .withColumn("g", col("sec") - lag(col("sec"), 1).over(w))
+      .filter(col("g").isNotNull)
+    gaps.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("g")).as("sg"),
+        sum(col("g").cast("decimal(38,0)") * col("g")).as("sq"))
+      .select(col("event_type"), col("n_gaps"),
+        expr("round(CAST(sg AS DOUBLE) / n_gaps, 6)").as("mean_gap_s"),
+        expr("round(sqrt(greatest(CAST(sq AS DOUBLE) / n_gaps - " +
+          "pow(CAST(sg AS DOUBLE) / n_gaps, 2), 0)) / " +
+          "nullif(CAST(sg AS DOUBLE) / n_gaps, 0), 6)").as("cv"),
+        expr("round((sqrt(greatest(CAST(sq AS DOUBLE) / n_gaps - " +
+          "pow(CAST(sg AS DOUBLE) / n_gaps, 2), 0)) - " +
+          "CAST(sg AS DOUBLE) / n_gaps) / " +
+          "nullif(sqrt(greatest(CAST(sq AS DOUBLE) / n_gaps - " +
+          "pow(CAST(sg AS DOUBLE) / n_gaps, 2), 0)) + " +
+          "CAST(sg AS DOUBLE) / n_gaps, 0), 6)").as("burstiness_b"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q298Sql =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      |    event_id
+      |  FROM events),
+      |gaps AS (
+      |  SELECT event_type,
+      |    sec - lag(sec) OVER (PARTITION BY event_type
+      |      ORDER BY sec, event_id) AS g
+      |  FROM ev),
+      |agg AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+      |    CAST(sum(g) AS BIGINT) AS sg,
+      |    sum(g * g) AS sq
+      |  FROM gaps WHERE g IS NOT NULL GROUP BY 1)
+      |SELECT event_type, n_gaps,
+      |  round(CAST(sg AS DOUBLE) / n_gaps, 6) AS mean_gap_s,
+      |  round(sqrt(greatest(CAST(sq AS DOUBLE) / n_gaps -
+      |    pow(CAST(sg AS DOUBLE) / n_gaps, 2), 0)) /
+      |    nullif(CAST(sg AS DOUBLE) / n_gaps, 0), 6) AS cv,
+      |  round((sqrt(greatest(CAST(sq AS DOUBLE) / n_gaps -
+      |    pow(CAST(sg AS DOUBLE) / n_gaps, 2), 0)) -
+      |    CAST(sg AS DOUBLE) / n_gaps) /
+      |    nullif(sqrt(greatest(CAST(sq AS DOUBLE) / n_gaps -
+      |    pow(CAST(sg AS DOUBLE) / n_gaps, 2), 0)) +
+      |    CAST(sg AS DOUBLE) / n_gaps, 0), 6) AS burstiness_b
+      |FROM agg ORDER BY event_type""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q36_temporal_filter", q36, Some(q36Sql)),
     Q("q37_daily_cumulative", q37, Some(q37Sql)),
@@ -1567,5 +1635,6 @@ object TemporalQueries {
     Q("q275_mann_kendall", q275, Some(q275Sql)),
     Q("q276_theil_sen", q276, Some(q276Sql)),
     Q("q281_nelson_aalen", q281, Some(q281Sql)),
-    Q("q282_logrank_test", q282, Some(q282Sql)))
+    Q("q282_logrank_test", q282, Some(q282Sql)),
+    Q("q298_interarrival_burstiness", q298, Some(q298Sql)))
 }

@@ -765,6 +765,46 @@ object TextQueries {
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // -- q300: hapax legomena ratio + type-token ratio per source — the
+  //          two classical lexical-diversity readouts (Baayen 2001,
+  //          "Word Frequency Distributions"): hapax share of the
+  //          vocabulary predicts how fast the vocab still grows
+  //          (Heaps-curve slope, q163's pointwise sibling) and TTR
+  //          flags template/boilerplate sources (low) vs natural text.
+  //          One token census per source, three exact counts, ratio6.
+  private def q300(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactRound
+    docs(s, dir)
+      .select(col("source"), explode(TF.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("vocab"),
+        sum(when(col("tf") === 1L, 1L).otherwise(0L)).as("hapax"),
+        sum(col("tf")).as("tokens"))
+      .select(col("source"), col("vocab"), col("hapax"), col("tokens"),
+        ExactRound.ratio6(col("hapax"), col("vocab")).as("hapax_ratio"),
+        ExactRound.ratio6(col("vocab"), col("tokens")).as("ttr"))
+      .orderBy(col("source"))
+  }
+
+  private val q300Sql = {
+    import graft.functions.{ExactRound => ER}
+    s"""WITH census AS (
+       |  SELECT source, t.tok, CAST(count(*) AS BIGINT) AS tf
+       |  FROM documents, unnest(${TF.sql.tokens("text")}) AS t(tok)
+       |  GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+       |    CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS hapax,
+       |    CAST(sum(tf) AS BIGINT) AS tokens
+       |  FROM census GROUP BY 1)
+       |SELECT source, vocab, hapax, tokens,
+       |  ${ER.sql.ratio6("hapax", "vocab")} AS hapax_ratio,
+       |  ${ER.sql.ratio6("vocab", "tokens")} AS ttr
+       |FROM agg ORDER BY source""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q32_text_langid", q32, Some(q32Sql)),
     Q("q33_text_quality", q33, Some(q33Sql)),
@@ -781,5 +821,6 @@ object TextQueries {
     Q("q205_pmi_collocations", q205, Some(q205Sql)),
     Q("q219_kneser_ney", q219, Some(q219Sql)),
     Q("q221_burstiness", q221, Some(q221Sql)),
-    Q("q290_encoding_audit", q290, Some(q290Sql)))
+    Q("q290_encoding_audit", q290, Some(q290Sql)),
+    Q("q300_hapax_ttr", q300, Some(q300Sql)))
 }

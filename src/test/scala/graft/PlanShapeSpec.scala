@@ -146,7 +146,9 @@ class PlanShapeSpec extends SparkSpec {
     "q288_ndcg_eval",         // 1-row bias + 64-row weights (q173 scoring reuse)
     "q289_wasserstein_drift", // #sources x value-census grid broadcast
     "q292_rich_club",         // two 1-row wide grid frames crossed
-    "q295_chi2_independence") // #sources x #langs marginal grid + 1-row totals
+    "q295_chi2_independence", // #sources x #langs marginal grid + 1-row totals
+    "q297_kendall_tau_grid",  // <=200-cell census self-cross + 1-row tie frames
+    "q299_bridge_audit")      // two 1-row support-stat crosses per graph
 
   /** Catalog queries that window WITHOUT a partition spec — every row
     * audited (round-9 verdict): the windowed frame is metadata-/eval-
