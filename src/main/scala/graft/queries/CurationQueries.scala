@@ -3390,6 +3390,93 @@ object CurationQueries {
        |  ${ExactRound.sql.ratio6("np", "np + nn")} AS random_baseline
        |FROM agg""".stripMargin
 
+  // -- q305: Matthews correlation + F1 over the ROC threshold grid
+  //          for the q173 classifier — the confusion-matrix summary
+  //          pair a filtering pipeline tunes its cut on: MCC is the
+  //          balanced ±1 correlation that stays honest under the
+  //          class skew AP (q280) was built for, F1 the standard
+  //          harmonic readout; q279's tpr/fpr don't determine either
+  //          without the negatives split. Same one-pass wide
+  //          aggregate as q279 (tn/fn derived: tn = nn − fp,
+  //          fn = np − tp). Determinism: all 4 cells exact longs per
+  //          threshold; MCC's numerator is integer-valued double
+  //          arithmetic and its denominator one IEEE sqrt of a
+  //          parenthesis-fixed product (double-exact to N ~ 9e3;
+  //          above that the products pass 2^53 — acceptable for the
+  //          eval-frame-bounded grade, like q280); F1/accuracy are
+  //          ExactRound ratios. Scale: one scan → 1 wide row →
+  //          9-row explode.
+  private def q305(s: SparkSession, dir: String): DataFrame = {
+    val scored = qcScored(s, dir)
+    val cells = RocThresholds.zipWithIndex.flatMap { case (t, i) =>
+      Seq(sum(when(col("score_micro") >= t, col("y")).otherwise(0L))
+          .as(s"tp_$i"),
+        sum(when(col("score_micro") >= t, lit(1L) - col("y")).otherwise(0L))
+          .as(s"fp_$i"))
+    }
+    val aggCols = Seq(sum(col("y")).as("np"),
+      sum(lit(1L) - col("y")).as("nn")) ++ cells
+    val wide = scored.agg(aggCols.head, aggCols.tail: _*)
+    val rows = RocThresholds.zipWithIndex.map { case (t, i) =>
+      val (tp, fp) = (col(s"tp_$i"), col(s"fp_$i"))
+      val tn = col("nn") - fp
+      val fn = col("np") - tp
+      struct(lit(t / 1e6).as("threshold"),
+        tp.as("tp"), fp.as("fp"), tn.as("tn"), fn.as("fn"),
+        when(lit(2L) * tp + fp + fn > 0,
+          ExactRound.ratio6(lit(2L) * tp, lit(2L) * tp + fp + fn))
+          .as("f1"),
+        ExactRound.ratio6(tp + tn, col("np") + col("nn")).as("accuracy"),
+        expr(s"round((CAST(tp_$i AS DOUBLE) * (nn - fp_$i) - " +
+          s"CAST(fp_$i AS DOUBLE) * (np - tp_$i)) / " +
+          s"nullif(sqrt(((tp_$i + fp_$i) * (CAST(np AS DOUBLE))) * " +
+          s"(((nn - fp_$i) + fp_$i) * " +
+          s"(CAST((nn - fp_$i) + (np - tp_$i) AS DOUBLE)))), 0), 6)")
+          .as("mcc"))
+    }
+    wide.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.threshold"), col("r.tp"), col("r.fp"), col("r.tn"),
+        col("r.fn"), col("r.f1"), col("r.accuracy"), col("r.mcc"))
+      .orderBy(col("threshold"))
+  }
+
+  private val q305Sql = {
+    val rows = RocThresholds.zipWithIndex.map { case (t, i) =>
+      val f1 = ExactRound.sql.ratio6(s"2 * tp_$i",
+        s"2 * tp_$i + fp_$i + (np - tp_$i)")
+      val acc = ExactRound.sql.ratio6(s"tp_$i + (nn - fp_$i)", "np + nn")
+      s"""SELECT ${t / 1e6} AS threshold, tp_$i AS tp, fp_$i AS fp,
+         |  CAST(nn - fp_$i AS BIGINT) AS tn,
+         |  CAST(np - tp_$i AS BIGINT) AS fn,
+         |  CASE WHEN 2 * tp_$i + fp_$i + (np - tp_$i) > 0
+         |    THEN $f1 END AS f1,
+         |  $acc AS accuracy,
+         |  round((CAST(tp_$i AS DOUBLE) * (nn - fp_$i) -
+         |    CAST(fp_$i AS DOUBLE) * (np - tp_$i)) /
+         |    nullif(sqrt(((tp_$i + fp_$i) * (CAST(np AS DOUBLE))) *
+         |    (((nn - fp_$i) + fp_$i) *
+         |    (CAST((nn - fp_$i) + (np - tp_$i) AS DOUBLE)))), 0), 6)
+         |    AS mcc
+         |FROM wide""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val cells = RocThresholds.zipWithIndex.flatMap { case (t, i) => Seq(
+      s"CAST(sum(CASE WHEN score_micro >= $t THEN y ELSE 0 END) AS BIGINT) AS tp_$i",
+      s"CAST(sum(CASE WHEN score_micro >= $t THEN 1 - y ELSE 0 END) AS BIGINT) AS fp_$i")
+    }.mkString(",\n    ")
+    s"""WITH ${graft.pipeline.QualityClassifier.sql
+        .trainCtes(DsirTarget, QcBuckets, QcIters, QcLr)},
+       |qsl AS (
+       |  SELECT s.score_micro, s.doc_id,
+       |    CASE WHEN d.source = '$DsirTarget' THEN 1 ELSE 0 END AS y
+       |  FROM qscore s JOIN documents d USING (doc_id)),
+       |wide AS (
+       |  SELECT CAST(sum(y) AS BIGINT) AS np,
+       |    CAST(sum(1 - y) AS BIGINT) AS nn,
+       |    $cells
+       |  FROM qsl)
+       |SELECT * FROM ($rows) ORDER BY threshold""".stripMargin
+  }
+
   // -- q287: Brier score decomposition (Murphy 1973) for the q173
   //          classifier — brier = reliability − resolution +
   //          uncertainty over 10 probability bins: the readout that
@@ -3599,6 +3686,7 @@ object CurationQueries {
     Q("q260_loo_influence", q260, Some(q260Sql)),
     Q("q279_roc_points", q279, Some(q279Sql)),
     Q("q280_average_precision", q280, Some(q280Sql)),
+    Q("q305_mcc_f1_grid", q305, Some(q305Sql)),
     Q("q287_brier_decomposition", q287, Some(q287Sql)),
     Q("q288_ndcg_eval", q288, Some(q288Sql)))
 }

@@ -1680,6 +1680,92 @@ object DedupQueries {
        |  UNION ALL SELECT 'dup_cluster_size', n, sl FROM l2) u
        |ORDER BY dist""".stripMargin
 
+  // -- q310: source-partition conductance over the near-dup pair
+  //          graph — treating each SOURCE as a community in the
+  //          DedupIndex pair graph: φ(S) = cut(S,S̄) / min(vol(S),
+  //          vol(S̄)). Low φ = the source's duplication is self-
+  //          contained (dedup shards cleanly by source); high φ = its
+  //          dups cross sources, so per-source dedup under-merges —
+  //          the shard-planning readout behind q135's flow matrix.
+  //          Determinism: pure integer edge census off the build-once
+  //          index (internal edges, cut edges, volumes), one
+  //          ExactRound ratio. Scale shape: two hash joins of the
+  //          pair table to the doc→source map, one keyed agg — never
+  //          touches text.
+  private def q310(s: SparkSession, dir: String): DataFrame = {
+    val src = docs(s, dir).select(col("doc_id"), col("source"))
+    val e = graft.dedup.DedupIndex.pairs(s, dir)
+      .join(src.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("source", "sa"), "a_id")
+      .join(src.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("source", "sb"), "b_id")
+    val perSrc = e.select(explode(array(
+        struct(col("sa").as("source"), col("sb").as("other")),
+        struct(col("sb").as("source"), col("sa").as("other")))).as("x"))
+      .select(col("x.source"), col("x.other"))
+      .groupBy(col("source")).agg(
+        (sum(when(col("source") === col("other"), 1L).otherwise(0L))
+          / lit(2L)).cast("long").as("n_internal"),
+        sum(when(col("source") =!= col("other"), 1L).otherwise(0L))
+          .as("n_cut"))
+    val tot = e.agg((count(lit(1)) * lit(2L)).as("vol_tot"))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_internal"), col("n_cut"),
+        (lit(2L) * col("n_internal") + col("n_cut")).as("volume"),
+        when(least(lit(2L) * col("n_internal") + col("n_cut"),
+            col("vol_tot") - (lit(2L) * col("n_internal") + col("n_cut")))
+            > 0L,
+          graft.functions.ExactRound.ratio6(col("n_cut"),
+            least(lit(2L) * col("n_internal") + col("n_cut"),
+              col("vol_tot") -
+                (lit(2L) * col("n_internal") + col("n_cut")))))
+          .as("conductance"))
+      .orderBy(col("source"))
+  }
+
+  private val q310Sql = {
+    import graft.functions.{ExactRound => ER}
+    s"""WITH sig AS (
+       |  SELECT doc_id AS id, ${TF.sql.minhashSignature("text", 12)} AS sig
+       |  FROM documents),
+       |banded AS (
+       |  SELECT id, sig,
+       |    b::VARCHAR || '#' || array_to_string(sig[b*6+1:b*6+6], '#') AS bucket
+       |  FROM sig, range(0, 2) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+       |  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.id < b.id),
+       |prs AS (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT c.a_id, c.b_id,
+       |      len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2])) * 1.0 / 12 AS est
+       |    FROM cand c JOIN sig sa ON sa.id = c.a_id JOIN sig sb ON sb.id = c.b_id) x
+       |  WHERE est >= 0.9),
+       |lab AS (
+       |  SELECT p.a_id, p.b_id, da.source AS sa, db.source AS sb
+       |  FROM prs p JOIN documents da ON da.doc_id = p.a_id
+       |  JOIN documents db ON db.doc_id = p.b_id),
+       |halves AS (
+       |  SELECT sa AS source, sb AS other FROM lab
+       |  UNION ALL SELECT sb AS source, sa AS other FROM lab),
+       |per AS (
+       |  SELECT source,
+       |    CAST(sum(CASE WHEN source = other THEN 1 ELSE 0 END) / 2
+       |      AS BIGINT) AS n_internal,
+       |    CAST(sum(CASE WHEN source <> other THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_cut
+       |  FROM halves GROUP BY 1),
+       |tot AS (SELECT CAST(2 * count(*) AS BIGINT) AS vol_tot FROM lab)
+       |SELECT source, n_internal, n_cut,
+       |  CAST(2 * n_internal + n_cut AS BIGINT) AS volume,
+       |  CASE WHEN least(2 * n_internal + n_cut,
+       |      vol_tot - (2 * n_internal + n_cut)) > 0
+       |    THEN ${ER.sql.ratio6("n_cut",
+                "least(2 * n_internal + n_cut, vol_tot - (2 * n_internal + n_cut))")}
+       |    END AS conductance
+       |FROM per CROSS JOIN tot ORDER BY source""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q27_dedup_exact", q27, Some(q27Sql), headline = true),
     Q("q28_dedup_minhash_lsh", q28, Some(q28Sql), headline = true),
@@ -1707,5 +1793,6 @@ object DedupQueries {
     Q("q228_normalized_dedup", q228, Some(q228Sql)),
     Q("q232_boilerplate_templates", q232, Some(q232Sql)),
     Q("q277_dedup_recall_estimate", q277, Some(q277Sql)),
-    Q("q296_powerlaw_alpha", q296, Some(q296Sql)))
+    Q("q296_powerlaw_alpha", q296, Some(q296Sql)),
+    Q("q310_source_conductance", q310, Some(q310Sql)))
 }

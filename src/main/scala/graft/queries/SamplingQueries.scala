@@ -1474,7 +1474,17 @@ object SamplingQueries {
   //          keyed agg + a 1-row totals broadcast. Long arithmetic
   //          holds to N ~ 2e6 (the N³ tie-variance term); above that
   //          promote the totals to decimal.
-  private def q285(s: SparkSession, dir: String): DataFrame = {
+  /** Shared Mann–Whitney/Kruskal–Wallis rank census over doc length
+    * (q285, q302, q303): ONE value census ranks the whole corpus, and
+    * every per-source statistic reads off it — #sources passes over a
+    * domain-bounded grid, never a re-ranking. Doubled average ranks
+    * d = 2·cumb + cnt + 1 are exact integers, so the returned frames
+    * are pure longs: per source (r2 = Σd, n1), global (nn = N,
+    * tt = Σ(t³−t) tie mass, dd = Σd² with Σd = N(N+1) implied).
+    * Long headroom: dd ≤ 4N³ holds to N ~ 1.3e6 docs; promote the
+    * census counts to decimal beyond that. */
+  private def mwRankCensus(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val d = docs(s, dir).select(col("source"), col("n_chars").as("v"))
     val glob = d.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
@@ -1488,8 +1498,34 @@ object SamplingQueries {
         sum(col("c_sv") * (lit(2L) * col("cumb") + col("cnt") + lit(1L)))
           .as("r2"),
         sum(col("c_sv")).as("n1"))
+    val dcol = lit(2L) * col("cumb") + col("cnt") + lit(1L)
     val tot = glob.agg(sum(col("cnt")).as("nn"),
-      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tt"))
+      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tt"),
+      sum(col("cnt") * dcol * dcol).as("dd"))
+    (r, tot)
+  }
+
+  /** DuckDB twin of [[mwRankCensus]] — CTE block ending in `r`/`tot`. */
+  private val mwRankCtes =
+    """d AS (SELECT source, n_chars AS v FROM documents),
+      |gv AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY v),
+      |g2 AS (SELECT v, cnt, CAST(coalesce(sum(cnt) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |    AS cumb FROM gv),
+      |bysrc AS (SELECT source, v, CAST(count(*) AS BIGINT) AS c_sv
+      |  FROM d GROUP BY 1, 2),
+      |r AS (SELECT source,
+      |    CAST(sum(c_sv * (2*cumb + cnt + 1)) AS BIGINT) AS r2,
+      |    CAST(sum(c_sv) AS BIGINT) AS n1
+      |  FROM bysrc JOIN g2 USING (v) GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS nn,
+      |    CAST(sum(cnt*cnt*cnt - cnt) AS BIGINT) AS tt,
+      |    CAST(sum(cnt * (2*cumb + cnt + 1) * (2*cumb + cnt + 1))
+      |      AS BIGINT) AS dd
+      |  FROM g2)""".stripMargin
+
+  private def q285(s: SparkSession, dir: String): DataFrame = {
+    val (r, tot) = mwRankCensus(s, dir)
     r.crossJoin(broadcast(tot))
       .select(col("source"), col("n1"),
         (col("r2") - col("n1") * (col("n1") + lit(1L))).as("u2"),
@@ -1502,19 +1538,7 @@ object SamplingQueries {
   }
 
   private val q285Sql =
-    """WITH d AS (SELECT source, n_chars AS v FROM documents),
-      |gv AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY v),
-      |g2 AS (SELECT v, cnt, CAST(coalesce(sum(cnt) OVER (ORDER BY v
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-      |    AS cumb FROM gv),
-      |bysrc AS (SELECT source, v, CAST(count(*) AS BIGINT) AS c_sv
-      |  FROM d GROUP BY 1, 2),
-      |r AS (SELECT source,
-      |    CAST(sum(c_sv * (2*cumb + cnt + 1)) AS BIGINT) AS r2,
-      |    CAST(sum(c_sv) AS BIGINT) AS n1
-      |  FROM bysrc JOIN g2 USING (v) GROUP BY 1),
-      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS nn,
-      |    CAST(sum(cnt*cnt*cnt - cnt) AS BIGINT) AS tt FROM gv)
+    s"""WITH $mwRankCtes
       |SELECT source, n1, CAST(r2 - n1*(n1+1) AS BIGINT) AS u2,
       |  round(CAST(r2 - n1*(n1+1) AS DOUBLE) / (2.0*n1*(nn-n1)), 6) AS auc,
       |  round((CAST(r2 - n1*(n1+1) AS DOUBLE) - CAST(n1*(nn-n1) AS DOUBLE)) /
@@ -1662,6 +1686,642 @@ object SamplingQueries {
       |    AS emd_chars
       |FROM grid GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- shared one-way-F machinery (q301, q306): given per-group
+  //      exact integer moments (n_g, s_g = Σx, q_g = Σx²), the F
+  //      statistic comes out of two milli-floored per-group double
+  //      terms summed as longs (mean-of-rounded, shuffle-order-proof):
+  //      SSB term  n_g·(s_g/n_g − S/N)²  and  SSW term  q_g − s_g²/n_g.
+  //      Every double op is IEEE ×/÷/− over exact longs, so both
+  //      engines floor the identical value. Long headroom: s_g² stays
+  //      double-exact to s_g ~ 9.4e7 (≈10⁸ char-mass per group);
+  //      milli terms ≤ ~6e16 at sf1.0 — promote to decimal beyond.
+  private def oneWayF(grouped: DataFrame): DataFrame = {
+    val tot = grouped.agg(sum(col("n_g")).as("nn"),
+      sum(col("s_g")).as("ss"), sum(col("q_g")).as("qq"))
+    grouped.crossJoin(broadcast(tot))
+      .select(col("nn"),
+        expr("CAST(floor(n_g * (CAST(s_g AS DOUBLE)/n_g - " +
+          "CAST(ss AS DOUBLE)/nn) * (CAST(s_g AS DOUBLE)/n_g - " +
+          "CAST(ss AS DOUBLE)/nn) * 1000) AS BIGINT)").as("b_milli"),
+        expr("CAST(floor((q_g - CAST(s_g AS DOUBLE) * s_g / n_g) * 1000) " +
+          "AS BIGINT)").as("w_milli"))
+      .groupBy().agg(sum(col("b_milli")).as("ssb_milli"),
+        sum(col("w_milli")).as("ssw_milli"),
+        count(lit(1)).as("k"), max(col("nn")).as("nn"))
+      .select(col("nn").as("n_docs"), col("k").as("n_groups"),
+        (col("k") - 1L).as("df_between"),
+        (col("nn") - col("k")).as("df_within"),
+        col("ssb_milli"), col("ssw_milli"),
+        expr("round((ssb_milli / 1e3 / (k - 1)) / " +
+          "nullif(ssw_milli / 1e3 / (nn - k), 0), 6)").as("f_stat"),
+        expr("round(CAST(ssb_milli AS DOUBLE) / " +
+          "nullif(CAST(ssb_milli + ssw_milli AS DOUBLE), 0), 6)")
+          .as("eta_sq"))
+  }
+
+  /** DuckDB twin of [[oneWayF]]: SELECT over a CTE `g(source, n_g,
+    * s_g, q_g)` — emit as the query tail after the caller's CTEs. */
+  private val oneWayFSql =
+    """tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS nn,
+      |    CAST(sum(s_g) AS BIGINT) AS ss FROM g),
+      |terms AS (
+      |  SELECT nn,
+      |    CAST(floor(n_g * (CAST(s_g AS DOUBLE)/n_g -
+      |      CAST(ss AS DOUBLE)/nn) * (CAST(s_g AS DOUBLE)/n_g -
+      |      CAST(ss AS DOUBLE)/nn) * 1000) AS BIGINT) AS b_milli,
+      |    CAST(floor((q_g - CAST(s_g AS DOUBLE) * s_g / n_g) * 1000)
+      |      AS BIGINT) AS w_milli
+      |  FROM g CROSS JOIN tot),
+      |agg AS (
+      |  SELECT CAST(sum(b_milli) AS BIGINT) AS ssb_milli,
+      |    CAST(sum(w_milli) AS BIGINT) AS ssw_milli,
+      |    CAST(count(*) AS BIGINT) AS k, CAST(max(nn) AS BIGINT) AS nn
+      |  FROM terms)
+      |SELECT nn AS n_docs, k AS n_groups,
+      |  CAST(k - 1 AS BIGINT) AS df_between,
+      |  CAST(nn - k AS BIGINT) AS df_within, ssb_milli, ssw_milli,
+      |  round((ssb_milli / 1e3 / (k - 1)) /
+      |    nullif(ssw_milli / 1e3 / (nn - k), 0), 6) AS f_stat,
+      |  round(CAST(ssb_milli AS DOUBLE) /
+      |    nullif(CAST(ssb_milli + ssw_milli AS DOUBLE), 0), 6) AS eta_sq
+      |FROM agg""".stripMargin
+
+  // -- q301: one-way ANOVA F-test of doc length across sources
+  //          (Fisher) — the parametric mean-shift screen a mixing
+  //          report runs next to q285's distribution test: F >> 1
+  //          says at least one source's MEAN length differs beyond
+  //          within-source variance. Built on [[oneWayF]]'s exact
+  //          integer moments; one scan → #sources-row grid → 1 row.
+  private def q301(s: SparkSession, dir: String): DataFrame =
+    oneWayF(docs(s, dir).groupBy(col("source")).agg(
+      count(lit(1)).as("n_g"), sum(col("n_chars")).as("s_g"),
+      sum(col("n_chars") * col("n_chars")).as("q_g")))
+
+  private val q301Sql =
+    s"""WITH g AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_g,
+       |    CAST(sum(n_chars) AS BIGINT) AS s_g,
+       |    CAST(sum(n_chars * n_chars) AS BIGINT) AS q_g
+       |  FROM documents GROUP BY 1),
+       |$oneWayFSql""".stripMargin
+
+  // -- q302: Kruskal–Wallis H test (Kruskal & Wallis 1952) of doc
+  //          length across ALL sources at once — q285's two-sample
+  //          rank test generalized to k groups, computed through the
+  //          ANOVA-on-midranks identity H = (N−1)·SSB_d/SST_d over
+  //          DOUBLED average ranks (which absorbs the tie correction
+  //          exactly, since SST is taken over the realized midranks).
+  //          Reads the shared [[mwRankCensus]]: mean doubled rank is
+  //          N+1 exactly, SST_d = Σd² − N(N+1)² is pure longs, and
+  //          each group's SSB term n_g·(r2_g/n_g − (N+1))² is one
+  //          IEEE double milli-floored before the integer sum.
+  //          ε² = (H − k + 1)/(N − k) is the effect size. Scale
+  //          shape: identical to q285 — census grid, never a re-rank.
+  private def q302(s: SparkSession, dir: String): DataFrame = {
+    val (r, tot) = mwRankCensus(s, dir)
+    r.crossJoin(broadcast(tot))
+      .select(col("nn"), col("dd"),
+        expr("CAST(floor(n1 * (CAST(r2 AS DOUBLE)/n1 - (nn + 1)) * " +
+          "(CAST(r2 AS DOUBLE)/n1 - (nn + 1)) * 1000) AS BIGINT)")
+          .as("b_milli"))
+      .groupBy().agg(sum(col("b_milli")).as("ssb_milli"),
+        count(lit(1)).as("k"), max(col("nn")).as("nn"),
+        max(col("dd")).as("dd"))
+      .select(col("nn").as("n_docs"), col("k").as("n_groups"),
+        (col("k") - 1L).as("dof"),
+        expr("round((nn - 1) * (ssb_milli / 1e3) / " +
+          "nullif(CAST(dd - nn * (nn + 1) * (nn + 1) AS DOUBLE), 0), 6)")
+          .as("h_stat"),
+        expr("round(((nn - 1) * (ssb_milli / 1e3) / " +
+          "nullif(CAST(dd - nn * (nn + 1) * (nn + 1) AS DOUBLE), 0) " +
+          "- k + 1) / nullif(CAST(nn - k AS DOUBLE), 0), 6)")
+          .as("epsilon_sq"))
+  }
+
+  private val q302Sql =
+    s"""WITH $mwRankCtes,
+      |terms AS (
+      |  SELECT nn, dd,
+      |    CAST(floor(n1 * (CAST(r2 AS DOUBLE)/n1 - (nn + 1)) *
+      |      (CAST(r2 AS DOUBLE)/n1 - (nn + 1)) * 1000) AS BIGINT)
+      |      AS b_milli
+      |  FROM r CROSS JOIN tot),
+      |agg AS (
+      |  SELECT CAST(sum(b_milli) AS BIGINT) AS ssb_milli,
+      |    CAST(count(*) AS BIGINT) AS k, CAST(max(nn) AS BIGINT) AS nn,
+      |    CAST(max(dd) AS BIGINT) AS dd
+      |  FROM terms)
+      |SELECT nn AS n_docs, k AS n_groups, CAST(k - 1 AS BIGINT) AS dof,
+      |  round((nn - 1) * (ssb_milli / 1e3) /
+      |    nullif(CAST(dd - nn * (nn + 1) * (nn + 1) AS DOUBLE), 0), 6)
+      |    AS h_stat,
+      |  round(((nn - 1) * (ssb_milli / 1e3) /
+      |    nullif(CAST(dd - nn * (nn + 1) * (nn + 1) AS DOUBLE), 0)
+      |    - k + 1) / nullif(CAST(nn - k AS DOUBLE), 0), 6) AS epsilon_sq
+      |FROM agg""".stripMargin
+
+  // ---- q303 p-value kernel: two-sided normal p from a micro-
+  //      quantized |z| via Abramowitz & Stegun 26.2.19 —
+  //      2·(1−Φ(a)) = (1 + d₁a + … + d₆a⁶)^(−16), |err| < 3e-7.
+  //      Chosen over erf/exp forms because it is ×/÷-ONLY: every op
+  //      is IEEE correctly-rounded, so Spark and DuckDB materialize
+  //      bit-identical doubles (libm exp differs in the last ulp
+  //      across engines; multiplication cannot).
+  private def pKernelY(az: String): String =
+    s"(1 + 0.0498673470*$az + 0.0211410061*($az*$az) + " +
+      s"0.0032776263*(($az*$az)*$az) + " +
+      s"0.0000380036*(($az*$az)*($az*$az)) + " +
+      s"0.0000488906*((($az*$az)*($az*$az))*$az) + " +
+      s"0.0000053830*((($az*$az)*($az*$az))*($az*$az)))"
+
+  // -- q303: Benjamini–Hochberg FDR control (Benjamini & Hochberg
+  //          1995) over the per-source Mann–Whitney screens — the
+  //          multiple-testing step a per-source audit NEEDS once it
+  //          runs #sources simultaneous tests: at α=0.05, BH admits
+  //          the largest rank k* with p₍ᵢ₎ ≤ i·α/m and rejects ranks
+  //          ≤ k*; adjusted p is the suffix-min of p·m/i. p-values
+  //          come from the ×/÷-only A&S kernel above over the
+  //          micro-quantized |z| (see [[pKernelY]]), so the sort
+  //          order, suffix min and rejection set are bit-identical
+  //          across engines; reported p's are micro-floored longs.
+  //          Scale shape: the windowed frame is the #sources test
+  //          table (metadata-sized, audited partitionless site);
+  //          everything upstream is the shared census.
+  private def q303(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (r, tot) = mwRankCensus(s, dir)
+    val z = r.crossJoin(broadcast(tot))
+      .select(col("source"), col("n1"),
+        expr("(CAST(r2 - n1*(n1+1) AS DOUBLE) - " +
+          "CAST(n1*(nn-n1) AS DOUBLE)) / " +
+          "nullif(2.0*sqrt(n1*(nn-n1) * ((nn+1.0)*nn*(nn-1.0) - tt) / " +
+          "(12.0*nn*(nn-1.0))), 0)").as("z"))
+      .withColumn("az",
+        expr("floor(abs(coalesce(z, 0.0)) * 1000000) / 1e6"))
+      .withColumn("y", expr(pKernelY("az")))
+      .withColumn("y4", expr("(y*y)*(y*y)"))
+      .withColumn("p", expr("1.0 / ((y4*y4)*(y4*y4))"))
+    val ranked = z
+      .withColumn("p_rank",
+        row_number().over(Window.orderBy(col("p"), col("source")))
+          .cast("long"))
+      .withColumn("m_tests", count(lit(1)).over(Window.partitionBy()))
+    ranked
+      .withColumn("p_adj", min(least(lit(1.0),
+          col("p") * col("m_tests") / col("p_rank")))
+        .over(Window.orderBy(col("p_rank").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("kstar", max(when(
+          col("p") * col("m_tests") * lit(20.0) <= col("p_rank"),
+          col("p_rank"))).over(Window.partitionBy()))
+      .select(col("source"), col("n1"), round(col("z"), 6).as("z"),
+        expr("CAST(floor(p * 1000000) AS BIGINT)").as("p_micro"),
+        col("p_rank"), col("m_tests"),
+        expr("CAST(floor(p_adj * 1000000) AS BIGINT)").as("p_adj_micro"),
+        (col("p_rank") <= coalesce(col("kstar"), lit(0L)))
+          .cast("int").as("reject_05"))
+      .orderBy(col("p_rank"))
+  }
+
+  private val q303Sql = {
+    val y = pKernelY("az")
+    s"""WITH $mwRankCtes,
+      |z AS (
+      |  SELECT source, n1,
+      |    (CAST(r2 - n1*(n1+1) AS DOUBLE) - CAST(n1*(nn-n1) AS DOUBLE)) /
+      |    nullif(2.0*sqrt(n1*(nn-n1) * ((nn+1.0)*nn*(nn-1.0) - tt) /
+      |    (12.0*nn*(nn-1.0))), 0) AS z
+      |  FROM r CROSS JOIN tot),
+      |a AS (SELECT source, n1, z,
+      |    floor(abs(coalesce(z, 0.0)) * 1000000) / 1e6 AS az FROM z),
+      |yy AS (SELECT source, n1, z, $y AS y FROM a),
+      |y4t AS (SELECT source, n1, z, (y*y)*(y*y) AS y4 FROM yy),
+      |pp AS (SELECT source, n1, z, 1.0 / ((y4*y4)*(y4*y4)) AS p
+      |  FROM y4t),
+      |rk AS (SELECT source, n1, z, p,
+      |    CAST(row_number() OVER (ORDER BY p, source) AS BIGINT)
+      |      AS p_rank,
+      |    CAST(count(*) OVER () AS BIGINT) AS m_tests
+      |  FROM pp),
+      |adj AS (SELECT *,
+      |    min(least(1.0, p * m_tests / p_rank)) OVER (
+      |      ORDER BY p_rank DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_adj,
+      |    max(CASE WHEN p * m_tests * 20.0 <= p_rank
+      |      THEN p_rank END) OVER () AS kstar
+      |  FROM rk)
+      |SELECT source, n1, round(z, 6) AS z,
+      |  CAST(floor(p * 1000000) AS BIGINT) AS p_micro, p_rank, m_tests,
+      |  CAST(floor(p_adj * 1000000) AS BIGINT) AS p_adj_micro,
+      |  CAST(CASE WHEN p_rank <= coalesce(kstar, 0) THEN 1 ELSE 0 END
+      |    AS INT) AS reject_05
+      |FROM adj ORDER BY p_rank""".stripMargin
+  }
+
+  // -- q304: Hellinger / Bhattacharyya shard audit — per source, how
+  //          far its LANGUAGE mix sits from the corpus mix, on the
+  //          bounded [0,1] Hellinger metric (√(1−BC), BC = Σ√(pᵢqᵢ)).
+  //          Complements q283's JSD (source mix per shard) on the
+  //          orthogonal axis. A cell absent from a source contributes
+  //          0 to BC exactly, so only observed (source, lang) cells
+  //          are enumerated. Determinism: per-cell √(pq) is one IEEE
+  //          sqrt over exact-long ratios, micro-floored before the
+  //          per-source integer sum (mean-of-rounded); the final
+  //          sqrt/round is a 1-row formula. Scale shape: one scan →
+  //          #sources × #langs cells; marginals broadcast.
+  private def q304(s: SparkSession, dir: String): DataFrame = {
+    val joint = docs(s, dir).groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+    val nsrc = joint.groupBy(col("source")).agg(sum(col("n")).as("n_s"))
+    val nlang = joint.groupBy(col("lang")).agg(sum(col("n")).as("c_v"))
+    val tot = joint.agg(sum(col("n")).as("nn"))
+    joint.join(nsrc, "source").join(broadcast(nlang), "lang")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_s"),
+        expr("CAST(floor(sqrt((CAST(n AS DOUBLE)/n_s) * " +
+          "(CAST(c_v AS DOUBLE)/nn)) * 1000000) AS BIGINT)")
+          .as("bc_micro"))
+      .groupBy(col("source")).agg(max(col("n_s")).as("n_docs"),
+        sum(col("bc_micro")).as("bcm"))
+      .select(col("source"), col("n_docs"),
+        expr("round(bcm / 1e6, 6)").as("bhattacharyya"),
+        expr("round(sqrt(greatest(0.0, 1 - bcm / 1e6)), 6)")
+          .as("hellinger"))
+      .orderBy(col("source"))
+  }
+
+  private val q304Sql =
+    """WITH joint AS (
+      |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY 1, 2),
+      |nsrc AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_s
+      |  FROM joint GROUP BY 1),
+      |nlang AS (SELECT lang, CAST(sum(n) AS BIGINT) AS c_v
+      |  FROM joint GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM joint),
+      |cells AS (
+      |  SELECT j.source, s.n_s,
+      |    CAST(floor(sqrt((CAST(j.n AS DOUBLE)/s.n_s) *
+      |      (CAST(l.c_v AS DOUBLE)/t.nn)) * 1000000) AS BIGINT)
+      |      AS bc_micro
+      |  FROM joint j JOIN nsrc s USING (source)
+      |  JOIN nlang l USING (lang) CROSS JOIN tot t),
+      |agg AS (
+      |  SELECT source, CAST(max(n_s) AS BIGINT) AS n_docs,
+      |    CAST(sum(bc_micro) AS BIGINT) AS bcm
+      |  FROM cells GROUP BY 1)
+      |SELECT source, n_docs, round(bcm / 1e6, 6) AS bhattacharyya,
+      |  round(sqrt(greatest(0.0, 1 - bcm / 1e6)), 6) AS hellinger
+      |FROM agg ORDER BY source""".stripMargin
+
+  // -- q306: Brown–Forsythe variance-homogeneity test (Brown &
+  //          Forsythe 1974) of doc length across sources — did a
+  //          source's length SPREAD drift even where its center
+  //          held? (The robust Levene variant: one-way F over
+  //          absolute deviations from the group MEDIAN.) Computed on
+  //          the doubled deviation w = |2v − 2·median_g| — an exact
+  //          long, since 2·median of an integer column is the sum of
+  //          the two middle values — and F is scale-invariant, so
+  //          F(w) = F(|v − median_g|) exactly; the reported SS milli
+  //          sums are of the doubled variable (4× the natural-unit
+  //          SS). Shares [[oneWayF]]'s exact-moment machinery. Scale
+  //          shape: one exact-percentile pass (partial-aggregated) +
+  //          one scan with the #sources median map broadcast.
+  private def q306(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("source"), col("n_chars").as("v"))
+    val med = d.groupBy(col("source"))
+      .agg(expr("CAST(2 * percentile(v, 0.5D) AS BIGINT)").as("med2"))
+    val w = d.join(broadcast(med), "source")
+      .select(col("source"),
+        abs(lit(2L) * col("v") - col("med2")).as("w"))
+    oneWayF(w.groupBy(col("source")).agg(count(lit(1)).as("n_g"),
+      sum(col("w")).as("s_g"), sum(col("w") * col("w")).as("q_g")))
+  }
+
+  private val q306Sql =
+    s"""WITH d AS (SELECT source, n_chars AS v FROM documents),
+       |med AS (SELECT source,
+       |    CAST(2 * quantile_cont(v, 0.5) AS BIGINT) AS med2
+       |  FROM d GROUP BY 1),
+       |w AS (SELECT d.source, abs(2 * d.v - m.med2) AS w
+       |  FROM d JOIN med m USING (source)),
+       |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_g,
+       |    CAST(sum(w) AS BIGINT) AS s_g,
+       |    CAST(sum(w * w) AS BIGINT) AS q_g
+       |  FROM w GROUP BY 1),
+       |$oneWayFSql""".stripMargin
+
+  // -- q307: McNemar's test (McNemar 1947, continuity-corrected) of
+  //          labeler A vs labeler B per source — the PAIRED screen
+  //          q286's panel kappa can't give: do the two rules disagree
+  //          SYSTEMATICALLY (A admits docs B rejects more often than
+  //          the reverse)? Only the discordant cells matter:
+  //          χ² = (|b−c|−1)²/(b+c) on b = #(A=1,B=0), c = #(A=0,B=1).
+  //          Same deterministic labelers as q286 (A = composite
+  //          quality > 0.5; B = lexical diversity > 0.5 with ≥ 100
+  //          chars). Determinism: exact integer cells, one guarded
+  //          double. Scale: one scan, one keyed agg.
+  private def q307(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{TextFunctions => TF}
+    val l = docs(s, dir).select(col("source"),
+      (TF.qualityScore(col("text"), col("n_chars")) > lit(0.5))
+        .cast("int").as("a"),
+      (TF.tokenDiversity(col("text")) > lit(0.5) &&
+        col("n_chars") >= 100).cast("int").as("b"))
+    l.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("a") === 1 && col("b") === 0, 1L).otherwise(0L))
+          .as("a_only"),
+        sum(when(col("a") === 0 && col("b") === 1, 1L).otherwise(0L))
+          .as("b_only"))
+      .select(col("source"), col("n_docs"), col("a_only"), col("b_only"),
+        expr("round(CAST((abs(a_only - b_only) - 1) * " +
+          "(abs(a_only - b_only) - 1) AS DOUBLE) / " +
+          "nullif(CAST(a_only + b_only AS DOUBLE), 0), 6)")
+          .as("mcnemar_chi2"))
+      .orderBy(col("source"))
+  }
+
+  private val q307Sql = {
+    import graft.text.{TextFunctions => TF}
+    val la = s"(${TF.sql.qualityScore("text", "n_chars")} > 0.5)"
+    val lb = s"(${TF.sql.tokenDiversity("text")} > 0.5 AND n_chars >= 100)"
+    s"""WITH l AS (
+       |  SELECT source,
+       |    CASE WHEN $la THEN 1 ELSE 0 END AS a,
+       |    CASE WHEN $lb THEN 1 ELSE 0 END AS b
+       |  FROM documents),
+       |cells AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS a_only,
+       |    CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS b_only
+       |  FROM l GROUP BY 1)
+       |SELECT source, n_docs, a_only, b_only,
+       |  round(CAST((abs(a_only - b_only) - 1) *
+       |    (abs(a_only - b_only) - 1) AS DOUBLE) /
+       |    nullif(CAST(a_only + b_only AS DOUBLE), 0), 6)
+       |    AS mcnemar_chi2
+       |FROM cells ORDER BY source""".stripMargin
+  }
+
+  // -- q308: Cochran's Q test (Cochran 1950) across the full THREE-
+  //          labeler panel per source — McNemar generalized to k
+  //          matched raters: are the three rules' admit RATES equal?
+  //          Q = [k(k−1)·ΣCⱼ² − (k−1)·T²] / (k·T − ΣRᵢ²) with
+  //          k = 3, Cⱼ the per-labeler admit totals, Rᵢ the per-doc
+  //          admit count (q286's k), T = ΣC = ΣR — a one-scan census:
+  //          three conditional sums + Σk² + Σk. dof = k−1 = 2;
+  //          χ²-distributed under H₀. Same labeler panel as q286.
+  private def q308(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{TextFunctions => TF}
+    val l = docs(s, dir).select(col("source"),
+      (TF.qualityScore(col("text"), col("n_chars")) > lit(0.5))
+        .cast("long").as("a"),
+      (TF.tokenDiversity(col("text")) > lit(0.5) &&
+        col("n_chars") >= 100).cast("long").as("b"),
+      (size(TF.tokens(col("text"))) >= 20).cast("long").as("c"))
+    l.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("a")).as("ca"), sum(col("b")).as("cb"),
+        sum(col("c")).as("cc"),
+        sum((col("a") + col("b") + col("c")) *
+          (col("a") + col("b") + col("c"))).as("r2s"))
+      .select(col("source"), col("n_docs"), col("ca"), col("cb"),
+        col("cc"),
+        expr("round(CAST(6 * (ca*ca + cb*cb + cc*cc) - " +
+          "2 * (ca + cb + cc) * (ca + cb + cc) AS DOUBLE) / " +
+          "nullif(CAST(3 * (ca + cb + cc) - r2s AS DOUBLE), 0), 6)")
+          .as("cochran_q"))
+      .orderBy(col("source"))
+  }
+
+  private val q308Sql = {
+    import graft.text.{TextFunctions => TF}
+    val la = s"CASE WHEN ${TF.sql.qualityScore("text", "n_chars")} > 0.5 THEN 1 ELSE 0 END"
+    val lb = s"CASE WHEN ${TF.sql.tokenDiversity("text")} > 0.5 AND n_chars >= 100 THEN 1 ELSE 0 END"
+    val lc = s"CASE WHEN len(${TF.sql.tokens("text")}) >= 20 THEN 1 ELSE 0 END"
+    s"""WITH l AS (
+       |  SELECT source, $la AS a, $lb AS b, $lc AS c
+       |  FROM documents),
+       |cells AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(a) AS BIGINT) AS ca, CAST(sum(b) AS BIGINT) AS cb,
+       |    CAST(sum(c) AS BIGINT) AS cc,
+       |    CAST(sum((a + b + c) * (a + b + c)) AS BIGINT) AS r2s
+       |  FROM l GROUP BY 1)
+       |SELECT source, n_docs, ca, cb, cc,
+       |  round(CAST(6 * (ca*ca + cb*cb + cc*cc) -
+       |    2 * (ca + cb + cc) * (ca + cb + cc) AS DOUBLE) /
+       |    nullif(CAST(3 * (ca + cb + cc) - r2s AS DOUBLE), 0), 6)
+       |    AS cochran_q
+       |FROM cells ORDER BY source""".stripMargin
+  }
+
+  // -- q309: Dunn's post-hoc pairwise rank test (Dunn 1964) with
+  //          Bonferroni control — AFTER q302's Kruskal–Wallis says
+  //          "some source differs", this says WHICH pairs: zᵢⱼ =
+  //          (R̄ᵢ − R̄ⱼ) / √[(N(N+1)/12 − tt/(12(N−1)))·(1/nᵢ + 1/nⱼ)]
+  //          over the shared census midranks (R̄ = r2/(2n)). The
+  //          #sources² pair grid is metadata-sized; p-values use the
+  //          ×/÷-only A&S kernel (see [[pKernelY]]) so the Bonferroni
+  //          decision p ≤ α/m compares bit-identical doubles (exact
+  //          form p·m·20 ≤ 1 at α = 0.05).
+  private def q309(s: SparkSession, dir: String): DataFrame = {
+    val (r, tot) = mwRankCensus(s, dir)
+    val lo = r.select(col("source").as("source_lo"), col("r2").as("r2_lo"),
+      col("n1").as("n_lo"))
+    val hi = r.select(col("source").as("source_hi"), col("r2").as("r2_hi"),
+      col("n1").as("n_hi"))
+    lo.join(hi, col("source_lo") < col("source_hi"))
+      .crossJoin(broadcast(tot))
+      .withColumn("z", expr(
+        "((CAST(r2_lo AS DOUBLE)/n_lo - CAST(r2_hi AS DOUBLE)/n_hi) / 2) " +
+        "/ nullif(sqrt((nn*(nn+1.0)/12 - tt/(12.0*(nn-1))) * " +
+        "(1.0/n_lo + 1.0/n_hi)), 0)"))
+      .withColumn("az",
+        expr("floor(abs(coalesce(z, 0.0)) * 1000000) / 1e6"))
+      .withColumn("y", expr(pKernelY("az")))
+      .withColumn("y4", expr("(y*y)*(y*y)"))
+      .withColumn("p", expr("1.0 / ((y4*y4)*(y4*y4))"))
+      .withColumn("m_comparisons",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy()))
+      .select(col("source_lo"), col("source_hi"), col("n_lo"),
+        col("n_hi"), round(col("z"), 6).as("z"),
+        expr("CAST(floor(p * 1000000) AS BIGINT)").as("p_micro"),
+        col("m_comparisons"),
+        expr("CAST(CASE WHEN p * m_comparisons * 20.0 <= 1.0 " +
+          "THEN 1 ELSE 0 END AS INT)").as("reject_bonf_05"))
+      .orderBy(col("source_lo"), col("source_hi"))
+  }
+
+  private val q309Sql = {
+    val y = pKernelY("az")
+    s"""WITH $mwRankCtes,
+      |pairs AS (
+      |  SELECT a.source AS source_lo, b.source AS source_hi,
+      |    a.r2 AS r2_lo, a.n1 AS n_lo, b.r2 AS r2_hi, b.n1 AS n_hi
+      |  FROM r a JOIN r b ON a.source < b.source),
+      |z AS (
+      |  SELECT source_lo, source_hi, n_lo, n_hi,
+      |    ((CAST(r2_lo AS DOUBLE)/n_lo - CAST(r2_hi AS DOUBLE)/n_hi) / 2)
+      |    / nullif(sqrt((nn*(nn+1.0)/12 - tt/(12.0*(nn-1))) *
+      |    (1.0/n_lo + 1.0/n_hi)), 0) AS z
+      |  FROM pairs CROSS JOIN tot),
+      |a2 AS (SELECT *, floor(abs(coalesce(z, 0.0)) * 1000000) / 1e6
+      |    AS az FROM z),
+      |yy AS (SELECT *, $y AS y FROM a2),
+      |y4t AS (SELECT *, (y*y)*(y*y) AS y4 FROM yy),
+      |pp AS (SELECT *, 1.0 / ((y4*y4)*(y4*y4)) AS p,
+      |    CAST(count(*) OVER () AS BIGINT) AS m_comparisons FROM y4t)
+      |SELECT source_lo, source_hi, n_lo, n_hi, round(z, 6) AS z,
+      |  CAST(floor(p * 1000000) AS BIGINT) AS p_micro, m_comparisons,
+      |  CAST(CASE WHEN p * m_comparisons * 20.0 <= 1.0
+      |    THEN 1 ELSE 0 END AS INT) AS reject_bonf_05
+      |FROM pp ORDER BY source_lo, source_hi""".stripMargin
+  }
+
+  // -- q311: exact quantile-drift grid — per source, the five DYADIC
+  //          quantiles {0.125, 0.25, 0.5, 0.75, 0.875} of doc length
+  //          against the corpus quantiles, with the delta in CHARS
+  //          (the percentile-level complement to q289's integrated
+  //          EMD: "this source's P87.5 runs 120 chars long").
+  //          Quantile probes are deliberately dyadic: p·(n−1) and the
+  //          interpolation fraction have ≤3 fractional bits, so the
+  //          interpolated quantile q = a + frac·(b−a) is EXACT in
+  //          double arithmetic — both engines materialize the
+  //          identical value with NO rounding contract needed (0.1 /
+  //          0.9 probes would not be: their binary fractions differ
+  //          from the decimal and the two engines' interpolation
+  //          formulas round differently). Scale shape: exact
+  //          percentiles partial-aggregate; #sources × 5 grid out.
+  private val DriftProbes = Seq(0.125, 0.25, 0.5, 0.75, 0.875)
+
+  private def q311(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("source"), col("n_chars").as("v"))
+    val pcols = DriftProbes.zipWithIndex.map { case (p, i) =>
+      expr(s"percentile(v, ${p}D)").as(s"q_$i") }
+    val g = d.groupBy(col("source")).agg(pcols.head, pcols.tail: _*)
+    val c = d.groupBy().agg(
+      DriftProbes.zipWithIndex.map { case (p, i) =>
+        expr(s"percentile(v, ${p}D)").as(s"c_$i") }.head,
+      DriftProbes.zipWithIndex.tail.map { case (p, i) =>
+        expr(s"percentile(v, ${p}D)").as(s"c_$i") }: _*)
+    val rows = DriftProbes.zipWithIndex.map { case (p, i) =>
+      struct(lit(p).as("p"), col(s"q_$i").as("q_src"),
+        col(s"c_$i").as("q_corpus"),
+        (col(s"q_$i") - col(s"c_$i")).as("delta_chars"))
+    }
+    g.crossJoin(broadcast(c))
+      .select(col("source"), explode(array(rows: _*)).as("r"))
+      .select(col("source"), col("r.p"), col("r.q_src"),
+        col("r.q_corpus"), col("r.delta_chars"))
+      .orderBy(col("source"), col("p"))
+  }
+
+  private val q311Sql = {
+    val gq = DriftProbes.zipWithIndex.map { case (p, i) =>
+      s"quantile_cont(v, $p) AS q_$i" }.mkString(", ")
+    val cq = DriftProbes.zipWithIndex.map { case (p, i) =>
+      s"quantile_cont(v, $p) AS c_$i" }.mkString(", ")
+    val rows = DriftProbes.zipWithIndex.map { case (p, i) =>
+      s"""SELECT source, $p AS p, q_$i AS q_src, c_$i AS q_corpus,
+         |  q_$i - c_$i AS delta_chars FROM g CROSS JOIN c""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH d AS (SELECT source, n_chars AS v FROM documents),
+       |g AS (SELECT source, $gq FROM d GROUP BY 1),
+       |c AS (SELECT $cq FROM d)
+       |SELECT * FROM ($rows) ORDER BY source, p""".stripMargin
+  }
+
+  // -- q314: intraclass correlation ICC(1) + Kish design effect —
+  //          HOW MUCH of doc-length variance is explained by source
+  //          membership, and what that costs a source-clustered
+  //          sample: ICC = (MSB − MSW)/(MSB + (n₀−1)·MSW) with
+  //          n₀ = (N − Σn_g²/N)/(k−1) (one-way random effects,
+  //          Fisher/Snedecor), deff = 1 + (N/k − 1)·ICC (Kish 1965) —
+  //          the factor by which sampling whole sources inflates
+  //          variance vs simple random sampling; the number that
+  //          decides between doc-level and source-level shard
+  //          sampling (q222's Neyman allocation consumes it).
+  //          Determinism: q301's exact integer moments + Σn_g²;
+  //          milli-floored group terms; the ICC/deff chain is staged
+  //          double columns (identical IEEE ops both engines), round6
+  //          at the end. Scale: one scan → #sources grid → 1 row.
+  private def q314(s: SparkSession, dir: String): DataFrame = {
+    val g = docs(s, dir).groupBy(col("source")).agg(
+      count(lit(1)).as("n_g"), sum(col("n_chars")).as("s_g"),
+      sum(col("n_chars") * col("n_chars")).as("q_g"))
+    val tot = g.agg(sum(col("n_g")).as("nn"), sum(col("s_g")).as("ss"),
+      sum(col("n_g") * col("n_g")).as("n2s"))
+    g.crossJoin(broadcast(tot))
+      .select(col("nn"), col("n2s"),
+        expr("CAST(floor(n_g * (CAST(s_g AS DOUBLE)/n_g - " +
+          "CAST(ss AS DOUBLE)/nn) * (CAST(s_g AS DOUBLE)/n_g - " +
+          "CAST(ss AS DOUBLE)/nn) * 1000) AS BIGINT)").as("b_milli"),
+        expr("CAST(floor((q_g - CAST(s_g AS DOUBLE) * s_g / n_g) * 1000) " +
+          "AS BIGINT)").as("w_milli"))
+      .groupBy().agg(sum(col("b_milli")).as("ssb_milli"),
+        sum(col("w_milli")).as("ssw_milli"),
+        count(lit(1)).as("k"), max(col("nn")).as("nn"),
+        max(col("n2s")).as("n2s"))
+      .withColumn("msb", expr("ssb_milli / 1e3 / (k - 1)"))
+      .withColumn("msw", expr("ssw_milli / 1e3 / (nn - k)"))
+      .withColumn("n0",
+        expr("(CAST(nn AS DOUBLE) - CAST(n2s AS DOUBLE)/nn) / (k - 1)"))
+      .withColumn("icc_raw",
+        expr("(msb - msw) / nullif(msb + (n0 - 1) * msw, 0)"))
+      .select(col("nn").as("n_docs"), col("k").as("n_groups"),
+        round(col("msb"), 6).as("ms_between"),
+        round(col("msw"), 6).as("ms_within"),
+        round(col("n0"), 6).as("n0"),
+        round(col("icc_raw"), 6).as("icc"),
+        expr("round(1 + (CAST(nn AS DOUBLE)/k - 1) * icc_raw, 6)")
+          .as("design_effect"))
+  }
+
+  private val q314Sql =
+    """WITH g AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_g,
+      |    CAST(sum(n_chars) AS BIGINT) AS s_g,
+      |    CAST(sum(n_chars * n_chars) AS BIGINT) AS q_g
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS nn,
+      |    CAST(sum(s_g) AS BIGINT) AS ss,
+      |    CAST(sum(n_g * n_g) AS BIGINT) AS n2s FROM g),
+      |terms AS (
+      |  SELECT nn, n2s,
+      |    CAST(floor(n_g * (CAST(s_g AS DOUBLE)/n_g -
+      |      CAST(ss AS DOUBLE)/nn) * (CAST(s_g AS DOUBLE)/n_g -
+      |      CAST(ss AS DOUBLE)/nn) * 1000) AS BIGINT) AS b_milli,
+      |    CAST(floor((q_g - CAST(s_g AS DOUBLE) * s_g / n_g) * 1000)
+      |      AS BIGINT) AS w_milli
+      |  FROM g CROSS JOIN tot),
+      |agg AS (
+      |  SELECT CAST(sum(b_milli) AS BIGINT) AS ssb_milli,
+      |    CAST(sum(w_milli) AS BIGINT) AS ssw_milli,
+      |    CAST(count(*) AS BIGINT) AS k, CAST(max(nn) AS BIGINT) AS nn,
+      |    CAST(max(n2s) AS BIGINT) AS n2s
+      |  FROM terms),
+      |st AS (
+      |  SELECT nn, k,
+      |    ssb_milli / 1e3 / (k - 1) AS msb,
+      |    ssw_milli / 1e3 / (nn - k) AS msw,
+      |    (CAST(nn AS DOUBLE) - CAST(n2s AS DOUBLE)/nn) / (k - 1) AS n0
+      |  FROM agg),
+      |icc_t AS (
+      |  SELECT *, (msb - msw) / nullif(msb + (n0 - 1) * msw, 0)
+      |    AS icc_raw
+      |  FROM st)
+      |SELECT nn AS n_docs, k AS n_groups, round(msb, 6) AS ms_between,
+      |  round(msw, 6) AS ms_within, round(n0, 6) AS n0,
+      |  round(icc_raw, 6) AS icc,
+      |  round(1 + (CAST(nn AS DOUBLE)/k - 1) * icc_raw, 6)
+      |    AS design_effect
+      |FROM icc_t""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q111_split_assign", q111, Some(q111Sql)),
     Q("q112_quota_sample", q112, Some(q112Sql)),
@@ -1689,5 +2349,15 @@ object SamplingQueries {
     Q("q284_source_overlap", q284, Some(q284Sql)),
     Q("q285_mannwhitney_u", q285, Some(q285Sql)),
     Q("q286_fleiss_kappa", q286, Some(q286Sql)),
-    Q("q289_wasserstein_drift", q289, Some(q289Sql)))
+    Q("q289_wasserstein_drift", q289, Some(q289Sql)),
+    Q("q301_anova_f", q301, Some(q301Sql)),
+    Q("q302_kruskal_wallis", q302, Some(q302Sql)),
+    Q("q303_bh_fdr", q303, Some(q303Sql)),
+    Q("q304_hellinger_shards", q304, Some(q304Sql)),
+    Q("q306_brown_forsythe", q306, Some(q306Sql)),
+    Q("q307_mcnemar", q307, Some(q307Sql)),
+    Q("q308_cochran_q", q308, Some(q308Sql)),
+    Q("q309_dunn_posthoc", q309, Some(q309Sql)),
+    Q("q311_quantile_drift", q311, Some(q311Sql)),
+    Q("q314_icc_design_effect", q314, Some(q314Sql)))
 }

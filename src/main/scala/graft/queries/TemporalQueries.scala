@@ -1608,6 +1608,81 @@ object TemporalQueries {
       |    CAST(sg AS DOUBLE) / n_gaps, 0), 6) AS burstiness_b
       |FROM agg ORDER BY event_type""".stripMargin
 
+  // -- q313: exact single changepoint per event type (binary
+  //          segmentation, first split — Scott & Knott / CUSUM's
+  //          model-based sibling): the split of the daily-count
+  //          series maximizing the between-segment sum of squares
+  //          gain(t) = s₁²/n₁ + s₂²/n₂ − S²/N, evaluated EXACTLY at
+  //          every candidate boundary from per-type prefix sums — no
+  //          iterative fitting, one windowed pass. Complements q65's
+  //          CUSUM (which detects drift online; this locates the
+  //          single best break in a batch). Determinism: prefix/total
+  //          sums are exact longs; gain is an IEEE double over them,
+  //          micro-floored, and argmax breaks ties on earliest day —
+  //          a total order. Scale shape: the windows are per-type
+  //          over the DAY grid (metadata-sized), partitioned by type.
+  private def q313(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = daily(s, dir)
+    val wk = Window.partitionBy(col("k")).orderBy(col("idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = d
+      .withColumn("n1", count(lit(1)).over(wk))
+      .withColumn("s1", sum(col("cnt")).over(wk))
+    val tot = d.groupBy(col("k")).agg(count(lit(1)).as("nt"),
+      sum(col("cnt")).as("st"))
+    val g = pre.join(tot, "k").filter(col("n1") < col("nt"))
+      .withColumn("gain_micro", expr(
+        "CAST(floor((CAST(s1 AS DOUBLE)*s1/n1 + " +
+        "CAST(st - s1 AS DOUBLE)*(st - s1)/(nt - n1) - " +
+        "CAST(st AS DOUBLE)*st/nt) * 1000000) AS BIGINT)"))
+    import graft.functions.{ExactRound => ER}
+    g.withColumn("rn", row_number().over(Window.partitionBy(col("k"))
+        .orderBy(col("gain_micro").desc, col("idx"))))
+      .filter(col("rn") === 1)
+      .select(col("k").as("event_type"), col("nt").as("n_days"),
+        col("day").as("split_day"), col("n1").as("n_left"),
+        (col("nt") - col("n1")).as("n_right"),
+        ER.ratio6(col("s1"), col("n1")).as("mean_left"),
+        ER.ratio6(col("st") - col("s1"), col("nt") - col("n1"))
+          .as("mean_right"),
+        expr("round(gain_micro / 1e6, 6)").as("gain"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q313Sql = {
+    import graft.functions.{ExactRound => ER}
+    s"""WITH $dailySql,
+       |pre AS (
+       |  SELECT k, day, idx,
+       |    CAST(count(*) OVER wk AS BIGINT) AS n1,
+       |    CAST(sum(cnt) OVER wk AS BIGINT) AS s1
+       |  FROM daily
+       |  WINDOW wk AS (PARTITION BY k ORDER BY idx
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |tot AS (
+       |  SELECT k, CAST(count(*) AS BIGINT) AS nt,
+       |    CAST(sum(cnt) AS BIGINT) AS st
+       |  FROM daily GROUP BY 1),
+       |g AS (
+       |  SELECT p.k, p.day, p.idx, p.n1, p.s1, t.nt, t.st,
+       |    CAST(floor((CAST(p.s1 AS DOUBLE)*p.s1/p.n1 +
+       |      CAST(t.st - p.s1 AS DOUBLE)*(t.st - p.s1)/(t.nt - p.n1) -
+       |      CAST(t.st AS DOUBLE)*t.st/t.nt) * 1000000) AS BIGINT)
+       |      AS gain_micro
+       |  FROM pre p JOIN tot t USING (k) WHERE p.n1 < t.nt),
+       |best AS (
+       |  SELECT *, row_number() OVER (PARTITION BY k
+       |    ORDER BY gain_micro DESC, idx) AS rn
+       |  FROM g)
+       |SELECT k AS event_type, nt AS n_days, day AS split_day,
+       |  n1 AS n_left, CAST(nt - n1 AS BIGINT) AS n_right,
+       |  ${ER.sql.ratio6("s1", "n1")} AS mean_left,
+       |  ${ER.sql.ratio6("st - s1", "nt - n1")} AS mean_right,
+       |  round(gain_micro / 1e6, 6) AS gain
+       |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q36_temporal_filter", q36, Some(q36Sql)),
     Q("q37_daily_cumulative", q37, Some(q37Sql)),
@@ -1636,5 +1711,6 @@ object TemporalQueries {
     Q("q276_theil_sen", q276, Some(q276Sql)),
     Q("q281_nelson_aalen", q281, Some(q281Sql)),
     Q("q282_logrank_test", q282, Some(q282Sql)),
-    Q("q298_interarrival_burstiness", q298, Some(q298Sql)))
+    Q("q298_interarrival_burstiness", q298, Some(q298Sql)),
+    Q("q313_changepoint_binseg", q313, Some(q313Sql)))
 }

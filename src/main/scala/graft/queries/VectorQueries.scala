@@ -536,6 +536,79 @@ object VectorQueries {
        |  max(micro) / 1e6 AS max_distortion
        |FROM scored GROUP BY bucket ORDER BY bucket""".stripMargin
   }
+  // -- q312: embedding-dimension audit — per-dim mean/variance over
+  //          the whole store, each dim's share of total variance, and
+  //          the participation ratio PR = (Σλ)²/Σλ² (how many dims
+  //          effectively carry signal; PR << d flags a collapsed or
+  //          under-trained embedder, dead dims flag truncation bugs).
+  //          The diagonal-covariance audit a vector-store ingest runs
+  //          before trusting ANN recall. Determinism: values micro-
+  //          quantized (floor(v·1e6), float→double cast is exact) so
+  //          the per-dim moments are exact longs regardless of row
+  //          order; per-dim variance nano-floored before the d-row
+  //          share/PR sums (mean-of-rounded). Scale shape: one
+  //          posexplode scan → d-row grid; never a d×d covariance.
+  private def q312(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim"),
+        expr("CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)")
+          .as("vm"))
+    val per = e.groupBy(col("dim")).agg(
+        count(lit(1)).as("n"), sum(col("vm")).as("sm"),
+        sum(col("vm") * col("vm")).as("qm"))
+      .select(col("dim"), col("n"), col("sm"),
+        expr("CAST(floor(greatest(0.0, CAST(qm AS DOUBLE)/n - " +
+          "(CAST(sm AS DOUBLE)/n) * (CAST(sm AS DOUBLE)/n)) / 1000) " +
+          "AS BIGINT)").as("var_nano"))
+    val tot = per.groupBy().agg(sum(col("var_nano")).as("tot_nano"),
+      sum(col("var_nano") * col("var_nano")).as("tot_nano2"),
+      count(lit(1)).as("d"))
+    per.crossJoin(broadcast(tot))
+      .select(col("dim"), col("n"),
+        expr("round(CAST(sm AS DOUBLE) / n / 1e6, 6)").as("mean"),
+        expr("round(var_nano / 1e9, 6)").as("variance"),
+        graft.functions.ExactRound.ratio6(col("var_nano"),
+          col("tot_nano")).as("var_share"),
+        expr("round((CAST(tot_nano AS DOUBLE) * tot_nano) / " +
+          "nullif(CAST(tot_nano2 AS DOUBLE), 0), 6)")
+          .as("participation_ratio"),
+        (col("var_nano") === 0L).cast("int").as("dead"))
+      .orderBy(col("dim"))
+  }
+
+  // Variance is of the micro-quantized values: var_nano =
+  // floor(((Σv²ₘ)/n − ((Σvₘ)/n)²)/1e3) — the moments are in micro²
+  // (1e-12) units, so ÷1e3 lands on nano (1e-9) units of the
+  // original scale.
+  private val q312Sql =
+    s"""WITH ex AS (
+       |  SELECT CAST(z[2] AS INT) - 1 AS dim,
+       |    CAST(floor(CAST(z[1] AS DOUBLE) * 1000000) AS BIGINT) AS vm
+       |  FROM (SELECT unnest(list_zip(embedding,
+       |    range(1, len(embedding) + 1))) AS z FROM embeddings)),
+       |per AS (
+       |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(vm) AS BIGINT) AS sm,
+       |    CAST(floor(greatest(0.0, CAST(sum(vm*vm) AS DOUBLE)/count(*) -
+       |      (CAST(sum(vm) AS DOUBLE)/count(*)) *
+       |      (CAST(sum(vm) AS DOUBLE)/count(*))) / 1000) AS BIGINT)
+       |      AS var_nano
+       |  FROM ex GROUP BY 1),
+       |tot AS (SELECT CAST(sum(var_nano) AS BIGINT) AS tot_nano,
+       |    CAST(sum(var_nano * var_nano) AS BIGINT) AS tot_nano2,
+       |    CAST(count(*) AS BIGINT) AS d
+       |  FROM per)
+       |SELECT dim, n, round(CAST(sm AS DOUBLE) / n / 1e6, 6) AS mean,
+       |  round(var_nano / 1e9, 6) AS variance,
+       |  ${graft.functions.ExactRound.sql.ratio6("var_nano", "tot_nano")}
+       |    AS var_share,
+       |  round((CAST(tot_nano AS DOUBLE) * tot_nano) /
+       |    nullif(CAST(tot_nano2 AS DOUBLE), 0), 6)
+       |    AS participation_ratio,
+       |  CAST(CASE WHEN var_nano = 0 THEN 1 ELSE 0 END AS INT) AS dead
+       |FROM per CROSS JOIN tot ORDER BY dim""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q17_topk_cosine", q17, Some(q17Sql), headline = true),
     Q("q18_topk_filtered", q18, Some(q18Sql)),
@@ -548,5 +621,6 @@ object VectorQueries {
     Q("q137_source_centroid_sim", q137, Some(q137Sql)),
     Q("q217_sq8_error", q217, Some(q217Sql)),
     Q("q229_label_separability", q229, Some(q229Sql)),
-    Q("q255_jl_distortion", q255, Some(q255Sql)))
+    Q("q255_jl_distortion", q255, Some(q255Sql)),
+    Q("q312_embedding_dim_audit", q312, Some(q312Sql)))
 }

@@ -148,7 +148,18 @@ class PlanShapeSpec extends SparkSpec {
     "q292_rich_club",         // two 1-row wide grid frames crossed
     "q295_chi2_independence", // #sources x #langs marginal grid + 1-row totals
     "q297_kendall_tau_grid",  // <=200-cell census self-cross + 1-row tie frames
-    "q299_bridge_audit")      // two 1-row support-stat crosses per graph
+    "q299_bridge_audit",      // two 1-row support-stat crosses per graph
+    "q301_anova_f",           // #sources-row moments x 1-row totals cross
+    "q302_kruskal_wallis",    // 1-row (N, tie, Σd²) totals cross (q285 census)
+    "q303_bh_fdr",            // 1-row totals cross (q285 census reuse)
+    "q304_hellinger_shards",  // #langs marginal + 1-row total broadcasts
+    "q305_mcc_f1_grid",       // 1-row wide threshold-cell frame exploded (q279)
+    "q306_brown_forsythe",    // #sources-row moments x 1-row totals cross
+    "q309_dunn_posthoc",      // #sources² pair grid + 1-row totals cross
+    "q310_source_conductance", // 1-row volume-total cross
+    "q311_quantile_drift",    // 1-row corpus-quantile frame crossed
+    "q312_embedding_dim_audit", // 1-row variance-total cross (d-row grid)
+    "q314_icc_design_effect") // #sources-row moments x 1-row totals cross
 
   /** Catalog queries that window WITHOUT a partition spec — every row
     * audited (round-9 verdict): the windowed frame is metadata-/eval-
@@ -184,6 +195,9 @@ class PlanShapeSpec extends SparkSpec {
     "q182_drift_psi", "q186_cluster_histogram", "q209_metric_spearman",
     "q242_clustering_depth", "q258_hop_plot", "q262_lateness_audit",
     "q283_shard_mixing", "q285_mannwhitney_u", "q289_wasserstein_drift",
+    // shared rank-census consumers (same domain-bounded value grid as
+    // q285); q303/q309 additionally window their #sources test tables
+    "q302_kruskal_wallis", "q303_bh_fdr", "q309_dunn_posthoc",
     // event-time grids (distinct event times bound the survival /
     // retention frames)
     "q240_km_retention", "q281_nelson_aalen", "q282_logrank_test")
