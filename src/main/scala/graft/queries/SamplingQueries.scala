@@ -2322,6 +2322,68 @@ object SamplingQueries {
       |    AS design_effect
       |FROM icc_t""".stripMargin
 
+  // -- q318: A/B sample-size calculator (power analysis) — per event
+  //          type, the required n PER ARM to detect a relative MDE
+  //          grid {1%, 2%, 5%, 10%} of the mean at α = 0.05 two-sided
+  //          with 80% power: n = 2σ²(z_{α/2}+z_β)²/δ², δ = mde·μ
+  //          (z constants as fixed literals 1.959964 + 0.841621 =
+  //          2.801585). The planning step BEFORE q267/q270 run — "can
+  //          this experiment even resolve the effect we care about?".
+  //          Determinism: event values milli-quantized so the moments
+  //          are exact longs (value ≤ ~561, 1e6 rows at sf1.0 keeps
+  //          Σv² ≤ ~3e17); μ/σ²/n are staged double formulas over
+  //          them, identical IEEE ops both engines, ceil at the end.
+  //          Scale: one scan, #types × 4 rows out.
+  private val MdeGrid = Seq(0.01, 0.02, 0.05, 0.10)
+
+  private def q318(s: SparkSession, dir: String): DataFrame = {
+    val m = graft.Tables.load(s, dir, "events")
+      .select(col("event_type"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("vm"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"),
+        sum(col("vm")).as("sm"), sum(col("vm") * col("vm")).as("qm"))
+      .withColumn("mu", expr("CAST(sm AS DOUBLE) / n / 1e3"))
+      .withColumn("vr", expr("greatest(0.0, (CAST(qm AS DOUBLE)/n - " +
+        "(CAST(sm AS DOUBLE)/n) * (CAST(sm AS DOUBLE)/n)) / 1e6)"))
+    val rows = MdeGrid.map { mde =>
+      struct(lit(mde).as("mde"),
+        expr(s"CAST(ceil(2 * vr * (2.801585 * 2.801585) / " +
+          s"nullif(($mde * mu) * ($mde * mu), 0)) AS BIGINT)")
+          .as("n_per_arm"))
+    }
+    m.select(col("event_type"), round(col("mu"), 6).as("mean"),
+        round(expr("sqrt(vr)"), 6).as("sd"),
+        explode(array(rows: _*)).as("r"))
+      .select(col("event_type"), col("r.mde"), col("mean"), col("sd"),
+        col("r.n_per_arm"))
+      .orderBy(col("event_type"), col("mde"))
+  }
+
+  private val q318Sql = {
+    val rows = MdeGrid.map { mde =>
+      s"""SELECT event_type, $mde AS mde, round(mu, 6) AS mean,
+         |  round(sqrt(vr), 6) AS sd,
+         |  CAST(ceil(2 * vr * (2.801585 * 2.801585) /
+         |    nullif(($mde * mu) * ($mde * mu), 0)) AS BIGINT)
+         |    AS n_per_arm
+         |FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH mm AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+       |      AS sm,
+       |    CAST(sum(CAST(floor(value * 1000) AS BIGINT) *
+       |      CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS qm
+       |  FROM events GROUP BY 1),
+       |m AS (
+       |  SELECT event_type, CAST(sm AS DOUBLE) / n / 1e3 AS mu,
+       |    greatest(0.0, (CAST(qm AS DOUBLE)/n -
+       |      (CAST(sm AS DOUBLE)/n) * (CAST(sm AS DOUBLE)/n)) / 1e6)
+       |      AS vr
+       |  FROM mm)
+       |SELECT * FROM ($rows) ORDER BY event_type, mde""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q111_split_assign", q111, Some(q111Sql)),
     Q("q112_quota_sample", q112, Some(q112Sql)),
@@ -2359,5 +2421,6 @@ object SamplingQueries {
     Q("q308_cochran_q", q308, Some(q308Sql)),
     Q("q309_dunn_posthoc", q309, Some(q309Sql)),
     Q("q311_quantile_drift", q311, Some(q311Sql)),
-    Q("q314_icc_design_effect", q314, Some(q314Sql)))
+    Q("q314_icc_design_effect", q314, Some(q314Sql)),
+    Q("q318_power_analysis", q318, Some(q318Sql)))
 }

@@ -1683,6 +1683,87 @@ object TemporalQueries {
        |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin
   }
 
+  // -- q317: permutation entropy (Bandt & Pompe 2002, order m = 3,
+  //          normalized) of each event type's daily-count series —
+  //          the ordinal-pattern complexity readout: ~1 for
+  //          noise-like series, low for monotone/periodic structure;
+  //          robust to monotone transforms of the counts, so it
+  //          complements q40's autocorrelation (which is amplitude-
+  //          sensitive). Each consecutive day triple maps to one of
+  //          6 ordinal patterns via pure integer comparisons (ties
+  //          broken by position, the B&P convention); H = −Σp·ln p /
+  //          ln 6 over the pattern census. Determinism: the census is
+  //          exact integers; per-pattern entropy terms are micro-
+  //          floored before the integer sum (the q283 ln contract,
+  //          strengthened by quantization). Scale: per-type lag
+  //          windows over the day grid (metadata-sized, partitioned).
+  private def q317(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("k")).orderBy(col("idx"))
+    val tri = daily(s, dir)
+      .withColumn("c0", col("cnt"))
+      .withColumn("c1", lead(col("cnt"), 1).over(w))
+      .withColumn("c2", lead(col("cnt"), 2).over(w))
+      .filter(col("c1").isNotNull && col("c2").isNotNull)
+      .withColumn("pattern", expr(
+        "( (CASE WHEN c1 < c0 THEN 1 ELSE 0 END) + " +
+        "  (CASE WHEN c2 < c0 THEN 1 ELSE 0 END) ) * 9 + " +
+        "( (CASE WHEN c0 <= c1 THEN 1 ELSE 0 END) + " +
+        "  (CASE WHEN c2 < c1 THEN 1 ELSE 0 END) ) * 3 + " +
+        "( (CASE WHEN c0 <= c2 THEN 1 ELSE 0 END) + " +
+        "  (CASE WHEN c1 <= c2 THEN 1 ELSE 0 END) )"))
+    val cen = tri.groupBy(col("k"), col("pattern"))
+      .agg(count(lit(1)).as("np"))
+    val tot = cen.groupBy(col("k")).agg(sum(col("np")).as("nt"),
+      count(lit(1)).as("n_patterns"))
+    cen.join(tot, "k")
+      .select(col("k"), col("nt"), col("n_patterns"),
+        expr("CAST(floor(-(CAST(np AS DOUBLE)/nt) * " +
+          "ln(CAST(np AS DOUBLE)/nt) / ln(6.0) * 1000000) AS BIGINT)")
+          .as("hm"))
+      .groupBy(col("k")).agg(max(col("nt")).as("n_triples"),
+        max(col("n_patterns")).as("n_patterns"),
+        sum(col("hm")).as("h_micro"))
+      .select(col("k").as("event_type"), col("n_triples"),
+        col("n_patterns"),
+        expr("round(h_micro / 1e6, 6)").as("perm_entropy"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q317Sql =
+    s"""WITH $dailySql,
+       |tri AS (
+       |  SELECT k, cnt AS c0,
+       |    lead(cnt, 1) OVER wk AS c1, lead(cnt, 2) OVER wk AS c2
+       |  FROM daily
+       |  WINDOW wk AS (PARTITION BY k ORDER BY idx)),
+       |pat AS (
+       |  SELECT k,
+       |    ( (CASE WHEN c1 < c0 THEN 1 ELSE 0 END) +
+       |      (CASE WHEN c2 < c0 THEN 1 ELSE 0 END) ) * 9 +
+       |    ( (CASE WHEN c0 <= c1 THEN 1 ELSE 0 END) +
+       |      (CASE WHEN c2 < c1 THEN 1 ELSE 0 END) ) * 3 +
+       |    ( (CASE WHEN c0 <= c2 THEN 1 ELSE 0 END) +
+       |      (CASE WHEN c1 <= c2 THEN 1 ELSE 0 END) ) AS pattern
+       |  FROM tri WHERE c1 IS NOT NULL AND c2 IS NOT NULL),
+       |cen AS (
+       |  SELECT k, pattern, CAST(count(*) AS BIGINT) AS np
+       |  FROM pat GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT k, CAST(sum(np) AS BIGINT) AS nt,
+       |    CAST(count(*) AS BIGINT) AS n_patterns
+       |  FROM cen GROUP BY 1),
+       |terms AS (
+       |  SELECT c.k, t.nt, t.n_patterns,
+       |    CAST(floor(-(CAST(c.np AS DOUBLE)/t.nt) *
+       |      ln(CAST(c.np AS DOUBLE)/t.nt) / ln(6.0) * 1000000)
+       |      AS BIGINT) AS hm
+       |  FROM cen c JOIN tot t USING (k))
+       |SELECT k AS event_type, CAST(max(nt) AS BIGINT) AS n_triples,
+       |  CAST(max(n_patterns) AS BIGINT) AS n_patterns,
+       |  round(CAST(sum(hm) AS BIGINT) / 1e6, 6) AS perm_entropy
+       |FROM terms GROUP BY k ORDER BY event_type""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q36_temporal_filter", q36, Some(q36Sql)),
     Q("q37_daily_cumulative", q37, Some(q37Sql)),
@@ -1712,5 +1793,6 @@ object TemporalQueries {
     Q("q281_nelson_aalen", q281, Some(q281Sql)),
     Q("q282_logrank_test", q282, Some(q282Sql)),
     Q("q298_interarrival_burstiness", q298, Some(q298Sql)),
-    Q("q313_changepoint_binseg", q313, Some(q313Sql)))
+    Q("q313_changepoint_binseg", q313, Some(q313Sql)),
+    Q("q317_permutation_entropy", q317, Some(q317Sql)))
 }

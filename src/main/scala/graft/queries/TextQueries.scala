@@ -805,6 +805,137 @@ object TextQueries {
        |FROM agg ORDER BY source""".stripMargin
   }
 
+  // -- q315: winnowing fingerprints (Schleimer–Wilkerson–Aiken 2003,
+  //          the MOSS algorithm) — per doc, the guaranteed-coverage
+  //          fingerprint set: hash every 5-char shingle, slide a
+  //          w = 4 window, select each window's minimum with the
+  //          RIGHTMOST tie-break, dedup selections. Unlike 0-mod-p
+  //          sampling (the CDC cut rule, q201), winnowing guarantees
+  //          at least one fingerprint per w-gram span, so a match of
+  //          length ≥ w+k−1 chars is always caught — expected density
+  //          2/(w+1). The rightmost-min argmax is made ONE window
+  //          aggregate by packing (hash, position) into a single long
+  //          key h·2²⁰ + (2²⁰−1−pos): min(key) = (min h, rightmost
+  //          pos) — valid to 2²⁰ = 1M grams/doc and h < 2³¹ (2⁵¹
+  //          total, exact). Determinism: pure integer min; density is
+  //          an ExactRound ratio. Scale shape: windows partition BY
+  //          DOC (never global); fingerprint joins downstream are
+  //          df-bounded equi-joins like the containment index.
+  private val WinnowK = 5
+  private val WinnowW = 4
+
+  private def q315(s: SparkSession, dir: String): DataFrame = {
+    val g = docs(s, dir).select(col("doc_id"),
+        posexplode(TF.charShingles(col("text"), WinnowK))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        (TF.md5Long(col("gram")) % lit(2147483647L)).as("h"))
+      .withColumn("key",
+        col("h") * lit(1048576L) + (lit(1048575L) - col("pos")))
+      .withColumn("n_grams",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val sel = g
+      .withColumn("minkey", min(col("key")).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(Window.currentRow, WinnowW - 1)))
+      // only FULL w-windows select (the paper's contract); short docs
+      // (n_grams < w) keep their single global min so no doc is empty
+      .filter(col("pos") <= col("n_grams") - WinnowW ||
+        (col("n_grams") < WinnowW && col("pos") === 0))
+      .select(col("doc_id"), col("n_grams"),
+        expr("minkey div 1048576").as("sel_h"),
+        (lit(1048575L) - (col("minkey") % lit(1048576L))).as("sel_pos"))
+      .distinct()
+    sel.groupBy(col("doc_id")).agg(max(col("n_grams")).as("n_grams"),
+        count(lit(1)).as("n_fp"))
+      .select(col("doc_id"), col("n_grams"), col("n_fp"),
+        graft.functions.ExactRound.ratio6(col("n_fp"), col("n_grams"))
+          .as("density"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q315Sql = {
+    val k1 = WinnowK - 1
+    s"""WITH g AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |    ((('0x'||substr(md5(text[i:i+$k1]),1,8))::BIGINT)
+       |      % 2147483647) AS h
+       |  FROM (SELECT doc_id, text,
+       |      unnest(range(1, greatest(len(text) - $k1, 1) + 1)) AS i
+       |    FROM documents)),
+       |keyed AS (
+       |  SELECT doc_id, pos, h * 1048576 + (1048575 - pos) AS key,
+       |    CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_grams
+       |  FROM g),
+       |win AS (
+       |  SELECT doc_id, pos, n_grams,
+       |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING)
+       |      AS minkey
+       |  FROM keyed),
+       |sel AS (
+       |  SELECT DISTINCT doc_id, n_grams,
+       |    minkey // 1048576 AS sel_h,
+       |    1048575 - (minkey % 1048576) AS sel_pos
+       |  FROM win
+       |  WHERE pos <= n_grams - $WinnowW
+       |    OR (n_grams < $WinnowW AND pos = 0))
+       |SELECT doc_id, CAST(max(n_grams) AS BIGINT) AS n_grams,
+       |  CAST(count(*) AS BIGINT) AS n_fp,
+       |  ${graft.functions.ExactRound.sql.ratio6("count(*)",
+            "max(n_grams)")} AS density
+       |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // -- q316: vocabulary richness — Chao1 estimator + Good–Turing
+  //          unseen mass per source: V + N₁(N₁−1)/(2(N₂+1)) (the
+  //          bias-corrected Chao 1984 lower bound on TRUE vocabulary
+  //          from singleton/doubleton counts) and P₀ = N₁/N (Good
+  //          1953: probability the next token is a new type). The
+  //          "how much vocabulary is left to collect" readout behind
+  //          q163's Heaps fit — Heaps extrapolates the growth curve,
+  //          Chao1 bounds its ceiling. Determinism: all inputs are
+  //          exact integer census counts; the two estimates are
+  //          single-row double formulas, round6. Scale shape: one
+  //          token census (map-side combined), #sources rows out.
+  private def q316(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir).select(col("source"),
+      explode(TF.tokens(col("text"))).as("tok"))
+    tok.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source")).agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("n2"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("n1"),
+        col("n2"),
+        graft.functions.ExactRound.ratio6(col("n1"), col("n_tokens"))
+          .as("gt_unseen_mass"),
+        expr("round(vocab + CAST(n1 AS DOUBLE) * (n1 - 1) / " +
+          "(2.0 * (n2 + 1)), 6)").as("chao1"))
+      .orderBy(col("source"))
+  }
+
+  private val q316Sql =
+    s"""WITH tok AS (
+       |  SELECT source, unnest(${TF.sql.tokens("text")}) AS tok
+       |  FROM documents),
+       |census AS (
+       |  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+       |  FROM tok GROUP BY 1, 2),
+       |per AS (
+       |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    CAST(count(*) AS BIGINT) AS vocab,
+       |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+       |  FROM census GROUP BY 1)
+       |SELECT source, n_tokens, vocab, n1, n2,
+       |  ${graft.functions.ExactRound.sql.ratio6("n1", "n_tokens")}
+       |    AS gt_unseen_mass,
+       |  round(vocab + CAST(n1 AS DOUBLE) * (n1 - 1) /
+       |    (2.0 * (n2 + 1)), 6) AS chao1
+       |FROM per ORDER BY source""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q32_text_langid", q32, Some(q32Sql)),
     Q("q33_text_quality", q33, Some(q33Sql)),
@@ -822,5 +953,7 @@ object TextQueries {
     Q("q219_kneser_ney", q219, Some(q219Sql)),
     Q("q221_burstiness", q221, Some(q221Sql)),
     Q("q290_encoding_audit", q290, Some(q290Sql)),
-    Q("q300_hapax_ttr", q300, Some(q300Sql)))
+    Q("q300_hapax_ttr", q300, Some(q300Sql)),
+    Q("q315_winnowing_fingerprints", q315, Some(q315Sql)),
+    Q("q316_chao1_richness", q316, Some(q316Sql)))
 }
