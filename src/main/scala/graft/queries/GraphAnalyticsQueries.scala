@@ -1172,6 +1172,99 @@ object GraphAnalyticsQueries {
        |ORDER BY graph""".stripMargin
   }
 
+  // -- q319: bipartite butterfly census over the order–part incidence
+  //          graph (Wang/Fu/Cheng/Lakshmanan VLDB 2019 "Vertex
+  //          Priority Based Butterfly Counting"). The (2,2)-biclique
+  //          — two orders sharing two parts — is the bipartite
+  //          analogue of the triangle, and the butterfly/caterpillar
+  //          ratio is the standard bipartite clustering coefficient
+  //          (Lind/González/Herrmann 2005: each butterfly closes 4 of
+  //          the 3-paths that could form one). Reference analogue:
+  //          the co-occurrence strength analytics of
+  //          memory_core/graph (see SURVEY §2.7) measured on the raw
+  //          bipartite incidence instead of its unipartite projection.
+  //          Determinism: every output is an exact integer census;
+  //          the one ratio is ExactRound.ratio6. Scale shape:
+  //          butterflies are counted from the ORDER side — per-order
+  //          part fan-out is schema-bounded (TPC-H ≤ 7 items/order →
+  //          ≤ 21 wedges/order), so the pair-weight frame is ≤ 21·|O|
+  //          rows shuffled once on the pair key; on an unbounded-side
+  //          dataset the wedge side must be chosen per-vertex by
+  //          degree priority (the cited paper's pivot rule), exactly
+  //          as the q191/q273 triangle census orders by degree.
+  //          Caterpillars need no pair frame at all: one edge scan
+  //          joined to the two degree tables.
+  private def q319(s: SparkSession, dir: String): DataFrame = {
+    val lp = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val dLeft = lp.groupBy(col("ok")).agg(count(lit(1)).as("d"))
+    val dRight = lp.groupBy(col("pk")).agg(count(lit(1)).as("d"))
+    val base = lp.agg(
+      count(lit(1)).as("n_edges"),
+      countDistinct(col("ok")).as("n_orders"),
+      countDistinct(col("pk")).as("n_parts"))
+    val wl = dLeft.agg(
+      sum(expr("d * (d - 1) DIV 2")).as("wedges_order_side"))
+    val wr = dRight.agg(
+      sum(expr("d * (d - 1) DIV 2")).as("wedges_part_side"))
+    val pairW = lp.select(col("ok"), col("pk").as("p1"))
+      .join(lp.select(col("ok"), col("pk").as("p2")), "ok")
+      .filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("w"))
+    val bf = pairW.agg(
+      coalesce(sum(expr("w * (w - 1) DIV 2")), lit(0L))
+        .as("butterflies"))
+    val cat = lp
+      .join(dLeft.withColumnRenamed("d", "do"), "ok")
+      .join(dRight.withColumnRenamed("d", "dp"), "pk")
+      .agg(coalesce(sum((col("do") - 1) * (col("dp") - 1)), lit(0L))
+        .as("caterpillars"))
+    base.crossJoin(broadcast(wl)).crossJoin(broadcast(wr))
+      .crossJoin(broadcast(bf)).crossJoin(broadcast(cat))
+      .select(col("n_orders"), col("n_parts"), col("n_edges"),
+        col("wedges_order_side"), col("wedges_part_side"),
+        col("caterpillars"), col("butterflies"),
+        graft.functions.ExactRound.ratio6(
+          col("butterflies") * 4, col("caterpillars"))
+          .as("bipartite_cc"))
+  }
+
+  private val q319Sql = {
+    import graft.functions.{ExactRound => ER}
+    s"""WITH lp AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |  FROM lineitem),
+       |dl AS (SELECT ok, CAST(count(*) AS BIGINT) AS d
+       |       FROM lp GROUP BY 1),
+       |dr AS (SELECT pk, CAST(count(*) AS BIGINT) AS d
+       |       FROM lp GROUP BY 1),
+       |base AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       |    CAST(count(DISTINCT ok) AS BIGINT) AS n_orders,
+       |    CAST(count(DISTINCT pk) AS BIGINT) AS n_parts
+       |  FROM lp),
+       |wl AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT)
+       |         AS wedges_order_side FROM dl),
+       |wr AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT)
+       |         AS wedges_part_side FROM dr),
+       |pw AS (
+       |  SELECT x.pk AS p1, y.pk AS p2, CAST(count(*) AS BIGINT) AS w
+       |  FROM lp x JOIN lp y ON x.ok = y.ok AND x.pk < y.pk
+       |  GROUP BY 1, 2),
+       |bf AS (SELECT CAST(coalesce(sum(w * (w - 1) // 2), 0) AS BIGINT)
+       |         AS butterflies FROM pw),
+       |cat AS (
+       |  SELECT CAST(coalesce(sum((dl.d - 1) * (dr.d - 1)), 0) AS BIGINT)
+       |    AS caterpillars
+       |  FROM lp JOIN dl ON lp.ok = dl.ok JOIN dr ON lp.pk = dr.pk)
+       |SELECT n_orders, n_parts, n_edges, wedges_order_side,
+       |  wedges_part_side, caterpillars, butterflies,
+       |  ${ER.sql.ratio6("butterflies * 4", "caterpillars")}
+       |    AS bipartite_cc
+       |FROM base, wl, wr, bf, cat""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q191_copurchase_clustering", q191, Some(q191Sql), headline = true),
     Q("q192_kcore_layers", q192, Some(q192Sql), headline = true),
@@ -1189,5 +1282,6 @@ object GraphAnalyticsQueries {
     Q("q292_rich_club", q292, Some(q292Sql)),
     Q("q293_ktruss_layers", q293, Some(q293Sql)),
     Q("q294_personalized_pagerank", q294, Some(q294Sql)),
-    Q("q299_bridge_audit", q299, Some(q299Sql)))
+    Q("q299_bridge_audit", q299, Some(q299Sql)),
+    Q("q319_butterfly_census", q319, Some(q319Sql)))
 }

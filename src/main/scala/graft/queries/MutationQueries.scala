@@ -167,10 +167,85 @@ object MutationQueries {
        |GROUP BY relation_type ORDER BY relation_type""".stripMargin
   }
 
+  // -- q327: type-2 slowly-changing-dimension build (Kimball's SCD2;
+  //          the warehouse op behind every "effective-dated" dimension)
+  //          from the event stream treated as a change log: per user,
+  //          consecutive runs of the same event_type collapse into one
+  //          VERSION with [valid_from, valid_to) second bounds —
+  //          valid_to = the next version's start, the current
+  //          version's horizon = the user's last observed event.
+  //          Complements q54 (last-prior revision VALUE) with the full
+  //          validity-interval construction. Determinism: second-
+  //          truncated epochs, (sec, event_id) total order, integer
+  //          durations. Scale shape: lag/lead windows partitioned per
+  //          user (the natural SCD grain — a hot key bounds the
+  //          partition; the q141 two-level decomposition is the
+  //          documented fallback for a pathological single key), then
+  //          one keyed agg; #users rows out.
+  private def q327(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("CAST(ts AS LONG)").as("sec"), col("event_type"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+    val changes = ev
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .withColumn("horizon", max(col("sec")).over(
+        Window.partitionBy(col("user_id"))))
+      .filter(col("prev_type").isNull ||
+        col("prev_type") =!= col("event_type"))
+    val versions = changes
+      .withColumn("valid_to",
+        coalesce(lead(col("sec"), 1).over(byUser), col("horizon")))
+      .withColumn("dur", col("valid_to") - col("sec"))
+    versions.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_versions"),
+        min(col("sec")).as("first_sec"),
+        max(col("horizon")).as("horizon_sec"),
+        max(struct(col("sec"), col("event_type"))).as("cur"),
+        max(col("dur")).as("longest_version_sec"))
+      .select(col("user_id"), col("n_versions"), col("first_sec"),
+        col("horizon_sec"), col("cur.event_type").as("current_type"),
+        col("cur.sec").as("current_since_sec"),
+        col("longest_version_sec"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q327Sql =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_type
+       |  FROM events),
+       |lagd AS (
+       |  SELECT *,
+       |    lag(event_type) OVER w AS prev_type,
+       |    max(sec) OVER (PARTITION BY user_id) AS horizon
+       |  FROM ev
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+       |changes AS (
+       |  SELECT * FROM lagd
+       |  WHERE prev_type IS NULL OR prev_type <> event_type),
+       |versions AS (
+       |  SELECT user_id, sec, event_type, horizon,
+       |    coalesce(lead(sec) OVER (PARTITION BY user_id
+       |      ORDER BY sec, event_id), horizon) - sec AS dur,
+       |    coalesce(lead(sec) OVER (PARTITION BY user_id
+       |      ORDER BY sec, event_id), horizon) AS valid_to
+       |  FROM changes)
+       |SELECT user_id, CAST(count(*) AS BIGINT) AS n_versions,
+       |  min(sec) AS first_sec, max(horizon) AS horizon_sec,
+       |  max(struct_pack(sec := sec, event_type := event_type))
+       |    .event_type AS current_type,
+       |  max(struct_pack(sec := sec, event_type := event_type))
+       |    .sec AS current_since_sec,
+       |  max(dur) AS longest_version_sec
+       |FROM versions GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q52_merge_rules", q52, Some(q52Sql)),
     Q("q53_rating_update", q53, Some(q53Sql)),
     Q("q54_revision_lastprior", q54, Some(q54Sql)),
     Q("q55_merge_or_create", q55, Some(q55Sql)),
-    Q("q69_node_contraction", q69, Some(q69Sql)))
+    Q("q69_node_contraction", q69, Some(q69Sql)),
+    Q("q327_scd2_history", q327, Some(q327Sql)))
 }

@@ -2384,6 +2384,693 @@ object SamplingQueries {
        |SELECT * FROM ($rows) ORDER BY event_type, mde""".stripMargin
   }
 
+  // -- q321: Wald–Wolfowitz runs test (1940) per 64-doc pack — the
+  //          shuffle-quality audit q283's JSD cannot give: JSD checks
+  //          each shard's source MIX, the runs test checks the
+  //          ORDERING within a pack (a pack whose 'en' docs arrive in
+  //          long monotone streaks fails even with a perfect mix —
+  //          exactly the "sorted-by-source corpus fed to training"
+  //          bug). Binary mark = (lang = 'en'); R = #runs; under H0
+  //          μ = 2·n1·n0/n + 1, σ² = 2n1n0(2n1n0−n)/(n²(n−1)).
+  //          Determinism: runs/n1/n0 are exact integer censuses; z is
+  //          the IDENTICAL expression text over them (sqrt is IEEE
+  //          correctly rounded), round6; single-class packs yield
+  //          NULL z via nullif. Scale shape: the lag window is
+  //          partitioned by pack (64 rows each — never data-sized),
+  //          then one keyed agg; #packs rows out.
+  private val RunsPack = 64L
+
+  private val runsZ =
+    """((CAST(runs AS DOUBLE) - (2.0 * n1 * n0 / n + 1)) /
+      | nullif(sqrt(2.0 * n1 * n0 * (2.0 * n1 * n0 - n) /
+      |   (CAST(n AS DOUBLE) * n * (n - 1))), 0))"""
+      .stripMargin.replace("\n", " ")
+
+  private def q321(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+      .select(col("doc_id"), (col("lang") === "en").cast("long").as("m"))
+      .withColumn("pack", expr(s"doc_id div $RunsPack"))
+    val w = W.partitionBy(col("pack")).orderBy(col("doc_id"))
+    d.withColumn("prev", lag(col("m"), 1).over(w))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("m"), 1L)
+          .otherwise(0L))
+      .groupBy(col("pack"))
+      .agg(count(lit(1)).as("n"), sum(col("m")).as("n1"),
+        sum(col("chg")).as("runs"))
+      .withColumn("n0", col("n") - col("n1"))
+      .select(col("pack"), col("n"), col("n1"), col("n0"), col("runs"),
+        expr(s"round($runsZ, 6)").as("z_score"),
+        expr(s"abs($runsZ) <= 1.96").as("random_ok"))
+      .orderBy(col("pack"))
+  }
+
+  private val q321Sql =
+    s"""WITH d AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS m,
+       |    doc_id // $RunsPack AS pack
+       |  FROM documents),
+       |lagd AS (
+       |  SELECT pack, m,
+       |    lag(m) OVER (PARTITION BY pack ORDER BY doc_id) AS prev
+       |  FROM d),
+       |agg AS (
+       |  SELECT pack, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(m) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN prev IS NULL OR prev <> m THEN 1 ELSE 0
+       |      END) AS BIGINT) AS runs
+       |  FROM lagd GROUP BY 1),
+       |full_agg AS (SELECT pack, n, n1, n - n1 AS n0, runs FROM agg)
+       |SELECT pack, n, n1, n0, runs,
+       |  round($runsZ, 6) AS z_score,
+       |  abs($runsZ) <= 1.96 AS random_ok
+       |FROM full_agg ORDER BY pack""".stripMargin
+
+  // -- q322: split conformal prediction coverage (Vovk et al. 2005;
+  //          the distribution-free eval wrapper modern model audits
+  //          use): per event_type, a deterministic half split makes a
+  //          calibration set; nonconformity = |cents − calibration
+  //          mean|; q̂ = the ⌈0.9·(n_cal+1)⌉-th smallest calibration
+  //          score; the readout is the TEST-set coverage of the
+  //          interval mean ± q̂ (valid ≥ 90% by exchangeability —
+  //          an empirical coverage far off 0.9 flags a broken split
+  //          or drift). Determinism: cents are exact integers, the
+  //          calibration mean is meanMicro-rounded, q̂ comes from an
+  //          integer rank census, coverage is ratio6. Scale shape:
+  //          the order statistic is NOT a per-type sort — scores are
+  //          censused by value and q̂ read off the cumulative census
+  //          (score domain is bounded by the price grid, not |events|),
+  //          then one broadcast join scores the test side.
+  private def q322(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("event_type").as("etype"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        (Sampling.hashBucket(col("event_id"), 2, "conf") === 0L)
+          .as("is_cal"))
+    val cal = ev.filter(col("is_cal"))
+    val mu = cal.groupBy(col("etype"))
+      .agg(count(lit(1)).as("n_cal"), sum(col("cents")).as("s_cents"))
+      .select(col("etype"), col("n_cal"),
+        graft.functions.ExactRound.meanMicro(col("s_cents"),
+          col("n_cal")).as("mu_cents"))
+    val scoresCal = cal.join(mu, "etype")
+      .select(col("etype"), col("n_cal"),
+        abs(col("cents") - col("mu_cents")).as("score"))
+    val census = scoresCal
+      .groupBy(col("etype"), col("n_cal"), col("score"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        W.partitionBy(col("etype")).orderBy(col("score"))))
+      .withColumn("k", expr("(9 * (n_cal + 1) + 9) div 10"))
+    val qhat = census.filter(col("cum") >= col("k"))
+      .groupBy(col("etype"))
+      .agg(min(col("score")).as("qhat_cents"))
+    val test = ev.filter(!col("is_cal")).join(mu, "etype")
+      .join(qhat, "etype")
+      .groupBy(col("etype"), col("n_cal"), col("mu_cents"),
+        col("qhat_cents"))
+      .agg(count(lit(1)).as("n_test"),
+        sum((abs(col("cents") - col("mu_cents")) <= col("qhat_cents"))
+          .cast("long")).as("n_covered"))
+    test.select(col("etype").as("event_type"), col("n_cal"),
+        col("n_test"), col("mu_cents"), col("qhat_cents"),
+        graft.functions.ExactRound.ratio6(col("n_covered"),
+          col("n_test")).as("coverage"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q322Sql = {
+    import graft.functions.{ExactRound => ER}
+    val h = bucketSql("event_id", 2, "conf")
+    s"""WITH ev AS (
+       |  SELECT event_id, event_type AS etype,
+       |    CAST(round(value * 100) AS BIGINT) AS cents,
+       |    ($h = 0) AS is_cal
+       |  FROM events),
+       |mu AS (
+       |  SELECT etype, CAST(count(*) AS BIGINT) AS n_cal,
+       |    CAST(${ER.sql.meanMicro("CAST(sum(cents) AS BIGINT)",
+              "count(*)")} AS BIGINT) AS mu_cents
+       |  FROM ev WHERE is_cal GROUP BY 1),
+       |census AS (
+       |  SELECT e.etype, m.n_cal, abs(e.cents - m.mu_cents) AS score,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM ev e JOIN mu m ON e.etype = m.etype
+       |  WHERE e.is_cal GROUP BY 1, 2, 3),
+       |cum AS (
+       |  SELECT etype, n_cal, score,
+       |    sum(c) OVER (PARTITION BY etype ORDER BY score) AS cum,
+       |    (9 * (n_cal + 1) + 9) // 10 AS k
+       |  FROM census),
+       |qhat AS (
+       |  SELECT etype, min(score) AS qhat_cents
+       |  FROM cum WHERE cum >= k GROUP BY 1),
+       |test AS (
+       |  SELECT e.etype, m.n_cal, m.mu_cents, q.qhat_cents,
+       |    CAST(count(*) AS BIGINT) AS n_test,
+       |    CAST(sum(CASE WHEN abs(e.cents - m.mu_cents) <= q.qhat_cents
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+       |  FROM ev e JOIN mu m ON e.etype = m.etype
+       |  JOIN qhat q ON e.etype = q.etype
+       |  WHERE NOT e.is_cal GROUP BY 1, 2, 3, 4)
+       |SELECT etype AS event_type, n_cal, n_test, mu_cents, qhat_cents,
+       |  ${ER.sql.ratio6("n_covered", "n_test")} AS coverage
+       |FROM test ORDER BY event_type""".stripMargin
+  }
+
+  // -- q323: Friedman rank test (1937) over the complete block design
+  //          day-of-week × event_type — "does any event type's value
+  //          level differ consistently across the weekly cycle?": the
+  //          k-related-samples twin of q301's one-way ANOVA (blocks
+  //          remove the day effect q301 would pool into noise).
+  //          Midranks are computed by an exact within-block census
+  //          self-join (5×5 per block) in HALF-UNITS — never a float
+  //          rank — and the cell statistic is the micro-quantized
+  //          mean (micro6 contract). χ²_F = 12/(bk(k+1))·ΣR_j² −
+  //          3b(k+1) evaluated on exact integers, round6; df = k−1 =
+  //          4, crit χ²₀.₀₅ = 9.487729 under the schema-fixed k = 5.
+  //          Day-of-week is PURE INTEGER arithmetic ((days+4) mod 7,
+  //          0 = Sunday) so both engines bucket identically. Scale
+  //          shape: one scan → 35-cell grid; everything after is
+  //          grid-sized.
+  private val friedmanChi2 =
+    "(12.0 * sum_rh2 / 4 / (n_blocks * n_treatments * " +
+      "(n_treatments + 1)) - 3.0 * n_blocks * (n_treatments + 1))"
+
+  private def q323(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.load(s, dir, "events")
+      .select(expr("((CAST(ts AS LONG) div 86400) + 4) % 7").as("dow"),
+        col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("dow"), col("event_type"))
+      .agg(graft.functions.ExactRound.micro6(sum(col("cents")),
+        count(lit(1))).as("v"))
+    val ranked = cells.as("x")
+      .join(cells.as("y"), col("x.dow") === col("y.dow"))
+      .groupBy(col("x.dow").as("dow"),
+        col("x.event_type").as("event_type"))
+      .agg((sum((col("y.v") < col("x.v")).cast("long")) * 2 +
+        sum((col("y.v") === col("x.v")).cast("long")) + 1)
+        .as("rank_half"))
+    val byTreat = ranked.groupBy(col("event_type"))
+      .agg(sum(col("rank_half")).as("r_half"),
+        count(lit(1)).as("b"))
+    val totals = byTreat.agg(
+      sum(col("r_half") * col("r_half")).as("sum_rh2"),
+      max(col("b")).as("n_blocks"), count(lit(1)).as("n_treatments"),
+      sum(col("b")).as("n_cells"))
+    byTreat.crossJoin(broadcast(totals.select(col("sum_rh2"),
+        col("n_blocks"), col("n_treatments"),
+        (col("n_cells") === col("n_blocks") * col("n_treatments"))
+          .as("complete"))))
+      .select(col("event_type"),
+        (col("r_half") / lit(2.0)).as("rank_sum"),
+        col("n_blocks"), col("n_treatments"), col("complete"),
+        expr(s"round($friedmanChi2, 6)").as("chi2_f"),
+        expr(s"$friedmanChi2 > 9.487729").as("significant"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q323Sql = {
+    import graft.functions.{ExactRound => ER}
+    val chi2 = friedmanChi2
+    s"""WITH cells AS (
+       |  SELECT ((CAST(floor(epoch(ts)) AS BIGINT) // 86400) + 4) % 7
+       |      AS dow, event_type,
+       |    ${ER.sql.micro6("sum(CAST(round(value * 100) AS BIGINT))",
+             "count(*)")} AS v
+       |  FROM events GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT x.dow, x.event_type,
+       |    CAST(sum(CASE WHEN y.v < x.v THEN 1 ELSE 0 END) * 2 +
+       |      sum(CASE WHEN y.v = x.v THEN 1 ELSE 0 END) + 1 AS BIGINT)
+       |      AS rank_half
+       |  FROM cells x JOIN cells y ON x.dow = y.dow
+       |  GROUP BY 1, 2),
+       |by_treat AS (
+       |  SELECT event_type, CAST(sum(rank_half) AS BIGINT) AS r_half,
+       |    CAST(count(*) AS BIGINT) AS b
+       |  FROM ranked GROUP BY 1),
+       |totals AS (
+       |  SELECT CAST(sum(r_half * r_half) AS BIGINT) AS sum_rh2,
+       |    CAST(max(b) AS BIGINT) AS n_blocks,
+       |    CAST(count(*) AS BIGINT) AS n_treatments,
+       |    CAST(sum(b) AS BIGINT) AS n_cells
+       |  FROM by_treat)
+       |SELECT event_type, r_half / 2.0 AS rank_sum, n_blocks,
+       |  n_treatments, n_cells = n_blocks * n_treatments AS complete,
+       |  round($chi2, 6) AS chi2_f,
+       |  $chi2 > 9.487729 AS significant
+       |FROM by_treat CROSS JOIN totals
+       |ORDER BY event_type""".stripMargin
+  }
+
+  // -- q324: Jonckheere–Terpstra ordered-alternative test (1954) —
+  //          "does order value trend MONOTONICALLY across the five
+  //          priority levels?": where q301/q302 only detect that SOME
+  //          group differs, J tests the a-priori ordering 1-URGENT <
+  //          … < 5-LOW, which is the right alternative for any graded
+  //          factor (quality buckets, curriculum stages). J = Σ_{i<j}
+  //          [#(x_i < x_j) + ½#(x_i = x_j)] computed in HALF-UNITS on
+  //          a $500 price-bucket grid (the operator's declared tie
+  //          granularity — the grid is bounded by the PRICE RANGE,
+  //          never by |orders|); z uses the classic no-tie moments
+  //          (Hollander & Wolfe 1973): μ = (N²−Σn_i²)/4, σ² =
+  //          [N²(2N+3)−Σn_i²(2n_i+3)]/72. Determinism: J/N/n_i are
+  //          exact integers; z is shared expression text, round6.
+  //          Scale shape: one scan → (group × bucket) census; the
+  //          cumulative window runs over the ≤1000-cell grid per
+  //          group; the pair sum joins census to census on the bucket
+  //          key (≤ k² rows per bucket).
+  private val JtBucket = 50000L // $500 in cents
+
+  private def q324(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val census = Tables.load(s, dir, "orders")
+      .select(expr("CAST(substring(o_orderpriority, 1, 1) AS INT)")
+          .as("g"),
+        expr(s"CAST(round(o_totalprice * 100) AS BIGINT) div $JtBucket")
+          .as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val cum = census
+      .withColumn("cumlt", coalesce(sum(col("c")).over(
+        W.partitionBy(col("g")).orderBy(col("v"))
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+    val jHalf = census.as("j")
+      .join(cum.as("i"), col("i.v") === col("j.v") &&
+        col("i.g") < col("j.g"))
+      .agg(coalesce(sum(col("j.c") * col("i.cumlt") * 2 +
+        col("j.c") * col("i.c")), lit(0L)).as("j_half"))
+    val sizes = census.groupBy(col("g")).agg(sum(col("c")).as("ni"))
+    val moments = sizes.agg(sum(col("ni")).as("nn"),
+      sum(col("ni") * col("ni")).as("sum_ni2"),
+      sum(col("ni") * col("ni") * (col("ni") * 2 + 3)).as("sum_ni2x"),
+      count(lit(1)).as("n_groups"))
+    val z =
+      """((j_half / 2.0 - (CAST(nn AS DOUBLE) * nn - sum_ni2) / 4) /
+        | nullif(sqrt((CAST(nn AS DOUBLE) * nn * (2 * nn + 3) -
+        |   sum_ni2x) / 72), 0))""".stripMargin.replace("\n", " ")
+    jHalf.crossJoin(broadcast(moments))
+      .select(col("n_groups"), col("nn").as("n_total"),
+        (col("j_half") / lit(2.0)).as("j_stat"),
+        expr(s"round($z, 6)").as("z_score"),
+        expr(s"abs($z) > 1.96").as("monotone_trend"))
+  }
+
+  private val q324Sql = {
+    val z =
+      """((j_half / 2.0 - (CAST(nn AS DOUBLE) * nn - sum_ni2) / 4) /
+        | nullif(sqrt((CAST(nn AS DOUBLE) * nn * (2 * nn + 3) -
+        |   sum_ni2x) / 72), 0))""".stripMargin.replace("\n", " ")
+    s"""WITH census AS (
+       |  SELECT CAST(substring(o_orderpriority, 1, 1) AS INT) AS g,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) // $JtBucket AS v,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM orders GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT g, v, c,
+       |    CAST(coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS cumlt
+       |  FROM census),
+       |jh AS (
+       |  SELECT CAST(coalesce(sum(j.c * i.cumlt * 2 + j.c * i.c), 0)
+       |    AS BIGINT) AS j_half
+       |  FROM census j JOIN cum i ON i.v = j.v AND i.g < j.g),
+       |sizes AS (SELECT g, CAST(sum(c) AS BIGINT) AS ni
+       |          FROM census GROUP BY 1),
+       |moments AS (
+       |  SELECT CAST(sum(ni) AS BIGINT) AS nn,
+       |    CAST(sum(ni * ni) AS BIGINT) AS sum_ni2,
+       |    CAST(sum(ni * ni * (ni * 2 + 3)) AS BIGINT) AS sum_ni2x,
+       |    CAST(count(*) AS BIGINT) AS n_groups
+       |  FROM sizes)
+       |SELECT n_groups, nn AS n_total, j_half / 2.0 AS j_stat,
+       |  round($z, 6) AS z_score,
+       |  abs($z) > 1.96 AS monotone_trend
+       |FROM jh CROSS JOIN moments""".stripMargin
+  }
+
+  // -- q325: Wald's sequential probability ratio test (1945) replayed
+  //          over the purchase stream — the always-valid alternative
+  //          to the fixed-horizon q267: H₀ p = 0.10 vs H₁ p = 0.15 on
+  //          the conversion Bernoulli (value > 95, q267's definition;
+  //          the empirical rate ≈ 0.13 sits BETWEEN the hypotheses,
+  //          so the walk genuinely wanders), α = β = 0.05 → stop when
+  //          the running LLR leaves (−ln 19, +ln 19). The LLR
+  //          increments are CONTRACT CONSTANTS in micro-nats (success
+  //          ln(0.15/0.10) → 405465,
+  //          failure ln(0.85/0.90) → −57158, bounds ±2944439) so the
+  //          whole replay is INTEGER arithmetic — no runtime ln.
+  //          The running (n, k) prefix sums use q141's two-level
+  //          decomposition (per-week totals cumsum'd over the bounded
+  //          week frame + a within-week window) — no global ordered
+  //          pass. Output: per arm, the stopping time, the decision,
+  //          and the final LLR had it run to exhaustion. Scale shape:
+  //          one scan → two windows bounded by the week width → one
+  //          keyed agg + a 1-row-per-arm join back on the unique
+  //          crossing step.
+  private val SprtC1 = 405465L // ln(0.15/0.10) micro-nats
+  private val SprtC0 = -57158L // ln(0.85/0.90) micro-nats
+  private val SprtBound = 2944439L // ln(19) micro-nats
+
+  private def q325(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val trials = Tables.load(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"),
+        expr("CAST(ts AS LONG)").as("sec"),
+        (col("value") > 95).cast("long").as("conv"),
+        when(Sampling.hashBucket(col("user_id"), 2, "ab") === 0L, "A")
+          .otherwise("B").as("variant"))
+      .withColumn("wk", expr("sec div 604800"))
+    val beforeWk = W.partitionBy(col("variant")).orderBy(col("wk"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val wkTot = trials.groupBy(col("variant"), col("wk"))
+      .agg(count(lit(1)).as("wn"), sum(col("conv")).as("wk_conv"))
+      .withColumn("n_before",
+        coalesce(sum(col("wn")).over(beforeWk), lit(0L)))
+      .withColumn("k_before",
+        coalesce(sum(col("wk_conv")).over(beforeWk), lit(0L)))
+      .select(col("variant"), col("wk"), col("n_before"),
+        col("k_before"))
+    val within = W.partitionBy(col("variant"), col("wk"))
+      .orderBy(col("sec"), col("event_id"))
+    val walked = trials.join(wkTot, Seq("variant", "wk"))
+      .withColumn("n", col("n_before") +
+        count(lit(1)).over(within))
+      .withColumn("k", col("k_before") + sum(col("conv")).over(within))
+      .withColumn("llr",
+        col("k") * SprtC1 + (col("n") - col("k")) * SprtC0)
+    // The final LLR is a pure function of the totals (llr_n =
+    // k·C1 + (n−k)·C0), so no "last row" lookup is needed.
+    val finals = walked.groupBy(col("variant"))
+      .agg(max(col("n")).as("n_trials"), max(col("k")).as("n_conv"))
+      .withColumn("llr_final_micro",
+        col("n_conv") * SprtC1 + (col("n_trials") - col("n_conv")) *
+          SprtC0)
+    val crossers = walked
+      .filter(col("llr") >= SprtBound || col("llr") <= -SprtBound)
+      .select(col("variant"), col("n"), col("llr"))
+    val firstCross = crossers.groupBy(col("variant"))
+      .agg(min(col("n")).as("cross_n"))
+    val crossAt = crossers.as("c").join(firstCross.as("f"),
+        col("c.variant") === col("f.variant") &&
+          col("c.n") === col("f.cross_n"))
+      .select(col("f.variant").as("cv"),
+        col("f.cross_n").as("cross_n"),
+        col("c.llr").as("cross_llr_micro"))
+    finals.join(crossAt, col("variant") === col("cv"), "left")
+      .select(col("variant"), col("n_trials"), col("n_conv"),
+        col("llr_final_micro"), col("cross_n"),
+        col("cross_llr_micro"),
+        when(col("cross_llr_micro") >= SprtBound, "accept_h1")
+          .when(col("cross_llr_micro") <= -SprtBound, "accept_h0")
+          .otherwise("continue").as("decision"))
+      .orderBy(col("variant"))
+  }
+
+  private val q325Sql = {
+    val h = bucketSql("user_id", 2, "ab")
+    s"""WITH trials AS (
+       |  SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+       |    CASE WHEN value > 95 THEN 1 ELSE 0 END AS conv,
+       |    CASE WHEN $h = 0 THEN 'A' ELSE 'B' END AS variant
+       |  FROM events WHERE event_type = 'purchase'),
+       |walked AS (
+       |  SELECT variant,
+       |    CAST(count(*) OVER (PARTITION BY variant
+       |      ORDER BY sec, event_id) AS BIGINT) AS n,
+       |    CAST(sum(conv) OVER (PARTITION BY variant
+       |      ORDER BY sec, event_id) AS BIGINT) AS k
+       |  FROM trials),
+       |llrd AS (
+       |  SELECT variant, n, k,
+       |    k * $SprtC1 + (n - k) * ($SprtC0) AS llr
+       |  FROM walked),
+       |finals AS (
+       |  SELECT variant, max(n) AS n_trials, max(k) AS n_conv,
+       |    max(k) * $SprtC1 + (max(n) - max(k)) * ($SprtC0)
+       |      AS llr_final_micro
+       |  FROM llrd GROUP BY 1),
+       |crossers AS (
+       |  SELECT * FROM llrd
+       |  WHERE llr >= $SprtBound OR llr <= -$SprtBound),
+       |first_cross AS (
+       |  SELECT variant, min(n) AS cross_n FROM crossers GROUP BY 1),
+       |cross_at AS (
+       |  SELECT c.variant, f.cross_n, c.llr AS cross_llr_micro
+       |  FROM crossers c JOIN first_cross f
+       |    ON c.variant = f.variant AND c.n = f.cross_n)
+       |SELECT f.variant, f.n_trials, f.n_conv, f.llr_final_micro,
+       |  ca.cross_n, ca.cross_llr_micro,
+       |  CASE WHEN ca.cross_llr_micro >= $SprtBound THEN 'accept_h1'
+       |       WHEN ca.cross_llr_micro <= -$SprtBound THEN 'accept_h0'
+       |       ELSE 'continue' END AS decision
+       |FROM finals f
+       |LEFT JOIN cross_at ca ON f.variant = ca.variant
+       |ORDER BY f.variant""".stripMargin
+  }
+
+  // -- q326: uplift curve on the activity-score grid (Radcliffe 2007's
+  //          Qini construction) — "if we target the top-x% most active
+  //          users, how many INCREMENTAL conversions does treatment
+  //          buy?": the targeting readout q267's average effect can't
+  //          give. Treated = arm B, control = arm A (q267's hash
+  //          assignment); score = event count. The curve is computed
+  //          at every distinct activity value (a census grid bounded
+  //          by the ACTIVITY DOMAIN, not |users|) via descending
+  //          cumulative sums over the census: uplift(a) = K_t −
+  //          K_c·N_t/N_c among users with activity ≥ a. Determinism:
+  //          all cumulative counts are exact integers; uplift and the
+  //          targeted fraction are round6/ratio6. Scale shape: one
+  //          per-user agg → one census agg → windows over the census
+  //          frame only.
+  private def q326(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val users = Tables.load(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("activity"),
+        max(when(col("event_type") === "purchase" &&
+          col("value") > 95, 1L).otherwise(0L)).as("conv"))
+      .withColumn("treated",
+        (Sampling.hashBucket(col("user_id"), 2, "ab") === 1L)
+          .cast("long"))
+    val census = users.groupBy(col("activity"))
+      .agg(sum(col("treated")).as("n_t"),
+        sum(col("treated") * col("conv")).as("k_t"),
+        sum(lit(1L) - col("treated")).as("n_c"),
+        sum((lit(1L) - col("treated")) * col("conv")).as("k_c"))
+    val desc = W.orderBy(col("activity").desc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val tot = users.agg(count(lit(1)).as("n_total"))
+    val up =
+      """(k_tc - CAST(k_cc AS DOUBLE) * n_tc / nullif(n_cc, 0))"""
+    census
+      .withColumn("n_tc", sum(col("n_t")).over(desc))
+      .withColumn("k_tc", sum(col("k_t")).over(desc))
+      .withColumn("n_cc", sum(col("n_c")).over(desc))
+      .withColumn("k_cc", sum(col("k_c")).over(desc))
+      .crossJoin(broadcast(tot))
+      .select(col("activity").as("activity_min"),
+        col("n_tc").as("n_treat"), col("k_tc").as("conv_treat"),
+        col("n_cc").as("n_ctrl"), col("k_cc").as("conv_ctrl"),
+        graft.functions.ExactRound.ratio6(col("n_tc") + col("n_cc"),
+          col("n_total")).as("targeted_frac"),
+        expr(s"round($up, 6)").as("uplift"))
+      .orderBy(col("activity_min").desc)
+  }
+
+  private val q326Sql = {
+    import graft.functions.{ExactRound => ER}
+    val h = bucketSql("user_id", 2, "ab")
+    s"""WITH users AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS activity,
+       |    max(CASE WHEN event_type = 'purchase' AND value > 95
+       |        THEN 1 ELSE 0 END) AS conv,
+       |    CASE WHEN $h = 1 THEN 1 ELSE 0 END AS treated
+       |  FROM events GROUP BY user_id),
+       |census AS (
+       |  SELECT activity,
+       |    CAST(sum(treated) AS BIGINT) AS n_t,
+       |    CAST(sum(treated * conv) AS BIGINT) AS k_t,
+       |    CAST(sum(1 - treated) AS BIGINT) AS n_c,
+       |    CAST(sum((1 - treated) * conv) AS BIGINT) AS k_c
+       |  FROM users GROUP BY 1),
+       |cum AS (
+       |  SELECT activity,
+       |    CAST(sum(n_t) OVER w AS BIGINT) AS n_tc,
+       |    CAST(sum(k_t) OVER w AS BIGINT) AS k_tc,
+       |    CAST(sum(n_c) OVER w AS BIGINT) AS n_cc,
+       |    CAST(sum(k_c) OVER w AS BIGINT) AS k_cc
+       |  FROM census
+       |  WINDOW w AS (ORDER BY activity DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM users)
+       |SELECT activity AS activity_min, n_tc AS n_treat,
+       |  k_tc AS conv_treat, n_cc AS n_ctrl, k_cc AS conv_ctrl,
+       |  ${ER.sql.ratio6("n_tc + n_cc", "n_total")} AS targeted_frac,
+       |  round(k_tc - CAST(k_cc AS DOUBLE) * n_tc / nullif(n_cc, 0), 6)
+       |    AS uplift
+       |FROM cum CROSS JOIN tot
+       |ORDER BY activity_min DESC""".stripMargin
+  }
+
+  // -- q329: weighted sampling without a sort — the Efraimidis–
+  //          Spirakis (2006) / Gumbel-max trick: a draw with
+  //          P(doc) ∝ weight is argmax_d u_d^(1/w_d), i.e. argmin of
+  //          −ln(u)/w — ONE keyed min-aggregate per draw instead of a
+  //          global weighted sort (the pattern for "sample a
+  //          representative doc per source, quality-weighted" at any
+  //          scale). u comes from the md5 hash on a 2²⁰ grid
+  //          (u = (h + ½)/2²⁰), weights are n_chars; the key is
+  //          quantized to NANO units FIRST (floor(−ln(u)·10⁹),
+  //          positive) and divided by the weight in POSITIVE integer
+  //          floor-division (micro units) so both engines order
+  //          identically — no float compare, no negative division.
+  //          Three salted draws approximate a without-replacement
+  //          triple (independent draws; the operator documents the
+  //          distinction). Determinism: ties break on (key, doc_id)
+  //          struct min. Scale shape: 3 scans → 3 keyed min-aggs;
+  //          #sources × 3 rows out.
+  private def q329(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions
+    def draw(salt: String) = {
+      val h = pmod(TextFunctions.md5Long(
+        concat(col("doc_id").cast("string"), lit(salt))), lit(1048576L))
+      docs(s, dir)
+        .select(lit(salt).as("draw"), col("source"), col("doc_id"),
+          greatest(col("n_chars").cast("long"), lit(1L)).as("w"),
+          floor(-log((h + lit(0.5)) / lit(1048576.0)) * lit(1e9))
+            .cast("long").as("lnano"))
+        .withColumn("key_micro", expr("(lnano * 1000000) div w"))
+        .groupBy(col("draw"), col("source"))
+        .agg(min(struct(col("key_micro"), col("doc_id"))).as("m"))
+        .select(col("draw"), col("source"),
+          col("m.key_micro").as("key_micro"),
+          col("m.doc_id").as("doc_id"))
+    }
+    draw("g1").unionByName(draw("g2")).unionByName(draw("g3"))
+      .orderBy(col("draw"), col("source"))
+  }
+
+  private val q329Sql = {
+    import graft.text.TextFunctions
+    def leg(salt: String) = {
+      val h = "(" + TextFunctions.sql.md5Long(
+        s"(CAST(doc_id AS VARCHAR) || '$salt')") +
+        " % 1048576 + 1048576) % 1048576"
+      s"""SELECT '$salt' AS draw, source,
+         |    CAST(floor(-ln(($h + 0.5) / 1048576.0) * 1e9) AS BIGINT)
+         |      AS lnano,
+         |    greatest(CAST(n_chars AS BIGINT), 1) AS w, doc_id
+         |  FROM documents""".stripMargin
+    }
+    s"""WITH keyed AS (
+       |  SELECT draw, source, (lnano * 1000000) // w AS key_micro,
+       |    doc_id
+       |  FROM (${leg("g1")} UNION ALL ${leg("g2")}
+       |        UNION ALL ${leg("g3")}) u),
+       |picked AS (
+       |  SELECT draw, source,
+       |    min(struct_pack(key_micro := key_micro, doc_id := doc_id))
+       |      AS m
+       |  FROM keyed GROUP BY 1, 2)
+       |SELECT draw, source, m.key_micro AS key_micro,
+       |  m.doc_id AS doc_id
+       |FROM picked ORDER BY draw, source""".stripMargin
+  }
+
+  // -- q330: off-policy evaluation by inverse propensity scoring
+  //          (Horvitz–Thompson 1952; Li et al. WWW 2011's replay
+  //          estimator) — "what revenue per event would policy π have
+  //          logged?", answered from the BEHAVIOR log alone: V̂(π) =
+  //          (1/N)·Σ r_i·1[a_i = π(x_i)]/p̂(a_i|x_i), context x =
+  //          day-of-week, action a = event_type, reward r = cents.
+  //          Because the propensity is cell-constant (p̂ = n_cell /
+  //          n_dow), the row sum collapses to a CELL sum: Σ_cells
+  //          1[a = π(dow)]·R_cell·ŵ_cell with ŵ = micro6(n_dow,
+  //          n_cell) — exact integers end to end (the quantized-
+  //          weight contract; at petabyte R_cell the product needs
+  //          pre-scaled reward units, documented). Two policies are
+  //          evaluated: always-purchase and match-the-dow-majority;
+  //          the logged value is the plain mean. Scale shape: one
+  //          scan → 35-cell grid; everything after is grid-sized.
+  private def q330(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(expr("((CAST(ts AS LONG) div 86400) + 4) % 7").as("dow"),
+        col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val cells = ev.groupBy(col("dow"), col("event_type"))
+      .agg(count(lit(1)).as("n_cell"), sum(col("cents")).as("r_cell"))
+    val dows = cells.groupBy(col("dow"))
+      .agg(sum(col("n_cell")).as("n_dow"),
+        max(struct(col("n_cell"), col("event_type"))).as("mx"))
+      .select(col("dow"), col("n_dow"),
+        col("mx.event_type").as("majority_type"))
+    val w = cells.join(dows, "dow")
+      .withColumn("w_micro", graft.functions.ExactRound.micro6(
+        col("n_dow"), col("n_cell")))
+    val tot = ev.agg(count(lit(1)).as("n_total"),
+      sum(col("cents")).as("r_total"))
+    def policy(name: String, matchCond: org.apache.spark.sql.Column) =
+      w.filter(matchCond)
+        .agg(coalesce(sum(col("r_cell") * col("w_micro")), lit(0L))
+          .as("numer"), count(lit(1)).as("matched_cells"))
+        .crossJoin(broadcast(tot))
+        .select(lit(name).as("policy"), col("matched_cells"),
+          col("n_total"),
+          expr("round(numer / 1e6 / 100.0 / n_total, 6)")
+            .as("ips_value_dollars"),
+          expr("round(CAST(r_total AS DOUBLE) / 100.0 / n_total, 6)")
+            .as("logged_value_dollars"))
+    policy("always_purchase", col("event_type") === "purchase")
+      .unionByName(policy("match_dow_majority",
+        col("event_type") === col("majority_type")))
+      .orderBy(col("policy"))
+  }
+
+  private val q330Sql = {
+    import graft.functions.{ExactRound => ER}
+    def leg(name: String, cond: String) =
+      s"""SELECT '$name' AS policy,
+         |  CAST(count(*) AS BIGINT) AS matched_cells,
+         |  (SELECT n_total FROM tot) AS n_total,
+         |  round(coalesce(sum(r_cell * w_micro), 0) / 1e6 / 100.0 /
+         |    (SELECT n_total FROM tot), 6) AS ips_value_dollars,
+         |  round((SELECT CAST(r_total AS DOUBLE) FROM tot) / 100.0 /
+         |    (SELECT n_total FROM tot), 6) AS logged_value_dollars
+         |FROM w WHERE $cond""".stripMargin
+    s"""WITH ev AS (
+       |  SELECT ((CAST(floor(epoch(ts)) AS BIGINT) // 86400) + 4) % 7
+       |      AS dow, event_type,
+       |    CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events),
+       |cells AS (
+       |  SELECT dow, event_type, CAST(count(*) AS BIGINT) AS n_cell,
+       |    CAST(sum(cents) AS BIGINT) AS r_cell
+       |  FROM ev GROUP BY 1, 2),
+       |dows AS (
+       |  SELECT dow, CAST(sum(n_cell) AS BIGINT) AS n_dow,
+       |    max(struct_pack(n_cell := n_cell,
+       |      event_type := event_type)).event_type AS majority_type
+       |  FROM cells GROUP BY 1),
+       |w AS (
+       |  SELECT c.*, d.n_dow, d.majority_type,
+       |    CAST(${ER.sql.micro6("d.n_dow", "c.n_cell")} AS BIGINT)
+       |      AS w_micro
+       |  FROM cells c JOIN dows d ON c.dow = d.dow),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+       |  CAST(sum(cents) AS BIGINT) AS r_total FROM ev)
+       |SELECT * FROM (
+       |${leg("always_purchase", "event_type = 'purchase'")}
+       |UNION ALL
+       |${leg("match_dow_majority", "event_type = majority_type")}) u
+       |ORDER BY policy""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q111_split_assign", q111, Some(q111Sql)),
     Q("q112_quota_sample", q112, Some(q112Sql)),
@@ -2422,5 +3109,13 @@ object SamplingQueries {
     Q("q309_dunn_posthoc", q309, Some(q309Sql)),
     Q("q311_quantile_drift", q311, Some(q311Sql)),
     Q("q314_icc_design_effect", q314, Some(q314Sql)),
-    Q("q318_power_analysis", q318, Some(q318Sql)))
+    Q("q318_power_analysis", q318, Some(q318Sql)),
+    Q("q321_runs_test", q321, Some(q321Sql)),
+    Q("q322_conformal_coverage", q322, Some(q322Sql)),
+    Q("q323_friedman_test", q323, Some(q323Sql)),
+    Q("q324_jonckheere_trend", q324, Some(q324Sql)),
+    Q("q325_sprt_replay", q325, Some(q325Sql)),
+    Q("q326_uplift_curve", q326, Some(q326Sql)),
+    Q("q329_gumbel_sample", q329, Some(q329Sql)),
+    Q("q330_ips_policy_value", q330, Some(q330Sql)))
 }

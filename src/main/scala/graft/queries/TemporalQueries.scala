@@ -1764,6 +1764,67 @@ object TemporalQueries {
        |  round(CAST(sum(hm) AS BIGINT) / 1e6, 6) AS perm_entropy
        |FROM terms GROUP BY k ORDER BY event_type""".stripMargin
 
+  // -- q320: interval-overlap join via bucketized equi-join — the
+  //          distributed pattern for "join each alert window to every
+  //          event inside it" (the incident-correlation query an
+  //          observability pipeline runs; reference analogue: the
+  //          temporal-proximity scans behind memory_core's evolution
+  //          analytics, q26's band join generalized to explicit
+  //          intervals). Each error event opens a 10-minute window
+  //          [t, t+600); the overlap join maps every window to its ≤2
+  //          covering 600 s buckets (explode side = INTERVALS, whose
+  //          span/bucket ratio is ≤ 2 by construction), every probe
+  //          event to its 1 bucket, equi-joins on the bucket key and
+  //          re-checks true containment — the shuffle is a hash join
+  //          on a dense integer key instead of the O(|W|·|E|)
+  //          cross-range scan a naive range predicate plans (DuckDB's
+  //          IEJoin handles that single-node; distributed, the bucket
+  //          key IS the partitioner). A window's two bucket rows are
+  //          distinct, and a probe has one bucket, so no pair dedupe
+  //          is needed. Determinism: second-truncated epochs, integer
+  //          counts, cents sums. Scale shape: one shuffle on the
+  //          bucket key (AQE splits hot buckets); output linear in
+  //          windows with ≥1 hit.
+  private val IvWindowSec = 600L
+
+  private def q320(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_id"), col("event_type"),
+      expr("CAST(ts AS LONG)").as("sec"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val win = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("win_id"), col("sec").as("w0"))
+      .withColumn("bkt", explode(array(
+        expr(s"w0 div $IvWindowSec"),
+        expr(s"w0 div $IvWindowSec + 1"))))
+    val probe = ev.filter(col("event_type") =!= "error")
+      .withColumn("bkt", expr(s"sec div $IvWindowSec"))
+    win.join(probe, "bkt")
+      .filter(col("sec") >= col("w0") &&
+        col("sec") < col("w0") + IvWindowSec)
+      .groupBy(col("win_id"))
+      .agg(count(lit(1)).as("n_in_window"),
+        sum((col("event_type") === "purchase").cast("long"))
+          .as("n_purchase"),
+        sum(col("cents")).as("value_cents"))
+      .orderBy(col("win_id"))
+  }
+
+  private val q320Sql =
+    s"""WITH ev AS (
+       |  SELECT event_id, event_type,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+       |    CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events),
+       |w AS (SELECT event_id AS win_id, sec AS w0 FROM ev
+       |      WHERE event_type = 'error')
+       |SELECT w.win_id, CAST(count(*) AS BIGINT) AS n_in_window,
+       |  CAST(sum(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0
+       |    END) AS BIGINT) AS n_purchase,
+       |  CAST(sum(e.cents) AS BIGINT) AS value_cents
+       |FROM w JOIN ev e ON e.event_type <> 'error'
+       |  AND e.sec >= w.w0 AND e.sec < w.w0 + $IvWindowSec
+       |GROUP BY 1 ORDER BY win_id""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q36_temporal_filter", q36, Some(q36Sql)),
     Q("q37_daily_cumulative", q37, Some(q37Sql)),
@@ -1794,5 +1855,6 @@ object TemporalQueries {
     Q("q282_logrank_test", q282, Some(q282Sql)),
     Q("q298_interarrival_burstiness", q298, Some(q298Sql)),
     Q("q313_changepoint_binseg", q313, Some(q313Sql)),
-    Q("q317_permutation_entropy", q317, Some(q317Sql)))
+    Q("q317_permutation_entropy", q317, Some(q317Sql)),
+    Q("q320_interval_join", q320, Some(q320Sql)))
 }

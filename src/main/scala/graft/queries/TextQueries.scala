@@ -936,6 +936,98 @@ object TextQueries {
        |    (2.0 * (n2 + 1)), 6) AS chao1
        |FROM per ORDER BY source""".stripMargin
 
+  // -- q328: RAKE keyword extraction (Rose/Engel/Cramer/Cowley 2010,
+  //          "Automatic Keyword Extraction from Individual Documents")
+  //          — candidate phrases are maximal stopword-free token runs;
+  //          word score = deg/freq over within-phrase co-occurrence
+  //          (deg(w) = Σ |phrase| across w's phrases, freq(w) = w's
+  //          occurrence count); phrase score = Σ member word scores.
+  //          The corpus-level complement to q200's TF-IDF (RAKE
+  //          rewards multi-word collocations TF-IDF splits apart).
+  //          Stopword list = the public 7-word 'en' list TextFunctions
+  //          already carries. Determinism: word scores are micro6-
+  //          quantized BEFORE the phrase sum (quantize-then-sum
+  //          contract); top-50 cut breaks ties on the phrase text.
+  //          Scale shape: position/phrase windows are per-doc; word
+  //          stats are one token-keyed agg; the final top-50 is a
+  //          TakeOrderedAndProject, never a global sort.
+  private val RakeTop = 50
+
+  private def q328(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val stops = TF.stopwords("en")
+    val toks = docs(s, dir)
+      .select(col("doc_id"), posexplode(TF.tokens(col("text"))))
+      .withColumnRenamed("pos", "pos").withColumnRenamed("col", "tok")
+      .withColumn("is_stop", col("tok").isin(stops: _*).cast("long"))
+    val phrased = toks.withColumn("phrase_id",
+        sum(col("is_stop")).over(W.partitionBy(col("doc_id"))
+          .orderBy(col("pos"))))
+      .filter(col("is_stop") === 0L)
+    val pSize = phrased.groupBy(col("doc_id"), col("phrase_id"))
+      .agg(count(lit(1)).as("plen"))
+    val words = phrased.join(pSize, Seq("doc_id", "phrase_id"))
+    val wScore = words.groupBy(col("tok"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .select(col("tok"), graft.functions.ExactRound.micro6(
+        col("deg"), col("freq")).as("w_micro"))
+    val phrases = words.join(wScore, "tok")
+      .groupBy(col("doc_id"), col("phrase_id"))
+      .agg(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok"))).as("phrase"),
+        count(lit(1)).as("n_words"),
+        sum(col("w_micro")).as("score_micro"))
+    phrases.groupBy(col("phrase"))
+      .agg(max(col("n_words")).as("n_words"),
+        count(lit(1)).as("n_occurrences"),
+        max(col("score_micro")).as("score_micro"))
+      .select(col("phrase"), col("n_words"), col("n_occurrences"),
+        (col("score_micro") / lit(1e6)).as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(RakeTop)
+  }
+
+  private val q328Sql = {
+    import graft.functions.{ExactRound => ER}
+    val stopList = TF.stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, i AS pos, tk[i] AS tok,
+       |    CASE WHEN tk[i] IN ($stopList) THEN 1 ELSE 0 END AS is_stop
+       |  FROM (SELECT doc_id, ${TF.sql.tokens("text")} AS tk,
+       |      unnest(range(1, len(${TF.sql.tokens("text")}) + 1)) AS i
+       |    FROM documents)),
+       |phrased AS (
+       |  SELECT doc_id, pos, tok,
+       |    sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos)
+       |      AS phrase_id
+       |  FROM toks QUALIFY is_stop = 0),
+       |psize AS (
+       |  SELECT doc_id, phrase_id, CAST(count(*) AS BIGINT) AS plen
+       |  FROM phrased GROUP BY 1, 2),
+       |words AS (
+       |  SELECT p.*, s.plen FROM phrased p
+       |  JOIN psize s ON p.doc_id = s.doc_id
+       |    AND p.phrase_id = s.phrase_id),
+       |wscore AS (
+       |  SELECT tok,
+       |    CAST(${ER.sql.micro6("CAST(sum(plen) AS BIGINT)",
+            "count(*)")} AS BIGINT) AS w_micro
+       |  FROM words GROUP BY 1),
+       |phrases AS (
+       |  SELECT w.doc_id, w.phrase_id,
+       |    string_agg(w.tok, ' ' ORDER BY w.pos) AS phrase,
+       |    CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(ws.w_micro) AS BIGINT) AS score_micro
+       |  FROM words w JOIN wscore ws ON w.tok = ws.tok
+       |  GROUP BY 1, 2)
+       |SELECT phrase, max(n_words) AS n_words,
+       |  CAST(count(*) AS BIGINT) AS n_occurrences,
+       |  max(score_micro) / 1e6 AS score
+       |FROM phrases GROUP BY phrase
+       |ORDER BY score DESC, phrase LIMIT $RakeTop""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q32_text_langid", q32, Some(q32Sql)),
     Q("q33_text_quality", q33, Some(q33Sql)),
@@ -955,5 +1047,6 @@ object TextQueries {
     Q("q290_encoding_audit", q290, Some(q290Sql)),
     Q("q300_hapax_ttr", q300, Some(q300Sql)),
     Q("q315_winnowing_fingerprints", q315, Some(q315Sql)),
-    Q("q316_chao1_richness", q316, Some(q316Sql)))
+    Q("q316_chao1_richness", q316, Some(q316Sql)),
+    Q("q328_rake_keywords", q328, Some(q328Sql)))
 }

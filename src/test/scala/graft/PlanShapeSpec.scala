@@ -159,7 +159,12 @@ class PlanShapeSpec extends SparkSpec {
     "q310_source_conductance", // 1-row volume-total cross
     "q311_quantile_drift",    // 1-row corpus-quantile frame crossed
     "q312_embedding_dim_audit", // 1-row variance-total cross (d-row grid)
-    "q314_icc_design_effect") // #sources-row moments x 1-row totals cross
+    "q314_icc_design_effect", // #sources-row moments x 1-row totals cross
+    "q319_butterfly_census",  // four 1-row census-stat frames crossed
+    "q323_friedman_test",     // 1-row rank-total frame crossed (35-cell grid)
+    "q324_jonckheere_trend",  // 1-row J x 1-row moments cross
+    "q326_uplift_curve",      // 1-row user-total cross onto the census
+    "q330_ips_policy_value")  // 1-row (N, R) totals cross per policy leg
 
   /** Catalog queries that window WITHOUT a partition spec — every row
     * audited (round-9 verdict): the windowed frame is metadata-/eval-
@@ -200,7 +205,10 @@ class PlanShapeSpec extends SparkSpec {
     "q302_kruskal_wallis", "q303_bh_fdr", "q309_dunn_posthoc",
     // event-time grids (distinct event times bound the survival /
     // retention frames)
-    "q240_km_retention", "q281_nelson_aalen", "q282_logrank_test")
+    "q240_km_retention", "q281_nelson_aalen", "q282_logrank_test",
+    // activity-domain-bounded uplift census (q326: the descending
+    // cumulative window runs over distinct activity values only)
+    "q326_uplift_curve")
 
   test("unpartitioned windows only over audited metadata-bounded frames") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
