@@ -329,4 +329,86 @@ object GraphAnalytics {
     }
     labels
   }
+
+  /** Distributed greedy weighted matching by LOCAL DOMINANCE (Preis
+    * 1999's locally-heaviest-edge argument in its synchronous
+    * message-passing form, cf. Lattanzi et al. "Filtering: a method
+    * for solving graph problems in MapReduce", 2011): per round, an
+    * edge joins the matching iff it is the heaviest edge incident to
+    * BOTH endpoints (ties broken by the (w, a, b) struct order, so
+    * rounds are deterministic); matched endpoints leave the graph and
+    * the survivors repeat. The greedy-by-weight sequential algorithm
+    * this parallelizes is a ½-approximation to maximum weight
+    * matching. Returns the matched edges tagged with their round.
+    *
+    * Scale shape per round: one endpoint explode (2|E|), one keyed
+    * max-aggregate, two hash joins back, two anti-joins — no global
+    * ordering anywhere; lineage truncated per round.
+    *
+    * Input: canonical weighted edges (a < b, w). `rounds` is a fixed
+    * unrollable budget (each round matches every locally-dominant
+    * edge simultaneously, so coverage grows fast; residual edges are
+    * the caller's readout). */
+  def localMaxMatching(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "need at least one matching round")
+    var alive = edges.select(col("a"), col("b"), col("w"))
+      .truncateLineage()
+    var matched: DataFrame = null
+    for (r <- 1 to rounds) {
+      val ends = alive
+        .select(col("a").as("node"), col("w"), col("a"), col("b"))
+        .unionByName(alive
+          .select(col("b").as("node"), col("w"), col("a"), col("b")))
+      val best = ends.groupBy(col("node"))
+        .agg(max(struct(col("w"), col("a"), col("b"))).as("best"))
+      val dom = alive
+        .join(best.select(col("node").as("a"), col("best").as("ba")),
+          "a")
+        .join(best.select(col("node").as("b"), col("best").as("bb")),
+          "b")
+        .filter(col("ba.w") === col("w") && col("ba.a") === col("a") &&
+          col("ba.b") === col("b") && col("bb.w") === col("w") &&
+          col("bb.a") === col("a") && col("bb.b") === col("b"))
+        .select(col("a"), col("b"), col("w"), lit(r).as("round"))
+        .truncateLineage()
+      matched =
+        if (matched == null) dom else matched.unionByName(dom)
+      val mn = dom.select(col("a").as("node"))
+        .unionByName(dom.select(col("b").as("node"))).distinct()
+      alive = alive
+        .join(mn.withColumnRenamed("node", "a"), Seq("a"), "left_anti")
+        .join(mn.withColumnRenamed("node", "b"), Seq("b"), "left_anti")
+        .truncateLineage()
+    }
+    matched
+  }
+
+  /** SQL twin of one [[localMaxMatching]] round: CTEs deriving
+    * `dom_<r>` (this round's matched edges) and `e_<next>` (the
+    * surviving graph) from `e_<r>`. MATERIALIZED throughout — each
+    * CTE is referenced 2-4 times and four chained rounds otherwise
+    * re-evaluate the whole prefix exponentially (the q154 batched-
+    * merge-round lesson; an inlined unroll exhausted file handles
+    * re-scanning the base table). */
+  def localMaxMatchingRoundSql(r: Int): String = {
+    val (e, dom, nxt) = (s"e_$r", s"dom_$r", s"e_${r + 1}")
+    s"""ends_$r AS MATERIALIZED (
+       |  SELECT a AS node, w, a, b FROM $e
+       |  UNION ALL SELECT b, w, a, b FROM $e),
+       |best_$r AS MATERIALIZED (
+       |  SELECT node, max(struct_pack(w := w, a := a, b := b)) AS best
+       |  FROM ends_$r GROUP BY 1),
+       |$dom AS MATERIALIZED (
+       |  SELECT e.a, e.b, e.w, $r AS round FROM $e e
+       |  JOIN best_$r x ON e.a = x.node AND x.best.w = e.w
+       |    AND x.best.a = e.a AND x.best.b = e.b
+       |  JOIN best_$r y ON e.b = y.node AND y.best.w = e.w
+       |    AND y.best.a = e.a AND y.best.b = e.b),
+       |mn_$r AS MATERIALIZED (SELECT a AS node FROM $dom
+       |  UNION SELECT b FROM $dom),
+       |$nxt AS MATERIALIZED (
+       |  SELECT * FROM $e
+       |  WHERE a NOT IN (SELECT node FROM mn_$r)
+       |    AND b NOT IN (SELECT node FROM mn_$r))""".stripMargin
+  }
 }

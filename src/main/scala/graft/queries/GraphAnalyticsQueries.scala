@@ -1265,6 +1265,70 @@ object GraphAnalyticsQueries {
        |FROM base, wl, wr, bf, cat""".stripMargin
   }
 
+  // -- q338: greedy weighted matching by local dominance (Preis 1999,
+  //          ½-approx; the synchronous MapReduce form of Lattanzi et
+  //          al. 2011) over the ORDER-WEIGHTED co-purchase graph
+  //          (edge weight = #shared orders) — the pairing operator
+  //          behind "pick disjoint best-partner pairs" jobs: dedup
+  //          canonical-pair election, A/B arm pairing, product
+  //          bundling. 4 synchronous rounds (each matches EVERY
+  //          locally-heaviest edge at once); the readout is matched
+  //          count + weight per round and the initial edge count —
+  //          coverage after round 1 already dominates, pinning why
+  //          the parallel form needs no long sequential scan.
+  //          MatchingSpec pins validity (no two matched edges share
+  //          an endpoint) and per-round monotone shrink.
+  //          Determinism: (w, a, b) struct order breaks ties; pure
+  //          integer counts. Scale shape: per round one endpoint
+  //          explode + keyed max + hash joins (GraphAnalytics
+  //          .localMaxMatching), lineage truncated per round.
+  private val MatchRounds = 4
+
+  private def weightedCopurchase(s: SparkSession, dir: String)
+      : DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    li.select(col("ok"), col("pk").as("a"))
+      .join(li.select(col("ok"), col("pk").as("b")), "ok")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+  }
+
+  private def q338(s: SparkSession, dir: String): DataFrame = {
+    val edges = weightedCopurchase(s, dir)
+    val tot = edges.agg(count(lit(1)).as("n_edges_initial"))
+    GraphAnalytics.localMaxMatching(edges, MatchRounds)
+      .groupBy(col("round"))
+      .agg(count(lit(1)).as("n_matched"),
+        sum(col("w")).as("w_matched"))
+      .crossJoin(broadcast(tot))
+      .orderBy(col("round"))
+  }
+
+  private val q338Sql = {
+    val rounds = (1 to MatchRounds)
+      .map(GraphAnalytics.localMaxMatchingRoundSql).mkString(",\n")
+    val doms = (1 to MatchRounds).map(r => s"SELECT * FROM dom_$r")
+      .mkString(" UNION ALL ")
+    s"""WITH lp AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |  FROM lineitem),
+       |e_1 AS MATERIALIZED (
+       |  SELECT x.pk AS a, y.pk AS b, CAST(count(*) AS BIGINT) AS w
+       |  FROM lp x JOIN lp y ON x.ok = y.ok AND x.pk < y.pk
+       |  GROUP BY 1, 2),
+       |$rounds,
+       |all_dom AS ($doms),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_edges_initial
+       |        FROM e_1)
+       |SELECT round, CAST(count(*) AS BIGINT) AS n_matched,
+       |  CAST(sum(w) AS BIGINT) AS w_matched, n_edges_initial
+       |FROM all_dom CROSS JOIN tot
+       |GROUP BY round, n_edges_initial
+       |ORDER BY round""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q191_copurchase_clustering", q191, Some(q191Sql), headline = true),
     Q("q192_kcore_layers", q192, Some(q192Sql), headline = true),
@@ -1283,5 +1347,6 @@ object GraphAnalyticsQueries {
     Q("q293_ktruss_layers", q293, Some(q293Sql)),
     Q("q294_personalized_pagerank", q294, Some(q294Sql)),
     Q("q299_bridge_audit", q299, Some(q299Sql)),
-    Q("q319_butterfly_census", q319, Some(q319Sql)))
+    Q("q319_butterfly_census", q319, Some(q319Sql)),
+    Q("q338_local_max_matching", q338, Some(q338Sql)))
 }

@@ -328,8 +328,170 @@ object LayoutQueries {
        |FROM stats CROSS JOIN bs CROSS JOIN bb""".stripMargin
   }
 
+  // -- q331: Hilbert-curve layout audit — q243's Morton comparison
+  //          extended with the curve a locality-serious table format
+  //          reaches for (Hilbert never takes the power-of-two "seam
+  //          jumps" Morton does, so range scans touch fewer files):
+  //          the SAME 16×16 (user, sec) grid, indexed by the standard
+  //          xy2d walk (Hilbert 1891; the per-level quadrant+rotate
+  //          recurrence) UNROLLED into 4 chained selects generated
+  //          from ONE engine-neutral SQL template — Spark folds it
+  //          over selectExpr, DuckDB chains CTEs, so the two engines
+  //          run literally the same arithmetic (the q244 BloomK
+  //          precedent). Readout per layout: q243's per-bucket span
+  //          fractions (pruning quality) PLUS the mean Manhattan jump
+  //          between successive occupied cells in index order — the
+  //          locality number itself (a full Hilbert grid walks jumps
+  //          of exactly 1; Morton averages ~1.37 on a full 16×16).
+  //          HilbertCurveSpec pins the defining property (256 cells
+  //          visited once, every consecutive full-grid jump = 1).
+  //          Determinism: pure integer bit arithmetic; ratio6 at the
+  //          end. Scale shape: one scan + the 1-row range cross; the
+  //          lag window runs over the ≤256-cell frame.
+  private[graft] val HilbertSide = 16L // = 1 << ZBits
+
+  /** One xy2d level: (d, x, y) update expressions over the CURRENT
+    * x/y/d columns — engine-neutral SQL, n = HilbertSide. */
+  private[graft] def hilbertStep(s: Long): (String, String, String) = (
+    s"d + ${s * s} * (CASE WHEN (x & $s) = 0 AND (y & $s) = 0 THEN 0" +
+      s" WHEN (x & $s) = 0 THEN 1 WHEN (y & $s) > 0 THEN 2 ELSE 3 END)",
+    s"CASE WHEN (y & $s) = 0 THEN (CASE WHEN (x & $s) > 0 THEN" +
+      s" ${HilbertSide - 1} - y ELSE y END) ELSE x END",
+    s"CASE WHEN (y & $s) = 0 THEN (CASE WHEN (x & $s) > 0 THEN" +
+      s" ${HilbertSide - 1} - x ELSE x END) ELSE y END")
+
+  private[graft] val hilbertLevels = Seq(8L, 4L, 2L, 1L)
+
+  /** Fold the unrolled walk over a frame holding integer columns
+    * x, y (∈ [0, 16)) plus carried columns; returns the frame with a
+    * `d` Hilbert index added (x/y consumed). */
+  private[graft] def hilbertIndex(df: DataFrame, carry: Seq[String])
+      : DataFrame = {
+    val start = df.withColumn("d", lit(0L))
+    hilbertLevels.foldLeft(start) { (acc, s) =>
+      val (de, xe, ye) = hilbertStep(s)
+      acc.selectExpr(carry ++ Seq(s"$de AS d", s"$xe AS x",
+        s"$ye AS y"): _*)
+    }.drop("x", "y")
+  }
+
+  private def hilbertCtesSql(src: String, carry: String): String = {
+    val steps = hilbertLevels.zipWithIndex.map { case (s, i) =>
+      val (de, xe, ye) = hilbertStep(s)
+      val from = if (i == 0) src else s"h$i"
+      s"h${i + 1} AS (SELECT $carry, $de AS d, $xe AS x, $ye AS y" +
+        s" FROM $from)"
+    }
+    steps.mkString(",\n")
+  }
+
+  private def q331(s: SparkSession, dir: String): DataFrame = {
+    val zb = 1L << ZBits
+    val ev = events(s, dir).select(
+      expr("unix_timestamp(ts)").as("t"), col("user_id").as("u"))
+    val rng = ev.agg(min(col("u")).as("u0"), max(col("u")).as("u1"),
+      min(col("t")).as("t0"), max(col("t")).as("t1"))
+    val b = ev.crossJoin(broadcast(rng)).select(
+      col("u"), col("t"),
+      expr(s"(u - u0) * $zb div (u1 - u0 + 1)").as("x"),
+      expr(s"(t - t0) * $zb div (t1 - t0 + 1)").as("y"),
+      (col("u1") - col("u0") + 1).as("u_range"),
+      (col("t1") - col("t0") + 1).as("t_range"))
+    val cells = hilbertIndex(b.withColumn("zu", col("x"))
+        .withColumn("zt", col("y")),
+        Seq("u", "t", "u_range", "t_range", "zu", "zt"))
+      .withColumnRenamed("d", "b_h")
+      .withColumn("b_z", morton(col("zu"), col("zt")))
+    def layout(bucket: String, name: String): DataFrame = {
+      val spans = cells.groupBy(col(bucket))
+        .agg((max(col("u")) - min(col("u")) + lit(1L)).as("u_span"),
+          (max(col("t")) - min(col("t")) + lit(1L)).as("t_span"),
+          max(col("u_range")).as("u_range"),
+          max(col("t_range")).as("t_range"),
+          max(col("zu")).as("cu"), max(col("zt")).as("ct"))
+      val w = Window.orderBy(col(bucket))
+      val jumps = spans
+        .withColumn("pu", lag(col("cu"), 1).over(w))
+        .withColumn("pt", lag(col("ct"), 1).over(w))
+        .withColumn("jump", when(col("pu").isNull, lit(null))
+          .otherwise(abs(col("cu") - col("pu")) +
+            abs(col("ct") - col("pt"))))
+      jumps.agg(count(lit(1)).as("n_cells"),
+          sum(col("u_span")).as("us"), sum(col("t_span")).as("ts"),
+          max(col("u_range")).as("ur"), max(col("t_range")).as("tr"),
+          coalesce(sum(col("jump")), lit(0L)).as("js"),
+          sum(when(col("jump").isNotNull, 1L).otherwise(0L)).as("jn"))
+        .select(lit(name).as("layout"), col("n_cells"),
+          ExactRound.ratio6(col("us"), col("n_cells") * col("ur"))
+            .as("avg_user_span"),
+          ExactRound.ratio6(col("ts"), col("n_cells") * col("tr"))
+            .as("avg_sec_span"),
+          ExactRound.ratio6(col("js"), col("jn")).as("mean_jump"))
+    }
+    layout("b_z", "zorder").unionByName(layout("b_h", "hilbert"))
+      .orderBy(col("layout"))
+  }
+
+  private val q331Sql = {
+    val zb = 1L << ZBits
+    def leg(bucket: String, name: String) =
+      s"""SELECT '$name' AS layout, n_cells,
+         |  ${ExactRound.sql.ratio6("us", "n_cells * ur")}
+         |    AS avg_user_span,
+         |  ${ExactRound.sql.ratio6("ts", "n_cells * tr")}
+         |    AS avg_sec_span,
+         |  ${ExactRound.sql.ratio6("js", "jn")} AS mean_jump
+         |FROM (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         |    CAST(sum(u_span) AS BIGINT) AS us,
+         |    CAST(sum(t_span) AS BIGINT) AS ts,
+         |    max(u_range) AS ur, max(t_range) AS tr,
+         |    CAST(coalesce(sum(jump), 0) AS BIGINT) AS js,
+         |    CAST(sum(CASE WHEN jump IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS jn
+         |  FROM (
+         |    SELECT *,
+         |      CASE WHEN lag(cu) OVER w IS NULL THEN NULL
+         |        ELSE abs(cu - lag(cu) OVER w) +
+         |          abs(ct - lag(ct) OVER w) END AS jump
+         |    FROM (
+         |      SELECT $bucket,
+         |        max(u) - min(u) + 1 AS u_span,
+         |        max(t) - min(t) + 1 AS t_span,
+         |        max(zu) AS cu, max(zt) AS ct,
+         |        max(u_range) AS u_range, max(t_range) AS t_range
+         |      FROM cells GROUP BY 1) g
+         |    WINDOW w AS (ORDER BY $bucket)) j) a""".stripMargin
+    s"""WITH ev AS (
+       |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t, user_id AS u
+       |  FROM events),
+       |rng AS (
+       |  SELECT min(u) AS u0, max(u) AS u1, min(t) AS t0, max(t) AS t1
+       |  FROM ev),
+       |b AS (
+       |  SELECT u, t,
+       |    (u - u0) * $zb // (u1 - u0 + 1) AS x,
+       |    (t - t0) * $zb // (t1 - t0 + 1) AS y,
+       |    (u - u0) * $zb // (u1 - u0 + 1) AS zu,
+       |    (t - t0) * $zb // (t1 - t0 + 1) AS zt,
+       |    u1 - u0 + 1 AS u_range, t1 - t0 + 1 AS t_range
+       |  FROM ev CROSS JOIN rng),
+       |b0 AS (SELECT *, CAST(0 AS BIGINT) AS d FROM b),
+       |${hilbertCtesSql("b0", "u, t, u_range, t_range, zu, zt")},
+       |cells AS (
+       |  SELECT u, t, u_range, t_range, zu, zt, d AS b_h,
+       |    ${mortonSql("zu", "zt")} AS b_z
+       |  FROM h${hilbertLevels.size})
+       |SELECT * FROM (
+       |  ${leg("b_z", "zorder")}
+       |  UNION ALL
+       |  ${leg("b_h", "hilbert")})
+       |ORDER BY layout""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q242_clustering_depth", q242, Some(q242Sql)),
     Q("q243_zorder_layout", q243, Some(q243Sql)),
-    Q("q244_bloom_filter_audit", q244, Some(q244Sql)))
+    Q("q244_bloom_filter_audit", q244, Some(q244Sql)),
+    Q("q331_hilbert_layout", q331, Some(q331Sql)))
 }

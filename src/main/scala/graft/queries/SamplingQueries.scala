@@ -2732,9 +2732,10 @@ object SamplingQueries {
   //          one scan → two windows bounded by the week width → one
   //          keyed agg + a 1-row-per-arm join back on the unique
   //          crossing step.
-  private val SprtC1 = 405465L // ln(0.15/0.10) micro-nats
-  private val SprtC0 = -57158L // ln(0.85/0.90) micro-nats
-  private val SprtBound = 2944439L // ln(19) micro-nats
+  // Contract constants shared with the streaming twin (SprtMonitor).
+  private val SprtC1 = graft.streaming.SprtMonitor.C1
+  private val SprtC0 = graft.streaming.SprtMonitor.C0
+  private val SprtBound = graft.streaming.SprtMonitor.Bound
 
   private def q325(s: SparkSession, dir: String): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
@@ -3071,6 +3072,242 @@ object SamplingQueries {
        |ORDER BY policy""".stripMargin
   }
 
+  // -- q333: sample-ratio-mismatch guardrail — the FIRST check any
+  //          experiment readout must pass (Fabijan et al. 2019
+  //          "Diagnosing Sample Ratio Mismatch"): under the 50/50
+  //          hash assignment, arm sizes follow a 1-df chi-square
+  //          (na−nb)²/(na+nb); a significant imbalance means the
+  //          assignment or logging is broken and q267/q270/q325's
+  //          readouts are garbage — which is why this runs FIRST.
+  //          Determinism: integer arm counts, shared expression text.
+  //          Scale shape: one per-user agg → 2-row frame → 1 row.
+  private def q333(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.load(s, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_ev"))
+      .withColumn("arm_a",
+        (Sampling.hashBucket(col("user_id"), 2, "ab") === 0L)
+          .cast("long"))
+    val chi2 = "(CAST((na - nb) AS DOUBLE) * (na - nb) / (na + nb))"
+    users.agg(sum(col("arm_a")).as("na"),
+        sum(lit(1L) - col("arm_a")).as("nb"))
+      .select(col("na"), col("nb"), (col("na") + col("nb")).as("n"),
+        graft.functions.ExactRound.ratio6(col("na"),
+          col("na") + col("nb")).as("ratio_a"),
+        expr(s"round($chi2, 6)").as("chi2"),
+        expr(s"$chi2 > 3.841459").as("srm_detected"))
+  }
+
+  private val q333Sql = {
+    import graft.functions.{ExactRound => ER}
+    val h = bucketSql("user_id", 2, "ab")
+    val chi2 = "(CAST((na - nb) AS DOUBLE) * (na - nb) / (na + nb))"
+    s"""WITH users AS (
+       |  SELECT user_id, CASE WHEN $h = 0 THEN 1 ELSE 0 END AS arm_a
+       |  FROM events GROUP BY user_id, 2),
+       |arms AS (
+       |  SELECT CAST(sum(arm_a) AS BIGINT) AS na,
+       |    CAST(sum(1 - arm_a) AS BIGINT) AS nb
+       |  FROM users)
+       |SELECT na, nb, na + nb AS n,
+       |  ${ER.sql.ratio6("na", "na + nb")} AS ratio_a,
+       |  round($chi2, 6) AS chi2,
+       |  $chi2 > 3.841459 AS srm_detected
+       |FROM arms""".stripMargin
+  }
+
+  // -- q334: distribution-free median confidence interval per source —
+  //          the order-statistic CI (binomial argument, normal
+  //          approximation: ranks n/2 ∓ 1.96·√n/2, Hollander & Wolfe
+  //          §3.4) on document length: the robust location readout to
+  //          pair with q270's mean-based Welch screen when lengths are
+  //          heavy-tailed. The three order statistics (lower bound,
+  //          lower median at rank (n+1) div 2, upper bound) are read
+  //          off ONE cumulative value census per source — never a
+  //          per-source sort. Determinism: integer ranks from
+  //          floor/ceil of shared sqrt expressions, integer value
+  //          lookups. Scale shape: one census agg; cumulative windows
+  //          run per source over the length DOMAIN, not |docs|.
+  private def q334(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val census = docs(s, dir)
+      .select(col("source"), col("n_chars").cast("long").as("v"))
+      .groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        W.partitionBy(col("source")).orderBy(col("v"))))
+    val ranks = census.groupBy(col("source"))
+      .agg(sum(col("c")).as("n"))
+      .select(col("source"), col("n"),
+        expr("(n + 1) div 2").as("k_med"),
+        expr("greatest(CAST(1 AS BIGINT), CAST(floor((n - 1.96 *" +
+          " sqrt(n)) / 2) AS BIGINT))").as("k_lo"),
+        expr("least(n, CAST(ceil(1 + (n + 1.96 * sqrt(n)) / 2)" +
+          " AS BIGINT))").as("k_hi"))
+    def at(rank: String, out: String) =
+      census.join(ranks, "source")
+        .filter(col("cum") >= col(rank))
+        .groupBy(col("source")).agg(min(col("v")).as(out))
+    ranks
+      .join(at("k_med", "median"), "source")
+      .join(at("k_lo", "ci_lo"), "source")
+      .join(at("k_hi", "ci_hi"), "source")
+      .select(col("source"), col("n"), col("median"), col("ci_lo"),
+        col("ci_hi"), col("k_lo"), col("k_hi"))
+      .orderBy(col("source"))
+  }
+
+  private val q334Sql =
+    s"""WITH census AS (
+       |  SELECT source, CAST(n_chars AS BIGINT) AS v,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM documents GROUP BY 1, 2),
+       |cums AS (
+       |  SELECT source, v, c,
+       |    CAST(sum(c) OVER (PARTITION BY source ORDER BY v)
+       |      AS BIGINT) AS cum
+       |  FROM census),
+       |ranks AS (
+       |  SELECT source, CAST(sum(c) AS BIGINT) AS n,
+       |    (CAST(sum(c) AS BIGINT) + 1) // 2 AS k_med,
+       |    greatest(CAST(1 AS BIGINT),
+       |      CAST(floor((sum(c) - 1.96 * sqrt(sum(c))) / 2)
+       |        AS BIGINT)) AS k_lo,
+       |    least(CAST(sum(c) AS BIGINT),
+       |      CAST(ceil(1 + (sum(c) + 1.96 * sqrt(sum(c))) / 2)
+       |        AS BIGINT)) AS k_hi
+       |  FROM census GROUP BY 1),
+       |med AS (SELECT c.source, min(v) AS median FROM cums c
+       |  JOIN ranks r ON c.source = r.source
+       |  WHERE c.cum >= r.k_med GROUP BY 1),
+       |lo AS (SELECT c.source, min(v) AS ci_lo FROM cums c
+       |  JOIN ranks r ON c.source = r.source
+       |  WHERE c.cum >= r.k_lo GROUP BY 1),
+       |hi AS (SELECT c.source, min(v) AS ci_hi FROM cums c
+       |  JOIN ranks r ON c.source = r.source
+       |  WHERE c.cum >= r.k_hi GROUP BY 1)
+       |SELECT r.source, r.n, m.median, l.ci_lo, h.ci_hi, r.k_lo,
+       |  r.k_hi
+       |FROM ranks r JOIN med m ON r.source = m.source
+       |JOIN lo l ON r.source = l.source
+       |JOIN hi h ON r.source = h.source
+       |ORDER BY r.source""".stripMargin
+
+  // -- q335: Shapley-value channel attribution (Shapley 1953; the
+  //          coalition-game credit split marketing stacks compute over
+  //          exposure sets) — each user's exposure coalition is the
+  //          SET of event types they performed at HIGH intensity
+  //          (value > 250; the plain any-occurrence set is degenerate
+  //          on this corpus — every user touches all five types —
+  //          while the high-value mask spreads over 14 coalitions);
+  //          v(S) = micro6 conversion rate among users with exactly
+  //          that coalition (unobserved coalitions contribute v = 0);
+  //          φ_channel = Σ_{S∌i} |S|!(4−|S|)!/5! · (v(S∪i) − v(S)).
+  //          The 1/120 weights are EXACT in scaled units: with k-size
+  //          weights ×120 = {24,6,4,6,24}, φ·120·10⁶ is a pure
+  //          integer sum — one double division at report time. The
+  //          order-free alternative to q224's positional attribution.
+  //          Scale shape: one per-user agg → ≤32-row coalition grid;
+  //          the Shapley sum is an 80-row grid join.
+  private val ShapBits =
+    Seq("click" -> 1L, "error" -> 2L, "purchase" -> 4L,
+      "signup" -> 8L, "view" -> 16L)
+
+  private def q335(s: SparkSession, dir: String): DataFrame = {
+    val maskExpr = ShapBits.map { case (t, b) =>
+      s"max(CASE WHEN event_type = '$t' AND value > 250 THEN $b ELSE 0 END)"
+    }.mkString(" + ")
+    val users = Tables.load(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(expr(s"$maskExpr").as("mask"),
+        max(when(col("event_type") === "purchase" &&
+          col("value") > 95, 1L).otherwise(0L)).as("conv"))
+    val v = users.groupBy(col("mask"))
+      .agg(count(lit(1)).as("n_s"), sum(col("conv")).as("k_s"))
+      .select(col("mask"), col("n_s"),
+        graft.functions.ExactRound.micro6(col("k_s"), col("n_s"))
+          .as("v_micro"))
+    val full = s.range(32).select(col("id").as("m"))
+      .join(v, col("m") === col("mask"), "left")
+      .select(col("m"), coalesce(col("v_micro"), lit(0L)).as("vm"),
+        coalesce(col("n_s"), lit(0L)).as("n_s"))
+    val channels = {
+      import s.implicits._
+      ShapBits.toDF("channel", "bit")
+    }
+    val popcnt = (0 until 5).map(i => s"((m >> $i) & 1)")
+      .mkString(" + ")
+    val pairs = channels
+      .join(full.select(col("m"), col("vm").as("v_s")),
+        expr("(m & bit) = 0"))
+      .withColumn("k", expr(popcnt))
+      .withColumn("w120", expr(
+        "CASE k WHEN 0 THEN 24 WHEN 1 THEN 6 WHEN 2 THEN 4" +
+          " WHEN 3 THEN 6 ELSE 24 END"))
+    val withUnion = pairs
+      .join(full.select(col("m").as("mu"), col("vm").as("v_si")),
+        expr("mu = m + bit"))
+    val exposure = channels
+      .join(full, expr("(m & bit) > 0"))
+      .groupBy(col("channel"))
+      .agg(sum(col("n_s")).as("n_users_exposed"))
+    withUnion.groupBy(col("channel"))
+      .agg(sum(col("w120") * (col("v_si") - col("v_s")))
+        .as("phi_scaled"))
+      .join(exposure, Seq("channel"))
+      .select(col("channel"), col("n_users_exposed"),
+        expr("round(phi_scaled / 120.0 / 1e6, 6)").as("phi"))
+      .orderBy(col("channel"))
+  }
+
+  private val q335Sql = {
+    import graft.functions.{ExactRound => ER}
+    val maskExpr = ShapBits.map { case (t, b) =>
+      s"max(CASE WHEN event_type = '$t' AND value > 250 THEN $b ELSE 0 END)"
+    }.mkString(" + ")
+    val chanValues = ShapBits.map { case (t, b) => s"('$t', $b)" }
+      .mkString(", ")
+    val popcnt = (0 until 5).map(i => s"((m >> $i) & 1)")
+      .mkString(" + ")
+    s"""WITH users AS (
+       |  SELECT user_id, CAST($maskExpr AS BIGINT) AS mask,
+       |    max(CASE WHEN event_type = 'purchase' AND value > 95
+       |        THEN 1 ELSE 0 END) AS conv
+       |  FROM events GROUP BY user_id),
+       |v AS (
+       |  SELECT mask, CAST(count(*) AS BIGINT) AS n_s,
+       |    CAST(${ER.sql.micro6("CAST(sum(conv) AS BIGINT)",
+            "count(*)")} AS BIGINT) AS v_micro
+       |  FROM users GROUP BY 1),
+       |full_grid AS (
+       |  SELECT g.m, coalesce(v.v_micro, 0) AS vm,
+       |    coalesce(v.n_s, 0) AS n_s
+       |  FROM (SELECT unnest(range(0, 32)) AS m) g
+       |  LEFT JOIN v ON g.m = v.mask),
+       |channels AS (SELECT * FROM (VALUES $chanValues)
+       |  AS t(channel, bit)),
+       |pairs AS (
+       |  SELECT c.channel, f.m, f.vm AS v_s,
+       |    $popcnt AS k
+       |  FROM channels c JOIN full_grid f ON (f.m & c.bit) = 0),
+       |scored AS (
+       |  SELECT p.channel,
+       |    CAST(sum((CASE p.k WHEN 0 THEN 24 WHEN 1 THEN 6
+       |        WHEN 2 THEN 4 WHEN 3 THEN 6 ELSE 24 END) *
+       |      (fu.vm - p.v_s)) AS BIGINT) AS phi_scaled
+       |  FROM pairs p
+       |  JOIN channels c ON p.channel = c.channel
+       |  JOIN full_grid fu ON fu.m = p.m + c.bit
+       |  GROUP BY 1),
+       |exposure AS (
+       |  SELECT c.channel, CAST(sum(f.n_s) AS BIGINT)
+       |    AS n_users_exposed
+       |  FROM channels c JOIN full_grid f ON (f.m & c.bit) > 0
+       |  GROUP BY 1)
+       |SELECT s.channel, e.n_users_exposed,
+       |  round(s.phi_scaled / 120.0 / 1e6, 6) AS phi
+       |FROM scored s JOIN exposure e ON s.channel = e.channel
+       |ORDER BY s.channel""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q111_split_assign", q111, Some(q111Sql)),
     Q("q112_quota_sample", q112, Some(q112Sql)),
@@ -3117,5 +3354,8 @@ object SamplingQueries {
     Q("q325_sprt_replay", q325, Some(q325Sql)),
     Q("q326_uplift_curve", q326, Some(q326Sql)),
     Q("q329_gumbel_sample", q329, Some(q329Sql)),
-    Q("q330_ips_policy_value", q330, Some(q330Sql)))
+    Q("q330_ips_policy_value", q330, Some(q330Sql)),
+    Q("q333_srm_check", q333, Some(q333Sql)),
+    Q("q334_median_ci", q334, Some(q334Sql)),
+    Q("q335_shapley_attribution", q335, Some(q335Sql)))
 }

@@ -579,6 +579,108 @@ object SecurityQueries {
        |FROM rec GROUP BY 1, 2, 3
        |ORDER BY c_nationkey, c_mktsegment, bal_band""".stripMargin
 
+  // -- q336: t-closeness audit (Li, Li & Venkatasubramanian ICDE 2007)
+  //          — completes q194's privacy triad: a class can be
+  //          k-anonymous AND l-diverse yet still leak (its sensitive
+  //          DISTRIBUTION may differ sharply from the population's —
+  //          the "skewness attack"). Per q194 QI class, the total-
+  //          variation distance between the class's sensitive
+  //          distribution and the global one, computed in EXACT
+  //          integer cross-multiplication: TVD = Σ|c_v·N − g_v·k| /
+  //          (2·k·N) — no per-class float normalization. Flagged
+  //          against t = 0.4 (categorical TVD convention). Scale
+  //          shape: the (class × sensitive-value) census joins the
+  //          #values-bounded global marginal, one keyed agg — classes
+  //          stream out, nothing is enumerated per record.
+  private val TClose = 0.4
+
+  private def q336(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+    val orders = Tables.load(s, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("c").desc, col("o_orderpriority"))
+    val dom = orders.groupBy(col("o_custkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("o_custkey").as("c_custkey"),
+        col("o_orderpriority").as("sensitive"))
+    val rec = cust.join(dom, Seq("c_custkey"), "left")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / lit(1000.0)).as("bal_band"),
+        coalesce(col("sensitive"), lit("none")).as("sensitive"))
+    val cls = rec.groupBy(col("c_nationkey"), col("c_mktsegment"),
+        col("bal_band"), col("sensitive"))
+      .agg(count(lit(1)).as("c_v"))
+    val glob = rec.groupBy(col("sensitive"))
+      .agg(count(lit(1)).as("g_v"))
+      .crossJoin(broadcast(rec.agg(count(lit(1)).as("nn"))))
+    // a class missing a sensitive value v still contributes |0·N −
+    // g_v·k| to its TVD — realized via the value-grid right join
+    val kSize = cls.groupBy(col("c_nationkey"), col("c_mktsegment"),
+        col("bal_band")).agg(sum(col("c_v")).as("k_size"))
+    val grid = kSize.crossJoin(broadcast(glob))
+    grid.join(cls, Seq("c_nationkey", "c_mktsegment", "bal_band",
+        "sensitive"), "left")
+      .withColumn("cv", coalesce(col("c_v"), lit(0L)))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        col("bal_band"), col("k_size"), col("nn"))
+      .agg(sum(abs(col("cv") * col("nn") - col("g_v") * col("k_size")))
+        .as("num"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("bal_band"),
+        col("k_size"),
+        graft.functions.ExactRound.ratio6(col("num"),
+          col("k_size") * col("nn") * 2).as("tvd"),
+        (graft.functions.ExactRound.ratio6(col("num"),
+          col("k_size") * col("nn") * 2) <= TClose).as("t_close"))
+      .orderBy(col("c_nationkey"), col("c_mktsegment"),
+        col("bal_band"))
+  }
+
+  private val q336Sql = {
+    import graft.functions.{ExactRound => ER}
+    s"""WITH dom AS (
+       |  SELECT o_custkey AS c_custkey, o_orderpriority AS sensitive
+       |  FROM (
+       |    SELECT o_custkey, o_orderpriority,
+       |      row_number() OVER (PARTITION BY o_custkey
+       |        ORDER BY count(*) DESC, o_orderpriority) AS rn
+       |    FROM orders GROUP BY o_custkey, o_orderpriority) t
+       |  WHERE rn = 1),
+       |rec AS (
+       |  SELECT c_nationkey, c_mktsegment,
+       |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+       |    coalesce(d.sensitive, 'none') AS sensitive
+       |  FROM customer c LEFT JOIN dom d USING (c_custkey)),
+       |cls AS (
+       |  SELECT c_nationkey, c_mktsegment, bal_band, sensitive,
+       |    CAST(count(*) AS BIGINT) AS c_v
+       |  FROM rec GROUP BY 1, 2, 3, 4),
+       |gmar AS (
+       |  SELECT sensitive, CAST(count(*) AS BIGINT) AS g_v,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM rec) AS nn
+       |  FROM rec GROUP BY 1),
+       |ks AS (
+       |  SELECT c_nationkey, c_mktsegment, bal_band,
+       |    CAST(sum(c_v) AS BIGINT) AS k_size
+       |  FROM cls GROUP BY 1, 2, 3),
+       |grid AS (SELECT * FROM ks CROSS JOIN gmar),
+       |terms AS (
+       |  SELECT g.c_nationkey, g.c_mktsegment, g.bal_band, g.k_size,
+       |    g.nn,
+       |    abs(coalesce(c.c_v, 0) * g.nn - g.g_v * g.k_size) AS term
+       |  FROM grid g LEFT JOIN cls c
+       |    ON g.c_nationkey = c.c_nationkey
+       |    AND g.c_mktsegment = c.c_mktsegment
+       |    AND g.bal_band = c.bal_band AND g.sensitive = c.sensitive)
+       |SELECT c_nationkey, c_mktsegment, bal_band, k_size,
+       |  ${ER.sql.ratio6("CAST(sum(term) AS BIGINT)",
+            "k_size * nn * 2")} AS tvd,
+       |  ${ER.sql.ratio6("CAST(sum(term) AS BIGINT)",
+            "k_size * nn * 2")} <= $TClose AS t_close
+       |FROM terms GROUP BY 1, 2, 3, 4, nn
+       |ORDER BY c_nationkey, c_mktsegment, bal_band""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q118_access_grants", q118, Some(q118Sql)),
     Q("q119_privacy_stats", q119, Some(q119Sql)),
@@ -587,5 +689,6 @@ object SecurityQueries {
     Q("q122_new_ip_anomaly", q122, Some(q122Sql)),
     Q("q123_governed_corpus", q123, Some(q123Sql)),
     Q("q124_compliance_report", q124, Some(q124Sql)),
-    Q("q194_k_anonymity", q194, Some(q194Sql)))
+    Q("q194_k_anonymity", q194, Some(q194Sql)),
+    Q("q336_t_closeness", q336, Some(q336Sql)))
 }

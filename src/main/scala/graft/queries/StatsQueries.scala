@@ -1134,6 +1134,101 @@ object StatsQueries {
       |    (CAST(nn AS DOUBLE) * least(nr - 1, nc - 1))), 6) AS cramers_v
       |FROM agg""".stripMargin
 
+  // -- q337: ECOD outlier scores (Li et al. TKDE 2022 "ECOD:
+  //          Unsupervised Outlier Detection Using Empirical Cumulative
+  //          Distribution Functions") over three integer text
+  //          features (chars, tokens, 'en'-stopword count) — the
+  //          parameter-free ensemble complement to q41's IQR and
+  //          q230's MAD screens: a doc is anomalous if it sits in the
+  //          joint tail of ALL dimensions, O(x) = max(−Σ_d ln F_d(x),
+  //          −Σ_d ln F̄_d(x)) with per-dim empirical CDFs. The two-
+  //          sided max variant (the paper's automatic skew blend is
+  //          documented as the refinement). Determinism: each (dim,
+  //          value) census cell carries a micro-FLOORED ln of an
+  //          exact integer ratio (rank/n), summed as integers per
+  //          doc; top-20 cut ties on doc_id. Scale shape: three
+  //          value-domain censuses with cumulative windows (per-dim
+  //          grids, never |docs|), three value-keyed joins back, one
+  //          TakeOrderedAndProject.
+  private val EcodTop = 20
+
+  private def q337(s: SparkSession, dir: String): DataFrame = {
+    val stops = TF.stopwords("en")
+    val feats = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("f_chars"),
+        TF.tokenCount(col("text")).cast("long").as("f_tokens"),
+        TF.countIn(TF.tokens(col("text")), stops).cast("long")
+          .as("f_stop"))
+    def dimScores(f: String) = {
+      val census = feats.select(col(f).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("c"))
+        .crossJoin(broadcast(feats.agg(count(lit(1)).as("n"))))
+        .withColumn("cum", sum(col("c")).over(
+          Window.orderBy(col("v"))))
+      census.select(col("v").as(f),
+        expr("CAST(floor(ln(CAST(cum AS DOUBLE) / n) * 1000000)" +
+          " AS BIGINT)").as(s"lt_l_$f"),
+        expr("CAST(floor(ln(CAST(n - cum + c AS DOUBLE) / n)" +
+          " * 1000000) AS BIGINT)").as(s"lt_r_$f"))
+    }
+    val joined = Seq("f_chars", "f_tokens", "f_stop")
+      .foldLeft(feats)((acc, f) => acc.join(dimScores(f), f))
+    joined
+      .withColumn("score_left_micro",
+        -(col("lt_l_f_chars") + col("lt_l_f_tokens") +
+          col("lt_l_f_stop")))
+      .withColumn("score_right_micro",
+        -(col("lt_r_f_chars") + col("lt_r_f_tokens") +
+          col("lt_r_f_stop")))
+      .select(col("doc_id"), col("source"),
+        (col("score_left_micro") / lit(1e6)).as("score_left"),
+        (col("score_right_micro") / lit(1e6)).as("score_right"),
+        (greatest(col("score_left_micro"), col("score_right_micro")) /
+          lit(1e6)).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(EcodTop)
+  }
+
+  private val q337Sql = {
+    val stopList = TF.stopwords("en")
+    def census(f: String) =
+      s"""c_$f AS (
+         |  SELECT v, CAST(floor(ln(CAST(cum AS DOUBLE) / n) * 1000000)
+         |      AS BIGINT) AS lt_l_$f,
+         |    CAST(floor(ln(CAST(n - cum + c AS DOUBLE) / n) * 1000000)
+         |      AS BIGINT) AS lt_r_$f
+         |  FROM (
+         |    SELECT v, c, sum(c) OVER (ORDER BY v) AS cum,
+         |      (SELECT CAST(count(*) AS BIGINT) FROM feats) AS n
+         |    FROM (SELECT $f AS v, CAST(count(*) AS BIGINT) AS c
+         |          FROM feats GROUP BY 1) g) w)""".stripMargin
+    s"""WITH feats AS (
+       |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS f_chars,
+       |    CAST(${TF.sql.tokenCount("text")} AS BIGINT) AS f_tokens,
+       |    CAST(${TF.sql.countIn(TF.sql.tokens("text"), stopList)}
+       |      AS BIGINT) AS f_stop
+       |  FROM documents),
+       |${census("f_chars")},
+       |${census("f_tokens")},
+       |${census("f_stop")},
+       |scored AS (
+       |  SELECT f.doc_id, f.source,
+       |    -(a.lt_l_f_chars + b.lt_l_f_tokens + d.lt_l_f_stop)
+       |      AS sl_micro,
+       |    -(a.lt_r_f_chars + b.lt_r_f_tokens + d.lt_r_f_stop)
+       |      AS sr_micro
+       |  FROM feats f
+       |  JOIN c_f_chars a ON f.f_chars = a.v
+       |  JOIN c_f_tokens b ON f.f_tokens = b.v
+       |  JOIN c_f_stop d ON f.f_stop = d.v)
+       |SELECT doc_id, source, sl_micro / 1e6 AS score_left,
+       |  sr_micro / 1e6 AS score_right,
+       |  greatest(sl_micro, sr_micro) / 1e6 AS score
+       |FROM scored
+       |ORDER BY score DESC, doc_id LIMIT $EcodTop""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q60_growth_rate", q60, Some(q60Sql)),
     Q("q61_decline_periods", q61, Some(q61Sql)),
@@ -1154,5 +1249,6 @@ object StatsQueries {
     Q("q238_field_mi", q238, Some(q238Sql)),
     Q("q247_partition_advisor", q247, Some(q247Sql)),
     Q("q263_join_cardinality", q263, Some(q263Sql)),
-    Q("q266_benford_audit", q266, Some(q266Sql)))
+    Q("q266_benford_audit", q266, Some(q266Sql)),
+    Q("q337_ecod_outliers", q337, Some(q337Sql)))
 }

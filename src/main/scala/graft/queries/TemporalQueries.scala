@@ -1825,6 +1825,87 @@ object TemporalQueries {
        |  AND e.sec >= w.w0 AND e.sec < w.w0 + $IvWindowSec
        |GROUP BY 1 ORDER BY win_id""".stripMargin
 
+  // -- q332: Markov entropy rate of the behavior chain — how
+  //          PREDICTABLE is the next action given the current one:
+  //          H(next|prev) = −Σ_ij (n_ij/N)·ln(p_ij) over q215's
+  //          transition matrix (Shannon 1948's entropy rate for a
+  //          first-order chain under the empirical distribution),
+  //          with the per-state conditional entropies H_i alongside —
+  //          a state whose H_i ≪ rate is a funnel stage (next step
+  //          near-deterministic), one at ln(k) is a wanderer. Uses
+  //          the empirical prev-state frequencies as the occupation
+  //          weights. Determinism: ln terms are micro-FLOORED per
+  //          transition cell before the integer weighted sum (the
+  //          q296 contract; the grid is #types² = 25 cells), readouts
+  //          via microMean6. Scale shape: q215's user-keyed lead
+  //          window → 25-cell grid; everything after is grid-sized.
+  private def q332(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactRound
+    val W = org.apache.spark.sql.expressions.Window
+    val ev = events(s, dir).select(col("user_id"), col("event_type"),
+      expr("unix_timestamp(ts)").as("sec"), col("event_id"))
+    val w = W.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+    val cnt = ev
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val perPrev = cnt
+      .withColumn("n_prev", sum(col("n")).over(
+        W.partitionBy(col("prev_type"))))
+      .withColumn("lt", expr(
+        "CAST(floor(ln(CAST(n AS DOUBLE) / n_prev) * 1000000)" +
+          " AS BIGINT)"))
+      .groupBy(col("prev_type"))
+      .agg(max(col("n_prev")).as("n_prev"),
+        sum(col("n") * col("lt")).as("s_micro"))
+    val tot = perPrev.agg(sum(col("n_prev")).as("nn"),
+      sum(col("s_micro")).as("ss"))
+    perPrev.crossJoin(broadcast(tot))
+      .select(col("prev_type"), col("n_prev"),
+        ExactRound.ratio6(col("n_prev"), col("nn")).as("pi"),
+        ExactRound.microMean6(-col("s_micro"), col("n_prev"))
+          .as("h_cond_nats"),
+        ExactRound.microMean6(-col("ss"), col("nn"))
+          .as("entropy_rate_nats"))
+      .orderBy(col("prev_type"))
+  }
+
+  private val q332Sql = {
+    import graft.functions.{ExactRound => ER}
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, event_id,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+       |  FROM events),
+       |nxt AS (
+       |  SELECT event_type AS prev_type,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY sec, event_id) AS next_type
+       |  FROM ev),
+       |cnt AS (
+       |  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+       |  FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2),
+       |cell AS (
+       |  SELECT prev_type, n,
+       |    CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT)
+       |      AS n_prev
+       |  FROM cnt),
+       |per_prev AS (
+       |  SELECT prev_type, max(n_prev) AS n_prev,
+       |    CAST(sum(n * CAST(floor(ln(CAST(n AS DOUBLE) / n_prev)
+       |      * 1000000) AS BIGINT)) AS BIGINT) AS s_micro
+       |  FROM cell GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_prev) AS BIGINT) AS nn,
+       |  CAST(sum(s_micro) AS BIGINT) AS ss FROM per_prev)
+       |SELECT prev_type, n_prev,
+       |  ${ER.sql.ratio6("n_prev", "nn")} AS pi,
+       |  ${ER.sql.microMean6("-s_micro", "n_prev")} AS h_cond_nats,
+       |  ${ER.sql.microMean6("-ss", "nn")} AS entropy_rate_nats
+       |FROM per_prev CROSS JOIN tot
+       |ORDER BY prev_type""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q36_temporal_filter", q36, Some(q36Sql)),
     Q("q37_daily_cumulative", q37, Some(q37Sql)),
@@ -1856,5 +1937,6 @@ object TemporalQueries {
     Q("q298_interarrival_burstiness", q298, Some(q298Sql)),
     Q("q313_changepoint_binseg", q313, Some(q313Sql)),
     Q("q317_permutation_entropy", q317, Some(q317Sql)),
-    Q("q320_interval_join", q320, Some(q320Sql)))
+    Q("q320_interval_join", q320, Some(q320Sql)),
+    Q("q332_markov_entropy_rate", q332, Some(q332Sql)))
 }

@@ -164,7 +164,13 @@ class PlanShapeSpec extends SparkSpec {
     "q323_friedman_test",     // 1-row rank-total frame crossed (35-cell grid)
     "q324_jonckheere_trend",  // 1-row J x 1-row moments cross
     "q326_uplift_curve",      // 1-row user-total cross onto the census
-    "q330_ips_policy_value")  // 1-row (N, R) totals cross per policy leg
+    "q330_ips_policy_value",  // 1-row (N, R) totals cross per policy leg
+    "q331_hilbert_layout",    // 1-row global-range frame crossed (q243 shape)
+    "q332_markov_entropy_rate", // 1-row (N, Σ) totals cross onto 25-cell grid
+    "q335_shapley_attribution", // 32-mask grid x 5-channel bitmask joins
+    "q336_t_closeness",       // 1-row population-total cross (q194 classes)
+    "q337_ecod_outliers",     // 1-row doc-count cross per feature census
+    "q338_local_max_matching") // 1-row initial-edge-count cross
 
   /** Catalog queries that window WITHOUT a partition spec — every row
     * audited (round-9 verdict): the windowed frame is metadata-/eval-
@@ -208,7 +214,13 @@ class PlanShapeSpec extends SparkSpec {
     "q240_km_retention", "q281_nelson_aalen", "q282_logrank_test",
     // activity-domain-bounded uplift census (q326: the descending
     // cumulative window runs over distinct activity values only)
-    "q326_uplift_curve")
+    "q326_uplift_curve",
+    // 256-cell layout grids (q331: the consecutive-cell lag window
+    // runs over at most 2^(2*ZBits) occupied cells)
+    "q331_hilbert_layout",
+    // per-feature value-domain censuses (q337: the three ecdf cumsum
+    // windows run over integer feature grids, never |docs|)
+    "q337_ecod_outliers")
 
   test("unpartitioned windows only over audited metadata-bounded frames") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
