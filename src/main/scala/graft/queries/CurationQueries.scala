@@ -3637,6 +3637,107 @@ object CurationQueries {
        |FROM agg ORDER BY source""".stripMargin
   }
 
+  // -- q340: dedup-threshold knee detection (Satopää et al. 2011
+  //          "Kneedle", the max-distance-to-chord special case) on the
+  //          pair-count-vs-threshold curve off DedupIndex's candidate
+  //          frame — the auto-tuning step ABOVE q162's sweep: instead
+  //          of eyeballing three thresholds, find where the curve
+  //          stops paying (below the knee every loosening admits a
+  //          flood of weak pairs). The curve's x-grid is the MinHash
+  //          estimate lattice (est = m/K, m ∈ [K/2, K] — at most
+  //          K/2+1 points by construction); y = pairs at est ≥ x,
+  //          a descending cumulative over that grid. Both axes are
+  //          micro-normalized in EXACT integer arithmetic and the
+  //          knee is argmax of the chord distance |x_n + y_n − 1|
+  //          (ties → smaller threshold). Scale shape: one group-by on
+  //          the warmed candidate frame; everything after is
+  //          grid-sized.
+  private def q340(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.DedupIndex
+    val W = Window.orderBy(col("m"))
+    val grid = DedupIndex.candidatePairs(s, dir)
+      .select(expr(s"CAST(round(est_jaccard * ${DedupIndex.K})" +
+        " AS BIGINT)").as("m"))
+      .groupBy(col("m")).agg(count(lit(1)).as("c"))
+      .withColumn("y", sum(col("c")).over(
+        W.rowsBetween(0, Window.unboundedFollowing)))
+    val ext = grid.agg(min(col("m")).as("m0"), max(col("m")).as("m1"),
+      min(col("y")).as("y0"), max(col("y")).as("y1"))
+    val normed = grid.crossJoin(broadcast(ext))
+      .withColumn("x_micro", graft.functions.ExactRound.micro6(
+        col("m") - col("m0"), col("m1") - col("m0")))
+      .withColumn("y_micro", graft.functions.ExactRound.micro6(
+        col("y") - col("y0"), col("y1") - col("y0")))
+      .withColumn("dist_micro",
+        abs(col("x_micro") + col("y_micro") - 1000000L))
+    val knee = normed.agg(max(struct(col("dist_micro").as("d"),
+        (-col("m")).as("nm"))).as("k"))
+      .select((-col("k").getField("nm")).as("knee_m"))
+    normed.crossJoin(broadcast(knee))
+      .select(
+        graft.functions.ExactRound.ratio6(col("m"),
+          lit(DedupIndex.K.toLong)).as("threshold"),
+        col("c").as("n_pairs_at"), col("y").as("n_pairs_ge"),
+        (col("x_micro") / lit(1e6)).as("x_norm"),
+        (col("y_micro") / lit(1e6)).as("y_norm"),
+        (col("dist_micro") / lit(1e6)).as("chord_dist"),
+        (col("m") === col("knee_m")).as("is_knee"))
+      .orderBy(col("threshold"))
+  }
+
+  private val q340Sql = {
+    import graft.text.{TextFunctions => TF}
+    s"""WITH sig AS (
+       |  SELECT doc_id AS id, ${TF.sql.minhashSignature("text", 12)}
+       |    AS sig
+       |  FROM documents),
+       |banded AS (
+       |  SELECT id, sig,
+       |    b::VARCHAR || '#' || array_to_string(sig[b*6+1:b*6+6], '#')
+       |      AS bucket
+       |  FROM sig, range(0, 2) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+       |  FROM banded a JOIN banded b
+       |    ON a.bucket = b.bucket AND a.id < b.id),
+       |grid AS (
+       |  SELECT m, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT CAST(len(list_filter(list_zip(sa.sig, sb.sig),
+       |        z -> z[1] = z[2])) AS BIGINT) AS m
+       |    FROM cand c JOIN sig sa ON sa.id = c.a_id
+       |    JOIN sig sb ON sb.id = c.b_id) p
+       |  WHERE m >= 6 GROUP BY 1),
+       |cum AS (
+       |  SELECT m, c,
+       |    CAST(sum(c) OVER (ORDER BY m ROWS BETWEEN CURRENT ROW AND
+       |      UNBOUNDED FOLLOWING) AS BIGINT) AS y
+       |  FROM grid),
+       |ext AS (SELECT min(m) AS m0, max(m) AS m1, min(y) AS y0,
+       |  max(y) AS y1 FROM cum),
+       |normed AS (
+       |  SELECT m, c, y,
+       |    CAST(${graft.functions.ExactRound.sql.micro6("m - m0",
+            "m1 - m0")} AS BIGINT) AS x_micro,
+       |    CAST(${graft.functions.ExactRound.sql.micro6("y - y0",
+            "y1 - y0")} AS BIGINT) AS y_micro
+       |  FROM cum CROSS JOIN ext),
+       |dist AS (
+       |  SELECT *, abs(x_micro + y_micro - 1000000) AS dist_micro
+       |  FROM normed),
+       |knee AS (
+       |  SELECT -(max(struct_pack(d := dist_micro, nm := -m)).nm)
+       |    AS knee_m
+       |  FROM dist)
+       |SELECT ${graft.functions.ExactRound.sql.ratio6("m", "12")}
+       |    AS threshold,
+       |  c AS n_pairs_at, y AS n_pairs_ge,
+       |  x_micro / 1e6 AS x_norm, y_micro / 1e6 AS y_norm,
+       |  dist_micro / 1e6 AS chord_dist,
+       |  m = knee_m AS is_knee
+       |FROM dist CROSS JOIN knee
+       |ORDER BY threshold""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q145_dsir_importance", q145, Some(q145Sql), headline = true),
     Q("q146_bm25_topk", q146, Some(q146Sql)),
@@ -3656,6 +3757,7 @@ object CurationQueries {
     Q("q160_abtt_retrieval", q160, Some(q160Sql)),
     Q("q161_heldout_perplexity", q161, Some(q161Sql)),
     Q("q162_dedup_threshold_sweep", q162, Some(q162Sql), headline = true),
+    Q("q340_kneedle_threshold", q340, Some(q340Sql)),
     Q("q163_heaps_law", q163, Some(q163Sql)),
     Q("q164_zipf_fit", q164, Some(q164Sql)),
     Q("q165_bpe_encode", q165, Some(q165Sql)),

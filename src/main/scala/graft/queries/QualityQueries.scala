@@ -1152,6 +1152,119 @@ object QualityQueries {
        |FROM rankedq ORDER BY quality_rank""".stripMargin
   }
 
+  // -- q341: weak-supervision label model (Ratner et al. VLDB 2018
+  //          "Snorkel", in its one-step majority-anchored form — one
+  //          iteration of Dawid & Skene 1979): three labeling
+  //          functions vote {−1, 0, +1} on document quality (length
+  //          band, stopword-ratio band, language), the majority sign
+  //          anchors per-LF accuracies (agreement where both LF and
+  //          majority are non-abstain), and the accuracy-weighted
+  //          revote is the denoised label — the cheap way to label a
+  //          100 TB corpus with no gold data. Determinism: votes and
+  //          agreements are exact integers; accuracies are micro6;
+  //          the weighted score is an integer dot product; ratio
+  //          compares are cross-multiplied (never float). Scale
+  //          shape: one scan → per-doc votes; accuracies are one
+  //          1-row cross; per-source rollup streams out of a keyed
+  //          agg.
+  private def q341(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{TextFunctions => TF}
+    val voted = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        expr("CASE WHEN n_chars >= 200 THEN 1 " +
+          "WHEN n_chars < 50 THEN -1 ELSE 0 END").as("v_len"),
+        (when(TF.tokenCount(col("text")) === 0, 0L)
+          .when(TF.countIn(TF.tokens(col("text")),
+            TF.stopwords("en")).cast("long") * 100 >=
+            TF.tokenCount(col("text")).cast("long") * 8, 1L)
+          .when(TF.countIn(TF.tokens(col("text")),
+            TF.stopwords("en")) === 0, -1L)
+          .otherwise(0L)).as("v_stop"),
+        expr("CASE WHEN lang = 'en' THEN 1 WHEN lang = 'zh' THEN -1 " +
+          "ELSE 0 END").as("v_lang"))
+      .withColumn("major", expr(
+        "CASE WHEN v_len + v_stop + v_lang > 0 THEN 1 " +
+          "WHEN v_len + v_stop + v_lang < 0 THEN -1 ELSE 0 END"))
+    def acc(v: String) = graft.functions.ExactRound.micro6(
+      coalesce(sum(when(col(v) =!= 0 && col("major") =!= 0 &&
+        col(v) === col("major"), 1L)), lit(0L)),
+      greatest(coalesce(sum(when(col(v) =!= 0 && col("major") =!= 0,
+        1L)), lit(0L)), lit(1L)))
+    val weights = voted.agg(acc("v_len").as("w_len"),
+      acc("v_stop").as("w_stop"), acc("v_lang").as("w_lang"))
+    voted.crossJoin(broadcast(weights))
+      .withColumn("score", col("v_len") * col("w_len") +
+        col("v_stop") * col("w_stop") + col("v_lang") * col("w_lang"))
+      .withColumn("weighted", expr(
+        "CASE WHEN score > 0 THEN 1 WHEN score < 0 THEN -1 " +
+          "ELSE major END"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("major") === 1, 1L).otherwise(0L))
+          .as("n_pos_major"),
+        sum(when(col("weighted") === 1, 1L).otherwise(0L))
+          .as("n_pos_weighted"),
+        sum(when(col("weighted") =!= col("major"), 1L).otherwise(0L))
+          .as("n_flips"),
+        (max(col("w_len")) / 1e6).as("acc_len"),
+        (max(col("w_stop")) / 1e6).as("acc_stop"),
+        (max(col("w_lang")) / 1e6).as("acc_lang"))
+      .orderBy(col("source"))
+  }
+
+  private val q341Sql = {
+    import graft.text.{TextFunctions => TF}
+    import graft.functions.{ExactRound => ER}
+    val stops = TF.stopwords("en")
+    val nStop = TF.sql.countIn(TF.sql.tokens("text"), stops)
+    val nTok = TF.sql.tokenCount("text")
+    def accSql(v: String) = "CAST(" + ER.sql.micro6(
+      s"coalesce(sum(CASE WHEN $v <> 0 AND major <> 0 AND " +
+        s"$v = major THEN 1 END), 0)",
+      s"greatest(coalesce(sum(CASE WHEN $v <> 0 AND major <> 0 " +
+        s"THEN 1 END), 0), 1)") + " AS BIGINT)"
+    s"""WITH voted AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN n_chars >= 200 THEN 1 WHEN n_chars < 50 THEN -1
+       |      ELSE 0 END AS v_len,
+       |    CASE WHEN $nTok = 0 THEN 0
+       |      WHEN $nStop * 100 >= $nTok * 8 THEN 1
+       |      WHEN $nStop = 0 THEN -1 ELSE 0 END AS v_stop,
+       |    CASE WHEN lang = 'en' THEN 1 WHEN lang = 'zh' THEN -1
+       |      ELSE 0 END AS v_lang
+       |  FROM documents),
+       |majored AS (
+       |  SELECT *, CASE WHEN v_len + v_stop + v_lang > 0 THEN 1
+       |    WHEN v_len + v_stop + v_lang < 0 THEN -1 ELSE 0 END
+       |    AS major
+       |  FROM voted),
+       |weights AS (
+       |  SELECT ${accSql("v_len")} AS w_len,
+       |    ${accSql("v_stop")} AS w_stop,
+       |    ${accSql("v_lang")} AS w_lang
+       |  FROM majored),
+       |scored AS (
+       |  SELECT m.*, w.w_len, w.w_stop, w.w_lang,
+       |    m.v_len * w.w_len + m.v_stop * w.w_stop +
+       |      m.v_lang * w.w_lang AS score
+       |  FROM majored m CROSS JOIN weights w),
+       |labeled AS (
+       |  SELECT *, CASE WHEN score > 0 THEN 1 WHEN score < 0 THEN -1
+       |    ELSE major END AS weighted
+       |  FROM scored)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN major = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_pos_major,
+       |  CAST(sum(CASE WHEN weighted = 1 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_pos_weighted,
+       |  CAST(sum(CASE WHEN weighted <> major THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_flips,
+       |  max(w_len) / 1e6 AS acc_len,
+       |  max(w_stop) / 1e6 AS acc_stop,
+       |  max(w_lang) / 1e6 AS acc_lang
+       |FROM labeled GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q96_source_reliability", q96, Some(q96Sql)),
     Q("q97_gap_detection", q97, Some(q97Sql)),
@@ -1160,5 +1273,6 @@ object QualityQueries {
     Q("q100_quality_engine", q100, Some(q100Sql)),
     Q("q102_enhancement_actions", q102, Some(q102Sql)),
     Q("q103_quality_report", q103, Some(q103Sql)),
-    Q("q105_quality_ranking", q105, Some(q105Sql)))
+    Q("q105_quality_ranking", q105, Some(q105Sql)),
+    Q("q341_label_model", q341, Some(q341Sql)))
 }

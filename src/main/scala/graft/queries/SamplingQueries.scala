@@ -3308,6 +3308,212 @@ object SamplingQueries {
        |ORDER BY s.channel""".stripMargin
   }
 
+  // -- q339: difference-in-differences (Card & Krueger 1994's designs;
+  //          Angrist & Pischke §5) on the 2×2 (arm × pre/post) grid —
+  //          the observational-causal readout when treatment switches
+  //          ON at a known time: DiD = (ȳ_B,post − ȳ_B,pre) −
+  //          (ȳ_A,post − ȳ_A,pre) cancels both the arm level and the
+  //          common time trend. Post = second half of the observed
+  //          range (1-row range cross); outcome = event value cents.
+  //          SE from the 4-cell variance sum (unequal-variance normal
+  //          approximation, Welch-style). Determinism: integer cents
+  //          sums and Σx² per cell, shared expression text for the
+  //          final stats. Scale shape: one scan → 4-cell grid → 1-row
+  //          stats cross; cells stream out of one keyed agg.
+  private def q339(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(expr("CAST(ts AS LONG)").as("sec"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        when(Sampling.hashBucket(col("user_id"), 2, "ab") === 1L, 1L)
+          .otherwise(0L).as("treat"))
+    val rng = ev.agg(min(col("sec")).as("s0"), max(col("sec")).as("s1"))
+    val cells = ev.crossJoin(broadcast(rng))
+      .withColumn("post",
+        (col("sec") >= expr("(s0 + s1) div 2")).cast("long"))
+      .groupBy(col("treat"), col("post"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sx"),
+        sum(col("cents") * col("cents")).as("sxx"))
+    val wide = cells.agg(
+      max(when(col("treat") === 1 && col("post") === 1, col("n"))).as("n_tp"),
+      max(when(col("treat") === 1 && col("post") === 1, col("sx"))).as("sx_tp"),
+      max(when(col("treat") === 1 && col("post") === 1, col("sxx"))).as("sxx_tp"),
+      max(when(col("treat") === 1 && col("post") === 0, col("n"))).as("n_tr"),
+      max(when(col("treat") === 1 && col("post") === 0, col("sx"))).as("sx_tr"),
+      max(when(col("treat") === 1 && col("post") === 0, col("sxx"))).as("sxx_tr"),
+      max(when(col("treat") === 0 && col("post") === 1, col("n"))).as("n_cp"),
+      max(when(col("treat") === 0 && col("post") === 1, col("sx"))).as("sx_cp"),
+      max(when(col("treat") === 0 && col("post") === 1, col("sxx"))).as("sxx_cp"),
+      max(when(col("treat") === 0 && col("post") === 0, col("n"))).as("n_cr"),
+      max(when(col("treat") === 0 && col("post") === 0, col("sx"))).as("sx_cr"),
+      max(when(col("treat") === 0 && col("post") === 0, col("sxx"))).as("sxx_cr"))
+    cells.crossJoin(broadcast(wide))
+      .select(col("treat"), col("post"), col("n"),
+        graft.functions.ExactRound.ratio6(col("sx"), col("n") * 100)
+          .as("mean_dollars"),
+        expr(s"round($didExpr, 6)").as("did_cents"),
+        expr(s"round($didSeExpr, 6)").as("se_cents"),
+        expr(s"abs(($didExpr) / nullif($didSeExpr, 0)) > 1.96")
+          .as("significant"))
+      .orderBy(col("treat"), col("post"))
+  }
+
+  private def cellMean(p: String) =
+    s"(CAST(sx_$p AS DOUBLE) / n_$p)"
+  private def cellVarOverN(p: String) =
+    s"((CAST(sxx_$p AS DOUBLE) / n_$p - ${cellMean(p)} * " +
+      s"${cellMean(p)}) / n_$p)"
+  private lazy val didExpr =
+    s"((${cellMean("tp")} - ${cellMean("tr")}) - " +
+      s"(${cellMean("cp")} - ${cellMean("cr")}))"
+  private lazy val didSeExpr =
+    s"sqrt(${cellVarOverN("tp")} + ${cellVarOverN("tr")} + " +
+      s"${cellVarOverN("cp")} + ${cellVarOverN("cr")})"
+
+  private val q339Sql = {
+    import graft.functions.{ExactRound => ER}
+    val h = bucketSql("user_id", 2, "ab")
+    s"""WITH ev AS (
+       |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+       |    CAST(round(value * 100) AS BIGINT) AS cents,
+       |    CASE WHEN $h = 1 THEN 1 ELSE 0 END AS treat
+       |  FROM events),
+       |rng AS (SELECT min(sec) AS s0, max(sec) AS s1 FROM ev),
+       |cells AS (
+       |  SELECT treat,
+       |    CASE WHEN sec >= (s0 + s1) // 2 THEN 1 ELSE 0 END AS post,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(cents) AS BIGINT) AS sx,
+       |    CAST(sum(cents * cents) AS BIGINT) AS sxx
+       |  FROM ev CROSS JOIN rng GROUP BY 1, 2),
+       |wide AS (
+       |  SELECT
+       |    max(CASE WHEN treat = 1 AND post = 1 THEN n END) AS n_tp,
+       |    max(CASE WHEN treat = 1 AND post = 1 THEN sx END) AS sx_tp,
+       |    max(CASE WHEN treat = 1 AND post = 1 THEN sxx END) AS sxx_tp,
+       |    max(CASE WHEN treat = 1 AND post = 0 THEN n END) AS n_tr,
+       |    max(CASE WHEN treat = 1 AND post = 0 THEN sx END) AS sx_tr,
+       |    max(CASE WHEN treat = 1 AND post = 0 THEN sxx END) AS sxx_tr,
+       |    max(CASE WHEN treat = 0 AND post = 1 THEN n END) AS n_cp,
+       |    max(CASE WHEN treat = 0 AND post = 1 THEN sx END) AS sx_cp,
+       |    max(CASE WHEN treat = 0 AND post = 1 THEN sxx END) AS sxx_cp,
+       |    max(CASE WHEN treat = 0 AND post = 0 THEN n END) AS n_cr,
+       |    max(CASE WHEN treat = 0 AND post = 0 THEN sx END) AS sx_cr,
+       |    max(CASE WHEN treat = 0 AND post = 0 THEN sxx END) AS sxx_cr
+       |  FROM cells)
+       |SELECT treat, post, n,
+       |  ${ER.sql.ratio6("sx", "n * 100")} AS mean_dollars,
+       |  round($didExpr, 6) AS did_cents,
+       |  round($didSeExpr, 6) AS se_cents,
+       |  abs(($didExpr) / nullif($didSeExpr, 0)) > 1.96 AS significant
+       |FROM cells CROSS JOIN wide
+       |ORDER BY treat, post""".stripMargin
+  }
+
+  // -- q342: O'Brien–Fleming group-sequential audit (O'Brien &
+  //          Fleming 1979; the 5-look interim-analysis design a
+  //          regulated experiment runs INSTEAD of peeking): the time
+  //          range splits into 5 equal spans; at each look the pooled
+  //          two-proportion z over all users SEEN so far is compared
+  //          to the OBF boundary 2.0401·√(5/k) (two-sided α = 0.05,
+  //          equally spaced looks — contract constants). Early looks
+  //          demand overwhelming evidence; the final boundary is
+  //          nearly the fixed-horizon 1.96. Complements q325's SPRT
+  //          (per-trial) with the scheduled-look design. Determinism:
+  //          users census by (variant, first_seen_span,
+  //          first_conv_span) — a ≤ 2·5·6-cell grid — and each look
+  //          reads cumulative integers off it; z is shared expression
+  //          text. Scale shape: one per-user agg → 60-cell census ×
+  //          5-look grid.
+  private val ObfBoundaries =
+    Seq(1 -> 4.562162, 2 -> 3.225946, 3 -> 2.633886, 4 -> 2.281081,
+      5 -> 2.040100)
+
+  private def q342(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), expr("CAST(ts AS LONG)").as("sec"),
+        (col("event_type") === "purchase" && col("value") > 95)
+          .cast("long").as("conv"))
+    val rng = ev.agg(min(col("sec")).as("s0"),
+      (max(col("sec")) + 1).as("s1"))
+    val spanned = ev.crossJoin(broadcast(rng))
+      .withColumn("span",
+        least(expr("((sec - s0) * 5) div (s1 - s0)") + 1, lit(5L)))
+    val users = spanned.groupBy(col("user_id"))
+      .agg(min(col("span")).as("first_seen"),
+        min(when(col("conv") === 1L, col("span"))).as("first_conv"))
+      .withColumn("variant",
+        when(Sampling.hashBucket(col("user_id"), 2, "ab") === 0L, "A")
+          .otherwise("B"))
+    val census = users.groupBy(col("variant"), col("first_seen"),
+        col("first_conv")).agg(count(lit(1)).as("c"))
+    val looks = {
+      import s.implicits._
+      ObfBoundaries.toDF("look", "boundary")
+    }
+    val perLook = looks.join(census,
+        census("first_seen") <= looks("look"), "left")
+      .groupBy(col("look"), col("boundary"))
+      .agg(
+        coalesce(sum(when(col("variant") === "A", col("c"))), lit(0L))
+          .as("na"),
+        coalesce(sum(when(col("variant") === "A" &&
+          col("first_conv") <= col("look"), col("c"))), lit(0L))
+          .as("ka"),
+        coalesce(sum(when(col("variant") === "B", col("c"))), lit(0L))
+          .as("nb"),
+        coalesce(sum(when(col("variant") === "B" &&
+          col("first_conv") <= col("look"), col("c"))), lit(0L))
+          .as("kb"))
+    perLook.select(col("look"), col("boundary"), col("na"), col("ka"),
+        col("nb"), col("kb"),
+        expr(s"round($abZExpr, 6)").as("z_score"),
+        expr(s"abs($abZExpr) > boundary").as("crossed"))
+      .orderBy(col("look"))
+  }
+
+  private val q342Sql = {
+    val h = bucketSql("user_id", 2, "ab")
+    val lookValues = ObfBoundaries
+      .map { case (k, b) => s"($k, $b)" }.mkString(", ")
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+       |    CASE WHEN event_type = 'purchase' AND value > 95
+       |      THEN 1 ELSE 0 END AS conv
+       |  FROM events),
+       |rng AS (SELECT min(sec) AS s0, max(sec) + 1 AS s1 FROM ev),
+       |spanned AS (
+       |  SELECT user_id, conv,
+       |    least(((sec - s0) * 5) // (s1 - s0) + 1, 5) AS span
+       |  FROM ev CROSS JOIN rng),
+       |users AS (
+       |  SELECT user_id, min(span) AS first_seen,
+       |    min(CASE WHEN conv = 1 THEN span END) AS first_conv,
+       |    CASE WHEN $h = 0 THEN 'A' ELSE 'B' END AS variant
+       |  FROM spanned GROUP BY user_id),
+       |census AS (
+       |  SELECT variant, first_seen, first_conv,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM users GROUP BY 1, 2, 3),
+       |looks AS (SELECT * FROM (VALUES $lookValues)
+       |  AS t(look, boundary)),
+       |per_look AS (
+       |  SELECT l.look, l.boundary,
+       |    CAST(coalesce(sum(CASE WHEN variant = 'A' THEN c END), 0)
+       |      AS BIGINT) AS na,
+       |    CAST(coalesce(sum(CASE WHEN variant = 'A'
+       |      AND first_conv <= l.look THEN c END), 0) AS BIGINT) AS ka,
+       |    CAST(coalesce(sum(CASE WHEN variant = 'B' THEN c END), 0)
+       |      AS BIGINT) AS nb,
+       |    CAST(coalesce(sum(CASE WHEN variant = 'B'
+       |      AND first_conv <= l.look THEN c END), 0) AS BIGINT) AS kb
+       |  FROM looks l LEFT JOIN census x ON x.first_seen <= l.look
+       |  GROUP BY 1, 2)
+       |SELECT look, boundary, na, ka, nb, kb,
+       |  round($abZExpr, 6) AS z_score,
+       |  abs($abZExpr) > boundary AS crossed
+       |FROM per_look ORDER BY look""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q111_split_assign", q111, Some(q111Sql)),
     Q("q112_quota_sample", q112, Some(q112Sql)),
@@ -3357,5 +3563,7 @@ object SamplingQueries {
     Q("q330_ips_policy_value", q330, Some(q330Sql)),
     Q("q333_srm_check", q333, Some(q333Sql)),
     Q("q334_median_ci", q334, Some(q334Sql)),
-    Q("q335_shapley_attribution", q335, Some(q335Sql)))
+    Q("q335_shapley_attribution", q335, Some(q335Sql)),
+    Q("q339_diff_in_diff", q339, Some(q339Sql)),
+    Q("q342_obf_group_sequential", q342, Some(q342Sql)))
 }

@@ -170,7 +170,11 @@ class PlanShapeSpec extends SparkSpec {
     "q335_shapley_attribution", // 32-mask grid x 5-channel bitmask joins
     "q336_t_closeness",       // 1-row population-total cross (q194 classes)
     "q337_ecod_outliers",     // 1-row doc-count cross per feature census
-    "q338_local_max_matching") // 1-row initial-edge-count cross
+    "q338_local_max_matching", // 1-row initial-edge-count cross
+    "q339_diff_in_diff",      // 1-row range + 1-row 4-cell-wide crosses
+    "q340_kneedle_threshold", // 1-row extrema + 1-row knee crosses
+    "q341_label_model",       // 1-row LF-accuracy weights cross
+    "q342_obf_group_sequential") // 5-look grid joined <= onto 60-cell census
 
   /** Catalog queries that window WITHOUT a partition spec — every row
     * audited (round-9 verdict): the windowed frame is metadata-/eval-
@@ -220,7 +224,10 @@ class PlanShapeSpec extends SparkSpec {
     "q331_hilbert_layout",
     // per-feature value-domain censuses (q337: the three ecdf cumsum
     // windows run over integer feature grids, never |docs|)
-    "q337_ecod_outliers")
+    "q337_ecod_outliers",
+    // MinHash estimate lattice (q340: the descending cumulative runs
+    // over at most K/2+1 grid points)
+    "q340_kneedle_threshold")
 
   test("unpartitioned windows only over audited metadata-bounded frames") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
