@@ -1,0 +1,182 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.engine.Lineage.LineageOps
+
+/** HyperBall (Boldi & Vigna, "In-Core Computation of Geometric
+  * Centralities with HyperBall", 2013; the HyperANF line of work) —
+  * the neighborhood function N(t) = Σ_v |B(v,t)| estimated for EVERY
+  * node at once by giving each node an HLL counter of its ball and
+  * running t rounds of register-max merges along edges. This is THE
+  * web-scale diameter/centrality algorithm: exact per-source BFS
+  * (q258) costs O(sources·m), HyperBall costs O(t·m·m_regs) TOTAL for
+  * all sources — the trade a 100 TB graph forces.
+  *
+  * Determinism contract: m = 16 registers (p = 4, ~26% per-node std
+  * error — aggregate N(t) is much tighter because node errors are
+  * independent); register init from the md5 hash (bucket = h mod 16,
+  * rank = trailing zeros of a bit-20-anchored word, so ρ ≤ 21 and
+  * every float step is a table of EXACT dyadic / precomputed-ln
+  * constants emitted as the SAME CASE text into both engines);
+  * per-node estimates are micro-floored LONGs before the corpus sum.
+  *
+  * Registers are SPARSE rows (node, j, r) — absent register = 0 —
+  * so a round is: self ∪ neighbor-carried rows → group-max on
+  * (node, j). Lineage truncated per round.
+  */
+object HyperBall {
+
+  val M = 16 // registers per node (p = 4)
+  private val Alpha16x256 = "172.288" // 0.673 * 16^2, exact literal
+
+  /** ρ(w) over the bit-20-anchored word (w mod 2^20 + 2^20): CASE on
+    * trailing zeros, 1-based, ≤ 21 — identical text both engines.
+    * private[graft]: TemporalQueries' rolling HLL (q344) reuses the
+    * same constant tables. */
+  private[graft] def rhoSql(w: String): String = {
+    val cases = (1 to 21).map { k =>
+      s"WHEN ($w) % ${1L << k} = ${1L << (k - 1)} THEN $k"
+    }.mkString(" ")
+    s"(CASE $cases END)"
+  }
+
+  /** 2^(−r) for r ∈ [1, 21] as exact decimal literals. */
+  private[graft] def pow2NegSql(r: String): String = {
+    val cases = (1 to 21).map { k =>
+      val lit = new java.math.BigDecimal(1)
+        .divide(new java.math.BigDecimal(1L << k)).toPlainString
+      s"WHEN ($r) = $k THEN $lit"
+    }.mkString(" ")
+    s"(CASE $cases END)"
+  }
+
+  /** Per-node HLL estimate in micro units from (present, sumpow):
+    * raw = α·m²/((m−present) + Σ2^(−r)); linear-counting correction
+    * m·ln(m/V) when raw ≤ 2.5m and V = m − present > 0 — the ln table
+    * is 15 precomputed micro constants (V = m ⇒ empty counter ⇒ est
+    * 0, unreachable here since every node holds its own hash). */
+  private[graft] def estMicroSql(present: String, sumpow: String): String = {
+    val raw = s"($Alpha16x256 / (($M - ($present)) + ($sumpow)))"
+    val lnCases = (1 to 15).map { v =>
+      val micro = Math.round(M * math.log(M.toDouble / v) * 1e6)
+      s"WHEN $M - ($present) = $v THEN CAST($micro AS BIGINT)"
+    }.mkString(" ")
+    s"(CASE WHEN $raw <= ${2.5 * M} AND ($present) < $M THEN " +
+      s"(CASE $lnCases END) " +
+      s"ELSE CAST(floor($raw * 1000000) AS BIGINT) END)"
+  }
+
+  /** Initial sparse registers for a node frame (column `node`):
+    * bucket j = h mod m, rank from the bit-20-anchored word
+    * (h div m) mod 2^20 + 2^20 — Column arithmetic here, the same
+    * integer recipe as the oracle's [[registers0Sql]] (h < 2^32, so
+    * the double division inside floor is exact). */
+  def registers0(nodes: DataFrame): DataFrame = {
+    val h = graft.text.TextFunctions.md5Long(col("node"))
+    nodes.select(col("node"),
+      pmod(h, lit(M.toLong)).as("j"),
+      (pmod(floor(h / lit(M.toDouble)).cast("long"),
+        lit(1048576L)) + lit(1048576L)).as("w"))
+      .selectExpr("node", "j", s"${rhoSql("w")} AS r")
+  }
+
+  /** One synchronous merge round along undirected canonical edges
+    * (a, b): every node absorbs its neighbors' registers. The DENSE
+    * form — ships every node's registers every round; kept as the
+    * reference for the systolic parity spec. */
+  def mergeRound(regs: DataFrame, canon: DataFrame): DataFrame = {
+    val fromB = canon.join(regs.withColumnRenamed("node", "b"), "b")
+      .select(col("a").as("node"), col("j"), col("r"))
+    val fromA = canon.join(regs.withColumnRenamed("node", "a"), "a")
+      .select(col("b").as("node"), col("j"), col("r"))
+    regs.select(col("node"), col("j"), col("r"))
+      .unionByName(fromB).unionByName(fromA)
+      .groupBy(col("node"), col("j")).agg(max(col("r")).as("r"))
+      .truncateLineage()
+  }
+
+  /** The SYSTOLIC round (the paper's §4.1 optimization): only nodes
+    * whose counter CHANGED last round push registers. Correct because
+    * register-max is monotone and idempotent — an unchanged
+    * neighbor's state was already absorbed the round it last changed,
+    * so round-by-round results are IDENTICAL to [[mergeRound]]
+    * (pinned by HyperBallSpec). MEASURED HONESTLY: at 3 rounds on the
+    * knowledge graph the changed frontier has not collapsed yet
+    * (every ball is still growing), so the per-round change-detection
+    * join costs MORE than the traffic it saves (sf1.0: 123 s systolic
+    * vs 86 s dense) — q343 therefore runs DENSE; this form is the
+    * right one only for deep-round runs (t ≳ effective diameter,
+    * where dense keeps shipping saturated counters and the frontier
+    * is a sliver). Returns (merged registers, next changed frame). */
+  def mergeRoundSystolic(regs: DataFrame, canon: DataFrame,
+      changed: DataFrame): (DataFrame, DataFrame) = {
+    val regsC = regs.join(changed, "node")
+    val fromB = canon.join(regsC.withColumnRenamed("node", "b"), "b")
+      .select(col("a").as("node"), col("j"), col("r"))
+    val fromA = canon.join(regsC.withColumnRenamed("node", "a"), "a")
+      .select(col("b").as("node"), col("j"), col("r"))
+    val merged = regs.select(col("node"), col("j"), col("r"))
+      .unionByName(fromB).unionByName(fromA)
+      .groupBy(col("node"), col("j")).agg(max(col("r")).as("r"))
+      .truncateLineage()
+    val nextChanged = merged
+      .join(regs.withColumnRenamed("r", "r_old"),
+        Seq("node", "j"), "left")
+      .filter(col("r") > coalesce(col("r_old"), lit(0L)))
+      .select(col("node")).distinct()
+      .truncateLineage()
+    (merged, nextChanged)
+  }
+
+  /** One-row neighborhood-function estimate at hop `t`. */
+  def estimateRow(regs: DataFrame, t: Int): DataFrame =
+    regs.groupBy(col("node"))
+      .agg(count(lit(1)).as("present"),
+        sum(expr(pow2NegSql("r"))).as("sumpow"))
+      .select(expr(estMicroSql("present", "sumpow")).as("est_micro"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("est_micro")).as("nf_micro"))
+      .select(lit(t).as("t"), col("n_nodes"),
+        (col("nf_micro") / lit(1e6)).as("nf_est"),
+        graft.functions.ExactRound.microMean6(col("nf_micro"),
+          col("n_nodes")).as("avg_ball_est"))
+
+  // ---- oracle twins (same generated CASE text) ----------------------
+
+  /** reg0 CTE over a `nodes(node)` CTE. */
+  def registers0Sql: String = {
+    val h = graft.text.TextFunctions.sql.md5Long("node")
+    s"""reg_0 AS MATERIALIZED (
+       |  SELECT node, ($h % $M + $M) % $M AS j,
+       |    ${rhoSql(s"(($h // $M) % 1048576 + 1048576)")} AS r
+       |  FROM nodes)""".stripMargin
+  }
+
+  /** reg_{t} CTE from reg_{t−1} over a `canon(a, b)` CTE. */
+  def mergeRoundSql(t: Int): String =
+    s"""reg_$t AS MATERIALIZED (
+       |  SELECT node, j, CAST(max(r) AS BIGINT) AS r FROM (
+       |    SELECT node, j, r FROM reg_${t - 1}
+       |    UNION ALL
+       |    SELECT c.a AS node, g.j, g.r FROM canon c
+       |    JOIN reg_${t - 1} g ON g.node = c.b
+       |    UNION ALL
+       |    SELECT c.b, g.j, g.r FROM canon c
+       |    JOIN reg_${t - 1} g ON g.node = c.a) u
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** One estimate leg (SELECT, no CTE wrapper) for reg_{t}. */
+  def estimateSql(t: Int): String =
+    s"""SELECT $t AS t, CAST(count(*) AS BIGINT) AS n_nodes,
+       |  CAST(sum(est_micro) AS BIGINT) / 1e6 AS nf_est,
+       |  ${graft.functions.ExactRound.sql.microMean6(
+          "CAST(sum(est_micro) AS BIGINT)", "count(*)")}
+       |    AS avg_ball_est
+       |FROM (
+       |  SELECT node, ${estMicroSql("present", "sumpow")} AS est_micro
+       |  FROM (
+       |    SELECT node, CAST(count(*) AS BIGINT) AS present,
+       |      sum(${pow2NegSql("r")}) AS sumpow
+       |    FROM reg_$t GROUP BY 1) p) e""".stripMargin
+}

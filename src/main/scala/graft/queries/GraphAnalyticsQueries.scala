@@ -1329,6 +1329,62 @@ object GraphAnalyticsQueries {
        |ORDER BY round""".stripMargin
   }
 
+  // -- q343: HyperBall neighborhood function (Boldi & Vigna 2013 —
+  //          HyperANF/HyperBall) over the knowledge graph: every node
+  //          carries a 16-register HLL of its ball and 3 synchronous
+  //          register-max rounds estimate N(t) = Σ|B(v,t)| for ALL
+  //          nodes at once — where q258 walks 16 sampled sources
+  //          EXACTLY, this covers every source approximately, which
+  //          is the only affordable shape at web scale (O(t·m)
+  //          register traffic total vs O(sources·m) BFS). All float
+  //          steps are generated CONSTANT TABLES (exact dyadic
+  //          2^(−r), precomputed m·ln(m/V) micro entries) emitted as
+  //          identical CASE text into both engines; per-node
+  //          estimates micro-floored before the corpus sum
+  //          (graph/HyperBall.scala). HyperBallSpec pins the estimate
+  //          against the exact 3-hop ball census on sf0.001 (±25%)
+  //          and monotonicity in t. Scale shape per round: registers
+  //          are sparse (node, j, r) rows; one union + keyed max —
+  //          register traffic 2·|E|·m rows, lineage truncated.
+  private val HbRounds = 3
+
+  private def q343(s: SparkSession, dir: String): DataFrame = {
+    import graft.graph.HyperBall
+    val canon = KGraph.canonicalMaterialized(s, dir)
+    val nodes = canon.select(col("a").as("node"))
+      .unionByName(canon.select(col("b").as("node"))).distinct()
+    var regs = HyperBall.registers0(nodes)
+    var out = HyperBall.estimateRow(regs, 0)
+    for (t <- 1 to HbRounds) {
+      // dense rounds: at t=3 the frontier hasn't collapsed, so the
+      // systolic change-detection join costs more than it saves
+      // (measured 86 vs 123 s at sf1.0) — see HyperBall scaladoc
+      regs = HyperBall.mergeRound(regs, canon)
+      out = out.unionByName(HyperBall.estimateRow(regs, t))
+    }
+    out.orderBy(col("t"))
+  }
+
+  private val q343Sql = {
+    import graft.graph.HyperBall
+    val rounds = (1 to HbRounds).map(HyperBall.mergeRoundSql)
+      .mkString(",\n")
+    val legs = (0 to HbRounds).map(HyperBall.estimateSql)
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${KGraph.edgesSql},
+       |canon AS MATERIALIZED (
+       |  SELECT DISTINCT least(from_id, to_id) AS a,
+       |    greatest(from_id, to_id) AS b
+       |  FROM edges WHERE from_id <> to_id),
+       |nodes AS MATERIALIZED (
+       |  SELECT a AS node FROM canon UNION SELECT b FROM canon),
+       |${HyperBall.registers0Sql},
+       |$rounds
+       |SELECT * FROM (
+       |$legs) u
+       |ORDER BY t""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q191_copurchase_clustering", q191, Some(q191Sql), headline = true),
     Q("q192_kcore_layers", q192, Some(q192Sql), headline = true),
@@ -1348,5 +1404,6 @@ object GraphAnalyticsQueries {
     Q("q294_personalized_pagerank", q294, Some(q294Sql)),
     Q("q299_bridge_audit", q299, Some(q299Sql)),
     Q("q319_butterfly_census", q319, Some(q319Sql)),
-    Q("q338_local_max_matching", q338, Some(q338Sql)))
+    Q("q338_local_max_matching", q338, Some(q338Sql)),
+    Q("q343_hyperball", q343, Some(q343Sql)))
 }

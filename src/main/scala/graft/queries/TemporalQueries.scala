@@ -1906,6 +1906,104 @@ object TemporalQueries {
        |ORDER BY prev_type""".stripMargin
   }
 
+  // -- q344: rolling 7-day distinct users via DAILY HLL sketches —
+  //          the production dashboard pattern (Heule/Nunkesser/Hall
+  //          2013 "HyperLogLog in Practice"): exact rolling distincts
+  //          need the raw id set per window (unshippable at 100 TB);
+  //          mergeable per-day register tables make any window a
+  //          register-max roll-up of 7 tiny rows. Registers reuse
+  //          q343's constant-table machinery (HyperBall.rhoSql /
+  //          pow2NegSql / estMicroSql — m = 16, micro-floored
+  //          estimates); the roll-up is an EXPLODE-to-7-target-days
+  //          equi-join, never a range join. The exact rolling count
+  //          rides along as the audit column (affordable here, the
+  //          thing the sketch replaces at scale) with the relative
+  //          error. Scale shape: one scan → (day × 16) register grid;
+  //          everything after is grid-sized.
+  private def q344(s: SparkSession, dir: String): DataFrame = {
+    import graft.graph.HyperBall
+    val du = events(s, dir)
+      .select(expr("CAST(ts AS LONG) div 86400").as("day"),
+        col("user_id")).distinct()
+    val hashed = du.select(col("day"),
+        pmod(graft.text.TextFunctions.md5Long(
+          col("user_id").cast("string")), lit(16L)).as("j"),
+        (pmod(floor(graft.text.TextFunctions.md5Long(
+          col("user_id").cast("string")) / lit(16.0)).cast("long"),
+          lit(1048576L)) + lit(1048576L)).as("w"))
+      .selectExpr("day", "j", s"${HyperBall.rhoSql("w")} AS r")
+    val daily = hashed.groupBy(col("day"), col("j"))
+      .agg(max(col("r")).as("r"))
+    val days = du.select(col("day")).distinct()
+    val rolled = daily
+      .withColumn("target", explode(sequence(col("day"),
+        col("day") + 6)))
+      .join(days.withColumnRenamed("day", "target"), "target")
+      .groupBy(col("target"), col("j")).agg(max(col("r")).as("r"))
+    val est = rolled.groupBy(col("target"))
+      .agg(count(lit(1)).as("present"),
+        sum(expr(HyperBall.pow2NegSql("r"))).as("sumpow"))
+      .selectExpr("target",
+        s"${HyperBall.estMicroSql("present", "sumpow")} AS est_micro")
+    val exact = du
+      .withColumn("target", explode(sequence(col("day"),
+        col("day") + 6)))
+      .join(days.withColumnRenamed("day", "target"), "target")
+      .groupBy(col("target"))
+      .agg(countDistinct(col("user_id")).as("exact_d7"))
+    est.join(exact, "target")
+      .select(col("target").as("day"), col("exact_d7"),
+        (col("est_micro") / lit(1e6)).as("est_d7"),
+        expr("round((est_micro / 1e6 - exact_d7) / exact_d7, 6)")
+          .as("rel_err"))
+      .orderBy(col("day"))
+  }
+
+  private val q344Sql = {
+    import graft.graph.HyperBall
+    val h = graft.text.TextFunctions.sql
+      .md5Long("CAST(user_id AS VARCHAR)")
+    s"""WITH du AS (
+       |  SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400
+       |    AS day, user_id
+       |  FROM events),
+       |hashed AS (
+       |  SELECT day, ($h % 16 + 16) % 16 AS j,
+       |    ${HyperBall.rhoSql(s"(($h // 16) % 1048576 + 1048576)")}
+       |      AS r
+       |  FROM du),
+       |daily AS (
+       |  SELECT day, j, CAST(max(r) AS BIGINT) AS r
+       |  FROM hashed GROUP BY 1, 2),
+       |days AS (SELECT DISTINCT day FROM du),
+       |rolled AS (
+       |  SELECT t.target, d.j, CAST(max(d.r) AS BIGINT) AS r
+       |  FROM daily d
+       |  JOIN (SELECT day AS target FROM days) t
+       |    ON t.target BETWEEN d.day AND d.day + 6
+       |  GROUP BY 1, 2),
+       |est AS (
+       |  SELECT target,
+       |    ${HyperBall.estMicroSql("present", "sumpow")} AS est_micro
+       |  FROM (
+       |    SELECT target, CAST(count(*) AS BIGINT) AS present,
+       |      sum(${HyperBall.pow2NegSql("r")}) AS sumpow
+       |    FROM rolled GROUP BY 1) p),
+       |exact AS (
+       |  SELECT t.target,
+       |    CAST(count(DISTINCT u.user_id) AS BIGINT) AS exact_d7
+       |  FROM du u
+       |  JOIN (SELECT day AS target FROM days) t
+       |    ON t.target BETWEEN u.day AND u.day + 6
+       |  GROUP BY 1)
+       |SELECT e.target AS day, x.exact_d7,
+       |  e.est_micro / 1e6 AS est_d7,
+       |  round((e.est_micro / 1e6 - x.exact_d7) / x.exact_d7, 6)
+       |    AS rel_err
+       |FROM est e JOIN exact x ON e.target = x.target
+       |ORDER BY day""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q36_temporal_filter", q36, Some(q36Sql)),
     Q("q37_daily_cumulative", q37, Some(q37Sql)),
@@ -1938,5 +2036,6 @@ object TemporalQueries {
     Q("q313_changepoint_binseg", q313, Some(q313Sql)),
     Q("q317_permutation_entropy", q317, Some(q317Sql)),
     Q("q320_interval_join", q320, Some(q320Sql)),
-    Q("q332_markov_entropy_rate", q332, Some(q332Sql)))
+    Q("q332_markov_entropy_rate", q332, Some(q332Sql)),
+    Q("q344_rolling_hll_users", q344, Some(q344Sql)))
 }
