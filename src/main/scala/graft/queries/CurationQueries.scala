@@ -3738,6 +3738,114 @@ object CurationQueries {
        |ORDER BY threshold""".stripMargin
   }
 
+  // -- q345: greedy weighted set cover for source selection (the
+  //          (1−1/e)-approx greedy of Nemhauser/Wolsey/Fisher 1978;
+  //          "which 4 sources buy the most vocabulary?" — the
+  //          acquisition-planning twin of q168's UniMax allocation):
+  //          4 unrolled rounds, each picking the source covering the
+  //          most still-uncovered tokens (ties → smallest source
+  //          name), reporting marginal gain, cumulative coverage and
+  //          the coverage fraction of the token universe.
+  //          Determinism: pure integer token censuses; the pick is a
+  //          two-phase max-gain + min-name. Scale shape per round:
+  //          one anti-join of the (source, token) incidence against
+  //          the covered set + one keyed count — the incidence is
+  //          built once; rounds are unrolled (fixed K = 4), each
+  //          materialized.
+  private val CoverRounds = 4
+
+  private def q345(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{TextFunctions => TF}
+    import graft.engine.Lineage.LineageOps
+    // universe = word BIGRAMS: the unigram vocabulary of this corpus
+    // is tiny (~31 types, one source covers it in one round); the
+    // bigram universe is the realistic acquisition target
+    val toks = docs(s, dir)
+      .select(col("source"), TF.tokens(col("text")).as("l"))
+      .filter(size(col("l")) >= 2)
+    val st = toks.select(col("source"),
+        explode(transform(sequence(lit(1), size(col("l")) - 1),
+          i => concat(element_at(col("l"), i), lit(" "),
+            element_at(col("l"), i + 1)))).as("tok"))
+      .distinct().truncateLineage()
+    val uni = st.select(col("tok")).distinct()
+      .agg(count(lit(1)).as("u"))
+    var covered: DataFrame = null
+    var out: DataFrame = null
+    for (r <- 1 to CoverRounds) {
+      val uncovered =
+        if (covered == null) st
+        else st.join(covered, Seq("tok"), "left_anti")
+      val gains = uncovered.groupBy(col("source"))
+        .agg(count(lit(1)).as("gain"))
+      val best = gains.agg(max(col("gain")).as("mg"))
+      val pick = gains.crossJoin(broadcast(best))
+        .filter(col("gain") === col("mg"))
+        .agg(min(col("source")).as("src"), max(col("mg")).as("gain"))
+        .truncateLineage()
+      val pickSrc = pick.select(col("src"))
+      covered = (if (covered == null)
+          st.join(pickSrc, col("source") === col("src"))
+            .select(col("tok"))
+        else covered.unionByName(
+          st.join(pickSrc, col("source") === col("src"))
+            .select(col("tok")))).distinct().truncateLineage()
+      val row = pick
+        .crossJoin(broadcast(covered.agg(count(lit(1)).as("cum"))))
+        .crossJoin(broadcast(uni))
+        .select(lit(r).as("round"), col("src").as("source"),
+          col("gain").as("new_tokens"), col("cum").as("cum_covered"),
+          graft.functions.ExactRound.ratio6(col("cum"), col("u"))
+            .as("coverage_frac"))
+      out = if (out == null) row else out.unionByName(row)
+    }
+    out.orderBy(col("round"))
+  }
+
+  private val q345Sql = {
+    import graft.text.{TextFunctions => TF}
+    import graft.functions.{ExactRound => ER}
+    def round(r: Int): String = {
+      val unc = if (r == 1) "st"
+      else s"(SELECT * FROM st WHERE tok NOT IN " +
+        s"(SELECT tok FROM c_${r - 1}))"
+      val prevCov = if (r == 1) ""
+      else s"SELECT tok FROM c_${r - 1} UNION "
+      s"""g_$r AS MATERIALIZED (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS gain
+         |  FROM $unc u GROUP BY 1),
+         |p_$r AS MATERIALIZED (
+         |  SELECT min(source) AS src, max(gain) AS gain
+         |  FROM g_$r WHERE gain = (SELECT max(gain) FROM g_$r)),
+         |c_$r AS MATERIALIZED (
+         |  SELECT DISTINCT tok FROM (
+         |    ${prevCov}SELECT tok FROM st
+         |    WHERE source = (SELECT src FROM p_$r)) u)""".stripMargin
+    }
+    val rounds = (1 to CoverRounds).map(round).mkString(",\n")
+    val legs = (1 to CoverRounds).map { r =>
+      s"""SELECT $r AS round, src AS source, gain AS new_tokens,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM c_$r)
+         |    AS cum_covered,
+         |  ${ER.sql.ratio6(s"(SELECT count(*) FROM c_$r)",
+            "(SELECT u FROM uni)")} AS coverage_frac
+         |FROM p_$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT source, ${TF.sql.tokens("text")} AS l
+       |  FROM documents),
+       |st AS MATERIALIZED (
+       |  SELECT DISTINCT source, l[i] || ' ' || l[i+1] AS tok
+       |  FROM (SELECT * FROM toks WHERE len(l) >= 2) t,
+       |    unnest(range(1, len(l))) r(i)),
+       |uni AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS u
+       |        FROM st),
+       |$rounds
+       |SELECT * FROM (
+       |$legs) z
+       |ORDER BY round""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q145_dsir_importance", q145, Some(q145Sql), headline = true),
     Q("q146_bm25_topk", q146, Some(q146Sql)),
@@ -3758,6 +3866,7 @@ object CurationQueries {
     Q("q161_heldout_perplexity", q161, Some(q161Sql)),
     Q("q162_dedup_threshold_sweep", q162, Some(q162Sql), headline = true),
     Q("q340_kneedle_threshold", q340, Some(q340Sql)),
+    Q("q345_set_cover_sources", q345, Some(q345Sql)),
     Q("q163_heaps_law", q163, Some(q163Sql)),
     Q("q164_zipf_fit", q164, Some(q164Sql)),
     Q("q165_bpe_encode", q165, Some(q165Sql)),

@@ -489,9 +489,92 @@ object LayoutQueries {
        |ORDER BY layout""".stripMargin
   }
 
+  // -- q347: resharding-cost audit, rendezvous vs modulo (Thaler &
+  //          Ravishankar 1998 "highest random weight" hashing; the
+  //          consistent-hashing family of Karger et al. 1997) — what
+  //          fraction of keys MOVE when the shard count goes 16 → 17?
+  //          Modulo placement moves ≈ 16/17 of all keys (a full
+  //          reshuffle); rendezvous placement (owner = argmax over
+  //          shards of md5(key, shard)) moves exactly the keys the
+  //          new shard wins ≈ 1/17 — measured side by side against
+  //          the theory columns. The decision input for any keyed
+  //          state layout (shard maps, partitioned caches, bucketed
+  //          tables). Determinism: md5 integer weights, (w, shard)
+  //          struct argmax, exact ratios. Scale shape: one scan
+  //          exploded ×17 (the shard grid) → two keyed argmax aggs;
+  //          no shuffle wider than keys × shards.
+  private def q347(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{TextFunctions => TF}
+    val keys = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), TF.md5Long(col("doc_id").cast("string"))
+        .as("h"))
+    val grid = keys.withColumn("shard",
+        explode(sequence(lit(0L), lit(16L))))
+      .withColumn("w", TF.md5Long(concat(col("doc_id").cast("string"),
+        lit("|s"), col("shard").cast("string"))))
+    val owners = grid.groupBy(col("doc_id"))
+      .agg(
+        max(when(col("shard") < 16, struct(col("w").as("w"),
+          col("shard").as("sh")))).as("o16"),
+        max(struct(col("w").as("w"), col("shard").as("sh")))
+          .as("o17"))
+      .select(col("doc_id"),
+        col("o16.sh").as("rdv16"), col("o17.sh").as("rdv17"))
+    keys.join(owners, "doc_id")
+      .select(
+        (pmod(col("h"), lit(16L)) =!= pmod(col("h"), lit(17L)))
+          .cast("long").as("mod_moved"),
+        (col("rdv16") =!= col("rdv17")).cast("long").as("rdv_moved"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("mod_moved")).as("mm"), sum(col("rdv_moved")).as("rm"))
+      .select(col("n_keys"),
+        graft.functions.ExactRound.ratio6(col("mm"), col("n_keys"))
+          .as("moved_modulo"),
+        expr("round(16.0 / 17, 6)").as("theory_modulo"),
+        graft.functions.ExactRound.ratio6(col("rm"), col("n_keys"))
+          .as("moved_rendezvous"),
+        expr("round(1.0 / 17, 6)").as("theory_rendezvous"))
+  }
+
+  private val q347Sql = {
+    import graft.text.{TextFunctions => TF}
+    import graft.functions.{ExactRound => ER}
+    val hk = TF.sql.md5Long("CAST(doc_id AS VARCHAR)")
+    val hw = TF.sql.md5Long(
+      "(CAST(doc_id AS VARCHAR) || '|s' || CAST(shard AS VARCHAR))")
+    s"""WITH keys AS (
+       |  SELECT doc_id, $hk AS h FROM documents),
+       |grid AS (
+       |  SELECT doc_id, unnest(range(0, 17)) AS shard
+       |  FROM documents),
+       |weighted AS (
+       |  SELECT doc_id, shard, $hw AS w FROM grid),
+       |owners AS (
+       |  SELECT doc_id,
+       |    max(CASE WHEN shard < 16 THEN
+       |      struct_pack(w := w, sh := shard) END).sh AS rdv16,
+       |    max(struct_pack(w := w, sh := shard)).sh AS rdv17
+       |  FROM weighted GROUP BY 1),
+       |flags AS (
+       |  SELECT CASE WHEN (k.h % 16 + 16) % 16 <>
+       |      (k.h % 17 + 17) % 17 THEN 1 ELSE 0 END AS mod_moved,
+       |    CASE WHEN o.rdv16 <> o.rdv17 THEN 1 ELSE 0 END
+       |      AS rdv_moved
+       |  FROM keys k JOIN owners o ON k.doc_id = o.doc_id)
+       |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       |  ${ER.sql.ratio6("CAST(sum(mod_moved) AS BIGINT)",
+          "count(*)")} AS moved_modulo,
+       |  round(16.0 / 17, 6) AS theory_modulo,
+       |  ${ER.sql.ratio6("CAST(sum(rdv_moved) AS BIGINT)",
+          "count(*)")} AS moved_rendezvous,
+       |  round(1.0 / 17, 6) AS theory_rendezvous
+       |FROM flags""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q242_clustering_depth", q242, Some(q242Sql)),
     Q("q243_zorder_layout", q243, Some(q243Sql)),
     Q("q244_bloom_filter_audit", q244, Some(q244Sql)),
-    Q("q331_hilbert_layout", q331, Some(q331Sql)))
+    Q("q331_hilbert_layout", q331, Some(q331Sql)),
+    Q("q347_rendezvous_reshard", q347, Some(q347Sql)))
 }

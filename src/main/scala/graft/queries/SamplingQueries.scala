@@ -3514,6 +3514,83 @@ object SamplingQueries {
        |FROM per_look ORDER BY look""".stripMargin
   }
 
+  // -- q346: pilot-subsample convergence audit — "how small a hash
+  //          sample can I trust for this metric?": the same two
+  //          corpus statistics (mean length, 'en' share) at nested
+  //          1% ⊂ 5% ⊂ 25% ⊂ 100% hash samples (one bucket column,
+  //          thresholds nest so each pilot is a strict subset — the
+  //          reproducible-pilot discipline behind every sampled
+  //          dashboard), each reported with its absolute drift from
+  //          the full-corpus truth. Determinism: hash buckets,
+  //          integer censuses, microMean6/ratio6; drift is exact
+  //          integer micro differences. Scale shape: ONE scan
+  //          computes the bucket; the 4-rate grid joins on a
+  //          bucket-threshold inequality with a 4-row build side.
+  private val PilotRates = Seq(10L -> 1, 50L -> 5, 250L -> 25,
+    1000L -> 100)
+
+  private def q346(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(
+      Sampling.hashBucket(col("doc_id"), 1000, "pilot").as("bkt"),
+      col("n_chars").cast("long").as("nc"),
+      (col("lang") === "en").cast("long").as("en"))
+    val rates = {
+      import s.implicits._
+      PilotRates.toDF("threshold", "rate_pct")
+    }
+    val per = rates.join(d, col("bkt") < col("threshold"))
+      .groupBy(col("rate_pct"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("snc"),
+        sum(col("en")).as("sen"))
+      .select(col("rate_pct"), col("n_docs"),
+        graft.functions.ExactRound.micro6(col("snc"), col("n_docs"))
+          .as("mean_chars_micro"),
+        graft.functions.ExactRound.micro6(col("sen"), col("n_docs"))
+          .as("en_share_micro"))
+    val full = per.filter(col("rate_pct") === 100)
+      .select(col("mean_chars_micro").as("mc_full"),
+        col("en_share_micro").as("en_full"))
+    per.crossJoin(broadcast(full))
+      .select(col("rate_pct"), col("n_docs"),
+        (col("mean_chars_micro") / 1e6).as("mean_chars"),
+        (col("en_share_micro") / 1e6).as("en_share"),
+        (abs(col("mean_chars_micro") - col("mc_full")) / 1e6)
+          .as("drift_chars"),
+        (abs(col("en_share_micro") - col("en_full")) / 1e6)
+          .as("drift_en"))
+      .orderBy(col("rate_pct"))
+  }
+
+  private val q346Sql = {
+    import graft.functions.{ExactRound => ER}
+    val h = bucketSql("doc_id", 1000, "pilot")
+    val rateValues = PilotRates
+      .map { case (t, p) => s"($t, $p)" }.mkString(", ")
+    s"""WITH d AS (
+       |  SELECT $h AS bkt, CAST(n_chars AS BIGINT) AS nc,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en
+       |  FROM documents),
+       |rates AS (SELECT * FROM (VALUES $rateValues)
+       |  AS t(threshold, rate_pct)),
+       |per AS (
+       |  SELECT rate_pct, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(${ER.sql.micro6("CAST(sum(nc) AS BIGINT)",
+            "count(*)")} AS BIGINT) AS mc,
+       |    CAST(${ER.sql.micro6("CAST(sum(en) AS BIGINT)",
+            "count(*)")} AS BIGINT) AS es
+       |  FROM rates r JOIN d ON d.bkt < r.threshold
+       |  GROUP BY 1),
+       |full_row AS (
+       |  SELECT mc AS mc_full, es AS en_full FROM per
+       |  WHERE rate_pct = 100)
+       |SELECT rate_pct, n_docs, mc / 1e6 AS mean_chars,
+       |  es / 1e6 AS en_share,
+       |  abs(mc - mc_full) / 1e6 AS drift_chars,
+       |  abs(es - en_full) / 1e6 AS drift_en
+       |FROM per CROSS JOIN full_row
+       |ORDER BY rate_pct""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q111_split_assign", q111, Some(q111Sql)),
     Q("q112_quota_sample", q112, Some(q112Sql)),
@@ -3565,5 +3642,6 @@ object SamplingQueries {
     Q("q334_median_ci", q334, Some(q334Sql)),
     Q("q335_shapley_attribution", q335, Some(q335Sql)),
     Q("q339_diff_in_diff", q339, Some(q339Sql)),
-    Q("q342_obf_group_sequential", q342, Some(q342Sql)))
+    Q("q342_obf_group_sequential", q342, Some(q342Sql)),
+    Q("q346_pilot_convergence", q346, Some(q346Sql)))
 }

@@ -174,7 +174,9 @@ class PlanShapeSpec extends SparkSpec {
     "q339_diff_in_diff",      // 1-row range + 1-row 4-cell-wide crosses
     "q340_kneedle_threshold", // 1-row extrema + 1-row knee crosses
     "q341_label_model",       // 1-row LF-accuracy weights cross
-    "q342_obf_group_sequential") // 5-look grid joined <= onto 60-cell census
+    "q342_obf_group_sequential", // 5-look grid joined <= onto 60-cell census
+    "q345_set_cover_sources",  // 1-row max-gain/universe/cum crosses per round
+    "q346_pilot_convergence")  // 4-row rate grid joined < onto buckets + 1-row full cross
 
   /** Catalog queries that window WITHOUT a partition spec — every row
     * audited (round-9 verdict): the windowed frame is metadata-/eval-
