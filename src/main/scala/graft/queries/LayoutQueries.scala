@@ -571,10 +571,99 @@ object LayoutQueries {
        |FROM flags""".stripMargin
   }
 
+  // -- q348: columnar encoding advisor — the write-path decision a
+  //          parquet/ORC writer makes per column (dictionary vs RLE
+  //          vs delta vs plain; Abadi/Madden/Ferreira SIGMOD 2006 is
+  //          the canonical study), computed from three exact
+  //          statistics per audited lineitem column: the distinct
+  //          ratio (dictionary wins when tiny), the mean within-order
+  //          run length (RLE wins on long runs — runs are measured
+  //          inside the (l_orderkey, l_linenumber) natural write
+  //          order, the same per-order bound every window here uses).
+  //          The recommendation CASE is the operator's contract
+  //          (dict when ≤ 1% distinct, else RLE when mean run ≥ 2,
+  //          else plain; a delta branch would need typed numeric
+  //          step stats — out of scope for the string-cast audit).
+  //          Scale shape: one scan → per-order lag windows
+  //          (≤ 7 rows each) → one 4-row-per-column aggregate.
+  private val EncCols =
+    Seq("l_quantity", "l_discount", "l_returnflag", "l_suppkey")
+
+  private def q348(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    // (l_orderkey, l_linenumber) is NOT unique in this corpus (the
+    // synthetic generator repeats line numbers), so the write order
+    // needs a full tie-break chain covering every audited column —
+    // rows still tied are then identical on all of them, making the
+    // residual order irrelevant to run counts on BOTH engines
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_returnflag"), col("l_linestatus"),
+        expr("CAST(round(l_quantity * 100) AS BIGINT)"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+    def leg(c: String): DataFrame = {
+      // compare RAW values — a double→string cast is not injective
+      // the same way in both engines (observed on l_discount)
+      val v = col(c)
+      val prev = lag(v, 1).over(w)
+      val nums = li.select(v.as("v"), prev.as("p"),
+        (v === prev).cast("long").as("same"),
+        when(prev.isNotNull, 1L).otherwise(0L).as("has_prev"))
+      nums.agg(count(lit(1)).as("n_values"),
+          countDistinct(col("v")).as("n_distinct"),
+          sum(col("same")).as("n_same"),
+          sum(col("has_prev")).as("n_pairs"))
+        .select(lit(c).as("column"), col("n_values"),
+          col("n_distinct"),
+          graft.functions.ExactRound.ratio6(col("n_distinct"),
+            col("n_values")).as("distinct_ratio"),
+          // mean run length = n / (#runs) = n / (n − n_same)
+          graft.functions.ExactRound.ratio6(col("n_values"),
+            col("n_values") - col("n_same")).as("mean_run_len"),
+          expr("CASE WHEN n_distinct * 100 <= n_values THEN 'dictionary' " +
+            "WHEN (n_values * 1.0 / (n_values - n_same)) >= 2 THEN 'rle' " +
+            "ELSE 'plain' END").as("recommendation"))
+    }
+    EncCols.map(leg).reduce(_ unionByName _)
+      .orderBy(col("column"))
+  }
+
+  private val q348Sql = {
+    import graft.functions.{ExactRound => ER}
+    def leg(c: String) =
+      s"""SELECT '$c' AS "column",
+         |  CAST(count(*) AS BIGINT) AS n_values,
+         |  CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+         |  ${ER.sql.ratio6("CAST(count(DISTINCT v) AS BIGINT)",
+            "count(*)")} AS distinct_ratio,
+         |  ${ER.sql.ratio6("count(*)",
+            "count(*) - CAST(sum(same) AS BIGINT)")} AS mean_run_len,
+         |  CASE WHEN count(DISTINCT v) * 100 <= count(*)
+         |      THEN 'dictionary'
+         |    WHEN (count(*) * 1.0 / (count(*) - sum(same))) >= 2
+         |      THEN 'rle'
+         |    ELSE 'plain' END AS recommendation
+         |FROM (
+         |  SELECT $c AS v,
+         |    CASE WHEN $c = lag($c) OVER (PARTITION BY l_orderkey
+         |      ORDER BY l_linenumber, l_partkey, l_suppkey,
+         |        l_returnflag, l_linestatus,
+         |        CAST(round(l_quantity * 100) AS BIGINT),
+         |        CAST(round(l_discount * 100) AS BIGINT),
+         |        CAST(round(l_extendedprice * 100) AS BIGINT))
+         |      THEN 1 ELSE 0 END AS same
+         |  FROM lineitem) t""".stripMargin
+    s"""SELECT * FROM (
+       |${EncCols.map(leg).mkString("\nUNION ALL\n")}) u
+       |ORDER BY "column"""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q242_clustering_depth", q242, Some(q242Sql)),
     Q("q243_zorder_layout", q243, Some(q243Sql)),
     Q("q244_bloom_filter_audit", q244, Some(q244Sql)),
     Q("q331_hilbert_layout", q331, Some(q331Sql)),
-    Q("q347_rendezvous_reshard", q347, Some(q347Sql)))
+    Q("q347_rendezvous_reshard", q347, Some(q347Sql)),
+    Q("q348_encoding_advisor", q348, Some(q348Sql)))
 }
