@@ -1925,15 +1925,10 @@ object TemporalQueries {
     val du = events(s, dir)
       .select(expr("CAST(ts AS LONG) div 86400").as("day"),
         col("user_id")).distinct()
-    val hashed = du.select(col("day"),
-        pmod(graft.text.TextFunctions.md5Long(
-          col("user_id").cast("string")), lit(16L)).as("j"),
-        (pmod(floor(graft.text.TextFunctions.md5Long(
-          col("user_id").cast("string")) / lit(16.0)).cast("long"),
-          lit(1048576L)) + lit(1048576L)).as("w"))
-      .selectExpr("day", "j", s"${HyperBall.rhoSql("w")} AS r")
-    val daily = hashed.groupBy(col("day"), col("j"))
-      .agg(max(col("r")).as("r"))
+    // the register table is the shared mergeable state — the
+    // streaming twin (sketch/DailyHll, DailyHllStreamSpec) appends
+    // per-batch partials of exactly this frame
+    val daily = graft.sketch.DailyHll.dailyRegisters(events(s, dir))
     val days = du.select(col("day")).distinct()
     val rolled = daily
       .withColumn("target", explode(sequence(col("day"),
