@@ -10,6 +10,12 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 scalacOptions += "-deprecation" // keep the build deprecation-clean
+// The bench driver parses the LAST stdout line as the result JSON;
+// sbt's "[success] Total time ..." trailer otherwise prints after the
+// forked program's output and breaks that parse (two rounds of
+// parsed:null). These settings remove the trailer entirely.
+Global / showSuccess := false
+Global / showTiming := false
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

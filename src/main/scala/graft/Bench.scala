@@ -286,8 +286,14 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] explain report failed: ${e.getMessage}")
       }
-    println(resultJson)
+    // stop BEFORE the final print: Spark's shutdown logs (stderr) and
+    // sbt's async stderr relay can otherwise land lines after the JSON.
+    // Together with build.sbt's showSuccess/showTiming=false (no
+    // "[success] Total time" trailer), the result JSON is the true
+    // final stdout line the driver's tail parse reads.
     spark.stop()
+    println(resultJson)
+    System.out.flush()
   }
 
   /** Writes BENCH_EXPLAIN.md: per heavy headliner, the top timed plan

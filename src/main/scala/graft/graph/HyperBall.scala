@@ -27,8 +27,7 @@ import graft.engine.Lineage.LineageOps
   */
 object HyperBall {
 
-  val M = 16 // registers per node (p = 4)
-  private val Alpha16x256 = "172.288" // 0.673 * 16^2, exact literal
+  val M = 16 // registers per node (p = 4); α·m² = 0.673·256 = 172.288
 
   /** ρ(w) over the bit-20-anchored word (w mod 2^20 + 2^20): CASE on
     * trailing zeros, 1-based, ≤ 21 — identical text both engines.
@@ -41,30 +40,43 @@ object HyperBall {
     s"(CASE $cases END)"
   }
 
-  /** 2^(−r) for r ∈ [1, 21] as exact decimal literals. */
-  private[graft] def pow2NegSql(r: String): String = {
+  /** 2^(21−r) for r ∈ [1, 21] as exact BIGINT literals — the dyadic
+    * register weight 2^(−r) scaled by the common denominator 2^21,
+    * so the per-node register sum is an EXACT integer in both
+    * engines (no decimal/double summation anywhere). */
+  private[graft] def pow2Scaled21Sql(r: String): String = {
     val cases = (1 to 21).map { k =>
-      val lit = new java.math.BigDecimal(1)
-        .divide(new java.math.BigDecimal(1L << k)).toPlainString
-      s"WHEN ($r) = $k THEN $lit"
+      s"WHEN ($r) = $k THEN CAST(${1L << (21 - k)} AS BIGINT)"
     }.mkString(" ")
     s"(CASE $cases END)"
   }
 
-  /** Per-node HLL estimate in micro units from (present, sumpow):
-    * raw = α·m²/((m−present) + Σ2^(−r)); linear-counting correction
-    * m·ln(m/V) when raw ≤ 2.5m and V = m − present > 0 — the ln table
-    * is 15 precomputed micro constants (V = m ⇒ empty counter ⇒ est
-    * 0, unreachable here since every node holds its own hash). */
-  private[graft] def estMicroSql(present: String, sumpow: String): String = {
-    val raw = s"($Alpha16x256 / (($M - ($present)) + ($sumpow)))"
+  /** Per-node HLL estimate in micro units from (present, sum_scaled
+    * = Σ2^(21−r)): raw = α·m²/((m−present) + Σ2^(−r)); linear-
+    * counting correction m·ln(m/V) when raw ≤ 2.5m and V = m −
+    * present > 0 — the ln table is 15 precomputed micro constants
+    * (V = m ⇒ empty counter ⇒ est 0, unreachable here since every
+    * node holds its own hash). The micro floor is EXACT integer
+    * cross-multiplication — with D = (m−present)·2^21 + sum_scaled,
+    * floor(raw·10^6) = (172288000·2^21) intdiv D and the
+    * linear-counting gate raw ≤ 40 is 172288·2^21 ≤ 40000·D — no
+    * runtime decimal/double division, so Spark and DuckDB cannot
+    * disagree on a representation boundary (round-10 advice). The
+    * only engine-specific token is the integer-division spelling
+    * (`div` vs `//`), passed in; every operand is the same exact
+    * BIGINT in both engines. */
+  private[graft] def estMicroSql(present: String, sumScaled: String,
+      intDiv: String = "div"): String = {
+    val denom = s"(($M - ($present)) * 2097152 + ($sumScaled))"
     val lnCases = (1 to 15).map { v =>
       val micro = Math.round(M * math.log(M.toDouble / v) * 1e6)
       s"WHEN $M - ($present) = $v THEN CAST($micro AS BIGINT)"
     }.mkString(" ")
-    s"(CASE WHEN $raw <= ${2.5 * M} AND ($present) < $M THEN " +
+    val gate = s"${172288L * 2097152L} <= 40000 * $denom"
+    val microFloor = s"(${172288000L * 2097152L} $intDiv $denom)"
+    s"(CASE WHEN $gate AND ($present) < $M THEN " +
       s"(CASE $lnCases END) " +
-      s"ELSE CAST(floor($raw * 1000000) AS BIGINT) END)"
+      s"ELSE CAST($microFloor AS BIGINT) END)"
   }
 
   /** Initial sparse registers for a node frame (column `node`):
@@ -133,7 +145,7 @@ object HyperBall {
   def estimateRow(regs: DataFrame, t: Int): DataFrame =
     regs.groupBy(col("node"))
       .agg(count(lit(1)).as("present"),
-        sum(expr(pow2NegSql("r"))).as("sumpow"))
+        sum(expr(pow2Scaled21Sql("r"))).as("sumpow"))
       .select(expr(estMicroSql("present", "sumpow")).as("est_micro"))
       .agg(count(lit(1)).as("n_nodes"),
         sum(col("est_micro")).as("nf_micro"))
@@ -174,9 +186,11 @@ object HyperBall {
           "CAST(sum(est_micro) AS BIGINT)", "count(*)")}
        |    AS avg_ball_est
        |FROM (
-       |  SELECT node, ${estMicroSql("present", "sumpow")} AS est_micro
+       |  SELECT node,
+       |    ${estMicroSql("present", "sumpow", intDiv = "//")}
+       |      AS est_micro
        |  FROM (
        |    SELECT node, CAST(count(*) AS BIGINT) AS present,
-       |      sum(${pow2NegSql("r")}) AS sumpow
+       |      CAST(sum(${pow2Scaled21Sql("r")}) AS BIGINT) AS sumpow
        |    FROM reg_$t GROUP BY 1) p) e""".stripMargin
 }

@@ -1022,11 +1022,14 @@ object GraphAnalyticsQueries {
   //          so the truss strips bridge/spoke edges that k-core keeps
   //          (core is a node bound, truss an edge bound). layer = the
   //          synchronous peel round that removed the edge, 0 = truss
-  //          member. The oracle unrolls the same rounds as MATERIALIZED
-  //          CTEs (rounds past the fixed point peel nothing, so the
-  //          shared cap is exact — the q192 contract). Scale shape:
-  //          each round is one degree-ordered edge-support census
-  //          (O(m^1.5) wedges) + two joins on the shrinking edge list.
+  //          member. The oracle unrolls full-recount rounds as
+  //          MATERIALIZED CTEs (rounds past the fixed point peel
+  //          nothing, so the shared cap is exact — the q192
+  //          contract); the engine runs the LIVE-FRONTIER peel — one
+  //          up-front degree-ordered census (O(m^1.5) wedges), then
+  //          per-round work proportional to the drop frontier only
+  //          (KTrussSpec pins recount parity). Scale shape: one
+  //          census + cascade rounds on the shrinking frontier.
   private[graft] val TrussK = 4
   private[graft] val TrussRounds = 6
 

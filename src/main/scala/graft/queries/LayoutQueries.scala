@@ -342,7 +342,7 @@ object LayoutQueries {
   //          fractions (pruning quality) PLUS the mean Manhattan jump
   //          between successive occupied cells in index order — the
   //          locality number itself (a full Hilbert grid walks jumps
-  //          of exactly 1; Morton averages ~1.37 on a full 16×16).
+  //          of exactly 1; Morton averages ~1.88 on a full 16×16).
   //          HilbertCurveSpec pins the defining property (256 cells
   //          visited once, every consecutive full-grid jump = 1).
   //          Determinism: pure integer bit arithmetic; ratio6 at the

@@ -2640,29 +2640,46 @@ object SamplingQueries {
   //          (Hollander & Wolfe 1973): μ = (N²−Σn_i²)/4, σ² =
   //          [N²(2N+3)−Σn_i²(2n_i+3)]/72. Determinism: J/N/n_i are
   //          exact integers; z is shared expression text, round6.
-  //          Scale shape: one scan → (group × bucket) census; the
-  //          cumulative window runs over the ≤1000-cell grid per
-  //          group; the pair sum joins census to census on the bucket
-  //          key (≤ k² rows per bucket).
+  //          Scale shape: one scan → (group × bucket) census,
+  //          DENSIFIED over the (group × distinct-bucket) grid before
+  //          the cumulative window — a lower group with no orders at
+  //          bucket v must still expose its below-v cumulative there,
+  //          or its entire cumlt is silently dropped from J (the
+  //          sparse-cell undercount caught in round 10's review). The
+  //          grid is bounded by groups × price range (≤ 5 × ~1200
+  //          cells), never by |orders|; the pair sum joins the sparse
+  //          census to the dense cum frame on the bucket key.
   private val JtBucket = 50000L // $500 in cents
 
-  private def q324(s: SparkSession, dir: String): DataFrame = {
+  /** Dense cumulative-below frame + J in half-units for a (g, v, c)
+    * census. Package-visible so JonckheereSpec can pin J against a
+    * brute-force pair count on toy data.
+    */
+  private[graft] def jonckheereJHalf(census: DataFrame): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
+    val grid = census.select(col("g")).distinct()
+      .crossJoin(census.select(col("v")).distinct())
+    val dense = grid.join(census, Seq("g", "v"), "left")
+      .select(col("g"), col("v"), coalesce(col("c"), lit(0L)).as("c"))
+    val cum = dense
+      .withColumn("cumlt", coalesce(sum(col("c")).over(
+        W.partitionBy(col("g")).orderBy(col("v"))
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+    census.as("j")
+      .join(cum.as("i"), col("i.v") === col("j.v") &&
+        col("i.g") < col("j.g"))
+      .agg(coalesce(sum(col("j.c") * col("i.cumlt") * 2 +
+        col("j.c") * col("i.c")), lit(0L)).as("j_half"))
+  }
+
+  private def q324(s: SparkSession, dir: String): DataFrame = {
     val census = Tables.load(s, dir, "orders")
       .select(expr("CAST(substring(o_orderpriority, 1, 1) AS INT)")
           .as("g"),
         expr(s"CAST(round(o_totalprice * 100) AS BIGINT) div $JtBucket")
           .as("v"))
       .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
-    val cum = census
-      .withColumn("cumlt", coalesce(sum(col("c")).over(
-        W.partitionBy(col("g")).orderBy(col("v"))
-          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
-    val jHalf = census.as("j")
-      .join(cum.as("i"), col("i.v") === col("j.v") &&
-        col("i.g") < col("j.g"))
-      .agg(coalesce(sum(col("j.c") * col("i.cumlt") * 2 +
-        col("j.c") * col("i.c")), lit(0L)).as("j_half"))
+    val jHalf = jonckheereJHalf(census)
     val sizes = census.groupBy(col("g")).agg(sum(col("c")).as("ni"))
     val moments = sizes.agg(sum(col("ni")).as("nn"),
       sum(col("ni") * col("ni")).as("sum_ni2"),
@@ -2689,12 +2706,20 @@ object SamplingQueries {
        |    CAST(round(o_totalprice * 100) AS BIGINT) // $JtBucket AS v,
        |    CAST(count(*) AS BIGINT) AS c
        |  FROM orders GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT gs.g, vs.v FROM (SELECT DISTINCT g FROM census) gs
+       |  CROSS JOIN (SELECT DISTINCT v FROM census) vs),
+       |dense AS (
+       |  SELECT grid.g, grid.v,
+       |    CAST(coalesce(census.c, 0) AS BIGINT) AS c
+       |  FROM grid LEFT JOIN census
+       |    ON census.g = grid.g AND census.v = grid.v),
        |cum AS (
        |  SELECT g, v, c,
        |    CAST(coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
        |      AS BIGINT) AS cumlt
-       |  FROM census),
+       |  FROM dense),
        |jh AS (
        |  SELECT CAST(coalesce(sum(j.c * i.cumlt * 2 + j.c * i.c), 0)
        |    AS BIGINT) AS j_half

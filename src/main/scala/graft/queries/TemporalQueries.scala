@@ -1913,8 +1913,9 @@ object TemporalQueries {
   //          mergeable per-day register tables make any window a
   //          register-max roll-up of 7 tiny rows. Registers reuse
   //          q343's constant-table machinery (HyperBall.rhoSql /
-  //          pow2NegSql / estMicroSql — m = 16, micro-floored
-  //          estimates); the roll-up is an EXPLODE-to-7-target-days
+  //          pow2Scaled21Sql / estMicroSql — m = 16, micro-floored
+  //          estimates via exact integer cross-multiplication); the
+  //          roll-up is an EXPLODE-to-7-target-days
   //          equi-join, never a range join. The exact rolling count
   //          rides along as the audit column (affordable here, the
   //          thing the sketch replaces at scale) with the relative
@@ -1937,7 +1938,7 @@ object TemporalQueries {
       .groupBy(col("target"), col("j")).agg(max(col("r")).as("r"))
     val est = rolled.groupBy(col("target"))
       .agg(count(lit(1)).as("present"),
-        sum(expr(HyperBall.pow2NegSql("r"))).as("sumpow"))
+        sum(expr(HyperBall.pow2Scaled21Sql("r"))).as("sumpow"))
       .selectExpr("target",
         s"${HyperBall.estMicroSql("present", "sumpow")} AS est_micro")
     val exact = du
@@ -1979,10 +1980,12 @@ object TemporalQueries {
        |  GROUP BY 1, 2),
        |est AS (
        |  SELECT target,
-       |    ${HyperBall.estMicroSql("present", "sumpow")} AS est_micro
+       |    ${HyperBall.estMicroSql("present", "sumpow",
+              intDiv = "//")} AS est_micro
        |  FROM (
        |    SELECT target, CAST(count(*) AS BIGINT) AS present,
-       |      sum(${HyperBall.pow2NegSql("r")}) AS sumpow
+       |      CAST(sum(${HyperBall.pow2Scaled21Sql("r")}) AS BIGINT)
+       |        AS sumpow
        |    FROM rolled GROUP BY 1) p),
        |exact AS (
        |  SELECT t.target,

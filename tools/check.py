@@ -106,6 +106,64 @@ def canon(cols, rows):
     return [cols[i] for i in order], out
 
 
+# ---- parallel compare workers ---------------------------------------
+# One DuckDB connection per worker process (connections aren't picklable);
+# each is capped at 2 threads so a 16-process pool doesn't oversubscribe
+# the box (DuckDB defaults to all cores per connection).
+_CON = None
+_OUTDIR = None
+
+
+def _init_worker(sfdir, outdir):
+    global _CON, _OUTDIR
+    _CON = duckdb.connect()
+    _CON.execute("SET TimeZone='UTC'")
+    _CON.execute("SET threads=2")
+    for t in TABLES:
+        _CON.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    _OUTDIR = outdir
+
+
+def _compare_one(item):
+    """Returns (name, status, printable message)."""
+    name, sql = item
+    pdir = f"{_OUTDIR}/{name}"
+    if not os.path.isdir(pdir):
+        return name, "missing", f"MISSING  {name} (no parquet output)"
+    try:
+        scols, sfams, srows = arrow_cols_rows(pq.read_table(pdir))
+        # fetch_arrow_table (NOT fetchall): keeps DuckDB's types visible —
+        # HUGEINT→decimal128, so an uncast integer sum fails here exactly
+        # as it does under the driver's arrow-level hash.
+        dcols, dfams, drows = arrow_cols_rows(
+            _CON.sql(sql).fetch_arrow_table())
+    except Exception as e:
+        return name, f"error: {str(e)[:200]}", f"ERROR    {name}: {e}"
+    sc, sr = canon(scols, srows)
+    dc, dr = canon(dcols, drows)
+    sfam = [f for _, f in sorted(zip(scols, sfams))]
+    dfam = [f for _, f in sorted(zip(dcols, dfams))]
+    if sc != dc:
+        return name, "schema", f"SCHEMA   {name}: spark={sc} duck={dc}"
+    if sfam != dfam:
+        diffs = [f"{c}: spark={a} duck={b}"
+                 for c, a, b in zip(sc, sfam, dfam) if a != b]
+        return name, "type", f"TYPE     {name}: " + "; ".join(diffs)
+    if len(sr) != len(dr):
+        return name, "rowcount", \
+            f"ROWCOUNT {name}: spark={len(sr)} duck={len(dr)}"
+    if sr != dr:
+        bad = next(i for i, (a, b) in enumerate(zip(sr, dr)) if a != b) \
+            if sr and dr else 0
+        msg = (f"VALUES   {name}: first diff row {bad}:\n"
+               f"  cols : {sc}\n"
+               f"  spark: {sr[bad] if bad < len(sr) else '<none>'}\n"
+               f"  duck : {dr[bad] if bad < len(dr) else '<none>'}")
+        return name, "values", msg
+    return name, "ok", f"OK       {name} ({len(sr)} rows)"
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     skip_verify = "--skip-verify" in sys.argv
@@ -128,59 +186,31 @@ def main():
             print("VERIFY FAILED");
             print(r.stdout[-4000:]); print(r.stderr[-2000:]); sys.exit(1)
 
-    con = duckdb.connect()
-    con.execute("SET TimeZone='UTC'")
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
-
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    items = [(n, s) for n, s in sorted(oracle.items())
+             if not only or n in only]
+    # Process pool over query names (round-10 verdict item: the full
+    # 348-query board was ~15 min single-threaded). Tiny targeted runs
+    # skip the pool — fork+init costs more than the compare.
+    if len(items) > 4:
+        import concurrent.futures as cf
+        workers = min(16, os.cpu_count() or 8)
+        with cf.ProcessPoolExecutor(
+                max_workers=workers, initializer=_init_worker,
+                initargs=(sfdir, outdir)) as pool:
+            results = list(pool.map(_compare_one, items, chunksize=4))
+    else:
+        _init_worker(sfdir, outdir)
+        results = [_compare_one(it) for it in items]
     ok = fail = 0
     statuses = {}
-    for name, sql in sorted(oracle.items()):
-        if only and name not in only:
-            continue
-        pdir = f"{outdir}/{name}"
-        if not os.path.isdir(pdir):
-            print(f"MISSING  {name} (no parquet output)"); fail += 1
-            statuses[name] = "missing"; continue
-        try:
-            scols, sfams, srows = arrow_cols_rows(pq.read_table(pdir))
-            # fetch_arrow_table (NOT fetchall): keeps DuckDB's types visible —
-            # HUGEINT→decimal128, so an uncast integer sum fails here exactly
-            # as it does under the driver's arrow-level hash.
-            dcols, dfams, drows = arrow_cols_rows(
-                con.sql(sql).fetch_arrow_table())
-        except Exception as e:
-            print(f"ERROR    {name}: {e}"); fail += 1
-            statuses[name] = f"error: {str(e)[:200]}"; continue
-        sc, sr = canon(scols, srows)
-        dc, dr = canon(dcols, drows)
-        sfam = [f for _, f in sorted(zip(scols, sfams))]
-        dfam = [f for _, f in sorted(zip(dcols, dfams))]
-        if sc != dc:
-            print(f"SCHEMA   {name}: spark={sc} duck={dc}"); fail += 1
-            statuses[name] = "schema"
-        elif sfam != dfam:
-            diffs = [f"{c}: spark={a} duck={b}"
-                     for c, a, b in zip(sc, sfam, dfam) if a != b]
-            print(f"TYPE     {name}: " + "; ".join(diffs)); fail += 1
-            statuses[name] = "type"
-        elif len(sr) != len(dr):
-            print(f"ROWCOUNT {name}: spark={len(sr)} duck={len(dr)}"); fail += 1
-            statuses[name] = "rowcount"
-        elif sr != dr:
-            bad = next(i for i, (a, b) in enumerate(zip(sr, dr)) if a != b) \
-                if sr and dr else 0
-            print(f"VALUES   {name}: first diff row {bad}:")
-            print(f"  cols : {sc}")
-            print(f"  spark: {sr[bad] if bad < len(sr) else '<none>'}")
-            print(f"  duck : {dr[bad] if bad < len(dr) else '<none>'}")
-            fail += 1
-            statuses[name] = "values"
+    for name, status, msg in results:
+        print(msg)
+        statuses[name] = status
+        if status == "ok":
+            ok += 1
         else:
-            print(f"OK       {name} ({len(sr)} rows)"); ok += 1
-            statuses[name] = "ok"
+            fail += 1
     print(f"\n{ok} ok, {fail} failed")
     # Persist the board (round 9: the driver's own capture came back as
     # an empty {} despite a fully-green engine — the repo now carries
