@@ -16,6 +16,9 @@ scalacOptions += "-deprecation" // keep the build deprecation-clean
 // parsed:null). These settings remove the trailer entirely.
 Global / showSuccess := false
 Global / showTiming := false
+// the two keys are read by sbt's command layer, not by tasks — exclude
+// them from the unused-key lint so the build stays warning-clean
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -74,7 +74,17 @@ object Bench {
     // cut), HITS (frontier-only rounds), and the 3-graph census
     "q268_link_prediction" -> 7.83,
     "q269_hits" -> 4.65,
-    "q273_graph_census" -> 14.80)
+    "q273_graph_census" -> 14.80,
+    // round-11 headline promotions (quiet sf0.1 mins, BENCH_NOTES
+    // round-11 addendum): the round-10 heavy additions join the
+    // official record so a regression in the repo's most expensive
+    // plans is bench-gated — k-truss under the new live-frontier
+    // peel, HyperBall, local-max matching, bridge audit, PPR
+    "q293_ktruss_layers" -> 25.58,
+    "q294_personalized_pagerank" -> 5.43,
+    "q299_bridge_audit" -> 8.21,
+    "q338_local_max_matching" -> 6.71,
+    "q343_hyperball" -> 10.30)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

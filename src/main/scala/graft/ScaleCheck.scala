@@ -25,12 +25,20 @@ import graft.queries.Catalog
   */
 object ScaleCheck {
 
-  /** The 10 heaviest headliners by round-9 sf1.0 sweep cost. */
+  /** The heavy headliners by sf1.0 sweep cost (round 9's 10 + the
+    * round-10 session-2 tie-sensitive set + the round-11 headline
+    * promotions q293/q294/q299), so a default run covers every
+    * expensive plan in the repo. */
   val DefaultHeavy: Seq[String] = Seq(
     "q268_link_prediction", "q269_hits", "q273_graph_census",
     "q147_pagerank", "q256_betweenness", "q231_graph_mixing",
     "q193_lpa_communities", "q192_kcore_layers",
-    "q191_copurchase_clustering", "q254_entity_resolution")
+    "q191_copurchase_clustering", "q254_entity_resolution",
+    "q343_hyperball", "q338_local_max_matching",
+    "q345_set_cover_sources", "q328_rake_keywords",
+    "q337_ecod_outliers", "q326_uplift_curve", "q319_butterfly_census",
+    "q293_ktruss_layers", "q294_personalized_pagerank",
+    "q299_bridge_audit")
 
   /** (row count, decimal sum of row hashes, xor of row hashes). */
   def fingerprint(df: DataFrame): (Long, String, Long) = {
@@ -66,12 +74,18 @@ object ScaleCheck {
 
     // trial sessions: same data, different physical parallelism; each
     // builds its own session artifacts (SessionCache keys per session).
-    // ALL ingestion artifacts warm up front so the keep-set snapshot
-    // covers them — an artifact built mid-sweep would be swept as a
-    // transient and its next consumer would hit missing checkpoint
-    // blocks.
+    // TRIAL-MAJOR sweep (round-10 verdict item 4): only ONE trial's
+    // artifacts are ever resident — the whole trial runs, then its
+    // SessionCache entries are invalidated and its persistent blocks
+    // released before the sibling trial builds. The round-10 gate held
+    // both sessions' sf1.0 artifacts resident for the entire sweep and
+    // needed a 96 GiB driver heap for it; a fingerprint compare never
+    // needed them simultaneously. Within a trial, ALL ingestion
+    // artifacts warm before the keep-set snapshot, so the per-query
+    // transient sweep can't release an artifact mid-trial.
     val parts = Seq(cpus, "17")
-    val trials = parts.map { p =>
+    val baseKeep = graft.engine.Lineage.persistentIds(root)
+    val trialFps = parts.map { p =>
       val s = root.newSession()
       s.conf.set("spark.sql.shuffle.partitions", p)
       graft.graph.KGraph.materialized(s, sfDir).count()
@@ -82,22 +96,26 @@ object ScaleCheck {
       graft.queries.GraphAnalyticsQueries.copurchaseCanon(s, sfDir).count()
       graft.dedup.DedupIndex.clusters(s, sfDir).count()
       graft.dedup.DedupIndex.simhashPairs(s, sfDir).count()
-      s
-    }
-    val keep = graft.engine.Lineage.persistentIds(root)
-    val results = names.map { name =>
-      val q = Catalog.byName(name)
-      val fps = trials.map { s =>
+      val keep = graft.engine.Lineage.persistentIds(root)
+      val fps = names.map { name =>
+        val q = Catalog.byName(name)
         val t0 = System.nanoTime()
         val fp = fingerprint(q.run(s, sfDir))
         val secs = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[scalecheck] trial p=$p $name done " +
+          f"($secs%.1f s)")
         // per-query transient checkpoint blocks must not accumulate
-        // across the sweep (the round-9 q273 failure mode); the
-        // persistent-RDD map is context-wide, so one keep-set covers
-        // both trial sessions' artifacts
+        // across the sweep (the round-9 q273 failure mode)
         graft.engine.Lineage.releaseTransient(s, keep): Unit
-        (fp, secs)
+        (name, fp, secs)
       }
+      // retire this trial's artifacts before the sibling builds
+      graft.engine.SessionCache.invalidate(s)
+      graft.engine.Lineage.releaseTransient(root, baseKeep): Unit
+      fps
+    }
+    val results = names.zipWithIndex.map { case (name, i) =>
+      val fps = trialFps.map(t => (t(i)._2, t(i)._3))
       val ok = fps.map(_._1).distinct.size == 1
       System.err.println(s"[scalecheck] $name " +
         (if (ok) "MATCH" else s"MISMATCH ${fps.map(_._1)}") +

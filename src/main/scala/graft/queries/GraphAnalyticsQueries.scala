@@ -1403,10 +1403,10 @@ object GraphAnalyticsQueries {
     Q("q273_graph_census", q273, Some(q273Sql), headline = true),
     Q("q291_assortativity", q291, Some(q291Sql)),
     Q("q292_rich_club", q292, Some(q292Sql)),
-    Q("q293_ktruss_layers", q293, Some(q293Sql)),
-    Q("q294_personalized_pagerank", q294, Some(q294Sql)),
-    Q("q299_bridge_audit", q299, Some(q299Sql)),
+    Q("q293_ktruss_layers", q293, Some(q293Sql), headline = true),
+    Q("q294_personalized_pagerank", q294, Some(q294Sql), headline = true),
+    Q("q299_bridge_audit", q299, Some(q299Sql), headline = true),
     Q("q319_butterfly_census", q319, Some(q319Sql)),
-    Q("q338_local_max_matching", q338, Some(q338Sql)),
-    Q("q343_hyperball", q343, Some(q343Sql)))
+    Q("q338_local_max_matching", q338, Some(q338Sql), headline = true),
+    Q("q343_hyperball", q343, Some(q343Sql), headline = true))
 }
