@@ -84,7 +84,17 @@ object ScaleGen {
       case "embeddings" =>
         val base = shifted(df, s, Seq("vec_id"))
         if (s == 0) base
-        else base.withColumn("embedding", signFlip(col("embedding"), s))
+        else base
+          .withColumn("embedding", signFlip(col("embedding"), s))
+          // labels are cluster/cell assignments — under the
+          // new-communities growth model they must be shard-disjoint
+          // (like documents' source), or every IVF cell accumulates
+          // `factor` decorrelated shards: per-cell density grows
+          // factor x and any cell-equi-join pair leg grows factor² x
+          // (q31 measured 97x at 10x data before this rename — an
+          // artifact of the generator, not the operator). Integer
+          // stride keeps the column's type.
+          .withColumn("label", col("label") + lit(s * 1000))
       case other => sys.error(s"unknown table: $other")
     }
   }

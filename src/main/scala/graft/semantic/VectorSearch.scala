@@ -166,11 +166,15 @@ object VectorSearch {
   }
 
   /** ADC search: build the query's (sub × code) table of partial squared
-    * distances, broadcast it as one nested-array row, and score every
-    * encoded vector with per-subspace lookups — approx top-k by
-    * quantized L2. Requires codes to be dense 0-based (label ids are).
-    * Ordering uses the ROUNDED distance (6 dp) so ranking is stable
-    * across summation orders. */
+    * distances, broadcast it as one nested row of per-subspace
+    * code→distance MAPS, and score every encoded vector with
+    * per-subspace lookups — approx top-k by quantized L2. The map form
+    * works for ARBITRARY code ids (a positional array indexed by raw
+    * code value assumed dense 0-based ids and overflowed the moment
+    * cell ids were strided — the round-11 ScaleGen shard-label fix
+    * surfaced exactly that; production cell ids are never guaranteed
+    * dense). Ordering uses the ROUNDED distance (6 dp) so ranking is
+    * stable across summation orders. */
   def pqSearch(encoded: DataFrame, books: DataFrame, queryVec: DataFrame,
       k: Int, m: Int, dim: Int): DataFrame = {
     val dsub = (dim + m - 1) / m
@@ -179,15 +183,18 @@ object VectorSearch {
     val lut = books.join(qsub, "sub")
       .withColumn("pd", sqDist(col("codeword"), col("qsub")))
       .groupBy(col("sub"))
-      .agg(array_sort(collect_list(struct(col("code"), col("pd")))).as("cp"))
-      .select(col("sub"), expr("transform(cp, p -> p.pd)").as("pds"))
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("code"), col("pd"))))).as("cp"))
       .groupBy()
-      .agg(array_sort(collect_list(struct(col("sub"), col("pds")))).as("sp"))
-      .select(expr("transform(sp, p -> p.pds)").as("lut"))
+      // struct<sub, map> is not orderable, so the per-sub layout is
+      // rebuilt by explicit index lookup instead of array_sort
+      .agg(collect_list(struct(col("sub"), col("cp"))).as("sp"))
+      .select(expr(s"transform(sequence(0, ${m - 1}), " +
+        "i -> filter(sp, p -> p.sub = i)[0].cp)").as("lut"))
     encoded.crossJoin(broadcast(lut))
       .withColumn("adc_dist", round(sqrt(aggregate(
         zip_with(col("codes"), col("lut"),
-          (c, subLut) => element_at(subLut, c + 1)),
+          (c, subLut) => element_at(subLut, c)),
         lit(0.0), (acc, v) => acc + v)), 6))
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(k)

@@ -187,6 +187,42 @@ class IterationShapeSpec extends SparkSpec {
       s"per-round stage delta drifted: $delta (2-round $s2, 3-round $s3)")
   }
 
+  test("q293 kTrussPeel: one incremental cascade round has a pinned stage budget") {
+    import graft.graph.GraphAnalytics
+    // Same round-1 shape, different cascade depth: a lone triangle
+    // peels in ONE round at k=4 (all supports 1), while the
+    // two-triangle-sharing-an-edge graph peels in TWO (the shared
+    // edge's support decays to 0 after round 1 — KTrussSpec's cascade
+    // case). The stage difference is the honest stage budget of ONE
+    // live-frontier round (measured 30: the frontier x adjacency
+    // triangle enumeration, the dead-triangle dedup + delta
+    // aggregate, the support/alive updates, three checkpoint
+    // materializations and the convergence probe — many tiny stages,
+    // each frontier-sized). The failure this guards is the q192 one:
+    // a lineage edit that re-executes PRIOR rounds inside later ones
+    // is quadratic in rounds and blows the band immediately. (Stage
+    // COUNT cannot distinguish census-sized work from frontier-sized
+    // work — that regression is caught by the bench floor instead.)
+    def edges(rows: Seq[(Long, Long)]) =
+      rows.toDF("a", "b").localCheckpoint()
+    val oneRound = edges(Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    val twoRound = edges(Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L),
+      (3L, 4L)))
+    GraphAnalytics.kTrussPeel(oneRound, 4)._1.count() // warm
+    val s1 = submittedStages {
+      val (out, r) = GraphAnalytics.kTrussPeel(oneRound, 4); out.count()
+      assert(r == 1, s"lone triangle should peel in 1 round, got $r")
+    }
+    val s2 = submittedStages {
+      val (out, r) = GraphAnalytics.kTrussPeel(twoRound, 4); out.count()
+      assert(r == 2, s"shared-edge pair should peel in 2 rounds, got $r")
+    }
+    val delta = s2 - s1
+    info(s"stages: 1-round graph=$s1, 2-round graph=$s2, cascade-round delta=$delta")
+    assert(delta >= 5 && delta <= 60,
+      s"per-cascade-round stage delta drifted: $delta (1-round $s1, 2-round $s2)")
+  }
+
   test("q149 kmeans: exactly one centroid broadcast join per Lloyd round") {
     // KMeans.fit chains iterations without lineage truncation, so the
     // final plan is the full DAG: each of the KmIters update rounds and
