@@ -16,6 +16,10 @@ scalacOptions += "-deprecation" // keep the build deprecation-clean
 // parsed:null). These settings remove the trailer entirely.
 Global / showSuccess := false
 Global / showTiming := false
+// pass the forked program's stdout/stderr through verbatim instead of
+// re-logging each line with an "[info] " / "[error] " prefix — the
+// driver json-parses the final stdout line
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // the two keys are read by sbt's command layer, not by tasks — exclude
 // them from the unused-key lint so the build stays warning-clean
 Global / excludeLintKeys ++= Set(showSuccess, showTiming)
