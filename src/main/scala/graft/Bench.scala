@@ -299,9 +299,13 @@ object Bench {
     // stop BEFORE the final print: Spark's shutdown logs (stderr) and
     // sbt's async stderr relay can otherwise land lines after the JSON.
     // Together with build.sbt's showSuccess/showTiming=false (no
-    // "[success] Total time" trailer), the result JSON is the true
-    // final stdout line the driver's tail parse reads.
-    spark.stop()
+    // "[success] Total time" trailer) and verbatim outputStrategy, the
+    // result JSON is the true final stdout line the driver's tail
+    // parse reads. A stop-time exception must not cost the record.
+    try spark.stop()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] spark.stop failed: ${e.getMessage}")
+    }
     println(resultJson)
     System.out.flush()
   }

@@ -301,6 +301,14 @@ object GraphAnalytics {
         // still alive this round) containing >= 1 dropped edge:
         // pivot each dropped edge at its lower-degree endpoint, walk
         // that endpoint's adjacency, close against the alive list.
+        // Degrees are recomputed from the SHRINKING alive set each
+        // round ON PURPOSE: a hoisted build-once degree frame was
+        // measured (round 11) at 169.8 s vs 125.2 s sf1.0 — joining
+        // the full-graph 2M-row checkpoint twice per round costs more
+        // than re-aggregating the post-round-1 remnant, because round
+        // 1 peels most of the co-purchase graph. The pivot choice is
+        // a cost heuristic only (the dead-triangle set of a dropped
+        // edge is its common-neighbor set from either endpoint).
         val deg = degrees(alive)
         val adj = alive.select(col("a").as("p"), col("b").as("v"))
           .unionByName(alive.select(col("b").as("p"), col("a").as("v")))

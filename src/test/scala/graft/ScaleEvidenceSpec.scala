@@ -4,28 +4,28 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.queries.Catalog
 
 /** Scale-evidence discipline, automated (round-10 verdict item 6):
-  * every catalog query must carry an sf1.0 scale row — in a
-  * BENCH_NOTES.md scale table or in SCALECHECK.json — so an operator
-  * cannot land with only sf0.01 oracle evidence. Ids are matched the
-  * way the inventory tables cite them: bare (q268) or as an expanded
-  * range (q36–q43).
+  * every catalog query must carry an sf1.0 scale row — a BENCH_NOTES
+  * markdown TABLE row whose first cell is the query (the addenda
+  * format `| qNNN_name | sf0.1 | sf1.0 | ... |`), or a fingerprint
+  * entry in SCALECHECK.json — so an operator cannot land with only
+  * sf0.01 oracle evidence. A bare prose mention does NOT count
+  * (round-11 review: any query discussed in a round note would
+  * otherwise pass the gate with zero scale data).
   */
 object ScaleEvidence {
-  /** All cited query numbers in `text`: bare ids (q268), full catalog
-    * names (q01_pricing_summary — `\b` alone misses these, the
-    * underscore is a word character), and expanded ranges (q36–q43).
-    * The digit lookahead keeps q26 from matching inside q268. */
-  def ids(text: String): Set[Int] = {
-    val singles = "\\bq(\\d{1,3})(?![0-9])".r.findAllMatchIn(text)
-      .map(_.group(1).toInt)
-    val ranges = "\\bq(\\d{1,3})\\s*[–-]\\s*q?(\\d{1,3})(?![0-9])".r
-      .findAllMatchIn(text)
-      .flatMap(m => m.group(1).toInt to m.group(2).toInt)
-    (singles ++ ranges).toSet
-  }
 
-  def missing(evidence: String): Seq[Int] = {
-    val have = ids(evidence)
+  /** Query numbers cited as the FIRST CELL of a markdown table row. */
+  def tableRowIds(text: String): Set[Int] =
+    "(?m)^\\|\\s*q(\\d{1,3})[a-z_0-9]*\\s*\\|".r
+      .findAllMatchIn(text).map(_.group(1).toInt).toSet
+
+  /** Query numbers keyed in a SCALECHECK-style JSON board. */
+  def jsonKeyIds(text: String): Set[Int] =
+    "\"q(\\d{1,3})[a-z_0-9]*\"".r
+      .findAllMatchIn(text).map(_.group(1).toInt).toSet
+
+  def missing(benchNotes: String, scaleCheck: String): Seq[Int] = {
+    val have = tableRowIds(benchNotes) ++ jsonKeyIds(scaleCheck)
     Catalog.all
       .map(_.name.drop(1).takeWhile(_.isDigit).toInt)
       .distinct.sorted
@@ -39,26 +39,29 @@ class ScaleEvidenceSpec extends AnyFunSuite {
     java.nio.file.Files.readString(java.nio.file.Paths.get(path))
 
   test("every catalog query has an sf1.0 scale row in BENCH_NOTES or SCALECHECK") {
-    val evidence = read("BENCH_NOTES.md") + read("SCALECHECK.json")
-    val miss = ScaleEvidence.missing(evidence)
+    val miss = ScaleEvidence.missing(read("BENCH_NOTES.md"),
+      read("SCALECHECK.json"))
     assert(miss.isEmpty,
-      s"catalog queries with no scale evidence: " +
+      s"catalog queries with no scale-table row: " +
         miss.map("q" + _).mkString(", "))
   }
 
   test("the checker actually catches a missing query") {
-    // evidence text citing every catalog id EXCEPT one: the checker
-    // must report exactly that one (guards against a regex rot that
-    // would silently match everything)
+    // table rows for every catalog id EXCEPT one: the checker must
+    // report exactly that one (guards against regex rot that would
+    // silently match everything)
     val all = Catalog.all
       .map(_.name.drop(1).takeWhile(_.isDigit).toInt).distinct.sorted
     val victim = all.last
-    val text = all.filterNot(_ == victim).map("q" + _).mkString(" ")
-    assert(ScaleEvidence.missing(text) == Seq(victim))
+    val rows = all.filterNot(_ == victim)
+      .map(i => s"| q${i}_x | 1.0 | 2.0 | 2.0x |").mkString("\n")
+    assert(ScaleEvidence.missing(rows, "{}") == Seq(victim))
   }
 
-  test("range citations expand") {
-    assert(ScaleEvidence.ids("q36–q43 and q50-q52 plus q7") ==
-      ((36 to 43) ++ (50 to 52) :+ 7).toSet)
+  test("prose mentions do not count as evidence") {
+    assert(ScaleEvidence.tableRowIds(
+      "q31's oracle gate is green; see q293 notes") == Set.empty)
+    assert(ScaleEvidence.tableRowIds(
+      "| q31_embedding_neardup | 1.39 | 10.06 | 7.3x |") == Set(31))
   }
 }

@@ -114,11 +114,15 @@ _CON = None
 _OUTDIR = None
 
 
-def _init_worker(sfdir, outdir):
+def _init_worker(sfdir, outdir, threads=2):
     global _CON, _OUTDIR
     _CON = duckdb.connect()
     _CON.execute("SET TimeZone='UTC'")
-    _CON.execute("SET threads=2")
+    # 2 threads per pooled worker (16 workers share the box); the
+    # serial targeted path keeps DuckDB's all-cores default so a single
+    # heavy oracle (q293's unrolled recount) isn't throttled
+    if threads:
+        _CON.execute(f"SET threads={threads}")
     for t in TABLES:
         _CON.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
@@ -200,7 +204,7 @@ def main():
                 initargs=(sfdir, outdir)) as pool:
             results = list(pool.map(_compare_one, items, chunksize=4))
     else:
-        _init_worker(sfdir, outdir)
+        _init_worker(sfdir, outdir, threads=None)
         results = [_compare_one(it) for it in items]
     ok = fail = 0
     statuses = {}
