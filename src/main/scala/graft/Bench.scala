@@ -86,6 +86,21 @@ object Bench {
     "q338_local_max_matching" -> 6.71,
     "q343_hyperball" -> 10.30)
 
+  /** Where this run's full result record lands. ONLY an official run —
+    * the driver's full-headline sf0.1 configuration — may write the
+    * canonical `BENCH_RESULT.json`; round 11's record was clobbered
+    * twice (a single-query sf1.0 measurement, a judge sf0.001 probe)
+    * because the write was unconditional. Non-official runs get a
+    * suffixed file: `BENCH_RESULT.<sfbase>[.partial].json`.
+    */
+  def resultPath(sfDir: String, partial: Boolean): String = {
+    val base = java.nio.file.Paths.get(sfDir)
+      .normalize().getFileName.toString
+    if (base == "sf0.1" && !partial) "BENCH_RESULT.json"
+    else if (partial) s"BENCH_RESULT.$base.partial.json"
+    else s"BENCH_RESULT.$base.json"
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -138,6 +153,15 @@ object Bench {
     // (q191/q273 read it)
     val ingestCopurchase = timed {
       graft.queries.GraphAnalyticsQueries.copurchaseCanon(spark, sfDir).count()
+    }
+    // the per-graph triangle censuses (round-11 verdict item 8): ONE
+    // O(m^1.5) wedge enumeration per graph per session, shared by
+    // q191/q273/q293/q299 — built here like the other indexes so the
+    // build cost stays visible as its own timed row
+    val ingestCensus = timed {
+      graft.queries.GraphAnalyticsQueries.copurchaseSupport(spark, sfDir)
+        .count()
+      graft.graph.KGraph.supportMaterialized(spark, sfDir).count()
     }
     // keep-set for checkpoint hygiene: everything persisted so far is a
     // session-lifetime artifact; every block persisted AFTER this point
@@ -269,17 +293,28 @@ object Bench {
     // once in warmup; a regression in the builders must stay visible)
     val ingest = f""""ingest_kgraph_index":$ingestKgraph%.3f,""" +
       f""""ingest_dedup_index":$ingestDedup%.3f,""" +
-      f""""ingest_copurchase":$ingestCopurchase%.3f"""
+      f""""ingest_copurchase":$ingestCopurchase%.3f,""" +
+      f""""ingest_census":$ingestCensus%.3f"""
+    // provenance stamp (round-11 verdict item 6): which binary, when —
+    // an empty/stale driver board is then attributable at a glance
+    val sha = graft.engine.Provenance.gitSha()
+    val at = graft.engine.Provenance.nowIso()
     val resultJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$samples,"failed":$failed,"retried":$retriedJson,"floor_ratio":$floorRatios,"ingest":{$ingest},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$samples,"failed":$failed,"retried":$retriedJson,"floor_ratio":$floorRatios,"ingest":{$ingest},"git":"$sha","at":"$at","sf":"$sfDir"}"""
     // Persist the record to a file FIRST (round 9: the stdout line was
     // scrolled out of the driver's tail buffer and the round recorded
-    // as unparseable), then run the explain report, then print the JSON
-    // as the FINAL stdout line.
+    // as unparseable), then run the explain report, then print a COMPACT
+    // summary as the FINAL stdout line. The driver's tail capture is a
+    // fixed 2000-char window and the full record is 3.4-4.2 KB — three
+    // rounds of parsed:null were exactly this line not fitting
+    // (round-11 verdict item 1), so the full record lives in the file
+    // and the last line carries the headline numbers + the record's
+    // sha256 prefix to tie the two together.
+    val recordFile = resultPath(sfDir, only.nonEmpty)
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_RESULT.json"), resultJson + "\n")
+      java.nio.file.Paths.get(recordFile), resultJson + "\n")
     catch { case e: Throwable =>
-      System.err.println(s"[bench] could not persist BENCH_RESULT.json: " +
+      System.err.println(s"[bench] could not persist $recordFile: " +
         e.getMessage)
     }
     // Explain report over the heavy headliners (>= 2 s best reading):
@@ -306,7 +341,21 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] spark.stop failed: ${e.getMessage}")
     }
-    println(resultJson)
+    // Compact final line (must fit the driver's 2000-char tail window —
+    // stay well under it even with a handful of failed/retried names;
+    // lists are capped at 8 with true counts alongside so a broken
+    // round can't blow the size back past the window).
+    def capped(names: Seq[String]): String =
+      names.take(8).map(n => "\"" + n + "\"").mkString("[", ",", "]")
+    val maxRatio = results.collect {
+      case (name, best, true)
+          if floorsApply && floors.get(name).exists(_ >= 0.5) && best > 0 =>
+        best / floors(name)
+    }.foldLeft(0.0)(math.max)
+    val failedNames = results.filterNot(_._3).map(_._1)
+    val summary =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"ok":${results.count(_._3)},"failed":${capped(failedNames)},"failed_n":${failedNames.size},"retried":${capped(retried.toSeq)},"retried_n":${retried.size},"max_floor_ratio":$maxRatio%.2f,"detail":"$recordFile","sha256":"${graft.engine.Provenance.sha256Prefix(resultJson)}","git":"${sha.take(12)}","at":"$at","sf":"$sfDir"}"""
+    println(summary)
     System.out.flush()
   }
 

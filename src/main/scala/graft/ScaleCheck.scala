@@ -42,7 +42,7 @@ object ScaleCheck {
 
   /** (row count, decimal sum of row hashes, xor of row hashes). */
   def fingerprint(df: DataFrame): (Long, String, Long) = {
-    val cols = df.columns.sorted.map(c => col(c).cast("string"))
+    val cols = df.columns.sorted.toIndexedSeq.map(c => col(c).cast("string"))
     // control-char separator + sentinel for nulls: concat_ws silently
     // DROPS null args, which would make (null, "x") collide with ("x")
     val hashed = df.select(
@@ -94,6 +94,8 @@ object ScaleCheck {
         graft.graph.KGraph.orientedMaterialized(s, sfDir, d).count())
       graft.graph.KGraph.canonicalMaterialized(s, sfDir).count()
       graft.queries.GraphAnalyticsQueries.copurchaseCanon(s, sfDir).count()
+      graft.queries.GraphAnalyticsQueries.copurchaseSupport(s, sfDir).count()
+      graft.graph.KGraph.supportMaterialized(s, sfDir).count()
       graft.dedup.DedupIndex.clusters(s, sfDir).count()
       graft.dedup.DedupIndex.simhashPairs(s, sfDir).count()
       val keep = graft.engine.Lineage.persistentIds(root)
@@ -122,15 +124,45 @@ object ScaleCheck {
         f" (${fps.map(_._2).map(t => f"$t%.1f").mkString("/")} s)")
       (name, ok, fps)
     }
-    val json = results.map { case (name, ok, fps) =>
+    val fresh = results.map { case (name, ok, fps) =>
       val (n, s, x) = fps.head._1
-      s""""$name":{"match":$ok,"rows":$n,"sum":"$s","xor":$x,""" +
-        s""""secs":[${fps.map(f => f"${f._2}%.2f").mkString(",")}]}"""
-    }.mkString("{", ",", "}")
-    val allOk = results.forall(_._2)
+      name -> (s"""{"match":$ok,"rows":$n,"sum":"$s","xor":$x,""" +
+        s""""secs":[${fps.map(f => f"${f._2}%.2f").mkString(",")}]}""", ok)
+    }
+    // MERGE with the existing board, and keep one board FILE per scale
+    // base: a targeted run (one query) must not clobber the 20-query
+    // record, and an sf2 exponent run must not clobber the canonical
+    // sf1.0 board — the exact failure mode that hit BENCH_RESULT.json
+    // twice in round 11. The canonical file (the ScaleEvidenceSpec
+    // gate's input) is sf1.0's; other scales get SCALECHECK.<base>.json.
+    val base = java.nio.file.Paths.get(sfDir)
+      .normalize().getFileName.toString
+    val boardFile =
+      if (base == "sf1.0") "SCALECHECK.json" else s"SCALECHECK.$base.json"
+    val prior: Seq[(String, (String, Boolean))] =
+      try {
+        val txt = java.nio.file.Files.readString(
+          java.nio.file.Paths.get(boardFile))
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(txt)
+        if (node.get("sf") == null || node.get("sf").asText() != sfDir) Nil
+        else {
+          import scala.jdk.CollectionConverters._
+          node.get("queries").properties().asScala.map { e =>
+            e.getKey -> (e.getValue.toString,
+              e.getValue.get("match").asBoolean())
+          }.toSeq
+        }
+      } catch { case _: Throwable => Nil }
+    val freshNames = fresh.map(_._1).toSet
+    val merged = prior.filterNot(p => freshNames(p._1)) ++ fresh
+    val json = merged.sortBy(_._1)
+      .map { case (name, (body, _)) => s""""$name":$body""" }
+      .mkString("{", ",", "}")
+    val allOk = merged.forall(_._2._2)
     val line = s"""{"metric":"scalecheck","sf":"$sfDir","all_match":$allOk,"queries":$json}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("SCALECHECK.json"), line + "\n")
+      java.nio.file.Paths.get(boardFile), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[scalecheck] persist failed: ${e.getMessage}")
     }

@@ -83,17 +83,18 @@ object ScaleGen {
           .withColumn("n_chars", length(col("text")))
       case "embeddings" =>
         val base = shifted(df, s, Seq("vec_id"))
-        if (s == 0) {
-          // same collision guard as the key-space stride: chaining
-          // ScaleGen on its own output would otherwise wrap strided
-          // labels back onto earlier shards' cells silently
-          val m = df.agg(max(col("label").cast("long"))).head()
-          require(m.isNullAt(0) || m.getLong(0) < 1000,
-            s"base labels reach ${m.getLong(0)} >= label stride 1000 — " +
-              "shard cell spaces would collide; rescale the stride or " +
-              "use a smaller base")
-          base
-        } else base
+        // collision guard, run for EVERY shard (round-11 review: shard()
+        // is public and per-shard, so an s==0-only guard never fires on
+        // chained/partial generation that skips shard 0): chaining
+        // ScaleGen on its own output would otherwise wrap strided
+        // labels back onto earlier shards' cells silently
+        val m = df.agg(max(col("label").cast("long"))).head()
+        require(m.isNullAt(0) || m.getLong(0) < 1000,
+          s"base labels reach ${m.getLong(0)} >= label stride 1000 — " +
+            "shard cell spaces would collide; rescale the stride or " +
+            "use a smaller base")
+        if (s == 0) base
+        else base
           .withColumn("embedding", signFlip(col("embedding"), s))
           // labels are cluster/cell assignments — under the
           // new-communities growth model they must be shard-disjoint

@@ -31,12 +31,15 @@ object Verify {
     val selected =
       if (only.isEmpty) SparkEntry.queries.toSeq
       else SparkEntry.queries.toSeq.filter(kv => only(kv._1))
+    val failedNames =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val tasks = selected.map { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit =
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           catch { case e: Throwable =>
+            failedNames.add(name): Unit
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
             // remove any PRIOR dump for this query: a stale result
             // under the current name would otherwise hash-compare
@@ -74,6 +77,26 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+    // Compact final stdout line (round-11 verdict items 1-2): a dump
+    // summary small enough for the driver's 2000-char tail window, with
+    // provenance, so an empty downstream correctness board is
+    // attributable to the compare stage rather than the dump. Printed
+    // AFTER spark.stop() so shutdown logging can't land lines after it.
+    val fails = {
+      import scala.jdk.CollectionConverters._
+      failedNames.asScala.toSeq.sorted
+    }
+    try spark.stop()
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] spark.stop failed: ${e.getMessage}")
+    }
+    val summary =
+      s"""{"dumped":${selected.size - fails.size},"failed":${fails.size},""" +
+      s""""failed_names":${fails.take(8).map(n => "\"" + n + "\"")
+        .mkString("[", ",", "]")},""" +
+      s""""git":"${graft.engine.Provenance.gitSha().take(12)}",""" +
+      s""""at":"${graft.engine.Provenance.nowIso()}","sf":"$sfDir"}"""
+    println(summary)
+    System.out.flush()
   }
 }

@@ -73,6 +73,19 @@ object GraphAnalytics {
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
   }
 
+  /** Per-node triangle counts DERIVED from a per-edge support frame:
+    * a triangle at node u lies in exactly two of u's incident edges
+    * (uv and uw), so n_tri(u) = Σ support over incident edges div 2 —
+    * an O(m) explode + aggregate over the (≤ m rows) support frame
+    * instead of a second O(m^1.5) wedge enumeration. With the support
+    * frame cached as a session artifact, every triangle consumer in a
+    * session shares ONE census (round-11 verdict item 8). */
+  def triangleCountsFromSupport(sup: DataFrame): DataFrame =
+    sup.select(explode(array(col("a"), col("b"))).as("node"),
+        col("support"))
+      .groupBy(col("node"))
+      .agg(expr("sum(support) div 2").as("n_tri"))
+
   /** Every triangle exactly once as (u, v, w) ranked low→high under
     * the (degree, id) total order — the shared core of the node and
     * edge census forms above. */
@@ -177,8 +190,16 @@ object GraphAnalytics {
   /** Local clustering coefficient per node: 2·tri / (deg·(deg−1)),
     * 0 for degree < 2. Returns (node, degree, n_tri, clustering). */
   def clustering(canon: DataFrame): DataFrame =
-    degrees(canon)
-      .join(triangleCounts(canon), Seq("node"), "left")
+    clusteringFrom(degrees(canon), triangleCounts(canon))
+
+  /** [[clustering]] with the triangle side supplied from the shared
+    * per-edge support artifact instead of a fresh wedge census. */
+  def clusteringFromSupport(canon: DataFrame, sup: DataFrame): DataFrame =
+    clusteringFrom(degrees(canon), triangleCountsFromSupport(sup))
+
+  private def clusteringFrom(deg: DataFrame, tri: DataFrame): DataFrame =
+    deg
+      .join(tri, Seq("node"), "left")
       .select(col("node"), col("degree"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))
       .withColumn("clustering",
@@ -276,12 +297,14 @@ object GraphAnalytics {
     * and 1 sweep + small cascades. Rounds past the fixed point peel
     * nothing, so a cap above convergence is exact — the same unroll
     * contract the oracle mirrors with full recounts per round. */
-  def kTrussPeel(canon: DataFrame, k: Int, maxRounds: Int = 8)
-      : (DataFrame, Int) = {
+  def kTrussPeel(canon: DataFrame, k: Int, maxRounds: Int = 8,
+      initialSupport: Option[DataFrame] = None): (DataFrame, Int) = {
     require(k >= 3, s"k-truss needs k >= 3 (got $k)")
     var alive = canon.truncateLineage()
-    // the one full census; maintained incrementally from here on
-    var sup = edgeSupport(alive).truncateLineage()
+    // the one full census — or the session's shared support artifact
+    // (must equal edgeSupport(canon); the caller owns that contract),
+    // maintained incrementally from here on
+    var sup = initialSupport.getOrElse(edgeSupport(alive).truncateLineage())
     var peeled: DataFrame = null
     var rounds = 0
     var converged = false

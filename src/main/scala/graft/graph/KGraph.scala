@@ -61,6 +61,19 @@ object KGraph {
         .truncateLineage())
   }
 
+  /** Per-edge triangle support over the canonical list (a, b,
+    * support), materialized once per (session, sfDir) — the shared
+    * triangle-census artifact (round-11 verdict item 8): q273's
+    * knowledge-graph census leg and q299's bridge audit both read it
+    * instead of each running their own O(m^1.5) wedge enumeration
+    * over the same cached edge list. Built at ingestion time with the
+    * other graph indexes. */
+  def supportMaterialized(spark: SparkSession, dir: String): DataFrame = {
+    val canon = canonicalMaterialized(spark, dir)
+    graft.engine.SessionCache.getOrBuild(spark, s"kgraph|$dir|support")(
+      GraphAnalytics.edgeSupport(canon).truncateLineage())
+  }
+
   /** Typed edges: from_id, to_id, relation_type, confidence. */
   def edges(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.load(spark, dir, "orders")

@@ -37,6 +37,21 @@ object GraphAnalyticsQueries {
         .truncateLineage())
   }
 
+  /** Per-edge triangle support over the co-purchase projection,
+    * materialized once per (session, sfDir) — the shared census
+    * artifact (round-11 verdict item 8): the q293 k-truss peel's
+    * up-front census, q299's co-purchase bridge leg, and the triangle
+    * side of q191's clustering and q273's census leg all read this
+    * ONE O(m^1.5) wedge enumeration instead of each re-running it
+    * over the same cached projection. */
+  private[graft] def copurchaseSupport(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.engine.Lineage.LineageOps
+    val canon = copurchaseCanon(s, dir)
+    graft.engine.SessionCache.getOrBuild(s, s"copurchase|$dir|support")(
+      GraphAnalytics.edgeSupport(canon).truncateLineage())
+  }
+
   // -- q191: co-purchase projection triangles + local clustering
   //          coefficient. Projects lineitem onto a part–part graph
   //          (edge = two parts share an order), then runs the
@@ -48,7 +63,7 @@ object GraphAnalyticsQueries {
   //          anywhere.
   private def q191(s: SparkSession, dir: String): DataFrame = {
     val canon = copurchaseCanon(s, dir)
-    GraphAnalytics.clustering(canon)
+    GraphAnalytics.clusteringFromSupport(canon, copurchaseSupport(s, dir))
       .select(col("node").as("part_id"), col("degree"), col("n_tri"),
         col("clustering"))
       .orderBy(col("part_id"))
@@ -721,9 +736,20 @@ object GraphAnalyticsQueries {
           .cast("long").as("lnq"))
       .withColumn("term", expr("1000000000000 div lnq"))
     val wadj = adj.join(centers, Seq("y"))
+    // The wedge multiset is ~22M rows at sf0.1 and its (na, nb) groups
+    // are mostly singletons (18M groups out — reduction ratio ~1.2), so
+    // the default plan's map-side combine builds huge per-task hash
+    // maps for almost no reduction: 22M rows through 32 spill-prone
+    // maps was the bench's load-sensitivity hot spot (round-11 verdict
+    // item 3 — 2.1x spread between quiet and loaded hosts). Shuffling
+    // the RAW wedge rows into many small partitions first keeps every
+    // aggregate map tiny (~90k rows/task) and the exchange already
+    // satisfies the groupBy's distribution, so no second shuffle.
+    val aggParts = 8 * s.sparkContext.defaultParallelism
     val pairs = wadj.select(col("y"), col("x").as("na"), col("term"))
       .join(wadj.select(col("y"), col("x").as("nb")), Seq("y"))
       .filter(col("na") < col("nb"))
+      .repartition(aggParts, col("na"), col("nb"))
       .groupBy(col("na"), col("nb"))
       .agg(count(lit(1)).as("common_neighbors"),
         sum(col("term")).as("aa_micro"))
@@ -824,7 +850,8 @@ object GraphAnalyticsQueries {
     // 1.2M rows twice for nothing (measured ~5 s of the census)
     def census(name: String, directed: DataFrame,
         preCanonical: Boolean = false,
-        canonOpt: Option[DataFrame] = None): DataFrame = {
+        canonOpt: Option[DataFrame] = None,
+        supOpt: Option[DataFrame] = None): DataFrame = {
       val e =
         if (preCanonical) directed
         else directed.select(col("from_id"), col("to_id"))
@@ -842,7 +869,10 @@ object GraphAnalyticsQueries {
         else GraphAnalytics.canonical(e).truncateLineage())
       val wedges = GraphAnalytics.degrees(canon)
         .agg(sum(expr("(degree * (degree - 1)) div 2")).as("n_wedges"))
-      val tri = GraphAnalytics.triangleCounts(canon)
+      // the session's shared support artifact stands in for a fresh
+      // wedge census where one exists for this graph
+      val tri = supOpt.map(GraphAnalytics.triangleCountsFromSupport)
+        .getOrElse(GraphAnalytics.triangleCounts(canon))
         .agg(coalesce(sum(col("n_tri")), lit(0L)).as("tri3"))
       e.agg(count(lit(1)).as("n_edges"))
         .crossJoin(broadcast(recip.agg(count(lit(1)).as("n_reciprocal"))))
@@ -870,12 +900,14 @@ object GraphAnalyticsQueries {
       .withColumn("next_type", lead(col("event_type"), 1).over(w))
       .filter(col("next_type").isNotNull)
       .select(col("event_type").as("from_id"), col("next_type").as("to_id"))
-    census("copurchase", copurchase, preCanonical = true)
+    census("copurchase", copurchase, preCanonical = true,
+        supOpt = Some(copurchaseSupport(s, dir)))
       .unionByName(census("event_transitions", transitions))
       // the KG's canonical list is the same session-cached ingestion
       // artifact q192/q193 traverse
       .unionByName(census("knowledge_graph", kg,
-        canonOpt = Some(KGraph.canonicalMaterialized(s, dir))))
+        canonOpt = Some(KGraph.canonicalMaterialized(s, dir)),
+        supOpt = Some(KGraph.supportMaterialized(s, dir))))
       .orderBy(col("graph"))
   }
 
@@ -1035,7 +1067,8 @@ object GraphAnalyticsQueries {
 
   private def q293(s: SparkSession, dir: String): DataFrame = {
     val canon = copurchaseCanon(s, dir)
-    val (out, _) = GraphAnalytics.kTrussPeel(canon, TrussK, TrussRounds)
+    val (out, _) = GraphAnalytics.kTrussPeel(canon, TrussK, TrussRounds,
+      initialSupport = Some(copurchaseSupport(s, dir)))
     out.select(col("a").as("part_a"), col("b").as("part_b"),
         col("layer"), col("in_truss"))
       .orderBy(col("part_a"), col("part_b"))
@@ -1116,8 +1149,10 @@ object GraphAnalyticsQueries {
   //          k-truss peel uses (one pass per graph, exact counts).
   private def q299(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.ExactRound
-    def leg(name: String, canon: DataFrame) = {
-      val sup = GraphAnalytics.edgeSupport(canon)
+    // both legs read the session's shared support artifacts — the
+    // same census the k-truss peel and the q273 census consume
+    def leg(name: String, canon: DataFrame, support: DataFrame) = {
+      val sup = support
         .agg(count(lit(1)).as("tri_edges"),
           coalesce(max(col("support")), lit(0L)).as("max_support"))
       canon.agg(count(lit(1)).as("n_edges"))
@@ -1129,9 +1164,10 @@ object GraphAnalyticsQueries {
           col("max_support"))
     }
     leg("copurchase", copurchaseCanon(s, dir)
-        .select(col("a"), col("b")))
+        .select(col("a"), col("b")), copurchaseSupport(s, dir))
       .unionByName(leg("knowledge_graph",
-        KGraph.canonicalMaterialized(s, dir)))
+        KGraph.canonicalMaterialized(s, dir),
+        KGraph.supportMaterialized(s, dir)))
       .orderBy(col("graph"))
   }
 

@@ -178,6 +178,12 @@ object VectorSearch {
   def pqSearch(encoded: DataFrame, books: DataFrame, queryVec: DataFrame,
       k: Int, m: Int, dim: Int): DataFrame = {
     val dsub = (dim + m - 1) / m
+    // ceil-division subspacing can yield FEWER than m non-empty
+    // subspaces (m=4, dim=9 → dsub=3 → subs 0..2 only); sizing the LUT
+    // by m would leave null holes that zip_with pads codes against,
+    // nulling every adc_dist (round-11 review). Size by the actual
+    // subspace count — pqEncode's codes arrays have the same length.
+    val mEff = (dim + dsub - 1) / dsub
     val qsub = subspaced(queryVec.select(lit(0L).as("vec_id"), col("embedding")),
       Seq("vec_id"), dsub, "qsub").drop("vec_id")
     val lut = books.join(qsub, "sub")
@@ -189,7 +195,7 @@ object VectorSearch {
       // struct<sub, map> is not orderable, so the per-sub layout is
       // rebuilt by explicit index lookup instead of array_sort
       .agg(collect_list(struct(col("sub"), col("cp"))).as("sp"))
-      .select(expr(s"transform(sequence(0, ${m - 1}), " +
+      .select(expr(s"transform(sequence(0, ${mEff - 1}), " +
         "i -> filter(sp, p -> p.sub = i)[0].cp)").as("lut"))
     encoded.crossJoin(broadcast(lut))
       .withColumn("adc_dist", round(sqrt(aggregate(

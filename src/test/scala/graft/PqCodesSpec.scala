@@ -32,4 +32,23 @@ class PqCodesSpec extends SparkSpec {
     assert(dense == sparse,
       s"top-k changed under code renaming:\n dense=$dense\n sparse=$sparse")
   }
+
+  test("pqSearch handles fewer non-empty subspaces than m (ceil-division)") {
+    // m=4, dim=9 → dsub=3 → only subspaces 0..2 exist; an m-sized LUT
+    // would carry a null hole that zip_with pads codes against, nulling
+    // every adc_dist (round-11 review finding — latent at the m=8/dim=64
+    // call sites, fatal at any dim not divisible into m groups)
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label"),
+        slice(col("embedding"), 1, 9).as("embedding"))
+      .localCheckpoint()
+    val books = VectorSearch.pqCodebooks(emb, "label", m = 4, dim = 9)
+    val encoded = VectorSearch.pqEncode(emb, books, m = 4, dim = 9)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+    val hits = VectorSearch.pqSearch(encoded, books, q, k = 5, m = 4, dim = 9)
+      .collect()
+    assert(hits.length == 5, s"expected 5 hits, got ${hits.length}")
+    assert(hits.forall(!_.isNullAt(1)),
+      "adc_dist is null — the LUT has a hole for a missing subspace")
+  }
 }

@@ -14,10 +14,30 @@ import graft.queries.Catalog
   */
 object ScaleEvidence {
 
-  /** Query numbers cited as the FIRST CELL of a markdown table row. */
-  def tableRowIds(text: String): Set[Int] =
-    "(?m)^\\|\\s*q(\\d{1,3})[a-z_0-9]*\\s*\\|".r
-      .findAllMatchIn(text).map(_.group(1).toInt).toSet
+  /** Query numbers cited as the FIRST CELL of a markdown table row,
+    * counting ONLY tables whose header row mentions `sf1.0` — the
+    * addenda format `| query | sf0.1 min | sf1.0 min | ... |`.
+    * BENCH_NOTES also carries sf0.1-only tables (timing ranges,
+    * selectivity sweeps); a row there is not scale evidence and must
+    * not satisfy the gate (round-11 review finding).
+    */
+  def tableRowIds(text: String): Set[Int] = {
+    val rowId = "^\\|\\s*q(\\d{1,3})[a-z_0-9]*\\s*\\|".r
+    val ids = scala.collection.mutable.Set[Int]()
+    var inTable = false
+    var headerHasSf1 = false
+    text.linesIterator.foreach { line =>
+      val isTableLine = line.trim.startsWith("|")
+      if (isTableLine && !inTable) { // this line is the table's header
+        inTable = true
+        headerHasSf1 = line.contains("sf1.0")
+      } else if (!isTableLine) { inTable = false; headerHasSf1 = false }
+      if (isTableLine && headerHasSf1)
+        rowId.findFirstMatchIn(line.trim)
+          .foreach(m => ids += m.group(1).toInt)
+    }
+    ids.toSet
+  }
 
   /** Query numbers keyed in a SCALECHECK-style JSON board. */
   def jsonKeyIds(text: String): Set[Int] =
@@ -53,15 +73,32 @@ class ScaleEvidenceSpec extends AnyFunSuite {
     val all = Catalog.all
       .map(_.name.drop(1).takeWhile(_.isDigit).toInt).distinct.sorted
     val victim = all.last
-    val rows = all.filterNot(_ == victim)
-      .map(i => s"| q${i}_x | 1.0 | 2.0 | 2.0x |").mkString("\n")
+    val rows = "| query | sf0.1 min | sf1.0 min | scaling |\n|---|---|---|---|\n" +
+      all.filterNot(_ == victim)
+        .map(i => s"| q${i}_x | 1.0 | 2.0 | 2.0x |").mkString("\n")
     assert(ScaleEvidence.missing(rows, "{}") == Seq(victim))
+  }
+
+  test("rows in sf0.1-only tables do not count as sf1.0 evidence") {
+    // the round-2 timing-range table shape: a table with no sf1.0
+    // column — its rows previously satisfied the gate (round-11 review)
+    val sf01Only = "| query | range | note |\n|---|---|---|\n" +
+      "| q12_multihop_bfs_in | 1.9 s | quiet |\n"
+    assert(ScaleEvidence.tableRowIds(sf01Only).isEmpty)
+    val sf10 = "| query | sf0.1 min | sf1.0 min | scaling |\n|---|---|---|---|\n" +
+      "| q12_multihop_bfs_in | 1.9 | 4.0 | 2.1x |\n"
+    assert(ScaleEvidence.tableRowIds(sf10) == Set(12))
   }
 
   test("prose mentions do not count as evidence") {
     assert(ScaleEvidence.tableRowIds(
       "q31's oracle gate is green; see q293 notes") == Set.empty)
+    // a bare row with no sf1.0 header doesn't count either (the header
+    // anchor is what keeps sf0.1-only tables out of the gate)
     assert(ScaleEvidence.tableRowIds(
-      "| q31_embedding_neardup | 1.39 | 10.06 | 7.3x |") == Set(31))
+      "| q31_embedding_neardup | 1.39 | 10.06 | 7.3x |") == Set.empty)
+    assert(ScaleEvidence.tableRowIds(
+      "| query | sf0.1 | sf1.0 | x |\n|---|---|---|---|\n" +
+        "| q31_embedding_neardup | 1.39 | 10.06 | 7.3x |") == Set(31))
   }
 }

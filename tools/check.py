@@ -221,8 +221,21 @@ def main():
     # its own committed record of every run). Full runs only: a
     # filtered dev run would otherwise overwrite the full board.
     if not only:
+        # provenance stamp (round-11 verdict item 6): sha + timestamp so
+        # an empty driver-side board is attributable without mtime
+        # archaeology
+        try:
+            sha = subprocess.run(["git", "rev-parse", "HEAD"],
+                                 capture_output=True, text=True,
+                                 cwd="/root/repo").stdout.strip() or "unknown"
+        except Exception:
+            sha = "unknown"
+        import datetime
+        at = datetime.datetime.now(datetime.timezone.utc).strftime(
+            "%Y-%m-%dT%H:%M:%SZ")
         with open("/root/repo/CORRECTNESS_SELF.json", "w") as f:
             json.dump({"sf": sfdir, "ok": ok, "failed": fail,
+                       "git": sha, "at": at,
                        "queries": statuses}, f, indent=0, sort_keys=True)
             f.write("\n")
     sys.exit(1 if fail else 0)
