@@ -61,7 +61,13 @@ object Bench {
     "q173_quality_classifier" -> 3.02,
     "q175_classifier_eval" -> 2.21,
     "q176_minhash_fidelity" -> 0.59, // post-DedupIndex 0.5 floor (was 8.25)
-    "q191_copurchase_clustering" -> 2.54,
+    // round-12 re-pins: the shared per-graph triangle-census artifact
+    // (ingest_census row) absorbed the wedge enumeration these four
+    // queries each re-ran — their floors are now the post-census read
+    // cost, exactly like the post-DedupIndex dedup floors; q268's drop
+    // is the raw-shuffle aggregation fix (no more 22M-row map-side
+    // combine), not the census (it doesn't read one)
+    "q191_copurchase_clustering" -> 0.63,
     "q192_kcore_layers" -> 4.29, // unchanged after the AQE-peel fix (r9 4.31)
     "q193_lpa_communities" -> 4.69,
     "q226_cluster_cohesion" -> 0.59, // post-DedupIndex (was 10.85)
@@ -72,17 +78,17 @@ object Bench {
     // round-9 addendum): the new heavy graph operators join the
     // official record — link prediction (wedge-bound under the hub
     // cut), HITS (frontier-only rounds), and the 3-graph census
-    "q268_link_prediction" -> 7.83,
+    "q268_link_prediction" -> 6.01, // round-12 raw-shuffle agg re-pin
     "q269_hits" -> 4.65,
-    "q273_graph_census" -> 14.80,
+    "q273_graph_census" -> 3.68, // round-12 post-census re-pin
     // round-11 headline promotions (quiet sf0.1 mins, BENCH_NOTES
     // round-11 addendum): the round-10 heavy additions join the
     // official record so a regression in the repo's most expensive
     // plans is bench-gated — k-truss under the new live-frontier
     // peel, HyperBall, local-max matching, bridge audit, PPR
-    "q293_ktruss_layers" -> 25.58,
+    "q293_ktruss_layers" -> 23.36, // round-12 post-census re-pin
     "q294_personalized_pagerank" -> 5.43,
-    "q299_bridge_audit" -> 8.21,
+    "q299_bridge_audit" -> 0.58, // round-12 post-census re-pin
     "q338_local_max_matching" -> 6.71,
     "q343_hyperball" -> 10.30)
 
