@@ -329,9 +329,12 @@ object Bench {
     // time) and writes the per-query step/bottleneck digest the tuning
     // docs reference. Failures here must never poison the bench record
     // — the JSON is already persisted.
-    // sf0.1-only (like the floors): the scale-proof sf1.0 sweeps don't
-    // need a second execution of every heavy query
-    if (floorsApply)
+    // official runs only (sf0.1 AND the full headline set — same gate
+    // as the canonical record file): a targeted SPARK_GRAFT_BENCH_ONLY
+    // run at sf0.1 would otherwise overwrite the 23-section report
+    // with its one query (it did, twice — round 11 and the round-12
+    // q268 load test)
+    if (floorsApply && only.isEmpty)
       try explainReport(spark, sfDir,
         results.collect { case (n, best, true) if best >= 2.0 => n })
       catch { case e: Throwable =>

@@ -22,6 +22,46 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(got == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
   }
 
+  test("triangleCountsFromSupport matches the direct census") {
+    // the shared-census artifact path derives per-node counts from
+    // per-edge support (n_tri(u) = Σ support over incident edges div
+    // 2) — must equal the direct wedge enumeration on a graph with
+    // overlapping triangles, a pendant, and an isolated edge
+    val c = canon(("a", "b"), ("b", "c"), ("a", "c"), ("b", "d"),
+      ("c", "d"), ("b", "e"), ("x", "y"))
+    val direct = GraphAnalytics.triangleCounts(c)
+      .as[(String, Long)].collect().toMap
+    val derived = GraphAnalytics
+      .triangleCountsFromSupport(GraphAnalytics.edgeSupport(c))
+      .as[(String, Long)].collect().toMap
+    assert(derived == direct, s"derived=$derived direct=$direct")
+    // and the clustering forms agree end-to-end (left-join fills the
+    // no-triangle nodes with 0 in both)
+    val cDirect = GraphAnalytics.clustering(c)
+      .as[(String, Long, Long, Double)].collect().toSet
+    val cDerived = GraphAnalytics
+      .clusteringFromSupport(c, GraphAnalytics.edgeSupport(c))
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(cDerived == cDirect)
+  }
+
+  test("kTrussPeel with a supplied initial support matches the built-in census") {
+    // K4 + a triangle sharing one node + a chain: the peel's rounds
+    // and layers must be identical whether the census is computed
+    // inside or handed in (the session-artifact path)
+    val edges = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d"), ("d", "e"), ("e", "f"), ("d", "f"),
+      ("f", "g"), ("g", "h"))
+    val c = canon(edges: _*)
+    val (built, r1) = GraphAnalytics.kTrussPeel(c, k = 4)
+    val (seeded, r2) = GraphAnalytics.kTrussPeel(c, k = 4,
+      initialSupport = Some(GraphAnalytics.edgeSupport(c)))
+    assert(r1 == r2)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.as[(String, String, Int, Boolean)].collect().toSet
+    assert(key(seeded) == key(built))
+  }
+
   test("clustering: K4 is 1.0 everywhere, pendant is 0") {
     // complete graph on {a,b,c,d} + pendant e on d
     val k4 = for {
