@@ -86,7 +86,7 @@ object Bench {
     // official record so a regression in the repo's most expensive
     // plans is bench-gated — k-truss under the new live-frontier
     // peel, HyperBall, local-max matching, bridge audit, PPR
-    "q293_ktruss_layers" -> 23.36, // round-12 post-census re-pin
+    "q293_ktruss_layers" -> 17.63, // round-12 merged-frame peel re-pin
     "q294_personalized_pagerank" -> 5.43,
     "q299_bridge_audit" -> 0.58, // round-12 post-census re-pin
     "q338_local_max_matching" -> 6.71,

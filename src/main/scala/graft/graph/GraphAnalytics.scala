@@ -294,86 +294,125 @@ object GraphAnalytics {
     * triangles it sat in. Per-round cost is frontier-proportional
     * (Σ min-endpoint-degree over dropped edges), not census-
     * proportional — the difference between 6 full O(m^1.5) sweeps
-    * and 1 sweep + small cascades. Rounds past the fixed point peel
+    * and 1 sweep + small cascades. MASS-DROP rounds (more than half
+    * the surviving edges peel at once, the typical round 1 on a
+    * power-law projection) recount the REMNANT instead: the cascade
+    * would touch nearly every old triangle, while the remnant census
+    * is O(remnant^1.5). Rounds past the fixed point peel
     * nothing, so a cap above convergence is exact — the same unroll
     * contract the oracle mirrors with full recounts per round. */
   def kTrussPeel(canon: DataFrame, k: Int, maxRounds: Int = 8,
       initialSupport: Option[DataFrame] = None): (DataFrame, Int) = {
     require(k >= 3, s"k-truss needs k >= 3 (got $k)")
-    var alive = canon.truncateLineage()
-    // the one full census — or the session's shared support artifact
-    // (must equal edgeSupport(canon); the caller owns that contract),
-    // maintained incrementally from here on
-    var sup = initialSupport.getOrElse(edgeSupport(alive).truncateLineage())
+    // ONE frame carries (a, b, support) — the round-12 form. The
+    // previous loop kept `alive` and `sup` separate and re-joined them
+    // every round (a |E|-by-|E| sort-merge join to FIND the drop set,
+    // plus two anti-joins to apply it); with support riding on the
+    // edge row, the drop set, the survivor set, and the removal are
+    // all FILTERS over one checkpointed frame. Support-0 edges are
+    // materialized up front (the census omits them) so the drop
+    // filter never needs a join again.
+    var aliveSup = canon
+      .join(initialSupport.getOrElse(edgeSupport(canon)),
+        Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("support"), lit(0L)).as("support"))
+      .truncateLineage()
+    var aliveCount = aliveSup.count()
     var peeled: DataFrame = null
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
       rounds += 1
-      val drop = alive.join(sup, Seq("a", "b"), "left")
-        .filter(coalesce(col("support"), lit(0L)) < k - 2)
+      // truncated, NOT a bare filter view: the final result unions
+      // every round's drop frame, and an un-materialized filter would
+      // pin its round's FULL aliveSup checkpoint until the end — six
+      // pinned 12M-row frames OOM'd the 24g sf1.0 gate; the drop set
+      // itself is small
+      val drop = aliveSup.filter(col("support") < k - 2)
         .select(col("a"), col("b"), lit(rounds).as("layer"))
         .truncateLineage()
-      if (drop.isEmpty) {
+      val nDrop = drop.count()
+      if (nDrop == 0) {
         converged = true
         rounds -= 1
       } else {
         peeled = if (peeled == null) drop else peeled.unionByName(drop)
         val dropE = drop.select(col("a"), col("b"))
-        // triangles of the CURRENT graph (drops included — they are
-        // still alive this round) containing >= 1 dropped edge:
-        // pivot each dropped edge at its lower-degree endpoint, walk
-        // that endpoint's adjacency, close against the alive list.
-        // Degrees are recomputed from the SHRINKING alive set each
-        // round ON PURPOSE: a hoisted build-once degree frame was
-        // measured (round 11) at 169.8 s vs 125.2 s sf1.0 — joining
-        // the full-graph 2M-row checkpoint twice per round costs more
-        // than re-aggregating the post-round-1 remnant, because round
-        // 1 peels most of the co-purchase graph. The pivot choice is
-        // a cost heuristic only (the dead-triangle set of a dropped
-        // edge is its common-neighbor set from either endpoint).
-        val deg = degrees(alive)
-        val adj = alive.select(col("a").as("p"), col("b").as("v"))
-          .unionByName(alive.select(col("b").as("p"), col("a").as("v")))
-        val pivoted = dropE
-          .join(deg.select(col("node").as("a"), col("degree").as("da")),
-            "a")
-          .join(deg.select(col("node").as("b"), col("degree").as("db")),
-            "b")
-          .select(when(col("da") <= col("db"),
-              struct(col("a").as("p"), col("b").as("q")))
-            .otherwise(struct(col("b").as("p"), col("a").as("q")))
-            .as("e"))
-          .select(col("e.p").as("p"), col("e.q").as("q"))
-        val deadTri = pivoted
-          .join(adj, Seq("p"))
-          .filter(col("v") =!= col("q"))
-          .join(alive,
-            least(col("q"), col("v")) === col("a") &&
-              greatest(col("q"), col("v")) === col("b"), "left_semi")
-          .select(sort_array(array(col("p"), col("q"), col("v")))
-            .as("t"))
-          .select(col("t")(0).as("x"), col("t")(1).as("y"),
-            col("t")(2).as("z"))
-          .distinct()
-        // each dead triangle charges its SURVIVING edges -1
-        val delta = deadTri
-          .select(col("x").as("a"), col("y").as("b"))
-          .unionByName(deadTri.select(col("x").as("a"), col("z").as("b")))
-          .unionByName(deadTri.select(col("y").as("a"), col("z").as("b")))
-          .join(dropE, Seq("a", "b"), "left_anti")
-          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("dead"))
-        alive = alive.join(dropE, Seq("a", "b"), "left_anti")
-          .truncateLineage()
-        sup = sup.join(dropE, Seq("a", "b"), "left_anti")
-          .join(delta, Seq("a", "b"), "left")
-          .select(col("a"), col("b"),
-            (col("support") - coalesce(col("dead"), lit(0L)))
-              .as("support"))
-          .truncateLineage()
+        val survivors = aliveSup.filter(col("support") >= k - 2)
+        aliveCount -= nDrop
+        if (2 * nDrop > aliveCount + nDrop) {
+          // MASS-DROP round (more than half the round's edges peel at
+          // once — never the co-purchase q293 case at k=4, where round
+          // 1 drops ~5%, but the cheap exact path for a caller's
+          // larger k or a sparser graph): the frontier cascade below
+          // would enumerate nearly every triangle of the OLD graph,
+          // while recounting the small remnant is O(remnant^1.5)
+          // wedges. Identical result — a triangle survives iff all
+          // three edges survive, so the remnant's recounted support
+          // equals old support minus dead triangles (KTrussSpec pins
+          // round-by-round parity across the branch boundary).
+          val remnant = survivors.select(col("a"), col("b"))
+            .truncateLineage()
+          aliveSup = remnant
+            .join(edgeSupport(remnant), Seq("a", "b"), "left")
+            .select(col("a"), col("b"),
+              coalesce(col("support"), lit(0L)).as("support"))
+            .truncateLineage()
+        } else {
+          // triangles of the CURRENT graph (drops included — they are
+          // still alive this round) containing >= 1 dropped edge:
+          // pivot each dropped edge at its lower-degree endpoint, walk
+          // that endpoint's adjacency, close against the alive list.
+          // Degrees are recomputed from the SHRINKING frame each round
+          // ON PURPOSE: a hoisted build-once degree frame was measured
+          // (round 11) at 169.8 s vs 125.2 s sf1.0 — joining the
+          // full-graph 2M-row checkpoint twice per round costs more
+          // than re-aggregating the current remnant. The pivot choice
+          // is a cost heuristic only (the dead-triangle set of a
+          // dropped edge is its common-neighbor set from either
+          // endpoint).
+          val alive = aliveSup.select(col("a"), col("b"))
+          val deg = degrees(alive)
+          val adj = alive.select(col("a").as("p"), col("b").as("v"))
+            .unionByName(alive.select(col("b").as("p"), col("a").as("v")))
+          val pivoted = dropE
+            .join(deg.select(col("node").as("a"), col("degree").as("da")),
+              "a")
+            .join(deg.select(col("node").as("b"), col("degree").as("db")),
+              "b")
+            .select(when(col("da") <= col("db"),
+                struct(col("a").as("p"), col("b").as("q")))
+              .otherwise(struct(col("b").as("p"), col("a").as("q")))
+              .as("e"))
+            .select(col("e.p").as("p"), col("e.q").as("q"))
+          val deadTri = pivoted
+            .join(adj, Seq("p"))
+            .filter(col("v") =!= col("q"))
+            .join(alive,
+              least(col("q"), col("v")) === col("a") &&
+                greatest(col("q"), col("v")) === col("b"), "left_semi")
+            .select(sort_array(array(col("p"), col("q"), col("v")))
+              .as("t"))
+            .select(col("t")(0).as("x"), col("t")(1).as("y"),
+              col("t")(2).as("z"))
+            .distinct()
+          // each dead triangle charges its SURVIVING edges -1
+          val delta = deadTri
+            .select(col("x").as("a"), col("y").as("b"))
+            .unionByName(deadTri.select(col("x").as("a"), col("z").as("b")))
+            .unionByName(deadTri.select(col("y").as("a"), col("z").as("b")))
+            .join(dropE, Seq("a", "b"), "left_anti")
+            .groupBy(col("a"), col("b")).agg(count(lit(1)).as("dead"))
+          aliveSup = survivors.join(delta, Seq("a", "b"), "left")
+            .select(col("a"), col("b"),
+              (col("support") - coalesce(col("dead"), lit(0L)))
+                .as("support"))
+            .truncateLineage()
+        }
       }
     }
-    val live = alive.select(col("a"), col("b"), lit(0).as("layer"))
+    val live = aliveSup.select(col("a"), col("b"), lit(0).as("layer"))
     val all =
       if (peeled == null) live else live.unionByName(peeled)
     (all.withColumn("in_truss", col("layer") === 0), rounds)
