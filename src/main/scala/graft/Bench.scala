@@ -90,7 +90,7 @@ object Bench {
     "q294_personalized_pagerank" -> 5.43,
     "q299_bridge_audit" -> 0.58, // round-12 post-census re-pin
     "q338_local_max_matching" -> 6.71,
-    "q343_hyperball" -> 10.30)
+    "q343_hyperball" -> 3.83) // round-12 pivoted-register re-pin
 
   /** Where this run's full result record lands. ONLY an official run —
     * the driver's full-headline sf0.1 configuration — may write the

@@ -93,6 +93,59 @@ object HyperBall {
       .selectExpr("node", "j", s"${rhoSql("w")} AS r")
   }
 
+  /** Registers as 16 COLUMNS r0..r15 (absent = 0) — the PIVOTED form
+    * q343 runs: sparse (node, j, r) rows put up to m× more rows
+    * through every round's hash aggregate than nodes exist, while one
+    * row per node makes the merge a single groupBy(node) with m
+    * codegen'd MAX aggregates and the per-node estimate pure
+    * row-local column arithmetic (no grouping at all). Register
+    * VALUES are identical to the sparse form — HyperBallSpec pins
+    * round-by-round estimate parity — so the oracle's sparse CTEs
+    * are untouched. registers0 emits exactly one row per node, so
+    * the pivot is a plain select. */
+  def registers0Pivoted(nodes: DataFrame): DataFrame =
+    registers0(nodes).select(col("node") +: (0 until M).map(i =>
+      when(col("j") === i, col("r")).otherwise(lit(0L)).as(s"r$i")): _*)
+
+  /** One synchronous merge round in the pivoted form: union self and
+    * both neighbor-carried orientations, then per-register MAX —
+    * 2·|E| + |V| rows of m columns instead of up to m× that in
+    * 3-column rows. */
+  def mergeRoundPivoted(regs: DataFrame, canon: DataFrame): DataFrame = {
+    val rcols = (0 until M).map(i => col(s"r$i"))
+    val fromB = canon.join(regs.withColumnRenamed("node", "b"), "b")
+      .select(col("a").as("node") +: rcols: _*)
+    val fromA = canon.join(regs.withColumnRenamed("node", "a"), "a")
+      .select(col("b").as("node") +: rcols: _*)
+    val aggs = (0 until M).map(i => max(col(s"r$i")).as(s"r$i"))
+    regs.unionByName(fromB).unionByName(fromA)
+      .groupBy(col("node"))
+      .agg(aggs.head, aggs.tail: _*)
+      .truncateLineage()
+  }
+
+  /** [[estimateRow]] over pivoted registers: present and the scaled
+    * register sum are row-local sums over the 16 columns (a zero
+    * column is an absent register — pow2 CASE yields NULL there,
+    * coalesced to 0), so the only aggregate left is the corpus
+    * reduction. */
+  def estimateRowPivoted(regs: DataFrame, t: Int): DataFrame = {
+    val present = (0 until M)
+      .map(i => when(col(s"r$i") > 0, lit(1L)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val sumpow = (0 until M)
+      .map(i => coalesce(expr(pow2Scaled21Sql(s"r$i")), lit(0L)))
+      .reduce(_ + _)
+    regs.select(present.as("present"), sumpow.as("sumpow"))
+      .select(expr(estMicroSql("present", "sumpow")).as("est_micro"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("est_micro")).as("nf_micro"))
+      .select(lit(t).as("t"), col("n_nodes"),
+        (col("nf_micro") / lit(1e6)).as("nf_est"),
+        graft.functions.ExactRound.microMean6(col("nf_micro"),
+          col("n_nodes")).as("avg_ball_est"))
+  }
+
   /** One synchronous merge round along undirected canonical edges
     * (a, b): every node absorbs its neighbors' registers. The DENSE
     * form — ships every node's registers every round; kept as the

@@ -1392,14 +1392,18 @@ object GraphAnalyticsQueries {
     val canon = KGraph.canonicalMaterialized(s, dir)
     val nodes = canon.select(col("a").as("node"))
       .unionByName(canon.select(col("b").as("node"))).distinct()
-    var regs = HyperBall.registers0(nodes)
-    var out = HyperBall.estimateRow(regs, 0)
+    // pivoted (16-column) registers: the merge is one groupBy(node)
+    // with 16 max aggregates and each estimate is row-local — the
+    // sparse-row form put ~16x the rows through every aggregate
+    // (HyperBall scaladoc; estimate parity pinned by HyperBallSpec)
+    var regs = HyperBall.registers0Pivoted(nodes)
+    var out = HyperBall.estimateRowPivoted(regs, 0)
     for (t <- 1 to HbRounds) {
       // dense rounds: at t=3 the frontier hasn't collapsed, so the
       // systolic change-detection join costs more than it saves
       // (measured 86 vs 123 s at sf1.0) — see HyperBall scaladoc
-      regs = HyperBall.mergeRound(regs, canon)
-      out = out.unionByName(HyperBall.estimateRow(regs, t))
+      regs = HyperBall.mergeRoundPivoted(regs, canon)
+      out = out.unionByName(HyperBall.estimateRowPivoted(regs, t))
     }
     out.orderBy(col("t"))
   }

@@ -51,6 +51,28 @@ class HyperBallSpec extends SparkSpec {
       s"estimates must be nondecreasing in t: $est")
   }
 
+  test("pivoted rounds equal sparse rounds estimate-for-estimate") {
+    // q343 runs the 16-column form; the sparse (node, j, r) form is
+    // the reference (and the oracle's CTE shape). Same register
+    // values ⇒ identical estimate ROWS at every t, not just close.
+    val canon = KGraph.canonicalMaterialized(spark, sf)
+    val nodes = canon.select(col("a").as("node"))
+      .unionByName(canon.select(col("b").as("node"))).distinct()
+    var sparse = HyperBall.registers0(nodes)
+    var piv = HyperBall.registers0Pivoted(nodes)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(HyperBall.estimateRowPivoted(piv, 0)) ==
+      rows(HyperBall.estimateRow(sparse, 0)))
+    for (t <- 1 to 3) {
+      sparse = HyperBall.mergeRound(sparse, canon)
+      piv = HyperBall.mergeRoundPivoted(piv, canon)
+      assert(rows(HyperBall.estimateRowPivoted(piv, t)) ==
+        rows(HyperBall.estimateRow(sparse, t)),
+        s"pivoted/sparse estimates diverge at t=$t")
+    }
+  }
+
   test("systolic rounds equal dense rounds register-for-register") {
     val canon = KGraph.canonicalMaterialized(spark, sf)
     val nodes = canon.select(col("a").as("node"))
