@@ -93,6 +93,8 @@ object ScaleCheck {
         graft.graph.GraphOps.Both).foreach(d =>
         graft.graph.KGraph.orientedMaterialized(s, sfDir, d).count())
       graft.graph.KGraph.canonicalMaterialized(s, sfDir).count()
+      graft.graph.KGraph.rankEdgesMaterialized(s, sfDir).count()
+      graft.graph.KGraph.nodeSetMaterialized(s, sfDir).count()
       graft.queries.GraphAnalyticsQueries.copurchaseCanon(s, sfDir).count()
       graft.queries.GraphAnalyticsQueries.copurchaseSupport(s, sfDir).count()
       graft.graph.KGraph.supportMaterialized(s, sfDir).count()
@@ -124,10 +126,16 @@ object ScaleCheck {
         f" (${fps.map(_._2).map(t => f"$t%.1f").mkString("/")} s)")
       (name, ok, fps)
     }
+    // per-entry provenance (ADVICE r12): each entry carries the sha +
+    // timestamp of the run that produced IT, so a merged board can't
+    // silently present results from an older binary as current
+    val entrySha = graft.engine.Provenance.gitSha().take(12)
+    val entryAt = graft.engine.Provenance.nowIso()
     val fresh = results.map { case (name, ok, fps) =>
       val (n, s, x) = fps.head._1
       name -> (s"""{"match":$ok,"rows":$n,"sum":"$s","xor":$x,""" +
-        s""""secs":[${fps.map(f => f"${f._2}%.2f").mkString(",")}]}""", ok)
+        s""""secs":[${fps.map(f => f"${f._2}%.2f").mkString(",")}],""" +
+        s""""git":"$entrySha","at":"$entryAt"}""", ok)
     }
     // MERGE with the existing board, and keep one board FILE per scale
     // base: a targeted run (one query) must not clobber the 20-query
@@ -155,7 +163,12 @@ object ScaleCheck {
         }
       } catch { case _: Throwable => Nil }
     val freshNames = fresh.map(_._1).toSet
-    val merged = prior.filterNot(p => freshNames(p._1)) ++ fresh
+    // drop carried-forward entries for queries that left the catalog
+    // (ADVICE r12): a green board must not reflect code that no longer
+    // exists
+    val catalogNames = Catalog.all.map(_.name).toSet
+    val merged = prior.filter(p =>
+      !freshNames(p._1) && catalogNames(p._1)) ++ fresh
     val json = merged.sortBy(_._1)
       .map { case (name, (body, _)) => s""""$name":$body""" }
       .mkString("{", ",", "}")

@@ -28,6 +28,11 @@ object ScaleGen {
 
   private val Shift = 10000000L // key-space stride per shard (> any base id)
 
+  /** Max base embedding label per base dir, computed once (the guard in
+    * `shard` runs per call; the constant it checks doesn't). */
+  private val labelMax =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   private def shifted(df: DataFrame, s: Int, keys: Seq[String]): DataFrame = {
     if (s == 0) {
       // validate once per table: base ids must fit under the stride or
@@ -83,14 +88,21 @@ object ScaleGen {
           .withColumn("n_chars", length(col("text")))
       case "embeddings" =>
         val base = shifted(df, s, Seq("vec_id"))
-        // collision guard, run for EVERY shard (round-11 review: shard()
-        // is public and per-shard, so an s==0-only guard never fires on
-        // chained/partial generation that skips shard 0): chaining
-        // ScaleGen on its own output would otherwise wrap strided
-        // labels back onto earlier shards' cells silently
-        val m = df.agg(max(col("label").cast("long"))).head()
-        require(m.isNullAt(0) || m.getLong(0) < 1000,
-          s"base labels reach ${m.getLong(0)} >= label stride 1000 — " +
+        // collision guard, effective for EVERY shard (round-11 review:
+        // shard() is public and per-shard, so an s==0-only guard never
+        // fires on chained/partial generation that skips shard 0):
+        // chaining ScaleGen on its own output would otherwise wrap
+        // strided labels back onto earlier shards' cells silently.
+        // The max is one scan per BASE dir, memoized (ADVICE r12: the
+        // per-call eager agg rescanned the same base n times for n
+        // shards just to recompute the same constant).
+        val m: Long = labelMax.computeIfAbsent(baseDir, _ => {
+          val r = df.agg(max(col("label").cast("long"))).head()
+          java.lang.Long.valueOf(
+            if (r.isNullAt(0)) Long.MinValue else r.getLong(0))
+        })
+        require(m == Long.MinValue || m < 1000,
+          s"base labels reach $m >= label stride 1000 — " +
             "shard cell spaces would collide; rescale the stride or " +
             "use a smaller base")
         if (s == 0) base

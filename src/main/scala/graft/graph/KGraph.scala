@@ -74,6 +74,28 @@ object KGraph {
       GraphAnalytics.edgeSupport(canon).truncateLineage())
   }
 
+  /** PageRank edge index (from_id, to_id, outdeg), hash-partitioned on
+    * from_id and materialized once per (session, sfDir) — the static
+    * frame every uniform-rank iteration joins (q147's PageRank, q294's
+    * personalized seed expansion). Built at ingestion time with the
+    * other graph indexes (round-12 verdict item 5: q147's first sf1.0
+    * sample paid this ~22 s build because it was a per-call transient
+    * the warm-up never covered). */
+  def rankEdgesMaterialized(spark: SparkSession, dir: String): DataFrame = {
+    val base = materialized(spark, dir)
+    graft.engine.SessionCache.getOrBuild(spark, s"kgraph|$dir|rankedges")(
+      PageRank.edgeIndex(base).truncateLineage())
+  }
+
+  /** Distinct node set (node_id), hash-partitioned and materialized
+    * once per (session, sfDir) — the rank family's per-iteration left
+    * side and q294's seed universe. */
+  def nodeSetMaterialized(spark: SparkSession, dir: String): DataFrame = {
+    val base = materialized(spark, dir)
+    graft.engine.SessionCache.getOrBuild(spark, s"kgraph|$dir|nodeset")(
+      PageRank.nodes(base).repartition(col("node_id")).truncateLineage())
+  }
+
   /** Typed edges: from_id, to_id, relation_type, confidence. */
   def edges(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.load(spark, dir, "orders")

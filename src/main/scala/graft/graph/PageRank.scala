@@ -40,12 +40,37 @@ object PageRank {
       .unionByName(edges.select(col("to_id").as("node_id")))
       .distinct()
 
+  /** The static per-edge frame every uniform-rank iteration joins:
+    * (from_id, to_id, outdeg), outdeg counted per EDGE ROW (parallel
+    * typed edges each carry rank, exactly as before), hash-partitioned
+    * on from_id. Callers that rank the same graph repeatedly (q147,
+    * q294's seed expansion) should materialize this once per session
+    * — KGraph.rankEdgesMaterialized — instead of paying the
+    * outdeg-join + shuffle on every call (round-12 verdict item 5:
+    * q147's first sf1.0 sample paid a 22 s transient build the bench
+    * warm-up never covered). */
+  def edgeIndex(edges: DataFrame): DataFrame = {
+    val outdeg = edges.groupBy(col("from_id")).agg(count(lit(1)).as("outdeg"))
+    edges.select(col("from_id"), col("to_id"))
+      .join(outdeg, Seq("from_id"))
+      .repartition(col("from_id"))
+  }
+
   /** Ranks after `iterations` rounds from a uniform 1.0 start:
     * (node_id, rank) unrounded (but exactly representable — every rank
     * is 0.15 + 0.85 * k/1e9 for integer k). Dangling-node mass is not
     * redistributed (documented divergence from the stochastic-matrix
-    * form; both engines agree). */
-  def ranks(edges: DataFrame, iterations: Int = 3): DataFrame = {
+    * form; both engines agree).
+    *
+    * `index`/`nodeSet`: optional pre-materialized [[edgeIndex]] and
+    * node-set frames (same kTrussPeel/initialSupport pattern) — pass
+    * the session artifacts when ranking the knowledge graph so the
+    * static frames build once per session, not once per call. Callers
+    * own their materialization; frames built here are truncated
+    * locally as before. */
+  def ranks(edges: DataFrame, iterations: Int = 3,
+      index: Option[DataFrame] = None,
+      nodeSet: Option[DataFrame] = None): DataFrame = {
     // The static frames (weighted edge list, node set) and each
     // iteration's rank frame are lineage-truncated: without the cut,
     // iteration k re-executes every previous iteration's join DAG (the
@@ -53,12 +78,9 @@ object PageRank {
     // list carries outdeg pre-joined once, so an iteration is exactly
     // one hash join (ranks onto edges, both keyed by from_id) + one
     // keyed integer sum + the left join onto the node set.
-    val outdeg = edges.groupBy(col("from_id")).agg(count(lit(1)).as("outdeg"))
-    val e = edges.select(col("from_id"), col("to_id"))
-      .join(outdeg, Seq("from_id"))
-      .repartition(col("from_id"))
-      .truncateLineage()
-    val all = nodes(edges).repartition(col("node_id")).truncateLineage()
+    val e = index.getOrElse(edgeIndex(edges).truncateLineage())
+    val all = nodeSet.getOrElse(
+      nodes(edges).repartition(col("node_id")).truncateLineage())
     var r = all.withColumn("rank", lit(1.0))
     for (_ <- 1 to iterations) {
       val contrib = e
@@ -86,14 +108,16 @@ object PageRank {
     * per-edge share r·w/W quantizes to nano-units exactly like the
     * uniform path. Same one-join-one-sum iteration shape and the same
     * determinism contract as [[ranks]]. */
-  def weightedRanks(edges: DataFrame, iterations: Int = 3): DataFrame = {
+  def weightedRanks(edges: DataFrame, iterations: Int = 3,
+      nodeSet: Option[DataFrame] = None): DataFrame = {
     val w = edges.select(col("from_id"), col("to_id"),
       round(col("confidence") * lit(1e6), 0).cast("long").as("w"))
     val outw = w.groupBy(col("from_id")).agg(sum(col("w")).as("ww"))
     val e = w.join(outw, Seq("from_id"))
       .repartition(col("from_id"))
       .truncateLineage()
-    val all = nodes(edges).repartition(col("node_id")).truncateLineage()
+    val all = nodeSet.getOrElse(
+      nodes(edges).repartition(col("node_id")).truncateLineage())
     var r = all.withColumn("rank", lit(1.0))
     for (_ <- 1 to iterations) {
       val contrib = e
@@ -125,13 +149,12 @@ object PageRank {
     * truncation; non-seed nodes start at 0 so round 1's rank frame is
     * already seed-proximity mass, not uniform noise. */
   def personalizedRanks(edges: DataFrame, seeds: DataFrame,
-      iterations: Int = 3): DataFrame = {
-    val outdeg = edges.groupBy(col("from_id")).agg(count(lit(1)).as("outdeg"))
-    val e = edges.select(col("from_id"), col("to_id"))
-      .join(outdeg, Seq("from_id"))
-      .repartition(col("from_id"))
-      .truncateLineage()
-    val all = nodes(edges).repartition(col("node_id")).truncateLineage()
+      iterations: Int = 3,
+      index: Option[DataFrame] = None,
+      nodeSet: Option[DataFrame] = None): DataFrame = {
+    val e = index.getOrElse(edgeIndex(edges).truncateLineage())
+    val all = nodeSet.getOrElse(
+      nodes(edges).repartition(col("node_id")).truncateLineage())
     val seeded = all.join(seeds.select(col("node_id")).distinct(),
         Seq("node_id"), "left_semi")
       .withColumn("seed", lit(1.0))

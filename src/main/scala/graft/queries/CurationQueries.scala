@@ -136,7 +136,9 @@ object CurationQueries {
   private val PrTop = 50
 
   private def q147(s: SparkSession, dir: String): DataFrame =
-    PageRank.ranks(KGraph.materialized(s, dir), PrIters)
+    PageRank.ranks(KGraph.materialized(s, dir), PrIters,
+        index = Some(KGraph.rankEdgesMaterialized(s, dir)),
+        nodeSet = Some(KGraph.nodeSetMaterialized(s, dir)))
       .orderBy(col("rank").desc, col("node_id"))
       .limit(PrTop)
       .select(col("node_id"),
@@ -163,7 +165,8 @@ object CurationQueries {
   //          literals), so every per-edge share quantizes identically
   //          cross-engine.
   private def q233(s: SparkSession, dir: String): DataFrame =
-    PageRank.weightedRanks(KGraph.materialized(s, dir), PrIters)
+    PageRank.weightedRanks(KGraph.materialized(s, dir), PrIters,
+        nodeSet = Some(KGraph.nodeSetMaterialized(s, dir)))
       .orderBy(col("rank").desc, col("node_id"))
       .limit(PrTop)
       .select(col("node_id"),

@@ -1121,9 +1121,11 @@ object GraphAnalyticsQueries {
   //          order (rank desc, node_id) plans as TakeOrderedAndProject.
   private def q294(s: SparkSession, dir: String): DataFrame = {
     val edges = KGraph.materialized(s, dir)
-    val seeds = graft.graph.PageRank.nodes(edges)
+    val seeds = KGraph.nodeSetMaterialized(s, dir)
       .filter(col("node_id").startsWith("s:"))
-    graft.graph.PageRank.personalizedRanks(edges, seeds, iterations = 3)
+    graft.graph.PageRank.personalizedRanks(edges, seeds, iterations = 3,
+        index = Some(KGraph.rankEdgesMaterialized(s, dir)),
+        nodeSet = Some(KGraph.nodeSetMaterialized(s, dir)))
       .select(col("node_id"), round(col("rank"), 6).as("ppr"),
         col("node_id").startsWith("s:").as("is_seed"))
       .orderBy(col("ppr").desc, col("node_id"))

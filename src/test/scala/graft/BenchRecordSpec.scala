@@ -27,6 +27,22 @@ class BenchRecordSpec extends AnyFunSuite {
       == "BENCH_RESULT.scale_sf1.0.json")
   }
 
+  test("a scratch directory merely NAMED sf0.1 is not official (ADVICE r12)") {
+    // basename collision: divergent data in /tmp/foo/sf0.1 must not
+    // clobber the canonical record — the gate is the exact official path
+    assert(Bench.resultPath("/tmp/foo/sf0.1", partial = false)
+      == "BENCH_RESULT.sf0.1.json")
+  }
+
+  test("micro-floors are clamped to 1 s in the gate denominator") {
+    // round-12 verdict item 2: q226's 0.59 s floor read ratio 1.93 on a
+    // 0.55 s wobble; the clamp makes sub-second floors report
+    // "best, in seconds" instead of a noise-amplified ratio
+    assert(Bench.effectiveFloor(0.59) == 1.0)
+    assert(Bench.effectiveFloor(0.12) == 1.0)
+    assert(Bench.effectiveFloor(5.76) == 5.76)
+  }
+
   test("SPARK_GRAFT_BENCH_ONLY runs never write the canonical record") {
     assert(Bench.resultPath("/root/testdata/sf0.1", partial = true)
       == "BENCH_RESULT.sf0.1.partial.json")

@@ -62,6 +62,34 @@ class CurationSpec extends SparkSpec {
     assert(run() == r, "quantized iteration must be bit-stable")
   }
 
+  test("pagerank: pre-materialized edge index + node set reproduce the " +
+    "per-call frames bit-for-bit") {
+    // the session-artifact path (KGraph.rankEdgesMaterialized /
+    // nodeSetMaterialized, round-12 verdict item 5) must be a pure
+    // caching change: same ranks, including parallel-edge multiplicity
+    // (a->b twice = outdeg 3 on a, double contribution to b)
+    import graft.engine.Lineage.LineageOps
+    import org.apache.spark.sql.functions.col
+    val edges = Seq(("a", "b"), ("a", "b"), ("a", "c"), ("c", "b"))
+      .toDF("from_id", "to_id")
+    val plain = PageRank.ranks(edges, 3).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val idx = PageRank.edgeIndex(edges).truncateLineage()
+    val ns = PageRank.nodes(edges).repartition(col("node_id"))
+      .truncateLineage()
+    val viaIndex = PageRank.ranks(edges, 3, index = Some(idx),
+        nodeSet = Some(ns)).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(viaIndex == plain)
+    val seeds = Seq("a").toDF("node_id")
+    val pPlain = PageRank.personalizedRanks(edges, seeds, 3).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val pIdx = PageRank.personalizedRanks(edges, seeds, 3,
+        index = Some(idx), nodeSet = Some(ns)).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pIdx == pPlain)
+  }
+
   test("kmeans: separable clusters resolve, assignment is bit-stable") {
     // two tight groups on opposite corners of the plane; seeds (ids 0,1)
     // land one per group, so 2 iterations must separate them exactly

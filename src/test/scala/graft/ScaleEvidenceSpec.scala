@@ -30,7 +30,11 @@ object ScaleEvidence {
       val isTableLine = line.trim.startsWith("|")
       if (isTableLine && !inTable) { // this line is the table's header
         inTable = true
-        headerHasSf1 = line.contains("sf1.0")
+        // an sf1.0 MEASUREMENT column, not a passing mention: the cell
+        // itself must start with "sf1.0" ("sf1.0 min", "sf1.0 (s)") —
+        // a notes column like "note vs sf1.0" must not turn an
+        // sf0.1-only table into scale evidence (ADVICE r12)
+        headerHasSf1 = line.split('|').exists(_.trim.startsWith("sf1.0"))
       } else if (!isTableLine) { inTable = false; headerHasSf1 = false }
       if (isTableLine && headerHasSf1)
         rowId.findFirstMatchIn(line.trim)
@@ -85,6 +89,11 @@ class ScaleEvidenceSpec extends AnyFunSuite {
     val sf01Only = "| query | range | note |\n|---|---|---|\n" +
       "| q12_multihop_bfs_in | 1.9 s | quiet |\n"
     assert(ScaleEvidence.tableRowIds(sf01Only).isEmpty)
+    // a notes column MENTIONING sf1.0 is still not a measurement column
+    // (ADVICE r12: the substring match re-opened the gap)
+    val mention = "| query | sf0.1 min | note vs sf1.0 |\n|---|---|---|\n" +
+      "| q12_multihop_bfs_in | 1.9 | see addendum |\n"
+    assert(ScaleEvidence.tableRowIds(mention).isEmpty)
     val sf10 = "| query | sf0.1 min | sf1.0 min | scaling |\n|---|---|---|---|\n" +
       "| q12_multihop_bfs_in | 1.9 | 4.0 | 2.1x |\n"
     assert(ScaleEvidence.tableRowIds(sf10) == Set(12))

@@ -129,12 +129,21 @@ def _init_worker(sfdir, outdir, threads=2):
     _OUTDIR = outdir
 
 
+def _board(schema_m, rows_m, hash_m, spark_rows, oracle_rows, err=None):
+    """Driver-exact per-query record (CORRECTNESS_r10.json schema) so an
+    empty driver-side board is mechanically backfillable field-for-field."""
+    return {"rows_match": rows_m, "schema_match": schema_m,
+            "hash_match": hash_m, "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows, "err": err}
+
+
 def _compare_one(item):
-    """Returns (name, status, printable message)."""
+    """Returns (name, status, printable message, driver-schema board entry)."""
     name, sql = item
     pdir = f"{_OUTDIR}/{name}"
     if not os.path.isdir(pdir):
-        return name, "missing", f"MISSING  {name} (no parquet output)"
+        return name, "missing", f"MISSING  {name} (no parquet output)", \
+            _board(False, False, False, None, None, "no parquet output")
     try:
         scols, sfams, srows = arrow_cols_rows(pq.read_table(pdir))
         # fetch_arrow_table (NOT fetchall): keeps DuckDB's types visible —
@@ -143,20 +152,26 @@ def _compare_one(item):
         dcols, dfams, drows = arrow_cols_rows(
             _CON.sql(sql).fetch_arrow_table())
     except Exception as e:
-        return name, f"error: {str(e)[:200]}", f"ERROR    {name}: {e}"
+        return name, f"error: {str(e)[:200]}", f"ERROR    {name}: {e}", \
+            _board(False, False, False, None, None, str(e)[:500])
     sc, sr = canon(scols, srows)
     dc, dr = canon(dcols, drows)
+    nrows = (len(sr), len(dr))
     sfam = [f for _, f in sorted(zip(scols, sfams))]
     dfam = [f for _, f in sorted(zip(dcols, dfams))]
     if sc != dc:
-        return name, "schema", f"SCHEMA   {name}: spark={sc} duck={dc}"
+        return name, "schema", f"SCHEMA   {name}: spark={sc} duck={dc}", \
+            _board(False, nrows[0] == nrows[1], False, *nrows)
     if sfam != dfam:
         diffs = [f"{c}: spark={a} duck={b}"
                  for c, a, b in zip(sc, sfam, dfam) if a != b]
-        return name, "type", f"TYPE     {name}: " + "; ".join(diffs)
+        # column names agree; the stringified values differ → hash miss
+        return name, "type", f"TYPE     {name}: " + "; ".join(diffs), \
+            _board(True, nrows[0] == nrows[1], False, *nrows)
     if len(sr) != len(dr):
         return name, "rowcount", \
-            f"ROWCOUNT {name}: spark={len(sr)} duck={len(dr)}"
+            f"ROWCOUNT {name}: spark={len(sr)} duck={len(dr)}", \
+            _board(True, False, False, *nrows)
     if sr != dr:
         bad = next(i for i, (a, b) in enumerate(zip(sr, dr)) if a != b) \
             if sr and dr else 0
@@ -164,8 +179,9 @@ def _compare_one(item):
                f"  cols : {sc}\n"
                f"  spark: {sr[bad] if bad < len(sr) else '<none>'}\n"
                f"  duck : {dr[bad] if bad < len(dr) else '<none>'}")
-        return name, "values", msg
-    return name, "ok", f"OK       {name} ({len(sr)} rows)"
+        return name, "values", msg, _board(True, True, False, *nrows)
+    return name, "ok", f"OK       {name} ({len(sr)} rows)", \
+        _board(True, True, True, *nrows)
 
 
 def main():
@@ -208,9 +224,11 @@ def main():
         results = [_compare_one(it) for it in items]
     ok = fail = 0
     statuses = {}
-    for name, status, msg in results:
+    board = {}
+    for name, status, msg, entry in results:
         print(msg)
         statuses[name] = status
+        board[name] = entry
         if status == "ok":
             ok += 1
         else:
@@ -234,9 +252,13 @@ def main():
         at = datetime.datetime.now(datetime.timezone.utc).strftime(
             "%Y-%m-%dT%H:%M:%SZ")
         with open("/root/repo/CORRECTNESS_SELF.json", "w") as f:
+            # "board" mirrors the driver's CORRECTNESS_r{N}.json schema
+            # exactly (per-query rows/schema/hash triple + row counts) so
+            # an empty driver board can be backfilled field-for-field.
             json.dump({"sf": sfdir, "ok": ok, "failed": fail,
                        "git": sha, "at": at,
-                       "queries": statuses}, f, indent=0, sort_keys=True)
+                       "queries": statuses,
+                       "board": board}, f, indent=0, sort_keys=True)
             f.write("\n")
     sys.exit(1 if fail else 0)
 
