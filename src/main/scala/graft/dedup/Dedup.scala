@@ -39,13 +39,22 @@ object Dedup {
     * full-signature Jaccard estimate and thresholded. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
       k: Int, bands: Int, threshold: Double): DataFrame = {
+    val sig = docs.select(col(idCol).as("id"),
+      TextFunctions.minhashSignature(col(textCol), k).as("sig"))
+      .truncateLineage() // signatures computed exactly once
+    minhashLshFromSig(sig, k, bands, threshold)
+  }
+
+  /** [[minhashLsh]] over a precomputed signature frame (id, sig) —
+    * the shared-artifact path (DedupIndex.signatures computes one
+    * md5-per-token pass for BOTH the MinHash and SimHash catchers).
+    * `sig` must already be materialized (both join sides read it). */
+  def minhashLshFromSig(sig: DataFrame, k: Int, bands: Int,
+      threshold: Double): DataFrame = {
     require(bands >= 1 && bands <= k && k % bands == 0,
       s"bands must divide k (got k=$k, bands=$bands): a remainder silently " +
         "drops signature slots, and r=0 degenerates to an all-pairs join")
     val r = k / bands
-    val sig = docs.select(col(idCol).as("id"),
-      TextFunctions.minhashSignature(col(textCol), k).as("sig"))
-      .truncateLineage() // signatures computed exactly once
     // Candidate generation on NARROW rows (bucket, id): the bucket join
     // never shuffles signatures, and duplicate collisions across bands
     // are deduplicated before any scoring work.
@@ -170,12 +179,18 @@ object Dedup {
     * is the same candidates-then-verify shape as `minhashLsh`. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, maxDist: Int): DataFrame = {
-    require(maxDist >= 0 && maxDist < 16, s"maxDist must be in [0, 16): $maxDist")
     val withBlk = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
       col(textCol).as("text"))
     val sh = simhash16(withBlk, "id", "text")
       .join(withBlk.select(col("id"), col("blk")), "id")
       .truncateLineage() // hashes computed once; reused by both join sides
+    simhashPairsFromSig(sh, maxDist)
+  }
+
+  /** [[simhashPairs]] over a precomputed (id, blk, simhash) frame —
+    * the shared-artifact path. `sh` must already be materialized. */
+  def simhashPairsFromSig(sh: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 16, s"maxDist must be in [0, 16): $maxDist")
     val nChunks = maxDist + 1
     // chunk i covers bits [bounds(i), bounds(i+1)) — widths differ by ≤1
     // when nChunks doesn't divide 16, preserving the pigeonhole guarantee

@@ -45,12 +45,34 @@ object DedupIndex {
   private def docs(spark: SparkSession, dir: String) =
     Tables.load(spark, dir, "documents")
 
+  /** Per-document signature table (id, blk, sig, simhash), built once
+    * per (session, sfDir): ONE documents scan and ONE md5-per-token
+    * pass feed BOTH catchers — the MinHash signature (array_distinct of
+    * the hash array, exact: array_min is multiplicity-blind) and the
+    * per-row SimHash (same integer arithmetic as the explode/groupBy
+    * form, without the corpus-token-sized explode). Round-12 verdict
+    * item 4: the two legs each re-tokenized and re-hashed the corpus. */
+  def signatures(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    graft.engine.SessionCache.getOrBuild(spark, s"dedup|$dir|sigs")(
+      d.select(col("doc_id").as("id"), col("source").as("blk"),
+          graft.text.TextFunctions.tokenHashes(col("text")).as("hs"))
+        .select(col("id"), col("blk"),
+          graft.text.TextFunctions.minhashSignatureFromHashes(col("hs"), K)
+            .as("sig"),
+          graft.text.TextFunctions.simhash16FromHashes(col("hs"))
+            .as("simhash"))
+        .truncateLineage())
+  }
+
   /** Candidate pair frame (a_id, b_id, est_jaccard) at the sweep floor,
     * built once per (session, sfDir). */
-  def candidatePairs(spark: SparkSession, dir: String): DataFrame =
+  def candidatePairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(spark, dir).select(col("id"), col("sig"))
     graft.engine.SessionCache.getOrBuild(spark, s"dedup|$dir|pairs")(
-      Dedup.minhashLsh(docs(spark, dir), "doc_id", "text",
-        K, Bands, FloorThreshold).truncateLineage())
+      Dedup.minhashLshFromSig(sig, K, Bands, FloorThreshold)
+        .truncateLineage())
+  }
 
   /** The operating pair graph: exact filter of [[candidatePairs]] to
     * the q28 threshold — identical to running minhashLsh at 0.9. */
@@ -76,8 +98,11 @@ object DedupIndex {
     * directly and q277's capture–recapture probes it; before round 10
     * the recall estimate re-ran the full SimHash candidate join per
     * call while its LSH side read this index (4.7× at 10× data). */
-  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = signatures(spark, dir)
+      .select(col("id"), col("blk"), col("simhash"))
     graft.engine.SessionCache.getOrBuild(spark, s"dedup|$dir|simhash")(
-      Dedup.simhashPairs(docs(spark, dir), "doc_id", "text", "source",
-        maxDist = SimhashMaxDist).truncateLineage())
+      Dedup.simhashPairsFromSig(sh, maxDist = SimhashMaxDist)
+        .truncateLineage())
+  }
 }

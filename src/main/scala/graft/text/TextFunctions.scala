@@ -91,10 +91,39 @@ object TextFunctions {
   val minhashMod = 2147483647L // 2^31 − 1 (prime)
   def minhashA(i: Column): Column =
     (lit(1103515245L) * (i + 1) + 12345L) % minhashMod
-  def minhashSignature(text: Column, k: Int): Column = {
-    val hs = transform(distinctTokens(text), w => md5Long(w) % minhashMod)
+  def minhashSignature(text: Column, k: Int): Column =
+    minhashSignatureFromHashes(tokenHashes(text), k)
+
+  /** Raw md5Long per token, duplicates kept — the ONE hash pass the
+    * MinHash and SimHash catchers share (round-12 verdict item 4: each
+    * leg used to re-hash every token of every document). */
+  def tokenHashes(text: Column): Column =
+    transform(tokens(text), w => md5Long(w))
+
+  /** [[minhashSignature]] over a precomputed [[tokenHashes]] array.
+    * array_distinct on HASHES instead of tokens is exact here: a
+    * 32-bit md5 collision merges two values, but array_min over the
+    * permuted set is unaffected by multiplicity — the min of
+    * {h(a_i·x+i) : x ∈ hashes} equals the min over the distinct
+    * hash set of the distinct token set. */
+  def minhashSignatureFromHashes(hashes: Column, k: Int): Column = {
+    val hs = transform(array_distinct(hashes), h => h % minhashMod)
     transform(sequence(lit(0), lit(k - 1)),
       i => array_min(transform(hs, h => (h * minhashA(i) + i) % minhashMod)))
+  }
+
+  /** 16-bit SimHash over a precomputed [[tokenHashes]] array, PER ROW:
+    * bit j is set when strictly more tokens (duplicates kept) have md5
+    * bit j set than unset — sum(±1) > 0 ⇔ 2·count(set) > n, exactly
+    * the explode/groupBy form's integer arithmetic (Dedup.simhash16)
+    * without the corpus-token-sized explode. */
+  def simhash16FromHashes(hashes: Column): Column = {
+    val n = size(hashes)
+    (0 until 16).map { j =>
+      val cnt = size(filter(hashes,
+        h => shiftright(h, j).bitwiseAND(lit(1L)) === 1L))
+      when(cnt * 2 > n, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
   }
 
   /** Fraction of equal slots between two signatures = Jaccard estimate.

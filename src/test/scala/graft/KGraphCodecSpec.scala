@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.{GraphAnalytics, KGraph}
+
+/** The census id codec (KGraph.encodeId/decodeId) must be a pure
+  * representation change: exact roundtrip on every real node id, and
+  * the long-keyed census must reproduce the string-keyed census
+  * bit-for-bit — support is a per-undirected-edge count, so neither
+  * the packing nor the long-vs-string canonical order may leak into
+  * the result. */
+class KGraphCodecSpec extends SparkSpec {
+
+  test("encode/decode roundtrips every node id at sf0.001") {
+    val ids = graft.graph.PageRank.nodes(KGraph.materialized(spark, sf))
+    val bad = ids.withColumn("rt",
+        KGraph.decodeId(KGraph.encodeId(col("node_id"))))
+      .filter(col("rt") =!= col("node_id") || col("rt").isNull)
+    assert(bad.count() == 0, bad.take(5).mkString(", "))
+    // injectivity: as many distinct codes as distinct ids
+    val n = ids.count()
+    assert(ids.select(KGraph.encodeId(col("node_id"))).distinct().count() == n)
+  }
+
+  test("long-keyed census == string-keyed census on the real graph") {
+    // the knowledge graph is multipartite by node type (o-c, c-n, s-n,
+    // n-r, o-p, p-s) so it is structurally TRIANGLE-FREE — both paths
+    // must agree on the empty census (the artifact exists for q273/q299
+    // to read uniformly; its kgraph leg is legitimately 0 rows)
+    val canon = KGraph.canonicalMaterialized(spark, sf)
+    val direct = GraphAnalytics.edgeSupport(canon)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val viaCodec = KGraph.supportMaterialized(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(viaCodec == direct)
+  }
+
+  test("codec census matches the string census on a triangled graph, " +
+    "string-canonical form preserved") {
+    import spark.implicits._
+    // same id shape as the kgraph; "c:100" < "c:99" as strings but
+    // 100 > 99 numerically, so this exercises the re-canonicalization
+    val canon = Seq(
+      ("c:100", "c:99"), ("c:100", "c:7"), ("c:7", "c:99"), // triangle
+      ("c:7", "o:3"), ("c:99", "o:3"),                      // triangle
+      ("o:3", "s:1")                                        // dangling
+    ).toDF("a", "b")
+    val direct = GraphAnalytics.edgeSupport(canon)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val enc = canon.select(
+      least(KGraph.encodeId(col("a")), KGraph.encodeId(col("b"))).as("a"),
+      greatest(KGraph.encodeId(col("a")), KGraph.encodeId(col("b"))).as("b"))
+    val viaCodec = GraphAnalytics.edgeSupport(enc)
+      .select(KGraph.decodeId(col("a")).as("da"),
+        KGraph.decodeId(col("b")).as("db"), col("support"))
+      .select(least(col("da"), col("db")).as("a"),
+        greatest(col("da"), col("db")).as("b"), col("support"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(direct.nonEmpty)
+    assert(viaCodec == direct)
+    assert(viaCodec.keys.forall { case (a, b) => a < b })
+  }
+}

@@ -14,6 +14,14 @@ object SparkTestSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // silence the per-task "No Partition Defined for Window operation"
+    // WARN in the suite log (round-12 verdict item 8): every
+    // unpartitioned-window site in the catalog is a bounded
+    // metadata/label frame AUDITED by PlanShapeSpec's explicit
+    // allowlist — a NEW unpartitioned window fails that spec loudly,
+    // so the log spam carries no extra signal here and only masks
+    // real warnings
+    GraftSession.quietAuditedWarnings()
     s
   }
 }
