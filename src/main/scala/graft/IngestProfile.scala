@@ -9,10 +9,13 @@ import org.apache.spark.sql.functions._
   * verdict's item 4 surface (at sf2 the four builds cost ~740 s vs the
   * whole headline query set's ~400 s).
   *
-  * Usage: runMain graft.IngestProfile [sfDir] — prints one
-  * `[profile] <leg> <secs>` line per leg (stderr) and a compact JSON
-  * summary (stdout). Read-only; builds the same artifacts the bench
-  * warm-up builds, in the same order.
+  * Usage: runMain graft.IngestProfile [sfDir] [leg,leg,...] — prints
+  * one `[profile] <leg> <secs>` line per leg (stderr) and a compact
+  * JSON summary (stdout). Read-only; builds the same artifacts the
+  * bench warm-up builds, in the same order. The optional leg filter
+  * runs a subset — a filtered leg absorbs its skipped dependencies'
+  * build cost (artifacts resolve on demand), so filtered timings are
+  * upper bounds.
   */
 object IngestProfile {
   def main(args: Array[String]): Unit = {
@@ -33,8 +36,10 @@ object IngestProfile {
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.quietAuditedWarnings()
+    val only = args.lift(1).map(_.split(",").map(_.trim).toSet)
     val out = scala.collection.mutable.LinkedHashMap[String, Double]()
     def time(name: String)(body: => Unit): Unit = {
+      if (only.exists(!_.contains(name))) return
       val t0 = System.nanoTime(); body
       val t = (System.nanoTime() - t0) / 1e9
       out(name) = t

@@ -74,13 +74,23 @@ object Hits {
         .cast("long"))
       .otherwise(intDiv(raw * lit(1000000L), mx))
 
-  def scores(edges: DataFrame, iterations: Int): DataFrame = {
+  /** `edgeSet`/`nodeSet`: optional pre-materialized static frames (the
+    * PageRank.ranks index pattern). `edgeSet` must be an already-
+    * DISTINCT (from_id, to_id) frame, ideally hash-partitioned on
+    * from_id — the knowledge graph's rank-edge artifact qualifies
+    * because its typed edges have no parallel (from, to) pairs (each
+    * relation type joins a distinct prefix pair; HitsSpec pins the
+    * indexed path bit-identical). */
+  def scores(edges: DataFrame, iterations: Int,
+      edgeSet: Option[DataFrame] = None,
+      nodeSet: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1,
       s"HITS needs at least one full round (got $iterations): with 0 " +
         "rounds no authority frame ever exists")
-    val e = edges.select(col("from_id"), col("to_id")).distinct()
-      .repartition(col("from_id"))
-      .truncateLineage()
+    val e = edgeSet.getOrElse(
+      edges.select(col("from_id"), col("to_id")).distinct()
+        .repartition(col("from_id"))
+        .truncateLineage())
     // round 1's hub side is uniform 1e6, so seed from the edge tails
     var hub = e.select(col("from_id").as("node_id")).distinct()
       .withColumn("h", lit(1000000L))
@@ -106,7 +116,7 @@ object Hits {
         .select(col("from_id").as("node_id"),
           checkedNorm(col("raw"), col("mx")).as("h"))
     }
-    PageRank.nodes(e)
+    nodeSet.getOrElse(PageRank.nodes(e))
       .join(auth, Seq("node_id"), "left")
       .join(hub, Seq("node_id"), "left")
       .select(col("node_id"),

@@ -810,7 +810,10 @@ object GraphAnalyticsQueries {
   private val HitsTop = 25
 
   private def q269(s: SparkSession, dir: String): DataFrame =
-    graft.graph.Hits.scores(KGraph.materialized(s, dir), HitsIters)
+    graft.graph.Hits.scores(KGraph.materialized(s, dir), HitsIters,
+        edgeSet = Some(KGraph.rankEdgesMaterialized(s, dir)
+          .select(col("from_id"), col("to_id"))),
+        nodeSet = Some(KGraph.nodeSetMaterialized(s, dir)))
       .orderBy(col("auth_micro").desc, col("node_id"))
       .limit(HitsTop)
       .select(col("node_id"),

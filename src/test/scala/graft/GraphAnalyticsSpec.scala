@@ -227,6 +227,27 @@ class GraphAnalyticsSpec extends SparkSpec {
     Seq("l1", "l2", "l3").foreach(l => assert(got(l) == ((0L, 1000000L))))
   }
 
+  test("hits: pre-materialized edge/node sets reproduce the per-call " +
+    "frames bit-for-bit on the real graph") {
+    import org.apache.spark.sql.functions._
+    import graft.graph.{Hits, KGraph}
+    // the q269 artifact path: the rank-edge index is a valid HITS edge
+    // set because the knowledge graph has no parallel (from, to) pairs
+    val edges = KGraph.materialized(spark, sf)
+    val plain = Hits.scores(edges, 2).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val indexed = Hits.scores(edges, 2,
+        edgeSet = Some(KGraph.rankEdgesMaterialized(spark, sf)
+          .select(col("from_id"), col("to_id"))),
+        nodeSet = Some(KGraph.nodeSetMaterialized(spark, sf)))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(plain.nonEmpty && indexed == plain)
+    // the distinctness assumption itself: no parallel typed edges
+    assert(edges.groupBy(col("from_id"), col("to_id")).count()
+      .filter(col("count") > 1).isEmpty)
+  }
+
   test("q291 assortativity: star reads exactly -1; catalog r within [-1, 1]") {
     import graft.graph.GraphAnalytics
     import org.apache.spark.sql.functions._
