@@ -81,7 +81,14 @@ object Bench {
     // round-9 addendum): the new heavy graph operators join the
     // official record — link prediction (wedge-bound under the hub
     // cut), HITS (frontier-only rounds), and the 3-graph census
-    "q268_link_prediction" -> 6.01, // round-12 raw-shuffle agg re-pin
+    // round-13 re-pin: SHUFFLE_HASH on the known-edge anti join — the
+    // default sort-merge plan sorted the 18M-row aggregate output.
+    // Solo quiet the query reads 3.14 s, but IN-SWEEP it reads
+    // 5.3-8.0 s regardless of blocking vs async block release (an
+    // execution-vs-storage memory interaction, BENCH_NOTES r13); the
+    // floor is the best IN-SWEEP reading so official runs don't burn
+    // two futile 15 s retries chasing a solo-only number
+    "q268_link_prediction" -> 5.29,
     "q269_hits" -> 4.65,
     "q273_graph_census" -> 3.68, // round-12 post-census re-pin
     // round-11 headline promotions (quiet sf0.1 mins, BENCH_NOTES
@@ -210,7 +217,7 @@ object Bench {
     // interleaved sf1.0 sweep under ~40 queries' accumulated blocks.
     val keepIds = graft.engine.Lineage.persistentIds(spark)
     Catalog.byName("q01_pricing_summary").run(spark, sfDir).count()
-    graft.engine.Lineage.releaseTransient(spark, keepIds): Unit
+    graft.engine.Lineage.releaseTransient(spark, keepIds, blocking = true): Unit
 
     // SPARK_GRAFT_BENCH_ONLY=qA,qB,... narrows the set (scale-proof
     // runs bench non-headline families, e.g. the quality module); the
@@ -242,7 +249,7 @@ object Bench {
         val t = (System.nanoTime() - t0) / 1e9
         // release the query's transient checkpoint blocks OUTSIDE its
         // timed window (unpersist is async); shared artifacts survive
-        graft.engine.Lineage.releaseTransient(spark, keepIds): Unit
+        graft.engine.Lineage.releaseTransient(spark, keepIds, blocking = true): Unit
         (q.name, t, ok)
       }
     }
@@ -292,7 +299,7 @@ object Bench {
               System.err.println(s"[bench] ${q.name} retry FAILED: ${e.getMessage}")
               tries = 2 // stop retrying on error; keep the good samples
             }
-            graft.engine.Lineage.releaseTransient(spark, keepIds): Unit
+            graft.engine.Lineage.releaseTransient(spark, keepIds, blocking = true): Unit
           }
         }
         (q.name, best, true)

@@ -110,12 +110,12 @@ object ScaleCheck {
           f"($secs%.1f s)")
         // per-query transient checkpoint blocks must not accumulate
         // across the sweep (the round-9 q273 failure mode)
-        graft.engine.Lineage.releaseTransient(s, keep): Unit
+        graft.engine.Lineage.releaseTransient(s, keep, blocking = true): Unit
         (name, fp, secs)
       }
       // retire this trial's artifacts before the sibling builds
       graft.engine.SessionCache.invalidate(s)
-      graft.engine.Lineage.releaseTransient(root, baseKeep): Unit
+      graft.engine.Lineage.releaseTransient(root, baseKeep, blocking = true): Unit
       fps
     }
     val results = names.zipWithIndex.map { case (name, i) =>

@@ -54,10 +54,15 @@ object Lineage {
     * exactly wrong for shared artifacts — hence the explicit keep-set
     * rather than a blanket clear. */
   def releaseTransient(spark: org.apache.spark.sql.SparkSession,
-      keep: Set[Int]): Int = {
+      keep: Set[Int], blocking: Boolean = false): Int = {
     val drop = spark.sparkContext.getPersistentRDDs
       .filter { case (id, _) => !keep(id) }
-    drop.values.foreach(_.unpersist(blocking = false))
+    // blocking=true for benchmark harnesses: an async unpersist returns
+    // immediately and the block-manager removal work bleeds into the
+    // NEXT query's timed window (round 13: q268's in-sweep samples read
+    // 6.5-8.0 s while a post-quiesce retry of the same binary read
+    // 3.8 s). Service callers keep the async default.
+    drop.values.foreach(_.unpersist(blocking))
     drop.size
   }
 

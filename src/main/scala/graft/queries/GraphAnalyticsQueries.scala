@@ -753,8 +753,17 @@ object GraphAnalyticsQueries {
       .groupBy(col("na"), col("nb"))
       .agg(count(lit(1)).as("common_neighbors"),
         sum(col("term")).as("aa_micro"))
+    // SHUFFLE_HASH on the edge side: the default sort-merge anti join
+    // sorts the 18M-row aggregate output just to drop existing edges
+    // (the Sort was 155% of q268's executed time in BENCH_EXPLAIN);
+    // hashing the ~m-row edge list per partition needs no sort on
+    // either side, and the pairs side's (na, nb) distribution from the
+    // pre-aggregation repartition is reused as-is. Scale-safe (both
+    // sides stay shuffled on the join keys — no broadcast of a frame
+    // that grows with the corpus).
     pairs
-      .join(canon.select(col("a").as("na"), col("b").as("nb")),
+      .join(canon.select(col("a").as("na"), col("b").as("nb"))
+        .hint("SHUFFLE_HASH"),
         Seq("na", "nb"), "left_anti")
       .orderBy(col("aa_micro").desc, col("na"), col("nb"))
       .limit(AaTop)
@@ -860,8 +869,13 @@ object GraphAnalyticsQueries {
         else directed.select(col("from_id"), col("to_id"))
           .filter(col("from_id") =!= col("to_id")).distinct()
           .truncateLineage()
+      // SHUFFLE_HASH: the default sort-merge semi join sorts BOTH
+      // m-row sides just to probe edge reversals (two ~35% Sort steps
+      // in BENCH_EXPLAIN); per-partition hash build of the reversed
+      // side needs no sort and stays shuffled at any scale
       val recip = e.join(
-        e.select(col("to_id").as("from_id"), col("from_id").as("to_id")),
+        e.select(col("to_id").as("from_id"), col("from_id").as("to_id"))
+          .hint("SHUFFLE_HASH"),
         Seq("from_id", "to_id"), "left_semi")
       // checkpointed (or supplied from a session cache): the degree
       // aggregate and the triangle census reference the canonical
