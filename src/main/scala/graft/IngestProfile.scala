@@ -73,6 +73,27 @@ object IngestProfile {
           graft.dedup.DedupIndex.K).as("sig"))
         .truncateLineage().count()
     }
+    // candidate generation alone (band bucket join + pair distinct,
+    // no signature scoring): attributes dedup_pairs_total between the
+    // candidate sweep and the estimate joins
+    time("dedup_cand_only") {
+      import graft.dedup.DedupIndex.{K, Bands}
+      val sig = graft.dedup.DedupIndex.signatures(spark, sfDir)
+        .select(col("id"), col("sig"))
+      val r = K / Bands
+      val banded = sig.select(col("id"),
+        posexplode(expr(
+          s"transform(sequence(0, ${Bands - 1}), b -> " +
+            s"xxhash64(concat_ws('#', cast(b as string), slice(sig, b * $r + 1, $r))))"))
+          .as(Seq("band", "bucket")))
+        .select(col("id"), col("bucket"))
+      banded.select(col("bucket"), col("id").as("a_id"))
+        .join(banded.select(col("bucket"), col("id").as("b_id")), "bucket")
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"))
+        .distinct()
+        .count(): Unit
+    }
     time("dedup_pairs_total") {
       graft.dedup.DedupIndex.candidatePairs(spark, sfDir).count()
     }
