@@ -29,7 +29,12 @@ object ScaleGen {
   private val Shift = 10000000L // key-space stride per shard (> any base id)
 
   /** Max base embedding label per base dir, computed once (the guard in
-    * `shard` runs per call; the constant it checks doesn't). */
+    * `shard` runs per call; the constant it checks doesn't). STALENESS
+    * NOTE (ADVICE r13): the memo is keyed on baseDir only, so
+    * regenerating the base dir's contents within one JVM session would
+    * leave the guard checking the old max — fine for the dev-main
+    * usage (one generation per process); re-key on a table snapshot if
+    * in-session regeneration ever becomes a flow. */
   private val labelMax =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 

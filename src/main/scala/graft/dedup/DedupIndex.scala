@@ -55,7 +55,14 @@ object DedupIndex {
   def signatures(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     graft.engine.SessionCache.getOrBuild(spark, s"dedup|$dir|sigs")(
-      d.select(col("doc_id").as("id"), col("source").as("blk"),
+      // null-text docs are DROPPED, matching the legacy explode paths
+      // (explode of a null token array emits no rows, so
+      // Dedup.simhash16 / minhashLsh never saw them) — without the
+      // filter the per-row SimHash degrades null to simhash 0 and all
+      // null docs would pair at distance 0 (ADVICE r13). Empty text is
+      // NOT null: split("", " ") yields one "" token in both paths.
+      d.filter(col("text").isNotNull)
+        .select(col("doc_id").as("id"), col("source").as("blk"),
           graft.text.TextFunctions.tokenHashes(col("text")).as("hs"))
         .select(col("id"), col("blk"),
           graft.text.TextFunctions.minhashSignatureFromHashes(col("hs"), K)

@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.engine.Lineage.LineageOps
 
@@ -88,9 +88,95 @@ object GraphAnalytics {
 
   /** Every triangle exactly once as (u, v, w) ranked low→high under
     * the (degree, id) total order — the shared core of the node and
-    * edge census forms above. */
+    * edge census forms above.
+    *
+    * Two physically different, bit-identical plans (round-14: the
+    * co-purchase census was the one remaining super-linear ingest leg,
+    * α ~1.9–2.4 sf1→sf2 at 820M wedges through the shuffle):
+    *
+    *  - PACKED (integral node ids whose (max id, max degree) fit a
+    *    single long as `degree·2^idBits + id`): the (degree, id) rank
+    *    becomes ONE long whose numeric order IS the lexicographic
+    *    rank order, so orientation is least/greatest, the wedge filter
+    *    is a single long compare, and the wedge rows that dominate the
+    *    census shuffle narrow from (u, v, dv, w, dw) to (ru, rv, rw).
+    *    The closing semi join takes SHUFFLE_HASH on the edge side: the
+    *    default sort-merge plan SORTS the wedge stream — per-task sort
+    *    buffers proportional to wedges/partitions are exactly the
+    *    memory cliff that turns 2× data into ~4× time — while the hash
+    *    build holds only edges/partitions rows per task (the q268
+    *    anti-join lever; both sides stay shuffled, nothing broadcast).
+    *    Bounds are measured from the degree frame (one tiny aggregate
+    *    on the ≤|V|-row frame), not assumed — ids or degrees that
+    *    don't fit fall back, so the packing can never corrupt.
+    *  - GENERIC (strings, negative/oversized ids, super-hubs): the
+    *    original struct-orientation form, unchanged.
+    */
   private def closedTriangles(canon: DataFrame): DataFrame = {
     val deg = degrees(canon)
+    packedBounds(canon, deg) match {
+      case Some(idBits) => closedTrianglesPacked(canon, deg, idBits)
+      case None => closedTrianglesGeneric(canon, deg)
+    }
+  }
+
+  /** id bits for the packed rank when every id is a non-negative
+    * integral fitting 2^idBits and every degree fits the remaining
+    * 62 − idBits bits (one spare bit keeps ranks non-negative). */
+  private[graft] def packedBounds(canon: DataFrame, deg: DataFrame)
+      : Option[Int] = {
+    val integral = canon.schema.fields.forall(f => f.dataType ==
+      org.apache.spark.sql.types.LongType || f.dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    if (!integral) None
+    else {
+      // one 1-row aggregate over the degree frame (≤ |V| rows, already
+      // built for orientation) — measured bounds, never assumptions
+      val r = deg.agg(max(col("node").cast("long")).as("mi"),
+        min(col("node").cast("long")).as("lo"),
+        max(col("degree")).as("md")).head()
+      if (r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2)) None
+      else {
+        val (maxId, minId, maxDeg) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        val idBits = 64 - java.lang.Long.numberOfLeadingZeros(
+          math.max(maxId, 1L))
+        if (minId >= 0L && idBits <= 62 &&
+            maxDeg < (1L << (62 - idBits))) Some(idBits)
+        else None
+      }
+    }
+  }
+
+  private def closedTrianglesPacked(canon: DataFrame, deg: DataFrame,
+      idBits: Int): DataFrame = {
+    val mask = (1L << idBits) - 1L
+    def rank(id: Column, d: Column): Column =
+      d * lit(1L << idBits) + id.cast("long")
+    val withDeg = canon
+      .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")
+    // rank order == (degree, id) lexicographic order by construction,
+    // so least/greatest IS the orientation. Same LAZY cuts as the
+    // generic form (wedge legs + closing join all read these frames).
+    val oriented = withDeg.select(
+      least(rank(col("a"), col("da")), rank(col("b"), col("db"))).as("ru"),
+      greatest(rank(col("a"), col("da")), rank(col("b"), col("db"))).as("rv"))
+      .truncateLineageLazy()
+    val dt = canon.schema("a").dataType
+    def unpack(c: Column): Column = c.bitwiseAND(lit(mask)).cast(dt)
+    oriented
+      .join(oriented.select(col("ru"), col("rv").as("rw")), Seq("ru"))
+      .filter(col("rv") < col("rw"))
+      .join(oriented.select(col("ru").as("rv"), col("rv").as("rw"))
+        .hint("SHUFFLE_HASH"),
+        Seq("rv", "rw"), "left_semi")
+      .select(unpack(col("ru")).as("u"), unpack(col("rv")).as("v"),
+        unpack(col("rw")).as("w"))
+      .truncateLineageLazy()
+  }
+
+  private def closedTrianglesGeneric(canon: DataFrame,
+      deg: DataFrame): DataFrame = {
     val withDeg = canon
       .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
       .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")

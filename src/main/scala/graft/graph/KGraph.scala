@@ -80,6 +80,19 @@ object KGraph {
     ascii(substring(c, 1, 1)).cast("long") * lit(1L << 40) +
       c.substr(lit(3), length(c)).cast("long")
 
+  /** [[encodeId]] with a per-row range guard (ADVICE r13): a numeric
+    * part at/above 2^40 (or a malformed id whose numeric part casts to
+    * null) would bleed into the prefix bits and silently corrupt the
+    * census — raise instead. One compare + branch per row inside
+    * codegen, no extra pass over the edge list. */
+  private[graft] def encodeIdChecked(c: Column): Column = {
+    val num = c.substr(lit(3), length(c)).cast("long")
+    when(num.isNotNull && num >= 0L && num < lit(1L << 40),
+      ascii(substring(c, 1, 1)).cast("long") * lit(1L << 40) + num)
+      .otherwise(raise_error(concat(
+        lit("KGraph.encodeId: id numeric part outside [0, 2^40): "), c)))
+  }
+
   private[graft] def decodeId(c: Column): Column =
     concat(call_function("char", shiftright(c, 40)), lit(":"),
       c.bitwiseAND(lit((1L << 40) - 1)).cast("string"))
@@ -94,8 +107,8 @@ object KGraph {
     // lexicographically, 100 > 99 numerically).
     graft.engine.SessionCache.getOrBuild(spark, s"kgraph|$dir|support")({
       val enc = canon.select(
-        least(encodeId(col("a")), encodeId(col("b"))).as("a"),
-        greatest(encodeId(col("a")), encodeId(col("b"))).as("b"))
+        least(encodeIdChecked(col("a")), encodeIdChecked(col("b"))).as("a"),
+        greatest(encodeIdChecked(col("a")), encodeIdChecked(col("b"))).as("b"))
       GraphAnalytics.edgeSupport(enc)
         .select(decodeId(col("a")).as("da"), decodeId(col("b")).as("db"),
           col("support"))

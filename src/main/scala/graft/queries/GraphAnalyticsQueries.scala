@@ -760,7 +760,14 @@ object GraphAnalyticsQueries {
     // either side, and the pairs side's (na, nb) distribution from the
     // pre-aggregation repartition is reused as-is. Scale-safe (both
     // sides stay shuffled on the join keys — no broadcast of a frame
-    // that grows with the corpus).
+    // that grows with the corpus). MEMORY BOUND (ADVICE r13): the hash
+    // build holds edges/partitions rows per task — unlike sort-merge
+    // it cannot spill, so the hint presumes the per-partition edge
+    // slice fits executor memory (m/32 ≈ 140k rows at sf2 — far under
+    // any executor budget; a 1000-executor corpus partitions its edge
+    // list proportionally wider, keeping the per-task slice bounded).
+    // sf2 verified under the 48g min-of-2 protocol — see BENCH_NOTES
+    // round 14.
     pairs
       .join(canon.select(col("a").as("na"), col("b").as("nb"))
         .hint("SHUFFLE_HASH"),
@@ -872,7 +879,10 @@ object GraphAnalyticsQueries {
       // SHUFFLE_HASH: the default sort-merge semi join sorts BOTH
       // m-row sides just to probe edge reversals (two ~35% Sort steps
       // in BENCH_EXPLAIN); per-partition hash build of the reversed
-      // side needs no sort and stays shuffled at any scale
+      // side needs no sort and stays shuffled at any scale. Same
+      // memory bound as q268's hint (ADVICE r13): the build side is
+      // one edge-list slice per task (m/partitions rows, no spill) —
+      // bounded as long as shuffle width grows with the corpus.
       val recip = e.join(
         e.select(col("to_id").as("from_id"), col("from_id").as("to_id"))
           .hint("SHUFFLE_HASH"),

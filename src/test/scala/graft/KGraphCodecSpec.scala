@@ -22,6 +22,22 @@ class KGraphCodecSpec extends SparkSpec {
     assert(ids.select(KGraph.encodeId(col("node_id"))).distinct().count() == n)
   }
 
+  test("encodeIdChecked raises on out-of-range and malformed ids") {
+    import spark.implicits._
+    // ADVICE r13: an id whose numeric part reaches 2^40 would bleed
+    // into the prefix bits — the census path must fail loudly, not
+    // produce a silently-wrong support table
+    def enc(id: String) =
+      Seq(id).toDF("id").select(KGraph.encodeIdChecked(col("id"))).collect()
+    assert(enc("c:42").head.getLong(0) == 'c'.toLong * (1L << 40) + 42L)
+    for (bad <- Seq("c:" + (1L << 40).toString, "c:-1", "c:notanum")) {
+      val e = intercept[Exception](enc(bad))
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+      assert(msgs(e).exists(m => m != null && m.contains("encodeId")), bad)
+    }
+  }
+
   test("long-keyed census == string-keyed census on the real graph") {
     // the knowledge graph is multipartite by node type (o-c, c-n, s-n,
     // n-r, o-p, p-s) so it is structurally TRIANGLE-FREE — both paths

@@ -41,4 +41,27 @@ class SignatureParitySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(exploded.nonEmpty && perRow == exploded)
   }
+
+  test("signatures drops null-text docs like the legacy explode paths") {
+    // ADVICE r13: the per-row SimHash degrades a null token array to
+    // simhash 0 while the explode forms emit no rows for it — the
+    // index pins the legacy DROP semantics via a null filter. Empty
+    // text is kept by BOTH paths (split("", " ") is one "" token).
+    import spark.implicits._
+    val d = Seq((1L, "alpha beta", "s"), (2L, null, "s"), (3L, "", "s"))
+      .toDF("doc_id", "text", "source")
+    val legacy = Dedup.simhash16(d, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    val indexed = d.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.text.TextFunctions.simhash16FromHashes(
+          graft.text.TextFunctions.tokenHashes(col("text"))).as("simhash"))
+    val ids = indexed.collect().map(_.getLong(0)).toSet
+    assert(legacy == Set(1L, 3L) && ids == legacy)
+    // and the kept rows still agree value-for-value
+    val lv = Dedup.simhash16(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val iv = indexed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lv == iv)
+  }
 }

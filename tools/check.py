@@ -165,9 +165,15 @@ def _compare_one(item):
     if sfam != dfam:
         diffs = [f"{c}: spark={a} duck={b}"
                  for c, a, b in zip(sc, sfam, dfam) if a != b]
-        # column names agree; the stringified values differ → hash miss
+        # Column NAMES agree, so schema_match stays True: the driver's
+        # compare sorts columns by name and hashes stringified values —
+        # its schema check is name-level, and a type-family divergence
+        # surfaces as the hash miss. The err field carries the diff so a
+        # backfilled board self-describes WHY the hash missed instead of
+        # leaving hash_match as the only signal (ADVICE r13).
         return name, "type", f"TYPE     {name}: " + "; ".join(diffs), \
-            _board(True, nrows[0] == nrows[1], False, *nrows)
+            _board(True, nrows[0] == nrows[1], False, *nrows,
+                   "type families differ: " + "; ".join(diffs)[:400])
     if len(sr) != len(dr):
         return name, "rowcount", \
             f"ROWCOUNT {name}: spark={len(sr)} duck={len(dr)}", \
