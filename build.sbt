@@ -41,4 +41,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // heap pre-size, default = the max: growing a multi-ten-GB heap
+  // region-by-region under allocation pressure costs tens of seconds
+  // and lands on whichever query runs during the growth, reading as
+  // super-linear query time (round-14 probe: the same sf2 census
+  // measured 39 s with -Xms48g, 55 s in a clean growing process, and
+  // 105-272 s after unrelated allocations aged the heap — the entire
+  // "alpha ~2 census" signal and much of the q268 in-sweep penalty
+  // class). -Xms pages lazily on Linux, so pre-sizing commits no
+  // physical memory upfront; SPARK_DRIVER_XMS overrides for A/B runs.
+  Seq(s"-Xms${sys.env.get("SPARK_DRIVER_XMS")
+    .getOrElse(sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))}")

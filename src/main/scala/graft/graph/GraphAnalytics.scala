@@ -128,7 +128,11 @@ object GraphAnalytics {
     val integral = canon.schema.fields.forall(f => f.dataType ==
       org.apache.spark.sql.types.LongType || f.dataType ==
       org.apache.spark.sql.types.IntegerType)
-    if (!integral) None
+    // dev A/B knob: GRAFT_CENSUS_PACKED=0 forces the generic plan so
+    // the packing's contribution is measurable in isolation (results
+    // are bit-identical either way — PackedCensusSpec)
+    if (sys.env.get("GRAFT_CENSUS_PACKED").contains("0")) None
+    else if (!integral) None
     else {
       // one 1-row aggregate over the degree frame (≤ |V| rows, already
       // built for orientation) — measured bounds, never assumptions
