@@ -52,4 +52,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // class). -Xms pages lazily on Linux, so pre-sizing commits no
   // physical memory upfront; SPARK_DRIVER_XMS overrides for A/B runs.
   Seq(s"-Xms${sys.env.get("SPARK_DRIVER_XMS")
-    .getOrElse(sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))}")
+    .getOrElse(sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))}") ++
+  // extra JVM flags for diagnosis runs (GC logs etc.), space-separated
+  sys.env.get("GRAFT_JAVA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

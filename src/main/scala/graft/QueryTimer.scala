@@ -30,16 +30,24 @@ object QueryTimer {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
+    // QTIMER_LIGHT=1 warms only the base + canonical graph artifacts —
+    // a graph-query A/B at sf2 otherwise pays the ~250 s dedup-index
+    // build it never reads (queries that DO read skipped artifacts
+    // still work: SessionCache builds them on demand, inside the
+    // query's timed window — use light mode only for graph queries)
+    val light = sys.env.get("QTIMER_LIGHT").contains("1")
     val ingest = timed {
       graft.graph.KGraph.materialized(spark, sfDir).count()
-      Seq(graft.graph.GraphOps.Incoming, graft.graph.GraphOps.Outgoing,
-        graft.graph.GraphOps.Both).foreach(d =>
-        graft.graph.KGraph.orientedMaterialized(spark, sfDir, d).count())
       graft.graph.KGraph.canonicalMaterialized(spark, sfDir).count()
-      graft.dedup.DedupIndex.clusters(spark, sfDir).count()
-      graft.dedup.DedupIndex.simhashPairs(spark, sfDir).count()
-      graft.queries.GraphAnalyticsQueries.copurchaseCanon(spark, sfDir)
-        .count()
+      if (!light) {
+        Seq(graft.graph.GraphOps.Incoming, graft.graph.GraphOps.Outgoing,
+          graft.graph.GraphOps.Both).foreach(d =>
+          graft.graph.KGraph.orientedMaterialized(spark, sfDir, d).count())
+        graft.dedup.DedupIndex.clusters(spark, sfDir).count()
+        graft.dedup.DedupIndex.simhashPairs(spark, sfDir).count()
+        graft.queries.GraphAnalyticsQueries.copurchaseCanon(spark, sfDir)
+          .count()
+      }
     }
     val keepIds = graft.engine.Lineage.persistentIds(spark)
     println(f"[qtimer] warm+ingest $ingest%.1f s")
@@ -47,9 +55,13 @@ object QueryTimer {
     val rows = names.map { n =>
       val q = graft.queries.Catalog.byName.getOrElse(n,
         sys.error(s"unknown query: $n"))
-      val ts = (1 to 2).map { _ =>
+      // QTIMER_PASSES overrides the pass count (noisy heavies at scale
+      // need >2 samples to separate a floor from interference)
+      val passes = sys.env.get("QTIMER_PASSES").map(_.toInt).getOrElse(2)
+      val ts = (1 to passes).map { _ =>
         val t = timed(q.run(spark, sfDir).count())
-        graft.engine.Lineage.releaseTransient(spark, keepIds)
+        graft.engine.Lineage.releaseTransient(spark, keepIds,
+          blocking = true): Unit
         t
       }
       println(f"[qtimer] $n%-28s min=${ts.min}%7.2f  runs=${

@@ -721,6 +721,24 @@ object GraphAnalyticsQueries {
   private val AaMaxHubDeg = 64
   private val AaTop = 50
 
+  /** SHUFFLE_HASH on an edge-list join side pays only while the
+    * per-partition hash build stays memory-friendly; past that the
+    * build's allocation churn costs more than the sort it avoids, and
+    * unlike sort-merge it cannot spill (the ADVICE-r13 memory bound).
+    * Measured crossover on q268's anti join (48g, min-of-3 solo):
+    * sf1.0 (22M edges, ~690k rows/task) hint 32.9 s vs sort-merge
+    * 37.8 s; sf2.0 (44M edges, ~1.4M rows/task) hint 81.6 s vs
+    * sort-merge 70.9 s — so the hint gates at ≤ 1M build rows per
+    * shuffle partition. `edgeCount` comes from a cheap count on an
+    * already-checkpointed frame. On a real cluster shuffle width grows
+    * with the corpus, keeping per-task slices under the gate — the
+    * fixed-width local harness is exactly where the gate matters. */
+  private def shuffleHashIfCompact(s: SparkSession,
+      side: DataFrame, edgeCount: Long): DataFrame = {
+    val parts = math.max(s.conf.get("spark.sql.shuffle.partitions").toInt, 1)
+    if (edgeCount / parts <= 1000000L) side.hint("SHUFFLE_HASH") else side
+  }
+
   private def q268(s: SparkSession, dir: String): DataFrame = {
     val canon = KGraph.canonicalMaterialized(s, dir)
     val deg = GraphAnalytics.degrees(canon)
@@ -768,10 +786,15 @@ object GraphAnalyticsQueries {
     // list proportionally wider, keeping the per-task slice bounded).
     // sf2 verified under the 48g min-of-2 protocol — see BENCH_NOTES
     // round 14.
+    // dev A/B knob (the ADVICE-r13 sf2 verification): =0 restores the
+    // default sort-merge anti join so the hint's cost is measurable in
+    // isolation at any scale; results identical either way
+    val edgeSide = canon.select(col("a").as("na"), col("b").as("nb"))
+    val existing =
+      if (sys.env.get("GRAFT_Q268_SHUFFLEHASH").contains("0")) edgeSide
+      else shuffleHashIfCompact(s, edgeSide, canon.count())
     pairs
-      .join(canon.select(col("a").as("na"), col("b").as("nb"))
-        .hint("SHUFFLE_HASH"),
-        Seq("na", "nb"), "left_anti")
+      .join(existing, Seq("na", "nb"), "left_anti")
       .orderBy(col("aa_micro").desc, col("na"), col("nb"))
       .limit(AaTop)
       .select(col("na").as("node_a"), col("nb").as("node_b"),
@@ -870,7 +893,8 @@ object GraphAnalyticsQueries {
     def census(name: String, directed: DataFrame,
         preCanonical: Boolean = false,
         canonOpt: Option[DataFrame] = None,
-        supOpt: Option[DataFrame] = None): DataFrame = {
+        supOpt: Option[DataFrame] = None,
+        edgeCountHint: Option[Long] = None): DataFrame = {
       val e =
         if (preCanonical) directed
         else directed.select(col("from_id"), col("to_id"))
@@ -882,10 +906,15 @@ object GraphAnalyticsQueries {
       // side needs no sort and stays shuffled at any scale. Same
       // memory bound as q268's hint (ADVICE r13): the build side is
       // one edge-list slice per task (m/partitions rows, no spill) —
-      // bounded as long as shuffle width grows with the corpus.
+      // so legs with a cheap edge count (cached frames) gate it via
+      // shuffleHashIfCompact; the ungated default serves the
+      // small-graph legs (event transitions) whose count would cost a
+      // recompute of a derived frame.
+      val revSide = e.select(col("to_id").as("from_id"),
+        col("from_id").as("to_id"))
       val recip = e.join(
-        e.select(col("to_id").as("from_id"), col("from_id").as("to_id"))
-          .hint("SHUFFLE_HASH"),
+        edgeCountHint.map(n => shuffleHashIfCompact(s, revSide, n))
+          .getOrElse(revSide.hint("SHUFFLE_HASH")),
         Seq("from_id", "to_id"), "left_semi")
       // checkpointed (or supplied from a session cache): the degree
       // aggregate and the triangle census reference the canonical
@@ -928,13 +957,15 @@ object GraphAnalyticsQueries {
       .filter(col("next_type").isNotNull)
       .select(col("event_type").as("from_id"), col("next_type").as("to_id"))
     census("copurchase", copurchase, preCanonical = true,
-        supOpt = Some(copurchaseSupport(s, dir)))
+        supOpt = Some(copurchaseSupport(s, dir)),
+        edgeCountHint = Some(copurchaseCanon(s, dir).count()))
       .unionByName(census("event_transitions", transitions))
       // the KG's canonical list is the same session-cached ingestion
       // artifact q192/q193 traverse
       .unionByName(census("knowledge_graph", kg,
         canonOpt = Some(KGraph.canonicalMaterialized(s, dir)),
-        supOpt = Some(KGraph.supportMaterialized(s, dir))))
+        supOpt = Some(KGraph.supportMaterialized(s, dir)),
+        edgeCountHint = Some(kg.count())))
       .orderBy(col("graph"))
   }
 
