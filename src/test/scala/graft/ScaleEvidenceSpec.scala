@@ -99,6 +99,25 @@ class ScaleEvidenceSpec extends AnyFunSuite {
     assert(ScaleEvidence.tableRowIds(sf10) == Set(12))
   }
 
+  test("canonical scale-board entries self-describe their protocol") {
+    // round-13 verdict item 3: the sf2.0 board's 24g trial-major
+    // numbers were cross-read against 48g min-of-2 BENCH_NOTES pins —
+    // a 1.8x spread explained entirely by measurement protocol that no
+    // entry recorded. Every entry on the canonical sf1.0 board must now
+    // carry a cfg field (heap, cpus, trial shape).
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(read("SCALECHECK.json"))
+    import scala.jdk.CollectionConverters._
+    val entries = node.get("queries").properties().asScala.toSeq
+    assert(entries.nonEmpty)
+    val missingCfg = entries.collect {
+      case e if e.getValue.get("cfg") == null ||
+        !e.getValue.get("cfg").asText().contains("heap=") => e.getKey
+    }
+    assert(missingCfg.isEmpty,
+      s"board entries with no protocol stamp: ${missingCfg.mkString(", ")}")
+  }
+
   test("prose mentions do not count as evidence") {
     assert(ScaleEvidence.tableRowIds(
       "q31's oracle gate is green; see q293 notes") == Set.empty)
