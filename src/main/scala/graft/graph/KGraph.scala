@@ -97,6 +97,52 @@ object KGraph {
     concat(call_function("char", shiftright(c, 40)), lit(":"),
       c.bitwiseAND(lit((1L << 40) - 1)).cast("string"))
 
+  /** STRING-ORDER-PRESERVING id ↔ long codec (round 14). [[encodeId]]
+    * packs by numeric value, whose order differs from the id strings'
+    * ("c:100" < "c:99" lexicographically, 100 > 99 numerically) — fine
+    * for identity-only keys (census, wedges), wrong wherever the QUERY
+    * depends on id ORDER (LPA's tie → smallest label, round-1
+    * min(neighbor)). This codec keeps lexicographic order: for decimal
+    * numerals without leading zeros, string order is exactly
+    * (value·10^(12−len), len) ascending — right-pad the digits to a
+    * fixed width 12 and compare numerically, shorter-first on ties
+    * (a proper prefix pads to the same f, smaller len). Layout:
+    * ascii(prefix)·2^44 + f·16 + len with f < 10^12 < 2^40 and
+    * len ≤ 12 < 16, so (prefix, f, len) packs lexicographically into
+    * one non-negative long. Ids whose numeral exceeds 12 digits raise
+    * rather than mis-order (same loud-failure contract as
+    * [[encodeIdChecked]]; ids reach ~2×10^8 at sf2 — 10^12 is 4,000×
+    * headroom). KGraphCodecSpec pins order-preservation + roundtrip. */
+  private[graft] def encodeIdLex(c: Column): Column = {
+    val num = c.substr(lit(3), length(c)).cast("long")
+    val len = (length(c) - 2).cast("long")
+    // 10^(12−len) as exact long literals (len ∈ [1, 12])
+    val scale = (2 to 12).foldLeft(
+        when(len === 1L, lit(math.pow(10, 11).toLong))) { (acc, l) =>
+      acc.when(len === l.toLong, lit(math.pow(10, 12 - l).toLong))
+    }
+    when(num.isNotNull && num >= 0L && len <= 12L,
+      ascii(substring(c, 1, 1)).cast("long") * lit(1L << 44) +
+        num * scale * lit(16L) + len)
+      .otherwise(raise_error(concat(
+        lit("KGraph.encodeIdLex: id numeral outside [0, 10^12): "), c)))
+  }
+
+  private[graft] def decodeIdLex(c: Column): Column = {
+    val len = c.bitwiseAND(lit(15L))
+    val f = shiftright(c, 4).bitwiseAND(lit((1L << 40) - 1L))
+    val scale = (2 to 12).foldLeft(
+        when(len === 1L, lit(math.pow(10, 11).toLong))) { (acc, l) =>
+      acc.when(len === l.toLong, lit(math.pow(10, 12 - l).toLong))
+    }
+    // f = num·scale exactly with both < 2^53, so the double division
+    // is exact (IEEE correctly-rounded quotient of exactly-representable
+    // operands with an exactly-representable result) — the cast
+    // truncates nothing
+    concat(call_function("char", shiftright(c, 44)), lit(":"),
+      (f / scale).cast("long").cast("string"))
+  }
+
   def supportMaterialized(spark: SparkSession, dir: String): DataFrame = {
     val canon = canonicalMaterialized(spark, dir)
     // run the O(m^1.5) wedge enumeration on packed longs, decode the

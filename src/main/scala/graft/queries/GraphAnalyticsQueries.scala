@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.engine.Lineage.LineageOps
 import graft.graph.{GraphAnalytics, KGraph}
 
 /** Whole-graph analytics (triangles / k-core / communities) over the
@@ -156,9 +157,20 @@ object GraphAnalyticsQueries {
   private[graft] val LpaRounds = 4
 
   private def q193(s: SparkSession, dir: String): DataFrame = {
-    val canon = KGraph.canonicalMaterialized(s, dir)
+    val canonS = KGraph.canonicalMaterialized(s, dir)
+    // round-14 (guide §2.3): each LPA round shuffles + hash-aggregates
+    // a ~2.4M-row (node, label) frame keyed on id STRINGS — the three
+    // largest HashAggregate steps in BENCH_EXPLAIN (19–30 s task time
+    // each). LPA's result depends on id ORDER (tie → smallest label,
+    // round-1 min(neighbor)), so the identity-only encodeId is wrong
+    // here; encodeIdLex preserves lexicographic order exactly, making
+    // every min() identical while the rounds run on 8-byte keys.
+    // Canonical a < b survives the order-preserving map unchanged.
+    val canon = canonS.select(KGraph.encodeIdLex(col("a")).as("a"),
+      KGraph.encodeIdLex(col("b")).as("b"))
     GraphAnalytics.labelPropagation(canon, LpaRounds)
-      .select(col("node").as("node_id"), col("label"))
+      .select(KGraph.decodeIdLex(col("node")).as("node_id"),
+        KGraph.decodeIdLex(col("label")).as("label"))
       .orderBy(col("node_id"))
   }
 
@@ -266,6 +278,13 @@ object GraphAnalyticsQueries {
   //          sf1.0; sample stubs past ~10⁹ edges.)
   private def q231(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.ExactRound
+    // round-14 (guide §2.3): every column this query ever aggregates is
+    // a count or a degree — node ids are identity-only join/distinct
+    // keys, so the degree joins, the reciprocity distinct and the
+    // reversed-key semi join all run on packed longs (encodeId) and
+    // nothing is ever decoded. Also: the reciprocity leg previously
+    // re-derived KGraph.edges from the base tables (two lineitem
+    // DISTINCT scans) — it now reads the cached edge artifact.
     val canon = KGraph.canonicalMaterialized(s, dir)
     val deg = canon.select(col("a").as("node"))
       .unionByName(canon.select(col("b").as("node")))
@@ -286,7 +305,7 @@ object GraphAnalyticsQueries {
         (col("m").cast("double") * col("sxx").cast("double") -
           col("sx").cast("double") * col("sx").cast("double")), 6)
         .as("assortativity"))
-    val dir0 = KGraph.edges(s, dir)
+    val dir0 = KGraph.materialized(s, dir)
       .select(col("from_id"), col("to_id")).distinct()
     val mutual = dir0.join(
         dir0.select(col("to_id").as("from_id"), col("from_id").as("to_id")),
@@ -740,7 +759,26 @@ object GraphAnalyticsQueries {
   }
 
   private def q268(s: SparkSession, dir: String): DataFrame = {
-    val canon = KGraph.canonicalMaterialized(s, dir)
+    val canonS = KGraph.canonicalMaterialized(s, dir)
+    // round-14 (guide §2.3 "narrower types"): the wedge join + pair
+    // aggregate below hash/compare ~22M (na, nb) keys at sf0.1 — on
+    // the id STRINGS that was 784%+528% of executed time in
+    // BENCH_EXPLAIN's two HashAggregate steps. Run the whole pair
+    // pipeline on packed-long ids. The codec is the ORDER-PRESERVING
+    // one (encodeIdLex), not the census's value codec: with string
+    // order preserved, canonical a < b survives the map, the anti
+    // join's pair identities match, AND the final
+    // (aa_micro desc, na, nb) top-k is the SAME total order on longs —
+    // so only the 50 result rows are ever decoded (a first cut with
+    // the value codec decoded all ~18M anti-join survivors to re-sort
+    // in string order and LOST 1.3 s to the 36M string constructions).
+    // lazily checkpointed: degrees, both wedge legs and the anti-join
+    // edge side all read this frame — without the cut the encode
+    // re-evaluates 4×
+    val canon = canonS
+      .select(KGraph.encodeIdLex(col("a")).as("a"),
+        KGraph.encodeIdLex(col("b")).as("b"))
+      .truncateLineageLazy()
     val deg = GraphAnalytics.degrees(canon)
     val adj = canon.select(col("a").as("y"), col("b").as("x"))
       .unionByName(canon.select(col("b").as("y"), col("a").as("x")))
@@ -792,12 +830,15 @@ object GraphAnalyticsQueries {
     val edgeSide = canon.select(col("a").as("na"), col("b").as("nb"))
     val existing =
       if (sys.env.get("GRAFT_Q268_SHUFFLEHASH").contains("0")) edgeSide
-      else shuffleHashIfCompact(s, edgeSide, canon.count())
+      else shuffleHashIfCompact(s, edgeSide, canonS.count())
     pairs
       .join(existing, Seq("na", "nb"), "left_anti")
+      // the top-k runs entirely on packed longs (lex codec: long order
+      // == string order), so only AaTop rows are decoded
       .orderBy(col("aa_micro").desc, col("na"), col("nb"))
       .limit(AaTop)
-      .select(col("na").as("node_a"), col("nb").as("node_b"),
+      .select(KGraph.decodeIdLex(col("na")).as("node_a"),
+        KGraph.decodeIdLex(col("nb")).as("node_b"),
         col("common_neighbors"),
         (col("aa_micro") / lit(1e6)).as("aa_score"))
   }
@@ -1449,6 +1490,17 @@ object GraphAnalyticsQueries {
 
   private def q343(s: SparkSession, dir: String): DataFrame = {
     import graft.graph.HyperBall
+    // round-14 NEGATIVE RESULT (guide §1.2: measure, then decide):
+    // packing the node key to a long (encodeId; identity-only here, the
+    // register values hash the original strings either way) was
+    // measured min-of-4/6 against the string keys and LOST at both
+    // scales — sf0.1 3.22 → 4.73 s, sf1.0 21.1 → 27.2 s — even with
+    // the packed edge list lazily checkpointed. The register rows are
+    // 16 long columns (~140 B), so narrowing the key saves little
+    // shuffle width, while the encode pass + checkpoint materialization
+    // are pure overhead; unlike the q268 wedge stream or the q193 LPA
+    // frames the key is never the wide part of the row. Kept on
+    // strings.
     val canon = KGraph.canonicalMaterialized(s, dir)
     val nodes = canon.select(col("a").as("node"))
       .unionByName(canon.select(col("b").as("node"))).distinct()

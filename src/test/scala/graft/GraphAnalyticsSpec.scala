@@ -173,6 +173,19 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(Set("b1", "b2", "b3").map(got) == Set("a3"))
   }
 
+  test("q193 packed-key LPA == string-keyed LPA on the real graph " +
+    "(round 14: encodeIdLex is order-preserving, so results are " +
+    "bit-identical)") {
+    val c = graft.graph.KGraph.canonicalMaterialized(spark, sf)
+    val direct = GraphAnalytics.labelPropagation(c,
+        graft.queries.GraphAnalyticsQueries.LpaRounds)
+      .as[(String, String)].collect().toMap
+    val packed = graft.queries.Catalog.byName("q193_lpa_communities")
+      .run(spark, sf)
+      .as[(String, String)].collect().toMap
+    assert(packed == direct)
+  }
+
   test("q256: betweenness output is positive, seed-bounded, hub-shaped") {
     val rows = graft.queries.Catalog.byName("q256_betweenness")
       .run(spark, sf).collect()

@@ -53,6 +53,47 @@ class KGraphCodecSpec extends SparkSpec {
     assert(viaCodec == direct)
   }
 
+  test("encodeIdLex preserves string order exactly and roundtrips " +
+    "(round 14: the LPA key-packing lever)") {
+    import spark.implicits._
+    // adversarial numerals: prefix-of (1 / 10 / 100), same-f ties
+    // ("1" vs "10"), the classic inversion ("100" vs "99" vs "9"),
+    // cross-prefix, 12-digit boundary
+    val ids = Seq("c:1", "c:10", "c:100", "c:101", "c:11", "c:2", "c:9",
+      "c:99", "c:999999999999", "c:0", "o:1", "o:0", "n:5", "p:100",
+      "p:99", "r:123456", "s:42")
+    val df = ids.toDF("id")
+      .select(col("id"), KGraph.encodeIdLex(col("id")).as("code"))
+    val rows = df.select(col("id"), col("code"),
+        KGraph.decodeIdLex(col("code")).as("rt")).collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(2),
+      s"roundtrip ${r.getString(0)} -> ${r.getString(2)}"))
+    val byString = ids.sorted
+    val byCode = rows.map(r => (r.getLong(1), r.getString(0)))
+      .sortBy(_._1).map(_._2).toSeq
+    assert(byCode == byString, s"order diverged:\n$byCode\n$byString")
+    // raises past 12 digits instead of mis-ordering
+    val e = intercept[Exception](Seq("c:1000000000000").toDF("id")
+      .select(KGraph.encodeIdLex(col("id"))).collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("encodeIdLex")))
+  }
+
+  test("encodeIdLex roundtrips and stays order-isomorphic on every real " +
+    "node id at sf0.001") {
+    val ids = graft.graph.PageRank.nodes(KGraph.materialized(spark, sf))
+    val bad = ids.withColumn("rt",
+        KGraph.decodeIdLex(KGraph.encodeIdLex(col("node_id"))))
+      .filter(col("rt") =!= col("node_id") || col("rt").isNull)
+    assert(bad.count() == 0, bad.take(5).mkString(", "))
+    val all = ids.select(col("node_id"),
+        KGraph.encodeIdLex(col("node_id")).as("code"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(all.sortBy(_._1).map(_._2).toSeq ==
+      all.sortBy(_._2).map(_._2).toSeq, "code order != string order")
+  }
+
   test("codec census matches the string census on a triangled graph, " +
     "string-canonical form preserved") {
     import spark.implicits._
