@@ -72,9 +72,12 @@ object Bench {
     // combine), not the census (it doesn't read one)
     "q191_copurchase_clustering" -> 0.63,
     "q192_kcore_layers" -> 4.29, // unchanged after the AQE-peel fix (r9 4.31)
-    "q193_lpa_communities" -> 4.69,
+    "q193_lpa_communities" -> 3.31, // round-14 packed-lex LPA re-pin
+
     "q226_cluster_cohesion" -> 0.59, // post-DedupIndex (was 10.85)
-    "q231_graph_mixing" -> 5.02,
+    // round-14 re-pin DOWN: reciprocity leg reads the cached edge
+    // artifact instead of re-deriving KGraph.edges
+    "q231_graph_mixing" -> 2.90,
     "q254_entity_resolution" -> 2.92,
     "q256_betweenness" -> 5.23,
     // round-9 headline promotions (quiet sf0.1 mins, BENCH_NOTES
@@ -88,7 +91,9 @@ object Bench {
     // execution-vs-storage memory interaction, BENCH_NOTES r13); the
     // floor is the best IN-SWEEP reading so official runs don't burn
     // two futile 15 s retries chasing a solo-only number
-    "q268_link_prediction" -> 5.29,
+    // round-14 re-pin DOWN: packed-lex wedge pipeline — quiet official
+    // run at the new binary read 4.80 in-sweep (old floor 5.29)
+    "q268_link_prediction" -> 4.80,
     "q269_hits" -> 4.65,
     "q273_graph_census" -> 3.68, // round-12 post-census re-pin
     // round-11 headline promotions (quiet sf0.1 mins, BENCH_NOTES

@@ -28,6 +28,15 @@ object QueryProbe {
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
     graft.graph.KGraph.materialized(spark, sfDir).count()
     graft.graph.KGraph.canonicalMaterialized(spark, sfDir).count()
+    // the census artifacts too: a probed query that builds them lazily
+    // AFTER the keep snapshot would have them swept by releaseTransient
+    // between runs and die on CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND in
+    // run 2 (q293 did, round 14)
+    graft.queries.GraphAnalyticsQueries.copurchaseCanon(spark, sfDir)
+      .count()
+    graft.queries.GraphAnalyticsQueries.copurchaseSupport(spark, sfDir)
+      .count()
+    graft.graph.KGraph.supportMaterialized(spark, sfDir).count()
     val keep = graft.engine.Lineage.persistentIds(spark)
     val q = graft.queries.Catalog.byName(name)
     // task-metric accumulation per run: SQLMetrics miss scheduler gaps,
